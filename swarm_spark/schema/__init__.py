@@ -1,6 +1,6 @@
 from .infer import align_to_schema, infer_batch_schema, infer_record_schema
 from .merge import SchemaConflictError, merge_schemas, schemas_equal
-from .strip import strip_record, strip_void_columns
+from .strip import strip_record, strip_struct_column, strip_void_columns
 
 __all__ = [
     "SchemaConflictError",
@@ -10,5 +10,6 @@ __all__ = [
     "merge_schemas",
     "schemas_equal",
     "strip_record",
+    "strip_struct_column",
     "strip_void_columns",
 ]

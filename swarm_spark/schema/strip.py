@@ -105,3 +105,29 @@ def strip_void_columns(df: DataFrame) -> DataFrame:
     if cols is None:
         raise ValueError("all columns are void after stripping")
     return df.select(*cols)
+
+
+def strip_struct_column(df: DataFrame, col: str = "data") -> DataFrame:
+    """Rebuild one struct column without its void nested fields, leaving
+    every other column untouched (used on the rule-output ``data``
+    struct before inference/evolution)."""
+    dtype = df.schema[col].dataType
+    if not isinstance(dtype, T.StructType):
+        raise TypeError(f"{col} is not a struct")
+    leaves = [
+        (p, d)
+        for p, d in _leaf_columns(dtype, prefix=col + ".")
+        if not isinstance(d, T.StructType)
+    ]
+    if not leaves:
+        return df
+    agg = df.agg(
+        *[_nonvoid_count(F.col(p), d).alias(f"c{i}") for i, (p, d) in enumerate(leaves)]
+    ).collect()[0]
+    keep = {p for i, (p, _) in enumerate(leaves) if agg[f"c{i}"] > 0}
+    inner = _rebuild(dtype, col + ".", keep)
+    if inner is None:
+        raise ValueError(f"struct column {col!r} is entirely void")
+    rebuilt = F.when(F.col(col).isNull(), F.lit(None)).otherwise(F.struct(*inner))
+    others = [F.col(c) for c in df.columns if c != col]
+    return df.select(*others, rebuilt.alias(col))
