@@ -1,38 +1,52 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the swarm-spark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship query at sf0.001; ``queries`` /
+``oracle_sql`` expose every implemented operator from SURVEY.md §2
+(declared queries of §2.3 plus the LLM-data-pipeline operators) for the
+driver's DuckDB hash-check at sf0.01.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: routed-ingest pricing summary (G1 grouping shape) —
+    lineitem scanned once, grouped by destination-like keys with exact
+    aggregates."""
+    from swarm_spark.sources.tables import load_table
+
+    li = load_table(spark, SMOKE_SF_DIR, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").alias("sum_qty"),
+            F.ceil(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / 100.0)
+            .cast("long")
+            .alias("price_ceil"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from swarm_spark.queries import CORE
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in CORE.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from swarm_spark.queries import CORE
+
+    return {name: sql for name, (_fn, sql) in CORE.items() if sql is not None}

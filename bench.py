@@ -1,0 +1,73 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion (collect) after a session warm-up;
+value = sum of per-query wall seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+
+    from swarm_spark.session import get_spark
+
+    spark = get_spark(app_name="swarm-spark-bench", master=f"local[{cpus}]")
+
+    from swarm_spark.queries import CORE
+
+    # headline set: scan, filter, join, agg, window, union, sql, pipeline
+    names = [
+        "s1_scan_count",
+        "r1_event_rule_filter",
+        "r2_projection",
+        "r2_fanout_join",
+        "q5_partition_derivation",
+        "g1_group_by_destination",
+        "q2_schema_merge_union",
+        "x1_dedup_by_id",
+        "e1_size_batching",
+        "m1_sql_passthrough",
+        "pipeline_ingest_e2e",
+    ]
+    names = [n for n in names if n in CORE]
+
+    # warm up the JVM / parquet footer cache with a trivial action
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = CORE[name][0]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

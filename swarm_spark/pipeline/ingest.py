@@ -127,6 +127,27 @@ class IngestPipeline:
             F.col("data"),
         )
 
+    def transform_objects(self, objs: list[ObjectMeta]) -> DataFrame | None:
+        """Route + transform + envelope WITHOUT writing: the routed Log
+        frame as a DataFrame (one union across source groups). Useful
+        for dry inspection and correctness harnesses; ``load_objects``
+        is this plus the per-destination evolve/append."""
+        reqs = self.route(objs)
+        by_source: dict[Source, list[str]] = {}
+        for r in reqs:
+            by_source.setdefault(r.source, []).append(r.obj.url)
+        frames = []
+        for source, paths in by_source.items():
+            logs = self._transform_group(source, paths)
+            if logs is not None:
+                frames.append(self._envelope(logs, "dry"))
+        if not frames:
+            return None
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
     def load_objects(self, objs: list[ObjectMeta]) -> IngestStats:
         stats = IngestStats(ingest_id=uuid.uuid4().hex, started_at=time.time())
         stats.objects = len(objs)

@@ -1,0 +1,362 @@
+"""Declared correctness queries (SURVEY.md §2.3) + their DuckDB oracles.
+
+Each entry restates one ingestion-dataflow operator as a deterministic,
+dialect-portable query over the driver's synthetic tables, implemented
+with the idiomatic DataFrame construct on the Spark side and ANSI-ish
+SQL on the DuckDB side. The driver hash-compares both at sf0.01
+(CORRECTNESS_r{N}.json) — column names and types are aligned on both
+sides on purpose.
+
+Determinism rules used throughout:
+- aggregates stay integral (counts, exact-integral double sums, or the
+  round-to-cents trick) so cross-engine float summation order can't
+  flip a bit;
+- every computed column is aliased identically in both dialects;
+- DuckDB `make_timestamp(us)` (naive) instead of `to_timestamp`
+  (timestamptz) so types line up with Spark's UTC session.
+
+NOTE vs SURVEY §2.3 as written: the driver's slimmed TPC-H tables lack
+``o_comment``, ``o_clerk`` and ``l_comment``; those predicates are
+re-expressed over existing columns with identical operator shape.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------- S1/P1
+def q_s1_scan_count(spark, sf):
+    return _t(spark, sf, "lineitem").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_S1 = "SELECT count(*) AS n FROM lineitem"
+
+
+# ---------------------------------------------------------------- S3
+def q_s3_prefix_filter(spark, sf):
+    part = _t(spark, sf, "part")
+    return part.where(F.col("p_name").startswith("a")).agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_S3 = "SELECT count(*) AS n FROM part WHERE p_name LIKE 'a%'"
+
+
+# ---------------------------------------------------------------- R1
+def q_r1_event_rule_filter(spark, sf):
+    # startswith/endswith predicate pair, as event rules use
+    # (reference pkg/usecase/testdata/policy/event.rego:9,19)
+    orders = _t(spark, sf, "orders")
+    return orders.where(
+        F.col("o_orderpriority").startswith("1") & F.col("o_orderstatus").endswith("F")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_R1 = (
+    "SELECT count(*) AS n FROM orders "
+    "WHERE o_orderpriority LIKE '1%' AND o_orderstatus LIKE '%F'"
+)
+
+
+# ---------------------------------------------------------------- R2 (projection)
+def q_r2_projection(spark, sf):
+    orders = _t(spark, sf, "orders")
+    return (
+        orders.select(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_orderdate").alias("ts"),
+            F.col("o_totalprice").alias("price"),
+        )
+        .orderBy("id")
+        .limit(100)
+    )
+
+
+SQL_R2_PROJ = (
+    "SELECT o_orderkey AS id, o_orderdate AS ts, o_totalprice AS price "
+    "FROM orders ORDER BY id LIMIT 100"
+)
+
+
+# ---------------------------------------------------------------- R2 (fan-out)
+def q_r2_fanout_join(spark, sf):
+    # Records[_] unnest analogue: envelope (orders) 1:N records (lineitem)
+    orders = _t(spark, sf, "orders").select("o_orderkey")
+    lineitem = _t(spark, sf, "lineitem").select("l_orderkey", "l_linenumber")
+    return (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey, "inner")
+        .select(F.col("o_orderkey").alias("okey"), F.col("l_linenumber").alias("lineno"))
+        .orderBy("okey", "lineno")
+        .limit(1000)
+    )
+
+
+SQL_R2_FANOUT = (
+    "SELECT o.o_orderkey AS okey, l.l_linenumber AS lineno "
+    "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
+    "ORDER BY 1, 2 LIMIT 1000"
+)
+
+
+# ---------------------------------------------------------------- R3
+def q_r3_validation(spark, sf):
+    orders = _t(spark, sf, "orders")
+    return orders.where(
+        F.col("o_orderdate").isNotNull() & F.col("o_orderkey").isNotNull()
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_R3 = (
+    "SELECT count(*) AS n FROM orders "
+    "WHERE o_orderdate IS NOT NULL AND o_orderkey IS NOT NULL"
+)
+
+
+# ---------------------------------------------------------------- T1
+def q_t1_null_strip(spark, sf):
+    # null-ignoring count (the inference-side effect of nil stripping)
+    ev = _t(spark, sf, "events")
+    return ev.agg(
+        F.count("props").alias("n_props"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+SQL_T1 = "SELECT count(props) AS n_props, count(*) AS n_rows FROM events"
+
+
+# ---------------------------------------------------------------- T2
+def q_t2_deterministic_id(spark, sf):
+    orders = _t(spark, sf, "orders")
+    return (
+        orders.orderBy("o_orderkey")
+        .limit(10)
+        .select(F.md5(F.col("o_orderkey").cast("string")).alias("id"))
+    )
+
+
+SQL_T2 = (
+    "SELECT md5(cast(o_orderkey AS varchar)) AS id "
+    "FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 10) t"
+)
+
+
+# ---------------------------------------------------------------- T3
+def q_t3_timestamp_build(spark, sf):
+    return spark.range(1).select(
+        F.timestamp_seconds(F.lit(1559347200)).cast("date").alias("d")
+    )
+
+
+SQL_T3 = "SELECT cast(make_timestamp(1559347200000000) AS date) AS d"
+
+
+# ---------------------------------------------------------------- Q5
+def q_q5_partition_derivation(spark, sf):
+    orders = _t(spark, sf, "orders")
+    return (
+        orders.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("p"),
+            F.date_format(F.col("o_orderdate"), "yyyy-MM").alias("part"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("p")
+    )
+
+
+SQL_Q5 = (
+    "SELECT cast(date_trunc('month', o_orderdate) AS date) AS p, "
+    "strftime(o_orderdate, '%Y-%m') AS part, count(*) AS n "
+    "FROM orders GROUP BY 1, 2 ORDER BY 1"
+)
+
+
+# ---------------------------------------------------------------- G1
+def q_g1_group_by_destination(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").alias("sum_qty"),  # integral doubles: exact
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_G1 = (
+    "SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty "
+    "FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"
+)
+
+
+# ---------------------------------------------------------------- G2
+def q_g2_chunking(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.agg(
+        F.ceil(F.count(F.lit(1)) / 256.0).cast("long").alias("chunks")
+    )
+
+
+SQL_G2 = "SELECT cast(ceil(count(*) / 256.0) AS bigint) AS chunks FROM lineitem"
+
+
+# ---------------------------------------------------------------- Q2
+def q_q2_schema_merge_union(spark, sf):
+    orders = _t(spark, sf, "orders")
+    a = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.lit(None).cast("string").alias("clerk"),
+    )
+    b = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(None).cast("double").alias("price"),
+        F.col("o_orderstatus").alias("clerk"),
+    )
+    return a.unionByName(b).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("price").alias("n_price"),
+        F.count("clerk").alias("n_clerk"),
+    )
+
+
+SQL_Q2 = (
+    "SELECT count(*) AS n, count(price) AS n_price, count(clerk) AS n_clerk FROM ("
+    "  SELECT o_orderkey AS k, o_totalprice AS price, NULL AS clerk FROM orders"
+    "  UNION ALL"
+    "  SELECT o_orderkey, NULL, o_orderstatus FROM orders) t"
+)
+
+
+# ---------------------------------------------------------------- X1/T2
+def q_x1_dedup_by_id(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return (
+        li.select("l_orderkey", "l_linenumber")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_X1 = (
+    "SELECT count(*) AS n FROM ("
+    "  SELECT l_orderkey, row_number() OVER "
+    "  (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn FROM lineitem) t "
+    "WHERE rn = 1"
+)
+
+
+# ---------------------------------------------------------------- E1
+def q_e1_size_batching(spark, sf):
+    # 4-MiB enqueue size cap arithmetic; cents trick keeps the double
+    # sum exact and order-independent across engines
+    li = _t(spark, sf, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return li.agg(
+        F.ceil(F.sum(cents) / 100.0 / 4194304.0).cast("long").alias("batches")
+    )
+
+
+SQL_E1 = (
+    "SELECT cast(ceil(sum(cast(round(l_extendedprice * 100) AS bigint)) "
+    "/ 100.0 / 4194304.0) AS bigint) AS batches FROM lineitem"
+)
+
+
+# ---------------------------------------------------------------- M1
+def q_m1_sql_passthrough(spark, sf):
+    # the migrate operator is a SQL pass-through; run it as one
+    _t(spark, sf, "orders").createOrReplaceTempView("m1_orders")
+    return spark.sql("SELECT count(*) AS n FROM (SELECT * FROM m1_orders) t")
+
+
+SQL_M1 = "SELECT count(*) AS n FROM (SELECT * FROM orders) t"
+
+
+# ------------------------------------------------- full pipeline (rows-only)
+def q_pipeline_ingest_e2e(spark, sf):
+    """The whole ingestion dataflow as one query: events table →
+    NDJSON objects → event-rule routing → schema-rule transform with
+    JSON-payload parsing → envelope with content-hash ids.
+
+    Non-SQL-expressible (canonical-JSON md5 + schema evolution), so no
+    oracle entry — the driver records the weaker rows-only check.
+    """
+    import os
+    import tempfile
+
+    from .model import ObjectMeta, Source
+    from .pipeline import IngestPipeline
+    from .rules import EventRule, EventRuleSet, SchemaRuleRegistry, name_suffix, rule_output
+    from .sinks.base import Sink
+
+    ev = _t(spark, sf, "events")
+    tmp = tempfile.mkdtemp(prefix="swarm_e2e_")
+    obj_dir = os.path.join(tmp, "objects")
+    # one NDJSON "object" per spark partition — the batch-ingest shape
+    ev.select(F.to_json(F.struct(*ev.columns)).alias("value")).coalesce(4).write.mode(
+        "overwrite"
+    ).text(obj_dir)
+    paths = [
+        os.path.join(obj_dir, f) for f in sorted(os.listdir(obj_dir)) if f.endswith(".txt")
+    ]
+
+    rules = SchemaRuleRegistry()
+
+    @rules.rule("events")
+    def events_rule(df):
+        return rule_output(
+            df,
+            dataset="analytics",
+            table=F.concat(F.lit("ev_"), F.col("event_type")),
+            timestamp=F.unix_timestamp(F.to_timestamp("ts")).cast("double"),
+            data=F.struct(
+                F.col("event_id"),
+                F.col("user_id"),
+                F.col("value"),
+                F.from_json(F.col("props"), "k int").alias("props"),
+            ),
+        )
+
+    erules = EventRuleSet(
+        [EventRule("events", name_suffix(".txt"), (Source(schema="events"),))]
+    )
+    pipe = IngestPipeline(spark, erules, rules, sink=None)  # transform-only
+    objs = [ObjectMeta(bucket="local", name=os.path.basename(p), path=p) for p in paths]
+    out = pipe.transform_objects(objs)
+    return out.select(
+        "dataset", "table", "id", F.col("data.event_id").alias("event_id")
+    ).orderBy("event_id")
+
+
+CORE: dict[str, tuple[Callable, str | None]] = {
+    "s1_scan_count": (q_s1_scan_count, SQL_S1),
+    "s3_prefix_filter": (q_s3_prefix_filter, SQL_S3),
+    "r1_event_rule_filter": (q_r1_event_rule_filter, SQL_R1),
+    "r2_projection": (q_r2_projection, SQL_R2_PROJ),
+    "r2_fanout_join": (q_r2_fanout_join, SQL_R2_FANOUT),
+    "r3_validation": (q_r3_validation, SQL_R3),
+    "t1_null_strip": (q_t1_null_strip, SQL_T1),
+    "t2_deterministic_id": (q_t2_deterministic_id, SQL_T2),
+    "t3_timestamp_build": (q_t3_timestamp_build, SQL_T3),
+    "q5_partition_derivation": (q_q5_partition_derivation, SQL_Q5),
+    "g1_group_by_destination": (q_g1_group_by_destination, SQL_G1),
+    "g2_chunking": (q_g2_chunking, SQL_G2),
+    "q2_schema_merge_union": (q_q2_schema_merge_union, SQL_Q2),
+    "x1_dedup_by_id": (q_x1_dedup_by_id, SQL_X1),
+    "e1_size_batching": (q_e1_size_batching, SQL_E1),
+    "m1_sql_passthrough": (q_m1_sql_passthrough, SQL_M1),
+    "pipeline_ingest_e2e": (q_pipeline_ingest_e2e, None),
+}

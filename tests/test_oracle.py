@@ -1,0 +1,79 @@
+"""Driver-style oracle check: every declared query vs DuckDB at sf0.001.
+
+Mimics the harness: run the Spark query and the oracle SQL on the same
+parquet tables, compare row count, column names, and order-insensitive
+values (normalized). The driver runs the same shape at sf0.01.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from swarm_spark.sources.tables import TABLES
+
+
+@pytest.fixture(scope="module")
+def ddb(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def normalize(v):
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat(timespec="microseconds")
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.10g}"
+    if isinstance(v, int):
+        return str(v)
+    return str(v)
+
+
+def rows_to_multiset(cols, rows):
+    # driver sorts columns by name before hashing values
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(normalize(r[i]) for i in order) for r in rows)
+
+
+ORACLE = entry_mod.oracle_sql()
+QUERIES = entry_mod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_query_matches_oracle(name, spark, sf_dir, ddb):
+    sdf = QUERIES[name](spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    res = ddb.execute(ORACLE[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
+    assert rows_to_multiset(scols, srows) == rows_to_multiset(dcols, drows), (
+        f"{name}: values differ"
+    )
+
+
+def test_rows_only_queries_run(spark, sf_dir):
+    for name in sorted(set(QUERIES) - set(ORACLE)):
+        df = QUERIES[name](spark, sf_dir)
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["l_returnflag", "l_linestatus", "n", "sum_qty", "price_ceil"]
