@@ -41,12 +41,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from swarm_spark.queries import CORE
+    from swarm_spark.queries import all_queries
 
-    return {name: fn for name, (fn, _sql) in CORE.items()}
+    return {name: fn for name, (fn, _sql) in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    from swarm_spark.queries import CORE
+    from swarm_spark.queries import all_queries
 
-    return {name: sql for name, (_fn, sql) in CORE.items() if sql is not None}
+    return {name: sql for name, (_fn, sql) in all_queries().items() if sql is not None}

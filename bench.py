@@ -26,9 +26,11 @@ def main() -> None:
 
     spark = get_spark(app_name="swarm-spark-bench", master=f"local[{cpus}]")
 
-    from swarm_spark.queries import CORE
+    from swarm_spark.queries import all_queries
 
-    # headline set: scan, filter, join, agg, window, union, sql, pipeline
+    CORE = all_queries()
+    # headline set: scan, filter, join, agg, window, union, sql, pipeline,
+    # plus the training-data operators (dedup, similarity, text analysis)
     names = [
         "s1_scan_count",
         "r1_event_rule_filter",
@@ -41,6 +43,13 @@ def main() -> None:
         "e1_size_batching",
         "m1_sql_passthrough",
         "pipeline_ingest_e2e",
+        "text_token_stats",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_simhash_pairs",
+        "dedup_embedding",
+        "ann_topk_bruteforce",
+        "multimodal_features",
     ]
     names = [n for n in names if n in CORE]
 

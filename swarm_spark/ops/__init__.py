@@ -1,0 +1,38 @@
+from .dedup import (
+    cosine_expr,
+    doc_shingles,
+    dot_expr,
+    embedding_dup_pairs,
+    exact_dedup,
+    exact_dup_stats,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from .multimodal import attach_fake_image, media_features
+from .similarity import ann_topk_bruteforce, ann_topk_cells
+from .text import fingerprint, language_id, quality_score, token_stats
+
+__all__ = [
+    "ann_topk_bruteforce",
+    "ann_topk_cells",
+    "attach_fake_image",
+    "cosine_expr",
+    "doc_shingles",
+    "dot_expr",
+    "embedding_dup_pairs",
+    "exact_dedup",
+    "exact_dup_stats",
+    "fingerprint",
+    "language_id",
+    "media_features",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "quality_score",
+    "simhash",
+    "simhash_pairs",
+    "token_stats",
+]

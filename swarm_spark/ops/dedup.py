@@ -1,0 +1,329 @@
+"""Deduplication operators for training-data pipelines.
+
+Five tiers, all expressed as DataFrame compositions (no Python in the
+row path) with deterministic, SQL-oracle-checkable outputs:
+
+- exact           — hash-groupBy on content digest
+- ngram-jaccard   — shared-shingle candidate join → exact Jaccard
+- minhash + LSH   — per-permutation min(md5(seed|shingle)) signatures,
+                    banded; candidates = docs sharing a band key
+- simhash         — 16-bit tf-weighted hash-majority sketch; near-dups
+                    by Hamming distance
+- embedding cosine— near-dup pairs within an IVF-style cell (label)
+
+Scale notes (100 TB): every operator shuffles once on its blocking key
+(digest / shingle / band key / simhash-cross / cell) and aggregates
+map-side first. The candidate joins are equi-joins on high-selectivity
+keys, so AQE handles skew; nothing materializes O(n²) except the
+explicitly-bounded simhash cross (use the banded variants upstream of
+pair verification at scale).
+
+MinHash math: sig_p(doc) = min over shingles of md5(p || '|' ||
+shingle); P(sig equal) = Jaccard. Band key b = md5 of the r
+signatures in the band; sharing any band key ⇒ candidate pair
+(standard LSH banding, Broder '97 / MMDS ch.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import shingles_expr, tokens_col
+
+
+# --------------------------------------------------------------- exact
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per exact content digest (md5)."""
+    h = F.md5(F.col(text_col))
+    keep = (
+        df.select(F.col(id_col), h.alias("h"))
+        .groupBy("h")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def exact_dup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    h = F.md5(F.col(text_col))
+    return df.select(h.alias("h")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("h").alias("n_unique"),
+    )
+
+
+# ------------------------------------------------------- shingle frame
+def doc_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(doc_id, shingle) distinct pairs — the base relation for
+    jaccard/minhash. One explode, then distinct (map-side combine)."""
+    sh = shingles_expr(tokens_col(text_col), n)
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("sh"))
+        .distinct()
+    )
+
+
+# ------------------------------------------------------ ngram jaccard
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard over word n-gram shingle sets, candidate-limited
+    to pairs sharing ≥1 shingle (the only pairs with J > 0).
+
+    Output: (doc_a, doc_b, inter, union, jaccard) with doc_a < doc_b,
+    jaccard rounded to 6 digits (ints in, bit-stable across engines).
+    """
+    s = doc_shingles(df, text_col, id_col, n)
+    sizes = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = s.alias("a")
+    b = s.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    j = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            (F.col("na") + F.col("nb") - F.col("inter")).alias("un"),
+            F.round(j, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ------------------------------------------------------- minhash + LSH
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 12,
+) -> DataFrame:
+    """(doc_id, sigs array<string>) — per-permutation minima of
+    md5(perm || '|' || shingle). String-min keeps the whole pipeline
+    portable (no 64-bit hash semantics to match across engines).
+
+    All ``num_perm`` hashes are computed as columns of ONE row per
+    shingle and folded with per-column min aggregates — a single
+    map-side-combined shuffle of the shingle frame, instead of
+    exploding ×num_perm first."""
+    s = doc_shingles(df, text_col, id_col, n)
+    hashed = s.select(
+        "doc_id",
+        *[
+            F.md5(F.concat_ws("|", F.lit(str(p)), F.col("sh"))).alias(f"h{p}")
+            for p in range(num_perm)
+        ],
+    )
+    mins = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{p}").alias(f"m{p}") for p in range(num_perm)]
+    )
+    return mins.select(
+        "doc_id", F.array(*[F.col(f"m{p}") for p in range(num_perm)]).alias("sigs")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH candidate pairs: (doc_a, doc_b, shared_bands, est_jaccard).
+
+    est_jaccard = fraction of equal signature components (unbiased
+    MinHash estimate). rows-per-band r = num_perm / bands.
+    """
+    if num_perm % bands:
+        raise ValueError("num_perm must be divisible by bands")
+    r = num_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, n, num_perm)
+    banded = sigs.select(
+        "doc_id",
+        "sigs",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(F.concat_ws("|", F.slice("sigs", b * r + 1, r))).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sigs", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.countDistinct("a.band").alias("shared_bands"),
+            F.first("a.sigs").alias("sa"),
+            F.first("b.sigs").alias("sb"),
+        )
+    )
+    est = F.size(F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda e: e)) / float(
+        num_perm
+    )
+    return pairs.select(
+        "doc_a", "doc_b", "shared_bands", F.round(est, 6).alias("est_jaccard")
+    ).orderBy("doc_a", "doc_b")
+
+
+# ------------------------------------------------------------- simhash
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+) -> DataFrame:
+    """tf-weighted SimHash sketch (Charikar '02): per bit, sum
+    tf·(bit(md5(token))? +1 : −1); sketch bit = majority sign.
+
+    Bit extraction goes through hex-digit arithmetic (portable to any
+    SQL engine; no 64-bit integer-hash parity needed). Integral tf
+    weights keep the per-bit sums exact.
+    """
+    ws = tokens_col(text_col)
+    tf = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(ws).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", F.md5("w"))
+    )
+    bit_idx = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
+    hexdig = F.substring(F.col("h"), (F.col("b") / 4).cast("int") + 1, 1)
+    dval = F.instr(F.lit("0123456789abcdef"), hexdig) - 1
+    # dval is recomputed per row; instr is 1-based so '0' → 0
+    p = F.pow(F.lit(2.0), (F.col("b") % 4).cast("double")).cast("long")
+    bit = F.floor(dval / p) % 2
+    contrib = (
+        tf.select("doc_id", "tf", "h", bit_idx)
+        .select(
+            "doc_id",
+            "b",
+            (F.col("tf") * (bit * 2 - 1)).alias("c"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.sum("c").alias("s"))
+    )
+    weight = F.pow(F.lit(2.0), F.col("b").cast("double")).cast("long")
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.sum(F.when(F.col("s") > 0, weight).otherwise(F.lit(0))).alias("simhash"))
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    The pair join blocks on the top half of the sketch (any pair within
+    Hamming ≤ bits/2 of all-top-bits shares it with good recall at
+    these thresholds is NOT guaranteed — so this uses the exact cross
+    within sketch-value buckets ordered doc_a < doc_b; at 100-TB scale
+    put the banded MinHash in front and use this as the verifier).
+    """
+    s = simhash(df, text_col, id_col, bits)
+    a = s.alias("a")
+    b = s.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ------------------------------------------- embedding cosine near-dup
+def dot_expr(x: Column | str, y: Column | str) -> Column:
+    """Sequential-fold dot product of two float arrays in double.
+
+    Left-to-right accumulation (F.aggregate) matches DuckDB's
+    list_dot_product fold, so results are bit-identical across the
+    engines — no rounding fudge needed beyond a final round().
+    """
+    cx = F.col(x) if isinstance(x, str) else x
+    cy = F.col(y) if isinstance(y, str) else y
+    return F.aggregate(
+        F.zip_with(cx, cy, lambda p, q: p.cast("double") * q.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_expr(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity via sequential-fold dots (see dot_expr)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return dot_expr(ca, cb) / F.sqrt(dot_expr(ca, ca) * dot_expr(cb, cb))
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "label",
+    threshold: float = 0.98,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine, blocked on an IVF-style cell
+    column (same-cell pairs only — the scale path; a learned
+    cell assignment plugs into ``cell_col``).
+
+    Squared norms are precomputed once per row before the pair join, so
+    each candidate pair costs ONE array fold instead of three; the
+    final ``dot/sqrt(n2·n2)`` matches the oracle's
+    ``sqrt(ldp(a,a)·ldp(b,b))`` algebra bit-for-bit.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(cell_col).alias("cell"),
+        F.col(vec_col).alias("v"),
+        dot_expr(vec_col, vec_col).alias("n2"),
+    )
+    a = base.select(
+        F.col("id").alias("id_a"), "cell", F.col("v").alias("va"), F.col("n2").alias("n2a")
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), "cell", F.col("v").alias("vb"), F.col("n2").alias("n2b")
+    )
+    cos = F.round(dot_expr("va", "vb") / F.sqrt(F.col("n2a") * F.col("n2b")), 9)
+    return (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.col("cell"), cos.alias("cos"))
+        .where(F.col("cos") >= threshold)
+        .orderBy("id_a", "id_b")
+    )

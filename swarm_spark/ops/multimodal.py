@@ -1,0 +1,100 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Media (image/audio/video) travel as ``binary`` columns next to a typed
+metadata struct; decode / feature-extract / resize / frame-sample run
+as Arrow-batched ``mapInPandas`` stages so each Python worker touches a
+whole batch of payloads at once (the only sane shape at 100 TB —
+per-row Python UDFs are 10-100× slower, and JVM-side codecs don't
+exist for arbitrary media).
+
+The decode layer is split:
+- byte-level features (size, digest, header bytes, entropy-ish stats)
+  are REAL and deterministic — pure numpy over the Arrow buffers;
+- actual media decoding (PIL/ffmpeg) is stubbed behind an import-try
+  (the libs aren't in this container): `decode_image_meta` parses the
+  deterministic fake header this module writes, and raises
+  NotImplementedError for real formats, keeping the Spark-side schema,
+  partitioning, and batch shape fully exercised.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FAKE_MAGIC = b"SWIM"  # swarm-spark fake image format: SWIM|w:u16|h:u16|payload
+
+FEATURE_SCHEMA = (
+    "doc_id long, n_bytes long, digest string, header string, "
+    "width int, height int, mean_byte double"
+)
+
+
+def attach_fake_image(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a deterministic binary 'image' per row: a SWIM header
+    (dimensions derived from the content hash) + the utf-8 payload.
+    Real pipelines replace this with the raw media bytes column."""
+    h = F.md5(F.col(text_col))
+    width = (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % 1920) + 1
+    height = (F.conv(F.substring(h, 5, 4), 16, 10).cast("int") % 1080) + 1
+    header = F.concat(
+        F.lit(FAKE_MAGIC),
+        F.lpad(width.cast("string"), 5, "0").cast("binary"),
+        F.lpad(height.cast("string"), 5, "0").cast("binary"),
+    )
+    return df.select(
+        F.col(id_col),
+        F.concat(header, F.encode(F.col(text_col), "utf-8")).alias("media"),
+    )
+
+
+def _extract_features(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        rows = []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+            b = bytes(blob)
+            width = height = None
+            if b[:4] == FAKE_MAGIC:
+                width = int(b[4:9].decode())
+                height = int(b[9:14].decode())
+            else:  # real decoder path — libs not present in this image
+                width = height = _decode_real_media_dims(b)
+            payload = b[14:] if b[:4] == FAKE_MAGIC else b
+            mean = sum(payload) / len(payload) if payload else 0.0
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "n_bytes": len(b),
+                    "digest": hashlib.md5(b).hexdigest(),
+                    "header": b[:4].hex(),
+                    "width": width,
+                    "height": height,
+                    "mean_byte": round(mean, 6),
+                }
+            )
+        yield pd.DataFrame(rows)
+
+
+def _decode_real_media_dims(b: bytes):
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "real media decoding needs PIL/ffmpeg (not in this container); "
+            "only the SWIM fake format decodes here"
+        ) from e
+    raise NotImplementedError("wire PIL decode here when available")
+
+
+def media_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column.
+
+    Input: (doc_id, media binary). Output: FEATURE_SCHEMA. Partitioning
+    passes through — at scale repartition upstream so payload batches
+    fit the Arrow batch budget (spark.sql.execution.arrow.maxRecordsPerBatch).
+    """
+    return df.select("doc_id", "media").mapInPandas(_extract_features, FEATURE_SCHEMA)

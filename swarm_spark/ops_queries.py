@@ -1,0 +1,316 @@
+"""LLM-data-pipeline operator queries + DuckDB oracles.
+
+Every dedup / similarity / text-analysis operator from
+``swarm_spark.ops`` restated as a (Spark callable, DuckDB SQL) pair
+over the driver's ``documents`` / ``embeddings`` tables. Portability
+contract shared by both sides:
+
+- tokenization: regex split on ``' +'``;
+- hashing: md5 hex strings only (no 64-bit integer hash semantics to
+  replicate across engines); min/comparisons at string level;
+- float outputs are either derived from integers (jaccard, estimates)
+  or sequential-fold dot products over double-cast arrays, rounded;
+- counts cast to 64-bit on both sides.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import functions as F
+
+from .ops.dedup import (
+    embedding_dup_pairs,
+    exact_dup_stats,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from .ops.multimodal import attach_fake_image, media_features
+from .ops.similarity import ann_topk_bruteforce, ann_topk_cells
+from .ops.text import fingerprint, language_id, quality_score, token_stats
+from .sources.tables import load_table
+
+
+def _docs(spark, sf):
+    return load_table(spark, sf, "documents")
+
+
+def _emb(spark, sf):
+    return load_table(spark, sf, "embeddings")
+
+
+# shared oracle CTE fragments -------------------------------------------------
+_WS = "SELECT doc_id, text, regexp_split_to_array(text, ' +') AS ws FROM documents"
+
+
+def _shingle_cte(n: int) -> str:
+    terms = "||' '||".join(f"ws[i+{k}]" for k in range(1, n + 1))
+    return (
+        f"w AS ({_WS}), "
+        f"e AS (SELECT doc_id, unnest(list_transform(range(greatest(len(ws)-{n - 1},0)), "
+        f"i -> {terms})) AS sh FROM w), "
+        f"s AS (SELECT DISTINCT doc_id, sh FROM e)"
+    )
+
+
+# ---------------------------------------------------------------- text ops
+def q_text_token_stats(spark, sf):
+    return token_stats(_docs(spark, sf)).orderBy("doc_id")
+
+
+SQL_TOKEN_STATS = f"""
+WITH w AS ({_WS})
+SELECT doc_id,
+       cast(len(ws) AS bigint) AS n_tokens,
+       cast(length(text) AS bigint) AS n_chars,
+       cast(list_sum(list_transform(ws, t -> cast(ceil(length(t)/4.0) AS bigint))) AS bigint)
+           AS n_subwords,
+       cast(len(list_distinct(ws)) AS bigint) AS n_distinct_tokens
+FROM w ORDER BY doc_id
+"""
+
+
+def q_text_language_id(spark, sf):
+    return language_id(_docs(spark, sf)).orderBy("doc_id")
+
+
+_MARKER_SQL = {
+    "en": "['the','a','fast','slow']",
+    "de": "['der','die','und','schnell']",
+    "fr": "['le','la','et','vite']",
+    "es": "['el','la','y','rapido']",
+    "zh": "['的','和','快','慢']",
+}
+_SCORES = ", ".join(
+    f"cast(len(list_filter(ws, t -> list_contains({m}, t))) AS bigint) AS score_{lang}"
+    for lang, m in _MARKER_SQL.items()
+)
+SQL_LANGUAGE_ID = f"""
+WITH w AS ({_WS}),
+sc AS (SELECT doc_id, {_SCORES} FROM w),
+mx AS (SELECT *, greatest(score_en, score_de, score_fr, score_es, score_zh) AS best FROM sc)
+SELECT doc_id, score_en, score_de, score_fr, score_es, score_zh,
+       CASE WHEN best = 0 THEN 'und'
+            WHEN score_en = best THEN 'en'
+            WHEN score_de = best THEN 'de'
+            WHEN score_fr = best THEN 'fr'
+            WHEN score_es = best THEN 'es'
+            ELSE 'zh' END AS pred_lang
+FROM mx ORDER BY doc_id
+"""
+
+
+def q_text_quality(spark, sf):
+    return quality_score(_docs(spark, sf)).orderBy("doc_id")
+
+
+SQL_QUALITY = f"""
+WITH w AS ({_WS}),
+c AS (SELECT doc_id,
+             cast(len(ws) AS bigint) AS n_tokens,
+             cast(len(list_distinct(ws)) AS bigint) AS n_distinct,
+             cast(len(list_filter(ws, t -> list_contains(['the','a','of','and','to','in'], t)))
+                  AS bigint) AS n_stop
+      FROM w)
+SELECT doc_id, n_tokens, n_distinct, n_stop,
+       round(0.4 * least(n_tokens/100.0, 1.0)
+           + 0.3 * (n_distinct * 1.0 / n_tokens)
+           + 0.3 * least(n_stop * 5.0 / n_tokens, 1.0), 6) AS quality
+FROM c ORDER BY doc_id
+"""
+
+
+def q_text_fingerprint(spark, sf):
+    return fingerprint(_docs(spark, sf)).orderBy("doc_id")
+
+
+SQL_FINGERPRINT = f"""
+WITH w AS ({_WS})
+SELECT doc_id,
+       list_min(list_transform(
+           list_transform(range(greatest(len(ws)-4, 0)),
+                          i -> ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]||' '||ws[i+5]),
+           s -> md5(s))) AS fp
+FROM w ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------- dedup ops
+def q_dedup_exact(spark, sf):
+    return exact_dup_stats(_docs(spark, sf))
+
+
+SQL_DEDUP_EXACT = (
+    "SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique FROM documents"
+)
+
+
+def q_dedup_ngram_jaccard(spark, sf):
+    return ngram_jaccard_pairs(_docs(spark, sf), threshold=0.8)
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH {_shingle_cte(3)},
+sz AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY 1),
+i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT doc_a, doc_b, inter,
+       x.n_sh + y.n_sh - inter AS un,
+       round(inter * 1.0 / (x.n_sh + y.n_sh - inter), 6) AS jaccard
+FROM i JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+WHERE round(inter * 1.0 / (x.n_sh + y.n_sh - inter), 6) >= 0.8
+ORDER BY doc_a, doc_b
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf):
+    return minhash_lsh_pairs(_docs(spark, sf), num_perm=12, bands=4)
+
+
+SQL_MINHASH_LSH = f"""
+WITH {_shingle_cte(3)},
+sig AS (SELECT doc_id, p.perm, min(md5(cast(p.perm AS varchar)||'|'||sh)) AS sig
+        FROM s, (SELECT unnest(range(12)) AS perm) p GROUP BY 1, 2),
+sigs AS (SELECT doc_id, array_agg(sig ORDER BY perm) AS sigs FROM sig GROUP BY 1),
+banded AS (SELECT doc_id, sigs, b.band,
+                  md5(array_to_string(sigs[b.band*3+1 : b.band*3+3], '|')) AS key
+           FROM sigs, (SELECT unnest(range(4)) AS band) b),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 cast(count(DISTINCT a.band) AS bigint) AS shared_bands,
+                 any_value(a.sigs) AS sa, any_value(b.sigs) AS sb
+          FROM banded a JOIN banded b
+            ON a.key = b.key AND a.band = b.band AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b, shared_bands,
+       round(list_sum(list_transform(range(12),
+             i -> CASE WHEN sa[i+1] = sb[i+1] THEN 1 ELSE 0 END)) / 12.0, 6) AS est_jaccard
+FROM pairs ORDER BY doc_a, doc_b
+"""
+
+
+def q_dedup_simhash(spark, sf):
+    return simhash(_docs(spark, sf), bits=32).orderBy("doc_id")
+
+
+_SIMHASH_CTE = f"""
+w AS ({_WS}),
+t AS (SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT doc_id, unnest(ws) AS tok FROM w) GROUP BY 1, 2),
+th AS (SELECT doc_id, tf, md5(tok) AS h FROM t),
+bt AS (SELECT doc_id, b.b AS b,
+              sum(tf * (2 * (cast(floor((instr('0123456789abcdef',
+                      substr(h, cast(b.b // 4 AS int) + 1, 1)) - 1)
+                  / (CASE cast(b.b % 4 AS int) WHEN 0 THEN 1 WHEN 1 THEN 2
+                     WHEN 2 THEN 4 ELSE 8 END)) AS int) % 2) - 1)) AS s
+       FROM th, (SELECT unnest(range(32)) AS b) b GROUP BY 1, 2),
+sh AS (SELECT doc_id,
+              cast(sum(CASE WHEN s > 0 THEN cast(pow(2, b) AS bigint) ELSE 0 END) AS bigint)
+                  AS simhash
+       FROM bt GROUP BY 1)
+"""
+SQL_SIMHASH = f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM sh ORDER BY doc_id"
+
+
+def q_dedup_simhash_pairs(spark, sf):
+    return simhash_pairs(_docs(spark, sf), bits=32, max_hamming=2)
+
+
+SQL_SIMHASH_PAIRS = f"""
+WITH {_SIMHASH_CTE}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       cast(bit_count(xor(a.simhash, b.simhash)) AS bigint) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+ORDER BY doc_a, doc_b
+"""
+
+
+def q_dedup_embedding(spark, sf):
+    return embedding_dup_pairs(_emb(spark, sf), threshold=0.40)
+
+
+_DDOT = "list_dot_product(cast({a} AS double[]), cast({b} AS double[]))"
+_COS_AB = (
+    f"round({_DDOT.format(a='a.embedding', b='b.embedding')}"
+    f" / sqrt({_DDOT.format(a='a.embedding', b='a.embedding')}"
+    f" * {_DDOT.format(a='b.embedding', b='b.embedding')}), 9)"
+)
+SQL_DEDUP_EMBEDDING = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS cell, {_COS_AB} AS cos
+FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_COS_AB} >= 0.40
+ORDER BY id_a, id_b
+"""
+
+
+# ------------------------------------------------------------- similarity ops
+def q_ann_topk_bruteforce(spark, sf):
+    emb = _emb(spark, sf)
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return ann_topk_bruteforce(emb, queries, k=5)
+
+
+_QCOS = (
+    "round(list_dot_product(qv, cv)"
+    " / sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv)), 9)"
+)
+SQL_ANN_BRUTEFORCE = f"""
+WITH q AS (SELECT vec_id AS query_id, cast(embedding AS double[]) AS qv
+           FROM embeddings WHERE vec_id % 100 = 0),
+c AS (SELECT vec_id AS id, cast(embedding AS double[]) AS cv FROM embeddings),
+j AS (SELECT query_id, id, {_QCOS} AS cos FROM c, q WHERE query_id != id),
+r AS (SELECT query_id, id, cos,
+             cast(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS bigint)
+                 AS rank
+      FROM j)
+SELECT query_id, id, cos, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def q_ann_topk_cells(spark, sf):
+    emb = _emb(spark, sf)
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return ann_topk_cells(emb, queries, k=5)
+
+
+SQL_ANN_CELLS = f"""
+WITH q AS (SELECT vec_id AS query_id, label AS cell, cast(embedding AS double[]) AS qv
+           FROM embeddings WHERE vec_id % 100 = 0),
+c AS (SELECT vec_id AS id, label AS cell, cast(embedding AS double[]) AS cv FROM embeddings),
+j AS (SELECT query_id, id, {_QCOS} AS cos
+      FROM c JOIN q USING (cell) WHERE query_id != id),
+r AS (SELECT query_id, id, cos,
+             cast(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS bigint)
+                 AS rank
+      FROM j)
+SELECT query_id, id, cos, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+# ------------------------------------------------------------ multimodal ops
+def q_multimodal_features(spark, sf):
+    """Binary-column plumbing: synthesize media payloads, extract
+    byte-level features via Arrow-batched mapInPandas. Rows-only check
+    (mapInPandas has no SQL analogue)."""
+    docs = _docs(spark, sf)
+    media = attach_fake_image(docs)
+    return media_features(media).orderBy("doc_id")
+
+
+OPS: dict[str, tuple[Callable, str | None]] = {
+    "text_token_stats": (q_text_token_stats, SQL_TOKEN_STATS),
+    "text_language_id": (q_text_language_id, SQL_LANGUAGE_ID),
+    "text_quality": (q_text_quality, SQL_QUALITY),
+    "text_fingerprint": (q_text_fingerprint, SQL_FINGERPRINT),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_MINHASH_LSH),
+    "dedup_simhash": (q_dedup_simhash, SQL_SIMHASH),
+    "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_SIMHASH_PAIRS),
+    "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
+    "ann_topk_bruteforce": (q_ann_topk_bruteforce, SQL_ANN_BRUTEFORCE),
+    "ann_topk_cells": (q_ann_topk_cells, SQL_ANN_CELLS),
+    "multimodal_features": (q_multimodal_features, None),
+}

@@ -360,3 +360,12 @@ CORE: dict[str, tuple[Callable, str | None]] = {
     "m1_sql_passthrough": (q_m1_sql_passthrough, SQL_M1),
     "pipeline_ingest_e2e": (q_pipeline_ingest_e2e, None),
 }
+
+
+def all_queries() -> dict[str, tuple[Callable, str | None]]:
+    """CORE ingestion-dataflow queries + LLM-pipeline operator queries."""
+    from .ops_queries import OPS
+
+    out = dict(CORE)
+    out.update(OPS)
+    return out

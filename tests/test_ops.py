@@ -1,0 +1,108 @@
+"""Semantics tests for the training-data operators (beyond the oracle
+hash checks): known-answer cases on tiny hand-built frames."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from swarm_spark.ops import (
+    ann_topk_bruteforce,
+    attach_fake_image,
+    exact_dedup,
+    media_features,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    token_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "completely different content about spark engines here"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestExactDedup:
+    def test_keeps_lowest_id(self, docs):
+        out = exact_dedup(docs)
+        assert sorted(r["doc_id"] for r in out.collect()) == [1, 2, 3]
+
+
+class TestJaccard:
+    def test_near_dup_found_exact_dup_is_one(self, docs):
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+        }
+        assert pairs[(1, 4)] == 1.0  # exact dup
+        assert 0.5 <= pairs[(1, 2)] < 1.0  # near dup shares most shingles
+        assert (1, 3) not in pairs
+
+
+class TestMinhashLSH:
+    def test_exact_dup_shares_all_bands(self, docs):
+        pairs = {
+            (r["doc_a"], r["doc_b"]): (r["shared_bands"], r["est_jaccard"])
+            for r in minhash_lsh_pairs(docs, num_perm=12, bands=4).collect()
+        }
+        assert pairs[(1, 4)] == (4, 1.0)
+        assert (1, 3) not in pairs  # no shared band for unrelated docs
+
+
+class TestSimhash:
+    def test_exact_dup_distance_zero(self, docs):
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in simhash_pairs(docs, bits=32, max_hamming=32).collect()
+        }
+        assert pairs[(1, 4)] == 0
+        assert pairs[(1, 2)] < pairs[(1, 3)]  # near-dup closer than unrelated
+
+
+class TestTokenStats:
+    def test_counts(self, docs):
+        r = {x["doc_id"]: x for x in token_stats(docs).collect()}
+        assert r[1]["n_tokens"] == 9
+        assert r[1]["n_distinct_tokens"] == 8  # 'the' twice
+        assert r[1]["n_chars"] == len("the quick brown fox jumps over the lazy dog")
+
+
+class TestAnn:
+    def test_self_similarity_excluded_and_identical_vector_top1(self, spark):
+        rows = [
+            (0, [1.0, 0.0, 0.0], 0),
+            (1, [1.0, 0.0, 0.0], 0),  # identical to 0
+            (2, [0.0, 1.0, 0.0], 0),
+            (3, [0.7, 0.7, 0.0], 0),
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        q = emb.where(F.col("vec_id") == 0)
+        out = ann_topk_bruteforce(emb, q, k=3).collect()
+        assert [r["id"] for r in out] == [1, 3, 2]
+        assert out[0]["cos"] == 1.0
+        assert all(r["query_id"] == 0 for r in out)
+
+
+class TestMultimodal:
+    def test_features_roundtrip(self, docs):
+        media = attach_fake_image(docs)
+        assert dict(media.dtypes)["media"] == "binary"
+        feats = {r["doc_id"]: r for r in media_features(media).collect()}
+        assert feats[1]["header"] == b"SWIM".hex()
+        assert feats[1]["n_bytes"] == 14 + len("the quick brown fox jumps over the lazy dog")
+        assert 1 <= feats[1]["width"] <= 1920 and 1 <= feats[1]["height"] <= 1080
+        # identical content → identical digest/dims (deterministic)
+        assert feats[1]["digest"] == feats[4]["digest"]
+
+    def test_real_decoder_is_stubbed(self, spark):
+        bad = spark.createDataFrame([(1, bytearray(b"\x89PNG1234567890"))], "doc_id long, media binary")
+        with pytest.raises(Exception) as ei:
+            media_features(bad).collect()
+        assert "NotImplementedError" in str(ei.value) or "media decoding" in str(ei.value)
