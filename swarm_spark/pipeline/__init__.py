@@ -1,3 +1,24 @@
+from .enqueue import (
+    EnqueueResult,
+    FileDumpPublisher,
+    MemoryPublisher,
+    Publisher,
+    enqueue,
+    list_local_objects,
+)
 from .ingest import META_DEST, IngestPipeline, IngestStats
+from .migrate import apply_schema, migrate
 
-__all__ = ["META_DEST", "IngestPipeline", "IngestStats"]
+__all__ = [
+    "META_DEST",
+    "EnqueueResult",
+    "FileDumpPublisher",
+    "IngestPipeline",
+    "IngestStats",
+    "MemoryPublisher",
+    "Publisher",
+    "apply_schema",
+    "enqueue",
+    "list_local_objects",
+    "migrate",
+]

@@ -170,6 +170,20 @@ class IngestPipeline:
             self._append_load_log(stats)
         return stats
 
+    def ingest_frame(self, raw: DataFrame, schema_name: str) -> IngestStats:
+        """Run an already-materialized record frame through one schema
+        rule and the routed write — the ``foreachBatch`` entry point
+        for Structured Streaming (each microbatch frame lands here)."""
+        stats = IngestStats(ingest_id=uuid.uuid4().hex, started_at=time.time())
+        if raw.schema.fields:
+            rule = self.schema_rules.get(schema_name)
+            logs = validate_output(rule.apply(raw), strict=self.strict)
+            self._write_routed(self._envelope(logs, stats.ingest_id), stats)
+        stats.finished_at = time.time()
+        if self.write_load_log:
+            self._append_load_log(stats)
+        return stats
+
     # -- G1 + Q1/Q2/Q4 + W1: per-destination evolve + append -----------
     def _write_routed(self, enveloped: DataFrame, stats: IngestStats) -> None:
         enveloped = enveloped.persist()

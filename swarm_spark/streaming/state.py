@@ -1,0 +1,181 @@
+"""Exactly-once message state store (operator X1).
+
+Reference semantics (/root/reference/pkg/usecase/state.go:12-66,
+pkg/domain/model/state.go:9-31, pkg/infra/firestore/client.go:24-91):
+
+- ``get_or_create(msg_type, msg_id)`` acquires the message unless an
+  existing state is COMPLETED, or RUNNING and not yet expired;
+- a FAILED or expired-RUNNING state can be re-acquired (redelivery
+  picks dead work back up);
+- ``update`` marks completed/failed; states carry a TTL (default 7 d)
+  after which they are garbage;
+- ``wait`` polls until the holder finishes or a deadline passes
+  (the serve path then asks the queue to redeliver — X2).
+
+This implementation is a file-per-message ledger with O_EXCL-create as
+the transaction primitive — the single-box analogue of the reference's
+Firestore transaction. On a cluster the same interface is backed by a
+Delta table MERGE keyed on (msg_type, msg_id) (transactional commit
+replaces O_EXCL), or any CAS-capable store; idempotency of the data
+itself additionally holds through the content-hash row ids (T2), so a
+rare double-acquire degrades to duplicate rows with equal ids that
+downstream dedup (x1_dedup_by_id) removes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import asdict, dataclass
+from enum import Enum
+from typing import Callable
+
+
+class MsgState(str, Enum):
+    RUNNING = "running"
+    COMPLETED = "completed"
+    FAILED = "failed"
+
+
+DEFAULT_TIMEOUT_S = 30 * 60  # reference defaultStateTimeout
+DEFAULT_TTL_S = 7 * 24 * 3600  # reference defaultStateTTL
+DEFAULT_POLL_S = 10.0  # reference defaultStateCheckInterval
+
+
+@dataclass
+class State:
+    msg_type: str
+    msg_id: str
+    request_id: str
+    state: str
+    created_at: float
+    updated_at: float
+    expires_at: float
+    ttl_s: float
+
+    def acquired_by(self, request_id: str) -> bool:
+        return self.request_id == request_id
+
+    def is_expired(self, now: float) -> bool:
+        return now >= self.expires_at
+
+
+class StateStore:
+    def __init__(
+        self,
+        path: str,
+        timeout_s: float = DEFAULT_TIMEOUT_S,
+        ttl_s: float = DEFAULT_TTL_S,
+        clock: Callable[[], float] = time.time,
+    ):
+        self.path = path
+        self.timeout_s = timeout_s
+        self.ttl_s = ttl_s
+        self.clock = clock
+        os.makedirs(path, exist_ok=True)
+
+    def _file(self, msg_type: str, msg_id: str) -> str:
+        safe = f"{msg_type}__{msg_id}".replace("/", "_")
+        return os.path.join(self.path, safe + ".json")
+
+    def _read(self, msg_type: str, msg_id: str) -> State | None:
+        try:
+            with open(self._file(msg_type, msg_id), encoding="utf-8") as f:
+                return State(**json.load(f))
+        except FileNotFoundError:
+            return None
+
+    def _write(self, st: State) -> None:
+        p = self._file(st.msg_type, st.msg_id)
+        tmp = p + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(asdict(st), f)
+        os.replace(tmp, p)
+
+    def get_or_create(self, msg_type: str, msg_id: str) -> tuple[State, bool]:
+        """Returns (state, acquired). Acquired=False when another holder
+        has it RUNNING (unexpired) or it COMPLETED already."""
+        now = self.clock()
+        request_id = uuid.uuid4().hex
+        fresh = State(
+            msg_type=msg_type,
+            msg_id=msg_id,
+            request_id=request_id,
+            state=MsgState.RUNNING.value,
+            created_at=now,
+            updated_at=now,
+            expires_at=now + self.timeout_s,
+            ttl_s=self.ttl_s,
+        )
+        p = self._file(msg_type, msg_id)
+        try:
+            # O_EXCL create = the acquire transaction for the new-message case
+            fd = os.open(p + ".lock", os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            # another process mid-transition; treat as not acquired
+            cur = self._read(msg_type, msg_id)
+            return (cur or fresh), False
+        try:
+            cur = self._read(msg_type, msg_id)
+            if cur is None:
+                self._write(fresh)
+                return fresh, True
+            if cur.state == MsgState.COMPLETED.value:
+                return cur, False
+            if cur.state == MsgState.RUNNING.value and not cur.is_expired(now):
+                return cur, False
+            # FAILED or expired RUNNING → re-acquire (model/state.go Acquired())
+            self._write(fresh)
+            return fresh, True
+        finally:
+            os.close(fd)
+            os.remove(p + ".lock")
+
+    def update(self, msg_type: str, msg_id: str, new_state: MsgState) -> None:
+        cur = self._read(msg_type, msg_id)
+        if cur is None:
+            raise KeyError(f"no state for {msg_type}/{msg_id}")
+        now = self.clock()
+        cur.state = new_state.value
+        cur.updated_at = now
+        self._write(cur)
+
+    def wait(
+        self,
+        msg_type: str,
+        msg_id: str,
+        poll_s: float = DEFAULT_POLL_S,
+        deadline_s: float = 60.0,
+        sleep: Callable[[float], None] = time.sleep,
+    ) -> bool:
+        """Poll until the holder finishes; True if it COMPLETED."""
+        end = self.clock() + deadline_s
+        while True:
+            cur = self._read(msg_type, msg_id)
+            if cur is not None and cur.state == MsgState.COMPLETED.value:
+                return True
+            if cur is not None and cur.state == MsgState.FAILED.value:
+                return False
+            if self.clock() >= end:
+                return False
+            sleep(poll_s)
+
+    def sweep_expired_ttl(self) -> int:
+        """Drop states older than their TTL (Firestore TTL analogue)."""
+        now = self.clock()
+        n = 0
+        for f in os.listdir(self.path):
+            if not f.endswith(".json"):
+                continue
+            p = os.path.join(self.path, f)
+            try:
+                with open(p, encoding="utf-8") as fh:
+                    st = State(**json.load(fh))
+                if now - st.created_at > st.ttl_s:
+                    os.remove(p)
+                    n += 1
+            except (OSError, ValueError, TypeError):
+                continue
+        return n

@@ -1,0 +1,253 @@
+"""Streaming tier tests: state machine (injected clock, mirrors
+pkg/usecase/state_test.go), envelope parsing (message_test.go),
+enqueue batching (enqueue_test.go), serve dedup semantics
+(server_test.go), and Structured Streaming ingest."""
+
+from __future__ import annotations
+
+import base64
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from swarm_spark.model import ModelError, ObjectMeta, Source, TableDest
+from swarm_spark.pipeline import (
+    IngestPipeline,
+    MemoryPublisher,
+    enqueue,
+    list_local_objects,
+)
+from swarm_spark.rules import EventRule, EventRuleSet, SchemaRuleRegistry, name_suffix, rule_output
+from swarm_spark.sinks import TableSink
+from swarm_spark.streaming import (
+    Ack,
+    MsgState,
+    NotificationProcessor,
+    StateStore,
+    parse_pubsub_push,
+    storage_event_to_object,
+    stream_ingest,
+)
+
+
+class FakeClock:
+    def __init__(self, t=1000.0):
+        self.t = t
+
+    def __call__(self):
+        return self.t
+
+
+class TestStateStore:
+    def test_acquire_new(self, tmp_path):
+        st = StateStore(str(tmp_path), clock=FakeClock())
+        state, acquired = st.get_or_create("m", "id1")
+        assert acquired and state.state == "running"
+
+    def test_running_not_reacquirable_until_expired(self, tmp_path):
+        clock = FakeClock()
+        st = StateStore(str(tmp_path), timeout_s=100, clock=clock)
+        st.get_or_create("m", "id1")
+        _, acquired = st.get_or_create("m", "id1")
+        assert not acquired
+        clock.t += 101  # past timeout → expired RUNNING is re-acquirable
+        _, acquired = st.get_or_create("m", "id1")
+        assert acquired
+
+    def test_completed_never_reacquired(self, tmp_path):
+        clock = FakeClock()
+        st = StateStore(str(tmp_path), clock=clock)
+        st.get_or_create("m", "id1")
+        st.update("m", "id1", MsgState.COMPLETED)
+        clock.t += 10**6
+        state, acquired = st.get_or_create("m", "id1")
+        assert not acquired and state.state == "completed"
+
+    def test_failed_reacquirable(self, tmp_path):
+        st = StateStore(str(tmp_path), clock=FakeClock())
+        st.get_or_create("m", "id1")
+        st.update("m", "id1", MsgState.FAILED)
+        _, acquired = st.get_or_create("m", "id1")
+        assert acquired
+
+    def test_ttl_sweep(self, tmp_path):
+        clock = FakeClock()
+        st = StateStore(str(tmp_path), ttl_s=1000, clock=clock)
+        st.get_or_create("m", "old")
+        clock.t += 2000
+        st.get_or_create("m", "new")
+        assert st.sweep_expired_ttl() == 1
+
+    def test_wait_completed(self, tmp_path):
+        clock = FakeClock()
+        st = StateStore(str(tmp_path), clock=clock)
+        st.get_or_create("m", "id1")
+        st.update("m", "id1", MsgState.COMPLETED)
+        assert st.wait("m", "id1", poll_s=0, deadline_s=1, sleep=lambda s: None)
+
+
+class TestMessages:
+    def test_storage_event_field_quirks(self):
+        # FIXTURES.md F3: size numeric-as-string, md5 base64→hex,
+        # RFC3339 ms → unix sec
+        ev = {
+            "kind": "storage#object",
+            "bucket": "b",
+            "name": "logs/x.json",
+            "size": "2048",
+            "md5Hash": base64.b64encode(bytes.fromhex("00ff10ab")).decode(),
+            "timeCreated": "2024-03-01T12:00:00.500Z",
+        }
+        o = storage_event_to_object(ev)
+        assert o.size == 2048
+        assert o.digests[0].alg == "md5" and o.digests[0].value == "00ff10ab"
+        assert o.created_at == 1709294400
+        assert o.data["kind"] == "storage#object"
+
+    def test_pubsub_cs_and_swarm(self):
+        ev = {"bucket": "b", "name": "n", "size": "1"}
+        body = {
+            "message": {
+                "data": base64.b64encode(json.dumps(ev).encode()).decode(),
+                "message_id": "m-1",
+            },
+            "subscription": "s",
+        }
+        mid, objs = parse_pubsub_push(body)
+        assert mid == "m-1" and len(objs) == 1 and objs[0].bucket == "b"
+
+        swarm = {"objects": [{"data": ev}, {"data": dict(ev, name="n2")}]}
+        body["message"]["data"] = base64.b64encode(json.dumps(swarm).encode()).decode()
+        mid, objs = parse_pubsub_push(body)
+        assert [o.name for o in objs] == ["n", "n2"]
+
+    def test_bad_envelope(self):
+        with pytest.raises(ModelError):
+            parse_pubsub_push({"message": {"data": "!!!", "message_id": "x"}})
+        with pytest.raises(ModelError):
+            storage_event_to_object({"name": "only"})
+
+
+class TestEnqueue:
+    def test_count_cap(self):
+        pub = MemoryPublisher()
+        objs = [ObjectMeta(bucket="b", name=f"o{i}", size=1) for i in range(300)]
+        res = enqueue(objs, pub, count_limit=128)
+        assert res.batches == 3 and res.objects == 300
+        sizes = [len(parse_pubsub_push(b)[1]) for b in pub.bodies]
+        assert sizes == [128, 128, 44]
+
+    def test_size_cap(self):
+        pub = MemoryPublisher()
+        objs = [ObjectMeta(bucket="b", name=f"o{i}", size=3 * 1024 * 1024) for i in range(4)]
+        res = enqueue(objs, pub)  # 3 MiB each, 4 MiB cap → one per batch
+        assert res.batches == 4
+
+    def test_list_local_objects(self, tmp_path):
+        (tmp_path / "a.json").write_text("{}")
+        (tmp_path / "b.json").write_text('{"x":1}')
+        objs = list_local_objects(str(tmp_path / "*.json"))
+        assert [o.name for o in objs] == ["a.json", "b.json"]
+        assert objs[1].size == len('{"x":1}')
+
+
+def _mini_pipeline(spark, tmp_path):
+    rules = SchemaRuleRegistry()
+
+    @rules.rule("ev")
+    def ev(df):
+        return rule_output(
+            df,
+            dataset="ds",
+            table="t",
+            timestamp=F.col("ts").cast("double"),
+            data=F.struct("k", "v"),
+        )
+
+    events = EventRuleSet([EventRule("all", name_suffix(".ndjson"), (Source(schema="ev"),))])
+    sink = TableSink(spark, str(tmp_path / "wh"))
+    return IngestPipeline(spark, events, rules, sink), sink
+
+
+class TestServe:
+    def test_duplicate_message_processed_once(self, spark, tmp_path):
+        pipe, sink = _mini_pipeline(spark, tmp_path)
+        states = StateStore(str(tmp_path / "states"))
+        proc = NotificationProcessor(pipe, states)
+
+        p = tmp_path / "x.ndjson"
+        p.write_text('{"k":"a","v":1,"ts":1700000000}\n')
+        ev = {"bucket": "b", "name": "x.ndjson", "size": "1", "path": str(p)}
+        body = {
+            "message": {
+                "data": base64.b64encode(json.dumps(ev).encode()).decode(),
+                "message_id": "dup-1",
+            }
+        }
+        r1 = proc.handle_pubsub(body)
+        assert r1.ack == Ack.OK and r1.stats.total_rows == 1
+        r2 = proc.handle_pubsub(body)  # redelivery of the same message
+        assert r2.ack == Ack.OK and r2.reason == "already completed"
+        assert sink.read_table(TableDest("ds", "t")).count() == 1
+
+    def test_malformed_dropped(self, spark, tmp_path):
+        pipe, _ = _mini_pipeline(spark, tmp_path)
+        proc = NotificationProcessor(pipe, StateStore(str(tmp_path / "s2")))
+        assert proc.handle_pubsub({"message": {}}).ack == Ack.DROP
+
+    def test_failure_retries_then_succeeds(self, spark, tmp_path):
+        pipe, sink = _mini_pipeline(spark, tmp_path)
+        states = StateStore(str(tmp_path / "s3"))
+        proc = NotificationProcessor(pipe, states)
+        missing = tmp_path / "gone.ndjson"
+        ev = {"bucket": "b", "name": "gone.ndjson", "path": str(missing)}
+        body = {
+            "message": {
+                "data": base64.b64encode(json.dumps(ev).encode()).decode(),
+                "message_id": "retry-1",
+            }
+        }
+        r1 = proc.handle_pubsub(body)  # file missing → transient failure
+        assert r1.ack == Ack.RETRY
+        missing.write_text('{"k":"b","v":2,"ts":1700000001}\n')
+        r2 = proc.handle_pubsub(body)  # redelivery after FAILED → re-acquired
+        assert r2.ack == Ack.OK and r2.stats.total_rows == 1
+
+
+class TestStructuredStreaming:
+    def test_stream_ingest_drains_directory(self, spark, tmp_path):
+        pipe, sink = _mini_pipeline(spark, tmp_path)
+        src = tmp_path / "incoming"
+        src.mkdir()
+        for i in range(3):
+            (src / f"f{i}.ndjson").write_text(
+                "\n".join(json.dumps({"k": f"k{i}", "v": j, "ts": 1700000000 + j}) for j in range(5))
+            )
+        schema = T.StructType(
+            [
+                T.StructField("k", T.StringType()),
+                T.StructField("v", T.LongType()),
+                T.StructField("ts", T.LongType()),
+            ]
+        )
+        q = stream_ingest(
+            spark,
+            str(src),
+            schema,
+            pipe,
+            "ev",
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            available_now=True,
+        )
+        q.awaitTermination(120)
+        df = sink.read_table(TableDest("ds", "t"))
+        assert df.count() == 15
+        # restart with no new files: checkpoint prevents re-ingestion
+        q2 = stream_ingest(
+            spark, str(src), schema, pipe, "ev",
+            checkpoint_dir=str(tmp_path / "ckpt"), available_now=True,
+        )
+        q2.awaitTermination(120)
+        assert sink.read_table(TableDest("ds", "t")).count() == 15
