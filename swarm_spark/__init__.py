@@ -17,6 +17,7 @@ from .model import (
     Source,
     TableDest,
     TimeUnit,
+    parse_object_url,
 )
 from .session import get_spark
 
@@ -31,6 +32,7 @@ __all__ = [
     "TableDest",
     "TimeUnit",
     "get_spark",
+    "parse_object_url",
 ]
 
 __version__ = "0.1.0"

@@ -137,6 +137,23 @@ class TableDest:
             raise ModelError(f"invalid partition unit: {self.partition!r}")
 
 
+def parse_object_url(url: str) -> ObjectRef:
+    """Parse ``gs://bucket/object/name`` into an ObjectRef.
+
+    Reference CSUrl.Parse semantics (pkg/domain/types/types.go:81-105,
+    pinned by types_test.go TestCSUrl_Parse): scheme must be gs,
+    bucket and a non-empty object path are required.
+    """
+    prefix = "gs://"
+    if not url.startswith(prefix):
+        raise ModelError(f"object URL must start with gs://: {url!r}")
+    rest = url[len(prefix) :]
+    bucket, sep, name = rest.partition("/")
+    if not bucket or not sep or not name:
+        raise ModelError(f"object URL needs bucket and object name: {url!r}")
+    return ObjectRef(bucket=bucket, name=name)
+
+
 # Fixed outer envelope written to every destination table
 # (reference pkg/domain/model/bigquery.go:98-105). `data` is the evolving
 # inferred struct and is appended per-destination.

@@ -341,6 +341,121 @@ def q_pipeline_ingest_e2e(spark, sf):
     ).orderBy("event_id")
 
 
+# ------------------------------------- serve path e2e (rows-only)
+def q_serve_pubsub_e2e(spark, sf):
+    """S4/S5 + X1/X2 as one query: events → NDJSON objects → enqueue
+    into batched swarm messages → notification processor with the
+    exactly-once state gate — every message delivered TWICE; the
+    returned per-table counts prove single processing. Rows-only (the
+    state ledger and queue semantics have no SQL analogue)."""
+    import os
+    import tempfile
+
+    from .model import Source, TableDest
+    from .pipeline import IngestPipeline, MemoryPublisher, enqueue, list_local_objects
+    from .rules import EventRule, EventRuleSet, SchemaRuleRegistry, name_suffix, rule_output
+    from .sinks import TableSink
+    from .streaming import NotificationProcessor, StateStore
+
+    ev = _t(spark, sf, "events")
+    tmp = tempfile.mkdtemp(prefix="swarm_serve_")
+    obj_dir = os.path.join(tmp, "objects")
+    ev.select(F.to_json(F.struct(*ev.columns)).alias("value")).coalesce(3).write.mode(
+        "overwrite"
+    ).text(obj_dir)
+
+    rules = SchemaRuleRegistry()
+
+    @rules.rule("events")
+    def events_rule(df):
+        return rule_output(
+            df,
+            dataset="served",
+            table=F.concat(F.lit("ev_"), F.col("event_type")),
+            timestamp=F.unix_timestamp(F.to_timestamp("ts")).cast("double"),
+            data=F.struct("event_id", "user_id", "value"),
+        )
+
+    erules = EventRuleSet([EventRule("t", name_suffix(".txt"), (Source(schema="events"),))])
+    sink = TableSink(spark, os.path.join(tmp, "wh"))
+    pipe = IngestPipeline(spark, erules, rules, sink)
+    proc = NotificationProcessor(pipe, StateStore(os.path.join(tmp, "states")))
+
+    pub = MemoryPublisher()
+    enqueue(list_local_objects(os.path.join(obj_dir, "*.txt")), pub, count_limit=2)
+    for body in pub.bodies + pub.bodies:  # duplicate delivery of every message
+        proc.handle_pubsub(body)
+
+    frames = [
+        sink.read_table(d).select(F.lit(d.table).alias("table"), "id")
+        for d in sink.list_tables()
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.groupBy("table").agg(F.count(F.lit(1)).alias("n")).orderBy("table")
+
+
+def q_streaming_ingest_e2e(spark, sf):
+    """Structured Streaming ingest (availableNow drain + checkpoint):
+    run the stream twice; the second run must land nothing new.
+    Rows-only."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .model import Source, TableDest
+    from .pipeline import IngestPipeline
+    from .rules import EventRule, EventRuleSet, SchemaRuleRegistry, name_suffix, rule_output
+    from .sinks import TableSink
+    from .streaming import stream_ingest
+
+    ev = _t(spark, sf, "events")
+    tmp = tempfile.mkdtemp(prefix="swarm_stream_")
+    src_dir = os.path.join(tmp, "incoming")
+    ev.select(F.to_json(F.struct("event_id", "user_id", "event_type", "value")).alias("value")) \
+        .coalesce(2).write.mode("overwrite").text(src_dir)
+
+    rules = SchemaRuleRegistry()
+
+    @rules.rule("stream_events")
+    def stream_events(df):
+        return rule_output(
+            df,
+            dataset="streamed",
+            table="events",
+            timestamp=(F.col("event_id") + 1).cast("double"),
+            data=F.struct("event_id", "user_id", "event_type", "value"),
+        )
+
+    erules = EventRuleSet(
+        [EventRule("t", name_suffix(".txt"), (Source(schema="stream_events"),))]
+    )
+    sink = TableSink(spark, os.path.join(tmp, "wh"))
+    pipe = IngestPipeline(spark, erules, rules, sink)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    for _ in range(2):  # second drain re-ingests nothing (checkpoint)
+        q = stream_ingest(
+            spark, src_dir, schema, pipe, "stream_events",
+            checkpoint_dir=os.path.join(tmp, "ckpt"), available_now=True,
+        )
+        q.awaitTermination(300)
+    return (
+        sink.read_table(TableDest("streamed", "events"))
+        .groupBy(F.col("data.event_type").alias("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
 CORE: dict[str, tuple[Callable, str | None]] = {
     "s1_scan_count": (q_s1_scan_count, SQL_S1),
     "s3_prefix_filter": (q_s3_prefix_filter, SQL_S3),
@@ -359,6 +474,8 @@ CORE: dict[str, tuple[Callable, str | None]] = {
     "e1_size_batching": (q_e1_size_batching, SQL_E1),
     "m1_sql_passthrough": (q_m1_sql_passthrough, SQL_M1),
     "pipeline_ingest_e2e": (q_pipeline_ingest_e2e, None),
+    "serve_pubsub_e2e": (q_serve_pubsub_e2e, None),
+    "streaming_ingest_e2e": (q_streaming_ingest_e2e, None),
 }
 
 
