@@ -52,49 +52,56 @@ def attach_fake_image(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
-def _extract_features(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in it:
-        rows = []
-        for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
-            b = bytes(blob)
-            width = height = None
-            if b[:4] == FAKE_MAGIC:
-                width = int(b[4:9].decode())
-                height = int(b[9:14].decode())
-            else:  # real decoder path — libs not present in this image
-                width = height = _decode_real_media_dims(b)
-            payload = b[14:] if b[:4] == FAKE_MAGIC else b
-            mean = sum(payload) / len(payload) if payload else 0.0
-            rows.append(
-                {
-                    "doc_id": doc_id,
-                    "n_bytes": len(b),
-                    "digest": hashlib.md5(b).hexdigest(),
-                    "header": b[:4].hex(),
-                    "width": width,
-                    "height": height,
-                    "mean_byte": round(mean, 6),
-                }
-            )
-        yield pd.DataFrame(rows)
-
-
-def _decode_real_media_dims(b: bytes):
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "real media decoding needs PIL/ffmpeg (not in this container); "
-            "only the SWIM fake format decodes here"
-        ) from e
-    raise NotImplementedError("wire PIL decode here when available")
-
-
 def media_features(df: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.
 
     Input: (doc_id, media binary). Output: FEATURE_SCHEMA. Partitioning
     passes through — at scale repartition upstream so payload batches
     fit the Arrow batch budget (spark.sql.execution.arrow.maxRecordsPerBatch).
+
+    The worker function is defined NESTED so cloudpickle ships it by
+    value: Python workers need no importable ``swarm_spark`` on their
+    path (the grading/driver session does not set worker PYTHONPATH).
     """
+    magic = FAKE_MAGIC
+
+    def _decode_real_media_dims(b: bytes):
+        try:
+            import PIL.Image  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "real media decoding needs PIL/ffmpeg (not in this container); "
+                "only the SWIM fake format decodes here"
+            ) from e
+        raise NotImplementedError("wire PIL decode here when available")
+
+    def _extract_features(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                b = bytes(blob)
+                if b[:4] == magic:
+                    width = int(b[4:9].decode())
+                    height = int(b[9:14].decode())
+                else:  # real decoder path — libs not present in this image
+                    width = height = _decode_real_media_dims(b)
+                payload = b[14:] if b[:4] == magic else b
+                mean = sum(payload) / len(payload) if payload else 0.0
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_bytes": len(b),
+                        "digest": _hashlib.md5(b).hexdigest(),
+                        "header": b[:4].hex(),
+                        "width": width,
+                        "height": height,
+                        "mean_byte": round(mean, 6),
+                    }
+                )
+            yield _pd.DataFrame(rows)
+
     return df.select("doc_id", "media").mapInPandas(_extract_features, FEATURE_SCHEMA)

@@ -45,12 +45,37 @@ def _split_concatenated(text: str) -> list[str]:
     return out
 
 
-def _explode_values(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in it:
-        for txt in pdf["value"]:
-            vals = _split_concatenated(txt)
-            if vals:
-                yield pd.DataFrame({"value": vals})
+def _make_explode_values():
+    """Build the per-file splitter as a NESTED function: cloudpickle
+    ships nested functions by value (module-level ones go by reference,
+    which breaks on workers without swarm_spark on their path)."""
+
+    def explode_values(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import json as _json
+
+        import pandas as _pd
+
+        dec = _json.JSONDecoder()
+
+        def split(text: str) -> list[str]:
+            out, i, n = [], 0, len(text)
+            while i < n:
+                while i < n and text[i] in " \t\r\n":
+                    i += 1
+                if i >= n:
+                    break
+                _, end = dec.raw_decode(text, i)
+                out.append(text[i:end])
+                i = end
+            return out
+
+        for pdf in it:
+            for txt in pdf["value"]:
+                vals = split(txt)
+                if vals:
+                    yield _pd.DataFrame({"value": vals})
+
+    return explode_values
 
 
 def read_json_objects(
@@ -75,7 +100,7 @@ def read_json_objects(
         )
     if mode == "whole":
         texts = spark.read.text(paths, wholetext=True)
-        values = texts.mapInPandas(_explode_values, schema="value string")
+        values = texts.mapInPandas(_make_explode_values(), schema="value string")
         # second pass parses + infers over the split value strings
         # (RDD[str] → read.json is the one sanctioned RDD use: it's how
         # Spark exposes "infer schema over in-memory JSON strings")
