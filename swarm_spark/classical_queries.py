@@ -1,0 +1,218 @@
+"""Classical relational-operator queries + DuckDB oracles.
+
+SURVEY §2.2 notes the reference has NO joins/windows/sorts/set-ops —
+Spark supplies that machinery. These queries pin that surface against
+the oracle so "full Spark SQL comes free" is a checked claim, not an
+asserted one: event-time windowing, sessionization, top-k per group,
+set operations, pivot, and rollup over the synthetic tables.
+
+Determinism: counts and integral sums only; timestamps bucketed with
+identical arithmetic; tie-breaks made explicit everywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .sources.tables import load_table
+
+
+def _t(spark, sf, name):
+    return load_table(spark, sf, name)
+
+
+# ---------------------------------------------------- event-time window
+def q_window_hourly(spark, sf):
+    """Tumbling 1-hour event-time window aggregation (the batch
+    expression of a streaming windowed agg)."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").start.alias("bucket"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .orderBy("bucket", "event_type")
+    )
+
+
+SQL_WINDOW_HOURLY = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket, event_type,
+       count(*) AS n,
+       sum(cast(round(value * 100) AS bigint)) AS value_cents
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# -------------------------------------------------------- sessionization
+def q_sessionize(spark, sf):
+    """Per-user session counts with a 30-minute inactivity gap
+    (lag + gap-flag cumulative sum — the batch sessionization idiom)."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.when(
+        F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800, 1
+    ).otherwise(0)
+    sess = ev.select("user_id", "ts", "event_id").withColumn(
+        "session_no", F.sum(gap).over(w)
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            (F.max("session_no") + 1).alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS gap
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id,
+         sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM g
+)
+SELECT user_id, max(session_no) + 1 AS n_sessions, count(*) AS n_events
+FROM s GROUP BY 1 ORDER BY 1
+"""
+
+
+# ------------------------------------------------------- top-k per group
+def q_topk_per_group(spark, sf):
+    """Top-3 line items by price within each return flag (dense top-k
+    with explicit tie-break)."""
+    li = _t(spark, sf, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("price_cents").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+    )
+    return (
+        li.select(
+            "l_returnflag", "l_orderkey", "l_linenumber", cents.alias("price_cents")
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .orderBy("l_returnflag", "rank")
+    )
+
+
+SQL_TOPK = """
+SELECT l_returnflag, l_orderkey, l_linenumber, price_cents, rank FROM (
+  SELECT l_returnflag, l_orderkey, l_linenumber,
+         cast(round(l_extendedprice * 100) AS bigint) AS price_cents,
+         cast(row_number() OVER (PARTITION BY l_returnflag
+              ORDER BY cast(round(l_extendedprice * 100) AS bigint) DESC,
+                       l_orderkey, l_linenumber) AS bigint) AS rank
+  FROM lineitem) t
+WHERE rank <= 3 ORDER BY l_returnflag, rank
+"""
+
+
+# ------------------------------------------------------------- set ops
+def q_set_ops(spark, sf):
+    """INTERSECT / EXCEPT over customer key sets: customers with orders
+    vs the full customer list."""
+    cust = _t(spark, sf, "customer").select(F.col("c_custkey").alias("k"))
+    buyers = _t(spark, sf, "orders").select(F.col("o_custkey").alias("k"))
+    with_orders = cust.intersect(buyers)
+    without_orders = cust.exceptAll(buyers.distinct())
+    return spark.createDataFrame(
+        [("with_orders",), ("without_orders",)], "which string"
+    ).join(
+        with_orders.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit("with_orders").alias("which"), "n"
+        ).unionByName(
+            without_orders.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit("without_orders").alias("which"), "n"
+            )
+        ),
+        "which",
+    ).orderBy("which")
+
+
+SQL_SET_OPS = """
+SELECT 'with_orders' AS which,
+       (SELECT count(*) FROM (SELECT c_custkey FROM customer
+                              INTERSECT SELECT o_custkey FROM orders)) AS n
+UNION ALL
+SELECT 'without_orders',
+       (SELECT count(*) FROM (SELECT c_custkey FROM customer
+                              EXCEPT SELECT o_custkey FROM orders))
+ORDER BY which
+"""
+
+
+# --------------------------------------------------------------- pivot
+def q_pivot_status_priority(spark, sf):
+    """Orders pivoted: rows = status, columns = priority class counts."""
+    o = _t(spark, sf, "orders")
+    pri = F.substring("o_orderpriority", 1, 1)
+    return (
+        o.select("o_orderstatus", pri.alias("p"))
+        .groupBy("o_orderstatus")
+        .pivot("p", ["1", "2", "3", "4", "5"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .select(
+            "o_orderstatus",
+            *[F.col(c).alias(f"p{c}") for c in ["1", "2", "3", "4", "5"]],
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+SQL_PIVOT = """
+SELECT o_orderstatus,
+       count(*) FILTER (substr(o_orderpriority,1,1) = '1') AS p1,
+       count(*) FILTER (substr(o_orderpriority,1,1) = '2') AS p2,
+       count(*) FILTER (substr(o_orderpriority,1,1) = '3') AS p3,
+       count(*) FILTER (substr(o_orderpriority,1,1) = '4') AS p4,
+       count(*) FILTER (substr(o_orderpriority,1,1) = '5') AS p5
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+# -------------------------------------------------------------- rollup
+def q_rollup(spark, sf):
+    """ROLLUP over (returnflag, linestatus) with null grouping markers
+    normalized to sentinel strings for cross-engine value equality."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("ls"),
+            "n",
+        )
+        .orderBy("rf", "ls")
+    )
+
+
+SQL_ROLLUP = """
+SELECT coalesce(l_returnflag, '<all>') AS rf,
+       coalesce(l_linestatus, '<all>') AS ls,
+       count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) ORDER BY rf, ls
+"""
+
+
+CLASSICAL: dict[str, tuple[Callable, str | None]] = {
+    "window_hourly": (q_window_hourly, SQL_WINDOW_HOURLY),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "topk_per_group": (q_topk_per_group, SQL_TOPK),
+    "set_ops": (q_set_ops, SQL_SET_OPS),
+    "pivot_status_priority": (q_pivot_status_priority, SQL_PIVOT),
+    "rollup_counts": (q_rollup, SQL_ROLLUP),
+}

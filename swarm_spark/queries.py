@@ -480,9 +480,11 @@ CORE: dict[str, tuple[Callable, str | None]] = {
 
 
 def all_queries() -> dict[str, tuple[Callable, str | None]]:
-    """CORE ingestion-dataflow queries + LLM-pipeline operator queries."""
+    """CORE ingestion-dataflow + LLM-pipeline + classical operators."""
+    from .classical_queries import CLASSICAL
     from .ops_queries import OPS
 
     out = dict(CORE)
     out.update(OPS)
+    out.update(CLASSICAL)
     return out

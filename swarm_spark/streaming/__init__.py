@@ -1,4 +1,6 @@
+from .auth import AuthDenied, AuthInput, AuthPolicy
 from .filestream import stream_ingest
+from .windows import session_counts, windowed_counts
 from .messages import (
     make_swarm_message,
     parse_eventarc_direct,
@@ -10,6 +12,9 @@ from .state import MsgState, State, StateStore
 
 __all__ = [
     "Ack",
+    "AuthDenied",
+    "AuthInput",
+    "AuthPolicy",
     "MsgState",
     "NotificationProcessor",
     "ServeResult",
@@ -18,6 +23,8 @@ __all__ = [
     "make_swarm_message",
     "parse_eventarc_direct",
     "parse_pubsub_push",
+    "session_counts",
     "storage_event_to_object",
     "stream_ingest",
+    "windowed_counts",
 ]
