@@ -22,7 +22,11 @@ from pyspark.sql import types as T
 
 
 class ParserType(str, Enum):
+    # the reference supports only "json" (policy.go:32-52); csv/parquet
+    # are engine extensions for mixed lakes
     JSON = "json"
+    CSV = "csv"
+    PARQUET = "parquet"
 
 
 class CompressType(str, Enum):

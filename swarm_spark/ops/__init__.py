@@ -11,6 +11,7 @@ from .dedup import (
     simhash,
     simhash_pairs,
 )
+from .ivf import ann_topk_ivf, kmeans_cells
 from .multimodal import attach_fake_image, media_features
 from .similarity import ann_topk_bruteforce, ann_topk_cells
 from .text import fingerprint, language_id, quality_score, token_stats
@@ -18,6 +19,8 @@ from .text import fingerprint, language_id, quality_score, token_stats
 __all__ = [
     "ann_topk_bruteforce",
     "ann_topk_cells",
+    "ann_topk_ivf",
+    "kmeans_cells",
     "attach_fake_image",
     "cosine_expr",
     "doc_shingles",

@@ -1,0 +1,159 @@
+"""Learned IVF (inverted-file) index for ANN search.
+
+Lloyd's k-means over the embedding column, expressed with DataFrame
+ops: assignment is a broadcast cross-join against the (tiny) centroid
+set; centroid update is a posexplode + per-(cell,dim) mean. Centroids
+round-trip through the driver each iteration — they are k×dim floats
+(metadata-sized), which is the standard Spark k-means shape; the data
+never leaves executors.
+
+Determinism: centroids initialize from the k lowest-id vectors and
+ties in assignment break by cell id, so given the same input the cell
+layout is reproducible up to float-sum ordering in the mean (why IVF
+queries are rows-only checked, not oracle-hashed).
+
+Search: queries probe their ``nprobe`` nearest cells — corpus scan
+cost drops to ~nprobe/k of brute force while the per-cell equi-join
+keeps the shuffle bounded. Brute force (similarity.ann_topk_bruteforce)
+remains the recall oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import dot_expr
+
+
+def _dist2(v: str, c: str):
+    # squared L2 via dot products: |v|² - 2v·c + |c|² (norms precomputed)
+    return F.col(f"{v}_n2") - 2 * dot_expr(v, c) + F.col(f"{c}_n2")
+
+
+def kmeans_cells(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 4,
+) -> DataFrame:
+    """(id, cell) assignment from ``iters`` Lloyd rounds."""
+    spark = df.sparkSession
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        dot_expr(vec_col, vec_col).alias("v_n2"),
+    ).persist()
+    try:
+        centroids = [
+            (i, r["v"])
+            for i, r in enumerate(base.orderBy("id").limit(k).collect())
+        ]
+        for _ in range(iters):
+            assigned = _assign(spark, base, centroids)
+            dim = len(centroids[0][1])
+            means = (
+                assigned.join(base, "id")
+                .select("cell", F.posexplode("v").alias("pos", "x"))
+                .groupBy("cell", "pos")
+                .agg(F.avg("x").alias("m"))
+                .collect()
+            )
+            by_cell: dict[int, list[float]] = {}
+            for r in means:
+                by_cell.setdefault(r["cell"], [0.0] * dim)[r["pos"]] = r["m"]
+            centroids = [
+                (c, by_cell.get(c, list(v)))  # empty cell keeps old centroid
+                for c, v in centroids
+            ]
+        return _assign(spark, base, centroids)
+    finally:
+        base.unpersist()
+
+
+def _assign(spark, base: DataFrame, centroids) -> DataFrame:
+    cdf = spark.createDataFrame(
+        [(c, v, sum(x * x for x in v)) for c, v in centroids],
+        "cell int, c array<double>, c_n2 double",
+    )
+    w = Window.partitionBy("id").orderBy("d2", "cell")
+    return (
+        base.crossJoin(F.broadcast(cdf))
+        .select("id", "cell", _dist2("v", "c").alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("id", "cell")
+    )
+
+
+def ann_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 8,
+    nprobe: int = 2,
+    iters: int = 4,
+) -> DataFrame:
+    """IVF ANN: build cells over the corpus, probe nprobe cells/query.
+
+    Returns (query_id, id, cos, rank) like the brute-force baseline —
+    swap-compatible, with recall traded for a ~nprobe/n_cells scan.
+    """
+    spark = corpus.sparkSession
+    cells = kmeans_cells(corpus, vec_col, id_col, k=n_cells, iters=iters)
+    c = (
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("cv"),
+            dot_expr(vec_col, vec_col).alias("cn2"),
+        )
+        .join(cells, "id")
+    )
+    # rank every (query, cell) by centroid distance → keep nprobe
+    centroids = (
+        c.select("cell", F.posexplode(F.col("cv").cast("array<double>")).alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cell", F.transform("pm", lambda s: s["m"]).alias("cv"))
+        .select("cell", "cv", dot_expr("cv", "cv").alias("c_n2"))
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        dot_expr(vec_col, vec_col).alias("qn2"),
+    )
+    wq = Window.partitionBy("query_id").orderBy("cd2", "cell")
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "qv",
+            "qn2",
+            "cell",
+            (F.col("qn2") - 2 * dot_expr("qv", "cv") + F.col("c_n2")).alias("cd2"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "qn2", "cell")
+    )
+    joined = (
+        c.join(F.broadcast(probes), "cell")
+        .where(F.col("query_id") != F.col("id"))
+        .select(
+            "query_id",
+            "id",
+            F.round(dot_expr("qv", "cv") / F.sqrt(F.col("qn2") * F.col("cn2")), 9).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("id"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "id", "cos", "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -289,6 +289,18 @@ SELECT query_id, id, cos, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+def q_ann_topk_ivf(spark, sf):
+    """Learned-IVF ANN (k-means cells, nprobe=4 of 8): same output
+    contract as brute force with a fractional corpus scan. Rows-only
+    (float-mean centroid sums are order-nondeterministic at ulp level,
+    so cell boundaries can't be oracle-hashed)."""
+    from .ops.ivf import ann_topk_ivf
+
+    emb = _emb(spark, sf)
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return ann_topk_ivf(emb, queries, k=5, n_cells=8, nprobe=4, iters=3)
+
+
 # ------------------------------------------------------------ multimodal ops
 def q_multimodal_features(spark, sf):
     """Binary-column plumbing: synthesize media payloads, extract
@@ -312,5 +324,6 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "ann_topk_bruteforce": (q_ann_topk_bruteforce, SQL_ANN_BRUTEFORCE),
     "ann_topk_cells": (q_ann_topk_cells, SQL_ANN_CELLS),
+    "ann_topk_ivf": (q_ann_topk_ivf, None),
     "multimodal_features": (q_multimodal_features, None),
 }

@@ -43,7 +43,7 @@ from ..rules.event import EventRuleSet
 from ..rules.schema_rule import SchemaRuleRegistry, validate_output
 from ..schema.strip import strip_struct_column
 from ..sinks.base import Sink
-from ..sources.jsonsrc import read_json_objects
+from ..sources.jsonsrc import read_objects
 
 META_DEST = TableDest("swarm", "load_log")
 
@@ -97,7 +97,7 @@ class IngestPipeline:
 
     # -- transform one Source group into the routed Log frame ----------
     def _transform_group(self, source: Source, paths: list[str]) -> DataFrame | None:
-        raw = read_json_objects(self.spark, paths, mode=self.json_mode)
+        raw = read_objects(self.spark, paths, parser=source.parser, mode=self.json_mode)
         if not raw.schema.fields:
             # zero parseable records in the whole group (e.g. empty
             # objects): nothing to transform — mirror the reference's

@@ -78,6 +78,27 @@ def _make_explode_values():
     return explode_values
 
 
+def read_objects(
+    spark: SparkSession,
+    paths: list[str],
+    parser: str = "json",
+    mode: str = "lines",
+) -> DataFrame:
+    """Format dispatcher for object reads (P1 + engine extensions).
+
+    json → :func:`read_json_objects`; csv → header + full-scan
+    inference; parquet → native typed read. All paths decompress ``.gz``
+    transparently where the format supports it.
+    """
+    if parser == "json":
+        return read_json_objects(spark, paths, mode=mode)
+    if parser == "csv":
+        return spark.read.option("header", "true").option("inferSchema", "true").csv(paths)
+    if parser == "parquet":
+        return spark.read.parquet(*paths)
+    raise ValueError(f"unknown parser: {parser!r}")
+
+
 def read_json_objects(
     spark: SparkSession,
     paths: list[str],

@@ -150,3 +150,66 @@ class TestConcatenatedJson:
         df = read_json_objects(spark, [str(p)], mode="whole")
         assert df.count() == 3
         assert sorted(r["x"] for r in df.collect()) == [1, 2, 3]
+
+
+class TestSourceFormats:
+    def test_csv_and_parquet_objects_ingest(self, spark, tmp_path):
+        import json as _json
+
+        from swarm_spark.model import ObjectMeta, Source, TableDest
+        from swarm_spark.pipeline import IngestPipeline
+        from swarm_spark.rules import (
+            EventRule,
+            EventRuleSet,
+            SchemaRuleRegistry,
+            name_suffix,
+            rule_output,
+        )
+        from swarm_spark.sinks import TableSink
+
+        csv_p = tmp_path / "a.csv"
+        csv_p.write_text("k,v,ts\nx,1,1700000000\ny,2,1700000001\n")
+        pq_p = str(tmp_path / "b.parquet")
+        spark.createDataFrame(
+            [("z", 3, 1700000002)], "k string, v long, ts long"
+        ).coalesce(1).write.parquet(pq_p)
+
+        rules = SchemaRuleRegistry()
+
+        @rules.rule("kv")
+        def kv(df):
+            return rule_output(
+                df,
+                dataset="fmt",
+                table="t",
+                timestamp=F.col("ts").cast("double"),
+                data=F.struct(F.col("k"), F.col("v").cast("long").alias("v")),
+            )
+
+        events = EventRuleSet(
+            [
+                EventRule("csv", name_suffix(".csv"), (Source(parser="csv", schema="kv"),)),
+                EventRule("pq", name_suffix(".parquet"), (Source(parser="parquet", schema="kv"),)),
+            ]
+        )
+        sink = TableSink(spark, str(tmp_path / "wh"))
+        pipe = IngestPipeline(spark, events, rules, sink)
+        stats = pipe.load_objects(
+            [
+                ObjectMeta(bucket="b", name="a.csv", path=str(csv_p)),
+                ObjectMeta(bucket="b", name="b.parquet", path=pq_p),
+            ]
+        )
+        assert stats.total_rows == 3
+        df = sink.read_table(TableDest("fmt", "t"))
+        assert sorted((r["data"]["k"], r["data"]["v"]) for r in df.collect()) == [
+            ("x", 1),
+            ("y", 2),
+            ("z", 3),
+        ]
+
+    def test_unknown_parser_rejected(self):
+        from swarm_spark.model import ModelError, Source
+
+        with pytest.raises(ModelError):
+            Source(parser="avro", schema="s").validate()
