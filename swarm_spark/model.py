@@ -15,7 +15,7 @@ Reference parity (citations into /root/reference):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from enum import Enum
 
 from pyspark.sql import types as T

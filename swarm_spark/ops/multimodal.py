@@ -19,7 +19,6 @@ The decode layer is split:
 
 from __future__ import annotations
 
-import hashlib
 from typing import Iterator
 
 import pandas as pd

@@ -6,13 +6,14 @@ from .enqueue import (
     enqueue,
     list_local_objects,
 )
-from .ingest import META_DEST, IngestPipeline, IngestStats
+from .ingest import META_DEST, IngestPartialFailure, IngestPipeline, IngestStats
 from .migrate import apply_schema, migrate
 
 __all__ = [
     "META_DEST",
     "EnqueueResult",
     "FileDumpPublisher",
+    "IngestPartialFailure",
     "IngestPipeline",
     "IngestStats",
     "MemoryPublisher",

@@ -48,6 +48,21 @@ from ..sources.jsonsrc import read_objects
 META_DEST = TableDest("swarm", "load_log")
 
 
+class IngestPartialFailure(RuntimeError):
+    """Some destinations failed; the rest were still written.
+
+    Carries the stats (successful rows per destination) and the
+    per-destination exceptions — the caller decides whether the
+    successful part stands (it is already durable; content-hash ids
+    make a retry of the whole batch idempotent downstream)."""
+
+    def __init__(self, stats: "IngestStats", errors: list):
+        self.stats = stats
+        self.dest_errors = errors
+        summary = "; ".join(f"{d.dataset}.{d.table}: {e}" for d, e in errors)
+        super().__init__(f"{len(errors)} destination(s) failed: {summary}")
+
+
 @dataclass
 class IngestStats:
     ingest_id: str
@@ -186,7 +201,14 @@ class IngestPipeline:
 
     # -- G1 + Q1/Q2/Q4 + W1: per-destination evolve + append -----------
     def _write_routed(self, enveloped: DataFrame, stats: IngestStats) -> None:
+        """Per-destination evolve+append with PARTIAL-failure tolerance:
+        one bad destination (schema conflict, sink failure) never blocks
+        the others — its error is recorded per-ingest and surfaced after
+        every destination has been attempted (reference semantics,
+        load.go:100-130: per-table goroutines report errors
+        independently)."""
         enveloped = enveloped.persist()
+        errors: list[tuple[TableDest, Exception]] = []
         try:
             dests = [
                 TableDest(r["dataset"], r["table"], r["partition"])
@@ -200,15 +222,23 @@ class IngestPipeline:
                     & (F.col("table") == dest.table)
                     & (F.col("partition") == dest.partition)
                 ).select("id", "ingest_id", "timestamp", "ingested_at", "data")
-                # T1: per-destination-batch void pruning before inference
-                batch = strip_struct_column(batch, "data")
-                merged = self.sink.ensure_table(dest, batch.schema["data"].dataType)
-                aligned = self._align_data(batch, merged)
-                n = self.sink.append(dest, aligned)
+                try:
+                    # T1: per-destination-batch void pruning before inference
+                    batch = strip_struct_column(batch, "data")
+                    merged = self.sink.ensure_table(dest, batch.schema["data"].dataType)
+                    aligned = self._align_data(batch, merged)
+                    n = self.sink.append(dest, aligned)
+                except Exception as e:  # noqa: BLE001 — recorded, surfaced below
+                    errors.append((dest, e))
+                    stats.errors.append(f"{dest.dataset}.{dest.table}: {e}")
+                    continue
                 key = (dest.dataset, dest.table, dest.partition)
                 stats.rows_by_dest[key] = stats.rows_by_dest.get(key, 0) + n
         finally:
             enveloped.unpersist()
+        if errors and self.strict:
+            dest, first = errors[0]
+            raise IngestPartialFailure(stats, errors) from first
 
     def _align_data(self, batch: DataFrame, merged_data: T.StructType) -> DataFrame:
         from ..schema.infer import _align_expr  # aligned struct projection

@@ -300,7 +300,6 @@ def q_pipeline_ingest_e2e(spark, sf):
     from .model import ObjectMeta, Source
     from .pipeline import IngestPipeline
     from .rules import EventRule, EventRuleSet, SchemaRuleRegistry, name_suffix, rule_output
-    from .sinks.base import Sink
 
     ev = _t(spark, sf, "events")
     tmp = tempfile.mkdtemp(prefix="swarm_e2e_")

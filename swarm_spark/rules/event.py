@@ -23,8 +23,6 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from fnmatch import fnmatchcase
-from typing import Callable
-
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 

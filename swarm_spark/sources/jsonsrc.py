@@ -26,7 +26,6 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 
 def _split_concatenated(text: str) -> list[str]:

@@ -224,6 +224,7 @@ class TestEvolution:
         }
 
     def test_type_conflict_rejected(self, spark, tmp_path):
+        from swarm_spark.pipeline import IngestPartialFailure
         from swarm_spark.schema import SchemaConflictError
 
         wh = str(tmp_path / "wh2")
@@ -248,8 +249,53 @@ class TestEvolution:
         pipe.load_objects([ObjectMeta(bucket="b", name="c1.ndjson", path=str(p1))])
         p2 = tmp_path / "c2.ndjson"
         p2.write_text('{"age": "twelve"}\n')
-        with pytest.raises(SchemaConflictError):
+        with pytest.raises(IngestPartialFailure) as ei:
             pipe.load_objects([ObjectMeta(bucket="b", name="c2.ndjson", path=str(p2))])
+        assert isinstance(ei.value.__cause__, SchemaConflictError)
+
+    def test_partial_failure_other_destinations_still_written(self, spark, tmp_path):
+        """One conflicting destination must not block the others; the
+        error surfaces with per-destination detail after all attempts
+        (reference load.go:100-130 semantics)."""
+        from swarm_spark.pipeline import IngestPartialFailure
+
+        wh = str(tmp_path / "wh3")
+        sink = TableSink(spark, wh)
+        rules = SchemaRuleRegistry()
+
+        @rules.rule("bykind2")
+        def bykind2(df):
+            return rule_output(
+                df,
+                dataset="ds",
+                table=F.concat(F.lit("p_"), F.col("kind")),
+                timestamp=F.lit(1.0),
+                data=F.struct("kind", "payload"),
+            )
+
+        events = EventRuleSet(
+            [EventRule("all", name_suffix(".ndjson"), (Source(schema="bykind2"),))]
+        )
+        pipe = IngestPipeline(spark, events, rules, sink)
+        # seed p_b with payload as long
+        p1 = tmp_path / "s1.ndjson"
+        p1.write_text(json.dumps({"kind": "b", "payload": 1}) + "\n")
+        pipe.load_objects([ObjectMeta(bucket="x", name="s1.ndjson", path=str(p1))])
+        # batch routes to p_a (fresh, ok) and p_b (payload now string → conflict)
+        p2 = tmp_path / "s2.ndjson"
+        p2.write_text(
+            json.dumps({"kind": "a", "payload": "fine"})
+            + "\n"
+            + json.dumps({"kind": "b", "payload": "boom"})
+            + "\n"
+        )
+        with pytest.raises(IngestPartialFailure) as ei:
+            pipe.load_objects([ObjectMeta(bucket="x", name="s2.ndjson", path=str(p2))])
+        # the healthy destination WAS written before the error surfaced
+        assert ei.value.stats.rows_by_dest == {("ds", "p_a", ""): 1}
+        assert sink.read_table(TableDest("ds", "p_a")).count() == 1
+        assert sink.read_table(TableDest("ds", "p_b")).count() == 1  # only the seed
+        assert "p_b" in str(ei.value)
 
 
 class TestRouting:
