@@ -208,6 +208,31 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) ORDER BY rf, ls
 """
 
 
+# ------------------------------------------------------------ quantiles
+def q_quantiles(spark, sf):
+    """Exact interpolated percentiles per group (integral-valued
+    doubles → the linear interpolation is engine-exact)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+            F.expr("percentile(l_quantity, 0.9)").alias("p90"),
+            F.max("l_quantity").alias("mx"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_QUANTILES = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS p50,
+       quantile_cont(l_quantity, 0.9) AS p90,
+       max(l_quantity) AS mx
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+
 CLASSICAL: dict[str, tuple[Callable, str | None]] = {
     "window_hourly": (q_window_hourly, SQL_WINDOW_HOURLY),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
@@ -215,4 +240,5 @@ CLASSICAL: dict[str, tuple[Callable, str | None]] = {
     "set_ops": (q_set_ops, SQL_SET_OPS),
     "pivot_status_priority": (q_pivot_status_priority, SQL_PIVOT),
     "rollup_counts": (q_rollup, SQL_ROLLUP),
+    "quantiles": (q_quantiles, SQL_QUANTILES),
 }

@@ -11,6 +11,7 @@ from .dedup import (
     simhash,
     simhash_pairs,
 )
+from .components import dup_components, keep_one_per_cluster
 from .ivf import ann_topk_ivf, kmeans_cells
 from .multimodal import attach_fake_image, media_features
 from .similarity import ann_topk_bruteforce, ann_topk_cells
@@ -25,6 +26,8 @@ __all__ = [
     "cosine_expr",
     "doc_shingles",
     "dot_expr",
+    "dup_components",
+    "keep_one_per_cluster",
     "embedding_dup_pairs",
     "exact_dedup",
     "exact_dup_stats",

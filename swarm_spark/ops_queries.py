@@ -190,6 +190,37 @@ FROM pairs ORDER BY doc_a, doc_b
 """
 
 
+def q_dedup_clusters(spark, sf):
+    """Transitive duplicate clusters: jaccard pairs (≥0.8) → connected
+    components (min-reachable-id labels)."""
+    from .ops.components import dup_components
+
+    pairs = ngram_jaccard_pairs(_docs(spark, sf), threshold=0.8)
+    return dup_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("component")
+    )
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_shingle_cte(3)},
+sz AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY 1),
+i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+p AS (SELECT doc_a, doc_b FROM i JOIN sz x ON doc_a = x.doc_id
+      JOIN sz y ON doc_b = y.doc_id
+      WHERE round(inter * 1.0 / (x.n_sh + y.n_sh - inter), 6) >= 0.8),
+ed AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       UNION SELECT doc_b, doc_a FROM p),
+n AS (SELECT DISTINCT src AS id FROM ed),
+reach AS (
+    SELECT id, id AS r FROM n
+    UNION
+    SELECT reach.id, ed.dst AS r FROM reach JOIN ed ON reach.r = ed.src
+)
+SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_dedup_simhash(spark, sf):
     return simhash(_docs(spark, sf), bits=32).orderBy("doc_id")
 
@@ -318,6 +349,7 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "text_fingerprint": (q_text_fingerprint, SQL_FINGERPRINT),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_MINHASH_LSH),
     "dedup_simhash": (q_dedup_simhash, SQL_SIMHASH),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_SIMHASH_PAIRS),

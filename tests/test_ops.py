@@ -106,3 +106,30 @@ class TestMultimodal:
         with pytest.raises(Exception) as ei:
             media_features(bad).collect()
         assert "NotImplementedError" in str(ei.value) or "media decoding" in str(ei.value)
+
+
+class TestComponents:
+    def test_transitive_clusters_and_keep_one(self, spark):
+        from swarm_spark.ops import dup_components, keep_one_per_cluster
+
+        # chain 1-2-3 plus island 7-8; 5 untouched
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (7, 8)], "doc_a long, doc_b long"
+        )
+        comp = {r["id"]: r["component"] for r in dup_components(pairs).collect()}
+        assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+        docs = spark.createDataFrame(
+            [(i, f"d{i}") for i in [1, 2, 3, 5, 7, 8]], "doc_id long, text string"
+        )
+        kept = sorted(r["doc_id"] for r in keep_one_per_cluster(docs, pairs).collect())
+        assert kept == [1, 5, 7]
+
+    def test_cycle_converges(self, spark):
+        from swarm_spark.ops import dup_components
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (3, 4)], "doc_a long, doc_b long"
+        )
+        comp = {r["id"]: r["component"] for r in dup_components(pairs).collect()}
+        assert set(comp.values()) == {1}
