@@ -15,7 +15,7 @@ from .components import dup_components, keep_one_per_cluster
 from .ivf import ann_topk_ivf, kmeans_cells
 from .multimodal import attach_fake_image, media_features
 from .similarity import ann_topk_bruteforce, ann_topk_cells
-from .text import fingerprint, language_id, quality_score, token_stats
+from .text import fingerprint, language_id, normalize_text, quality_score, token_stats
 
 __all__ = [
     "ann_topk_bruteforce",
@@ -37,6 +37,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "minhash_signatures",
     "ngram_jaccard_pairs",
+    "normalize_text",
     "quality_score",
     "simhash",
     "simhash_pairs",

@@ -127,6 +127,24 @@ def shingles_expr(ws: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def normalize_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Canonical text form for normalized dedup/matching: lowercase,
+    punctuation → space, whitespace collapsed + trimmed. Pure codegen
+    expressions; the regexes are POSIX-class based so SQL engines
+    normalize identically."""
+    c = F.col(text_col)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(c), "[^a-z0-9\\s]", " "), "\\s+", " "
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        norm.alias("norm_text"),
+        F.md5(norm).alias("norm_hash"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5) -> DataFrame:
     """Winnowing-style content fingerprint: the minimum md5 over the
     rolling word n-gram window. Stable under content reordering-free

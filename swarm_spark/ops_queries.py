@@ -29,7 +29,7 @@ from .ops.dedup import (
 )
 from .ops.multimodal import attach_fake_image, media_features
 from .ops.similarity import ann_topk_bruteforce, ann_topk_cells
-from .ops.text import fingerprint, language_id, quality_score, token_stats
+from .ops.text import fingerprint, language_id, normalize_text, quality_score, token_stats
 from .sources.tables import load_table
 
 
@@ -134,6 +134,20 @@ SELECT doc_id,
                           i -> ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]||' '||ws[i+5]),
            s -> md5(s))) AS fp
 FROM w ORDER BY doc_id
+"""
+
+
+def q_text_normalize(spark, sf):
+    return normalize_text(_docs(spark, sf)).orderBy("doc_id")
+
+
+SQL_NORMALIZE = """
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                             '\\s+', ' ', 'g')) AS norm_text
+  FROM documents)
+SELECT doc_id, norm_text, md5(norm_text) AS norm_hash FROM n ORDER BY doc_id
 """
 
 
@@ -347,6 +361,7 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "text_language_id": (q_text_language_id, SQL_LANGUAGE_ID),
     "text_quality": (q_text_quality, SQL_QUALITY),
     "text_fingerprint": (q_text_fingerprint, SQL_FINGERPRINT),
+    "text_normalize": (q_text_normalize, SQL_NORMALIZE),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
