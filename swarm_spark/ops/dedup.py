@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import shingles_expr, tokens_col
+from .text import tokens_col
 
 
 # --------------------------------------------------------------- exact
