@@ -10,6 +10,7 @@ from .dedup import (
     ngram_jaccard_pairs,
     simhash,
     simhash_pairs,
+    simhash_pairs_blocked,
 )
 from .components import dup_components, keep_one_per_cluster
 from .ivf import ann_topk_ivf, kmeans_cells
@@ -41,5 +42,6 @@ __all__ = [
     "quality_score",
     "simhash",
     "simhash_pairs",
+    "simhash_pairs_blocked",
     "token_stats",
 ]

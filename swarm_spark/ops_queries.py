@@ -25,7 +25,7 @@ from .ops.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
-    simhash_pairs,
+    simhash_pairs_blocked,
 )
 from .ops.multimodal import attach_fake_image, media_features
 from .ops.similarity import ann_topk_bruteforce, ann_topk_cells
@@ -259,7 +259,9 @@ SQL_SIMHASH = f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM sh ORDER BY doc_
 
 
 def q_dedup_simhash_pairs(spark, sf):
-    return simhash_pairs(_docs(spark, sf), bits=32, max_hamming=2)
+    # blocked variant: pigeonhole candidate generation replaces the
+    # O(n²) cross join, with bit-identical output (tests pin equality)
+    return simhash_pairs_blocked(_docs(spark, sf), bits=32, max_hamming=2)
 
 
 SQL_SIMHASH_PAIRS = f"""

@@ -14,6 +14,7 @@ from swarm_spark.ops import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
+    simhash_pairs_blocked,
     token_stats,
 )
 
@@ -64,6 +65,18 @@ class TestSimhash:
         }
         assert pairs[(1, 4)] == 0
         assert pairs[(1, 2)] < pairs[(1, 3)]  # near-dup closer than unrelated
+
+    def test_blocked_variant_is_exact(self, docs):
+        # pigeonhole blocking must reproduce the cross join bit-for-bit
+        for bits, maxh in ((32, 3), (16, 3), (32, 8)):
+            cross = sorted(
+                tuple(r) for r in simhash_pairs(docs, bits=bits, max_hamming=maxh).collect()
+            )
+            blocked = sorted(
+                tuple(r)
+                for r in simhash_pairs_blocked(docs, bits=bits, max_hamming=maxh).collect()
+            )
+            assert blocked == cross
 
 
 class TestTokenStats:
