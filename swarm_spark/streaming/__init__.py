@@ -9,6 +9,7 @@ from .messages import (
 )
 from .serve import Ack, NotificationProcessor, ServeResult
 from .state import MsgState, State, StateStore
+from .stateful import dedup_within_watermark, first_seen_gate
 
 __all__ = [
     "Ack",
@@ -20,6 +21,8 @@ __all__ = [
     "ServeResult",
     "State",
     "StateStore",
+    "dedup_within_watermark",
+    "first_seen_gate",
     "make_swarm_message",
     "parse_eventarc_direct",
     "parse_pubsub_push",

@@ -1,0 +1,115 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+The reference gates message processing through a Firestore state
+transaction keyed on message id (X1 —
+/root/reference/pkg/usecase/state.go:12-66,
+pkg/domain/model/state.go:19-31): the first acquirer proceeds, repeat
+deliveries are skipped, and an expired state can be re-acquired. The
+:class:`~swarm_spark.streaming.state.StateStore` ledger reproduces that
+on the driver; this module is the *distributed* form — the state lives
+in Spark's streaming state store, partitioned by key, checkpointed with
+the query, and reclaimed by timeout. No external store, no driver
+round-trip per message: the idiomatic shape for 100-TB streams where
+the id space itself is too large for a single ledger.
+
+- :func:`first_seen_gate` — arbitrary-stateful exactly-once gate:
+  emits only the first row ever seen per id (per state TTL window);
+  duplicate deliveries — in the same microbatch or any later one —
+  yield nothing. The lease deadline is stored IN the state value and
+  compared against processing time on every delivery, because Spark
+  only fires the timeout callback for keys with no data in the batch:
+  an expired id that is redelivered before the reaper runs must still
+  be re-acquirable (the reference's expired-state takeover). The
+  timeout callback is only the garbage collector for ids that never
+  recur.
+
+  Caveat: a query with ``ProcessingTimeTimeout`` never terminates
+  under ``trigger(availableNow=True)`` — the engine keeps scheduling
+  empty microbatches to fire pending timeouts. Use a continuous
+  trigger in production; in bounded tests drive with
+  ``query.processAllAvailable()`` then ``query.stop()``.
+- :func:`dedup_within_watermark` — the built-in, event-time-bounded
+  variant (``dropDuplicatesWithinWatermark``) for when dedup only
+  needs to span the late-data horizon rather than a TTL: state is
+  dropped as the watermark passes, so it is the cheaper choice when
+  the id space is unbounded but duplicates arrive close together.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+DEFAULT_TTL_MS = 7 * 24 * 3600 * 1000  # reference defaultStateTTL (7 d)
+
+
+def first_seen_gate(
+    stream: DataFrame,
+    id_col: str = "msg_id",
+    ttl_ms: int = DEFAULT_TTL_MS,
+) -> DataFrame:
+    """Exactly-once admission: pass each ``id_col`` group's first-ever
+    row, drop every redelivery until the state's TTL elapses.
+
+    Output schema == input schema. State per key: (lease expiry in
+    epoch-millis,) — one long, so state size is bounded by live-key
+    count, not row count. Works in append mode.
+
+    The worker function is nested so cloudpickle ships it by value
+    (workers don't have swarm_spark on their path in bare sessions).
+    """
+    out_schema = stream.schema
+    state_schema = "expires_at long"
+
+    def gate(key, pdf_iter, state):
+        if state.hasTimedOut:
+            # TTL passed with no redelivery — reclaim (pure GC path;
+            # redelivery-time takeover is handled below, because Spark
+            # never calls this for a key that has data in the batch)
+            state.remove()
+            return
+        now_ms = int(time.time() * 1000)
+        held = state.exists and state.get[0] > now_ms
+        if not held:
+            # unseen id, or lease expired before the reaper ran —
+            # acquire (reference expired-state takeover) and emit
+            state.update((now_ms + ttl_ms,))
+            state.setTimeoutDuration(ttl_ms)
+            emitted = False
+            for pdf in pdf_iter:
+                if not emitted and len(pdf):
+                    yield pdf.iloc[[0]]
+                    emitted = True
+        else:
+            # live lease: drop the redelivery WITHOUT extending it (the
+            # original acquisition's TTL stands, as in the reference);
+            # re-arm the reaper for the remaining lease — timeouts are
+            # cleared every time the function runs for a key
+            state.setTimeoutDuration(max(1, state.get[0] - now_ms))
+            for _ in pdf_iter:
+                pass
+
+    return stream.groupBy(id_col).applyInPandasWithState(
+        gate,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def dedup_within_watermark(
+    stream: DataFrame,
+    id_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Event-time-bounded duplicate drop: ids recur only within the
+    late-data horizon, so state is reclaimed as the watermark advances
+    (finite state at any input scale, unlike keyed TTL state whose size
+    tracks the live-id count)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        id_cols or ["msg_id"]
+    )
