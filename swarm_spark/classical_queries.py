@@ -43,7 +43,7 @@ def q_window_hourly(spark, sf):
 
 
 SQL_WINDOW_HOURLY = """
-SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket, event_type,
+SELECT cast(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS bucket, event_type,
        count(*) AS n,
        sum(cast(round(value * 100) AS bigint)) AS value_cents
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
@@ -83,7 +83,7 @@ WITH g AS (
                         ROWS UNBOUNDED PRECEDING) AS session_no
   FROM g
 )
-SELECT user_id, max(session_no) + 1 AS n_sessions, count(*) AS n_events
+SELECT user_id, cast(max(session_no) + 1 AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM s GROUP BY 1 ORDER BY 1
 """
 
