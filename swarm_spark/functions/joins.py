@@ -62,7 +62,17 @@ def salted_join(
     deterministically (hash of the key + a per-row uniform component),
     so a single hot key spreads over ``salt_n`` reducers. Result equals
     the plain join (the salt is internal).
+
+    Only left-preserving modes are supported: the right side is
+    replicated ``salt_n`` times, so right/full outer would emit every
+    unmatched right row once per replica.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)} only, got {how!r}: "
+            "right-side replication breaks right/full outer semantics"
+        )
     salted_right = right.withColumn(
         SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1)))
     )

@@ -59,3 +59,10 @@ class TestSaltedJoin:
         right = spark.createDataFrame([(1, "x")], "k long, w string")
         out = {(r["k"], r["w"]) for r in salted_join(left, right, "k", salt_n=4, how="left").collect()}
         assert out == {(1, "x"), (2, None)}
+
+    def test_outer_modes_rejected(self, spark):
+        left = spark.createDataFrame([(1, "a")], "k long, v string")
+        right = spark.createDataFrame([(1, "x")], "k long, w string")
+        for how in ("right", "full", "outer", "full_outer", "cross"):
+            with pytest.raises(ValueError, match="salted_join supports"):
+                salted_join(left, right, "k", how=how)
