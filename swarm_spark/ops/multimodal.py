@@ -77,30 +77,45 @@ def media_features(df: DataFrame) -> DataFrame:
     def _extract_features(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
 
+        import numpy as _np
         import pandas as _pd
 
         for pdf in it:
-            rows = []
-            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
-                b = bytes(blob)
-                if b[:4] == magic:
-                    width = int(b[4:9].decode())
-                    height = int(b[9:14].decode())
-                else:  # real decoder path — libs not present in this image
-                    width = height = _decode_real_media_dims(b)
-                payload = b[14:] if b[:4] == magic else b
-                mean = sum(payload) / len(payload) if payload else 0.0
-                rows.append(
-                    {
-                        "doc_id": doc_id,
-                        "n_bytes": len(b),
-                        "digest": _hashlib.md5(b).hexdigest(),
-                        "header": b[:4].hex(),
-                        "width": width,
-                        "height": height,
-                        "mean_byte": round(mean, 6),
-                    }
-                )
-            yield _pd.DataFrame(rows)
+            blobs = [bytes(b) for b in pdf["media"]]
+            n = len(blobs)
+            # one contiguous uint8 view over ALL payloads in the batch;
+            # per-blob byte sums via reduceat — the heavy arithmetic
+            # runs in C once per batch, never in the interpreter.
+            payloads = [b[14:] if b[:4] == magic else b for b in blobs]
+            for b, p in zip(blobs, payloads):
+                if b[:4] != magic:  # real decoder path — libs not in image
+                    _decode_real_media_dims(b)
+            lens = _np.fromiter((len(p) for p in payloads), dtype=_np.int64, count=n)
+            buf = _np.frombuffer(b"".join(payloads), dtype=_np.uint8)
+            starts = _np.zeros(n, dtype=_np.int64)
+            _np.cumsum(lens[:-1], out=starts[1:])
+            if buf.size:
+                csum = _np.concatenate(([0], _np.cumsum(buf, dtype=_np.int64)))
+                sums = csum[starts + lens] - csum[starts]
+            else:
+                sums = _np.zeros(n, dtype=_np.int64)
+            means = _np.where(lens > 0, sums / _np.maximum(lens, 1), 0.0).round(6)
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "n_bytes": _np.fromiter(
+                        (len(b) for b in blobs), dtype=_np.int64, count=n
+                    ),
+                    "digest": [_hashlib.md5(b).hexdigest() for b in blobs],
+                    "header": [b[:4].hex() for b in blobs],
+                    "width": _np.fromiter(
+                        (int(b[4:9]) for b in blobs), dtype=_np.int32, count=n
+                    ),
+                    "height": _np.fromiter(
+                        (int(b[9:14]) for b in blobs), dtype=_np.int32, count=n
+                    ),
+                    "mean_byte": means,
+                }
+            )
 
     return df.select("doc_id", "media").mapInPandas(_extract_features, FEATURE_SCHEMA)
