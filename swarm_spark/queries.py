@@ -291,8 +291,10 @@ def q_pipeline_ingest_e2e(spark, sf):
     NDJSON objects → event-rule routing → schema-rule transform with
     JSON-payload parsing → envelope with content-hash ids.
 
-    Non-SQL-expressible (canonical-JSON md5 + schema evolution), so no
-    oracle entry — the driver records the weaker rows-only check.
+    The content-hash ids themselves aren't SQL-expressible, but their
+    COUNT DISTINCT is (ids must be unique ⟺ n_ids = n), and routing /
+    fan-out are plain aggregates over ``events`` — so the whole run is
+    hash-checked against the oracle below.
     """
     import os
     import tempfile
@@ -335,9 +337,27 @@ def q_pipeline_ingest_e2e(spark, sf):
     pipe = IngestPipeline(spark, erules, rules, sink=None)  # transform-only
     objs = [ObjectMeta(bucket="local", name=os.path.basename(p), path=p) for p in paths]
     out = pipe.transform_objects(objs)
-    return out.select(
-        "dataset", "table", "id", F.col("data.event_id").alias("event_id")
-    ).orderBy("event_id")
+    return (
+        out.select("dataset", "table", "id", F.col("data.event_id").alias("event_id"))
+        .groupBy("dataset", "table")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("id").alias("n_ids"),
+            F.min("event_id").alias("min_eid"),
+            F.max("event_id").alias("max_eid"),
+            F.sum("event_id").alias("sum_eid"),
+        )
+        .orderBy("table")
+    )
+
+
+SQL_PIPELINE_E2E = """
+SELECT 'analytics' AS dataset, 'ev_' || event_type AS "table",
+       count(*) AS n, count(*) AS n_ids,
+       min(event_id) AS min_eid, max(event_id) AS max_eid,
+       cast(sum(event_id) AS BIGINT) AS sum_eid
+FROM events GROUP BY 1, 2 ORDER BY "table"
+"""
 
 
 # ------------------------------------- serve path e2e (rows-only)
@@ -345,8 +365,9 @@ def q_serve_pubsub_e2e(spark, sf):
     """S4/S5 + X1/X2 as one query: events → NDJSON objects → enqueue
     into batched swarm messages → notification processor with the
     exactly-once state gate — every message delivered TWICE; the
-    returned per-table counts prove single processing. Rows-only (the
-    state ledger and queue semantics have no SQL analogue)."""
+    returned per-table counts prove single processing. The oracle is
+    the plain per-type count over ``events``: any duplicate landing
+    doubles a count and fails the hash."""
     import os
     import tempfile
 
@@ -395,10 +416,17 @@ def q_serve_pubsub_e2e(spark, sf):
     return out.groupBy("table").agg(F.count(F.lit(1)).alias("n")).orderBy("table")
 
 
+SQL_SERVE_E2E = """
+SELECT 'ev_' || event_type AS "table", count(*) AS n
+FROM events GROUP BY 1 ORDER BY "table"
+"""
+
+
 def q_streaming_ingest_e2e(spark, sf):
     """Structured Streaming ingest (availableNow drain + checkpoint):
     run the stream twice; the second run must land nothing new.
-    Rows-only."""
+    Oracle = plain per-type counts: a re-ingest on the second drain
+    would double them and fail the hash."""
     import os
     import tempfile
 
@@ -455,6 +483,11 @@ def q_streaming_ingest_e2e(spark, sf):
     )
 
 
+SQL_STREAMING_E2E = """
+SELECT event_type, count(*) AS n FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 CORE: dict[str, tuple[Callable, str | None]] = {
     "s1_scan_count": (q_s1_scan_count, SQL_S1),
     "s3_prefix_filter": (q_s3_prefix_filter, SQL_S3),
@@ -472,9 +505,9 @@ CORE: dict[str, tuple[Callable, str | None]] = {
     "x1_dedup_by_id": (q_x1_dedup_by_id, SQL_X1),
     "e1_size_batching": (q_e1_size_batching, SQL_E1),
     "m1_sql_passthrough": (q_m1_sql_passthrough, SQL_M1),
-    "pipeline_ingest_e2e": (q_pipeline_ingest_e2e, None),
-    "serve_pubsub_e2e": (q_serve_pubsub_e2e, None),
-    "streaming_ingest_e2e": (q_streaming_ingest_e2e, None),
+    "pipeline_ingest_e2e": (q_pipeline_ingest_e2e, SQL_PIPELINE_E2E),
+    "serve_pubsub_e2e": (q_serve_pubsub_e2e, SQL_SERVE_E2E),
+    "streaming_ingest_e2e": (q_streaming_ingest_e2e, SQL_STREAMING_E2E),
 }
 
 
