@@ -29,7 +29,7 @@ FAKE_MAGIC = b"SWIM"  # swarm-spark fake image format: SWIM|w:u16|h:u16|payload
 
 FEATURE_SCHEMA = (
     "doc_id long, n_bytes long, digest string, header string, "
-    "width int, height int, mean_byte double"
+    "width int, height int, sum_bytes long, mean_byte double"
 )
 
 
@@ -114,6 +114,7 @@ def media_features(df: DataFrame) -> DataFrame:
                     "height": _np.fromiter(
                         (int(b[9:14]) for b in blobs), dtype=_np.int32, count=n
                     ),
+                    "sum_bytes": sums,  # exact integral — the oracle-safe stat
                     "mean_byte": means,
                 }
             )

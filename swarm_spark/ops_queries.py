@@ -348,14 +348,87 @@ def q_ann_topk_ivf(spark, sf):
     return ann_topk_ivf(emb, queries, k=5, n_cells=8, nprobe=4, iters=3)
 
 
+def q_ann_ivf_recall(spark, sf):
+    """Declared IVF-quality invariant, hash-checked: recall@5 of the
+    learned IVF against exact brute force must clear a fixed threshold.
+    Centroids aren't oracle-computable (float-mean order), but the
+    invariant is — output is the integral result-set size plus a pass
+    flag, so a recall regression flips the hash."""
+    from .ops.ivf import ann_topk_ivf
+
+    emb = _emb(spark, sf)
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    bf = ann_topk_bruteforce(emb, queries, k=5).select("query_id", "id")
+    ivf = ann_topk_ivf(emb, queries, k=5, n_cells=8, nprobe=4, iters=3).select(
+        "query_id", "id"
+    )
+    hits = bf.join(ivf, ["query_id", "id"]).agg(F.count(F.lit(1)).alias("n_hits"))
+    total = bf.agg(F.count(F.lit(1)).alias("n_total"))
+    return hits.crossJoin(total).select(
+        "n_total",
+        (F.col("n_hits") * 100 >= F.col("n_total") * 60).alias("recall_ge_60pct"),
+    )
+
+
+SQL_ANN_IVF_RECALL = """
+SELECT cast(5 * count(*) AS bigint) AS n_total, true AS recall_ge_60pct
+FROM embeddings WHERE vec_id % 100 = 0
+"""
+
+
 # ------------------------------------------------------------ multimodal ops
 def q_multimodal_features(spark, sf):
     """Binary-column plumbing: synthesize media payloads, extract
-    byte-level features via Arrow-batched mapInPandas. Rows-only check
-    (mapInPandas has no SQL analogue)."""
+    byte-level features via Arrow-batched mapInPandas. The SWIM fake
+    format is md5-derived, so DuckDB can rebuild every blob and verify
+    the exact columns (mean_byte is projected out — its float rounding
+    is the one non-portable stat; sum_bytes carries the same info
+    exactly)."""
     docs = _docs(spark, sf)
     media = attach_fake_image(docs)
-    return media_features(media).orderBy("doc_id")
+    return media_features(media).drop("mean_byte").orderBy("doc_id")
+
+
+def _hexval(col: str, start: int, n: int) -> str:
+    """DuckDB fragment: parse ``n`` lowercase hex chars of ``col``
+    beginning at 1-based ``start`` into a bigint."""
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substr({col}, {start + i}, 1)) - 1) "
+        f"* {16 ** (n - 1 - i)}"
+        for i in range(n)
+    )
+    return f"cast({terms} AS bigint)"
+
+
+SQL_MULTIMODAL = f"""
+WITH m AS (
+  SELECT doc_id, text, md5(text) AS h,
+         cast(octet_length(encode(text)) AS bigint) AS plen
+  FROM documents
+), wh AS (
+  SELECT doc_id, text, plen,
+         {_hexval('h', 1, 4)} % 1920 + 1 AS width,
+         {_hexval('h', 5, 4)} % 1080 + 1 AS height
+  FROM m
+), b AS (
+  SELECT doc_id, plen, width, height,
+         'SWIM' || lpad(cast(width AS varchar), 5, '0')
+                || lpad(cast(height AS varchar), 5, '0') || text AS full_str,
+         lower(hex(encode(text))) AS ph
+  FROM wh
+)
+SELECT doc_id,
+       14 + plen AS n_bytes,
+       md5(full_str) AS digest,
+       '5357494d' AS header,
+       cast(width AS int) AS width,
+       cast(height AS int) AS height,
+       cast(list_sum(list_transform(range(plen), i ->
+            (instr('0123456789abcdef', substr(ph, 2 * cast(i AS int) + 1, 1)) - 1) * 16
+          + (instr('0123456789abcdef', substr(ph, 2 * cast(i AS int) + 2, 1)) - 1)))
+            AS bigint) AS sum_bytes
+FROM b ORDER BY doc_id
+"""
 
 
 OPS: dict[str, tuple[Callable, str | None]] = {
@@ -374,5 +447,6 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "ann_topk_bruteforce": (q_ann_topk_bruteforce, SQL_ANN_BRUTEFORCE),
     "ann_topk_cells": (q_ann_topk_cells, SQL_ANN_CELLS),
     "ann_topk_ivf": (q_ann_topk_ivf, None),
-    "multimodal_features": (q_multimodal_features, None),
+    "ann_ivf_recall": (q_ann_ivf_recall, SQL_ANN_IVF_RECALL),
+    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
 }
