@@ -82,6 +82,28 @@ def doc_shingles(
     ).distinct()
 
 
+def prune_by_df(shingles: DataFrame, max_df: int) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_df``.
+
+    Standard DF-pruning before a shared-shingle candidate join: a
+    shingle present in d documents contributes O(d²) candidate rows, so
+    ubiquitous shingles ("of the and"-type) make a skewed corpus
+    quadratic. Near-dup pairs share many *rare* shingles, so pruning
+    the ubiquitous ones bounds the join at negligible recall cost
+    (the cap must exceed the largest true duplicate-cluster size).
+
+    One extra map-side-combined shuffle on ``sh``; the join back is an
+    equi-join on the same key, so the partitioning is reused.
+    """
+    keep = (
+        shingles.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("sh")
+    )
+    return shingles.join(keep, "sh", "left_semi")
+
+
 # ------------------------------------------------------ ngram jaccard
 def ngram_jaccard_pairs(
     df: DataFrame,
@@ -89,14 +111,23 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over word n-gram shingle sets, candidate-limited
     to pairs sharing ≥1 shingle (the only pairs with J > 0).
+
+    ``max_df`` applies :func:`prune_by_df` to the shingle frame first —
+    sizes, intersections, and Jaccard are then all over the pruned
+    shingle space (consistent set semantics, oracle-mirrorable). At
+    100-TB scale always set it: it is what bounds the candidate join
+    on a skewed corpus.
 
     Output: (doc_a, doc_b, inter, union, jaccard) with doc_a < doc_b,
     jaccard rounded to 6 digits (ints in, bit-stable across engines).
     """
     s = doc_shingles(df, text_col, id_col, n)
+    if max_df is not None:
+        s = prune_by_df(s, max_df)
     sizes = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = s.alias("a")
     b = s.alias("b")
@@ -130,16 +161,23 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n: int = 3,
     num_perm: int = 12,
+    max_df: int | None = None,
 ) -> DataFrame:
     """(doc_id, sigs array<string>) — per-permutation minima of
     md5(perm || '|' || shingle). String-min keeps the whole pipeline
     portable (no 64-bit hash semantics to match across engines).
+
+    ``max_df`` DF-prunes the shingle frame first (signatures are then
+    MinHash over the pruned sets — set it when the downstream band join
+    must stay bounded on a corpus with huge duplicate clusters).
 
     All ``num_perm`` hashes are computed as columns of ONE row per
     shingle and folded with per-column min aggregates — a single
     map-side-combined shuffle of the shingle frame, instead of
     exploding ×num_perm first."""
     s = doc_shingles(df, text_col, id_col, n)
+    if max_df is not None:
+        s = prune_by_df(s, max_df)
     hashed = s.select(
         "doc_id",
         *[
@@ -162,6 +200,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     num_perm: int = 12,
     bands: int = 4,
+    max_df: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: (doc_a, doc_b, shared_bands, est_jaccard).
 
@@ -171,7 +210,7 @@ def minhash_lsh_pairs(
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
     r = num_perm // bands
-    sigs = minhash_signatures(df, text_col, id_col, n, num_perm)
+    sigs = minhash_signatures(df, text_col, id_col, n, num_perm, max_df)
     # The candidate join ships ONLY (doc_id, band, key) — at 100 TB the
     # band-key shuffle is the wide stage, so the signature arrays are
     # re-attached AFTER pair aggregation via two slim joins against the

@@ -45,14 +45,24 @@ def _emb(spark, sf):
 _WS = "SELECT doc_id, text, regexp_split_to_array(text, ' +') AS ws FROM documents"
 
 
-def _shingle_cte(n: int) -> str:
+def _shingle_cte(n: int, max_df: int | None = None) -> str:
     terms = "||' '||".join(f"ws[i+{k}]" for k in range(1, n + 1))
-    return (
+    base = (
         f"w AS ({_WS}), "
         f"e AS (SELECT doc_id, unnest(list_transform(range(greatest(len(ws)-{n - 1},0)), "
         f"i -> {terms})) AS sh FROM w), "
-        f"s AS (SELECT DISTINCT doc_id, sh FROM e)"
+        f"s0 AS (SELECT DISTINCT doc_id, sh FROM e)"
     )
+    if max_df is None:
+        return base + ", s AS (SELECT * FROM s0)"
+    # mirrors ops.dedup.prune_by_df: drop shingles with DF > cap
+    return base + (
+        f", s AS (SELECT s0.* FROM s0 JOIN (SELECT sh FROM s0 GROUP BY 1 "
+        f"HAVING count(*) <= {max_df}) d USING (sh))"
+    )
+
+
+_MAX_DF = 100  # > any true dup-cluster size in the testdata (max DF is 25 at sf0.1)
 
 
 # ---------------------------------------------------------------- text ops
@@ -162,11 +172,12 @@ SQL_DEDUP_EXACT = (
 
 
 def q_dedup_ngram_jaccard(spark, sf):
-    return ngram_jaccard_pairs(_docs(spark, sf), threshold=0.8)
+    # DF-pruned candidate join (the 100-TB shape); cap mirrored in SQL
+    return ngram_jaccard_pairs(_docs(spark, sf), threshold=0.8, max_df=_MAX_DF)
 
 
 SQL_NGRAM_JACCARD = f"""
-WITH {_shingle_cte(3)},
+WITH {_shingle_cte(3, _MAX_DF)},
 sz AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY 1),
 i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
       FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
@@ -180,11 +191,11 @@ ORDER BY doc_a, doc_b
 
 
 def q_dedup_minhash_lsh(spark, sf):
-    return minhash_lsh_pairs(_docs(spark, sf), num_perm=12, bands=4)
+    return minhash_lsh_pairs(_docs(spark, sf), num_perm=12, bands=4, max_df=_MAX_DF)
 
 
 SQL_MINHASH_LSH = f"""
-WITH {_shingle_cte(3)},
+WITH {_shingle_cte(3, _MAX_DF)},
 sig AS (SELECT doc_id, p.perm, min(md5(cast(p.perm AS varchar)||'|'||sh)) AS sig
         FROM s, (SELECT unnest(range(12)) AS perm) p GROUP BY 1, 2),
 sigs AS (SELECT doc_id, array_agg(sig ORDER BY perm) AS sigs FROM sig GROUP BY 1),
@@ -209,14 +220,14 @@ def q_dedup_clusters(spark, sf):
     components (min-reachable-id labels)."""
     from .ops.components import dup_components
 
-    pairs = ngram_jaccard_pairs(_docs(spark, sf), threshold=0.8)
+    pairs = ngram_jaccard_pairs(_docs(spark, sf), threshold=0.8, max_df=_MAX_DF)
     return dup_components(pairs).select(
         F.col("id").alias("doc_id"), F.col("component")
     )
 
 
 SQL_DEDUP_CLUSTERS = f"""
-WITH RECURSIVE {_shingle_cte(3)},
+WITH RECURSIVE {_shingle_cte(3, _MAX_DF)},
 sz AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY 1),
 i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
       FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),

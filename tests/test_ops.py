@@ -146,3 +146,40 @@ class TestComponents:
         )
         comp = {r["id"]: r["component"] for r in dup_components(pairs).collect()}
         assert set(comp.values()) == {1}
+
+
+class TestDFPruning:
+    def test_adversarial_common_shingle_bounded(self, spark):
+        """A shingle shared by EVERY doc would generate O(n^2) candidate
+        rows; DF-pruning drops it while true dup pairs (sharing rare
+        shingles) survive."""
+        from swarm_spark.ops.dedup import doc_shingles, prune_by_df
+
+        common = "aaa bbb ccc"  # one shingle present in all docs
+        rows = [(i, f"{common} unique{i} token{i} word{i}") for i in range(1, 101)]
+        rows += [(200, f"{common} unique7 token7 word7")]  # true dup of 7
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+        s = prune_by_df(doc_shingles(docs), max_df=10)
+        # the ubiquitous shingle is gone -> candidate join is bounded
+        cand = (
+            s.alias("a")
+            .join(
+                s.alias("b"),
+                (F.col("a.sh") == F.col("b.sh"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .count()
+        )
+        assert cand < 100  # unpruned would be > 100*101/2 = 5050 from the hot shingle
+
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs, threshold=0.5, max_df=10).collect()
+        }
+        assert (7, 200) in pairs  # the real dup survives pruning
+
+    def test_pruning_noop_below_cap(self, docs):
+        unpruned = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+        pruned = ngram_jaccard_pairs(docs, threshold=0.5, max_df=100).collect()
+        assert sorted(map(tuple, unpruned)) == sorted(map(tuple, pruned))
