@@ -13,10 +13,11 @@ Spark-first mapping:
   full-scan schema inference all JVM-side.
 - ``whole`` mode — single-doc or concatenated JSON: files are read
   with ``wholetext`` and split into top-level values with a streaming
-  decoder inside ``mapInPandas`` (one Python pass per file, Arrow
-  batches out), then re-parsed by ``spark.read.json`` over the value
-  strings for inference. Only use for formats NDJSON can't express;
-  per-file parallelism still applies.
+  decoder inside ``mapInPandas`` (ONE Python pass per file, Arrow
+  batches out), then parsed + inferred by the JVM json reader over the
+  value column as a ``Dataset[String]`` — the strings never cross back
+  into Python. Only use for formats NDJSON can't express; per-file
+  parallelism still applies.
 """
 
 from __future__ import annotations
@@ -121,12 +122,19 @@ def read_json_objects(
     if mode == "whole":
         texts = spark.read.text(paths, wholetext=True)
         values = texts.mapInPandas(_make_explode_values(), schema="value string")
-        # second pass parses + infers over the split value strings
-        # (RDD[str] → read.json is the one sanctioned RDD use: it's how
-        # Spark exposes "infer schema over in-memory JSON strings")
-        return (
+        reader = (
             spark.read.option("multiLine", "false")
             .option("dropFieldIfAllNull", "true")
-            .json(values.rdd.map(lambda r: r.value))
         )
+        try:
+            # JVM-side parse + inference over the value strings as a
+            # Dataset[String]: the split pass is the ONLY Python hop.
+            jds = getattr(values._jdf, "as")(
+                spark._jvm.org.apache.spark.sql.Encoders.STRING()
+            )
+            return DataFrame(reader._jreader.json(jds), spark)
+        except Exception:
+            # non-classic sessions (e.g. Connect) lack the py4j bridge;
+            # fall back to the documented RDD[str] inference path
+            return reader.json(values.rdd.map(lambda r: r.value))
     raise ValueError(f"unknown json read mode: {mode!r}")

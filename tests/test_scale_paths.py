@@ -151,6 +151,26 @@ class TestConcatenatedJson:
         assert df.count() == 3
         assert sorted(r["x"] for r in df.collect()) == [1, 2, 3]
 
+    def test_whole_mode_uses_jvm_dataset_bridge(self, spark, tmp_path):
+        """The split pass must be the ONLY Python hop: the value strings
+        go to the JVM json reader as Dataset[String], not back through
+        values.rdd.map. Pin the bridge so a py4j regression can't
+        silently degrade to the double-Python-pass fallback."""
+        from pyspark.sql import DataFrame as _DF
+
+        from swarm_spark.sources.jsonsrc import _make_explode_values
+
+        p = tmp_path / "bridge.json"
+        p.write_text('{"x": 1} {"x": 2}')
+        texts = spark.read.text([str(p)], wholetext=True)
+        values = texts.mapInPandas(_make_explode_values(), schema="value string")
+        jds = getattr(values._jdf, "as")(
+            spark._jvm.org.apache.spark.sql.Encoders.STRING()
+        )
+        reader = spark.read.option("multiLine", "false")
+        out = _DF(reader._jreader.json(jds), spark)
+        assert sorted(r["x"] for r in out.collect()) == [1, 2]
+
 
 class TestSourceFormats:
     def test_csv_and_parquet_objects_ingest(self, spark, tmp_path):
