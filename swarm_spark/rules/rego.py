@@ -1,0 +1,503 @@
+"""Rego-subset loader (C1 migration path): parse swarm rule files.
+
+The reference's entire rule surface is ``.rego`` policies compiled and
+evaluated by OPA (/root/reference/pkg/infra/policy/client.go:35-120):
+``package event`` rules map object metadata → sources, and
+``package schema.<name>`` rules map parsed records → routed Log rows
+(shipped rules: pkg/usecase/testdata/policy/{event,schema}.rego,
+examples/readme/policy/). So an existing swarm deployment can port its
+rules unchanged, this module parses the subset those shipped rules
+actually use and translates it onto the declarative config layer
+(:func:`swarm_spark.rules.config.load_rules`) — which compiles to
+Catalyst expressions, keeping rule evaluation JVM-side instead of
+re-implementing an OPA interpreter per record.
+
+Supported subset (everything observed in the shipped policies):
+
+- ``package event`` / ``package schema.<name>`` headers
+- set-rule heads ``src[{...}]`` / ``src[s] { ... s := {...} }`` and
+  ``log[{...}]`` / ``log[d] { ... d := {...} }``
+- body statements: ``path == literal`` equality,
+  ``startswith(path, lit)`` / ``endswith`` / ``contains``,
+  assignments ``v := <object>``, fan-out ``r := input.Records[_]``
+- head values: string/number literals, record field paths
+  (``r.eventID`` / ``input.log_id``), the whole record (``data: r``),
+  ``time.parse_rfc3339_ns(path)`` under arithmetic scaling chains, and
+  ``json.patch(r, [{"op": "remove", "path": "/a/b"}, ...])``
+
+Timestamp normalization: the reference consumes ``log.timestamp`` as
+float SECONDS (pkg/usecase/load.go:233-236). Its shipped fixture wraps
+``time.parse_rfc3339_ns`` in ``((x/1000)*1000)*1000`` — a µs-truncation
+in intent (ns out). We normalize any ``parse_rfc3339_ns`` scaling chain
+to RFC3339 → seconds, which is what the pipeline contract expects; the
+reference's own tests assert ids, not timestamps
+(pkg/usecase/load_test.go:113-126).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+import re
+from dataclasses import dataclass
+from typing import Any
+
+from ..model import ModelError
+from .config import load_rules
+from .event import EventRuleSet
+from .schema_rule import SchemaRuleRegistry
+
+
+class RegoError(ModelError):
+    """Rego source outside the supported subset."""
+
+
+# ------------------------------------------------------------ tokenizer
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+|\#[^\n]*)
+  | (?P<str>"(?:[^"\\]|\\.)*")
+  | (?P<num>-?\d+(?:\.\d+)?)
+  | (?P<ident>[A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)*)
+  | (?P<op>:=|==|!=|\[|\]|\{|\}|\(|\)|,|:|\*|/|\+|-)
+""",
+    re.VERBOSE,
+)
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    out, i = [], 0
+    while i < len(text):
+        m = _TOKEN_RE.match(text, i)
+        if not m:
+            raise RegoError(f"unexpected character at offset {i}: {text[i:i + 20]!r}")
+        i = m.end()
+        kind = m.lastgroup
+        if kind != "ws":
+            out.append((kind, m.group()))
+    return out
+
+
+# ----------------------------------------------------------------- AST
+@dataclass(frozen=True)
+class Lit:
+    value: Any
+
+
+@dataclass(frozen=True)
+class Path:
+    parts: tuple[str, ...]
+    fanout: bool = False  # trailing [_]
+
+
+@dataclass(frozen=True)
+class Call:
+    fn: str
+    args: tuple
+
+
+@dataclass(frozen=True)
+class Bin:
+    op: str
+    left: Any
+    right: Any
+
+
+@dataclass(frozen=True)
+class Eq:
+    left: Any
+    right: Any
+
+
+@dataclass(frozen=True)
+class Assign:
+    var: str
+    value: Any
+
+
+@dataclass(frozen=True)
+class Rule:
+    head_name: str
+    head: Any  # dict literal or Path (a variable)
+    body: tuple
+
+
+@dataclass(frozen=True)
+class Module:
+    package: tuple[str, ...]
+    rules: tuple[Rule, ...]
+
+
+class _Parser:
+    def __init__(self, tokens: list[tuple[str, str]]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self, k: int = 0):
+        j = self.i + k
+        return self.toks[j] if j < len(self.toks) else ("eof", "")
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def expect(self, text: str):
+        kind, val = self.next()
+        if val != text:
+            raise RegoError(f"expected {text!r}, got {val!r}")
+        return val
+
+    # ---------------- module
+    def module(self) -> Module:
+        kind, val = self.next()
+        if val != "package":
+            raise RegoError("rego module must start with 'package'")
+        kind, pkg = self.next()
+        if kind != "ident":
+            raise RegoError("bad package name")
+        rules = []
+        while self.peek()[0] != "eof":
+            kind, val = self.peek()
+            if val == "import":  # ignore imports (e.g. future.keywords)
+                self.next()
+                self.next()
+                continue
+            rules.append(self.rule())
+        return Module(tuple(pkg.split(".")), tuple(rules))
+
+    def rule(self) -> Rule:
+        kind, name = self.next()
+        if kind != "ident":
+            raise RegoError(f"expected rule name, got {name!r}")
+        self.expect("[")
+        head = self.expr()
+        self.expect("]")
+        self.expect("{")
+        body = []
+        while self.peek()[1] != "}":
+            body.append(self.statement())
+        self.expect("}")
+        return Rule(name, head, tuple(body))
+
+    # ---------------- statements
+    def statement(self):
+        if self.peek()[0] == "ident" and self.peek(1)[1] == ":=":
+            kind, var = self.next()
+            self.next()  # :=
+            return Assign(var, self.expr())
+        left = self.expr()
+        if self.peek()[1] == "==":
+            self.next()
+            return Eq(left, self.expr())
+        if isinstance(left, Call):
+            return left  # builtin predicate call (startswith/…)
+        raise RegoError(f"unsupported statement near {self.peek()[1]!r}")
+
+    # ---------------- expressions (with * / + - arithmetic)
+    def expr(self):
+        left = self.term()
+        while self.peek()[1] in ("*", "/", "+", "-"):
+            op = self.next()[1]
+            left = Bin(op, left, self.term())
+        return left
+
+    def term(self):
+        kind, val = self.peek()
+        if val == "(":
+            self.next()
+            e = self.expr()
+            self.expect(")")
+            return e
+        if val == "{":
+            return self.object()
+        if val == "[":
+            return self.array()
+        if kind == "str":
+            self.next()
+            return Lit(_unquote(val))
+        if kind == "num":
+            self.next()
+            return Lit(float(val) if "." in val else int(val))
+        if kind == "ident":
+            self.next()
+            if self.peek()[1] == "(":  # call
+                self.next()
+                args = []
+                while self.peek()[1] != ")":
+                    args.append(self.expr())
+                    if self.peek()[1] == ",":
+                        self.next()
+                self.expect(")")
+                return Call(val, tuple(args))
+            fan = False
+            if self.peek()[1] == "[":  # input.Records[_]
+                self.next()
+                kind2, v2 = self.next()
+                if v2 != "_":
+                    raise RegoError(f"only [_] comprehension supported, got {v2!r}")
+                self.expect("]")
+                fan = True
+            return Path(tuple(val.split(".")), fanout=fan)
+        raise RegoError(f"unexpected token {val!r}")
+
+    def object(self):
+        self.expect("{")
+        out = {}
+        while self.peek()[1] != "}":
+            kind, key = self.next()
+            if kind != "str":
+                raise RegoError(f"object keys must be strings, got {key!r}")
+            self.expect(":")
+            out[_unquote(key)] = self.expr()
+            if self.peek()[1] == ",":
+                self.next()
+        self.expect("}")
+        return out
+
+    def array(self):
+        self.expect("[")
+        out = []
+        while self.peek()[1] != "]":
+            out.append(self.expr())
+            if self.peek()[1] == ",":
+                self.next()
+        self.expect("]")
+        return out
+
+
+def _unquote(s: str) -> str:
+    return s[1:-1].encode().decode("unicode_escape")
+
+
+def parse_rego(text: str) -> Module:
+    return _Parser(_tokenize(text)).module()
+
+
+# ------------------------------------------------------ translation
+def _resolve_head(rule: Rule) -> dict:
+    """The head object literal, or the body assignment it names."""
+    if isinstance(rule.head, dict):
+        return rule.head
+    if isinstance(rule.head, Path) and len(rule.head.parts) == 1:
+        var = rule.head.parts[0]
+        for stmt in rule.body:
+            if isinstance(stmt, Assign) and stmt.var == var and isinstance(stmt.value, dict):
+                return stmt.value
+        raise RegoError(f"head variable {var!r} not assigned an object in body")
+    raise RegoError(f"unsupported rule head: {rule.head!r}")
+
+
+_NAME_FIELDS = {"name"}
+_BUCKET_FIELDS = {"bucket"}
+
+
+def _event_when(rule: Rule) -> dict:
+    """Body conditions → config `when` spec."""
+    when: dict[str, Any] = {}
+
+    def meta_field(p: Path) -> str:
+        # input.cs.name / input.data.bucket / input.data.kind → last part
+        if p.parts[0] != "input" or len(p.parts) < 2:
+            raise RegoError(f"unsupported event path {'.'.join(p.parts)}")
+        return p.parts[-1]
+
+    for stmt in rule.body:
+        if isinstance(stmt, Assign):
+            continue  # head assignment
+        if isinstance(stmt, Eq):
+            p, lit = (stmt.left, stmt.right)
+            if isinstance(p, Lit) and isinstance(lit, Path):
+                p, lit = lit, p
+            if not (isinstance(p, Path) and isinstance(lit, Lit)):
+                raise RegoError(f"unsupported equality {stmt!r}")
+            field = meta_field(p)
+            if field in _BUCKET_FIELDS:
+                when["bucket"] = lit.value
+            elif field in _NAME_FIELDS:
+                when["name_glob"] = lit.value
+            elif field == "kind":
+                if lit.value != "storage#object":
+                    raise RegoError(f"unsupported kind {lit.value!r}")
+                # GCS notification payload kind — always true for object
+                # metadata; no predicate needed
+            elif field == "size":
+                when["min_size"] = lit.value
+            else:
+                raise RegoError(f"unsupported metadata field {field!r}")
+        elif isinstance(stmt, Call):
+            if len(stmt.args) != 2 or not isinstance(stmt.args[0], Path) or not isinstance(
+                stmt.args[1], Lit
+            ):
+                raise RegoError(f"unsupported builtin call {stmt!r}")
+            field = meta_field(stmt.args[0])
+            if field not in _NAME_FIELDS:
+                raise RegoError(f"{stmt.fn} only supported on object name")
+            key = {
+                "startswith": "name_prefix",
+                "endswith": "name_suffix",
+                "contains": "name_contains",
+            }.get(stmt.fn)
+            if key is None:
+                raise RegoError(f"unsupported builtin {stmt.fn!r}")
+            when[key] = stmt.args[1].value
+        else:
+            raise RegoError(f"unsupported statement {stmt!r}")
+    return when
+
+
+def _rel_path(p: Path, record_var: str) -> str:
+    if p.parts[0] in (record_var, "input"):
+        if len(p.parts) == 1:
+            raise RegoError("expected a field path, got the record itself")
+        return ".".join(p.parts[1:])
+    raise RegoError(f"path {'.'.join(p.parts)} not rooted at record")
+
+
+def _find_call(expr, fn: str):
+    if isinstance(expr, Call) and expr.fn == fn:
+        return expr
+    if isinstance(expr, Bin):
+        return _find_call(expr.left, fn) or _find_call(expr.right, fn)
+    return None
+
+
+def _timestamp_spec(expr, record_var: str) -> dict:
+    call = _find_call(expr, "time.parse_rfc3339_ns")
+    if call is not None:
+        if len(call.args) != 1 or not isinstance(call.args[0], Path):
+            raise RegoError("parse_rfc3339_ns takes one field path")
+        # normalize the whole scaling chain to seconds (module docstring)
+        return {"field": _rel_path(call.args[0], record_var)}
+    # numeric field with optional scaling arithmetic
+    scale = 1.0
+    node = expr
+    while isinstance(node, Bin):
+        if isinstance(node.right, Lit):
+            num = float(node.right.value)
+            if node.op == "*":
+                scale *= num
+            elif node.op == "/":
+                scale /= num
+            else:
+                raise RegoError(f"unsupported timestamp arithmetic {node.op!r}")
+            node = node.left
+        elif isinstance(node.left, Lit) and node.op == "*":
+            scale *= float(node.left.value)
+            node = node.right
+        else:
+            raise RegoError("unsupported timestamp expression")
+    if not isinstance(node, Path):
+        raise RegoError("timestamp must derive from a record field")
+    spec: dict[str, Any] = {"unix_field": _rel_path(node, record_var)}
+    if scale != 1.0:
+        spec["scale"] = scale
+    return spec
+
+
+def _schema_spec(name: str, rule: Rule) -> dict:
+    head = _resolve_head(rule)
+    record_var, fanout = "input", ""
+    for stmt in rule.body:
+        if isinstance(stmt, Assign) and isinstance(stmt.value, Path) and stmt.value.fanout:
+            record_var = stmt.var
+            fanout = ".".join(stmt.value.parts[1:])  # strip leading input
+    spec: dict[str, Any] = {"name": name, "fanout": fanout}
+
+    for key in ("dataset", "table"):
+        v = head.get(key)
+        if isinstance(v, Lit) and isinstance(v.value, str):
+            spec[key] = v.value
+        elif isinstance(v, Path):
+            spec[key] = {"from_field": _rel_path(v, record_var)}
+        else:
+            raise RegoError(f"schema rule {name!r}: bad {key} {v!r}")
+    if "timeunit" in head:
+        tu = head["timeunit"]
+        if not isinstance(tu, Lit):
+            raise RegoError(f"schema rule {name!r}: timeunit must be literal")
+        spec["partition"] = tu.value
+    if "id" in head:
+        idv = head["id"]
+        if not isinstance(idv, Path):
+            raise RegoError(f"schema rule {name!r}: id must be a field path")
+        spec["id"] = _rel_path(idv, record_var)
+    if "timestamp" not in head:
+        raise RegoError(f"schema rule {name!r}: timestamp is required")
+    spec["timestamp"] = _timestamp_spec(head["timestamp"], record_var)
+
+    data = head.get("data")
+    if isinstance(data, Path) and data.parts == (record_var,):
+        spec["data"] = "record"
+    elif isinstance(data, Call) and data.fn == "json.patch":
+        if len(data.args) != 2 or not isinstance(data.args[0], Path) or not isinstance(
+            data.args[1], list
+        ):
+            raise RegoError(f"schema rule {name!r}: unsupported json.patch shape")
+        if data.args[0].parts != (record_var,):
+            raise RegoError(f"schema rule {name!r}: json.patch must apply to the record")
+        drops = []
+        for op in data.args[1]:
+            if not isinstance(op, dict):
+                raise RegoError("json.patch ops must be object literals")
+            o = {k: v.value if isinstance(v, Lit) else v for k, v in op.items()}
+            if o.get("op") != "remove":
+                raise RegoError(f"json.patch: only 'remove' supported, got {o.get('op')!r}")
+            drops.append(str(o["path"]).strip("/").replace("/", "."))
+        spec["data"] = "record"
+        spec["drop"] = drops
+    else:
+        raise RegoError(f"schema rule {name!r}: unsupported data value {data!r}")
+    return spec
+
+
+def rego_to_config(texts: list[str]) -> dict:
+    """Translate rego module sources into the declarative rule config."""
+    config: dict[str, list] = {"event_rules": [], "schema_rules": []}
+    for text in texts:
+        mod = parse_rego(text)
+        if mod.package == ("event",):
+            for i, rule in enumerate(mod.rules):
+                if rule.head_name != "src":
+                    raise RegoError(f"event rules must be src[...], got {rule.head_name}")
+                head = _resolve_head(rule)
+                src = {
+                    k: (v.value if isinstance(v, Lit) else v)
+                    for k, v in head.items()
+                }
+                for k, v in src.items():
+                    if not isinstance(v, str):
+                        raise RegoError(f"source field {k!r} must be a string literal")
+                config["event_rules"].append(
+                    {
+                        "name": f"event:{i}",
+                        "when": _event_when(rule),
+                        "sources": [src],
+                    }
+                )
+        elif len(mod.package) == 2 and mod.package[0] == "schema":
+            name = mod.package[1]
+            for rule in mod.rules:
+                if rule.head_name != "log":
+                    raise RegoError(f"schema rules must be log[...], got {rule.head_name}")
+                config["schema_rules"].append(_schema_spec(name, rule))
+        else:
+            raise RegoError(f"unsupported package {'.'.join(mod.package)!r}")
+    return config
+
+
+def load_rego_policies(texts: list[str]) -> tuple[EventRuleSet, SchemaRuleRegistry]:
+    """Rego sources → compiled (event rules, schema rules)."""
+    return load_rules(rego_to_config(texts))
+
+
+def load_rego_dir(path: str) -> tuple[EventRuleSet, SchemaRuleRegistry]:
+    """Load every ``*.rego`` under ``path`` (the reference's
+    ``policy.WithDir`` shape, pkg/infra/policy/client.go:35-60)."""
+    texts = []
+    for p in sorted(_glob.glob(os.path.join(path, "**", "*.rego"), recursive=True)):
+        with open(p, encoding="utf-8") as f:
+            texts.append(f.read())
+    if not texts:
+        raise RegoError(f"no .rego files under {path!r}")
+    return load_rego_policies(texts)

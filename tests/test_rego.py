@@ -1,0 +1,176 @@
+"""Rego-subset loader (C1): translation unit tests + the reference
+golden-parity test, which parses the reference's OWN shipped policy
+files and asserts the exact ids its load_test pins
+(/root/reference/pkg/usecase/load_test.go:113-126)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from swarm_spark.model import ObjectMeta
+from swarm_spark.rules import RegoError, load_rego_policies, parse_rego, rego_to_config
+
+REF_POLICY_DIR = "/root/reference/pkg/usecase/testdata/policy"
+
+EVENT_REGO = """
+package event
+
+# route audit logs two ways depending on extension
+src[{"schema": "audit", "parser": "json"}] {
+    input.data.kind == "storage#object"
+    input.cs.bucket == "audit-bucket"
+    endswith(input.cs.name, ".log")
+}
+
+src[s] {
+    input.data.bucket == "audit-bucket"
+    startswith(input.data.name, "raw/")
+    s := {"schema": "audit", "parser": "json", "compress": "gzip"}
+}
+"""
+
+SCHEMA_REGO = """
+package schema.audit
+
+log[{
+    "dataset": "sec",
+    "table": "audit",
+    "timeunit": "month",
+    "id": rec.entry_id,
+    "timestamp": ((time.parse_rfc3339_ns(rec.happened_at) / 1000) * 1000) * 1000,
+    "data": rec,
+}] {
+    rec := input.Entries[_]
+}
+"""
+
+SCHEMA_REGO_FLAT = """
+package schema.applog
+
+log[d] {
+    d := {
+        "dataset": "apps",
+        "table": "applog",
+        "id": input.log_id,
+        "timestamp": input.event_time,
+        "data": input,
+    }
+}
+"""
+
+
+class TestTranslation:
+    def test_event_rules(self):
+        cfg = rego_to_config([EVENT_REGO])
+        assert len(cfg["event_rules"]) == 2
+        r0, r1 = cfg["event_rules"]
+        assert r0["when"] == {"bucket": "audit-bucket", "name_suffix": ".log"}
+        assert r0["sources"] == [{"schema": "audit", "parser": "json"}]
+        assert r1["when"] == {"bucket": "audit-bucket", "name_prefix": "raw/"}
+        assert r1["sources"][0]["compress"] == "gzip"
+
+    def test_schema_rule_fanout_and_timestamp_chain(self):
+        cfg = rego_to_config([SCHEMA_REGO])
+        (s,) = cfg["schema_rules"]
+        assert s["fanout"] == "Entries"
+        assert s["id"] == "entry_id"
+        assert s["partition"] == "month"
+        # parse_rfc3339_ns scaling chains normalize to seconds
+        assert s["timestamp"] == {"field": "happened_at"}
+        assert s["data"] == "record"
+
+    def test_schema_rule_flat_record(self):
+        cfg = rego_to_config([SCHEMA_REGO_FLAT])
+        (s,) = cfg["schema_rules"]
+        assert s["fanout"] == ""
+        assert s["id"] == "log_id"
+        assert s["timestamp"] == {"unix_field": "event_time"}
+
+    def test_json_patch_remove(self):
+        cfg = rego_to_config(
+            [
+                """
+package schema.scrub
+log[{"dataset": "d", "table": "t",
+     "timestamp": input.ts,
+     "data": json.patch(input, [{"op": "remove", "path": "/secret/token"}]),
+}] { input.ts == input.ts }
+"""
+            ]
+        )
+        (s,) = cfg["schema_rules"]
+        assert s["drop"] == ["secret.token"]
+
+    def test_rejects_unknown_builtin(self):
+        with pytest.raises(RegoError):
+            rego_to_config(
+                ['package event\nsrc[{"schema": "x"}] { regex.match("a", input.cs.name) }']
+            )
+
+    def test_routing_matches(self):
+        events, _ = load_rego_policies([EVENT_REGO])
+        hit = events.match(ObjectMeta(bucket="audit-bucket", name="a/b.log", path="/x"))
+        assert [s.schema for s in hit] == ["audit"]
+        both = events.match(ObjectMeta(bucket="audit-bucket", name="raw/c.log", path="/x"))
+        assert len(both) == 2  # both rules contribute sources
+        with pytest.raises(Exception):
+            events.match(ObjectMeta(bucket="other", name="a.log", path="/x"))
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(REF_POLICY_DIR), reason="reference checkout not present"
+)
+class TestReferenceGoldenParity:
+    """Parse the reference's actual .rego files; route + transform a
+    CloudTrail-shaped object; expect the 4 ids the reference's own
+    load_test asserts."""
+
+    REF_IDS = [
+        "ac3cfd93-435d-41cc-bbd7-aad0340ec668",
+        "18e67b09-94a3-4b5c-9b3a-cd549b3341fb",
+        "dbb28938-5ed4-4774-8bb6-82ea916b21bb",
+        "d4dacb9d-9822-4217-b88d-d334bde89755",
+    ]
+
+    def _cloudtrail_fixture(self, path):
+        records = [
+            {
+                "eventVersion": "1.07",
+                "eventID": rid,
+                "eventTime": f"2020-03-02T23:55:5{i}Z",
+                "eventName": "PutObject",
+                "awsRegion": "ap-northeast-1",
+            }
+            for i, rid in enumerate(self.REF_IDS)
+        ]
+        with open(path, "w") as f:
+            json.dump({"Records": records}, f)
+
+    def test_reference_policy_end_to_end(self, spark, tmp_path):
+        from swarm_spark.pipeline import IngestPipeline
+        from swarm_spark.rules import load_rego_dir
+
+        events, schemas = load_rego_dir(REF_POLICY_DIR)
+
+        obj_path = tmp_path / "trail.log"
+        self._cloudtrail_fixture(obj_path)
+        obj = ObjectMeta(bucket="cloudtrail-logs", name="trail.log", path=str(obj_path))
+
+        # routing: .log → json source with schema cloudtrail
+        srcs = events.match(obj)
+        assert [s.schema for s in srcs] == ["cloudtrail"]
+        gz = events.match(ObjectMeta(bucket="cloudtrail-logs", name="t.gz", path="/x"))
+        assert gz[0].compress == "gzip"
+
+        pipe = IngestPipeline(spark, events, schemas, sink=None, json_mode="whole")
+        out = pipe.transform_objects([obj]).orderBy("timestamp")
+        rows = out.collect()
+        assert [r["id"] for r in rows] == self.REF_IDS
+        assert {(r["dataset"], r["table"], r["partition"]) for r in rows} == {
+            ("my_dataset", "cloudtrail", "month")
+        }
+        assert all(str(r["timestamp"]).startswith("2020-03-02") for r in rows)
+        assert rows[0]["data"]["eventName"] == "PutObject"
