@@ -85,3 +85,44 @@ class TestApplySchema:
         df = sink.read_table(TableDest("ds", "t_x"))
         assert df.count() == 0
         assert [f.name for f in df.schema["data"].dataType.fields] == ["kind", "v"]
+
+    def test_existing_table_evolves_with_zero_rows_written(self, spark, tmp_path):
+        """The `swarm schema` contract: an already-populated table picks
+        up newly-inferred fields via strict union, but no rows land."""
+        rules = SchemaRuleRegistry()
+
+        @rules.rule("ev")
+        def ev(df):
+            cols = [c for c in df.columns if c != "ts"]
+            return rule_output(
+                df,
+                dataset="ds",
+                table="logs",
+                timestamp=F.col("ts").cast("double"),
+                data=F.struct(*cols),
+            )
+
+        events = EventRuleSet(
+            [EventRule("all", name_suffix(".ndjson"), (Source(schema="ev"),))]
+        )
+        sink = TableSink(spark, str(tmp_path / "wh2"))
+        pipe = IngestPipeline(spark, events, rules, sink)
+
+        p1 = tmp_path / "one.ndjson"
+        p1.write_text(json.dumps({"kind": "x", "v": 1, "ts": 1700000000}))
+        pipe.load_objects([ObjectMeta(bucket="b", name="one.ndjson", path=str(p1))])
+        dest = TableDest("ds", "logs")
+        assert sink.read_table(dest).count() == 1
+
+        p2 = tmp_path / "two.ndjson"
+        p2.write_text(json.dumps({"kind": "y", "v": 2, "extra": "new", "ts": 1700000001}))
+        touched = apply_schema(pipe, [ObjectMeta(bucket="b", name="two.ndjson", path=str(p2))])
+        assert [(d.dataset, d.table) for d in touched] == [("ds", "logs")]
+
+        df = sink.read_table(dest)
+        assert df.count() == 1  # no new rows
+        fields = [f.name for f in df.schema["data"].dataType.fields]
+        assert "extra" in fields and "kind" in fields and "v" in fields
+        # the pre-existing row reads back with the evolved schema, nulled
+        row = df.collect()[0]
+        assert row["data"]["kind"] == "x" and row["data"]["extra"] is None
