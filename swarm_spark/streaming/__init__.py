@@ -7,6 +7,7 @@ from .messages import (
     parse_pubsub_push,
     storage_event_to_object,
 )
+from .http import ServeFrontend
 from .serve import Ack, NotificationProcessor, ServeResult
 from .state import MsgState, State, StateStore
 from .stateful import dedup_within_watermark, first_seen_gate
@@ -18,6 +19,7 @@ __all__ = [
     "AuthPolicy",
     "MsgState",
     "NotificationProcessor",
+    "ServeFrontend",
     "ServeResult",
     "State",
     "StateStore",

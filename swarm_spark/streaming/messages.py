@@ -61,11 +61,35 @@ def storage_event_to_object(ev: dict) -> ObjectMeta:
     )
 
 
+def swarm_object_to_meta(o: dict) -> ObjectMeta:
+    """Reference swarm-message object (model.Object wire shape,
+    usecase.go:30-48: ``{cs:{bucket,name}, size, created_at,
+    digests:[{alg,value}], data}``) → ObjectMeta IR."""
+    cs = o.get("cs") or {}
+    if "bucket" not in cs or "name" not in cs:
+        raise ModelError("swarm object requires cs.bucket and cs.name")
+    try:
+        digests = tuple(Digest(d["alg"], d["value"]) for d in o.get("digests") or [])
+    except (KeyError, TypeError) as e:
+        raise ModelError(f"bad digests in swarm object: {o.get('digests')!r}") from e
+    return ObjectMeta(
+        bucket=cs["bucket"],
+        name=cs["name"],
+        size=int(o.get("size") or 0),
+        created_at=int(o.get("created_at") or 0),
+        digests=digests,
+        data=o.get("data"),
+        path=o.get("path"),  # local-path extension (tests/dumps)
+    )
+
+
 def parse_pubsub_push(body: dict) -> tuple[str, list[ObjectMeta]]:
     """Pub/Sub push envelope (F4) → (message_id, objects).
 
     The decoded payload is either one storage event (cs path) or a
-    swarm message with an ``objects`` list.
+    swarm message with an ``objects`` list, each object in the
+    reference's model.Object wire shape (or, legacily, a raw storage
+    event under ``data``).
     """
     msg = body.get("message") or {}
     msg_id = msg.get("message_id") or msg.get("messageId")
@@ -79,7 +103,12 @@ def parse_pubsub_push(body: dict) -> tuple[str, list[ObjectMeta]]:
     except (ValueError, binascii.Error) as e:
         raise ModelError("pubsub data is not base64 JSON") from e
     if isinstance(payload, dict) and "objects" in payload:
-        objs = [storage_event_to_object(o.get("data", o)) for o in payload["objects"]]
+        objs = [
+            swarm_object_to_meta(o)
+            if "cs" in o
+            else storage_event_to_object(o.get("data", o))
+            for o in payload["objects"]
+        ]
     else:
         objs = [storage_event_to_object(payload)]
     return str(msg_id), objs
@@ -91,21 +120,19 @@ def parse_eventarc_direct(body: dict) -> ObjectMeta:
 
 
 def make_swarm_message(objs: list[ObjectMeta]) -> dict:
-    """Encode a batch of objects as one swarm message payload (E1)."""
+    """Encode a batch of objects as one swarm message payload (E1),
+    in the reference's model.Object wire shape (usecase.go:30-48) so
+    messages interoperate both ways; ``path`` is a local extension."""
     out = []
     for o in objs:
-        data = {
-            "bucket": o.bucket,
-            "name": o.name,
-            "size": str(o.size),
+        entry: dict = {
+            "cs": {"bucket": o.bucket, "name": o.name},
+            "size": o.size,
+            "created_at": o.created_at,
+            "digests": [{"alg": d.alg, "value": d.value} for d in o.digests],
+            "data": o.data,
         }
-        if o.created_at:
-            data["timeCreated"] = (
-                dt.datetime.fromtimestamp(o.created_at, dt.timezone.utc)
-                .isoformat()
-                .replace("+00:00", "Z")
-            )
         if o.path is not None:
-            data["path"] = o.path
-        out.append({"data": data})
+            entry["path"] = o.path
+        out.append(entry)
     return {"objects": out}

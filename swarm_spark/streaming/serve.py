@@ -76,3 +76,35 @@ class NotificationProcessor:
             return ServeResult(Ack.RETRY, msg_id, reason=f"failed: {e}")
         self.states.update(MSG_TYPE_PUBSUB, msg_id, MsgState.COMPLETED)
         return ServeResult(Ack.OK, msg_id, stats=stats)
+
+    def handle_eventarc(self, body: dict) -> ServeResult:
+        """Eventarc direct delivery (S6): the object event IS the body.
+
+        No queue message id exists, so the idempotency key is the
+        object's identity (bucket/name@generation) — a re-delivered
+        finalize event for the same object generation is a no-op.
+        """
+        from .messages import parse_eventarc_direct
+
+        try:
+            obj = parse_eventarc_direct(body)
+        except ModelError as e:
+            return ServeResult(Ack.DROP, reason=f"bad event: {e}")
+        gen = (obj.data or {}).get("generation", "")
+        msg_id = f"{obj.bucket}/{obj.name}@{gen}"
+
+        st, acquired = self.states.get_or_create("eventarc", msg_id)
+        if not acquired:
+            if st.state == MsgState.COMPLETED.value:
+                return ServeResult(Ack.OK, msg_id, reason="already completed")
+            return ServeResult(Ack.RETRY, msg_id, reason="running elsewhere")
+        try:
+            stats = self.pipeline.load_objects([obj])
+        except ModelError as e:
+            self.states.update("eventarc", msg_id, MsgState.FAILED)
+            return ServeResult(Ack.DROP, msg_id, reason=f"unprocessable: {e}")
+        except Exception as e:
+            self.states.update("eventarc", msg_id, MsgState.FAILED)
+            return ServeResult(Ack.RETRY, msg_id, reason=f"failed: {e}")
+        self.states.update("eventarc", msg_id, MsgState.COMPLETED)
+        return ServeResult(Ack.OK, msg_id, stats=stats)
