@@ -55,6 +55,19 @@ def main() -> None:
 
     # warm up the JVM / parquet footer cache with a trivial action
     spark.range(1000).count()
+    # warm the reused Python workers too: the first pandas-UDF stage
+    # pays worker-side pandas/numpy imports (~2-3 s across a fleet of
+    # cold workers); bench measures steady-state query cost, not
+    # interpreter cold-start
+    def _noop(it):
+        import numpy  # noqa: F401, PLC0415
+        import pandas  # noqa: F401, PLC0415
+
+        yield from it
+
+    spark.range(int(cpus) * 4).repartition(int(cpus)).mapInPandas(
+        _noop, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in names:

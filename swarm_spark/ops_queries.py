@@ -394,10 +394,16 @@ def q_multimodal_features(spark, sf):
     format is md5-derived, so DuckDB can rebuild every blob and verify
     the exact columns (mean_byte is projected out — its float rounding
     is the one non-portable stat; sum_bytes carries the same info
-    exactly)."""
+    exactly).
+
+    The source table is a single parquet file at test scale, so the
+    frame is repartitioned to fan the Python stage across cores (at
+    real scale the many input files do this for free). No orderBy: the
+    driver's compare is order-insensitive, and sorting UDF output makes
+    the range partitioner sample-execute the Python stage twice."""
     docs = _docs(spark, sf)
-    media = attach_fake_image(docs)
-    return media_features(media).drop("mean_byte").orderBy("doc_id")
+    media = attach_fake_image(docs).repartition(spark.sparkContext.defaultParallelism)
+    return media_features(media).drop("mean_byte")
 
 
 def _hexval(col: str, start: int, n: int) -> str:
