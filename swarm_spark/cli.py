@@ -1,0 +1,196 @@
+"""CLI entry points mirroring the reference's command surface
+(/root/reference/pkg/controller/cmd/{ingest,serve,enqueue,schema,
+migrate}.go): ``ingest`` / ``enqueue`` / ``schema`` / ``migrate`` /
+``serve`` over the local Spark engine.
+
+Rules come from ``--rules`` as either a directory of ``.rego`` policies
+(ported swarm deployments) or a YAML/JSON declarative config; both
+compile to the same Catalyst rule layer.
+
+Usage examples::
+
+    python -m swarm_spark ingest 'data/*.ndjson' --rules policy/ --warehouse wh/
+    python -m swarm_spark ingest 'data/*.log' --rules rules.yaml --dry-run -o out/
+    python -m swarm_spark enqueue 'data/*.ndjson' -o queue/
+    python -m swarm_spark schema 'data/*.ndjson' --rules policy/ --warehouse wh/
+    python -m swarm_spark migrate --warehouse wh/ --src ds.t1 --dst ds.t2
+    python -m swarm_spark serve --rules policy/ --warehouse wh/ --addr 127.0.0.1:8080
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob as _glob
+import json
+import os
+import sys
+
+
+def _load_rules(path: str):
+    from .rules import load_rego_dir, load_rules_file
+
+    if os.path.isdir(path):
+        return load_rego_dir(path)
+    return load_rules_file(path)
+
+
+def _objects(patterns: list[str]):
+    from .pipeline import list_local_objects
+
+    objs = []
+    for pat in patterns:
+        objs.extend(list_local_objects(pat))
+    if not objs:
+        raise SystemExit(f"no objects match {patterns}")
+    return objs
+
+
+def _spark(args):
+    from .session import get_spark
+
+    return get_spark(app_name="swarm-spark-cli", master=f"local[{args.cpus}]")
+
+
+def _pipeline(spark, args, sink=None):
+    from .pipeline import IngestPipeline
+    from .sinks import DumpSink, TableSink
+
+    events, schemas = _load_rules(args.rules)
+    if sink is None:
+        if getattr(args, "dry_run", False):
+            sink = DumpSink(spark, args.output)
+        else:
+            sink = TableSink(spark, args.warehouse)
+    return IngestPipeline(spark, events, schemas, sink, json_mode=args.json_mode)
+
+
+def cmd_ingest(args) -> int:
+    pipe = _pipeline(_spark(args), args)
+    stats = pipe.load_objects(_objects(args.objects))
+    print(
+        json.dumps(
+            {
+                "ingest_id": stats.ingest_id,
+                "objects": stats.objects,
+                "rows": stats.total_rows,
+                "tables": {f"{d[0]}.{d[1]}": n for d, n in stats.rows_by_dest.items()},
+            }
+        )
+    )
+    return 0
+
+
+def cmd_enqueue(args) -> int:
+    from .pipeline import FileDumpPublisher, enqueue
+
+    pub = FileDumpPublisher(args.output)
+    res = enqueue(_objects(args.objects), pub, count_limit=args.count_limit)
+    print(
+        json.dumps(
+            {"messages": len(res.messages), "objects": res.objects, "batches": res.batches}
+        )
+    )
+    return 0
+
+
+def cmd_schema(args) -> int:
+    from .pipeline import apply_schema
+
+    pipe = _pipeline(_spark(args), args)
+    touched = apply_schema(pipe, _objects(args.objects))
+    print(json.dumps({"tables": [f"{d.dataset}.{d.table}" for d in touched]}))
+    return 0
+
+
+def cmd_migrate(args) -> int:
+    from .model import TableDest
+    from .pipeline import migrate
+    from .sinks import TableSink
+
+    spark = _spark(args)
+    sink = TableSink(spark, args.warehouse)
+
+    def dest(s: str) -> TableDest:
+        ds, _, tb = s.partition(".")
+        if not tb:
+            raise SystemExit(f"destination must be dataset.table, got {s!r}")
+        return TableDest(ds, tb)
+
+    n = migrate(spark, sink, dest(args.src), dest(args.dst), query=args.query)
+    print(json.dumps({"rows": n}))
+    return 0
+
+
+def cmd_serve(args) -> int:
+    from .streaming import AuthPolicy, NotificationProcessor, ServeFrontend, StateStore
+
+    pipe = _pipeline(_spark(args), args)
+    auth = None
+    if args.auth:
+        with open(args.auth, encoding="utf-8") as f:
+            import yaml
+
+            auth = AuthPolicy.from_config(yaml.safe_load(f))
+    proc = NotificationProcessor(pipe, StateStore(args.states))
+    host, _, port = args.addr.partition(":")
+    fe = ServeFrontend(proc, host=host or "127.0.0.1", port=int(port or 8080), auth=auth)
+    host, port = fe.address
+    print(f"listening on http://{host}:{port}", file=sys.stderr)
+    try:
+        fe.httpd.serve_forever()
+    except KeyboardInterrupt:
+        fe.stop()
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="swarm-spark")
+    p.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "4"))
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp, objects=True):
+        if objects:
+            sp.add_argument("objects", nargs="+", help="object path globs")
+        sp.add_argument("--rules", required=True, help=".rego dir or YAML/JSON config")
+        sp.add_argument("--warehouse", default="warehouse")
+        sp.add_argument("--json-mode", default="lines", choices=["lines", "whole"])
+
+    sp = sub.add_parser("ingest", aliases=["i"], help="route, transform and load objects")
+    common(sp)
+    sp.add_argument("--dry-run", "-d", action="store_true", help="dump instead of load")
+    sp.add_argument("--output", "-o", default=".", help="dry-run output directory")
+    sp.set_defaults(fn=cmd_ingest)
+
+    sp = sub.add_parser("enqueue", aliases=["e"], help="batch objects into swarm messages")
+    sp.add_argument("objects", nargs="+")
+    sp.add_argument("--output", "-o", required=True, help="NDJSON message dump file")
+    sp.add_argument("--count-limit", type=int, default=128)
+    sp.set_defaults(fn=cmd_enqueue)
+
+    sp = sub.add_parser("schema", aliases=["s"], help="evolve schemas without inserting")
+    common(sp)
+    sp.set_defaults(fn=cmd_schema)
+
+    sp = sub.add_parser("migrate", aliases=["m"], help="SQL migrate between tables")
+    sp.add_argument("--warehouse", default="warehouse")
+    sp.add_argument("--src", required=True, help="dataset.table")
+    sp.add_argument("--dst", required=True, help="dataset.table")
+    sp.add_argument("--query", default=None, help="SQL over view 'src'")
+    sp.set_defaults(fn=cmd_migrate)
+
+    sp = sub.add_parser("serve", help="HTTP push endpoint")
+    common(sp, objects=False)
+    sp.add_argument("--addr", "-a", default="127.0.0.1:8080")
+    sp.add_argument("--states", default="states")
+    sp.add_argument("--auth", default=None, help="YAML deny-rule policy file")
+    sp.set_defaults(fn=cmd_serve)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

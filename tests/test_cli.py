@@ -1,0 +1,97 @@
+"""CLI surface: parser shape + the ingest/schema/enqueue/migrate
+commands end-to-end over a temp warehouse with rego rules."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from swarm_spark.cli import build_parser, main
+
+EVENT_REGO = """
+package event
+src[{"schema": "applog", "parser": "json"}] {
+    input.cs.bucket == "local"
+    endswith(input.cs.name, ".ndjson")
+}
+"""
+SCHEMA_REGO = """
+package schema.applog
+log[{
+    "dataset": "apps", "table": "logs",
+    "id": input.log_id, "timestamp": input.event_time, "data": input,
+}] { input.event_time == input.event_time }
+"""
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    (tmp_path / "policy").mkdir()
+    (tmp_path / "policy" / "event.rego").write_text(EVENT_REGO)
+    (tmp_path / "policy" / "schema.rego").write_text(SCHEMA_REGO)
+    data = tmp_path / "data"
+    data.mkdir()
+    with open(data / "a.ndjson", "w") as f:
+        for i in range(10):
+            f.write(
+                json.dumps(
+                    {"log_id": f"L{i}", "event_time": 1700000000 + i, "msg": f"m{i}"}
+                )
+                + "\n"
+            )
+    return tmp_path
+
+
+def _run(capsys, argv):
+    rc = main(argv)
+    assert rc == 0
+    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+class TestParser:
+    def test_subcommands_and_aliases(self):
+        p = build_parser()
+        args = p.parse_args(["i", "x.ndjson", "--rules", "r/"])
+        assert args.fn.__name__ == "cmd_ingest"
+        args = p.parse_args(["serve", "--rules", "r/", "--addr", "0.0.0.0:9"])
+        assert args.fn.__name__ == "cmd_serve"
+        with pytest.raises(SystemExit):
+            p.parse_args(["ingest"])  # objects required
+
+
+class TestCommands:
+    def test_ingest_then_migrate(self, spark, workdir, capsys):
+        out = _run(
+            capsys,
+            ["--cpus", "4", "ingest", str(workdir / "data" / "*.ndjson"),
+             "--rules", str(workdir / "policy"), "--warehouse", str(workdir / "wh")],
+        )
+        assert out["rows"] == 10 and out["tables"] == {"apps.logs": 10}
+
+        out = _run(
+            capsys,
+            ["--cpus", "4", "migrate", "--warehouse", str(workdir / "wh"),
+             "--src", "apps.logs", "--dst", "apps.copy"],
+        )
+        assert out["rows"] == 10
+
+    def test_schema_only(self, spark, workdir, capsys):
+        out = _run(
+            capsys,
+            ["--cpus", "4", "schema", str(workdir / "data" / "*.ndjson"),
+             "--rules", str(workdir / "policy"), "--warehouse", str(workdir / "wh2")],
+        )
+        assert out["tables"] == ["apps.logs"]
+
+    def test_enqueue(self, workdir, capsys):
+        out = _run(
+            capsys,
+            ["enqueue", str(workdir / "data" / "*.ndjson"),
+             "-o", str(workdir / "q" / "m.ndjson")],
+        )
+        assert out == {"messages": 1, "objects": 1, "batches": 1}
+        lines = (workdir / "q" / "m.ndjson").read_text().splitlines()
+        assert len(lines) == 1
+        msg = json.loads(lines[0])
+        assert msg["payload"]["objects"][0]["cs"]["bucket"] == "local"
