@@ -264,7 +264,14 @@ def simhash(
     Bit extraction goes through hex-digit arithmetic (portable to any
     SQL engine; no 64-bit integer-hash parity needed). Integral tf
     weights keep the per-bit sums exact.
+
+    ``bits`` may go up to 62 (md5 supplies 128; the sketch packs into a
+    signed long, and Σ 2^b for b ≤ 62 is the max that fits). Use ≥ 48
+    at ≫10⁶-doc scale so the pigeonhole blocks in
+    :func:`simhash_pairs_blocked` stay selective.
     """
+    if not 1 <= bits <= 62:
+        raise ValueError(f"bits must be in [1, 62] (long-packed sketch), got {bits}")
     ws = tokens_col(text_col)
     tf = (
         df.select(F.col(id_col).alias("doc_id"), F.explode(ws).alias("w"))

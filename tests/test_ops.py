@@ -183,3 +183,24 @@ class TestDFPruning:
         unpruned = ngram_jaccard_pairs(docs, threshold=0.5).collect()
         pruned = ngram_jaccard_pairs(docs, threshold=0.5, max_df=100).collect()
         assert sorted(map(tuple, unpruned)) == sorted(map(tuple, pruned))
+
+
+class TestWideSimhash:
+    def test_48_bit_blocked_equals_exact(self, docs):
+        """Wider sketches (the ≫10^6-doc configuration) keep the
+        pigeonhole-blocked pair search output-identical to the O(n^2)
+        verifier."""
+        exact = sorted(
+            map(tuple, simhash_pairs(docs, bits=48, max_hamming=8).collect())
+        )
+        blocked = sorted(
+            map(tuple, simhash_pairs_blocked(docs, bits=48, max_hamming=8).collect())
+        )
+        assert exact == blocked
+        assert any(h == 0 for *_, h in exact)  # the exact dup pair
+
+    def test_bits_out_of_range_rejected(self, docs):
+        from swarm_spark.ops.dedup import simhash
+
+        with pytest.raises(ValueError):
+            simhash(docs, bits=64)
