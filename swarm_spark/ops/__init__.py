@@ -12,6 +12,7 @@ from .dedup import (
     simhash_pairs,
     simhash_pairs_blocked,
 )
+from .asof import asof_join
 from .components import dup_components, keep_one_per_cluster
 from .ivf import ann_topk_ivf, kmeans_cells
 from .multimodal import attach_fake_image, media_features
@@ -20,6 +21,7 @@ from .text import fingerprint, language_id, normalize_text, quality_score, token
 
 __all__ = [
     "ann_topk_bruteforce",
+    "asof_join",
     "ann_topk_cells",
     "ann_topk_ivf",
     "kmeans_cells",

@@ -387,6 +387,44 @@ FROM embeddings WHERE vec_id % 100 = 0
 """
 
 
+# --------------------------------------------------------------- asof join
+def q_asof_latest_order(spark, sf):
+    """Backward as-of join: each event picks the user's most recent
+    order at or before the event time (the standard
+    event-to-dimension-state attachment). Right side pre-aggregated to
+    one row per (key, time) so ties are engine-portable; DuckDB's
+    native ASOF JOIN is the oracle."""
+    from .ops.asof import asof_join
+
+    ev = load_table(spark, sf, "events").select("event_id", "user_id", "ts")
+    orders = (
+        load_table(spark, sf, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp").alias("o_ts"),
+        )
+        .agg(F.max("o_orderkey").alias("order_key"))
+        .withColumn("matched_ts", F.col("o_ts"))  # expose the matched time
+    )
+    out = asof_join(ev, orders, on="user_id", left_time="ts", right_time="o_ts")
+    return out.select(
+        "event_id", "user_id", F.col("matched_ts").alias("order_ts"), "order_key"
+    ).orderBy("event_id")
+
+
+SQL_ASOF = """
+WITH r AS (
+  SELECT o_custkey AS user_id, cast(o_orderdate AS timestamp) AS order_ts,
+         max(o_orderkey) AS order_key
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, r.order_ts, r.order_key
+FROM events e ASOF LEFT JOIN r
+  ON e.user_id = r.user_id AND e.ts >= r.order_ts
+ORDER BY e.event_id
+"""
+
+
 # ------------------------------------------------------------ multimodal ops
 def q_multimodal_features(spark, sf):
     """Binary-column plumbing: synthesize media payloads, extract
@@ -465,5 +503,6 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "ann_topk_cells": (q_ann_topk_cells, SQL_ANN_CELLS),
     "ann_topk_ivf": (q_ann_topk_ivf, None),
     "ann_ivf_recall": (q_ann_ivf_recall, SQL_ANN_IVF_RECALL),
+    "asof_latest_order": (q_asof_latest_order, SQL_ASOF),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
 }
