@@ -13,6 +13,7 @@ from .dedup import (
     simhash_pairs_blocked,
 )
 from .asof import asof_join
+from .rangejoin import range_join
 from .components import dup_components, keep_one_per_cluster
 from .ivf import ann_topk_ivf, kmeans_cells
 from .multimodal import attach_fake_image, media_features
@@ -42,6 +43,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "normalize_text",
     "quality_score",
+    "range_join",
     "simhash",
     "simhash_pairs",
     "simhash_pairs_blocked",

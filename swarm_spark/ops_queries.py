@@ -425,6 +425,48 @@ ORDER BY e.event_id
 """
 
 
+# --------------------------------------------------------------- range join
+def q_range_window_counts(spark, sf):
+    """Interval join via time-grid bucketing: every error event opens a
+    1-hour window; count the same user's events inside it. The oracle
+    is the plain inequality join — the gridded plan must be
+    row-identical while staying an equi-join (no nested loop)."""
+    from .ops.rangejoin import range_join
+
+    ev = load_table(spark, sf, "events").select("event_id", "user_id", "ts")
+    anchors = (
+        load_table(spark, sf, "events")
+        .where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("anchor_id"),
+            F.col("user_id"),
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("w_end"),
+        )
+    )
+    joined = range_join(
+        ev, anchors, left_time="ts", right_start="w_start", right_end="w_end",
+        grid_s=3600, on="user_id",
+    )
+    return (
+        joined.groupBy("anchor_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("anchor_id")
+    )
+
+
+SQL_RANGE_WINDOW = """
+WITH a AS (
+  SELECT event_id AS anchor_id, user_id, ts AS ws, ts + INTERVAL 1 HOUR AS we
+  FROM events WHERE event_type = 'error'
+)
+SELECT a.anchor_id, count(*) AS n
+FROM a JOIN events e
+  ON e.user_id = a.user_id AND e.ts >= a.ws AND e.ts < a.we
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # ------------------------------------------------------------ multimodal ops
 def q_multimodal_features(spark, sf):
     """Binary-column plumbing: synthesize media payloads, extract
@@ -504,5 +546,6 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "ann_topk_ivf": (q_ann_topk_ivf, None),
     "ann_ivf_recall": (q_ann_ivf_recall, SQL_ANN_IVF_RECALL),
     "asof_latest_order": (q_asof_latest_order, SQL_ASOF),
+    "range_window_counts": (q_range_window_counts, SQL_RANGE_WINDOW),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
 }

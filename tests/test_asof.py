@@ -68,3 +68,63 @@ class TestAsofJoin:
         )._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestRangeJoin:
+    @pytest.fixture(scope="class")
+    def tframes(self, spark):
+        left = spark.createDataFrame(
+            [(1, "u", "2024-01-01 10:00:00"), (2, "u", "2024-01-01 10:30:00"),
+             (3, "u", "2024-01-01 11:00:00"), (4, "v", "2024-01-01 10:10:00")],
+            "eid long, k string, t string",
+        ).select("eid", "k", F.col("t").cast("timestamp").alias("t"))
+        right = spark.createDataFrame(
+            [("u", "2024-01-01 10:00:00", "2024-01-01 11:00:00", "w1"),
+             ("v", "2024-01-01 09:00:00", "2024-01-01 10:00:00", "w2")],
+            "k string, ws string, we string, tag string",
+        ).select("k", F.col("ws").cast("timestamp").alias("ws"),
+                 F.col("we").cast("timestamp").alias("we"), "tag")
+        return left, right
+
+    def test_half_open_interval_semantics(self, tframes):
+        from swarm_spark.ops import range_join
+
+        left, right = tframes
+        out = {
+            (r["eid"], r["tag"])
+            for r in range_join(
+                left, right, left_time="t", right_start="ws", right_end="we",
+                grid_s=1800, on="k",
+            ).collect()
+        }
+        # eid 1 and 2 fall in w1; eid 3 is AT we (excluded, half-open);
+        # eid 4 at 10:10 is past w2's end
+        assert out == {(1, "w1"), (2, "w1")}
+
+    def test_grid_choice_does_not_change_result(self, tframes):
+        from swarm_spark.ops import range_join
+
+        left, right = tframes
+        res = []
+        for grid in (60, 3600, 86400):
+            res.append(
+                sorted(
+                    (r["eid"], r["tag"])
+                    for r in range_join(
+                        left, right, left_time="t", right_start="ws",
+                        right_end="we", grid_s=grid, on="k",
+                    ).collect()
+                )
+            )
+        assert res[0] == res[1] == res[2]
+
+    def test_no_nested_loop_in_plan(self, tframes):
+        from swarm_spark.ops import range_join
+
+        left, right = tframes
+        plan = range_join(
+            left, right, left_time="t", right_start="ws", right_end="we",
+            grid_s=3600, on="k",
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
