@@ -14,6 +14,7 @@ from .dedup import (
 )
 from .asof import asof_join
 from .rangejoin import range_join
+from .sampling import hash_bucket, hash_sample, split_column, stratified_hash_sample
 from .components import dup_components, keep_one_per_cluster
 from .ivf import ann_topk_ivf, kmeans_cells
 from .multimodal import attach_fake_image, media_features
@@ -44,6 +45,10 @@ __all__ = [
     "normalize_text",
     "quality_score",
     "range_join",
+    "hash_bucket",
+    "hash_sample",
+    "split_column",
+    "stratified_hash_sample",
     "simhash",
     "simhash_pairs",
     "simhash_pairs_blocked",

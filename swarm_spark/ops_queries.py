@@ -65,6 +65,17 @@ def _shingle_cte(n: int, max_df: int | None = None) -> str:
 _MAX_DF = 100  # > any true dup-cluster size in the testdata (max DF is 25 at sf0.1)
 
 
+def _hexval(col: str, start: int, n: int) -> str:
+    """DuckDB fragment: parse ``n`` lowercase hex chars of ``col``
+    beginning at 1-based ``start`` into a bigint."""
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substr({col}, {start + i}, 1)) - 1) "
+        f"* {16 ** (n - 1 - i)}"
+        for i in range(n)
+    )
+    return f"cast({terms} AS bigint)"
+
+
 # ---------------------------------------------------------------- text ops
 def q_text_token_stats(spark, sf):
     return token_stats(_docs(spark, sf)).orderBy("doc_id")
@@ -467,6 +478,71 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# ------------------------------------------------------------- sampling ops
+def _md5_bucket_sql(key_expr: str, seed: str) -> str:
+    """DuckDB mirror of ops.sampling.hash_bucket: first 8 hex digits of
+    md5(seed|key) as a bigint (same instr-parse trick as _hexval)."""
+    return _hexval(f"md5('{seed}|' || cast({key_expr} AS varchar))", 1, 8)
+
+
+def q_sample_docs(spark, sf):
+    """Deterministic 10% document sample: membership is a pure function
+    of doc_id (stable across partitionings/engines), so the oracle can
+    reproduce the exact id set."""
+    from .ops.sampling import hash_sample
+
+    return hash_sample(_docs(spark, sf), 0.1, key="doc_id").select("doc_id").orderBy(
+        "doc_id"
+    )
+
+
+SQL_SAMPLE_DOCS = f"""
+SELECT doc_id FROM documents
+WHERE {_md5_bucket_sql('doc_id', 'swarm')} < {int(0.1 * (1 << 32))}
+ORDER BY doc_id
+"""
+
+
+def q_sample_split_counts(spark, sf):
+    """Train/val/test split labels + per-type stratified downsampling
+    (keep all errors, half the clicks, 5% of the rest) — the standard
+    corpus-construction recipe, fully hash-checked."""
+    from .ops.sampling import split_column, stratified_hash_sample
+
+    ev = load_table(spark, sf, "events")
+    sampled = stratified_hash_sample(
+        ev, strata="event_type", fractions={"error": 1.0, "click": 0.5},
+        key="event_id", default=0.05,
+    )
+    return (
+        sampled.withColumn("split", split_column("event_id"))
+        .groupBy("event_type", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "split")
+    )
+
+
+_SPACE = 1 << 32
+SQL_SAMPLE_SPLIT = f"""
+WITH s AS (
+  SELECT event_type, event_id FROM events
+  WHERE {_md5_bucket_sql('event_id', 'swarm')} <
+        CASE event_type WHEN 'error' THEN {_SPACE}
+                        WHEN 'click' THEN {int(0.5 * _SPACE)}
+                        ELSE {int(0.05 * _SPACE)} END
+), lab AS (
+  SELECT event_type,
+         CASE WHEN {_md5_bucket_sql('event_id', 'swarm-split')} < {int(0.1 * _SPACE)}
+                THEN 'test'
+              WHEN {_md5_bucket_sql('event_id', 'swarm-split')} <
+                   {int(0.1 * _SPACE) + int(0.1 * _SPACE)} THEN 'val'
+              ELSE 'train' END AS split
+  FROM s
+)
+SELECT event_type, split, count(*) AS n FROM lab GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # ------------------------------------------------------------ multimodal ops
 def q_multimodal_features(spark, sf):
     """Binary-column plumbing: synthesize media payloads, extract
@@ -486,15 +562,6 @@ def q_multimodal_features(spark, sf):
     return media_features(media).drop("mean_byte")
 
 
-def _hexval(col: str, start: int, n: int) -> str:
-    """DuckDB fragment: parse ``n`` lowercase hex chars of ``col``
-    beginning at 1-based ``start`` into a bigint."""
-    terms = " + ".join(
-        f"(instr('0123456789abcdef', substr({col}, {start + i}, 1)) - 1) "
-        f"* {16 ** (n - 1 - i)}"
-        for i in range(n)
-    )
-    return f"cast({terms} AS bigint)"
 
 
 SQL_MULTIMODAL = f"""
@@ -547,5 +614,7 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "ann_ivf_recall": (q_ann_ivf_recall, SQL_ANN_IVF_RECALL),
     "asof_latest_order": (q_asof_latest_order, SQL_ASOF),
     "range_window_counts": (q_range_window_counts, SQL_RANGE_WINDOW),
+    "sample_docs": (q_sample_docs, SQL_SAMPLE_DOCS),
+    "sample_split_counts": (q_sample_split_counts, SQL_SAMPLE_SPLIT),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
 }
