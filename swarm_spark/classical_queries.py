@@ -50,6 +50,35 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# ------------------------------------------------- sliding event-time window
+def q_window_sliding(spark, sf):
+    """Sliding window (1 hour long, 30-minute slide): every event lands
+    in exactly two windows. ``F.window`` with a slide duration is the
+    streaming-compatible construct; the oracle reproduces it by
+    unnesting each event into its two covering window starts."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").start.alias("bucket"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket", "event_type")
+    )
+
+
+SQL_WINDOW_SLIDING = """
+WITH slid AS (
+  SELECT cast(time_bucket(INTERVAL 30 MINUTE, ts) AS TIMESTAMP)
+           - to_minutes(30 * off.o) AS bucket,
+         event_type
+  FROM events, (SELECT unnest([0, 1]) AS o) off
+)
+SELECT bucket, event_type, count(*) AS n
+FROM slid GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # -------------------------------------------------------- sessionization
 def q_sessionize(spark, sf):
     """Per-user session counts with a 30-minute inactivity gap
@@ -235,6 +264,7 @@ FROM lineitem GROUP BY 1 ORDER BY 1
 
 CLASSICAL: dict[str, tuple[Callable, str | None]] = {
     "window_hourly": (q_window_hourly, SQL_WINDOW_HOURLY),
+    "window_sliding": (q_window_sliding, SQL_WINDOW_SLIDING),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "topk_per_group": (q_topk_per_group, SQL_TOPK),
     "set_ops": (q_set_ops, SQL_SET_OPS),
