@@ -26,7 +26,7 @@ signatures in the band; sharing any band key ⇒ candidate pair
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import tokens_col
@@ -92,16 +92,19 @@ def prune_by_df(shingles: DataFrame, max_df: int) -> DataFrame:
     the ubiquitous ones bounds the join at negligible recall cost
     (the cap must exceed the largest true duplicate-cluster size).
 
-    One extra map-side-combined shuffle on ``sh``; the join back is an
-    equi-join on the same key, so the partitioning is reused.
+    Implemented as a window count rather than groupBy + semi-join: ONE
+    shuffle of the shingle frame (partitioned by ``sh``) instead of an
+    aggregate plus a second full-frame shuffle for the join — and the
+    output exchange is partitioned by ``sh``, which is exactly the key
+    the downstream candidate self-join shuffles on, so Catalyst reuses
+    it (ReusedExchange) instead of re-shuffling.
     """
-    keep = (
-        shingles.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("sh")
+    return (
+        shingles.withColumn("df", F.count(F.lit(1)).over(w))
         .where(F.col("df") <= max_df)
-        .select("sh")
+        .drop("df")
     )
-    return shingles.join(keep, "sh", "left_semi")
 
 
 # ------------------------------------------------------ ngram jaccard
