@@ -3,11 +3,13 @@ from .dedup import (
     doc_shingles,
     dot_expr,
     embedding_dup_pairs,
+    embedding_signlsh_pairs,
     exact_dedup,
     exact_dup_stats,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    rademacher_planes,
     simhash,
     simhash_pairs,
     simhash_pairs_blocked,
@@ -34,6 +36,8 @@ __all__ = [
     "dup_components",
     "keep_one_per_cluster",
     "embedding_dup_pairs",
+    "embedding_signlsh_pairs",
+    "rademacher_planes",
     "exact_dedup",
     "exact_dup_stats",
     "fingerprint",

@@ -21,9 +21,11 @@ from pyspark.sql import functions as F
 
 from .ops.dedup import (
     embedding_dup_pairs,
+    embedding_signlsh_pairs,
     exact_dup_stats,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    rademacher_planes,
     simhash,
     simhash_pairs_blocked,
 )
@@ -312,6 +314,60 @@ FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE {_COS_AB} >= 0.40
 ORDER BY id_a, id_b
 """
+
+
+# ------------------------------------------------------- embedding sign-LSH
+_SIGN_PLANES = 16
+_SIGN_BANDS = 4
+_SIGN_DIM = 64
+
+
+def q_dedup_embedding_signlsh(spark, sf):
+    return embedding_signlsh_pairs(
+        _emb(spark, sf),
+        num_planes=_SIGN_PLANES,
+        bands=_SIGN_BANDS,
+        threshold=0.40,
+        dim=_SIGN_DIM,
+    )
+
+
+def _signlsh_sql() -> str:
+    planes = rademacher_planes(_SIGN_PLANES, _SIGN_DIM)
+    r = _SIGN_PLANES // _SIGN_BANDS
+    sign_cols = ", ".join(
+        "CASE WHEN list_dot_product(v, ["
+        + ", ".join(f"{s}.0" for s in planes[p])
+        + f"]) > 0 THEN 1 ELSE 0 END AS s{p}"
+        for p in range(_SIGN_PLANES)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, "
+        + "||".join(f"cast(s{b * r + i} AS varchar)" for i in range(r))
+        + " AS key FROM s"
+        for b in range(_SIGN_BANDS)
+    )
+    cos = (
+        "round(list_dot_product(va.v, vb.v)"
+        " / sqrt(va.n2 * vb.n2), 9)"
+    )
+    return f"""
+WITH e AS (SELECT vec_id AS id, cast(embedding AS double[]) AS v FROM embeddings),
+s AS (SELECT id, v, {sign_cols} FROM e),
+b AS ({band_rows}),
+p AS (SELECT x.id AS id_a, y.id AS id_b,
+             cast(count(DISTINCT x.band) AS bigint) AS shared_bands
+      FROM b x JOIN b y ON x.band = y.band AND x.key = y.key AND x.id < y.id
+      GROUP BY 1, 2),
+nv AS (SELECT id, v, list_dot_product(v, v) AS n2 FROM e)
+SELECT p.id_a, p.id_b, p.shared_bands, {cos} AS cos
+FROM p JOIN nv va ON p.id_a = va.id JOIN nv vb ON p.id_b = vb.id
+WHERE {cos} >= 0.40
+ORDER BY id_a, id_b
+"""
+
+
+SQL_DEDUP_EMBEDDING_SIGNLSH = _signlsh_sql()
 
 
 # ------------------------------------------------------------- similarity ops
@@ -608,6 +664,7 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "dedup_simhash": (q_dedup_simhash, SQL_SIMHASH),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_SIMHASH_PAIRS),
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
+    "dedup_embedding_signlsh": (q_dedup_embedding_signlsh, SQL_DEDUP_EMBEDDING_SIGNLSH),
     "ann_topk_bruteforce": (q_ann_topk_bruteforce, SQL_ANN_BRUTEFORCE),
     "ann_topk_cells": (q_ann_topk_cells, SQL_ANN_CELLS),
     "ann_topk_ivf": (q_ann_topk_ivf, None),

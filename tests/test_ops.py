@@ -204,3 +204,55 @@ class TestWideSimhash:
 
         with pytest.raises(ValueError):
             simhash(docs, bits=64)
+
+
+class TestEmbeddingDedup:
+    @pytest.fixture(scope="class")
+    def emb(self, spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def test_vectorized_matches_fold_path(self, emb):
+        """The numpy gram-matrix path and the pure-DataFrame fold path
+        emit identical (id_a, id_b, cell, cos) rows — the fold path is
+        the oracle-parity verifier for the BLAS one."""
+        from swarm_spark.ops import embedding_dup_pairs
+
+        fast = embedding_dup_pairs(emb, threshold=0.40, vectorized=True).collect()
+        slow = embedding_dup_pairs(emb, threshold=0.40, vectorized=False).collect()
+        assert len(fast) > 0
+        assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
+
+    def test_signlsh_finds_planted_duplicates_exactly(self, spark):
+        """A scaled copy (cos = 1) agrees with its original on EVERY
+        hyperplane sign, so sign-LSH recall for true duplicates is
+        deterministic — not probabilistic. Emitted pairs are also
+        exact-verified, so nothing below the threshold leaks out."""
+        import random
+
+        from swarm_spark.ops import embedding_signlsh_pairs
+
+        rng = random.Random(7)
+        rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(40)]
+        rows.append((100, [2.0 * x for x in rows[3][1]]))  # cos=1 with id 3
+        rows.append((101, list(rows[11][1])))  # cos=1 with id 11
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = embedding_signlsh_pairs(
+            emb, num_planes=16, bands=4, threshold=0.95, dim=16
+        ).collect()
+        got = {(r["id_a"], r["id_b"]) for r in out}
+        assert {(3, 100), (11, 101)} <= got
+        assert all(r["cos"] >= 0.95 for r in out)
+        assert all(r["shared_bands"] == 4 for r in out if r["cos"] >= 0.999999)
+
+    def test_signlsh_validates_band_divisibility(self, emb):
+        from swarm_spark.ops import embedding_signlsh_pairs
+
+        with pytest.raises(ValueError):
+            embedding_signlsh_pairs(emb, num_planes=16, bands=5)
+
+    def test_planes_are_deterministic(self):
+        from swarm_spark.ops import rademacher_planes
+
+        a = rademacher_planes(4, 8)
+        assert a == rademacher_planes(4, 8)
+        assert all(s in (1, -1) for row in a for s in row)
