@@ -82,11 +82,19 @@ FROM slid GROUP BY 1, 2 ORDER BY 1, 2
 # -------------------------------------------------------- sessionization
 def q_sessionize(spark, sf):
     """Per-user session counts with a 30-minute inactivity gap
-    (lag + gap-flag cumulative sum — the batch sessionization idiom)."""
+    (lag + gap-flag cumulative sum — the batch sessionization idiom).
+
+    Gap arithmetic is integral microseconds (``unix_micros`` vs the
+    oracle's ``epoch_us``): second-truncating ``unix_timestamp`` would
+    disagree with a fractional-``epoch()`` oracle for true gaps in
+    (1800, 1801) s — the same silent-boundary class as the ns→µs
+    loader bug."""
     ev = _t(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.when(
-        F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800, 1
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+        > 1_800_000_000,
+        1,
     ).otherwise(0)
     sess = ev.select("user_id", "ts", "event_id").withColumn(
         "session_no", F.sum(gap).over(w)
@@ -104,7 +112,8 @@ def q_sessionize(spark, sf):
 SQL_SESSIONIZE = """
 WITH g AS (
   SELECT user_id, ts, event_id,
-         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS gap
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS gap
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
   SELECT user_id,
@@ -114,6 +123,57 @@ WITH g AS (
 )
 SELECT user_id, cast(max(session_no) + 1 AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM s GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------- native session window
+def q_session_window(spark, sf):
+    """Spark's native ``session_window`` (the Structured-Streaming
+    session-gap operator, run here in batch) cross-checked against the
+    independent lag+cumsum islands construction in the oracle: two
+    different algorithms must produce identical session partitions.
+
+    Boundary semantics pinned exactly: a new session starts iff the
+    inter-event gap is ≥ the 30-min window (session windows are
+    half-open ``[start, last+gap)``), in integral microseconds on both
+    sides. ``max_span_us`` = longest session's ``end - start`` =
+    last-first + gap."""
+    ev = _t(spark, sf, "events")
+    sess = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("w")
+    ).agg(F.count(F.lit(1)).alias("n_ev"))
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("n_ev").cast("long").alias("n_events"),
+            F.max(
+                F.unix_micros(F.col("w.end")) - F.unix_micros(F.col("w.start"))
+            ).alias("max_span_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_SESSION_WINDOW = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS gap
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sn
+  FROM g
+), b AS (
+  SELECT user_id, sn, count(*) AS n_ev, min(ts) AS fs, max(ts) AS ls
+  FROM s GROUP BY 1, 2
+)
+SELECT user_id, cast(count(*) AS bigint) AS n_sessions,
+       cast(sum(n_ev) AS bigint) AS n_events,
+       cast(max(epoch_us(ls) - epoch_us(fs) + 1800000000) AS bigint) AS max_span_us
+FROM b GROUP BY 1 ORDER BY 1
 """
 
 
@@ -266,6 +326,7 @@ CLASSICAL: dict[str, tuple[Callable, str | None]] = {
     "window_hourly": (q_window_hourly, SQL_WINDOW_HOURLY),
     "window_sliding": (q_window_sliding, SQL_WINDOW_SLIDING),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "session_window_stats": (q_session_window, SQL_SESSION_WINDOW),
     "topk_per_group": (q_topk_per_group, SQL_TOPK),
     "set_ops": (q_set_ops, SQL_SET_OPS),
     "pivot_status_priority": (q_pivot_status_priority, SQL_PIVOT),

@@ -6,6 +6,7 @@ from .dedup import (
     embedding_signlsh_pairs,
     exact_dedup,
     exact_dup_stats,
+    incremental_dup_flags,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -21,7 +22,15 @@ from .components import dup_components, keep_one_per_cluster
 from .ivf import ann_topk_ivf, kmeans_cells
 from .multimodal import attach_fake_image, media_features
 from .similarity import ann_topk_bruteforce, ann_topk_cells
-from .text import fingerprint, language_id, normalize_text, quality_score, token_stats
+from .text import (
+    fingerprint,
+    language_id,
+    normalize_text,
+    pii_scrub,
+    quality_score,
+    repetition_signals,
+    token_stats,
+)
 
 __all__ = [
     "ann_topk_bruteforce",
@@ -41,7 +50,10 @@ __all__ = [
     "exact_dedup",
     "exact_dup_stats",
     "fingerprint",
+    "incremental_dup_flags",
     "language_id",
+    "pii_scrub",
+    "repetition_signals",
     "media_features",
     "minhash_lsh_pairs",
     "minhash_signatures",

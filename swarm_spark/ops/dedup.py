@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .text import fingerprint as text_fingerprint
 from .text import tokens_col
 
 
@@ -622,4 +623,63 @@ def embedding_signlsh_pairs(
         .select("id_a", "id_b", "shared_bands", cos.alias("cos"))
         .where(F.col("cos") >= threshold)
         .orderBy("id_a", "id_b")
+    )
+
+
+# -------------------------------------------------- incremental dedup
+def incremental_dup_flags(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fp_n: int = 5,
+) -> DataFrame:
+    """Flag documents in a NEW batch that duplicate an EXISTING corpus
+    — the every-crawl-cycle operation: dedup the increment against the
+    accumulated corpus without re-deduplicating the corpus itself.
+
+    Two levels, both slim equi-joins:
+
+    - ``exact_dup``: the new doc's md5 content digest exists in the
+      corpus (byte-identical duplicate);
+    - ``fp_dup``: the new doc's winnowing fingerprint (min-md5 of
+      rolling ``fp_n``-gram windows, :func:`~swarm_spark.ops.text.
+      fingerprint`) exists in the corpus (shares its rarest window —
+      near-duplicate at boilerplate/suffix-edit level).
+
+    Scale shape: only (id, 32-hex-digest) pairs shuffle — the corpus
+    text never moves, and in a real deployment the corpus side is a
+    pre-materialized digest table, so each increment costs one scan of
+    the increment plus a digest-keyed join. Left-semi joins keep the
+    probe side's columns out of the shuffle entirely.
+    """
+    nh = new_df.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("h"))
+    ch = corpus_df.select(F.md5(F.col(text_col)).alias("h")).distinct()
+    exact = (
+        nh.join(ch, "h", "left_semi").select("doc_id").withColumn("e", F.lit(True))
+    )
+    nfp = text_fingerprint(new_df, text_col, id_col, n=fp_n).withColumnRenamed(
+        id_col, "doc_id"
+    )
+    cfp = (
+        text_fingerprint(corpus_df, text_col, id_col, n=fp_n)
+        .select("fp")
+        .where(F.col("fp").isNotNull())
+        .distinct()
+    )
+    near = (
+        nfp.where(F.col("fp").isNotNull())
+        .join(cfp, "fp", "left_semi")
+        .select("doc_id")
+        .withColumn("f", F.lit(True))
+    )
+    ids = new_df.select(F.col(id_col).alias("doc_id"))
+    return (
+        ids.join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("e", F.lit(False)).alias("exact_dup"),
+            F.coalesce("f", F.lit(False)).alias("fp_dup"),
+        )
     )

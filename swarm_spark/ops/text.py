@@ -12,6 +12,10 @@ Operators:
 - quality scoring (length / repetition / stopword ratios)
 - document fingerprinting (min-hash of rolling word 5-grams —
   winnowing-style content fingerprint)
+- repetition signals (Gopher-style top-n-gram / duplicate-token
+  fractions for boilerplate and loop detection)
+- PII scrubbing (regex redaction of emails / phones / IPv4 with
+  per-class match counts)
 """
 
 from __future__ import annotations
@@ -143,6 +147,91 @@ def normalize_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         norm.alias("norm_text"),
         F.md5(norm).alias("norm_hash"),
     )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al.,
+    arXiv:2112.11446 §A1.1): the fraction of all word n-grams taken by
+    the single most frequent n-gram, plus the duplicate-token fraction.
+    High values flag boilerplate, keyword stuffing, and generation
+    loops — the standard cut before training-corpus inclusion.
+
+    Shape: explode positions → codegen'd n-gram projection →
+    two-level aggregate. Both groupBys are map-side combined, and the
+    second (by doc) operates on one row per distinct (doc, gram) —
+    at 100 TB the shuffled bytes are a small multiple of the distinct-
+    gram count, never of the corpus. Docs shorter than ``n`` tokens get
+    NULL gram stats (no grams exist), mirrored exactly in the oracle.
+    """
+    ws = tokens_col(text_col)
+    ids = df.select(
+        F.col(id_col),
+        F.size(ws).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(ws)).cast("long").alias("n_distinct"),
+    )
+    base = df.select(F.col(id_col), ws.alias("ws")).where(F.size("ws") >= n)
+    pos = base.select(
+        id_col,
+        "ws",
+        F.explode(F.sequence(F.lit(1), F.size("ws") - (n - 1))).alias("i"),
+    )
+    grams = pos.select(
+        id_col,
+        F.concat_ws(
+            " ", *[F.element_at("ws", F.col("i") + k) for k in range(n)]
+        ).alias("g"),
+    )
+    agg = (
+        grams.groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            F.max("c").cast("long").alias("top_gram_n"),
+        )
+    )
+    return ids.join(agg, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        "n_grams",
+        "top_gram_n",
+        F.round(F.col("top_gram_n") / F.col("n_grams"), 6).alias("top_gram_frac"),
+        F.round(1.0 - F.col("n_distinct") / F.col("n_tokens"), 6).alias(
+            "dup_token_frac"
+        ),
+    )
+
+
+# RE2-compatible (no backrefs/lookaround), so Spark (java.util.regex)
+# and SQL engines on RE2 match identical extents; replacement order is
+# part of the contract (emails first so the later numeric patterns
+# never see an address's local part).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"),
+    ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"),
+)
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Regex PII redaction with per-class match counts.
+
+    Counts are taken on the original text; redactions apply in
+    ``PII_PATTERNS`` order, each class replaced by its ``<CLASS>``
+    token. Pure codegen expressions — the scan cost is a constant
+    number of regex passes per row, no shuffle, no Python.
+    """
+    c = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).cast("long").alias(f"n_{name}")
+        for name, pat in PII_PATTERNS
+    ]
+    scrub = c
+    for name, pat in PII_PATTERNS:
+        scrub = F.regexp_replace(scrub, pat, f"<{name.upper()}>")
+    return df.select(F.col(id_col), *counts, scrub.alias("scrubbed"))
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5) -> DataFrame:

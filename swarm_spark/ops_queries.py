@@ -31,7 +31,15 @@ from .ops.dedup import (
 )
 from .ops.multimodal import attach_fake_image, media_features
 from .ops.similarity import ann_topk_bruteforce, ann_topk_cells
-from .ops.text import fingerprint, language_id, normalize_text, quality_score, token_stats
+from .ops.text import (
+    fingerprint,
+    language_id,
+    normalize_text,
+    pii_scrub,
+    quality_score,
+    repetition_signals,
+    token_stats,
+)
 from .sources.tables import load_table
 
 
@@ -76,6 +84,12 @@ def _hexval(col: str, start: int, n: int) -> str:
         for i in range(n)
     )
     return f"cast({terms} AS bigint)"
+
+
+def _md5_bucket_sql(key_expr: str, seed: str) -> str:
+    """DuckDB mirror of ops.sampling.hash_bucket: first 8 hex digits of
+    md5(seed|key) as a bigint (same instr-parse trick as _hexval)."""
+    return _hexval(f"md5('{seed}|' || cast({key_expr} AS varchar))", 1, 8)
 
 
 # ---------------------------------------------------------------- text ops
@@ -171,6 +185,86 @@ WITH n AS (
                              '\\s+', ' ', 'g')) AS norm_text
   FROM documents)
 SELECT doc_id, norm_text, md5(norm_text) AS norm_hash FROM n ORDER BY doc_id
+"""
+
+
+def q_text_repetition(spark, sf):
+    return repetition_signals(_docs(spark, sf)).orderBy("doc_id")
+
+
+SQL_REPETITION = f"""
+WITH w AS ({_WS}),
+ids AS (SELECT doc_id,
+               cast(len(ws) AS bigint) AS n_tokens,
+               cast(len(list_distinct(ws)) AS bigint) AS n_distinct
+        FROM w),
+g AS (SELECT doc_id,
+             unnest(list_transform(range(greatest(len(ws)-1, 0)),
+                                   i -> ws[i+1]||' '||ws[i+2])) AS g
+      FROM w),
+c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+agg AS (SELECT doc_id, cast(sum(c) AS bigint) AS n_grams,
+               cast(max(c) AS bigint) AS top_gram_n
+        FROM c GROUP BY 1)
+SELECT ids.doc_id, n_tokens, n_grams, top_gram_n,
+       round(top_gram_n * 1.0 / n_grams, 6) AS top_gram_frac,
+       round(1.0 - n_distinct * 1.0 / n_tokens, 6) AS dup_token_frac
+FROM ids LEFT JOIN agg USING (doc_id) ORDER BY doc_id
+"""
+
+
+def q_text_pii_scrub(spark, sf):
+    """PII redaction exercised end to end: the corpus text carries no
+    PII, so each doc is seeded with a deterministic synthetic email /
+    IP / phone derived from its id — then scrubbed. Counts + the md5
+    of the scrubbed text hash-check extraction AND replacement."""
+    docs = _docs(spark, sf)
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" tel 555-123-4567"),
+        ).alias("text"),
+    )
+    out = pii_scrub(seeded)
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ipv4",
+        F.md5("scrubbed").alias("scrub_hash"),
+    ).orderBy("doc_id")
+
+
+SQL_PII_SCRUB = r"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' contact u' || cast(doc_id AS varchar)
+              || '@example.com ip 10.0.0.' || cast(doc_id % 256 AS varchar)
+              || ' tel 555-123-4567' AS text
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         cast(len(regexp_extract_all(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS bigint) AS n_email,
+         cast(len(regexp_extract_all(text,
+              '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) AS bigint) AS n_phone,
+         cast(len(regexp_extract_all(text,
+              '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS bigint) AS n_ipv4,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g'),
+           '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IPV4>', 'g') AS scrubbed
+  FROM seeded
+)
+SELECT doc_id, n_email, n_phone, n_ipv4, md5(scrubbed) AS scrub_hash
+FROM s ORDER BY doc_id
 """
 
 
@@ -370,6 +464,43 @@ ORDER BY id_a, id_b
 SQL_DEDUP_EMBEDDING_SIGNLSH = _signlsh_sql()
 
 
+def q_dedup_incremental(spark, sf):
+    """Increment-vs-corpus dedup: a deterministic 50% hash split plays
+    the accumulated corpus; the other half is the incoming batch. Each
+    new doc is flagged for exact (md5) and near (winnowing
+    fingerprint) duplication against the corpus — per-doc boolean
+    rows, fully hash-checked."""
+    from .ops.dedup import incremental_dup_flags
+    from .ops.sampling import hash_bucket
+
+    docs = _docs(spark, sf)
+    cut = int(0.5 * (1 << 32))
+    b = hash_bucket("doc_id", "swarm-corpus")
+    corpus = docs.where(b < cut)
+    new = docs.where(b >= cut)
+    return incremental_dup_flags(new, corpus).orderBy("doc_id")
+
+
+_FP5 = (
+    "list_min(list_transform("
+    "list_transform(range(greatest(len(ws)-4, 0)), "
+    "i -> ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]||' '||ws[i+5]), "
+    "s -> md5(s)))"
+)
+SQL_DEDUP_INCREMENTAL = f"""
+WITH w AS (SELECT doc_id, text, regexp_split_to_array(text, ' +') AS ws,
+                  {_md5_bucket_sql('doc_id', 'swarm-corpus')} AS bkt
+           FROM documents),
+d AS (SELECT doc_id, bkt, md5(text) AS h, {_FP5} AS fp FROM w),
+corp AS (SELECT h, fp FROM d WHERE bkt < {int(0.5 * (1 << 32))}),
+newd AS (SELECT doc_id, h, fp FROM d WHERE bkt >= {int(0.5 * (1 << 32))})
+SELECT doc_id,
+       h IN (SELECT h FROM corp) AS exact_dup,
+       coalesce(fp IN (SELECT fp FROM corp WHERE fp IS NOT NULL), false) AS fp_dup
+FROM newd ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------------------- similarity ops
 def q_ann_topk_bruteforce(spark, sf):
     emb = _emb(spark, sf)
@@ -535,12 +666,6 @@ GROUP BY 1 ORDER BY 1
 
 
 # ------------------------------------------------------------- sampling ops
-def _md5_bucket_sql(key_expr: str, seed: str) -> str:
-    """DuckDB mirror of ops.sampling.hash_bucket: first 8 hex digits of
-    md5(seed|key) as a bigint (same instr-parse trick as _hexval)."""
-    return _hexval(f"md5('{seed}|' || cast({key_expr} AS varchar))", 1, 8)
-
-
 def q_sample_docs(spark, sf):
     """Deterministic 10% document sample: membership is a pure function
     of doc_id (stable across partitionings/engines), so the oracle can
@@ -657,7 +782,10 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "text_quality": (q_text_quality, SQL_QUALITY),
     "text_fingerprint": (q_text_fingerprint, SQL_FINGERPRINT),
     "text_normalize": (q_text_normalize, SQL_NORMALIZE),
+    "text_repetition": (q_text_repetition, SQL_REPETITION),
+    "text_pii_scrub": (q_text_pii_scrub, SQL_PII_SCRUB),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_MINHASH_LSH),

@@ -256,3 +256,77 @@ class TestEmbeddingDedup:
         a = rademacher_planes(4, 8)
         assert a == rademacher_planes(4, 8)
         assert all(s in (1, -1) for row in a for s in row)
+
+
+class TestRepetitionSignals:
+    def test_known_fractions(self, spark):
+        from swarm_spark.ops import repetition_signals
+
+        rows = [
+            (1, "a b a b a b"),      # bigrams: "a b"×3, "b a"×2 → top 3/5
+            (2, "x y z"),            # all distinct → top 1/2
+            (3, "w"),                # shorter than n → NULL gram stats
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+        assert out[1]["n_grams"] == 5 and out[1]["top_gram_n"] == 3
+        assert out[1]["top_gram_frac"] == 0.6
+        # 6 tokens, 2 distinct → dup fraction 1 - 2/6
+        assert out[1]["dup_token_frac"] == round(1 - 2 / 6, 6)
+        assert out[2]["top_gram_n"] == 1 and out[2]["top_gram_frac"] == 0.5
+        assert out[3]["n_grams"] is None and out[3]["top_gram_frac"] is None
+
+
+class TestPiiScrub:
+    def test_redaction_and_counts(self, spark):
+        from swarm_spark.ops import pii_scrub
+
+        rows = [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "call 555-123-4567 or +1 212.555.0199 from 10.0.0.7"),
+            (3, "clean text with no identifiers at all"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+        assert out[1]["n_email"] == 1 and "<EMAIL>" in out[1]["scrubbed"]
+        assert "bob" not in out[1]["scrubbed"]
+        assert out[2]["n_phone"] == 2  # 555-123-4567 and 212.555.0199
+        assert out[2]["n_ipv4"] == 1 and "<IPV4>" in out[2]["scrubbed"]
+        assert "4567" not in out[2]["scrubbed"]
+        assert out[3]["scrubbed"] == "clean text with no identifiers at all"
+        assert (out[3]["n_email"], out[3]["n_phone"], out[3]["n_ipv4"]) == (0, 0, 0)
+
+
+class TestIncrementalDedup:
+    def test_flags_against_corpus(self, spark):
+        from swarm_spark.ops import incremental_dup_flags
+
+        corpus = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog today"),
+                (2, "totally unrelated corpus document about query planners"),
+            ],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [
+                # exact copy of corpus doc 1
+                (10, "the quick brown fox jumps over the lazy dog today"),
+                # shares the rarest 5-gram window (suffix edit) → fp dup only
+                (11, "the quick brown fox jumps over the lazy dog tonight"),
+                # fresh content
+                (12, "entirely new material never seen in any corpus"),
+                # too short for a 5-gram fingerprint, not in corpus
+                (13, "tiny doc"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: (r["exact_dup"], r["fp_dup"])
+            for r in incremental_dup_flags(new, corpus).collect()
+        }
+        assert out[10] == (True, True)
+        assert out[12] == (False, False)
+        assert out[13] == (False, False)
+        # 11 is not byte-identical but must share doc 1's min-md5 window
+        assert out[11][0] is False
