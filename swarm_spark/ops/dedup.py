@@ -29,7 +29,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import fingerprint as text_fingerprint
 from .text import tokens_col
 
 
@@ -627,6 +626,47 @@ def embedding_signlsh_pairs(
 
 
 # -------------------------------------------------- incremental dedup
+def content_digests(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", fp_n: int = 5
+) -> DataFrame:
+    """(doc_id, h, fp) in ONE pass over the text column: h = md5 of the
+    full text, fp = winnowing fingerprint (min-md5 over rolling
+    ``fp_n``-gram windows; NULL for docs shorter than ``fp_n`` tokens
+    — same contract as :func:`~swarm_spark.ops.text.fingerprint`).
+
+    ``explode_outer`` keeps short docs as a single null-window row, so
+    one map-side-combined groupBy yields both digests without a second
+    scan — this is the frame a real deployment materializes as its
+    corpus digest table.
+    """
+    ws = tokens_col(text_col)
+    base = df.select(
+        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("h"), ws.alias("ws")
+    )
+    pos = base.select(
+        "doc_id",
+        "h",
+        "ws",
+        F.explode_outer(
+            F.when(
+                F.size("ws") >= fp_n,
+                F.sequence(F.lit(1), F.size("ws") - (fp_n - 1)),
+            )
+        ).alias("i"),
+    )
+    gram = F.when(
+        F.col("i").isNotNull(),
+        F.md5(
+            F.concat_ws(
+                " ", *[F.element_at("ws", F.col("i") + k) for k in range(fp_n)]
+            )
+        ),
+    )
+    return pos.groupBy("doc_id").agg(
+        F.first("h").alias("h"), F.min(gram).alias("fp")
+    )
+
+
 def incremental_dup_flags(
     new_df: DataFrame,
     corpus_df: DataFrame,
@@ -642,40 +682,36 @@ def incremental_dup_flags(
 
     - ``exact_dup``: the new doc's md5 content digest exists in the
       corpus (byte-identical duplicate);
-    - ``fp_dup``: the new doc's winnowing fingerprint (min-md5 of
-      rolling ``fp_n``-gram windows, :func:`~swarm_spark.ops.text.
-      fingerprint`) exists in the corpus (shares its rarest window —
-      near-duplicate at boilerplate/suffix-edit level).
+    - ``fp_dup``: the new doc's winnowing fingerprint exists in the
+      corpus (shares its rarest window — near-duplicate at
+      boilerplate/suffix-edit level).
 
-    Scale shape: only (id, 32-hex-digest) pairs shuffle — the corpus
-    text never moves, and in a real deployment the corpus side is a
-    pre-materialized digest table, so each increment costs one scan of
-    the increment plus a digest-keyed join. Left-semi joins keep the
-    probe side's columns out of the shuffle entirely.
+    Scale shape: ONE text scan per side (:func:`content_digests`
+    computes both digests in a single pass; the digest frames are
+    persisted for their two consumers), then only (id, 32-hex-digest)
+    pairs shuffle — the text never moves through a join. In a real
+    deployment the corpus side is the pre-materialized digest table,
+    so each increment costs one scan of the increment plus two
+    digest-keyed semi-joins.
     """
-    nh = new_df.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("h"))
-    ch = corpus_df.select(F.md5(F.col(text_col)).alias("h")).distinct()
+    nd = content_digests(new_df, text_col, id_col, fp_n).persist()
+    cd = content_digests(corpus_df, text_col, id_col, fp_n).persist()
     exact = (
-        nh.join(ch, "h", "left_semi").select("doc_id").withColumn("e", F.lit(True))
-    )
-    nfp = text_fingerprint(new_df, text_col, id_col, n=fp_n).withColumnRenamed(
-        id_col, "doc_id"
-    )
-    cfp = (
-        text_fingerprint(corpus_df, text_col, id_col, n=fp_n)
-        .select("fp")
-        .where(F.col("fp").isNotNull())
-        .distinct()
+        nd.select("doc_id", "h")
+        .join(cd.select("h").distinct(), "h", "left_semi")
+        .select("doc_id")
+        .withColumn("e", F.lit(True))
     )
     near = (
-        nfp.where(F.col("fp").isNotNull())
-        .join(cfp, "fp", "left_semi")
+        nd.where(F.col("fp").isNotNull())
+        .select("doc_id", "fp")
+        .join(cd.select("fp").where(F.col("fp").isNotNull()).distinct(), "fp", "left_semi")
         .select("doc_id")
         .withColumn("f", F.lit(True))
     )
-    ids = new_df.select(F.col(id_col).alias("doc_id"))
     return (
-        ids.join(exact, "doc_id", "left")
+        nd.select("doc_id")
+        .join(exact, "doc_id", "left")
         .join(near, "doc_id", "left")
         .select(
             "doc_id",
