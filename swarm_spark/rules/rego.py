@@ -14,7 +14,10 @@ re-implementing an OPA interpreter per record.
 
 Supported subset (everything observed in the shipped policies):
 
-- ``package event`` / ``package schema.<name>`` headers
+- ``package event`` / ``package schema.<name>`` / ``package auth``
+  headers (auth compiles to :class:`RegoAuthPolicy` for the HTTP
+  middleware — default-deny, valued/bare boolean rules, ``[_]``
+  membership over header/query lists; see the class docstring)
 - set-rule heads ``src[{...}]`` / ``src[s] { ... s := {...} }`` and
   ``log[{...}]`` / ``log[d] { ... d := {...} }``
 - body statements: ``path == literal`` equality,
@@ -59,7 +62,7 @@ _TOKEN_RE = re.compile(
   | (?P<str>"(?:[^"\\]|\\.)*")
   | (?P<num>-?\d+(?:\.\d+)?)
   | (?P<ident>[A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)*)
-  | (?P<op>:=|==|!=|\[|\]|\{|\}|\(|\)|,|:|\*|/|\+|-)
+  | (?P<op>:=|==|!=|=|\[|\]|\{|\}|\(|\)|,|:|\*|/|\+|-)
 """,
     re.VERBOSE,
 )
@@ -118,8 +121,10 @@ class Assign:
 @dataclass(frozen=True)
 class Rule:
     head_name: str
-    head: Any  # dict literal or Path (a variable)
+    head: Any  # dict literal or Path (a variable); None for complete rules
     body: tuple
+    value: Any = None  # complete-rule value (`deny = false { ... }`)
+    is_default: bool = False  # `default deny = true`
 
 
 @dataclass(frozen=True)
@@ -170,15 +175,38 @@ class _Parser:
         kind, name = self.next()
         if kind != "ident":
             raise RegoError(f"expected rule name, got {name!r}")
-        self.expect("[")
-        head = self.expr()
-        self.expect("]")
+        if name == "default":
+            # `default deny = true` — complete rule default value
+            kind, name = self.next()
+            if kind != "ident":
+                raise RegoError(f"expected rule name after default, got {name!r}")
+            if self.next()[1] not in ("=", ":="):
+                raise RegoError("default rule must assign a value")
+            return Rule(name, None, (), value=self.expr(), is_default=True)
+        nxt = self.peek()[1]
+        if nxt == "[":
+            # set rule: `src[{...}] { body }`
+            self.next()
+            head = self.expr()
+            self.expect("]")
+            return Rule(name, head, self._body())
+        if nxt in ("=", ":="):
+            # complete rule with value: `deny = false { allow }`
+            self.next()
+            value = self.expr()
+            return Rule(name, None, self._body(), value=value)
+        if nxt == "{":
+            # bare boolean rule: `allow { body }` (value true)
+            return Rule(name, None, self._body(), value=Lit(True))
+        raise RegoError(f"unsupported rule shape for {name!r} near {nxt!r}")
+
+    def _body(self) -> tuple:
         self.expect("{")
         body = []
         while self.peek()[1] != "}":
             body.append(self.statement())
         self.expect("}")
-        return Rule(name, head, tuple(body))
+        return tuple(body)
 
     # ---------------- statements
     def statement(self):
@@ -192,6 +220,8 @@ class _Parser:
             return Eq(left, self.expr())
         if isinstance(left, Call):
             return left  # builtin predicate call (startswith/…)
+        if isinstance(left, Path) and len(left.parts) == 1 and not left.fanout:
+            return left  # bare rule reference (`allow`)
         raise RegoError(f"unsupported statement near {self.peek()[1]!r}")
 
     # ---------------- expressions (with * / + - arithmetic)
@@ -221,6 +251,8 @@ class _Parser:
             return Lit(float(val) if "." in val else int(val))
         if kind == "ident":
             self.next()
+            if val in ("true", "false", "null"):
+                return Lit({"true": True, "false": False, "null": None}[val])
             if self.peek()[1] == "(":  # call
                 self.next()
                 args = []
@@ -230,15 +262,21 @@ class _Parser:
                         self.next()
                 self.expect(")")
                 return Call(val, tuple(args))
+            parts = list(val.split("."))
             fan = False
-            if self.peek()[1] == "[":  # input.Records[_]
+            while self.peek()[1] == "[":  # input.Records[_] / header["X"][_]
                 self.next()
                 kind2, v2 = self.next()
-                if v2 != "_":
-                    raise RegoError(f"only [_] comprehension supported, got {v2!r}")
+                if v2 == "_":
+                    fan = True
+                elif kind2 == "str":
+                    parts.append(_unquote(v2))
+                else:
+                    raise RegoError(
+                        f"only [_] or [\"key\"] indexing supported, got {v2!r}"
+                    )
                 self.expect("]")
-                fan = True
-            return Path(tuple(val.split(".")), fanout=fan)
+            return Path(tuple(parts), fanout=fan)
         raise RegoError(f"unexpected token {val!r}")
 
     def object(self):
@@ -481,9 +519,145 @@ def rego_to_config(texts: list[str]) -> dict:
                 if rule.head_name != "log":
                     raise RegoError(f"schema rules must be log[...], got {rule.head_name}")
                 config["schema_rules"].append(_schema_spec(name, rule))
+        elif mod.package == ("auth",):
+            continue  # auth policies compile separately (rego_to_auth)
         else:
             raise RegoError(f"unsupported package {'.'.join(mod.package)!r}")
     return config
+
+
+# ------------------------------------------------------ auth package (A1)
+class RegoAuthPolicy:
+    """Compiled ``package auth`` policy — the reference's HTTP
+    authorization surface (pkg/usecase/auth.go:16-43, docs/rule.md
+    §Authorization Rule): ``data.auth.deny`` evaluated over
+    ``{method, path, remote, query, header, body}``; undefined deny is
+    treated as false (allow). Supported rule shapes are everything the
+    shipped policies and docs use short of network builtins —
+    ``default deny``, valued complete rules (``deny = false {
+    allow }``), bare boolean rules (``allow { ... }``) referencing each
+    other, equality over input fields, ``[_]`` membership over
+    header/query value lists, and startswith/endswith/contains.
+    ``http.send`` / ``io.jwt`` verification is out of subset by design
+    (network-dependent); policies using it fail loudly at load.
+
+    Duck-types :class:`~swarm_spark.streaming.auth.AuthPolicy` —
+    ``authorize(AuthInput)`` raises AuthDenied — so it drops into the
+    HTTP frontend's middleware slot unchanged.
+    """
+
+    def __init__(self, defs: dict[str, list[Rule]], defaults: dict[str, Any]):
+        self._defs = defs
+        self._defaults = defaults
+
+    # -- evaluation over AuthInput -------------------------------------
+    def _input_value(self, a, parts: tuple[str, ...]):
+        from ..streaming.auth import AuthInput  # noqa: F401 (typing only)
+
+        if parts[0] != "input" or len(parts) < 2:
+            raise RegoError(f"auth path must root at input: {'.'.join(parts)}")
+        field = parts[1]
+        if field in ("method", "path", "remote", "body"):
+            if len(parts) != 2:
+                raise RegoError(f"scalar input field {field!r} has no sub-keys")
+            return getattr(a, field)
+        if field in ("header", "query"):
+            if len(parts) != 3:
+                raise RegoError(f"input.{field} needs exactly one key")
+            src = a.header if field == "header" else a.query
+            for k, v in src.items():
+                if k.lower() == parts[2].lower():
+                    return v if isinstance(v, (list, tuple)) else [v]
+            return []
+        raise RegoError(f"unsupported auth input field {field!r}")
+
+    def _eval_stmt(self, stmt, a, stack: tuple[str, ...]) -> bool:
+        if isinstance(stmt, Path) and len(stmt.parts) == 1:
+            return self._eval_bool(stmt.parts[0], a, stack)
+        if isinstance(stmt, Eq):
+            p, lit = stmt.left, stmt.right
+            if isinstance(p, Lit) and isinstance(lit, Path):
+                p, lit = lit, p
+            if not (isinstance(p, Path) and isinstance(lit, Lit)):
+                raise RegoError(f"unsupported auth equality {stmt!r}")
+            val = self._input_value(a, p.parts)
+            if p.fanout:
+                return lit.value in val
+            return val == lit.value
+        if isinstance(stmt, Call):
+            if stmt.fn not in ("startswith", "endswith", "contains") or len(
+                stmt.args
+            ) != 2:
+                raise RegoError(f"unsupported auth builtin {stmt.fn!r}")
+            p, lit = stmt.args
+            if not (isinstance(p, Path) and isinstance(lit, Lit)):
+                raise RegoError(f"unsupported auth builtin args {stmt!r}")
+            val = self._input_value(a, p.parts)
+            if not isinstance(val, str):
+                raise RegoError(f"{stmt.fn} needs a string input field")
+            op = {
+                "startswith": str.startswith,
+                "endswith": str.endswith,
+                "contains": str.__contains__,
+            }[stmt.fn]
+            return op(val, lit.value)
+        raise RegoError(f"unsupported auth statement {stmt!r}")
+
+    def _eval_bool(self, name: str, a, stack: tuple[str, ...] = ()) -> bool:
+        """A boolean rule holds iff any of its bodies is satisfied."""
+        if name in stack:
+            raise RegoError(f"recursive auth rule {name!r}")
+        for rule in self._defs.get(name, ()):
+            if all(self._eval_stmt(s, a, stack + (name,)) for s in rule.body):
+                return True
+        return False
+
+    def deny(self, a) -> bool:
+        for rule in self._defs.get("deny", ()):
+            if all(self._eval_stmt(s, a, ("deny",)) for s in rule.body):
+                v = rule.value
+                return bool(v.value) if isinstance(v, Lit) else bool(v)
+        dflt = self._defaults.get("deny")
+        if dflt is not None:
+            return bool(dflt.value) if isinstance(dflt, Lit) else bool(dflt)
+        return False  # undefined deny → allow (docs/rule.md)
+
+    def authorize(self, a) -> None:
+        from ..streaming.auth import AuthDenied
+
+        if self.deny(a):
+            raise AuthDenied("auth.deny")
+
+
+def rego_to_auth(texts: list[str]) -> RegoAuthPolicy | None:
+    """Compile every ``package auth`` module in ``texts``; None if the
+    sources define no auth policy (reference default: allow-all)."""
+    defs: dict[str, list[Rule]] = {}
+    defaults: dict[str, Any] = {}
+    found = False
+    for text in texts:
+        mod = parse_rego(text)
+        if mod.package != ("auth",):
+            continue
+        found = True
+        for rule in mod.rules:
+            if rule.head is not None:
+                raise RegoError("auth rules must be boolean/valued, not set rules")
+            if rule.is_default:
+                defaults[rule.head_name] = rule.value
+            else:
+                defs.setdefault(rule.head_name, []).append(rule)
+    return RegoAuthPolicy(defs, defaults) if found else None
+
+
+def load_rego_auth_dir(path: str) -> RegoAuthPolicy | None:
+    """Compile the auth policy from every ``*.rego`` under ``path``
+    (non-auth packages are ignored, so a mixed policy dir works)."""
+    texts = []
+    for p in sorted(_glob.glob(os.path.join(path, "**", "*.rego"), recursive=True)):
+        with open(p, encoding="utf-8") as f:
+            texts.append(f.read())
+    return rego_to_auth(texts)
 
 
 def load_rego_policies(texts: list[str]) -> tuple[EventRuleSet, SchemaRuleRegistry]:

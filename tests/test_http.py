@@ -35,8 +35,8 @@ class FakePipeline:
         return None
 
 
-def _post(url, body: bytes):
-    req = urllib.request.Request(url, data=body, method="POST")
+def _post(url, body: bytes, headers: dict | None = None):
+    req = urllib.request.Request(url, data=body, method="POST", headers=headers or {})
     try:
         with urllib.request.urlopen(req) as r:
             return r.status, r.read().decode()
@@ -115,6 +115,33 @@ class TestRoutes:
             )
             assert code == 403 and "no-token" in text
             assert pipe.calls == []
+
+    def test_reference_rego_auth_as_middleware(self, frontend):
+        """The reference's own auth_token.rego (middleware_test.go
+        fixture), compiled by the Rego-subset loader, gating the HTTP
+        frontend: good token passes, bad/absent token is 403."""
+        import os as _os
+
+        rego_path = (
+            "/root/reference/pkg/controller/server/testdata/policy/auth_token.rego"
+        )
+        if not _os.path.isfile(rego_path):
+            pytest.skip("reference checkout absent")
+        from swarm_spark.rules import rego_to_auth
+
+        with open(rego_path, encoding="utf-8") as f:
+            auth = rego_to_auth([f.read()])
+        pipe = FakePipeline()
+        with frontend(pipe, auth=auth) as fe:
+            host, port = fe.address
+            base = f"http://{host}:{port}/event/pubsub/cs"
+            body = _push_body("mra", {"bucket": "b", "name": "x.log"})
+            assert _post(base, body)[0] == 403
+            code, _ = _post(base, body, {"Authorization": "Bearer bad"})
+            assert code == 403
+            code, _ = _post(base, body, {"Authorization": "Bearer good-token"})
+            assert code == 200
+            assert len(pipe.calls) == 1
 
 
 @pytest.mark.skipif(not os.path.isdir(REF_HTTP_DIR), reason="reference checkout absent")

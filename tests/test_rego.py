@@ -174,3 +174,92 @@ class TestReferenceGoldenParity:
         }
         assert all(str(r["timestamp"]).startswith("2020-03-02") for r in rows)
         assert rows[0]["data"]["eventName"] == "PutObject"
+
+
+# ----------------------------------------------------------- auth package
+REF_AUTH_REGO = "/root/reference/pkg/controller/server/testdata/policy/auth_token.rego"
+
+DOCS_AUTH_REGO = """
+package auth
+
+# Deny all requests by default
+default deny = true
+
+deny := false { allow }
+
+# Allow all access to specific paths
+allow {
+  input.path == "/event/xxx"
+}
+
+# Allow requests containing specific tokens in the query
+allow {
+  input.query.token[_] == "xxxx"
+}
+"""
+
+
+class TestRegoAuth:
+    def _input(self, **kw):
+        from swarm_spark.streaming.auth import AuthInput
+
+        return AuthInput(**kw)
+
+    @pytest.mark.skipif(
+        not os.path.isfile(REF_AUTH_REGO), reason="reference checkout not present"
+    )
+    def test_reference_auth_token_policy_verbatim(self):
+        from swarm_spark.rules import rego_to_auth
+
+        with open(REF_AUTH_REGO, encoding="utf-8") as f:
+            pol = rego_to_auth([f.read()])
+        assert pol is not None
+        # middleware_test.go: good token → allowed, anything else → 401
+        good = self._input(header={"Authorization": "Bearer good-token"})
+        assert pol.deny(good) is False
+        assert pol.deny(self._input(header={"Authorization": "Bearer bad"})) is True
+        assert pol.deny(self._input(header={})) is True
+        # Go http.Header carries value lists; list values must also match
+        listy = self._input(header={"Authorization": ["x", "Bearer good-token"]})
+        assert pol.deny(listy) is False
+
+    def test_docs_example_paths_and_query(self):
+        from swarm_spark.rules import rego_to_auth
+
+        pol = rego_to_auth([DOCS_AUTH_REGO])
+        assert pol.deny(self._input(path="/event/xxx")) is False
+        assert pol.deny(self._input(path="/other")) is True
+        assert pol.deny(self._input(path="/other", query={"token": ["xxxx"]})) is False
+
+    def test_no_auth_module_means_none(self):
+        from swarm_spark.rules import rego_to_auth
+
+        assert rego_to_auth([EVENT_REGO]) is None
+
+    def test_undefined_deny_allows(self):
+        from swarm_spark.rules import rego_to_auth
+
+        pol = rego_to_auth(['package auth\n\ndeny { input.path == "/health" }'])
+        assert pol.deny(self._input(path="/health")) is True
+        assert pol.deny(self._input(path="/event")) is False
+
+    def test_mixed_dir_loads_both_layers(self, tmp_path):
+        from swarm_spark.rules import load_rego_auth_dir, load_rego_dir
+
+        (tmp_path / "event.rego").write_text(EVENT_REGO)
+        with open(REF_AUTH_REGO, encoding="utf-8") as f:
+            (tmp_path / "auth.rego").write_text(f.read())
+        events, _schemas = load_rego_dir(str(tmp_path))
+        pol = load_rego_auth_dir(str(tmp_path))
+        assert events.rules and pol is not None
+
+    def test_http_send_out_of_subset_fails_loudly(self):
+        from swarm_spark.rules import rego_to_auth
+
+        src = (
+            "package auth\n\nallow {\n"
+            '  jwks := http.send({"url": "https://x"}).raw_body\n}'
+        )
+        with pytest.raises(RegoError):
+            pol = rego_to_auth([src])
+            pol.deny(self._input())
