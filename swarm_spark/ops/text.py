@@ -90,6 +90,22 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.select(*out, pred.alias("pred_lang"))
 
 
+def quality_expr(text: Column | str) -> Column:
+    """Quality score as a plain column expression (rounded to 6
+    digits) — use this form inside larger projections so Catalyst
+    fuses it into one scan with whatever else the pipeline computes."""
+    ws = tokens_col(text)
+    n = F.size(ws)
+    nd = F.size(F.array_distinct(ws))
+    nstop = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
+    return F.round(
+        0.4 * F.least(n / 100.0, F.lit(1.0))
+        + 0.3 * (nd / n)
+        + 0.3 * F.least(nstop * 5.0 / n, F.lit(1.0)),
+        6,
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Length / repetition / stopword heuristic quality in [0,1].
 
@@ -101,17 +117,12 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     n = F.size(ws)
     nd = F.size(F.array_distinct(ws))
     nstop = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
-    score = (
-        0.4 * F.least(n / 100.0, F.lit(1.0))
-        + 0.3 * (nd / n)
-        + 0.3 * F.least(nstop * 5.0 / n, F.lit(1.0))
-    )
     return df.select(
         F.col(id_col),
         n.cast("long").alias("n_tokens"),
         nd.cast("long").alias("n_distinct"),
         nstop.cast("long").alias("n_stop"),
-        F.round(score, 6).alias("quality"),
+        quality_expr(text_col).alias("quality"),
     )
 
 
