@@ -45,7 +45,7 @@ def q_window_hourly(spark, sf):
 SQL_WINDOW_HOURLY = """
 SELECT cast(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS bucket, event_type,
        count(*) AS n,
-       sum(cast(round(value * 100) AS bigint)) AS value_cents
+       cast(sum(cast(round(value * 100) AS bigint)) AS BIGINT) AS value_cents
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 

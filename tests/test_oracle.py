@@ -66,6 +66,20 @@ def test_query_matches_oracle(name, spark, sf_dir, ddb):
     )
 
 
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_oracle_output_types_hash_stable(name, ddb):
+    """Lint: no oracle output column may be HUGEINT (DuckDB's sum(BIGINT)
+    result type), because pandas converts HUGEINT to float64 and the
+    driver's value-hash then disagrees with Spark's integer (61499.0 vs
+    61499) even when every value is identical. DESCRIBE is plan-only —
+    cheap — and pins the exact type class that caused the round-2
+    window_hourly red row. Fix at the source: wrap the aggregate in
+    cast(... AS BIGINT) in the oracle SQL."""
+    res = ddb.execute(f"DESCRIBE {ORACLE[name]}").fetchall()
+    bad = [(col, typ) for col, typ, *_ in res if "HUGEINT" in typ.upper()]
+    assert not bad, f"{name}: HUGEINT oracle columns hash as float64: {bad}"
+
+
 def test_rows_only_queries_run(spark, sf_dir):
     for name in sorted(set(QUERIES) - set(ORACLE)):
         df = QUERIES[name](spark, sf_dir)
