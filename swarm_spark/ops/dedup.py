@@ -669,10 +669,13 @@ def content_digests(
 
 def incremental_dup_flags(
     new_df: DataFrame,
-    corpus_df: DataFrame,
+    corpus_df: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     fp_n: int = 5,
+    *,
+    new_digests: DataFrame | None = None,
+    corpus_digests: DataFrame | None = None,
 ) -> DataFrame:
     """Flag documents in a NEW batch that duplicate an EXISTING corpus
     — the every-crawl-cycle operation: dedup the increment against the
@@ -692,10 +695,29 @@ def incremental_dup_flags(
     pairs shuffle — the text never moves through a join. In a real
     deployment the corpus side is the pre-materialized digest table,
     so each increment costs one scan of the increment plus two
-    digest-keyed semi-joins.
+    digest-keyed semi-joins — pass it via ``corpus_digests`` (and/or
+    ``new_digests``) to skip the scan entirely; digest frames the
+    caller supplies are never persisted or unpersisted here.
+
+    Cache lifecycle: digest frames computed internally are persisted
+    for their multiple consumers, the slim result (doc_id + 2 bools)
+    is materialized eagerly via ``localCheckpoint``, and the digest
+    caches are dropped before returning — repeated calls leave no
+    CacheManager residue (the checkpoint blocks are freed when the
+    returned frame is garbage-collected).
     """
-    nd = content_digests(new_df, text_col, id_col, fp_n).persist()
-    cd = content_digests(corpus_df, text_col, id_col, fp_n).persist()
+    own_nd = new_digests is None
+    own_cd = corpus_digests is None
+    nd = (
+        content_digests(new_df, text_col, id_col, fp_n).persist()
+        if own_nd
+        else new_digests
+    )
+    cd = (
+        content_digests(corpus_df, text_col, id_col, fp_n).persist()
+        if own_cd
+        else corpus_digests
+    )
     exact = (
         nd.select("doc_id", "h")
         .join(cd.select("h").distinct(), "h", "left_semi")
@@ -709,7 +731,7 @@ def incremental_dup_flags(
         .select("doc_id")
         .withColumn("f", F.lit(True))
     )
-    return (
+    out = (
         nd.select("doc_id")
         .join(exact, "doc_id", "left")
         .join(near, "doc_id", "left")
@@ -719,3 +741,10 @@ def incremental_dup_flags(
             F.coalesce("f", F.lit(False)).alias("fp_dup"),
         )
     )
+    if own_nd or own_cd:
+        out = out.localCheckpoint(eager=True)
+        if own_nd:
+            nd.unpersist()
+        if own_cd:
+            cd.unpersist()
+    return out

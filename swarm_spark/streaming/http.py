@@ -11,8 +11,8 @@ reproducing the reference server's contract
   Content (Pub/Sub redelivers after the ack deadline; 2xx would ack);
   malformed/unprocessable → 400;
 - middleware: per-request id + access log, and the
-  :class:`~swarm_spark.streaming.auth.AuthPolicy` deny rules → 403
-  (auth.go:16-43 semantics).
+  :class:`~swarm_spark.streaming.auth.AuthPolicy` deny rules → 401
+  Unauthorized (middleware.go:39 contract).
 
 Driver-side only: one notification is metadata-sized work; the data
 path it triggers (``pipeline.load_objects``) is the distributed part.
@@ -70,7 +70,8 @@ def make_handler(processor: NotificationProcessor, auth: AuthPolicy | None):
                 )
                 return True
             except AuthDenied as e:
-                self._reply(403, f"forbidden: {e.rule}")
+                # middleware.go:39: http.Error(w, "Unauthorized", 401)
+                self._reply(401, f"unauthorized: {e.rule}")
                 return False
 
         # ------------------------------------------------- routes
@@ -93,6 +94,12 @@ def make_handler(processor: NotificationProcessor, auth: AuthPolicy | None):
                 body = json.loads(self.rfile.read(n) or b"{}")
             except (ValueError, json.JSONDecodeError):
                 self._reply(400, "bad json")
+                return
+            if not isinstance(body, dict):
+                # valid JSON but not an object ([] / "x" / 3): the
+                # notification parsers need a mapping — 400, not a
+                # handler-thread AttributeError
+                self._reply(400, "bad json: object required")
                 return
             if not self._authorized(body):
                 return

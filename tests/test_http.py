@@ -83,6 +83,9 @@ class TestRoutes:
             assert _post(f"{base}/invalid", b"{}")[0] == 404
             assert _get(f"{base}/event/pubsub/cs")[0] == 405
             assert _post(f"{base}/event/pubsub/cs", b"not json")[0] == 400
+            # valid JSON, wrong shape: 400, not a handler-thread crash
+            assert _post(f"{base}/event/pubsub/cs", b"[]")[0] == 400
+            assert _post(f"{base}/event/pubsub/cs", b'"x"')[0] == 400
 
             ev = {"bucket": "b", "name": "x.log", "size": "3"}
             code, text = _post(f"{base}/event/pubsub/cs", _push_body("m1", ev))
@@ -103,7 +106,7 @@ class TestRoutes:
             code, _ = _post(f"http://{host}:{port}/event/pubsub/cs", _push_body("m2", ev))
             assert code == 205  # never ack on failure; Pub/Sub redelivers
 
-    def test_auth_denies_403(self, frontend):
+    def test_auth_denies_401(self, frontend):
         auth = AuthPolicy.from_config(
             {"deny": [{"name": "no-token", "when": {"header_absent": "authorization"}}]}
         )
@@ -113,13 +116,13 @@ class TestRoutes:
             code, text = _post(
                 f"http://{host}:{port}/event/pubsub/cs", _push_body("m3", {"bucket": "b", "name": "n"})
             )
-            assert code == 403 and "no-token" in text
+            assert code == 401 and "no-token" in text
             assert pipe.calls == []
 
     def test_reference_rego_auth_as_middleware(self, frontend):
         """The reference's own auth_token.rego (middleware_test.go
         fixture), compiled by the Rego-subset loader, gating the HTTP
-        frontend: good token passes, bad/absent token is 403."""
+        frontend: good token passes, bad/absent token is 401 (middleware.go contract)."""
         import os as _os
 
         rego_path = (
@@ -136,9 +139,9 @@ class TestRoutes:
             host, port = fe.address
             base = f"http://{host}:{port}/event/pubsub/cs"
             body = _push_body("mra", {"bucket": "b", "name": "x.log"})
-            assert _post(base, body)[0] == 403
+            assert _post(base, body)[0] == 401
             code, _ = _post(base, body, {"Authorization": "Bearer bad"})
-            assert code == 403
+            assert code == 401
             code, _ = _post(base, body, {"Authorization": "Bearer good-token"})
             assert code == 200
             assert len(pipe.calls) == 1
