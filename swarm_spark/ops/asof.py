@@ -18,9 +18,14 @@ Cost: ONE shuffle on the key + an in-partition sort — the same plan
 a sort-merge join would pay, with no quadratic candidate expansion.
 Skewed keys behave like any windowed aggregation (AQE/salting apply).
 
-Determinism: ties among right rows at the same (key, time) resolve to
-the lexicographically greatest payload struct; pre-aggregate the right
-side to one row per (key, time) when you need engine-portable output.
+Determinism: ties among right rows at the same (key, time) resolve by
+a SLIM tie-break — ``tie_break`` (a right column, e.g. an id) when
+given, else an 8-byte ``xxhash64`` of the payload — so the in-partition
+sort never compares full payload structs (a wide right side would
+otherwise pay its whole row width per comparison). Pre-aggregate the
+right side to one row per (key, time) when you need engine-portable
+output; with unique (key, time) right rows the tie-break never fires
+and the result is identical under any choice.
 """
 
 from __future__ import annotations
@@ -38,13 +43,17 @@ def asof_join(
     left_time: str,
     right_time: str,
     tolerance: Column | None = None,
+    tie_break: str | None = None,
 ) -> DataFrame:
     """Backward as-of left join.
 
     Returns the left columns plus every non-key right column (the
     matched row's), null when no right row is at or before the left
     timestamp (or outside ``tolerance``, a Column interval/duration in
-    the same units as the time columns' difference).
+    the same units as the time columns' difference). ``tie_break``
+    names a right column used to order right rows tying at the same
+    (key, time) — keep it slim (an id); omitted, a payload hash is
+    used so the sort key stays 8 bytes regardless of payload width.
     """
     rcols = [c for c in right.columns if c not in (on, right_time)]
     overlap = set(rcols) & set(left.columns)
@@ -60,9 +69,15 @@ def asof_join(
     )
     u = l.unionByName(r, allowMissingColumns=True)
 
+    if tie_break is not None:
+        if tie_break not in rcols:
+            raise ValueError(f"tie_break {tie_break!r} is not a right column")
+        tb = F.col(f"{_PAYLOAD}.{tie_break}")
+    else:
+        tb = F.xxhash64(_PAYLOAD)
     w = (
         Window.partitionBy(on)
-        .orderBy(_T, _SIDE, _PAYLOAD)
+        .orderBy(_T, _SIDE, tb)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = u.withColumn(_PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w))

@@ -47,13 +47,32 @@ class TestAsofJoin:
         }
         assert out == {1: "r10", 2: None, 3: None, 4: "r99", 5: None}
 
-    def test_tie_is_greatest_payload(self, spark):
+    def test_tie_break_column(self, spark):
         left = spark.createDataFrame([(1, "a", 10)], "lid long, k string, t long")
         right = spark.createDataFrame(
             [("a", 10, "x"), ("a", 10, "z"), ("a", 10, "y")], "k string, rt long, tag string"
         )
-        (row,) = asof_join(left, right, on="k", left_time="t", right_time="rt").collect()
-        assert row["tag"] == "z"  # lexicographically greatest payload
+        (row,) = asof_join(
+            left, right, on="k", left_time="t", right_time="rt", tie_break="tag"
+        ).collect()
+        assert row["tag"] == "z"  # greatest tie_break value wins
+
+        with pytest.raises(ValueError, match="tie_break"):
+            asof_join(
+                left, right, on="k", left_time="t", right_time="rt", tie_break="nope"
+            )
+
+    def test_default_tie_break_deterministic(self, spark):
+        left = spark.createDataFrame([(1, "a", 10)], "lid long, k string, t long")
+        right = spark.createDataFrame(
+            [("a", 10, "x"), ("a", 10, "z"), ("a", 10, "y")], "k string, rt long, tag string"
+        )
+        tags = {
+            asof_join(left, right, on="k", left_time="t", right_time="rt")
+            .collect()[0]["tag"]
+            for _ in range(3)
+        }
+        assert len(tags) == 1 and tags <= {"x", "y", "z"}
 
     def test_column_collision_rejected(self, frames):
         left, right = frames
