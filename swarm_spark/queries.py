@@ -306,8 +306,10 @@ def q_pipeline_ingest_e2e(spark, sf):
     ev = _t(spark, sf, "events")
     tmp = tempfile.mkdtemp(prefix="swarm_e2e_")
     obj_dir = os.path.join(tmp, "objects")
-    # one NDJSON "object" per spark partition — the batch-ingest shape
-    ev.select(F.to_json(F.struct(*ev.columns)).alias("value")).coalesce(4).write.mode(
+    # one NDJSON "object" per spark partition — the batch-ingest shape;
+    # 16 objects so fixture setup writes (and the ingest scan reads)
+    # with real parallelism instead of capping at 4 of the cores
+    ev.select(F.to_json(F.struct(*ev.columns)).alias("value")).repartition(16).write.mode(
         "overwrite"
     ).text(obj_dir)
     paths = [
@@ -337,15 +339,29 @@ def q_pipeline_ingest_e2e(spark, sf):
     pipe = IngestPipeline(spark, erules, rules, sink=None)  # transform-only
     objs = [ObjectMeta(bucket="local", name=os.path.basename(p), path=p) for p in paths]
     out = pipe.transform_objects(objs)
-    return (
+    # Exact distinct-id count WITHOUT the planner's Expand (countDistinct
+    # mixed with plain aggs doubles the pre-shuffle row volume): stage 1
+    # partially aggregates per (dataset, table, id) — map-side combined,
+    # one shuffle on the full key — stage 2 reduces the (tiny) per-id
+    # frame to per-table totals.
+    per_id = (
         out.select("dataset", "table", "id", F.col("data.event_id").alias("event_id"))
-        .groupBy("dataset", "table")
+        .groupBy("dataset", "table", "id")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.countDistinct("id").alias("n_ids"),
-            F.min("event_id").alias("min_eid"),
-            F.max("event_id").alias("max_eid"),
-            F.sum("event_id").alias("sum_eid"),
+            F.count(F.lit(1)).alias("c"),
+            F.min("event_id").alias("mn"),
+            F.max("event_id").alias("mx"),
+            F.sum("event_id").alias("sm"),
+        )
+    )
+    return (
+        per_id.groupBy("dataset", "table")
+        .agg(
+            F.sum("c").alias("n"),
+            F.count(F.lit(1)).alias("n_ids"),
+            F.min("mn").alias("min_eid"),
+            F.max("mx").alias("max_eid"),
+            F.sum("sm").alias("sum_eid"),
         )
         .orderBy("table")
     )
