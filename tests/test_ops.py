@@ -147,6 +147,36 @@ class TestComponents:
         comp = {r["id"]: r["component"] for r in dup_components(pairs).collect()}
         assert set(comp.values()) == {1}
 
+    def test_long_chain_converges_sublinearly(self, spark):
+        """A 30-hop chain needs 29 rounds under plain min-label
+        propagation; large-star/small-star closes it in O(log n)
+        alternating rounds — pin that with a max_iters far below the
+        diameter."""
+        from swarm_spark.ops import dup_components
+
+        n = 30
+        pairs = spark.createDataFrame(
+            [(f"d{i:03d}", f"d{i + 1:03d}") for i in range(n - 1)],
+            "doc_a string, doc_b string",
+        )
+        comp = {
+            r["id"]: r["component"]
+            for r in dup_components(pairs, max_iters=8).collect()
+        }
+        assert len(comp) == n
+        assert set(comp.values()) == {"d000"}
+
+    def test_two_components_string_ids_reverse_order(self, spark):
+        from swarm_spark.ops import dup_components
+
+        # edges given high→low and shuffled; min is lexicographic
+        pairs = spark.createDataFrame(
+            [("z9", "m5"), ("m5", "a1"), ("q2", "q8")],
+            "doc_a string, doc_b string",
+        )
+        comp = {r["id"]: r["component"] for r in dup_components(pairs).collect()}
+        assert comp == {"a1": "a1", "m5": "a1", "z9": "a1", "q2": "q2", "q8": "q2"}
+
 
 class TestDFPruning:
     def test_adversarial_common_shingle_bounded(self, spark):
