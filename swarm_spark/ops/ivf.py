@@ -7,10 +7,13 @@ round-trip through the driver each iteration — they are k×dim floats
 (metadata-sized), which is the standard Spark k-means shape; the data
 never leaves executors.
 
-Determinism: centroids initialize from the k lowest-id vectors and
-ties in assignment break by cell id, so given the same input the cell
-layout is reproducible up to float-sum ordering in the mean (why IVF
-queries are rows-only checked, not oracle-hashed).
+Determinism: centroids initialize from the k lowest-id vectors, ties
+in assignment break by cell id, and every centroid mean is rounded to
+a fixed 9 decimal digits (at the driver for the Lloyd updates, in the
+plan for the probe centroids). The rounding absorbs float-sum-order
+noise in the distributed avg, so the cell layout is bit-reproducible
+and the whole query is oracle-hashable against an unrolled k-means in
+DuckDB SQL (see ops_queries.SQL_ANN_IVF).
 
 Search: queries probe their ``nprobe`` nearest cells — corpus scan
 cost drops to ~nprobe/k of brute force while the per-cell equi-join
@@ -62,7 +65,11 @@ def kmeans_cells(
             )
             by_cell: dict[int, list[float]] = {}
             for r in means:
-                by_cell.setdefault(r["cell"], [0.0] * dim)[r["pos"]] = r["m"]
+                # fixed-digit rounding makes the next assignment
+                # independent of float-sum order in the distributed avg
+                by_cell.setdefault(r["cell"], [0.0] * dim)[r["pos"]] = round(
+                    r["m"], 9
+                )
             centroids = [
                 (c, by_cell.get(c, list(v)))  # empty cell keeps old centroid
                 for c, v in centroids
@@ -116,7 +123,7 @@ def ann_topk_ivf(
     centroids = (
         c.select("cell", F.posexplode(F.col("cv").cast("array<double>")).alias("pos", "x"))
         .groupBy("cell", "pos")
-        .agg(F.avg("x").alias("m"))
+        .agg(F.round(F.avg("x"), 9).alias("m"))
         .groupBy("cell")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
         .select("cell", F.transform("pm", lambda s: s["m"]).alias("cv"))
