@@ -147,8 +147,13 @@ def q_session_window(spark, sf):
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_sessions"),
             F.sum("n_ev").cast("long").alias("n_events"),
+            # session_window yields TIMESTAMP_NTZ fields on NTZ input
+            # (Spark 4.1); unix_micros requires TIMESTAMP. The session
+            # timezone is pinned UTC, so the cast is offset-free — and the
+            # subtraction cancels any uniform shift regardless.
             F.max(
-                F.unix_micros(F.col("w.end")) - F.unix_micros(F.col("w.start"))
+                F.unix_micros(F.col("w.end").cast("timestamp"))
+                - F.unix_micros(F.col("w.start").cast("timestamp"))
             ).alias("max_span_us"),
         )
         .orderBy("user_id")

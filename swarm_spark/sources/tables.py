@@ -3,10 +3,14 @@
 One place that knows the physical quirks of the test tables so every
 query/operator sees clean, typed DataFrames:
 
-- ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS); Spark
-  has no nanosecond timestamp, so the session reads it as long
-  (``spark.sql.legacy.parquet.nanosAsLong``) and this loader converts
-  nanos → microsecond TimestampType.
+- ``events.parquet`` has stored ``ts`` as parquet TIMESTAMP(NANOS)
+  (read as long via ``spark.sql.legacy.parquet.nanosAsLong`` and
+  converted nanos → µs here) and, in newer generations, as
+  TIMESTAMP(MICROS, isAdjustedToUTC=false) which Spark reads as
+  TIMESTAMP_NTZ. Both are normalized to microsecond TimestampType —
+  the session timezone is pinned UTC, so the NTZ→TZ cast is
+  offset-free and every downstream ``unix_micros``/window query sees
+  one timestamp type.
 """
 
 from __future__ import annotations
@@ -40,6 +44,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # (~1.7e18) exceed double's 2^53 exact-integer range — float
         # rounding shifts ~12% of timestamps by 1 µs.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ntz = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.TimestampNTZType)
+    ]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
     return df
 
 
