@@ -547,14 +547,110 @@ SELECT query_id, id, cos, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank
 
 def q_ann_topk_ivf(spark, sf):
     """Learned-IVF ANN (k-means cells, nprobe=4 of 8): same output
-    contract as brute force with a fractional corpus scan. Rows-only
-    (float-mean centroid sums are order-nondeterministic at ulp level,
-    so cell boundaries can't be oracle-hashed)."""
+    contract as brute force with a fractional corpus scan. Fully
+    oracle-hashable: every Lloyd mean is rounded to 9 decimal digits
+    at the driver (ops/ivf.py), which absorbs float-sum-order ulp
+    noise, so the identical unrolled k-means in DuckDB SQL
+    (``_ivf_oracle_sql``) reproduces the exact cell layout and
+    ranking."""
     from .ops.ivf import ann_topk_ivf
 
     emb = _emb(spark, sf)
     queries = emb.where(F.col("vec_id") % 100 == 0)
     return ann_topk_ivf(emb, queries, k=5, n_cells=8, nprobe=4, iters=3)
+
+
+def _ivf_oracle_sql(
+    k_cells: int = 8, iters: int = 3, nprobe: int = 4, topk: int = 5, qmod: int = 100
+) -> str:
+    """Unrolled Lloyd k-means + IVF probe in DuckDB SQL, mirroring
+    ops/ivf.py step for step: init = ``k_cells`` lowest-id vectors,
+    each assignment breaks ties by cell id, each per-(cell,pos) mean is
+    rounded to 9 digits (the determinism contract shared with the
+    Spark side), empty cells keep their previous centroid, and probe
+    centroids are recomputed from the final assignment exactly as
+    ``ann_topk_ivf`` does in-plan."""
+    d2 = "b.vn2 - 2 * list_dot_product(b.v, c.cv) + c.cn2"
+    ctes = [
+        """ibase AS (
+  SELECT vec_id AS id, cast(embedding AS double[]) AS v,
+         list_dot_product(cast(embedding AS double[]),
+                          cast(embedding AS double[])) AS vn2
+  FROM embeddings)""",
+        f"""c0 AS (
+  SELECT cast(row_number() OVER (ORDER BY id) - 1 AS int) AS cell, v AS cv,
+         list_dot_product(v, v) AS cn2
+  FROM (SELECT id, v FROM ibase ORDER BY id LIMIT {k_cells}))""",
+    ]
+    assign = (
+        "  SELECT id, cell FROM (\n"
+        "    SELECT b.id, c.cell,\n"
+        "           row_number() OVER (PARTITION BY b.id\n"
+        f"             ORDER BY {d2}, c.cell) AS rn\n"
+        "    FROM ibase b CROSS JOIN {cent} c) WHERE rn = 1)"
+    )
+    means = (
+        "  SELECT cell, list(round(m, 9) ORDER BY pos) AS cv FROM (\n"
+        "    SELECT cell, pos, avg(x) AS m FROM (\n"
+        "      SELECT a.cell, unnest(b.v) AS x,\n"
+        "             unnest(range(1, len(b.v) + 1)) AS pos\n"
+        "      FROM {a} a JOIN ibase b USING (id))\n"
+        "    GROUP BY 1, 2)\n"
+        "  GROUP BY 1)"
+    )
+    prev = "c0"
+    for i in range(1, iters + 1):
+        ctes.append(f"a{i} AS (\n" + assign.format(cent=prev))
+        ctes.append(f"m{i} AS (\n" + means.format(a=f"a{i}"))
+        ctes.append(
+            f"""c{i} AS (
+  SELECT p.cell, coalesce(n.cv, p.cv) AS cv,
+         list_dot_product(coalesce(n.cv, p.cv), coalesce(n.cv, p.cv)) AS cn2
+  FROM {prev} p LEFT JOIN m{i} n USING (cell))"""
+        )
+        prev = f"c{i}"
+    ctes.append("afin AS (\n" + assign.format(cent=prev))
+    ctes.append("mfin AS (\n" + means.format(a="afin"))
+    ctes.append(
+        """pc AS (
+  SELECT cell, cv, list_dot_product(cv, cv) AS cn2 FROM mfin)"""
+    )
+    ctes.append(
+        f"""qs AS (
+  SELECT vec_id AS query_id, cast(embedding AS double[]) AS qv,
+         list_dot_product(cast(embedding AS double[]),
+                          cast(embedding AS double[])) AS qn2
+  FROM embeddings WHERE vec_id % {qmod} = 0)""",
+    )
+    ctes.append(
+        f"""probes AS (
+  SELECT query_id, qv, qn2, cell FROM (
+    SELECT q.query_id, q.qv, q.qn2, c.cell,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY q.qn2 - 2 * list_dot_product(q.qv, c.cv) + c.cn2,
+                      c.cell) AS rn
+    FROM qs q CROSS JOIN pc c) WHERE rn <= {nprobe})"""
+    )
+    ctes.append(
+        """cand AS (
+  SELECT pr.query_id, b.id,
+         round(list_dot_product(pr.qv, b.v) / sqrt(pr.qn2 * b.vn2), 9) AS cos
+  FROM probes pr JOIN afin a USING (cell) JOIN ibase b ON a.id = b.id
+  WHERE pr.query_id != b.id)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT query_id, id, cos, rank FROM (
+  SELECT query_id, id, cos,
+         cast(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, id) AS bigint) AS rank
+  FROM cand) WHERE rank <= {topk} ORDER BY query_id, rank"""
+    )
+
+
+SQL_ANN_IVF = _ivf_oracle_sql()
 
 
 def q_ann_ivf_recall(spark, sf):
@@ -795,7 +891,7 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "dedup_embedding_signlsh": (q_dedup_embedding_signlsh, SQL_DEDUP_EMBEDDING_SIGNLSH),
     "ann_topk_bruteforce": (q_ann_topk_bruteforce, SQL_ANN_BRUTEFORCE),
     "ann_topk_cells": (q_ann_topk_cells, SQL_ANN_CELLS),
-    "ann_topk_ivf": (q_ann_topk_ivf, None),
+    "ann_topk_ivf": (q_ann_topk_ivf, SQL_ANN_IVF),
     "ann_ivf_recall": (q_ann_ivf_recall, SQL_ANN_IVF_RECALL),
     "asof_latest_order": (q_asof_latest_order, SQL_ASOF),
     "range_window_counts": (q_range_window_counts, SQL_RANGE_WINDOW),
