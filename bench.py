@@ -46,7 +46,7 @@ def main() -> None:
         "text_token_stats",
         "dedup_ngram_jaccard",
         "dedup_minhash_lsh",
-        "dedup_simhash_pairs",
+        "dedup_simhash64_pairs",
         "dedup_embedding",
         "ann_topk_bruteforce",
         "multimodal_features",

@@ -282,27 +282,30 @@ def simhash(
         .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("h", F.md5("w"))
     )
-    bit_idx = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
-    hexdig = F.substring(F.col("h"), (F.col("b") / 4).cast("int") + 1, 1)
-    dval = F.instr(F.lit("0123456789abcdef"), hexdig) - 1
-    # dval is recomputed per row; instr is 1-based so '0' → 0
-    p = F.pow(F.lit(2.0), (F.col("b") % 4).cast("double")).cast("long")
-    bit = F.floor(dval / p) % 2
-    contrib = (
-        tf.select("doc_id", "tf", "h", bit_idx)
-        .select(
-            "doc_id",
-            "b",
-            (F.col("tf") * (bit * 2 - 1)).alias("c"),
-        )
-        .groupBy("doc_id", "b")
-        .agg(F.sum("c").alias("s"))
-    )
-    weight = F.pow(F.lit(2.0), F.col("b").cast("double")).cast("long")
-    return (
-        contrib.groupBy("doc_id")
-        .agg(F.sum(F.when(F.col("s") > 0, weight).otherwise(F.lit(0))).alias("simhash"))
-    )
+    # One ±tf sum PER BIT as aggregate columns — no 62-way row explode:
+    # the shuffle carries (doc_id, `bits` longs) with map-side combine,
+    # and every bit extraction is whole-stage-codegen hex arithmetic.
+    # Hex digits decoded once per (doc, token) via conv(); bit b of the
+    # sketch is bit b%4 of hex digit b//4 (LSB-first, matching the
+    # oracle's instr-based decode).
+    digits = [
+        F.conv(F.substring("h", d + 1, 1), 16, 10).cast("int").alias(f"d{d}")
+        for d in range((bits + 3) // 4)
+    ]
+    keyed = tf.select("doc_id", "tf", *digits)
+    sums = [
+        F.sum(
+            F.col("tf")
+            * (F.shiftright(F.col(f"d{b // 4}"), b % 4).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    per_doc = keyed.groupBy("doc_id").agg(*sums)
+    sketch = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sketch = term if sketch is None else sketch + term
+    return per_doc.select("doc_id", sketch.cast("long").alias("simhash"))
 
 
 def simhash_pairs(
@@ -351,11 +354,13 @@ def simhash_pairs_blocked(
     exactly on at least one block. Candidates = pairs sharing a
     (block, block-value) key; the Hamming filter then verifies.
 
-    Scale shape: one slim (doc_id, block, value) shuffle for the
-    candidate join, distinct pair aggregation with map-side combine,
-    and two one-row-per-doc joins to re-attach sketches. Recall is
-    exact (not probabilistic); with wider sketches the block keys get
-    more selective and candidate volume drops super-linearly.
+    Scale shape: one slim (doc_id, block, value, sketch) shuffle for
+    the candidate join — the 8-byte sketch rides along, so no
+    re-attach joins and the sketch aggregate is computed once (the
+    self-join's two identical exchanges collapse via ReusedExchange).
+    Distinct pair aggregation has map-side combine. Recall is exact
+    (not probabilistic); with wider sketches the block keys get more
+    selective and candidate volume drops super-linearly.
     """
     nblocks = max_hamming + 1
     width = (bits + nblocks - 1) // nblocks
@@ -363,6 +368,7 @@ def simhash_pairs_blocked(
     s = simhash(df, text_col, id_col, bits)
     keyed = s.select(
         "doc_id",
+        "simhash",
         F.posexplode(
             F.array(
                 *[
@@ -374,24 +380,21 @@ def simhash_pairs_blocked(
     )
     a = keyed.alias("a")
     b = keyed.alias("b")
-    cand = (
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
         a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.val") == F.col("b.val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sa = s.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
-    sb = s.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
-    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("long").alias("hamming"),
+        )
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
         .orderBy("doc_a", "doc_b")
     )
 

@@ -357,7 +357,12 @@ def q_dedup_simhash(spark, sf):
     return simhash(_docs(spark, sf), bits=32).orderBy("doc_id")
 
 
-_SIMHASH_CTE = f"""
+def _simhash_cte(bits: int) -> str:
+    """tf-weighted SimHash in DuckDB, any width up to 62 bits: bit b
+    lives in hex digit b//4 of md5 (32 hex digits cover b ≤ 127), and
+    pow(2, b) is a power of two — exact in a double — so the bigint
+    pack is lossless for b ≤ 62."""
+    return f"""
 w AS ({_WS}),
 t AS (SELECT doc_id, tok, count(*) AS tf
       FROM (SELECT doc_id, unnest(ws) AS tok FROM w) GROUP BY 1, 2),
@@ -367,12 +372,15 @@ bt AS (SELECT doc_id, b.b AS b,
                       substr(h, cast(b.b // 4 AS int) + 1, 1)) - 1)
                   / (CASE cast(b.b % 4 AS int) WHEN 0 THEN 1 WHEN 1 THEN 2
                      WHEN 2 THEN 4 ELSE 8 END)) AS int) % 2) - 1)) AS s
-       FROM th, (SELECT unnest(range(32)) AS b) b GROUP BY 1, 2),
+       FROM th, (SELECT unnest(range({bits})) AS b) b GROUP BY 1, 2),
 sh AS (SELECT doc_id,
               cast(sum(CASE WHEN s > 0 THEN cast(pow(2, b) AS bigint) ELSE 0 END) AS bigint)
                   AS simhash
        FROM bt GROUP BY 1)
 """
+
+
+_SIMHASH_CTE = _simhash_cte(32)
 SQL_SIMHASH = f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM sh ORDER BY doc_id"
 
 
@@ -388,6 +396,25 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        cast(bit_count(xor(a.simhash, b.simhash)) AS bigint) AS hamming
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+ORDER BY doc_a, doc_b
+"""
+
+
+def q_dedup_simhash64_pairs(spark, sf):
+    """Wide-sketch near-dup pairs: 62-bit SimHash, Hamming ≤ 3. The
+    scale default — at ≫10⁶ docs a 32-bit sketch's ~11-bit pigeonhole
+    blocks saturate (2¹¹ distinct values), while 62/4 ≈ 15-bit blocks
+    of a wide sketch keep candidate volume super-linearly lower. Same
+    blocked plan shape: one slim (doc_id, block, value) shuffle."""
+    return simhash_pairs_blocked(_docs(spark, sf), bits=62, max_hamming=3)
+
+
+SQL_SIMHASH64_PAIRS = f"""
+WITH {_simhash_cte(62)}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       cast(bit_count(xor(a.simhash, b.simhash)) AS bigint) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 ORDER BY doc_a, doc_b
 """
 
@@ -887,6 +914,7 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_MINHASH_LSH),
     "dedup_simhash": (q_dedup_simhash, SQL_SIMHASH),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_SIMHASH_PAIRS),
+    "dedup_simhash64_pairs": (q_dedup_simhash64_pairs, SQL_SIMHASH64_PAIRS),
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "dedup_embedding_signlsh": (q_dedup_embedding_signlsh, SQL_DEDUP_EMBEDDING_SIGNLSH),
     "ann_topk_bruteforce": (q_ann_topk_bruteforce, SQL_ANN_BRUTEFORCE),
