@@ -62,7 +62,7 @@ _TOKEN_RE = re.compile(
   | (?P<str>"(?:[^"\\]|\\.)*")
   | (?P<num>-?\d+(?:\.\d+)?)
   | (?P<ident>[A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)*)
-  | (?P<op>:=|==|!=|=|\[|\]|\{|\}|\(|\)|,|:|\*|/|\+|-)
+  | (?P<op>:=|==|!=|<=|>=|<|>|=|\[|\]|\{|\}|\(|\)|,|:|\*|/|\+|-|\.)
 """,
     re.VERBOSE,
 )
@@ -113,6 +113,25 @@ class Eq:
 
 
 @dataclass(frozen=True)
+class Cmp:
+    """Ordering / inequality comparison (`!=` `<` `>` `<=` `>=`)."""
+
+    op: str
+    left: Any
+    right: Any
+
+
+@dataclass(frozen=True)
+class Index:
+    """Postfix access that is not a plain input-path extension:
+    integer indexing (``authHdr[0]``), key/attr access on a call
+    result (``http.send(...).raw_body``, ``claims[1]["iss"]``)."""
+
+    obj: Any
+    key: Any  # int or str
+
+
+@dataclass(frozen=True)
 class Assign:
     var: str
     value: Any
@@ -125,6 +144,7 @@ class Rule:
     body: tuple
     value: Any = None  # complete-rule value (`deny = false { ... }`)
     is_default: bool = False  # `default deny = true`
+    params: tuple | None = None  # function rule `f(x) := ... { ... }`
 
 
 @dataclass(frozen=True)
@@ -190,6 +210,23 @@ class _Parser:
             head = self.expr()
             self.expect("]")
             return Rule(name, head, self._body())
+        if nxt == "(":
+            # function rule: `f(x) := <expr>` with optional body
+            self.next()
+            params = []
+            while self.peek()[1] != ")":
+                kind, p = self.next()
+                if kind != "ident":
+                    raise RegoError(f"bad function parameter {p!r}")
+                params.append(p)
+                if self.peek()[1] == ",":
+                    self.next()
+            self.expect(")")
+            if self.next()[1] not in ("=", ":="):
+                raise RegoError(f"function rule {name!r} must assign a value")
+            value = self.expr()
+            body = self._body() if self.peek()[1] == "{" else ()
+            return Rule(name, None, body, value=value, params=tuple(params))
         if nxt in ("=", ":="):
             # complete rule with value: `deny = false { allow }`
             self.next()
@@ -218,6 +255,9 @@ class _Parser:
         if self.peek()[1] == "==":
             self.next()
             return Eq(left, self.expr())
+        if self.peek()[1] in ("!=", "<", ">", "<=", ">="):
+            op = self.next()[1]
+            return Cmp(op, left, self.expr())
         if isinstance(left, Call):
             return left  # builtin predicate call (startswith/…)
         if isinstance(left, Path) and len(left.parts) == 1 and not left.fanout:
@@ -238,7 +278,7 @@ class _Parser:
             self.next()
             e = self.expr()
             self.expect(")")
-            return e
+            return self._postfix(e)
         if val == "{":
             return self.object()
         if val == "[":
@@ -261,23 +301,48 @@ class _Parser:
                     if self.peek()[1] == ",":
                         self.next()
                 self.expect(")")
-                return Call(val, tuple(args))
-            parts = list(val.split("."))
-            fan = False
-            while self.peek()[1] == "[":  # input.Records[_] / header["X"][_]
+                return self._postfix(Call(val, tuple(args)))
+            return self._postfix(Path(tuple(val.split("."))))
+        raise RegoError(f"unexpected token {val!r}")
+
+    def _postfix(self, base):
+        """``[...]`` / ``.attr`` chains on any base expression. String
+        keys on a plain (non-fanned) Path extend its parts (the
+        ``input.header["X"]`` shape the input resolver consumes);
+        integer keys, post-fanout keys, and access on call results
+        become :class:`Index` nodes."""
+        while True:
+            nxt = self.peek()[1]
+            if nxt == "[":
                 self.next()
                 kind2, v2 = self.next()
                 if v2 == "_":
-                    fan = True
+                    if not isinstance(base, Path):
+                        raise RegoError("[_] fan-out only applies to a path")
+                    base = Path(base.parts, fanout=True)
                 elif kind2 == "str":
-                    parts.append(_unquote(v2))
+                    key = _unquote(v2)
+                    if isinstance(base, Path) and not base.fanout:
+                        base = Path(base.parts + (key,))
+                    else:
+                        base = Index(base, key)
+                elif kind2 == "num" and "." not in v2:
+                    base = Index(base, int(v2))
                 else:
                     raise RegoError(
-                        f"only [_] or [\"key\"] indexing supported, got {v2!r}"
+                        f"only [_], [\"key\"] or [int] indexing supported, got {v2!r}"
                     )
                 self.expect("]")
-            return Path(tuple(parts), fanout=fan)
-        raise RegoError(f"unexpected token {val!r}")
+            elif nxt == ".":
+                # standalone `.` only lexes after `)` / `]` (dotted
+                # idents are single tokens), i.e. `http.send(...).raw_body`
+                self.next()
+                kind2, v2 = self.next()
+                if kind2 != "ident":
+                    raise RegoError(f"expected attribute name after '.', got {v2!r}")
+                base = Index(base, v2)
+            else:
+                return base
 
     def object(self):
         self.expect("{")
@@ -527,33 +592,162 @@ def rego_to_config(texts: list[str]) -> dict:
 
 
 # ------------------------------------------------------ auth package (A1)
+class _Undefined(Exception):
+    """Rego 'undefined' — a data-dependent miss (absent key, index out
+    of range, malformed token). Fails the enclosing rule body instead
+    of erroring, matching OPA semantics."""
+
+
+try:  # optional: only io.jwt.*verify* builtins need it (docs/rule.md:252-283)
+    import jwt as _pyjwt
+    from jwt import algorithms as _pyjwt_algorithms
+
+    _HAS_JWT_CRYPTO = bool(getattr(_pyjwt_algorithms, "has_crypto", False))
+except ImportError:  # pragma: no cover - exercised in bare containers
+    _pyjwt = None
+    _HAS_JWT_CRYPTO = False
+
+
+def _jwt_unverified_decode(token: str) -> list:
+    """``io.jwt.decode``: [header, payload, signature-hex] — pure
+    base64url/JSON, no crypto dependency (OPA returns the same triple
+    without verifying)."""
+    import base64
+    import json as _json
+
+    try:
+        h, p, s = token.split(".")
+
+        def b64(seg: str) -> bytes:
+            return base64.urlsafe_b64decode(seg + "=" * (-len(seg) % 4))
+
+        return [_json.loads(b64(h)), _json.loads(b64(p)), b64(s).hex()]
+    except Exception as exc:  # malformed token → undefined, not error
+        raise _Undefined(f"io.jwt.decode: {exc}") from exc
+
+
+_PURE_AUTH_BUILTINS = frozenset(
+    {
+        "count",
+        "split",
+        "lower",
+        "upper",
+        "startswith",
+        "endswith",
+        "contains",
+        "trim_space",
+        "time.now_ns",
+        "io.jwt.decode",
+    }
+)
+_JWT_VERIFY_BUILTINS = frozenset({"io.jwt.verify_rs256", "io.jwt.decode_verify"})
+
+
 class RegoAuthPolicy:
     """Compiled ``package auth`` policy — the reference's HTTP
     authorization surface (pkg/usecase/auth.go:16-43, docs/rule.md
     §Authorization Rule): ``data.auth.deny`` evaluated over
     ``{method, path, remote, query, header, body}``; undefined deny is
-    treated as false (allow). Supported rule shapes are everything the
-    shipped policies and docs use short of network builtins —
-    ``default deny``, valued complete rules (``deny = false {
-    allow }``), bare boolean rules (``allow { ... }``) referencing each
-    other, equality over input fields, ``[_]`` membership over
-    header/query value lists, and startswith/endswith/contains.
-    ``http.send`` / ``io.jwt`` verification is out of subset by design
-    (network-dependent); policies using it fail loudly at load.
+    treated as false (allow).
+
+    The evaluator is a small environment-based interpreter covering
+    the doc's full JWT example (docs/rule.md:252-283) verbatim:
+    ``default deny`` / valued / bare boolean rules, local ``:=``
+    bindings, function rules (``jwks_request(url) := http.send(...)``),
+    ``[_]`` membership, integer/key indexing, arithmetic, ordering
+    comparisons, and the builtins count/split/lower/upper/startswith/
+    endswith/contains/trim_space/time.now_ns/io.jwt.decode.
+
+    Environment-gated builtins (validated at LOAD, so unusable
+    policies still fail loudly):
+
+    - ``io.jwt.verify_rs256`` / ``io.jwt.decode_verify`` require
+      PyJWT with the cryptography backend; absent → RegoError.
+    - ``http.send`` requires an injected transport
+      (``rego_to_auth(..., http_send=...)``) — the engine never opens
+      network connections itself; absent → RegoError.
+    - ``time.now_ns`` uses the injectable ``now_ns`` clock
+      (default ``time.time_ns``).
 
     Duck-types :class:`~swarm_spark.streaming.auth.AuthPolicy` —
     ``authorize(AuthInput)`` raises AuthDenied — so it drops into the
     HTTP frontend's middleware slot unchanged.
     """
 
-    def __init__(self, defs: dict[str, list[Rule]], defaults: dict[str, Any]):
+    def __init__(
+        self,
+        defs: dict[str, list[Rule]],
+        defaults: dict[str, Any],
+        funcs: dict[str, Rule] | None = None,
+        http_send=None,
+        now_ns=None,
+    ):
+        import time as _time
+
         self._defs = defs
         self._defaults = defaults
+        self._funcs = funcs or {}
+        self._http_send = http_send
+        self._now_ns = now_ns or _time.time_ns
+        self._validate()
+
+    # -- load-time builtin validation ----------------------------------
+    def _iter_calls(self):
+        def walk(node):
+            if isinstance(node, Call):
+                yield node
+                for arg in node.args:
+                    yield from walk(arg)
+            elif isinstance(node, (Eq, Cmp)):
+                yield from walk(node.left)
+                yield from walk(node.right)
+            elif isinstance(node, Bin):
+                yield from walk(node.left)
+                yield from walk(node.right)
+            elif isinstance(node, Assign):
+                yield from walk(node.value)
+            elif isinstance(node, Index):
+                yield from walk(node.obj)
+            elif isinstance(node, dict):
+                for v in node.values():
+                    yield from walk(v)
+            elif isinstance(node, list):
+                for v in node:
+                    yield from walk(v)
+
+        rules = [r for rs in self._defs.values() for r in rs] + list(
+            self._funcs.values()
+        )
+        for rule in rules:
+            for stmt in rule.body:
+                yield from walk(stmt)
+            if rule.value is not None:
+                yield from walk(rule.value)
+
+    def _validate(self) -> None:
+        for call in self._iter_calls():
+            fn = call.fn
+            if fn in self._funcs or fn in _PURE_AUTH_BUILTINS:
+                continue
+            if fn in _JWT_VERIFY_BUILTINS:
+                if not _HAS_JWT_CRYPTO:
+                    raise RegoError(
+                        f"{fn} requires PyJWT with the cryptography backend "
+                        "(pip install pyjwt cryptography); rejected at load"
+                    )
+                continue
+            if fn == "http.send":
+                if self._http_send is None:
+                    raise RegoError(
+                        "http.send requires an injected transport "
+                        "(rego_to_auth(texts, http_send=...)); the engine "
+                        "does not open network connections itself"
+                    )
+                continue
+            raise RegoError(f"unsupported auth builtin {fn!r}")
 
     # -- evaluation over AuthInput -------------------------------------
     def _input_value(self, a, parts: tuple[str, ...]):
-        from ..streaming.auth import AuthInput  # noqa: F401 (typing only)
-
         if parts[0] != "input" or len(parts) < 2:
             raise RegoError(f"auth path must root at input: {'.'.join(parts)}")
         field = parts[1]
@@ -571,36 +765,193 @@ class RegoAuthPolicy:
             return []
         raise RegoError(f"unsupported auth input field {field!r}")
 
-    def _eval_stmt(self, stmt, a, stack: tuple[str, ...]) -> bool:
-        if isinstance(stmt, Path) and len(stmt.parts) == 1:
-            return self._eval_bool(stmt.parts[0], a, stack)
+    def _call(self, fn: str, args: list, a, stack):
+        if fn in self._funcs:
+            rule = self._funcs[fn]
+            if len(args) != len(rule.params or ()):
+                raise RegoError(f"function {fn!r} expects {rule.params}, got {args}")
+            env = dict(zip(rule.params, args))
+            for stmt in rule.body:
+                if not self._eval_stmt(stmt, a, env, stack):
+                    raise _Undefined(f"function {fn!r} body unsatisfied")
+            return self._eval_expr(rule.value, a, env, stack)
+        if fn == "count":
+            return len(args[0])
+        if fn == "split":
+            return str(args[0]).split(str(args[1]))
+        if fn == "lower":
+            return str(args[0]).lower()
+        if fn == "upper":
+            return str(args[0]).upper()
+        if fn == "trim_space":
+            return str(args[0]).strip()
+        if fn in ("startswith", "endswith", "contains"):
+            s, sub = str(args[0]), str(args[1])
+            return {
+                "startswith": s.startswith,
+                "endswith": s.endswith,
+                "contains": s.__contains__,
+            }[fn](sub)
+        if fn == "time.now_ns":
+            return int(self._now_ns())
+        if fn == "io.jwt.decode":
+            return _jwt_unverified_decode(str(args[0]))
+        if fn == "io.jwt.verify_rs256":
+            return self._jwt_verify_rs256(str(args[0]), args[1])
+        if fn == "io.jwt.decode_verify":
+            return self._jwt_decode_verify(str(args[0]), args[1])
+        if fn == "http.send":
+            resp = self._http_send(args[0])
+            if not isinstance(resp, dict):
+                raise RegoError("http.send transport must return a dict")
+            return resp
+        raise RegoError(f"unsupported auth builtin {fn!r}")
+
+    @staticmethod
+    def _jwks_keys(certs):
+        """JWKS JSON string / dict → list of PyJWT key objects."""
+        import json as _json
+
+        jwks = _json.loads(certs) if isinstance(certs, str) else certs
+        keys = []
+        for k in jwks.get("keys", []):
+            try:
+                keys.append(_pyjwt.PyJWK(k).key)
+            except Exception:  # unusable key entry — skip, try the rest
+                continue
+        return keys
+
+    def _jwt_verify_rs256(self, token: str, certs) -> bool:
+        """Signature-only verification against a JWKS (OPA's
+        ``io.jwt.verify_rs256`` contract — claims are NOT checked)."""
+        for key in self._jwks_keys(certs):
+            try:
+                _pyjwt.decode(
+                    token,
+                    key=key,
+                    algorithms=["RS256"],
+                    options={"verify_exp": False, "verify_aud": False},
+                )
+                return True
+            except Exception:
+                continue
+        return False
+
+    def _jwt_decode_verify(self, token: str, constraints) -> list:
+        """OPA ``io.jwt.decode_verify``: [valid, header, payload];
+        [false, {}, {}] when verification fails. Supported constraint
+        keys: cert (JWKS/PEM), iss, aud, time (ns)."""
+        if not isinstance(constraints, dict):
+            raise RegoError("io.jwt.decode_verify constraints must be an object")
+        cert = constraints.get("cert")
+        keys = self._jwks_keys(cert) if cert else []
+        opts = {"verify_aud": "aud" in constraints}
+        kwargs: dict[str, Any] = {"algorithms": ["RS256"], "options": opts}
+        if "aud" in constraints:
+            kwargs["audience"] = constraints["aud"]
+        if "iss" in constraints:
+            kwargs["issuer"] = constraints["iss"]
+            opts["verify_iss"] = True
+        for key in keys:
+            try:
+                payload = _pyjwt.decode(token, key=key, **kwargs)
+                header = _pyjwt.get_unverified_header(token)
+                return [True, header, payload]
+            except Exception:
+                continue
+        return [False, {}, {}]
+
+    def _eval_expr(self, e, a, env: dict, stack):
+        if isinstance(e, Lit):
+            return e.value
+        if isinstance(e, dict):
+            return {k: self._eval_expr(v, a, env, stack) for k, v in e.items()}
+        if isinstance(e, list):
+            return [self._eval_expr(v, a, env, stack) for v in e]
+        if isinstance(e, Path):
+            if e.parts[0] == "input":
+                return self._input_value(a, e.parts)
+            if e.parts[0] in env:
+                val = env[e.parts[0]]
+                for part in e.parts[1:]:
+                    if not isinstance(val, dict) or part not in val:
+                        raise _Undefined(f"missing key {part!r}")
+                    val = val[part]
+                return val
+            if len(e.parts) == 1 and (
+                e.parts[0] in self._defs or e.parts[0] in self._defaults
+            ):
+                return self._eval_bool(e.parts[0], a, stack)
+            raise RegoError(f"unknown auth name {'.'.join(e.parts)!r}")
+        if isinstance(e, Index):
+            obj = self._eval_expr(e.obj, a, env, stack)
+            key = e.key
+            if isinstance(key, int):
+                if not isinstance(obj, (list, tuple)) or not -len(obj) <= key < len(obj):
+                    raise _Undefined(f"index {key} out of range")
+                return obj[key]
+            if isinstance(obj, dict):
+                if key not in obj:
+                    raise _Undefined(f"missing key {key!r}")
+                return obj[key]
+            raise _Undefined(f"cannot index {type(obj).__name__} with {key!r}")
+        if isinstance(e, Bin):
+            left = self._eval_expr(e.left, a, env, stack)
+            right = self._eval_expr(e.right, a, env, stack)
+            if not isinstance(left, (int, float)) or not isinstance(right, (int, float)):
+                raise RegoError(f"arithmetic needs numbers, got {left!r} {e.op} {right!r}")
+            if e.op == "+":
+                return left + right
+            if e.op == "-":
+                return left - right
+            if e.op == "*":
+                return left * right
+            if e.op == "/":
+                return left / right
+            raise RegoError(f"unsupported operator {e.op!r}")
+        if isinstance(e, Call):
+            args = [self._eval_expr(arg, a, env, stack) for arg in e.args]
+            return self._call(e.fn, args, a, stack)
+        raise RegoError(f"unsupported auth expression {e!r}")
+
+    def _eval_stmt(self, stmt, a, env: dict, stack: tuple[str, ...]) -> bool:
+        if isinstance(stmt, Assign):
+            env[stmt.var] = self._eval_expr(stmt.value, a, env, stack)
+            return True
         if isinstance(stmt, Eq):
-            p, lit = stmt.left, stmt.right
-            if isinstance(p, Lit) and isinstance(lit, Path):
-                p, lit = lit, p
-            if not (isinstance(p, Path) and isinstance(lit, Lit)):
-                raise RegoError(f"unsupported auth equality {stmt!r}")
-            val = self._input_value(a, p.parts)
-            if p.fanout:
-                return lit.value in val
-            return val == lit.value
+            left, right = stmt.left, stmt.right
+            if isinstance(right, Path) and right.fanout:
+                left, right = right, left
+            if isinstance(left, Path) and left.fanout:
+                vals = self._eval_expr(Path(left.parts), a, env, stack)
+                return self._eval_expr(right, a, env, stack) in vals
+            return self._eval_expr(left, a, env, stack) == self._eval_expr(
+                right, a, env, stack
+            )
+        if isinstance(stmt, Cmp):
+            left = self._eval_expr(stmt.left, a, env, stack)
+            right = self._eval_expr(stmt.right, a, env, stack)
+            import operator as _op
+
+            return {
+                "!=": _op.ne,
+                "<": _op.lt,
+                ">": _op.gt,
+                "<=": _op.le,
+                ">=": _op.ge,
+            }[stmt.op](left, right)
         if isinstance(stmt, Call):
-            if stmt.fn not in ("startswith", "endswith", "contains") or len(
-                stmt.args
-            ) != 2:
-                raise RegoError(f"unsupported auth builtin {stmt.fn!r}")
-            p, lit = stmt.args
-            if not (isinstance(p, Path) and isinstance(lit, Lit)):
-                raise RegoError(f"unsupported auth builtin args {stmt!r}")
-            val = self._input_value(a, p.parts)
-            if not isinstance(val, str):
-                raise RegoError(f"{stmt.fn} needs a string input field")
-            op = {
-                "startswith": str.startswith,
-                "endswith": str.endswith,
-                "contains": str.__contains__,
-            }[stmt.fn]
-            return op(val, lit.value)
+            return bool(self._call(
+                stmt.fn,
+                [self._eval_expr(arg, a, env, stack) for arg in stmt.args],
+                a,
+                stack,
+            ))
+        if isinstance(stmt, Path) and len(stmt.parts) == 1 and not stmt.fanout:
+            name = stmt.parts[0]
+            if name in env:
+                return bool(env[name])
+            return self._eval_bool(name, a, stack)
         raise RegoError(f"unsupported auth statement {stmt!r}")
 
     def _eval_bool(self, name: str, a, stack: tuple[str, ...] = ()) -> bool:
@@ -608,15 +959,31 @@ class RegoAuthPolicy:
         if name in stack:
             raise RegoError(f"recursive auth rule {name!r}")
         for rule in self._defs.get(name, ()):
-            if all(self._eval_stmt(s, a, stack + (name,)) for s in rule.body):
-                return True
+            env: dict[str, Any] = {}
+            try:
+                if all(
+                    self._eval_stmt(s, a, env, stack + (name,)) for s in rule.body
+                ):
+                    v = rule.value
+                    return bool(self._eval_expr(v, a, env, stack + (name,))) if v is not None else True
+            except _Undefined:
+                continue
+        dflt = self._defaults.get(name)
+        if dflt is not None:
+            return bool(dflt.value) if isinstance(dflt, Lit) else bool(dflt)
         return False
 
     def deny(self, a) -> bool:
         for rule in self._defs.get("deny", ()):
-            if all(self._eval_stmt(s, a, ("deny",)) for s in rule.body):
-                v = rule.value
-                return bool(v.value) if isinstance(v, Lit) else bool(v)
+            env: dict[str, Any] = {}
+            try:
+                if all(self._eval_stmt(s, a, env, ("deny",)) for s in rule.body):
+                    v = rule.value
+                    if v is None:
+                        return True
+                    return bool(self._eval_expr(v, a, env, ("deny",)))
+            except _Undefined:
+                continue
         dflt = self._defaults.get("deny")
         if dflt is not None:
             return bool(dflt.value) if isinstance(dflt, Lit) else bool(dflt)
@@ -629,11 +996,19 @@ class RegoAuthPolicy:
             raise AuthDenied("auth.deny")
 
 
-def rego_to_auth(texts: list[str]) -> RegoAuthPolicy | None:
+def rego_to_auth(
+    texts: list[str], *, http_send=None, now_ns=None
+) -> RegoAuthPolicy | None:
     """Compile every ``package auth`` module in ``texts``; None if the
-    sources define no auth policy (reference default: allow-all)."""
+    sources define no auth policy (reference default: allow-all).
+
+    ``http_send``: optional transport callable(dict) -> dict for the
+    ``http.send`` builtin (e.g. a JWKS fetcher); without it policies
+    using http.send are rejected at load. ``now_ns``: injectable clock
+    for ``time.now_ns`` (tests pin it; default ``time.time_ns``)."""
     defs: dict[str, list[Rule]] = {}
     defaults: dict[str, Any] = {}
+    funcs: dict[str, Rule] = {}
     found = False
     for text in texts:
         mod = parse_rego(text)
@@ -643,21 +1018,25 @@ def rego_to_auth(texts: list[str]) -> RegoAuthPolicy | None:
         for rule in mod.rules:
             if rule.head is not None:
                 raise RegoError("auth rules must be boolean/valued, not set rules")
-            if rule.is_default:
+            if rule.params is not None:
+                funcs[rule.head_name] = rule
+            elif rule.is_default:
                 defaults[rule.head_name] = rule.value
             else:
                 defs.setdefault(rule.head_name, []).append(rule)
-    return RegoAuthPolicy(defs, defaults) if found else None
+    if not found:
+        return None
+    return RegoAuthPolicy(defs, defaults, funcs, http_send=http_send, now_ns=now_ns)
 
 
-def load_rego_auth_dir(path: str) -> RegoAuthPolicy | None:
+def load_rego_auth_dir(path: str, *, http_send=None, now_ns=None) -> RegoAuthPolicy | None:
     """Compile the auth policy from every ``*.rego`` under ``path``
     (non-auth packages are ignored, so a mixed policy dir works)."""
     texts = []
     for p in sorted(_glob.glob(os.path.join(path, "**", "*.rego"), recursive=True)):
         with open(p, encoding="utf-8") as f:
             texts.append(f.read())
-    return rego_to_auth(texts)
+    return rego_to_auth(texts, http_send=http_send, now_ns=now_ns)
 
 
 def load_rego_policies(texts: list[str]) -> tuple[EventRuleSet, SchemaRuleRegistry]:
