@@ -89,9 +89,12 @@ class IngestPipeline:
         strict: bool = True,
         write_load_log: bool = False,
         json_mode: str = "lines",
+        atomic: bool = False,
     ):
         if id_mode not in ("fast", "canonical"):
             raise ModelError(f"id_mode must be fast|canonical, got {id_mode!r}")
+        if atomic and not hasattr(sink, "transaction"):
+            raise ModelError(f"sink {type(sink).__name__} has no transactional mode")
         self.spark = spark
         self.event_rules = event_rules
         self.schema_rules = schema_rules
@@ -100,6 +103,7 @@ class IngestPipeline:
         self.strict = strict
         self.write_load_log = write_load_log
         self.json_mode = json_mode
+        self.atomic = atomic
 
     # -- R1: object routing (driver-side; see EventRuleSet.route_listing
     #    for the distributed variant used by backfills) ----------------
@@ -201,14 +205,24 @@ class IngestPipeline:
 
     # -- G1 + Q1/Q2/Q4 + W1: per-destination evolve + append -----------
     def _write_routed(self, enveloped: DataFrame, stats: IngestStats) -> None:
-        """Per-destination evolve+append with PARTIAL-failure tolerance:
-        one bad destination (schema conflict, sink failure) never blocks
-        the others — its error is recorded per-ingest and surfaced after
-        every destination has been attempted (reference semantics,
+        """Per-destination evolve+append.
+
+        Default mode: PARTIAL-failure tolerance — one bad destination
+        (schema conflict, sink failure) never blocks the others; its
+        error is recorded per-ingest and surfaced after every
+        destination has been attempted (reference semantics,
         load.go:100-130: per-table goroutines report errors
-        independently)."""
+        independently).
+
+        ``atomic=True``: all destination slices stage in ONE sink
+        transaction; any failure aborts the whole batch and no rows
+        become visible (see TableTransaction — schema evolution is
+        still applied eagerly, which is harmless because the merge is
+        monotonic/additive)."""
         enveloped = enveloped.persist()
         errors: list[tuple[TableDest, Exception]] = []
+        txn = self.sink.transaction() if self.atomic else None
+        staged: dict[tuple, int] = {}
         try:
             dests = [
                 TableDest(r["dataset"], r["table"], r["partition"])
@@ -227,16 +241,26 @@ class IngestPipeline:
                     batch = strip_struct_column(batch, "data")
                     merged = self.sink.ensure_table(dest, batch.schema["data"].dataType)
                     aligned = self._align_data(batch, merged)
-                    n = self.sink.append(dest, aligned)
+                    if txn is not None:
+                        n = txn.stage(dest, aligned)
+                    else:
+                        n = self.sink.append(dest, aligned)
                 except Exception as e:  # noqa: BLE001 — recorded, surfaced below
                     errors.append((dest, e))
                     stats.errors.append(f"{dest.dataset}.{dest.table}: {e}")
+                    if txn is not None:  # all-or-nothing: first error aborts
+                        txn.abort()
+                        raise IngestPartialFailure(stats, errors) from e
                     continue
                 key = (dest.dataset, dest.table, dest.partition)
+                staged[key] = staged.get(key, 0) + n
+            if txn is not None:
+                txn.commit()
+            for key, n in staged.items():  # additive: called per source group
                 stats.rows_by_dest[key] = stats.rows_by_dest.get(key, 0) + n
         finally:
             enveloped.unpersist()
-        if errors and self.strict:
+        if errors and self.strict and txn is None:
             dest, first = errors[0]
             raise IngestPartialFailure(stats, errors) from first
 

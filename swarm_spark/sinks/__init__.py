@@ -1,7 +1,7 @@
 from .base import Sink
 from .bigquery import BigQuerySink, BigQuerySinkUnavailable
 from .dump import DumpSink
-from .table import TableSink, envelope_schema
+from .table import TableSink, TableTransaction, envelope_schema
 
 __all__ = [
     "BigQuerySink",
@@ -9,5 +9,6 @@ __all__ = [
     "DumpSink",
     "Sink",
     "TableSink",
+    "TableTransaction",
     "envelope_schema",
 ]

@@ -17,14 +17,23 @@ fills fields missing from older files with nulls, so old batches never
 need rewriting (same monotonic-evolution property BigQuery gives the
 reference).
 
+Multi-table batches can opt into an all-or-nothing commit via
+:class:`TableTransaction` (the Spark-native upgrade over the
+reference's partial-success tolerance, pkg/usecase/load.go:100-130):
+slices stage under hidden ``_staged-{txn}`` subdirs, one manifest-file
+rename publishes the whole transaction, and file promotion into the
+table layout is idempotent + completed by readers, so a crash at any
+point leaves either nothing or the full batch visible.
+
 On a cluster this sink maps 1:1 onto Delta/Iceberg (transactional
-commit replaces the lock file) or the BigQuery connector.
+commit replaces the lock file / manifest) or the BigQuery connector.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 
@@ -39,6 +48,8 @@ from .base import Sink
 
 SCHEMA_FILE = "_swarm_schema.json"
 LOCK_FILE = "_swarm_schema.lock"
+COMMITS_DIR = "_swarm_commits"
+STAGED_PREFIX = "_staged-"
 
 
 def envelope_schema(data_schema: T.StructType) -> T.StructType:
@@ -112,7 +123,29 @@ class TableSink(Sink):
             writer.write.mode("append").parquet(d)
         return n
 
+    # -- transactional multi-table commit ------------------------------
+    def transaction(self, txn_id: str | None = None) -> "TableTransaction":
+        """Open an all-or-nothing multi-destination batch."""
+        return TableTransaction(self, txn_id)
+
+    def _commit_path(self, txn_id: str) -> str:
+        return os.path.join(self.warehouse, COMMITS_DIR, f"{txn_id}.json")
+
+    def _recover(self, dest: TableDest) -> None:
+        """Finish promotion for committed-but-unpromoted staged dirs
+        (crash between manifest publish and file moves); uncommitted
+        staged dirs stay hidden (underscore prefix) and are ignored."""
+        d = self._dir(dest)
+        if not os.path.isdir(d):
+            return
+        for name in os.listdir(d):
+            if name.startswith(STAGED_PREFIX) and os.path.exists(
+                self._commit_path(name[len(STAGED_PREFIX):])
+            ):
+                _promote(d, name[len(STAGED_PREFIX):])
+
     def read_table(self, dest: TableDest) -> DataFrame:
+        self._recover(dest)
         schema = self._read_schema(dest)
         if schema is None:
             raise ModelError(f"no such table: {dest.dataset}.{dest.table}")
@@ -127,9 +160,105 @@ class TableSink(Sink):
         out = []
         for ds in sorted(os.listdir(self.warehouse)):
             dsp = os.path.join(self.warehouse, ds)
-            if not os.path.isdir(dsp):
+            if not os.path.isdir(dsp) or ds == COMMITS_DIR:
                 continue
             for tb in sorted(os.listdir(dsp)):
                 if os.path.exists(os.path.join(dsp, tb, SCHEMA_FILE)):
                     out.append(TableDest(ds, tb))
         return out
+
+
+def _promote(table_dir: str, txn_id: str) -> None:
+    """Move a committed staged dir's data files into the table layout.
+
+    Idempotent and restartable: every part file has a globally unique
+    Spark-generated name, each ``os.replace`` is atomic, and a re-run
+    only moves whatever is left. Partition subdirs (``__swarm_part=…``)
+    are preserved; marker files (``_SUCCESS``) are dropped."""
+    staged = os.path.join(table_dir, f"{STAGED_PREFIX}{txn_id}")
+    if not os.path.isdir(staged):
+        return
+    for root, _dirs, files in os.walk(staged):
+        rel = os.path.relpath(root, staged)
+        tgt = table_dir if rel == "." else os.path.join(table_dir, rel)
+        os.makedirs(tgt, exist_ok=True)
+        for fn in files:
+            if fn.startswith(("_", ".")):
+                continue
+            os.replace(os.path.join(root, fn), os.path.join(tgt, fn))
+    shutil.rmtree(staged, ignore_errors=True)
+
+
+class TableTransaction:
+    """All-or-nothing multi-destination batch commit.
+
+    Write protocol (G1 atomic mode):
+
+    1. ``stage(dest, df)`` writes each destination slice under the
+       table's hidden ``_staged-{txn}/`` subdir — underscore-prefixed,
+       so invisible to every parquet listing until promoted.
+    2. ``commit()`` publishes ONE manifest file atomically
+       (tmp + ``os.replace`` into ``{warehouse}/_swarm_commits/``);
+       this rename is the transaction's durability point.
+    3. Promotion moves staged files into the table layout — run
+       eagerly after commit and lazily by ``read_table`` (promote-on-
+       read), so a crash anywhere leaves either zero visible rows
+       (no manifest) or, eventually, all of them (manifest present).
+
+    ``abort()`` (or simply crashing before commit) removes/orphans the
+    hidden staged dirs; readers never see them.
+    """
+
+    def __init__(self, sink: TableSink, txn_id: str | None = None):
+        self.sink = sink
+        self.txn_id = txn_id or uuid.uuid4().hex
+        self._staged: list[TableDest] = []
+        self.committed = False
+
+    def _staged_dir(self, dest: TableDest) -> str:
+        return os.path.join(self.sink._dir(dest), f"{STAGED_PREFIX}{self.txn_id}")
+
+    def stage(self, dest: TableDest, df: DataFrame) -> int:
+        if self.committed:
+            raise ModelError("transaction already committed")
+        d = self._staged_dir(dest)
+        n = df.count()
+        if n == 0:
+            return 0
+        writer = df
+        if dest.partition != TimeUnit.NONE.value:
+            writer = df.withColumn(
+                PARTITION_COL, partition_value(F.col("timestamp"), dest.partition)
+            )
+            writer.write.mode("append").partitionBy(PARTITION_COL).parquet(d)
+        else:
+            writer.write.mode("append").parquet(d)
+        self._staged.append(dest)
+        return n
+
+    def commit(self) -> None:
+        if self.committed:
+            return
+        manifest = {
+            "txn": self.txn_id,
+            "tables": [
+                {"dataset": t.dataset, "table": t.table, "partition": t.partition}
+                for t in self._staged
+            ],
+        }
+        cdir = os.path.join(self.sink.warehouse, COMMITS_DIR)
+        os.makedirs(cdir, exist_ok=True)
+        tmp = os.path.join(cdir, f".{self.txn_id}.tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self.sink._commit_path(self.txn_id))  # THE atomic publish
+        self.committed = True
+        for dest in self._staged:
+            _promote(self.sink._dir(dest), self.txn_id)
+
+    def abort(self) -> None:
+        if self.committed:
+            raise ModelError("cannot abort a committed transaction")
+        for dest in self._staged:
+            shutil.rmtree(self._staged_dir(dest), ignore_errors=True)
+        self._staged = []

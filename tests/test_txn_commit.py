@@ -1,0 +1,196 @@
+"""Atomic multi-table batch commit (TableTransaction) — crash-injection
+coverage for the all-or-nothing G1 upgrade: a batch that fails after
+staging some destinations leaves ZERO visible rows; a committed batch
+is fully visible even if promotion crashed mid-move."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from swarm_spark.model import ModelError, TableDest
+from swarm_spark.sinks import TableSink
+from swarm_spark.sinks.table import STAGED_PREFIX, TableTransaction
+
+DATA = T.StructType([T.StructField("v", T.LongType(), True)])
+
+
+def _envelope_frame(spark, n, tag):
+    return spark.range(n).select(
+        F.concat(F.lit(f"{tag}-"), F.col("id").cast("string")).alias("id"),
+        F.lit("ing1").alias("ingest_id"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("timestamp"),
+        F.lit("2024-01-01 00:00:01").cast("timestamp").alias("ingested_at"),
+        F.struct(F.col("id").alias("v")).alias("data"),
+    )
+
+
+DESTS = [TableDest("ds", f"t{i}") for i in range(3)]
+
+
+def _prepare(spark, tmp_path):
+    sink = TableSink(spark, str(tmp_path / "wh"))
+    for d in DESTS:
+        sink.ensure_table(d, DATA)
+    return sink
+
+
+class TestTransactionCommit:
+    def test_commit_makes_all_tables_visible(self, spark, tmp_path):
+        sink = _prepare(spark, tmp_path)
+        txn = sink.transaction()
+        for i, d in enumerate(DESTS):
+            assert txn.stage(d, _envelope_frame(spark, 10 + i, d.table)) == 10 + i
+        txn.commit()
+        for i, d in enumerate(DESTS):
+            assert sink.read_table(d).count() == 10 + i
+
+    def test_crash_after_first_table_leaves_zero_visible_rows(self, spark, tmp_path):
+        sink = _prepare(spark, tmp_path)
+        txn = sink.transaction()
+        txn.stage(DESTS[0], _envelope_frame(spark, 10, "t0"))
+        # CRASH: the writer dies before staging t1/t2 — no commit, no
+        # abort. Every destination must read back empty.
+        del txn
+        for d in DESTS:
+            assert sink.read_table(d).count() == 0
+        # a fresh sink instance (new process) sees the same nothing
+        sink2 = TableSink(spark, sink.warehouse)
+        for d in DESTS:
+            assert sink2.read_table(d).count() == 0
+
+    def test_abort_discards_staged_slices(self, spark, tmp_path):
+        sink = _prepare(spark, tmp_path)
+        txn = sink.transaction()
+        txn.stage(DESTS[0], _envelope_frame(spark, 5, "t0"))
+        txn.stage(DESTS[1], _envelope_frame(spark, 5, "t1"))
+        txn.abort()
+        for d in DESTS:
+            assert sink.read_table(d).count() == 0
+        assert not [
+            n
+            for n in os.listdir(os.path.join(sink.warehouse, "ds", "t0"))
+            if n.startswith(STAGED_PREFIX)
+        ]
+
+    def test_crash_during_promotion_recovers_on_read(self, spark, tmp_path):
+        """Manifest published, process dies before any file move: the
+        manifest IS the commit, so readers must still see every row
+        (promote-on-read finishes the moves)."""
+        sink = _prepare(spark, tmp_path)
+        txn = sink.transaction()
+        for d in DESTS:
+            txn.stage(d, _envelope_frame(spark, 7, d.table))
+        # publish the manifest exactly as commit() does, then "crash"
+        # before promotion by never calling it
+        import json
+
+        cdir = os.path.join(sink.warehouse, "_swarm_commits")
+        os.makedirs(cdir, exist_ok=True)
+        with open(os.path.join(cdir, f"{txn.txn_id}.json"), "w") as f:
+            json.dump({"txn": txn.txn_id, "tables": []}, f)
+        for d in DESTS:
+            assert sink.read_table(d).count() == 7
+
+    def test_commit_is_idempotent_and_seals_the_txn(self, spark, tmp_path):
+        sink = _prepare(spark, tmp_path)
+        txn = sink.transaction()
+        txn.stage(DESTS[0], _envelope_frame(spark, 3, "t0"))
+        txn.commit()
+        txn.commit()  # no-op
+        assert sink.read_table(DESTS[0]).count() == 3
+        with pytest.raises(ModelError):
+            txn.stage(DESTS[1], _envelope_frame(spark, 3, "t1"))
+        with pytest.raises(ModelError):
+            txn.abort()
+
+    def test_partitioned_slices_promote_into_partition_layout(self, spark, tmp_path):
+        sink = TableSink(spark, str(tmp_path / "wh"))
+        dest = TableDest("ds", "tp", "day")
+        sink.ensure_table(dest, DATA)
+        txn = sink.transaction()
+        txn.stage(dest, _envelope_frame(spark, 8, "tp"))
+        txn.commit()
+        assert sink.read_table(dest).count() == 8
+        part_dirs = [
+            n
+            for n in os.listdir(os.path.join(sink.warehouse, "ds", "tp"))
+            if "=" in n
+        ]
+        assert part_dirs  # __swarm_part=... subdirs survived promotion
+
+
+class TestAtomicIngestMode:
+    def test_schema_conflict_on_last_destination_rolls_back_all(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """G1 atomic mode end-to-end: destination 3 of 3 fails during
+        staging -> IngestPartialFailure, and destinations 1-2 that had
+        already staged show zero visible rows."""
+        from swarm_spark.pipeline.ingest import IngestPartialFailure, IngestPipeline
+        from swarm_spark.rules import EventRuleSet, SchemaRuleRegistry
+
+        sink = _prepare(spark, tmp_path)
+        pipe = IngestPipeline(
+            spark,
+            EventRuleSet([]),
+            SchemaRuleRegistry(),
+            sink,
+            atomic=True,
+        )
+        orig_stage = TableTransaction.stage
+        calls = []
+
+        def failing_stage(self, dest, df):
+            calls.append(dest.table)
+            if len(calls) == 3:
+                raise RuntimeError("disk full")
+            return orig_stage(self, dest, df)
+
+        monkeypatch.setattr(TableTransaction, "stage", failing_stage)
+        enveloped = (
+            _envelope_frame(spark, 6, "x")
+            .withColumn(
+                "dataset",
+                F.lit("ds"),
+            )
+            .withColumn(
+                "table",
+                F.concat(F.lit("t"), (F.col("id").substr(3, 1).cast("long") % 3).cast("string")),
+            )
+            .withColumn("partition", F.lit(""))
+        )
+        from swarm_spark.pipeline.ingest import IngestStats
+
+        stats = IngestStats(ingest_id="i1")
+        with pytest.raises(IngestPartialFailure):
+            pipe._write_routed(enveloped, stats)
+        assert len(calls) == 3
+        for d in DESTS:
+            assert sink.read_table(d).count() == 0
+        assert stats.rows_by_dest == {}
+
+    def test_atomic_mode_happy_path_commits_everything(self, spark, tmp_path):
+        from swarm_spark.pipeline.ingest import IngestPipeline, IngestStats
+        from swarm_spark.rules import EventRuleSet, SchemaRuleRegistry
+
+        sink = _prepare(spark, tmp_path)
+        pipe = IngestPipeline(
+            spark, EventRuleSet([]), SchemaRuleRegistry(), sink, atomic=True
+        )
+        enveloped = (
+            _envelope_frame(spark, 6, "x")
+            .withColumn("dataset", F.lit("ds"))
+            .withColumn(
+                "table",
+                F.concat(F.lit("t"), (F.col("id").substr(3, 1).cast("long") % 3).cast("string")),
+            )
+            .withColumn("partition", F.lit(""))
+        )
+        stats = IngestStats(ingest_id="i2")
+        pipe._write_routed(enveloped, stats)
+        assert sum(sink.read_table(d).count() for d in DESTS) == 6
+        assert stats.total_rows == 6
