@@ -69,12 +69,22 @@ class NotificationProcessor:
         try:
             stats = self.pipeline.load_objects(objs)
         except ModelError as e:
-            self.states.update(MSG_TYPE_PUBSUB, msg_id, MsgState.FAILED)
+            self.states.update(
+                MSG_TYPE_PUBSUB, msg_id, MsgState.FAILED, request_id=st.request_id
+            )
             return ServeResult(Ack.DROP, msg_id, reason=f"unprocessable: {e}")
         except Exception as e:  # transient: never ack (X2)
-            self.states.update(MSG_TYPE_PUBSUB, msg_id, MsgState.FAILED)
+            self.states.update(
+                MSG_TYPE_PUBSUB, msg_id, MsgState.FAILED, request_id=st.request_id
+            )
             return ServeResult(Ack.RETRY, msg_id, reason=f"failed: {e}")
-        self.states.update(MSG_TYPE_PUBSUB, msg_id, MsgState.COMPLETED)
+        if not self.states.update(
+            MSG_TYPE_PUBSUB, msg_id, MsgState.COMPLETED, request_id=st.request_id
+        ):
+            # fenced out: we exceeded the state timeout and another
+            # holder took the message over — content-hash ids make the
+            # double-load downstream-dedupable; report retry-neutral OK
+            return ServeResult(Ack.OK, msg_id, stats=stats, reason="fenced (taken over)")
         return ServeResult(Ack.OK, msg_id, stats=stats)
 
     def handle_eventarc(self, body: dict) -> ServeResult:
@@ -101,10 +111,16 @@ class NotificationProcessor:
         try:
             stats = self.pipeline.load_objects([obj])
         except ModelError as e:
-            self.states.update("eventarc", msg_id, MsgState.FAILED)
+            self.states.update(
+                "eventarc", msg_id, MsgState.FAILED, request_id=st.request_id
+            )
             return ServeResult(Ack.DROP, msg_id, reason=f"unprocessable: {e}")
         except Exception as e:
-            self.states.update("eventarc", msg_id, MsgState.FAILED)
+            self.states.update(
+                "eventarc", msg_id, MsgState.FAILED, request_id=st.request_id
+            )
             return ServeResult(Ack.RETRY, msg_id, reason=f"failed: {e}")
-        self.states.update("eventarc", msg_id, MsgState.COMPLETED)
+        self.states.update(
+            "eventarc", msg_id, MsgState.COMPLETED, request_id=st.request_id
+        )
         return ServeResult(Ack.OK, msg_id, stats=stats)

@@ -13,10 +13,17 @@ pkg/domain/model/state.go:9-31, pkg/infra/firestore/client.go:24-91):
   (the serve path then asks the queue to redeliver — X2).
 
 This implementation is a file-per-message ledger with O_EXCL-create as
-the transaction primitive — the single-box analogue of the reference's
-Firestore transaction. On a cluster the same interface is backed by a
-Delta table MERGE keyed on (msg_type, msg_id) (transactional commit
-replaces O_EXCL), or any CAS-capable store; idempotency of the data
+the transaction primitive. On a SHARED POSIX filesystem it is already
+a multi-driver store: O_EXCL is atomic across processes and hosts
+(local fs / most cluster filesystems; NFSv3's O_EXCL caveat is the
+exception), and the cross-process acquire race is test-pinned with
+real concurrent processes (tests/test_streaming.py). Updates are
+FENCED: a finisher must present the ``request_id`` it acquired with,
+so a timed-out holder whose message was taken over cannot clobber the
+new holder's state — the same lost-update protection the reference
+gets from running update inside a Firestore transaction. On a cluster
+the same interface maps onto a Delta MERGE keyed on
+(msg_type, msg_id) or any CAS-capable store; idempotency of the data
 itself additionally holds through the content-hash row ids (T2), so a
 rare double-acquire degrades to duplicate rows with equal ids that
 downstream dedup (x1_dedup_by_id) removes.
@@ -133,14 +140,42 @@ class StateStore:
             os.close(fd)
             os.remove(p + ".lock")
 
-    def update(self, msg_type: str, msg_id: str, new_state: MsgState) -> None:
-        cur = self._read(msg_type, msg_id)
-        if cur is None:
-            raise KeyError(f"no state for {msg_type}/{msg_id}")
-        now = self.clock()
-        cur.state = new_state.value
-        cur.updated_at = now
-        self._write(cur)
+    def update(
+        self,
+        msg_type: str,
+        msg_id: str,
+        new_state: MsgState,
+        request_id: str | None = None,
+    ) -> bool:
+        """Mark completed/failed. When ``request_id`` is given the
+        update is FENCED: it applies only if that request still holds
+        the state (False = lost the holdership — another process took
+        the message over after this holder's timeout; its result must
+        be discarded, not recorded). ``request_id=None`` keeps the
+        unfenced single-driver behavior."""
+        p = self._file(msg_type, msg_id)
+        fd = None
+        deadline = time.monotonic() + 5.0
+        while fd is None:  # short CAS section; holders never block long
+            try:
+                fd = os.open(p + ".lock", os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                if time.monotonic() > deadline:
+                    raise TimeoutError(f"state lock stuck for {msg_type}/{msg_id}")
+                time.sleep(0.01)
+        try:
+            cur = self._read(msg_type, msg_id)
+            if cur is None:
+                raise KeyError(f"no state for {msg_type}/{msg_id}")
+            if request_id is not None and cur.request_id != request_id:
+                return False  # fenced out: a takeover owns this message now
+            cur.state = new_state.value
+            cur.updated_at = self.clock()
+            self._write(cur)
+            return True
+        finally:
+            os.close(fd)
+            os.remove(p + ".lock")
 
     def wait(
         self,

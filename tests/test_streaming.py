@@ -251,3 +251,48 @@ class TestStructuredStreaming:
         )
         q2.awaitTermination(120)
         assert sink.read_table(TableDest("ds", "t")).count() == 15
+
+
+def _race_worker(args):
+    """Cross-process acquire racer (module-level: must pickle)."""
+    path, msg_id = args
+    from swarm_spark.streaming.state import StateStore
+
+    st = StateStore(path)
+    state, acquired = st.get_or_create("race", msg_id)
+    return acquired
+
+
+class TestSharedStateStore:
+    """Multi-driver semantics of the file-CAS ledger (X1 at
+    cross-process scope): atomic acquire across real processes and
+    fenced updates so a timed-out holder can't clobber a takeover."""
+
+    def test_cross_process_acquire_race_single_winner(self, tmp_path):
+        import multiprocessing as mp
+
+        with mp.get_context("spawn").Pool(8) as pool:
+            results = pool.map(_race_worker, [(str(tmp_path), "msg-1")] * 8)
+        assert sum(results) == 1  # exactly one process acquired
+
+    def test_fenced_update_rejects_stale_holder(self, tmp_path):
+        clock = FakeClock()
+        st = StateStore(str(tmp_path), timeout_s=60, clock=clock)
+        a, acquired = st.get_or_create("m", "id9")
+        assert acquired
+        clock.t += 61  # holder A exceeds the state timeout
+        b, acquired_b = st.get_or_create("m", "id9")
+        assert acquired_b and b.request_id != a.request_id
+        # A finishes late: its fenced update must be rejected...
+        assert st.update("m", "id9", MsgState.COMPLETED, request_id=a.request_id) is False
+        cur = st._read("m", "id9")
+        assert cur.state == "running" and cur.request_id == b.request_id
+        # ...and B's completes normally
+        assert st.update("m", "id9", MsgState.COMPLETED, request_id=b.request_id) is True
+        assert st._read("m", "id9").state == "completed"
+
+    def test_unfenced_update_keeps_single_driver_behavior(self, tmp_path):
+        st = StateStore(str(tmp_path), clock=FakeClock())
+        st.get_or_create("m", "id3")
+        assert st.update("m", "id3", MsgState.FAILED) is True
+        assert st._read("m", "id3").state == "failed"
