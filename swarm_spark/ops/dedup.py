@@ -214,12 +214,16 @@ def minhash_lsh_pairs(
         raise ValueError("num_perm must be divisible by bands")
     r = num_perm // bands
     sigs = minhash_signatures(df, text_col, id_col, n, num_perm, max_df)
-    # The candidate join ships ONLY (doc_id, band, key) — at 100 TB the
-    # band-key shuffle is the wide stage, so the signature arrays are
-    # re-attached AFTER pair aggregation via two slim joins against the
-    # per-doc sigs frame (one row per doc; broadcast/AQE handles it).
+    # The signature array (~num_perm × 32-hex ≈ 400 B/doc) RIDES the
+    # band-key shuffle: carrying it costs bands×|sigs| per doc, far
+    # cheaper than re-running the signature aggregation (a full
+    # shingle-frame shuffle at ~|shingles|×|sigs| per doc) for
+    # re-attach joins — and the candidate self-join's two identical
+    # exchanges collapse via ReusedExchange, so the whole operator
+    # computes signatures exactly once.
     banded = sigs.select(
         "doc_id",
+        "sigs",
         F.posexplode(
             F.array(
                 *[
@@ -239,19 +243,18 @@ def minhash_lsh_pairs(
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.countDistinct("a.band").alias("shared_bands"))
+        .agg(
+            F.countDistinct("a.band").alias("shared_bands"),
+            F.first("a.sigs").alias("sa"),  # equal across the group
+            F.first("b.sigs").alias("sb"),
+        )
     )
-    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sigs").alias("sa"))
-    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sigs").alias("sb"))
     est = F.size(F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda e: e)) / float(
         num_perm
     )
-    return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", "shared_bands", F.round(est, 6).alias("est_jaccard"))
-        .orderBy("doc_a", "doc_b")
-    )
+    return pairs.select(
+        "doc_a", "doc_b", "shared_bands", F.round(est, 6).alias("est_jaccard")
+    ).orderBy("doc_a", "doc_b")
 
 
 # ------------------------------------------------------------- simhash
