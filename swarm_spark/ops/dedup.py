@@ -553,10 +553,14 @@ def embedding_signlsh_pairs(
     when they share ANY band of sign bits (num_planes / bands bits per
     band), then verified with the exact sequential-fold cosine.
 
-    This is the cell-free scale path for embedding dedup: the only wide
-    stage ships (id, band, key) — no vectors cross the candidate
-    shuffle, and no cell population cap is needed because band keys
-    refine automatically (doubling planes squares band selectivity).
+    This is the cell-free scale path for embedding dedup: the wide
+    stage ships (id, band, key, vector) — carrying the vector costs
+    bands×dim floats per doc but saves TWO full corpus re-scans that
+    re-attach joins would need, and lets the self-join's identical
+    exchanges collapse via ReusedExchange (the 32-projection sketch is
+    computed exactly once). No cell population cap is needed because
+    band keys refine automatically (doubling planes squares band
+    selectivity).
 
     Output: (id_a, id_b, shared_bands, cos) with cos ≥ threshold.
     """
@@ -606,7 +610,7 @@ def embedding_signlsh_pairs(
             )
         ).alias("band", "key"),
     )
-    slim = banded.select("id", "band", "key")
+    slim = banded.select("id", "v", "n2", "band", "key")
     a = slim.alias("a")
     b = slim.alias("b")
     pairs = (
@@ -617,18 +621,18 @@ def embedding_signlsh_pairs(
             & (F.col("a.id") < F.col("b.id")),
         )
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.countDistinct("a.band").alias("shared_bands"))
+        .agg(
+            F.countDistinct("a.band").alias("shared_bands"),
+            F.first("a.v").alias("va"),  # equal across the group
+            F.first("a.n2").alias("n2a"),
+            F.first("b.v").alias("vb"),
+            F.first("b.n2").alias("n2b"),
+        )
     )
-    va = sketch.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n2").alias("n2a"))
-    vb = sketch.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n2").alias("n2b"))
     cos = F.round(dot_expr("va", "vb") / F.sqrt(F.col("n2a") * F.col("n2b")), 9)
-    return (
-        pairs.join(va, "id_a")
-        .join(vb, "id_b")
-        .select("id_a", "id_b", "shared_bands", cos.alias("cos"))
-        .where(F.col("cos") >= threshold)
-        .orderBy("id_a", "id_b")
-    )
+    return pairs.select(
+        "id_a", "id_b", "shared_bands", cos.alias("cos")
+    ).where(F.col("cos") >= threshold).orderBy("id_a", "id_b")
 
 
 # -------------------------------------------------- incremental dedup
