@@ -419,6 +419,66 @@ ORDER BY doc_a, doc_b
 """
 
 
+# ------------------------------------------------------------ packing ops
+def q_pack_chunks(spark, sf):
+    """Concat-and-chunk sequence packing (512-token windows) — the
+    GPT-style pretraining layout, built on a two-phase distributed
+    prefix sum (no global single-partition sort)."""
+    from .ops.packing import pack_concat_chunks
+
+    return pack_concat_chunks(_docs(spark, sf), capacity=512)
+
+
+SQL_PACK_CHUNKS = f"""
+WITH w AS ({_WS}),
+c AS (SELECT doc_id, cast(len(ws) AS bigint) AS n_tok FROM w WHERE len(ws) > 0),
+s AS (SELECT doc_id, n_tok,
+             cast(sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                  AS bigint) AS e
+      FROM c),
+x AS (SELECT doc_id, n_tok, e - n_tok AS st, e,
+             unnest(range((e - n_tok) // 512, (e - 1) // 512 + 1)) AS window_id
+      FROM s)
+SELECT doc_id, n_tok, window_id,
+       cast(greatest(st, window_id * 512) - window_id * 512 AS bigint) AS off,
+       cast(least(e, (window_id + 1) * 512)
+            - greatest(st, window_id * 512) AS bigint) AS take
+FROM x ORDER BY doc_id, window_id
+"""
+
+
+def q_pack_bins(spark, sf):
+    """Greedy no-split bin packing (512-token bins, 8 deterministic
+    hash buckets): first-fit-sequential per bucket; the sequential
+    fill state runs in one applyInPandas pass per bucket, mirrored by
+    a recursive-CTE walk in the oracle."""
+    from .ops.packing import pack_greedy_bins
+
+    return pack_greedy_bins(_docs(spark, sf), capacity=512, num_buckets=8)
+
+
+SQL_PACK_BINS = f"""
+WITH RECURSIVE w AS ({_WS}),
+c AS (SELECT doc_id, cast(len(ws) AS bigint) AS n_tok,
+             cast({_md5_bucket_sql('doc_id', 'swarm-pack')} % 8 AS int) AS bucket
+      FROM w WHERE len(ws) > 0),
+seq AS (SELECT doc_id, n_tok, bucket,
+               row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+        FROM c),
+walk AS (
+  SELECT bucket, rn, doc_id, n_tok, cast(0 AS bigint) AS bin_id, n_tok AS fill
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.bucket, s.rn, s.doc_id, s.n_tok,
+         CASE WHEN wk.fill + s.n_tok <= 512 THEN wk.bin_id ELSE wk.bin_id + 1 END,
+         CASE WHEN wk.fill + s.n_tok <= 512 THEN wk.fill + s.n_tok ELSE s.n_tok END
+  FROM walk wk JOIN seq s ON s.bucket = wk.bucket AND s.rn = wk.rn + 1
+)
+SELECT doc_id, n_tok, bucket, bin_id, fill, n_tok > 512 AS oversize
+FROM walk ORDER BY doc_id
+"""
+
+
 def q_dedup_embedding(spark, sf):
     return embedding_dup_pairs(_emb(spark, sf), threshold=0.40)
 
@@ -926,4 +986,6 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "sample_docs": (q_sample_docs, SQL_SAMPLE_DOCS),
     "sample_split_counts": (q_sample_split_counts, SQL_SAMPLE_SPLIT),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
+    "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
+    "pack_bins": (q_pack_bins, SQL_PACK_BINS),
 }

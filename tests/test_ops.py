@@ -360,3 +360,63 @@ class TestIncrementalDedup:
         assert out[13] == (False, False)
         # 11 is not byte-identical but must share doc 1's min-md5 window
         assert out[11][0] is False
+
+
+class TestSequencePacking:
+    CAP = 64
+
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        rows = [(i, " ".join(f"w{j}" for j in range((i * 37) % 150 + 1))) for i in range(60)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_concat_chunks_windows_are_exactly_full(self, spark, docs):
+        from swarm_spark.ops.packing import pack_concat_chunks
+
+        out = pack_concat_chunks(docs, capacity=self.CAP).collect()
+        total = sum(r["take"] for r in out)
+        by_win = {}
+        for r in out:
+            assert 0 <= r["off"] < self.CAP and 1 <= r["take"] <= self.CAP
+            by_win[r["window_id"]] = by_win.get(r["window_id"], 0) + r["take"]
+        last = max(by_win)
+        # every window except the tail holds exactly CAP tokens
+        assert all(v == self.CAP for w, v in by_win.items() if w != last)
+        assert by_win[last] == total - self.CAP * last
+        # token conservation: every document's tokens all land somewhere
+        per_doc = {}
+        for r in out:
+            per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["take"]
+        n_toks = {r["doc_id"]: r["n_tok"] for r in out}
+        assert per_doc == n_toks
+
+    def test_concat_chunks_partition_invariant(self, spark, docs):
+        from swarm_spark.ops.packing import pack_concat_chunks
+
+        a = [tuple(r) for r in pack_concat_chunks(docs, capacity=self.CAP).collect()]
+        b = [
+            tuple(r)
+            for r in pack_concat_chunks(
+                docs.repartition(7), capacity=self.CAP, num_partitions=3
+            ).collect()
+        ]
+        assert a == b  # prefix sum is a pure function of the corpus
+
+    def test_greedy_bins_never_overflow_and_stay_maximal(self, spark, docs):
+        from swarm_spark.ops.packing import pack_greedy_bins
+
+        out = pack_greedy_bins(docs, capacity=self.CAP, num_buckets=4).collect()
+        fills: dict = {}
+        for r in out:
+            key = (r["bucket"], r["bin_id"])
+            fills.setdefault(key, []).append((r["doc_id"], r["n_tok"], r["oversize"]))
+        for (bucket, bin_id), members in fills.items():
+            tot = sum(n for _, n, _ in members)
+            if any(o for _, _, o in members):
+                assert len(members) == 1  # oversize docs bin alone
+            else:
+                assert tot <= self.CAP
+                # maximality: the first doc of the NEXT bin didn't fit here
+                nxt = fills.get((bucket, bin_id + 1))
+                if nxt and not nxt[0][2]:
+                    assert tot + nxt[0][1] > self.CAP
