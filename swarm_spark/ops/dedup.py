@@ -758,3 +758,49 @@ def incremental_dup_flags(
         if own_cd:
             cd.unpersist()
     return out
+
+
+# ------------------------------------------------------ decontamination
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word ``n``-gram with an evaluation set (the standard guard against
+    test-set leakage — GPT-3 used 13-gram overlap; the principle is
+    identical at any n).
+
+    Scale shape: both sides reduce to (id, md5(shingle)) — the only
+    wide stage joins 32-hex keys, never text; the benchmark side is
+    distinct-deduped first and is typically small enough that AQE
+    broadcasts it, making the scan over the training corpus the only
+    big input. Same DF-prunable shingle frame as the dedup tier.
+
+    Output: (doc_id, n_hits, contaminated) for EVERY input doc —
+    n_hits = number of distinct leaked n-grams, 0 = clean.
+    """
+    doc_sh = doc_shingles(df, text_col, id_col, n).select(
+        "doc_id", F.md5("sh").alias("h")
+    )
+    bench_sh = (
+        doc_shingles(benchmark, text_col, id_col, n)
+        .select(F.md5("sh").alias("h"))
+        .distinct()
+    )
+    hits = (
+        doc_sh.join(bench_sh, "h")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("h").alias("n_hits"))
+    )
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    return (
+        ids.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

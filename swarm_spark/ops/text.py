@@ -20,7 +20,7 @@ Operators:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 TOKEN_SPLIT = " +"
@@ -275,3 +275,51 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n
         .agg(F.min("h").alias("fp"))
     )
     return ids.join(mins, id_col, "left")
+
+
+# -------------------------------------------- repeated-segment stripping
+def strip_repeated_segments(
+    df: DataFrame,
+    delim: str = "\n",
+    max_df: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove segments (lines, sentences, tokens — whatever ``delim``
+    yields) that repeat across the corpus more than ``max_df`` times:
+    the RefinedWeb/C4-style cross-document boilerplate filter (nav
+    bars, cookie banners, license headers appear verbatim in thousands
+    of pages; their corpus frequency betrays them).
+
+    Scale shape: one shuffle of the (doc, segment) frame partitioned
+    by segment — the window count reuses that exchange, and ordered
+    reassembly is a map-side-combinable collect_list keyed by doc.
+    Segment frequency is the SAME quantity `prune_by_df` caps for
+    shingles; here the pruned thing is the document content itself.
+
+    Output: (doc_id, text) with surviving segments in original order
+    (documents losing every segment keep an empty string).
+    """
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    segs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "seg"),
+    )
+    w = Window.partitionBy("seg")
+    kept = (
+        segs.withColumn("df", F.count(F.lit(1)).over(w))
+        .where(F.col("df") <= max_df)
+        .drop("df")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s["seg"],
+            ),
+            delim,
+        ).alias("text")
+    )
+    return ids.join(rebuilt, "doc_id", "left").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )

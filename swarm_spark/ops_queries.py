@@ -419,6 +419,68 @@ ORDER BY doc_a, doc_b
 """
 
 
+# ----------------------------------------------- boilerplate / leakage ops
+def q_text_strip_segments(spark, sf):
+    """Cross-document repeated-segment removal (RefinedWeb/C4-style
+    boilerplate filter). The synthetic corpus has no newlines, so the
+    demo query segments on single spaces with a high frequency cap —
+    same operator, degenerate delimiter; real corpora pass '\\n'."""
+    from .ops.text import strip_repeated_segments
+
+    return strip_repeated_segments(
+        _docs(spark, sf), delim=" ", max_df=900
+    ).orderBy("doc_id")
+
+
+SQL_STRIP_SEGMENTS = """
+WITH segs AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS seg,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM documents),
+k AS (SELECT doc_id, seg, pos, count(*) OVER (PARTITION BY seg) AS df FROM segs),
+r AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text
+      FROM k WHERE df <= 900 GROUP BY doc_id)
+SELECT d.doc_id, coalesce(r.text, '') AS text
+FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id ORDER BY d.doc_id
+"""
+
+_BENCH_CUT = int(0.1 * (1 << 32))
+
+
+def q_text_decontaminate(spark, sf):
+    """Benchmark decontamination: 10% of the corpus (deterministic
+    hash split) plays the eval set; every remaining doc is scored for
+    distinct leaked 5-grams."""
+    from .ops.dedup import decontaminate
+    from .ops.sampling import hash_bucket
+
+    docs = _docs(spark, sf)
+    b = hash_bucket("doc_id", "swarm-bench")
+    bench = docs.where(b < _BENCH_CUT)
+    train = docs.where(b >= _BENCH_CUT)
+    return decontaminate(train, bench, n=5).orderBy("doc_id")
+
+
+_G5 = (
+    "unnest(list_transform(range(greatest(len(ws)-4, 0)), "
+    "i -> md5(ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]||' '||ws[i+5])))"
+)
+SQL_DECONTAMINATE = f"""
+WITH w AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS ws,
+                  {_md5_bucket_sql('doc_id', 'swarm-bench')} AS bkt
+           FROM documents),
+g AS (SELECT DISTINCT doc_id, bkt, h
+      FROM (SELECT doc_id, bkt, {_G5} AS h FROM w)),
+bench AS (SELECT DISTINCT h FROM g WHERE bkt < {_BENCH_CUT}),
+hits AS (SELECT g.doc_id, count(DISTINCT g.h) AS n_hits
+         FROM g JOIN bench USING (h) WHERE g.bkt >= {_BENCH_CUT} GROUP BY 1)
+SELECT w.doc_id, cast(coalesce(t.n_hits, 0) AS bigint) AS n_hits,
+       coalesce(t.n_hits, 0) > 0 AS contaminated
+FROM w LEFT JOIN hits t ON w.doc_id = t.doc_id
+WHERE w.bkt >= {_BENCH_CUT} ORDER BY w.doc_id
+"""
+
+
 # ------------------------------------------------------------ packing ops
 def q_pack_chunks(spark, sf):
     """Concat-and-chunk sequence packing (512-token windows) — the
@@ -988,4 +1050,6 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
     "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
     "pack_bins": (q_pack_bins, SQL_PACK_BINS),
+    "text_strip_segments": (q_text_strip_segments, SQL_STRIP_SEGMENTS),
+    "text_decontaminate": (q_text_decontaminate, SQL_DECONTAMINATE),
 }

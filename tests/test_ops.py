@@ -420,3 +420,45 @@ class TestSequencePacking:
                 nxt = fills.get((bucket, bin_id + 1))
                 if nxt and not nxt[0][2]:
                     assert tot + nxt[0][1] > self.CAP
+
+
+class TestBoilerplateAndLeakage:
+    def test_strip_repeated_segments_lines(self, spark):
+        from swarm_spark.ops.text import strip_repeated_segments
+
+        banner = "subscribe to our newsletter"
+        rows = [
+            (0, f"unique intro zero\n{banner}\nbody text zero"),
+            (1, f"{banner}\nanother body one"),
+            (2, f"totally distinct two\n{banner}"),
+            (3, banner),  # doc that is ONLY boilerplate -> empty
+            (4, "no boilerplate here at all"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r["text"] for r in strip_repeated_segments(docs, delim="\n", max_df=2).collect()}
+        assert out[0] == "unique intro zero\nbody text zero"
+        assert out[1] == "another body one"
+        assert out[2] == "totally distinct two"
+        assert out[3] == ""  # all segments stripped, row preserved
+        assert out[4] == "no boilerplate here at all"
+
+    def test_decontaminate_flags_exact_ngram_leak(self, spark):
+        from swarm_spark.ops.dedup import decontaminate
+
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string",
+        )
+        train = spark.createDataFrame(
+            [
+                (0, "prefix words then the quick brown fox jumps too"),  # leaks one 5-gram
+                (1, "completely unrelated content with no overlap at all"),
+                (2, "short doc"),  # fewer than n tokens
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: (r["n_hits"], r["contaminated"]) for r in decontaminate(train, bench, n=5).collect()}
+        assert out[0] == (1, True)
+        assert out[1] == (0, False)
+        assert out[2] == (0, False)
+        assert len(out) == 3
