@@ -462,3 +462,17 @@ class TestBoilerplateAndLeakage:
         assert out[1] == (0, False)
         assert out[2] == (0, False)
         assert len(out) == 3
+
+    def test_pack_chunks_plan_has_no_global_single_partition_sort(self, spark):
+        """The scale property of the two-phase prefix sum: a naive
+        Window.orderBy(doc_id) cumsum plans an Exchange SinglePartition
+        (the whole corpus through one task); the range-partitioned
+        formulation must never do that."""
+        from swarm_spark.ops.packing import pack_concat_chunks
+
+        docs = spark.createDataFrame(
+            [(i, "a b c d e") for i in range(100)], "doc_id long, text string"
+        )
+        out = pack_concat_chunks(docs, capacity=7, num_partitions=4)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan
