@@ -27,6 +27,7 @@ class ParserType(str, Enum):
     JSON = "json"
     CSV = "csv"
     PARQUET = "parquet"
+    ORC = "orc"
 
 
 class CompressType(str, Enum):

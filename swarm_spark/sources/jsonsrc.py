@@ -87,8 +87,8 @@ def read_objects(
     """Format dispatcher for object reads (P1 + engine extensions).
 
     json → :func:`read_json_objects`; csv → header + full-scan
-    inference; parquet → native typed read. All paths decompress ``.gz``
-    transparently where the format supports it.
+    inference; parquet/orc → native typed columnar reads. All paths
+    decompress ``.gz`` transparently where the format supports it.
     """
     if parser == "json":
         return read_json_objects(spark, paths, mode=mode)
@@ -96,6 +96,8 @@ def read_objects(
         return spark.read.option("header", "true").option("inferSchema", "true").csv(paths)
     if parser == "parquet":
         return spark.read.parquet(*paths)
+    if parser == "orc":
+        return spark.read.orc(*paths)
     raise ValueError(f"unknown parser: {parser!r}")
 
 

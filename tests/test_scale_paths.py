@@ -173,7 +173,7 @@ class TestConcatenatedJson:
 
 
 class TestSourceFormats:
-    def test_csv_and_parquet_objects_ingest(self, spark, tmp_path):
+    def test_csv_parquet_orc_objects_ingest(self, spark, tmp_path):
         import json as _json
 
         from swarm_spark.model import ObjectMeta, Source, TableDest
@@ -193,6 +193,10 @@ class TestSourceFormats:
         spark.createDataFrame(
             [("z", 3, 1700000002)], "k string, v long, ts long"
         ).coalesce(1).write.parquet(pq_p)
+        orc_p = str(tmp_path / "c.orc")
+        spark.createDataFrame(
+            [("w", 4, 1700000003)], "k string, v long, ts long"
+        ).coalesce(1).write.orc(orc_p)
 
         rules = SchemaRuleRegistry()
 
@@ -210,6 +214,7 @@ class TestSourceFormats:
             [
                 EventRule("csv", name_suffix(".csv"), (Source(parser="csv", schema="kv"),)),
                 EventRule("pq", name_suffix(".parquet"), (Source(parser="parquet", schema="kv"),)),
+                EventRule("orc", name_suffix(".orc"), (Source(parser="orc", schema="kv"),)),
             ]
         )
         sink = TableSink(spark, str(tmp_path / "wh"))
@@ -218,11 +223,13 @@ class TestSourceFormats:
             [
                 ObjectMeta(bucket="b", name="a.csv", path=str(csv_p)),
                 ObjectMeta(bucket="b", name="b.parquet", path=pq_p),
+                ObjectMeta(bucket="b", name="c.orc", path=orc_p),
             ]
         )
-        assert stats.total_rows == 3
+        assert stats.total_rows == 4
         df = sink.read_table(TableDest("fmt", "t"))
         assert sorted((r["data"]["k"], r["data"]["v"]) for r in df.collect()) == [
+            ("w", 4),
             ("x", 1),
             ("y", 2),
             ("z", 3),
