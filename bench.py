@@ -68,6 +68,18 @@ def main() -> None:
     spark.range(int(cpus) * 4).repartition(int(cpus)).mapInPandas(
         _noop, "id long"
     ).count()
+    # warm the JSON text write/read machinery the same way (first use
+    # otherwise pays several seconds of JVM/codegen warm-up inside
+    # whichever measured query touches it first)
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    warm_dir = tempfile.mkdtemp(prefix="swarm_bench_warm_")
+    spark.range(256).select(
+        F.to_json(F.struct(F.col("id"), F.lit("warm").alias("s"))).alias("value")
+    ).repartition(4).write.mode("overwrite").text(warm_dir)
+    spark.read.json(warm_dir).count()
 
     timings: dict[str, float] = {}
     for name in names:
