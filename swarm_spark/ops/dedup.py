@@ -131,21 +131,27 @@ def ngram_jaccard_pairs(
     s = doc_shingles(df, text_col, id_col, n)
     if max_df is not None:
         s = prune_by_df(s, max_df)
-    sizes = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # per-doc set size as a window count CARRIED into the candidate
+    # join (8 bytes/row) — one scan of the corpus total, instead of a
+    # separate sizes aggregation (a second scan) plus two re-attach
+    # joins; the self-join's identical exchanges collapse via
+    # ReusedExchange. Sizes are over the pruned shingle space, matching
+    # the intersection (consistent set semantics, oracle-mirrorable).
+    s = s.withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
     a = s.alias("a")
     b = s.alias("b")
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("a.n_sh").alias("na"),  # equal across the group
+            F.first("b.n_sh").alias("nb"),
+        )
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     j = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
+        inter.select(
             "doc_a",
             "doc_b",
             "inter",
