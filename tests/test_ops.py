@@ -476,3 +476,20 @@ class TestBoilerplateAndLeakage:
         out = pack_concat_chunks(docs, capacity=7, num_partitions=4)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "SinglePartition" not in plan
+
+
+class TestSignLshVectorizedParity:
+    def test_vectorized_sketch_matches_expression_fold(self, spark, sf_dir):
+        """The numpy sketch's row-vectorized / dim-sequential
+        accumulation must be bit-identical to the interpreted
+        aggregate(zip_with(...)) fold — same pairs, same cos."""
+        from swarm_spark.ops.dedup import embedding_signlsh_pairs
+        from swarm_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        fast = [tuple(r) for r in embedding_signlsh_pairs(emb, threshold=0.40).collect()]
+        slow = [
+            tuple(r)
+            for r in embedding_signlsh_pairs(emb, threshold=0.40, vectorized=False).collect()
+        ]
+        assert fast == slow and fast
