@@ -60,11 +60,15 @@ def pack_concat_chunks(
     ``capacity`` tokens, documents split across boundaries.
 
     The exclusive prefix sum of token counts in global ``id_col``
-    order is built WITHOUT a global single-partition sort: range-
-    partition on the id, cumsum per partition (parallel ordered
-    windows), collect the per-partition subtotals (``num_partitions``
-    longs — metadata, like IVF centroids), and add each partition's
-    exclusive offset back as a broadcast-joined column.
+    order is built WITHOUT a global single-partition sort: the id
+    space is cut into ``num_partitions`` ranges at LITERAL boundary
+    values (taken from a deterministic md5-sampled, driver-sorted id
+    sample — metadata-sized, like IVF centroids), each range cumsums
+    in parallel, and per-range subtotals come back as exclusive
+    offsets through a broadcast join. Because the range id is a pure
+    function of the row and literals — never ``spark_partition_id``
+    over a sampled repartition — every execution of the plan assigns
+    identical ranges, with no persist needed for consistency.
 
     Output, one row per (document, window it intersects):
     (doc_id, n_tok, window_id, off, take) where ``off`` is the slice's
@@ -74,24 +78,34 @@ def pack_concat_chunks(
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
     spark = df.sparkSession
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    n_docs = ids.count()
+    target = num_partitions * 200  # ~200 sampled ids per range
+    frac = min(1.0, target / max(n_docs, 1))
+    cut = int(frac * (1 << 32))
+    sample = sorted(
+        r["doc_id"]
+        for r in ids.where(hash_bucket("doc_id", "swarm-pack-bounds") < cut).collect()
+    )
+    step = max(1, len(sample) // num_partitions)
+    bounds = sorted(set(sample[step - 1 :: step][: num_partitions - 1]))
+    part = F.lit(0)
+    for b in bounds:  # monotone in doc_id: range index = #boundaries passed
+        part = part + (F.col("doc_id") > F.lit(b)).cast("int")
     counted = (
         df.select(F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("ws"))
         .select("doc_id", F.size("ws").cast("long").alias("n_tok"))
         .where(F.col("n_tok") > 0)
-        .repartitionByRange(num_partitions, "doc_id")
-        .withColumn("part", F.spark_partition_id())
+        .withColumn("part", part)
     )
     wp = Window.partitionBy("part").orderBy("doc_id")
-    # persisted: the slim (doc_id, n_tok, part, cumsum) frame feeds the
-    # subtotal collect AND the main query — 4 longs/row, cheap to cache
-    # at any scale; without it the text column would be re-scanned.
-    local = counted.withColumn("local_end", F.sum("n_tok").over(wp)).persist()
+    local = counted.withColumn("local_end", F.sum("n_tok").over(wp))
     subtotals = {
         r["part"]: r["tot"]
-        for r in local.groupBy("part").agg(F.max("local_end").alias("tot")).collect()
+        for r in counted.groupBy("part").agg(F.sum("n_tok").alias("tot")).collect()
     }
     running, offsets = 0, []
-    for p in sorted(subtotals):  # range partitions: p order == id order
+    for p in sorted(subtotals):  # ranges are monotone in id → id order
         offsets.append((p, running))
         running += subtotals[p]
     off_df = spark.createDataFrame(offsets, "part int, part_off long")
@@ -184,8 +198,10 @@ def pack_greedy_bins(
             }
         )
 
+    id_type = dict(df.dtypes)[id_col]  # preserve non-long id columns
     out_schema = (
-        "doc_id long, n_tok long, bucket int, bin_id long, fill long, oversize boolean"
+        f"doc_id {id_type}, n_tok long, bucket int, "
+        "bin_id long, fill long, oversize boolean"
     )
     return (
         base.groupBy("bucket")

@@ -809,10 +809,21 @@ class RegoAuthPolicy:
 
     @staticmethod
     def _jwks_keys(certs):
-        """JWKS JSON string / dict → list of PyJWT key objects."""
+        """JWKS JSON string / dict → PyJWT key objects; a non-JSON
+        string is treated as a PEM key and passed through verbatim.
+        Unusable input yields [] (→ verification False), never an
+        exception escaping into the request handler."""
         import json as _json
 
-        jwks = _json.loads(certs) if isinstance(certs, str) else certs
+        if isinstance(certs, str):
+            try:
+                jwks = _json.loads(certs)
+            except ValueError:
+                return [certs]  # PEM (or garbage: PyJWT will reject it)
+        else:
+            jwks = certs
+        if not isinstance(jwks, dict):
+            return []
         keys = []
         for k in jwks.get("keys", []):
             try:
@@ -840,12 +851,22 @@ class RegoAuthPolicy:
     def _jwt_decode_verify(self, token: str, constraints) -> list:
         """OPA ``io.jwt.decode_verify``: [valid, header, payload];
         [false, {}, {}] when verification fails. Supported constraint
-        keys: cert (JWKS/PEM), iss, aud, time (ns)."""
+        keys: cert (JWKS/PEM), iss, aud, time (ns).
+
+        exp/nbf are checked HERE against ``constraints["time"]`` (ns)
+        or the policy's injected ``now_ns`` clock — not PyJWT's
+        wall-clock — so pinned-clock tests and offline re-evaluation
+        behave like every other time path in this class."""
         if not isinstance(constraints, dict):
             raise RegoError("io.jwt.decode_verify constraints must be an object")
         cert = constraints.get("cert")
         keys = self._jwks_keys(cert) if cert else []
-        opts = {"verify_aud": "aud" in constraints}
+        now_s = float(constraints.get("time", self._now_ns())) / 1e9
+        opts = {
+            "verify_aud": "aud" in constraints,
+            "verify_exp": False,  # checked below against now_s
+            "verify_nbf": False,
+        }
         kwargs: dict[str, Any] = {"algorithms": ["RS256"], "options": opts}
         if "aud" in constraints:
             kwargs["audience"] = constraints["aud"]
@@ -855,6 +876,10 @@ class RegoAuthPolicy:
         for key in keys:
             try:
                 payload = _pyjwt.decode(token, key=key, **kwargs)
+                if "exp" in payload and not float(payload["exp"]) > now_s:
+                    return [False, {}, {}]
+                if "nbf" in payload and float(payload["nbf"]) > now_s:
+                    return [False, {}, {}]
                 header = _pyjwt.get_unverified_header(token)
                 return [True, header, payload]
             except Exception:
@@ -929,17 +954,30 @@ class RegoAuthPolicy:
                 right, a, env, stack
             )
         if isinstance(stmt, Cmp):
+            for side in (stmt.left, stmt.right):
+                if isinstance(side, Path) and side.fanout:
+                    # membership semantics only exist for ==; refusing
+                    # loudly beats silently comparing the whole list
+                    raise RegoError(
+                        f"[_] fan-out is not supported in {stmt.op!r} comparisons"
+                    )
             left = self._eval_expr(stmt.left, a, env, stack)
             right = self._eval_expr(stmt.right, a, env, stack)
             import operator as _op
 
-            return {
-                "!=": _op.ne,
-                "<": _op.lt,
-                ">": _op.gt,
-                "<=": _op.le,
-                ">=": _op.ge,
-            }[stmt.op](left, right)
+            try:
+                return {
+                    "!=": _op.ne,
+                    "<": _op.lt,
+                    ">": _op.gt,
+                    "<=": _op.le,
+                    ">=": _op.ge,
+                }[stmt.op](left, right)
+            except TypeError as exc:
+                # attacker-typed data (e.g. a JWT claim carrying a
+                # string exp): the comparison is undefined, the rule
+                # body fails, default-deny decides — never a 500
+                raise _Undefined(f"incomparable operands: {exc}") from exc
         if isinstance(stmt, Call):
             return bool(self._call(
                 stmt.fn,
@@ -974,20 +1012,8 @@ class RegoAuthPolicy:
         return False
 
     def deny(self, a) -> bool:
-        for rule in self._defs.get("deny", ()):
-            env: dict[str, Any] = {}
-            try:
-                if all(self._eval_stmt(s, a, env, ("deny",)) for s in rule.body):
-                    v = rule.value
-                    if v is None:
-                        return True
-                    return bool(self._eval_expr(v, a, env, ("deny",)))
-            except _Undefined:
-                continue
-        dflt = self._defaults.get("deny")
-        if dflt is not None:
-            return bool(dflt.value) if isinstance(dflt, Lit) else bool(dflt)
-        return False  # undefined deny → allow (docs/rule.md)
+        # undefined deny (no rule fires, no default) → allow (docs/rule.md)
+        return self._eval_bool("deny", a)
 
     def authorize(self, a) -> None:
         from ..streaming.auth import AuthDenied

@@ -109,19 +109,7 @@ class TableSink(Sink):
             os.remove(lock)
 
     def append(self, dest: TableDest, df: DataFrame) -> int:
-        d = self._dir(dest)
-        n = df.count()
-        if n == 0:
-            return 0
-        writer = df
-        if dest.partition != TimeUnit.NONE.value:
-            writer = df.withColumn(
-                PARTITION_COL, partition_value(F.col("timestamp"), dest.partition)
-            )
-            writer.write.mode("append").partitionBy(PARTITION_COL).parquet(d)
-        else:
-            writer.write.mode("append").parquet(d)
-        return n
+        return _write_slice(self._dir(dest), dest, df)
 
     # -- transactional multi-table commit ------------------------------
     def transaction(self, txn_id: str | None = None) -> "TableTransaction":
@@ -168,6 +156,24 @@ class TableSink(Sink):
         return out
 
 
+def _write_slice(d: str, dest: TableDest, df: DataFrame) -> int:
+    """Append one destination slice under ``d`` (direct table dir or a
+    transaction's staged dir), honoring the time-unit partitioning —
+    the single write path shared by append() and TableTransaction."""
+    n = df.count()
+    if n == 0:
+        return 0
+    writer = df
+    if dest.partition != TimeUnit.NONE.value:
+        writer = df.withColumn(
+            PARTITION_COL, partition_value(F.col("timestamp"), dest.partition)
+        )
+        writer.write.mode("append").partitionBy(PARTITION_COL).parquet(d)
+    else:
+        writer.write.mode("append").parquet(d)
+    return n
+
+
 def _promote(table_dir: str, txn_id: str) -> None:
     """Move a committed staged dir's data files into the table layout.
 
@@ -185,7 +191,13 @@ def _promote(table_dir: str, txn_id: str) -> None:
         for fn in files:
             if fn.startswith(("_", ".")):
                 continue
-            os.replace(os.path.join(root, fn), os.path.join(tgt, fn))
+            try:
+                os.replace(os.path.join(root, fn), os.path.join(tgt, fn))
+            except FileNotFoundError:
+                # a concurrent promoter (eager commit vs a reader's
+                # promote-on-read) already moved this file — the move
+                # set is idempotent either way
+                continue
     shutil.rmtree(staged, ignore_errors=True)
 
 
@@ -221,19 +233,9 @@ class TableTransaction:
     def stage(self, dest: TableDest, df: DataFrame) -> int:
         if self.committed:
             raise ModelError("transaction already committed")
-        d = self._staged_dir(dest)
-        n = df.count()
-        if n == 0:
-            return 0
-        writer = df
-        if dest.partition != TimeUnit.NONE.value:
-            writer = df.withColumn(
-                PARTITION_COL, partition_value(F.col("timestamp"), dest.partition)
-            )
-            writer.write.mode("append").partitionBy(PARTITION_COL).parquet(d)
-        else:
-            writer.write.mode("append").parquet(d)
-        self._staged.append(dest)
+        n = _write_slice(self._staged_dir(dest), dest, df)
+        if n:
+            self._staged.append(dest)
         return n
 
     def commit(self) -> None:

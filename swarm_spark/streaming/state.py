@@ -49,6 +49,7 @@ class MsgState(str, Enum):
 DEFAULT_TIMEOUT_S = 30 * 60  # reference defaultStateTimeout
 DEFAULT_TTL_S = 7 * 24 * 3600  # reference defaultStateTTL
 DEFAULT_POLL_S = 10.0  # reference defaultStateCheckInterval
+STALE_LOCK_S = 30.0  # update() lock older than this = orphaned (holder died)
 
 
 @dataclass
@@ -117,13 +118,23 @@ class StateStore:
             ttl_s=self.ttl_s,
         )
         p = self._file(msg_type, msg_id)
-        try:
-            # O_EXCL create = the acquire transaction for the new-message case
-            fd = os.open(p + ".lock", os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            # another process mid-transition; treat as not acquired
-            cur = self._read(msg_type, msg_id)
-            return (cur or fresh), False
+        while True:
+            try:
+                # O_EXCL create = the acquire transaction
+                fd = os.open(p + ".lock", os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                # break orphaned locks (holder SIGKILLed mid-section);
+                # a fresh lock means another process mid-transition —
+                # treat as not acquired (redelivery will retry)
+                try:
+                    if time.time() - os.path.getmtime(p + ".lock") > STALE_LOCK_S:
+                        os.remove(p + ".lock")
+                        continue
+                except OSError:
+                    continue  # just released/broken — retry acquire
+                cur = self._read(msg_type, msg_id)
+                return (cur or fresh), False
         try:
             cur = self._read(msg_type, msg_id)
             if cur is None:
@@ -160,6 +171,16 @@ class StateStore:
             try:
                 fd = os.open(p + ".lock", os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             except FileExistsError:
+                # break orphaned locks: the critical section is a few
+                # file ops, so a lock older than STALE_LOCK_S can only
+                # belong to a process killed mid-update — without this
+                # a SIGKILLed holder would wedge the message forever
+                try:
+                    if time.time() - os.path.getmtime(p + ".lock") > STALE_LOCK_S:
+                        os.remove(p + ".lock")
+                        continue
+                except OSError:
+                    continue  # someone else just released/broke it
                 if time.monotonic() > deadline:
                     raise TimeoutError(f"state lock stuck for {msg_type}/{msg_id}")
                 time.sleep(0.01)

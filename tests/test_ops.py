@@ -493,3 +493,15 @@ class TestSignLshVectorizedParity:
             for r in embedding_signlsh_pairs(emb, threshold=0.40, vectorized=False).collect()
         ]
         assert fast == slow and fast
+
+    def test_packing_supports_string_ids(self, spark):
+        from swarm_spark.ops.packing import pack_concat_chunks, pack_greedy_bins
+
+        docs = spark.createDataFrame(
+            [(f"u{i:03d}", "a b c d e f g") for i in range(30)],
+            "uri string, text string",
+        )
+        chunks = pack_concat_chunks(docs, capacity=10, id_col="uri").collect()
+        assert sum(r["take"] for r in chunks) == 30 * 7
+        bins = pack_greedy_bins(docs, capacity=10, id_col="uri", num_buckets=3).collect()
+        assert len(bins) == 30 and all(isinstance(r["doc_id"], str) for r in bins)

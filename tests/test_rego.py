@@ -458,3 +458,40 @@ allow { io.jwt.verify_rs256(input.header["Authorization"][0], "{}") }
             [DOCS_JWT_REGO], http_send=fake_send, now_ns=lambda: 3000 * 10**9
         )
         assert pol_late.deny(self._input(header={"Authorization": f"Bearer {token}"})) is True
+
+    def test_attacker_typed_claims_deny_instead_of_crash(self):
+        """A token whose exp claim is a string (attacker-controlled
+        type) must fail the rule body -> default deny, never raise
+        through the middleware."""
+        from swarm_spark.rules import rego_to_auth
+
+        src = """
+package auth
+
+default deny = true
+
+deny := false { allow }
+
+allow {
+    authHdr := input.header["Authorization"]
+    authHdrValues := split(authHdr[0], " ")
+    token := authHdrValues[1]
+    claims := io.jwt.decode(token)
+    time.now_ns() / (1000 * 1000 * 1000) < claims[1]["exp"]
+}
+"""
+        pol = rego_to_auth([src], now_ns=lambda: 1000 * 10**9)
+        bad = _unsigned_token({"exp": "2000"})  # string, not number
+        assert pol.deny(self._input(header={"Authorization": f"Bearer {bad}"})) is True
+        obj = _unsigned_token({"exp": {"nested": 1}})
+        assert pol.deny(self._input(header={"Authorization": f"Bearer {obj}"})) is True
+        good = _unsigned_token({"exp": 2000})
+        assert pol.deny(self._input(header={"Authorization": f"Bearer {good}"})) is False
+
+    def test_fanout_in_ordering_comparison_rejected(self):
+        from swarm_spark.rules import rego_to_auth
+
+        src = 'package auth\n\ndeny { input.header["X-Env"][_] != "prod" }'
+        pol = rego_to_auth([src])
+        with pytest.raises(RegoError, match="fan-out"):
+            pol.deny(self._input(header={"X-Env": ["prod"]}))
