@@ -419,6 +419,73 @@ ORDER BY doc_a, doc_b
 """
 
 
+# -------------------------------------------------- corpus curation e2e
+def q_corpus_curate(spark, sf):
+    """The operators composed as one curation pass — what a real
+    training-data pipeline runs: exact dedup -> quality gate ->
+    language filter -> deterministic train/val/test assignment. Each
+    stage is an independently-oracled operator; this query pins that
+    they compose (filters push through joins, one scan per stage
+    family) and hash-checks the composition end-to-end."""
+    from .ops.dedup import exact_dedup
+    from .ops.sampling import split_column
+    from .ops.text import language_id, quality_score
+
+    docs = exact_dedup(_docs(spark, sf))
+    q = quality_score(docs).select("doc_id", "quality")
+    lang = language_id(docs).select("doc_id", "pred_lang")
+    return (
+        docs.select("doc_id")
+        .join(q, "doc_id")
+        .join(lang, "doc_id")
+        .where((F.col("quality") >= 0.5) & (F.col("pred_lang") == "en"))
+        .withColumn("split", split_column("doc_id"))
+        .orderBy("doc_id")
+    )
+
+
+_SPLIT_TEST_CUT = int(0.1 * (1 << 32))
+_SPLIT_VAL_CUT = _SPLIT_TEST_CUT + int(0.1 * (1 << 32))
+SQL_CORPUS_CURATE = f"""
+WITH keep AS (SELECT min(doc_id) AS doc_id
+              FROM (SELECT doc_id, md5(text) AS h FROM documents) GROUP BY h),
+w AS ({_WS}),
+q AS (SELECT doc_id,
+             round(0.4 * least(cast(len(ws) AS bigint)/100.0, 1.0)
+                 + 0.3 * (cast(len(list_distinct(ws)) AS bigint) * 1.0
+                          / cast(len(ws) AS bigint))
+                 + 0.3 * least(cast(len(list_filter(ws,
+                       t -> list_contains(['the','a','of','and','to','in'], t)))
+                       AS bigint) * 5.0 / cast(len(ws) AS bigint), 1.0), 6)
+                 AS quality
+      FROM w),
+sc AS (SELECT doc_id, {_SCORES} FROM w),
+mx AS (SELECT *, greatest(score_en, score_de, score_fr, score_es, score_zh) AS best
+       FROM sc),
+l AS (SELECT doc_id,
+             CASE WHEN best = 0 THEN 'und'
+                  WHEN score_en = best THEN 'en'
+                  WHEN score_de = best THEN 'de'
+                  WHEN score_fr = best THEN 'fr'
+                  WHEN score_es = best THEN 'es'
+                  ELSE 'zh' END AS pred_lang
+      FROM mx),
+sp AS (SELECT doc_id,
+              CASE WHEN b < {_SPLIT_TEST_CUT} THEN 'test'
+                   WHEN b < {_SPLIT_VAL_CUT} THEN 'val'
+                   ELSE 'train' END AS split
+       FROM (SELECT doc_id, {_md5_bucket_sql('doc_id', 'swarm-split')} AS b
+             FROM documents))
+SELECT k.doc_id, q.quality, l.pred_lang, sp.split
+FROM keep k
+JOIN q ON k.doc_id = q.doc_id
+JOIN l ON k.doc_id = l.doc_id
+JOIN sp ON k.doc_id = sp.doc_id
+WHERE q.quality >= 0.5 AND l.pred_lang = 'en'
+ORDER BY k.doc_id
+"""
+
+
 # ----------------------------------------------- boilerplate / leakage ops
 def q_text_strip_segments(spark, sf):
     """Cross-document repeated-segment removal (RefinedWeb/C4-style
@@ -1052,4 +1119,5 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "pack_bins": (q_pack_bins, SQL_PACK_BINS),
     "text_strip_segments": (q_text_strip_segments, SQL_STRIP_SEGMENTS),
     "text_decontaminate": (q_text_decontaminate, SQL_DECONTAMINATE),
+    "corpus_curate": (q_corpus_curate, SQL_CORPUS_CURATE),
 }
