@@ -323,3 +323,45 @@ def strip_repeated_segments(
     return ids.join(rebuilt, "doc_id", "left").select(
         "doc_id", F.coalesce("text", F.lit("")).alias("text")
     )
+
+
+# ---------------------------------------------------- vocabulary stats
+def vocab_stats(
+    df: DataFrame,
+    top_k: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus token-frequency table — the vocabulary-building pre-step:
+    (token, count, rank, cum_share) for the ``top_k`` most frequent
+    tokens, rank ties broken lexically, cum_share = cumulative fraction
+    of ALL token occurrences (rounded to 6 digits).
+
+    Scale shape: one map-side-combined groupBy over exploded tokens
+    (shuffle ∝ distinct vocab, not corpus bytes), then rank/cumsum
+    windows over the top_k frame only — top_k is a constant, so the
+    single-partition window is metadata-sized by construction.
+    """
+    toks = df.select(F.explode(tokens_col(text_col)).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("tot"))
+    # orderBy().limit() plans as distributed TakeOrdered — no global
+    # single-partition sort of the vocab; only the top_k survivors
+    # meet the rank/cumsum window (bounded by construction)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("tok"))
+    top = (
+        counts.orderBy(F.col("cnt").desc(), "tok")
+        .limit(top_k)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("cum", F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.col("tok").alias("token"),
+            F.col("cnt").alias("count"),
+            "rank",
+            F.round(F.col("cum") / F.col("tot"), 6).alias("cum_share"),
+        )
+        .orderBy("rank")
+    )

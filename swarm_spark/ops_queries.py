@@ -419,6 +419,29 @@ ORDER BY doc_a, doc_b
 """
 
 
+def q_corpus_vocab(spark, sf):
+    """Top-25 token-frequency table with cumulative coverage — the
+    vocabulary-building pre-step over the corpus."""
+    from .ops.text import vocab_stats
+
+    return vocab_stats(_docs(spark, sf), top_k=25)
+
+
+SQL_CORPUS_VOCAB = f"""
+WITH w AS ({_WS}),
+c AS (SELECT tok, count(*) AS count
+      FROM (SELECT unnest(ws) AS tok FROM w) GROUP BY 1),
+tot AS (SELECT cast(sum(count) AS bigint) AS tot FROM c),
+r AS (SELECT tok AS token, count,
+             cast(row_number() OVER (ORDER BY count DESC, tok) AS bigint) AS rank,
+             cast(sum(count) OVER (ORDER BY count DESC, tok
+                  ROWS UNBOUNDED PRECEDING) AS bigint) AS cum
+      FROM c)
+SELECT token, count, rank, round(cum * 1.0 / tot, 6) AS cum_share
+FROM r, tot WHERE rank <= 25 ORDER BY rank
+"""
+
+
 # -------------------------------------------------- corpus curation e2e
 def q_corpus_curate(spark, sf):
     """The operators composed as one curation pass — what a real
@@ -1120,4 +1143,5 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "text_strip_segments": (q_text_strip_segments, SQL_STRIP_SEGMENTS),
     "text_decontaminate": (q_text_decontaminate, SQL_DECONTAMINATE),
     "corpus_curate": (q_corpus_curate, SQL_CORPUS_CURATE),
+    "corpus_vocab": (q_corpus_vocab, SQL_CORPUS_VOCAB),
 }
