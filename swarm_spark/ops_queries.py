@@ -353,6 +353,27 @@ SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY 1 ORDER BY 1
 """
 
 
+def q_dedup_keep_one(spark, sf):
+    """End-to-end near-dup resolution: jaccard pairs (≥0.8) →
+    connected components → drop all but the lowest-id member of every
+    cluster; docs in no pair pass through. Returns the surviving ids."""
+    from .ops.components import keep_one_per_cluster
+
+    docs = _docs(spark, sf)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8, max_df=_MAX_DF)
+    return keep_one_per_cluster(docs, pairs).select("doc_id").orderBy("doc_id")
+
+
+# same recursive-CC chain as SQL_DEDUP_CLUSTERS, resolved to survivors
+SQL_DEDUP_KEEP_ONE = SQL_DEDUP_CLUSTERS.replace(
+    "SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY 1 ORDER BY 1",
+    """, comp AS (SELECT id, min(r) AS component FROM reach GROUP BY 1),
+losers AS (SELECT id FROM comp WHERE id != component)
+SELECT d.doc_id FROM documents d LEFT JOIN losers l ON d.doc_id = l.id
+WHERE l.id IS NULL ORDER BY d.doc_id""",
+)
+
+
 def q_dedup_simhash(spark, sf):
     return simhash(_docs(spark, sf), bits=32).orderBy("doc_id")
 
@@ -1123,6 +1144,7 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "dedup_keep_one": (q_dedup_keep_one, SQL_DEDUP_KEEP_ONE),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_MINHASH_LSH),
     "dedup_simhash": (q_dedup_simhash, SQL_SIMHASH),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_SIMHASH_PAIRS),
