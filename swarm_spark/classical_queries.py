@@ -302,6 +302,39 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) ORDER BY rf, ls
 """
 
 
+# ---------------------------------------------------------------- cube
+def q_cube(spark, sf):
+    """CUBE over (returnflag, linestatus): every grouping-set
+    combination, null markers normalized to sentinels."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "price_cents"
+            ),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("ls"),
+            "n",
+            "price_cents",
+        )
+        .orderBy("rf", "ls")
+    )
+
+
+SQL_CUBE = """
+SELECT coalesce(l_returnflag, '<all>') AS rf,
+       coalesce(l_linestatus, '<all>') AS ls,
+       count(*) AS n,
+       cast(sum(cast(round(l_extendedprice * 100) AS bigint)) AS BIGINT)
+           AS price_cents
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY rf, ls
+"""
+
+
 # ------------------------------------------------------------ quantiles
 def q_quantiles(spark, sf):
     """Exact interpolated percentiles per group (integral-valued
@@ -336,5 +369,6 @@ CLASSICAL: dict[str, tuple[Callable, str | None]] = {
     "set_ops": (q_set_ops, SQL_SET_OPS),
     "pivot_status_priority": (q_pivot_status_priority, SQL_PIVOT),
     "rollup_counts": (q_rollup, SQL_ROLLUP),
+    "cube_counts": (q_cube, SQL_CUBE),
     "quantiles": (q_quantiles, SQL_QUANTILES),
 }
