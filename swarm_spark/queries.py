@@ -527,12 +527,55 @@ CORE: dict[str, tuple[Callable, str | None]] = {
 }
 
 
+def _last_checked_round() -> dict[str, int]:
+    """Map query name -> most recent round with a driver CORRECTNESS row.
+
+    Reads ``CORRECTNESS_r*.json`` files at the repo root (written by the
+    correctness driver each round). Queries absent from every file have
+    never been driver-oracled. Missing/corrupt files are ignored — with
+    no history the registry keeps registration order.
+    """
+    import json
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    last: dict[str, int] = {}
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name in rows:
+            last[name] = max(last.get(name, -1), rnd)
+    return last
+
+
 def all_queries() -> dict[str, tuple[Callable, str | None]]:
-    """CORE ingestion-dataflow + LLM-pipeline + classical operators."""
+    """CORE ingestion-dataflow + LLM-pipeline + classical operators.
+
+    Driver-window rotation: the correctness driver oracles only the
+    FIRST 50 registry entries per round, in iteration order. To
+    guarantee every query gets a driver row at least every other round,
+    entries are ordered by the round they were last driver-checked,
+    ascending — never-checked queries (new this round, or displaced
+    from earlier windows) lead, most-recently-green queries fall out of
+    the window and rotate back in next round. Ties keep registration
+    order, so the ordering is deterministic within a round.
+    """
     from .classical_queries import CLASSICAL
     from .ops_queries import OPS
 
     out = dict(CORE)
     out.update(OPS)
     out.update(CLASSICAL)
-    return out
+    last = _last_checked_round()
+    reg_index = {name: i for i, name in enumerate(out)}
+    ordered = sorted(out, key=lambda n: (last.get(n, -1), reg_index[n]))
+    return {name: out[name] for name in ordered}
