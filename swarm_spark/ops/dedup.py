@@ -82,7 +82,9 @@ def doc_shingles(
     ).distinct()
 
 
-def prune_by_df(shingles: DataFrame, max_df: int) -> DataFrame:
+def prune_by_df(
+    shingles: DataFrame, max_df: int, broadcast_overcap: bool = True
+) -> DataFrame:
     """Drop shingles whose document frequency exceeds ``max_df``.
 
     Standard DF-pruning before a shared-shingle candidate join: a
@@ -92,19 +94,29 @@ def prune_by_df(shingles: DataFrame, max_df: int) -> DataFrame:
     the ubiquitous ones bounds the join at negligible recall cost
     (the cap must exceed the largest true duplicate-cluster size).
 
-    Implemented as a window count rather than groupBy + semi-join: ONE
-    shuffle of the shingle frame (partitioned by ``sh``) instead of an
-    aggregate plus a second full-frame shuffle for the join — and the
-    output exchange is partitioned by ``sh``, which is exactly the key
-    the downstream candidate self-join shuffles on, so Catalyst reuses
-    it (ReusedExchange) instead of re-shuffling.
+    Scale shape: two-phase map-side-combined ``groupBy(sh).count()``
+    (the hot shingle collapses to ONE row per map task before the agg
+    shuffle), then a broadcast LEFT ANTI join against the over-cap key
+    set. The over-cap set holds at most rows/max_df distinct shingles —
+    tiny for any sane cap — so the big shingle frame is never shuffled
+    here at all; its one shuffle stays with the downstream candidate
+    join. The earlier window formulation (`count().over(partitionBy
+    (sh))`) put every row of the hot shingle on ONE task — a window
+    partition can never be split by AQE, and a DF≈N shingle is exactly
+    the input ``max_df`` exists for. ``broadcast_overcap=False`` falls
+    back to a shuffle anti-join (AQE can skew-split a join, never a
+    window) for the pathological corpus whose over-cap set itself
+    exceeds the broadcast threshold.
     """
-    w = Window.partitionBy("sh")
-    return (
-        shingles.withColumn("df", F.count(F.lit(1)).over(w))
-        .where(F.col("df") <= max_df)
-        .drop("df")
+    over = (
+        shingles.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_df)
+        .select("sh")
     )
+    if broadcast_overcap:
+        over = F.broadcast(over)
+    return shingles.join(over, "sh", "left_anti")
 
 
 # ------------------------------------------------------ ngram jaccard

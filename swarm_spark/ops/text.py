@@ -291,26 +291,41 @@ def strip_repeated_segments(
     bars, cookie banners, license headers appear verbatim in thousands
     of pages; their corpus frequency betrays them).
 
-    Scale shape: one shuffle of the (doc, segment) frame partitioned
-    by segment — the window count reuses that exchange, and ordered
-    reassembly is a map-side-combinable collect_list keyed by doc.
-    Segment frequency is the SAME quantity `prune_by_df` caps for
+    Scale shape: segment frequency is a two-phase map-side-combined
+    ``groupBy(seg).count()`` — the boilerplate segment (this operator's
+    TARGET workload: nav bars / cookie banners appear in ~every doc)
+    collapses to one row per map task — then a broadcast LEFT ANTI join
+    against the over-cap segment set (≤ rows/max_df distinct segments)
+    drops it without ever shuffling the big (doc, segment) frame on
+    ``seg``. A window count (`count().over(partitionBy(seg))`) would
+    land every occurrence of the hot segment on ONE unsplittable task —
+    at 10⁹ docs that task materializes the whole corpus's boilerplate.
+    Ordered reassembly is a map-side-combinable collect_list keyed by
+    doc. Segment frequency is the SAME quantity `prune_by_df` caps for
     shingles; here the pruned thing is the document content itself.
+
+    ``delim`` is a LITERAL delimiter (quoted via ``\\Q..\\E`` before
+    Spark's regex `split`, matching the literal `array_join`
+    reassembly), not a regex.
 
     Output: (doc_id, text) with surviving segments in original order
     (documents losing every segment keep an empty string).
     """
+    # Pattern.quote-style literal quoting: split() takes a Java regex,
+    # array_join() a literal — both must agree on delimiters like '.'
+    delim_rx = "\\Q" + delim.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     ids = df.select(F.col(id_col).alias("doc_id"))
     segs = df.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "seg"),
+        F.posexplode(F.split(F.col(text_col), delim_rx)).alias("pos", "seg"),
     )
-    w = Window.partitionBy("seg")
-    kept = (
-        segs.withColumn("df", F.count(F.lit(1)).over(w))
-        .where(F.col("df") <= max_df)
-        .drop("df")
+    over = (
+        segs.groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_df)
+        .select("seg")
     )
+    kept = segs.join(F.broadcast(over), "seg", "left_anti")
     rebuilt = kept.groupBy("doc_id").agg(
         F.array_join(
             F.transform(

@@ -442,6 +442,34 @@ class TestBoilerplateAndLeakage:
         assert out[3] == ""  # all segments stripped, row preserved
         assert out[4] == "no boilerplate here at all"
 
+    def test_strip_segments_regex_metachar_delim(self, spark):
+        """delim is a LITERAL: '.' must split on periods, not
+        every-character (the Java-regex reading), and '|' must not
+        split everywhere. Reassembly and split must agree."""
+        from swarm_spark.ops.text import strip_repeated_segments
+
+        rows = [
+            (0, "keep me.common tail"),
+            (1, "also mine.common tail"),
+            (2, "solo doc.rare tail"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r["text"]
+            for r in strip_repeated_segments(docs, delim=".", max_df=1).collect()
+        }
+        assert out[0] == "keep me"
+        assert out[1] == "also mine"
+        assert out[2] == "solo doc.rare tail"
+        pipe = spark.createDataFrame(
+            [(0, "a|shared"), (1, "b|shared")], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: r["text"]
+            for r in strip_repeated_segments(pipe, delim="|", max_df=1).collect()
+        }
+        assert got == {0: "a", 1: "b"}
+
     def test_decontaminate_flags_exact_ngram_leak(self, spark):
         from swarm_spark.ops.dedup import decontaminate
 

@@ -87,6 +87,43 @@ class TestShingleSkew:
         # clone pairs (only clones share a rare boundary/unique shingle)
         assert _candidate_pairs(pruned).count() == N_CLONES
 
+    def test_prune_has_no_hot_key_window_partition(self, boilerplate_docs):
+        """The DF cap must not be computed as count().over(partitionBy
+        (sh)) — a window partition cannot be split by AQE, so the hot
+        shingle's rows would all land on ONE task before the filter.
+        Pin (a) no Window node in the plan at all, and (b) no task-level
+        row concentration: the pruned frame keeps the input partitioning
+        (anti-join is map-side), so per-partition counts stay balanced
+        even when one shingle covers the corpus."""
+        src = boilerplate_docs.repartition(8, "doc_id")
+        pruned = prune_by_df(doc_shingles(src), max_df=5)
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        per_part = (
+            pruned.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        total = sum(r["n"] for r in per_part)
+        assert max(r["n"] for r in per_part) <= total / 8 * 3  # balanced, no hot task
+
+    def test_strip_segments_has_no_hot_key_window(self, boilerplate_docs):
+        """Boilerplate segments appear in ~every doc — the NORMAL
+        workload for strip_repeated_segments — so its frequency count
+        must be the two-phase agg + broadcast anti-join, never a window
+        over the segment key."""
+        from swarm_spark.ops.text import strip_repeated_segments
+
+        out = strip_repeated_segments(boilerplate_docs, delim=" ", max_df=5)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+        # semantics spot-check: template tokens (DF=N_DOCS) stripped,
+        # unique suffixes (DF<=2) survive in order
+        row = out.where(F.col("doc_id") == 0).first()
+        assert row["text"] == "uniq0a uniq0b uniq0c"
+
     def test_ngram_jaccard_end_to_end_under_skew(self, boilerplate_docs):
         out = ngram_jaccard_pairs(
             boilerplate_docs, threshold=0.99, max_df=5
