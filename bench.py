@@ -3,8 +3,11 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed to completion (collect) after a session warm-up;
-value = sum of per-query wall seconds.
+Each query is executed to completion (collect) 3× after a session
+warm-up and scored by its MEDIAN wall seconds — single-run timings on
+this class of host drift 1.2-3× with invisible neighbor load, which
+round-4 analysis showed swamps real plan deltas. value = sum of
+per-query medians.
 """
 
 from __future__ import annotations
@@ -43,6 +46,7 @@ def main() -> None:
         "e1_size_batching",
         "m1_sql_passthrough",
         "pipeline_ingest_e2e",
+        "corpus_curate",
         "text_token_stats",
         "dedup_ngram_jaccard",
         "dedup_minhash_lsh",
@@ -81,12 +85,16 @@ def main() -> None:
     ).repartition(4).write.mode("overwrite").text(warm_dir)
     spark.read.json(warm_dir).count()
 
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in names:
         fn = CORE[name][0]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        samples: list[float] = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(samples)[len(samples) // 2], 4)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -97,6 +105,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs_per_query": runs,
+                "aggregation": "median",
             }
         )
     )

@@ -44,6 +44,30 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(keep, on=id_col, how="left_semi")
 
 
+def exact_dedup_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One-shuffle exact dedup projecting only ``(id, text)``.
+
+    groupBy the content digest with map-side-combinable ``min(id)`` /
+    ``first(text)`` — every row in a digest group carries the SAME text
+    (that is what the digest means), so ``first`` is value-determined,
+    and a massively-duplicated document (empty pages, "404" bodies)
+    collapses to one row per map task before the shuffle. Use this
+    instead of :func:`exact_dedup` when downstream only needs id+text:
+    it replaces the generic keep-all-columns semi-join (agg shuffle +
+    join shuffle of the full frame) with a single exchange.
+    """
+    return (
+        df.select(
+            F.col(id_col), F.col(text_col), F.md5(F.col(text_col)).alias("h")
+        )
+        .groupBy("h")
+        .agg(F.min(id_col).alias(id_col), F.first(text_col).alias(text_col))
+        .select(id_col, text_col)
+    )
+
+
 def exact_dup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     h = F.md5(F.col(text_col))
     return df.select(h.alias("h")).agg(

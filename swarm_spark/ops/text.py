@@ -64,30 +64,41 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Marker-token language scores + argmax prediction (deterministic
-    tie-break by fixed language order)."""
-    ws = tokens_col(text_col)
+def language_scores_expr(text: Column | str) -> dict[str, Column]:
+    """Per-language marker-token count expressions."""
+    ws = tokens_col(text)
 
     def _in(markers):
         # single-arg lambda (a two-arg lambda would receive the index)
         return lambda w: w.isin(*markers)
 
-    scores = {
+    return {
         lang: F.size(F.filter(ws, _in(markers)))
         for lang, markers in LANG_MARKERS.items()
     }
-    # deterministic argmax: first language (in LANG_MARKERS order) with
-    # maximal score
+
+
+def language_pred_expr(text: Column | str) -> Column:
+    """Argmax language prediction as a plain column expression
+    (deterministic tie-break by fixed language order; zero markers →
+    'und') — use inside larger projections so Catalyst fuses language
+    id into one scan with the rest of the pipeline's columns."""
+    scores = language_scores_expr(text)
     best = F.greatest(*scores.values())
     pred = F.lit("und")
     for lang in reversed(list(LANG_MARKERS)):
         pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
-    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    return F.when(best == 0, F.lit("und")).otherwise(pred)
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-token language scores + argmax prediction (deterministic
+    tie-break by fixed language order)."""
+    scores = language_scores_expr(text_col)
     out = [F.col(id_col)] + [
         scores[lang].cast("long").alias(f"score_{lang}") for lang in LANG_MARKERS
     ]
-    return df.select(*out, pred.alias("pred_lang"))
+    return df.select(*out, language_pred_expr(text_col).alias("pred_lang"))
 
 
 def quality_expr(text: Column | str) -> Column:

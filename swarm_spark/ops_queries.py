@@ -467,21 +467,25 @@ FROM r, tot WHERE rank <= 25 ORDER BY rank
 def q_corpus_curate(spark, sf):
     """The operators composed as one curation pass — what a real
     training-data pipeline runs: exact dedup -> quality gate ->
-    language filter -> deterministic train/val/test assignment. Each
-    stage is an independently-oracled operator; this query pins that
-    they compose (filters push through joins, one scan per stage
-    family) and hash-checks the composition end-to-end."""
-    from .ops.dedup import exact_dedup
-    from .ops.sampling import split_column
-    from .ops.text import language_id, quality_score
+    language filter -> deterministic train/val/test assignment.
 
-    docs = exact_dedup(_docs(spark, sf))
-    q = quality_score(docs).select("doc_id", "quality")
-    lang = language_id(docs).select("doc_id", "pred_lang")
+    Scale shape: ONE corpus scan and ONE exchange (the dedup digest
+    groupBy). Quality, language, and split are pure per-row expressions
+    (`quality_expr` / `language_pred_expr` / `split_column`), so they
+    ride a single projection after the dedup instead of re-deriving the
+    corpus per stage and joining back — zero joins in the plan
+    (pinned by tests/test_plans.py)."""
+    from .ops.dedup import exact_dedup_text
+    from .ops.sampling import split_column
+    from .ops.text import language_pred_expr, quality_expr
+
+    docs = exact_dedup_text(_docs(spark, sf))
     return (
-        docs.select("doc_id")
-        .join(q, "doc_id")
-        .join(lang, "doc_id")
+        docs.select(
+            "doc_id",
+            quality_expr("text").alias("quality"),
+            language_pred_expr("text").alias("pred_lang"),
+        )
         .where((F.col("quality") >= 0.5) & (F.col("pred_lang") == "en"))
         .withColumn("split", split_column("doc_id"))
         .orderBy("doc_id")
