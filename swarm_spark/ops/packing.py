@@ -143,8 +143,9 @@ def pack_greedy_bins(
     capacity: int,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_buckets: int = 16,
+    num_buckets: int | None = None,
     seed: str = "swarm-pack",
+    max_bucket_rows: int = 2_000_000,
 ) -> DataFrame:
     """First-fit-sequential bin packing without document splitting.
 
@@ -153,6 +154,16 @@ def pack_greedy_bins(
     the next document would overflow ``capacity``. Oversized documents
     (n_tok > capacity) occupy a bin alone with ``oversize=true``.
 
+    Each bucket packs sequentially inside ONE ``applyInPandas`` group
+    (rows are 3 longs + a bool), so bucket size must scale with the
+    corpus. ``num_buckets=None`` (the default) auto-derives it from a
+    cheap row count — parquet sources answer count() from footer
+    metadata — targeting ≤ ``max_bucket_rows`` expected rows per bucket
+    (md5 bucketing is balanced, so expectation ≈ bound). An EXPLICIT
+    ``num_buckets`` that would put more than ``max_bucket_rows``
+    expected rows in a bucket raises instead of silently building an
+    operator that OOMs one task at scale.
+
     Output: (doc_id, n_tok, bucket, bin_id, fill, oversize) where
     ``fill`` is the bin's running fill AFTER this document and
     ``bin_id`` is local to the bucket ((bucket, bin_id) is the global
@@ -160,6 +171,16 @@ def pack_greedy_bins(
     """
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
+    n_rows = df.count()
+    if num_buckets is None:
+        num_buckets = max(16, -(-n_rows // max_bucket_rows))
+    elif n_rows > num_buckets * max_bucket_rows:
+        raise ValueError(
+            f"num_buckets={num_buckets} puts ~{n_rows // num_buckets} rows "
+            f"in each sequential packing bucket (cap {max_bucket_rows}); "
+            f"raise num_buckets to >= {-(-n_rows // max_bucket_rows)} or "
+            "raise max_bucket_rows explicitly"
+        )
     base = (
         df.select(F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("ws"))
         .select("doc_id", F.size("ws").cast("long").alias("n_tok"))

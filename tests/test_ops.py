@@ -421,6 +421,26 @@ class TestSequencePacking:
                 if nxt and not nxt[0][2]:
                     assert tot + nxt[0][1] > self.CAP
 
+    def test_greedy_bins_auto_buckets_bound_rows(self, spark, docs):
+        """num_buckets=None derives the bucket count from the corpus so
+        no sequential applyInPandas group exceeds max_bucket_rows."""
+        import pytest
+
+        from swarm_spark.ops.packing import pack_greedy_bins
+
+        out = pack_greedy_bins(
+            docs, capacity=self.CAP, max_bucket_rows=3
+        )  # 60 docs / cap 3 -> >=20 buckets
+        per_bucket: dict = {}
+        for r in out.collect():
+            per_bucket[r["bucket"]] = per_bucket.get(r["bucket"], 0) + 1
+        assert len(per_bucket) >= 10
+        # md5 bucketing is balanced: allow slack over the expected bound
+        assert max(per_bucket.values()) <= 3 * 3
+        # an explicit under-provisioned bucket count refuses to build
+        with pytest.raises(ValueError, match="num_buckets"):
+            pack_greedy_bins(docs, capacity=self.CAP, num_buckets=2, max_bucket_rows=5)
+
 
 class TestBoilerplateAndLeakage:
     def test_strip_repeated_segments_lines(self, spark):
