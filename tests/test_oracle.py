@@ -66,6 +66,66 @@ def test_query_matches_oracle(name, spark, sf_dir, ddb):
     )
 
 
+def normalize_strict(v):
+    """Type-STRICT normalization mirroring the driver's value hash:
+    floats keep their '.0' (repr), so an integer column that drifts to
+    float64 on either side (the r2 HUGEINT-through-pandas class) changes
+    the hash even when every value is numerically equal. The multiset
+    test above deliberately flattens that difference; this one must not.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "None"
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (np.integer, int)):
+        return str(int(v))
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        return "None" if math.isnan(f) else repr(f)
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(normalize_strict(x) for x in v) + "]"
+    if hasattr(v, "isoformat"):
+        if pd.isna(v):
+            return "None"
+        # a DATE and the midnight TIMESTAMP normalize identically: the
+        # driver hashes Spark date_trunc (DATE) equal to DuckDB
+        # date_trunc (TIMESTAMP) — r4 driver rows pin that behavior
+        w = v.replace(tzinfo=None) if getattr(v, "tzinfo", None) else v
+        return pd.Timestamp(w).isoformat(timespec="microseconds")
+    return str(v)
+
+
+def driver_hash(pdf) -> str:
+    """Sorted-column, sorted-row md5 over strictly-normalized values —
+    the driver's comparison shape, applied to a pandas frame (both
+    sides fetch through pandas, where DuckDB HUGEINT becomes float64)."""
+    import hashlib
+
+    cols = sorted(pdf.columns)
+    rows = sorted(
+        tuple(normalize_strict(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
+    )
+    h = hashlib.md5()
+    for row in rows:
+        h.update("\x1f".join(row).encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_query_hash_matches_oracle(name, spark, sf_dir, ddb):
+    """The driver's exact hash procedure, locally, for EVERY oracled
+    query — including the ones outside the driver's 50-query window —
+    so a hash-affecting type drift is caught in-repo before a round."""
+    spdf = QUERIES[name](spark, sf_dir).toPandas()
+    odf = ddb.execute(ORACLE[name]).df()
+    assert driver_hash(spdf) == driver_hash(odf), f"{name}: value hash differs"
+
+
 @pytest.mark.parametrize("name", sorted(ORACLE))
 def test_oracle_output_types_hash_stable(name, ddb):
     """Lint: no oracle output column may be HUGEINT (DuckDB's sum(BIGINT)
