@@ -631,6 +631,8 @@ def embedding_signlsh_pairs(
             import pandas as _pd
 
             for pdf in it:
+                if not len(pdf):
+                    continue  # np.array([]).reshape(0, -1) raises
                 V = _np.array(
                     [_np.asarray(x, dtype=_np.float64) for x in pdf["v"]]
                 ).reshape(len(pdf), -1)

@@ -177,12 +177,19 @@ class IngestPipeline:
         for r in reqs:
             by_source.setdefault(r.source, []).append(r.obj.url)
 
+        # atomic=True: ONE transaction spans every source group, so a
+        # failure in any later group aborts the earlier groups' staged
+        # slices too — the all-or-nothing contract is the whole batch,
+        # not per group
+        txn = self.sink.transaction() if self.atomic else None
         for source, paths in by_source.items():
             logs = self._transform_group(source, paths)
             if logs is None:
                 continue
             enveloped = self._envelope(logs, stats.ingest_id)
-            self._write_routed(enveloped, stats)
+            self._write_routed(enveloped, stats, txn=txn)
+        if txn is not None:
+            txn.commit()
 
         stats.finished_at = time.time()
         if self.write_load_log:
@@ -204,7 +211,9 @@ class IngestPipeline:
         return stats
 
     # -- G1 + Q1/Q2/Q4 + W1: per-destination evolve + append -----------
-    def _write_routed(self, enveloped: DataFrame, stats: IngestStats) -> None:
+    def _write_routed(
+        self, enveloped: DataFrame, stats: IngestStats, txn=None
+    ) -> None:
         """Per-destination evolve+append.
 
         Default mode: PARTIAL-failure tolerance — one bad destination
@@ -214,14 +223,19 @@ class IngestPipeline:
         load.go:100-130: per-table goroutines report errors
         independently).
 
-        ``atomic=True``: all destination slices stage in ONE sink
-        transaction; any failure aborts the whole batch and no rows
-        become visible (see TableTransaction — schema evolution is
-        still applied eagerly, which is harmless because the merge is
-        monotonic/additive)."""
+        ``atomic=True``: all destination slices stage in a sink
+        transaction; any failure aborts it and no rows become visible
+        (see TableTransaction — schema evolution is still applied
+        eagerly, which is harmless because the merge is monotonic/
+        additive). When the caller passes an open ``txn`` (load_objects
+        spans one across all source groups), this call only STAGES into
+        it and the caller commits once; otherwise the transaction is
+        opened and committed here."""
         enveloped = enveloped.persist()
         errors: list[tuple[TableDest, Exception]] = []
-        txn = self.sink.transaction() if self.atomic else None
+        own_txn = txn is None and self.atomic
+        if own_txn:
+            txn = self.sink.transaction()
         staged: dict[tuple, int] = {}
         try:
             dests = [
@@ -254,7 +268,7 @@ class IngestPipeline:
                     continue
                 key = (dest.dataset, dest.table, dest.partition)
                 staged[key] = staged.get(key, 0) + n
-            if txn is not None:
+            if own_txn:
                 txn.commit()
             for key, n in staged.items():  # additive: called per source group
                 stats.rows_by_dest[key] = stats.rows_by_dest.get(key, 0) + n

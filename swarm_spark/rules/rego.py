@@ -993,9 +993,16 @@ class RegoAuthPolicy:
         raise RegoError(f"unsupported auth statement {stmt!r}")
 
     def _eval_bool(self, name: str, a, stack: tuple[str, ...] = ()) -> bool:
-        """A boolean rule holds iff any of its bodies is satisfied."""
+        """A boolean rule holds iff any of its bodies is satisfied.
+
+        ALL rules for the name are evaluated: when two satisfied
+        complete rules produce different values, OPA raises
+        eval_conflict_error ("complete rules must not conflict") —
+        mirrored here so an allow/deny decision can never silently
+        depend on rule declaration order."""
         if name in stack:
             raise RegoError(f"recursive auth rule {name!r}")
+        produced: list[Any] = []
         for rule in self._defs.get(name, ()):
             env: dict[str, Any] = {}
             try:
@@ -1003,9 +1010,20 @@ class RegoAuthPolicy:
                     self._eval_stmt(s, a, env, stack + (name,)) for s in rule.body
                 ):
                     v = rule.value
-                    return bool(self._eval_expr(v, a, env, stack + (name,))) if v is not None else True
+                    produced.append(
+                        self._eval_expr(v, a, env, stack + (name,))
+                        if v is not None
+                        else True
+                    )
             except _Undefined:
                 continue
+        if produced:
+            if any(p != produced[0] for p in produced[1:]):
+                raise RegoError(
+                    f"complete rules must not conflict: {name!r} "
+                    f"produced {sorted({repr(p) for p in produced})}"
+                )
+            return bool(produced[0])
         dflt = self._defaults.get(name)
         if dflt is not None:
             return bool(dflt.value) if isinstance(dflt, Lit) else bool(dflt)

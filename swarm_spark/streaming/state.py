@@ -102,6 +102,64 @@ class StateStore:
             json.dump(asdict(st), f)
         os.replace(tmp, p)
 
+    # ---------------------------------------------------- lock protocol
+    # Acquire = O_EXCL create with a unique token written into the lock.
+    # Release = remove ONLY if the lock still holds our token (a broken
+    # -and-replaced lock must not be deleted out from under its new
+    # holder). Stale-break = atomic rename to a unique tombstone — only
+    # one breaker can win the rename — then re-verify staleness on the
+    # TOMBSTONE (immune to concurrent replacement, unlike the
+    # check-then-remove it replaces); a tombstone that turns out fresh
+    # is linked back. The one residual microsecond window (fresh lock
+    # renamed between mtime check and rename, new lock created before
+    # the link-back) degrades to a doubled critical section, which is
+    # safe here: state writes are atomic os.replace, updates are fenced
+    # by request_id, and a double-acquire yields duplicate rows with
+    # equal content-hash ids that downstream dedup removes (see module
+    # docstring).
+    def _acquire_lock(self, lock: str) -> tuple[int, str] | None:
+        token = uuid.uuid4().hex
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return None
+        os.write(fd, token.encode())
+        return fd, token
+
+    def _release_lock(self, lock: str, fd: int, token: str) -> None:
+        os.close(fd)
+        try:
+            with open(lock, encoding="utf-8") as f:
+                if f.read() == token:
+                    os.remove(lock)
+        except OSError:
+            pass  # already broken as stale — nothing of ours to remove
+
+    def _try_break_stale(self, lock: str) -> None:
+        """Break an orphaned lock (holder SIGKILLed mid-section) without
+        ever deleting a live one."""
+        try:
+            if time.time() - os.path.getmtime(lock) <= STALE_LOCK_S:
+                return
+            tomb = lock + f".stale-{uuid.uuid4().hex}"
+            os.rename(lock, tomb)  # atomic: exactly one breaker wins
+        except OSError:
+            return  # lost the race / lock released meanwhile
+        try:
+            if time.time() - os.path.getmtime(tomb) > STALE_LOCK_S:
+                os.remove(tomb)  # confirmed stale on the immutable name
+            else:
+                # raced a fresh holder: hand the lock back (unless a new
+                # one appeared, in which case the fresh holder is fenced
+                # out by the token check at its release)
+                try:
+                    os.link(tomb, lock)
+                except OSError:
+                    pass
+                os.remove(tomb)
+        except OSError:
+            pass
+
     def get_or_create(self, msg_type: str, msg_id: str) -> tuple[State, bool]:
         """Returns (state, acquired). Acquired=False when another holder
         has it RUNNING (unexpired) or it COMPLETED already."""
@@ -117,24 +175,25 @@ class StateStore:
             expires_at=now + self.timeout_s,
             ttl_s=self.ttl_s,
         )
-        p = self._file(msg_type, msg_id)
+        lock = self._file(msg_type, msg_id) + ".lock"
         while True:
-            try:
-                # O_EXCL create = the acquire transaction
-                fd = os.open(p + ".lock", os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            got = self._acquire_lock(lock)
+            if got is not None:
                 break
-            except FileExistsError:
-                # break orphaned locks (holder SIGKILLed mid-section);
-                # a fresh lock means another process mid-transition —
-                # treat as not acquired (redelivery will retry)
-                try:
-                    if time.time() - os.path.getmtime(p + ".lock") > STALE_LOCK_S:
-                        os.remove(p + ".lock")
-                        continue
-                except OSError:
-                    continue  # just released/broken — retry acquire
-                cur = self._read(msg_type, msg_id)
-                return (cur or fresh), False
+            before = None
+            try:
+                before = os.path.getmtime(lock)
+            except OSError:
+                continue  # just released/broken — retry acquire
+            if time.time() - before > STALE_LOCK_S:
+                # orphaned (holder SIGKILLed mid-section) — break and retry
+                self._try_break_stale(lock)
+                continue
+            # a fresh lock means another process mid-transition —
+            # treat as not acquired (redelivery will retry)
+            cur = self._read(msg_type, msg_id)
+            return (cur or fresh), False
+        fd, token = got
         try:
             cur = self._read(msg_type, msg_id)
             if cur is None:
@@ -148,8 +207,7 @@ class StateStore:
             self._write(fresh)
             return fresh, True
         finally:
-            os.close(fd)
-            os.remove(p + ".lock")
+            self._release_lock(lock, fd, token)
 
     def update(
         self,
@@ -164,26 +222,22 @@ class StateStore:
         the message over after this holder's timeout; its result must
         be discarded, not recorded). ``request_id=None`` keeps the
         unfenced single-driver behavior."""
-        p = self._file(msg_type, msg_id)
-        fd = None
+        lock = self._file(msg_type, msg_id) + ".lock"
+        got = None
         deadline = time.monotonic() + 5.0
-        while fd is None:  # short CAS section; holders never block long
-            try:
-                fd = os.open(p + ".lock", os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:
-                # break orphaned locks: the critical section is a few
-                # file ops, so a lock older than STALE_LOCK_S can only
-                # belong to a process killed mid-update — without this
-                # a SIGKILLed holder would wedge the message forever
-                try:
-                    if time.time() - os.path.getmtime(p + ".lock") > STALE_LOCK_S:
-                        os.remove(p + ".lock")
-                        continue
-                except OSError:
-                    continue  # someone else just released/broke it
-                if time.monotonic() > deadline:
-                    raise TimeoutError(f"state lock stuck for {msg_type}/{msg_id}")
-                time.sleep(0.01)
+        while got is None:  # short CAS section; holders never block long
+            got = self._acquire_lock(lock)
+            if got is not None:
+                break
+            # break orphaned locks: the critical section is a few file
+            # ops, so a lock older than STALE_LOCK_S can only belong to
+            # a process killed mid-update — without this a SIGKILLed
+            # holder would wedge the message forever
+            self._try_break_stale(lock)
+            if time.monotonic() > deadline:
+                raise TimeoutError(f"state lock stuck for {msg_type}/{msg_id}")
+            time.sleep(0.01)
+        fd, token = got
         try:
             cur = self._read(msg_type, msg_id)
             if cur is None:
@@ -195,8 +249,7 @@ class StateStore:
             self._write(cur)
             return True
         finally:
-            os.close(fd)
-            os.remove(p + ".lock")
+            self._release_lock(lock, fd, token)
 
     def wait(
         self,

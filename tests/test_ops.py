@@ -280,6 +280,25 @@ class TestEmbeddingDedup:
         with pytest.raises(ValueError):
             embedding_signlsh_pairs(emb, num_planes=16, bands=5)
 
+    def test_signlsh_survives_empty_partitions_and_empty_frame(self, spark):
+        """mapInPandas can deliver zero-row Arrow batches; the vectorized
+        sketch must skip them instead of crashing on a 0-size reshape."""
+        from swarm_spark.ops import embedding_signlsh_pairs
+
+        rows = [(i, [float(i)] * 8) for i in range(3)]
+        sparse = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        ).repartition(16)  # most partitions empty
+        assert (
+            embedding_signlsh_pairs(sparse, num_planes=8, bands=2, dim=8).count()
+            >= 0
+        )
+        empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+        assert (
+            embedding_signlsh_pairs(empty, num_planes=8, bands=2, dim=8).count()
+            == 0
+        )
+
     def test_planes_are_deterministic(self):
         from swarm_spark.ops import rademacher_planes
 

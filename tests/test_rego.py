@@ -253,6 +253,38 @@ class TestRegoAuth:
         pol = load_rego_auth_dir(str(tmp_path))
         assert events.rules and pol is not None
 
+    def test_conflicting_complete_rules_raise(self):
+        """OPA eval_conflict_error parity: two satisfied complete rules
+        producing different values must raise, not silently yield the
+        first-declared value (an allow/deny decision must never depend
+        on rule declaration order)."""
+        from swarm_spark.rules import rego_to_auth
+
+        src = (
+            "package auth\n\n"
+            'deny := false { input.path == "/both" }\n'
+            'deny = true { input.path == "/both" }\n'
+        )
+        pol = rego_to_auth([src])
+        with pytest.raises(RegoError, match="conflict"):
+            pol.deny(self._input(path="/both"))
+        # only one body satisfied → no conflict, that value wins
+        src2 = (
+            "package auth\n\n"
+            'deny := false { input.path == "/ok" }\n'
+            'deny = true { input.path == "/blocked" }\n'
+        )
+        pol2 = rego_to_auth([src2])
+        assert pol2.deny(self._input(path="/ok")) is False
+        assert pol2.deny(self._input(path="/blocked")) is True
+        # agreeing values from multiple satisfied rules are fine
+        src3 = (
+            "package auth\n\n"
+            'deny { input.path == "/x" }\n'
+            'deny = true { input.path == "/x" }\n'
+        )
+        assert rego_to_auth([src3]).deny(self._input(path="/x")) is True
+
     def test_http_send_out_of_subset_fails_loudly(self):
         from swarm_spark.rules import rego_to_auth
 

@@ -296,3 +296,55 @@ class TestSharedStateStore:
         st.get_or_create("m", "id3")
         assert st.update("m", "id3", MsgState.FAILED) is True
         assert st._read("m", "id3").state == "failed"
+
+    def test_stale_lock_break_recovers_orphaned_message(self, tmp_path):
+        """A SIGKILLed holder's lock must not wedge the message: a
+        stale lock is broken (via atomic rename, not check-then-remove)
+        and the message becomes acquirable again."""
+        import os
+        import time as _time
+
+        st = StateStore(str(tmp_path), clock=FakeClock())
+        lock = st._file("m", "id-orphan") + ".lock"
+        with open(lock, "w") as f:
+            f.write("dead-holder")
+        old = _time.time() - 120  # > STALE_LOCK_S
+        os.utime(lock, (old, old))
+        _, acquired = st.get_or_create("m", "id-orphan")
+        assert acquired
+        assert not os.path.exists(lock + ".stale"), "tombstones must not linger"
+
+    def test_break_stale_never_deletes_fresh_lock(self, tmp_path):
+        """The breaker must verify staleness on the renamed tombstone:
+        a lock that is FRESH stays in place (handed back), so a live
+        holder is never evicted by a racing breaker."""
+        import os
+
+        st = StateStore(str(tmp_path), clock=FakeClock())
+        lock = st._file("m", "id-live") + ".lock"
+        with open(lock, "w") as f:
+            f.write("live-holder")
+        st._try_break_stale(lock)  # fresh mtime -> must be a no-op
+        assert os.path.exists(lock)
+        with open(lock) as f:
+            assert f.read() == "live-holder"
+
+    def test_release_is_identity_checked(self, tmp_path):
+        """Releasing a lock whose file was broken and re-acquired by
+        another holder must not delete the new holder's lock."""
+        import os
+
+        st = StateStore(str(tmp_path), clock=FakeClock())
+        lock = st._file("m", "id-swap") + ".lock"
+        got = st._acquire_lock(lock)
+        assert got is not None
+        fd, token = got
+        # simulate: our lock was broken as stale and someone else now
+        # holds a fresh lock at the same path
+        os.remove(lock)
+        with open(lock, "w") as f:
+            f.write("new-holder-token")
+        st._release_lock(lock, fd, token)
+        assert os.path.exists(lock), "release deleted a lock it no longer owns"
+        with open(lock) as f:
+            assert f.read() == "new-holder-token"

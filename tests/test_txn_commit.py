@@ -173,6 +173,88 @@ class TestAtomicIngestMode:
             assert sink.read_table(d).count() == 0
         assert stats.rows_by_dest == {}
 
+    def test_atomic_spans_all_source_groups(self, spark, tmp_path, monkeypatch):
+        """load_objects with atomic=True must be all-or-nothing across
+        SOURCE GROUPS, not per group: a failure while staging the second
+        group's destination aborts the first group's already-staged
+        rows too."""
+        import json
+
+        from swarm_spark.model import ObjectMeta, Source
+        from swarm_spark.pipeline.ingest import (
+            IngestPartialFailure,
+            IngestPipeline,
+        )
+        from swarm_spark.rules import (
+            EventRule,
+            EventRuleSet,
+            SchemaRuleRegistry,
+            name_suffix,
+            rule_output,
+        )
+
+        sink = _prepare(spark, tmp_path)
+        rules = SchemaRuleRegistry()
+
+        @rules.rule("ra")
+        def ra(df):
+            return rule_output(
+                df,
+                dataset="ds",
+                table=F.lit("t0"),
+                timestamp=F.lit(1.0),
+                data=F.struct("payload"),
+            )
+
+        @rules.rule("rb")
+        def rb(df):
+            return rule_output(
+                df,
+                dataset="ds",
+                table=F.lit("t1"),
+                timestamp=F.lit(1.0),
+                data=F.struct("payload"),
+            )
+
+        events = EventRuleSet(
+            [
+                EventRule("a", name_suffix(".a.ndjson"), (Source(schema="ra"),)),
+                EventRule("b", name_suffix(".b.ndjson"), (Source(schema="rb"),)),
+            ]
+        )
+        pipe = IngestPipeline(spark, events, rules, sink, atomic=True)
+        pa = tmp_path / "x.a.ndjson"
+        pa.write_text(json.dumps({"payload": "one"}) + "\n")
+        pb = tmp_path / "x.b.ndjson"
+        pb.write_text(json.dumps({"payload": "two"}) + "\n")
+
+        orig_stage = TableTransaction.stage
+        calls = []
+
+        def failing_stage(self, dest, df):
+            calls.append(dest.table)
+            if len(calls) == 2:  # the second GROUP's destination
+                raise RuntimeError("disk full")
+            return orig_stage(self, dest, df)
+
+        monkeypatch.setattr(TableTransaction, "stage", failing_stage)
+        objs = [
+            ObjectMeta(bucket="x", name="x.a.ndjson", path=str(pa)),
+            ObjectMeta(bucket="x", name="x.b.ndjson", path=str(pb)),
+        ]
+        with pytest.raises(IngestPartialFailure):
+            pipe.load_objects(objs)
+        assert len(calls) == 2
+        for d in DESTS:  # group 1's staged slice rolled back with group 2's
+            assert sink.read_table(d).count() == 0
+
+        # happy path: same two groups, one shared txn, one commit
+        monkeypatch.setattr(TableTransaction, "stage", orig_stage)
+        stats = pipe.load_objects(objs)
+        assert sink.read_table(DESTS[0]).count() == 1
+        assert sink.read_table(DESTS[1]).count() == 1
+        assert stats.total_rows == 2
+
     def test_atomic_mode_happy_path_commits_everything(self, spark, tmp_path):
         from swarm_spark.pipeline.ingest import IngestPipeline, IngestStats
         from swarm_spark.rules import EventRuleSet, SchemaRuleRegistry
