@@ -66,6 +66,47 @@ class FileDumpPublisher(Publisher):
         return msg_id
 
 
+class PubSubClientPublisher(Publisher):
+    """Real Google Pub/Sub publisher (reference
+    pkg/infra/pubsub/client.go:24-27: ``topic.Publish(data).Get`` — a
+    synchronous publish returning the server message id).
+
+    Env-gated: constructing without an injected ``topic_publish``
+    requires ``google-cloud-pubsub`` (absent from this container) plus
+    project/topic ids. Tests inject a fake ``topic_publish(data: bytes)
+    -> str`` to pin payload shape and id plumbing without the wire.
+    """
+
+    def __init__(
+        self,
+        project_id: str | None = None,
+        topic_id: str | None = None,
+        topic_publish=None,
+    ):
+        if topic_publish is not None:
+            self._publish = topic_publish
+            return
+        try:
+            from google.cloud import pubsub_v1
+        except ImportError as e:  # pragma: no cover - env-gated
+            raise NotImplementedError(
+                "PubSubClientPublisher needs google-cloud-pubsub "
+                "(not in this container) or an injected topic_publish"
+            ) from e
+        if not project_id or not topic_id:
+            raise ValueError("project_id and topic_id are required")
+        client = pubsub_v1.PublisherClient()
+        topic = client.topic_path(project_id, topic_id)
+
+        def _wire_publish(data: bytes) -> str:  # pragma: no cover - env-gated
+            return client.publish(topic, data).result()
+
+        self._publish = _wire_publish
+
+    def publish(self, payload: dict) -> str:
+        return str(self._publish(json.dumps(payload).encode()))
+
+
 def list_local_objects(pattern: str, bucket: str = "local") -> list[ObjectMeta]:
     """S3 analogue for local paths: glob → ObjectMeta list with sizes."""
     out = []

@@ -1,0 +1,140 @@
+"""External transactional-KV state backend (X1 without a shared FS) +
+real Pub/Sub publisher plumbing. Parity suite: TransactionalStateStore
+must behave exactly like the file-ledger StateStore on the acquire /
+re-acquire / fencing matrix (reference firestore client semantics)."""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+
+from swarm_spark.streaming.state import MsgState
+from swarm_spark.streaming.state_db import InMemoryKV, TransactionalStateStore
+
+
+class FakeClock:
+    def __init__(self, t=1000.0):
+        self.t = t
+
+    def __call__(self):
+        return self.t
+
+
+@pytest.fixture
+def store():
+    return TransactionalStateStore(InMemoryKV(), timeout_s=60, clock=FakeClock())
+
+
+class TestTransactionalStateStore:
+    def test_acquire_new(self, store):
+        st, acquired = store.get_or_create("m", "id1")
+        assert acquired and st.state == "running"
+
+    def test_running_not_reacquirable_until_expired(self, store):
+        a, _ = store.get_or_create("m", "id2")
+        b, acquired = store.get_or_create("m", "id2")
+        assert not acquired and b.request_id == a.request_id
+        store.clock.t += 61  # past expires_at
+        c, acquired = store.get_or_create("m", "id2")
+        assert acquired and c.request_id != a.request_id
+
+    def test_completed_never_reacquired(self, store):
+        store.get_or_create("m", "id3")
+        store.update("m", "id3", MsgState.COMPLETED)
+        store.clock.t += 10_000
+        st, acquired = store.get_or_create("m", "id3")
+        assert not acquired and st.state == "completed"
+
+    def test_failed_reacquirable(self, store):
+        store.get_or_create("m", "id4")
+        store.update("m", "id4", MsgState.FAILED)
+        _, acquired = store.get_or_create("m", "id4")
+        assert acquired
+
+    def test_fenced_update_rejects_stale_holder(self, store):
+        a, _ = store.get_or_create("m", "id5")
+        store.clock.t += 61
+        b, acquired_b = store.get_or_create("m", "id5")
+        assert acquired_b
+        assert store.update("m", "id5", MsgState.COMPLETED, request_id=a.request_id) is False
+        assert store._get("m", "id5").state == "running"
+        assert store.update("m", "id5", MsgState.COMPLETED, request_id=b.request_id) is True
+        assert store._get("m", "id5").state == "completed"
+
+    def test_update_unknown_raises(self, store):
+        with pytest.raises(KeyError):
+            store.update("m", "nope", MsgState.COMPLETED)
+
+    def test_concurrent_acquire_single_winner(self):
+        store = TransactionalStateStore(InMemoryKV(), timeout_s=60)
+        wins = []
+        barrier = threading.Barrier(8)
+
+        def worker():
+            barrier.wait()
+            _, acquired = store.get_or_create("m", "race")
+            if acquired:
+                wins.append(1)
+
+        threads = [threading.Thread(target=worker) for _ in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(wins) == 1
+
+    def test_wait_completed(self, store):
+        store.get_or_create("m", "id6")
+        store.update("m", "id6", MsgState.COMPLETED)
+        assert store.wait("m", "id6", poll_s=0, deadline_s=1, sleep=lambda s: None)
+
+    def test_ttl_sweep(self, store):
+        store.get_or_create("m", "id7")
+        store.clock.t += store.ttl_s + 1
+        assert store.sweep_expired_ttl("m") == 1
+        st, acquired = store.get_or_create("m", "id7")
+        assert acquired  # swept state is gone, fresh acquire
+
+    def test_firestore_adapter_env_gated(self):
+        from swarm_spark.streaming.state_db import firestore_kv
+
+        with pytest.raises(NotImplementedError, match="google-cloud-firestore"):
+            firestore_kv("some-project")
+
+
+class TestPubSubClientPublisher:
+    def test_injected_publish_carries_payload_and_id(self):
+        import json
+
+        from swarm_spark.pipeline.enqueue import PubSubClientPublisher
+
+        sent = []
+
+        def fake_topic_publish(data: bytes) -> str:
+            sent.append(data)
+            return f"srv-{len(sent)}"
+
+        pub = PubSubClientPublisher(topic_publish=fake_topic_publish)
+        msg_id = pub.publish({"objects": [1, 2]})
+        assert msg_id == "srv-1"
+        assert json.loads(sent[0]) == {"objects": [1, 2]}
+
+    def test_enqueue_through_client_publisher(self):
+        from swarm_spark.model import ObjectMeta
+        from swarm_spark.pipeline.enqueue import PubSubClientPublisher, enqueue
+
+        sent = []
+        pub = PubSubClientPublisher(
+            topic_publish=lambda data: (sent.append(data), f"m{len(sent)}")[1]
+        )
+        objs = [ObjectMeta(bucket="b", name=f"o{i}", size=10) for i in range(5)]
+        res = enqueue(objs, pub, count_limit=2)
+        assert res.batches == 3 and len(sent) == 3
+        assert res.messages == ["m1", "m2", "m3"]
+
+    def test_wire_path_env_gated(self):
+        from swarm_spark.pipeline.enqueue import PubSubClientPublisher
+
+        with pytest.raises(NotImplementedError, match="google-cloud-pubsub"):
+            PubSubClientPublisher(project_id="p", topic_id="t")
