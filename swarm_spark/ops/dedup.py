@@ -34,14 +34,21 @@ from .text import tokens_col
 
 # --------------------------------------------------------------- exact
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep the lowest-id row per exact content digest (md5)."""
-    h = F.md5(F.col(text_col))
-    keep = (
-        df.select(F.col(id_col), h.alias("h"))
-        .groupBy("h")
-        .agg(F.min(id_col).alias(id_col))
+    """Keep the lowest-id row per exact content digest (md5), all
+    columns preserved.
+
+    ONE map-side-combinable shuffle: ``min_by(struct(row), id)`` per
+    digest group picks the winning row during partial aggregation, so a
+    massively-duplicated document collapses per map task and no second
+    full-frame shuffle (the old agg + left-semi join shape) is needed.
+    """
+    cols = df.columns
+    return (
+        df.withColumn("__h", F.md5(F.col(text_col)))
+        .groupBy("__h")
+        .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("__r"))
+        .select("__r.*")
     )
-    return df.join(keep, on=id_col, how="left_semi")
 
 
 def exact_dedup_text(
