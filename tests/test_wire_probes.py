@@ -95,6 +95,22 @@ def test_real_media_decode_with_pil(spark):
     assert row["n_bytes"] == len(png)
 
 
+GCS_BUCKET = os.environ.get("TEST_GCS_BUCKET")
+
+
+@pytest.mark.skipif(
+    not GCS_BUCKET, reason="TEST_GCS_BUCKET not set (no wire to probe)"
+)
+def test_real_gcs_read_roundtrip(spark, tmp_path):
+    """Write a parquet slice locally, upload via the GCS connector (the
+    session must have gcs-connector on its classpath in a real
+    deployment), and read it back through a gs:// URL — validates the
+    S1 object-scan path against the real wire."""
+    url = f"gs://{GCS_BUCKET}/swarm_spark_probe/{uuid.uuid4().hex}"
+    spark.range(10).write.mode("overwrite").parquet(url)
+    assert spark.read.parquet(url).count() == 10
+
+
 def test_probes_skip_cleanly_without_env():
     """Meta-test: in a container without the env gates, the probes above
     are skipped, not errored — the suite stays green everywhere."""
