@@ -47,6 +47,7 @@ def main() -> None:
         "m1_sql_passthrough",
         "pipeline_ingest_e2e",
         "corpus_curate",
+        "text_strip_segments",
         "text_token_stats",
         "dedup_ngram_jaccard",
         "dedup_minhash_lsh",

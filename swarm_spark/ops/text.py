@@ -351,6 +351,38 @@ def strip_repeated_segments(
     )
 
 
+def length_histogram(
+    df: DataFrame,
+    bucket_tokens: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus length distribution: documents bucketed by
+    ``n_tokens div bucket_tokens`` (integral arithmetic — engine-exact,
+    unlike float log buckets) with per-bucket doc/token counts and
+    bounds. The standard pre-packing corpus report: bucket shares drive
+    context-length and packing-capacity choices.
+
+    Scale shape: per-row projection, then one map-side-combined groupBy
+    over ≤ max_len/bucket_tokens distinct buckets — the shuffle is
+    metadata-sized regardless of corpus size.
+    """
+    n = F.size(tokens_col(text_col)).cast("long")
+    return (
+        df.select(n.alias("n"))
+        .where(F.col("n") > 0)
+        .withColumn("bucket", F.expr(f"n div {int(bucket_tokens)}"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.min("n").cast("long").alias("min_tokens"),
+            F.max("n").cast("long").alias("max_tokens"),
+        )
+        .orderBy("bucket")
+    )
+
+
 # ---------------------------------------------------- vocabulary stats
 def vocab_stats(
     df: DataFrame,

@@ -464,6 +464,27 @@ FROM r, tot WHERE rank <= 25 ORDER BY rank
 
 
 # -------------------------------------------------- corpus curation e2e
+def q_corpus_length_hist(spark, sf):
+    """Pre-packing corpus length report: 128-token buckets with
+    per-bucket doc/token counts and bounds (integral bucket math —
+    engine-exact)."""
+    from .ops.text import length_histogram
+
+    return length_histogram(_docs(spark, sf), bucket_tokens=128)
+
+
+SQL_CORPUS_LENGTH_HIST = f"""
+WITH w AS ({_WS}),
+n AS (SELECT cast(len(ws) AS bigint) AS n FROM w WHERE len(ws) > 0)
+SELECT n // 128 AS bucket,
+       cast(count(*) AS bigint) AS n_docs,
+       cast(sum(n) AS bigint) AS n_tokens,
+       cast(min(n) AS bigint) AS min_tokens,
+       cast(max(n) AS bigint) AS max_tokens
+FROM n GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_corpus_curate(spark, sf):
     """The operators composed as one curation pass — what a real
     training-data pipeline runs: exact dedup -> quality gate ->
@@ -1170,4 +1191,5 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "text_decontaminate": (q_text_decontaminate, SQL_DECONTAMINATE),
     "corpus_curate": (q_corpus_curate, SQL_CORPUS_CURATE),
     "corpus_vocab": (q_corpus_vocab, SQL_CORPUS_VOCAB),
+    "corpus_length_hist": (q_corpus_length_hist, SQL_CORPUS_LENGTH_HIST),
 }

@@ -481,6 +481,23 @@ class TestBoilerplateAndLeakage:
         assert out[3] == ""  # all segments stripped, row preserved
         assert out[4] == "no boilerplate here at all"
 
+    def test_length_histogram_buckets_and_conservation(self, spark):
+        from swarm_spark.ops.text import length_histogram
+
+        rows = [
+            (0, " ".join(["w"] * 3)),  # bucket 0
+            (1, " ".join(["w"] * 130)),  # bucket 1
+            (2, " ".join(["w"] * 130)),  # bucket 1
+            (3, " ".join(["w"] * 300)),  # bucket 2
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["bucket"]: r for r in length_histogram(docs).collect()}
+        assert set(out) == {0, 1, 2}
+        assert out[1]["n_docs"] == 2 and out[1]["n_tokens"] == 260
+        assert (out[2]["min_tokens"], out[2]["max_tokens"]) == (300, 300)
+        # token conservation across buckets
+        assert sum(r["n_tokens"] for r in out.values()) == 3 + 130 + 130 + 300
+
     def test_strip_segments_regex_metachar_delim(self, spark):
         """delim is a LITERAL: '.' must split on periods, not
         every-character (the Java-regex reading), and '|' must not
