@@ -295,6 +295,7 @@ def strip_repeated_segments(
     max_df: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_overcap: bool = True,
 ) -> DataFrame:
     """Remove segments (lines, sentences, tokens — whatever ``delim``
     yields) that repeat across the corpus more than ``max_df`` times:
@@ -336,7 +337,9 @@ def strip_repeated_segments(
         .where(F.col("df") > max_df)
         .select("seg")
     )
-    kept = segs.join(F.broadcast(over), "seg", "left_anti")
+    if broadcast_overcap:
+        over = F.broadcast(over)
+    kept = segs.join(over, "seg", "left_anti")
     rebuilt = kept.groupBy("doc_id").agg(
         F.array_join(
             F.transform(

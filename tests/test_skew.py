@@ -124,6 +124,33 @@ class TestShingleSkew:
         row = out.where(F.col("doc_id") == 0).first()
         assert row["text"] == "uniq0a uniq0b uniq0c"
 
+    def test_fallback_shuffle_antijoin_matches_broadcast(self, boilerplate_docs):
+        """broadcast_overcap=False (the AQE-skew-splittable fallback for
+        a pathological over-cap set) must produce the identical pruned
+        frame — only the join strategy differs."""
+        s = doc_shingles(boilerplate_docs)
+        a = sorted(tuple(r) for r in prune_by_df(s, max_df=5).collect())
+        b = sorted(
+            tuple(r)
+            for r in prune_by_df(s, max_df=5, broadcast_overcap=False).collect()
+        )
+        assert a == b
+        from swarm_spark.ops.text import strip_repeated_segments
+
+        x = sorted(
+            tuple(r)
+            for r in strip_repeated_segments(
+                boilerplate_docs, delim=" ", max_df=5
+            ).collect()
+        )
+        y = sorted(
+            tuple(r)
+            for r in strip_repeated_segments(
+                boilerplate_docs, delim=" ", max_df=5, broadcast_overcap=False
+            ).collect()
+        )
+        assert x == y
+
     def test_ngram_jaccard_end_to_end_under_skew(self, boilerplate_docs):
         out = ngram_jaccard_pairs(
             boilerplate_docs, threshold=0.99, max_df=5
