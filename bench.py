@@ -87,15 +87,22 @@ def main() -> None:
     spark.read.json(warm_dir).count()
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    timings: dict[str, float] = {}
-    for name in names:
-        fn = CORE[name][0]
-        samples: list[float] = []
-        for _ in range(runs):
+    # INTERLEAVED rounds: run the whole headline list `runs` times and
+    # median per query ACROSS rounds. Host-load bursts on this class of
+    # machine last tens of seconds — consecutive per-query repeats put
+    # all of a query's samples inside one burst (observed: an 11 s
+    # median for a 3.6 s query), while interleaving spreads them across
+    # the full bench window.
+    samples: dict[str, list[float]] = {name: [] for name in names}
+    for _ in range(runs):
+        for name in names:
+            fn = CORE[name][0]
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
-            samples.append(time.perf_counter() - t0)
-        timings[name] = round(sorted(samples)[len(samples) // 2], 4)
+            samples[name].append(time.perf_counter() - t0)
+    timings = {
+        name: round(sorted(s)[len(s) // 2], 4) for name, s in samples.items()
+    }
 
     total = round(sum(timings.values()), 4)
     print(
