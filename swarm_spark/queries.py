@@ -575,7 +575,15 @@ def all_queries() -> dict[str, tuple[Callable, str | None]]:
     out = dict(CORE)
     out.update(OPS)
     out.update(CLASSICAL)
-    last = _last_checked_round()
-    reg_index = {name: i for i, name in enumerate(out)}
-    ordered = sorted(out, key=lambda n: (last.get(n, -1), reg_index[n]))
-    return {name: out[name] for name in ordered}
+    # memoized: the driver calls queries() and oracle_sql() separately
+    # and writes CORRECTNESS_r{N}.json during its run — the ordering
+    # must not shift between those calls within one process
+    global _ORDER_CACHE
+    if _ORDER_CACHE is None or set(_ORDER_CACHE) != set(out):
+        last = _last_checked_round()
+        reg_index = {name: i for i, name in enumerate(out)}
+        _ORDER_CACHE = sorted(out, key=lambda n: (last.get(n, -1), reg_index[n]))
+    return {name: out[name] for name in _ORDER_CACHE}
+
+
+_ORDER_CACHE: list[str] | None = None
