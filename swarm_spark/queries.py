@@ -527,19 +527,20 @@ CORE: dict[str, tuple[Callable, str | None]] = {
 }
 
 
-def _last_checked_round() -> dict[str, int]:
+def _last_checked_round(root=None) -> dict[str, int]:
     """Map query name -> most recent round with a driver CORRECTNESS row.
 
-    Reads ``CORRECTNESS_r*.json`` files at the repo root (written by the
-    correctness driver each round). Queries absent from every file have
-    never been driver-oracled. Missing/corrupt files are ignored — with
-    no history the registry keeps registration order.
+    Reads ``CORRECTNESS_r*.json`` files at ``root`` (default: the repo
+    root, where the correctness driver writes them each round). Queries
+    absent from every file have never been driver-oracled. Missing/
+    corrupt files are ignored — with no history the registry keeps
+    registration order.
     """
     import json
     import re
     from pathlib import Path
 
-    root = Path(__file__).resolve().parent.parent
+    root = Path(root) if root is not None else Path(__file__).resolve().parent.parent
     last: dict[str, int] = {}
     for p in sorted(root.glob("CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", p.name)

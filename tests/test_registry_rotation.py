@@ -47,6 +47,40 @@ def test_window_covers_unchecked_from_latest_round():
     assert not missing, f"unchecked queries outside driver window: {missing}"
 
 
+def test_every_query_checked_at_least_every_other_round(tmp_path):
+    """Simulate the driver across rounds: each round writes rows for the
+    FIRST 50 entries of the rotated order; after any two consecutive
+    rounds, every registry query must have at least one row."""
+    import json
+
+    from swarm_spark.queries import all_queries
+
+    names = list(all_queries())  # current registry, any starting order
+
+    def rotate(last: dict[str, int]) -> list[str]:
+        reg = {n: i for i, n in enumerate(names)}
+        return sorted(names, key=lambda n: (last.get(n, -1), reg[n]))
+
+    def write_round(rnd: int, checked: list[str]):
+        (tmp_path / f"CORRECTNESS_r{rnd:02d}.json").write_text(
+            json.dumps({n: {"rows_match": True, "hash_match": True} for n in checked})
+        )
+
+    for rnd in range(1, 6):
+        last = _last_checked_round(tmp_path)
+        order = rotate(last)
+        write_round(rnd, order[:DRIVER_WINDOW])
+        if rnd >= 2:
+            prev = json.loads(
+                (tmp_path / f"CORRECTNESS_r{rnd - 1:02d}.json").read_text()
+            )
+            cur = json.loads(
+                (tmp_path / f"CORRECTNESS_r{rnd:02d}.json").read_text()
+            )
+            missing = set(names) - set(prev) - set(cur)
+            assert not missing, f"r{rnd}: never checked in 2 rounds: {missing}"
+
+
 def test_fallout_was_green_most_recently():
     """Queries displaced past the window must have a green row in the
     round they were last checked (we only defer verified queries)."""
