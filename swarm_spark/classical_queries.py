@@ -185,17 +185,47 @@ FROM b GROUP BY 1 ORDER BY 1
 # ------------------------------------------------------- top-k per group
 def q_topk_per_group(spark, sf):
     """Top-3 line items by price within each return flag (dense top-k
-    with explicit tie-break)."""
+    with explicit tie-break).
+
+    Scale shape: TWO-PHASE salted top-k, not one window over the group
+    key — l_returnflag has 3 distinct values, so a plain
+    `row_number().over(partitionBy(l_returnflag))` serializes a third
+    of the table through one unsplittable task. Phase 1 takes top-k
+    inside (group, salt) partitions (salt = deterministic hash bucket,
+    count-scaled, so per-task rows are bounded); a row in the global
+    top-k is necessarily in its salt partition's top-k, so phase 2
+    re-ranks only the ≤ groups·salts·k survivors. Identical output,
+    identical oracle."""
+    from .ops.sampling import hash_bucket
+
     li = _t(spark, sf, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    w = Window.partitionBy("l_returnflag").orderBy(
-        F.col("price_cents").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+    base = li.select(
+        "l_returnflag", "l_orderkey", "l_linenumber", cents.alias("price_cents")
     )
-    return (
-        li.select(
-            "l_returnflag", "l_orderkey", "l_linenumber", cents.alias("price_cents")
+    n_salts = max(16, li.count() // 2_000_000)  # ≤ ~2M rows per salt task
+    salt = (
+        hash_bucket(
+            F.concat_ws("|", F.col("l_orderkey"), F.col("l_linenumber")),
+            "swarm-topk",
         )
-        .withColumn("rank", F.row_number().over(w).cast("long"))
+        % n_salts
+    ).cast("int")
+    order = (
+        F.col("price_cents").desc(),
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+    )
+    w1 = Window.partitionBy("l_returnflag", "salt").orderBy(*order)
+    survivors = (
+        base.withColumn("salt", salt)
+        .withColumn("rk", F.row_number().over(w1))
+        .where(F.col("rk") <= 3)
+        .drop("rk", "salt")
+    )
+    w2 = Window.partitionBy("l_returnflag").orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2).cast("long"))
         .where(F.col("rank") <= 3)
         .orderBy("l_returnflag", "rank")
     )

@@ -54,7 +54,7 @@ def pack_concat_chunks(
     capacity: int,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Concat-and-chunk packing: global order by ``id_col``, windows of
     ``capacity`` tokens, documents split across boundaries.
@@ -80,6 +80,11 @@ def pack_concat_chunks(
     spark = df.sparkSession
     ids = df.select(F.col(id_col).alias("doc_id"))
     n_docs = ids.count()
+    if num_partitions is None:
+        # each range cumsums sequentially inside one window task: scale
+        # the range count with the corpus (≤ ~2M rows per range), like
+        # pack_greedy_bins sizes its buckets
+        num_partitions = max(32, -(-n_docs // 2_000_000))
     target = num_partitions * 200  # ~200 sampled ids per range
     frac = min(1.0, target / max(n_docs, 1))
     cut = int(frac * (1 << 32))

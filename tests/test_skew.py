@@ -161,6 +161,49 @@ class TestShingleSkew:
         assert all(r["jaccard"] == 1.0 for r in out)
 
 
+class TestHotGroupTopK:
+    def test_topk_first_window_is_salted(self, spark):
+        """topk_per_group must never window the raw table over the
+        3-value group key alone: the first Window's partition spec must
+        include the salt so per-task rows stay bounded; the group-only
+        window may see only the bounded survivor set."""
+        from swarm_spark.classical_queries import q_topk_per_group
+
+        df = q_topk_per_group(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        windows = [l for l in plan.splitlines() if "Window [" in l or "Window(" in l]
+        assert len(windows) == 2
+        # the window that scans the full table carries the salt key
+        assert any("salt" in w for w in windows), windows
+
+    def test_topk_output_matches_unsalted_reference(self, spark):
+        """Salting must not change the answer: identical to the plain
+        one-window formulation on the same data."""
+        from pyspark.sql import Window as W
+
+        from swarm_spark.classical_queries import q_topk_per_group
+        from swarm_spark.sources.tables import load_table
+
+        sf = "/root/testdata/sf0.001"
+        got = [tuple(r) for r in q_topk_per_group(spark, sf).collect()]
+        li = load_table(spark, sf, "lineitem")
+        cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+        w = W.partitionBy("l_returnflag").orderBy(
+            F.col("price_cents").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+        )
+        ref = [
+            tuple(r)
+            for r in li.select(
+                "l_returnflag", "l_orderkey", "l_linenumber", cents.alias("price_cents")
+            )
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= 3)
+            .orderBy("l_returnflag", "rank")
+            .collect()
+        ]
+        assert got == ref
+
+
 class TestMinhashBandSkew:
     def test_unpruned_band_join_is_quadratic(self, boilerplate_docs):
         # template shingles dominate every signature, so most doc pairs
