@@ -122,15 +122,111 @@ class TableSink(Sink):
     def _recover(self, dest: TableDest) -> None:
         """Finish promotion for committed-but-unpromoted staged dirs
         (crash between manifest publish and file moves); uncommitted
-        staged dirs stay hidden (underscore prefix) and are ignored."""
+        staged dirs stay hidden (underscore prefix) and are ignored.
+        Compaction manifests additionally carry the replaced-file list,
+        whose deletions are completed here too (idempotent)."""
         d = self._dir(dest)
         if not os.path.isdir(d):
             return
         for name in os.listdir(d):
-            if name.startswith(STAGED_PREFIX) and os.path.exists(
-                self._commit_path(name[len(STAGED_PREFIX):])
-            ):
-                _promote(d, name[len(STAGED_PREFIX):])
+            if not name.startswith(STAGED_PREFIX):
+                continue
+            txn_id = name[len(STAGED_PREFIX):]
+            cpath = self._commit_path(txn_id)
+            if not os.path.exists(cpath):
+                continue
+            with open(cpath, encoding="utf-8") as f:
+                manifest = json.load(f)
+            _promote(d, txn_id, replaces=manifest.get("replaces"))
+
+    def _data_files(self, dest: TableDest) -> list[str]:
+        """Relative paths of the destination's current data files
+        (partition subdirs included; staged/marker files excluded)."""
+        d = self._dir(dest)
+        out = []
+        for root, dirs, files in os.walk(d):
+            dirs[:] = [x for x in dirs if not x.startswith(STAGED_PREFIX)]
+            for fn in files:
+                if fn.startswith(("_", ".")):
+                    continue
+                out.append(os.path.relpath(os.path.join(root, fn), d))
+        return sorted(out)
+
+    def compact(
+        self, dest: TableDest, target_file_bytes: int = 512 * 1024 * 1024
+    ) -> dict:
+        """Rewrite the destination's many small append slices into
+        ~``target_file_bytes`` files — the small-file maintenance every
+        append-based warehouse needs at scale (each ingest batch writes
+        shuffle-partition-count files; a year of batches makes listings
+        and scans metadata-bound).
+
+        Crash-safe via the same staged-dir + manifest protocol as
+        :class:`TableTransaction`, extended with a ``replaces`` list:
+        the compacted files stage hidden, ONE manifest rename is the
+        durability point, and promotion deletes the replaced files
+        BEFORE moving the new ones in (both idempotent, completed by
+        promote-on-read after a crash). Readers between the two halves
+        of an eager swap can see a transient gap — the single-writer
+        contract this sink already has; on a cluster this operation is
+        Delta/Iceberg OPTIMIZE, which adds snapshot isolation.
+        """
+        self._recover(dest)
+        d = self._dir(dest)
+        schema = self._read_schema(dest)
+        if schema is None:
+            raise ModelError(f"no such table: {dest.dataset}.{dest.table}")
+        lock = self._lock(dest)
+        try:
+            old = self._data_files(dest)
+            if len(old) <= 1:
+                return {"files_before": len(old), "files_after": len(old)}
+            total = sum(os.path.getsize(os.path.join(d, f)) for f in old)
+            n_out = max(1, -(-total // int(target_file_bytes)))
+            partitioned = any(os.sep in f and "=" in f.split(os.sep)[0] for f in old)
+            read_schema = schema
+            if partitioned:
+                read_schema = T.StructType(
+                    list(schema.fields)
+                    + [T.StructField(PARTITION_COL, T.StringType(), True)]
+                )
+            df = (
+                self.spark.read.schema(read_schema)
+                .option("basePath", d)
+                .parquet(*[os.path.join(d, f) for f in old])
+            )
+            txn_id = f"compact-{uuid.uuid4().hex}"
+            staged = os.path.join(d, f"{STAGED_PREFIX}{txn_id}")
+            writer = df.coalesce(int(n_out)).write.mode("overwrite")
+            if partitioned:
+                writer = writer.partitionBy(PARTITION_COL)
+            writer.parquet(staged)
+            manifest = {
+                "txn": txn_id,
+                "kind": "compact",
+                "tables": [
+                    {
+                        "dataset": dest.dataset,
+                        "table": dest.table,
+                        "partition": dest.partition,
+                    }
+                ],
+                "replaces": old,
+            }
+            cdir = os.path.join(self.warehouse, COMMITS_DIR)
+            os.makedirs(cdir, exist_ok=True)
+            tmp = os.path.join(cdir, f".{txn_id}.tmp")
+            with open(tmp, "w", encoding="utf-8") as f:
+                json.dump(manifest, f)
+            os.replace(tmp, self._commit_path(txn_id))  # durability point
+            _promote(d, txn_id, replaces=old)
+            return {
+                "files_before": len(old),
+                "files_after": len(self._data_files(dest)),
+                "bytes_before": int(total),
+            }
+        finally:
+            os.remove(lock)
 
     def read_table(self, dest: TableDest) -> DataFrame:
         self._recover(dest)
@@ -174,16 +270,26 @@ def _write_slice(d: str, dest: TableDest, df: DataFrame) -> int:
     return n
 
 
-def _promote(table_dir: str, txn_id: str) -> None:
+def _promote(table_dir: str, txn_id: str, replaces: list[str] | None = None) -> None:
     """Move a committed staged dir's data files into the table layout.
 
     Idempotent and restartable: every part file has a globally unique
     Spark-generated name, each ``os.replace`` is atomic, and a re-run
     only moves whatever is left. Partition subdirs (``__swarm_part=…``)
-    are preserved; marker files (``_SUCCESS``) are dropped."""
+    are preserved; marker files (``_SUCCESS``) are dropped.
+
+    ``replaces`` (compaction manifests) lists old files to DELETE —
+    processed before the moves so a compacted row can never be visible
+    twice; deletion of an already-deleted file is a no-op, keeping
+    recovery re-runnable from any crash point."""
     staged = os.path.join(table_dir, f"{STAGED_PREFIX}{txn_id}")
     if not os.path.isdir(staged):
         return
+    for rel in replaces or ():
+        try:
+            os.remove(os.path.join(table_dir, rel))
+        except FileNotFoundError:
+            pass
     for root, _dirs, files in os.walk(staged):
         rel = os.path.relpath(root, staged)
         tgt = table_dir if rel == "." else os.path.join(table_dir, rel)

@@ -123,6 +123,62 @@ class TestTransactionCommit:
         assert part_dirs  # __swarm_part=... subdirs survived promotion
 
 
+class TestCompaction:
+    def test_compact_reduces_files_preserves_rows(self, spark, tmp_path):
+        sink = _prepare(spark, tmp_path)
+        d = DESTS[0]
+        for i in range(6):  # 6 batches x multiple part files each
+            sink.append(d, _envelope_frame(spark, 5, f"b{i}").repartition(4))
+        before_rows = sorted(r["id"] for r in sink.read_table(d).collect())
+        files_before = len(sink._data_files(d))
+        assert files_before >= 10
+        stats = sink.compact(d)
+        assert stats["files_before"] == files_before
+        assert stats["files_after"] < files_before
+        assert len(sink._data_files(d)) == stats["files_after"]
+        after_rows = sorted(r["id"] for r in sink.read_table(d).collect())
+        assert after_rows == before_rows
+
+    def test_compact_partitioned_table_keeps_layout(self, spark, tmp_path):
+        sink = TableSink(spark, str(tmp_path / "wh"))
+        dest = TableDest("ds", "tp", "day")
+        sink.ensure_table(dest, DATA)
+        for i in range(4):
+            sink.append(dest, _envelope_frame(spark, 6, f"p{i}").repartition(3))
+        before = sorted(r["id"] for r in sink.read_table(dest).collect())
+        stats = sink.compact(dest)
+        assert stats["files_after"] < stats["files_before"]
+        assert sorted(r["id"] for r in sink.read_table(dest).collect()) == before
+        part_dirs = [
+            n
+            for n in os.listdir(os.path.join(sink.warehouse, "ds", "tp"))
+            if "=" in n
+        ]
+        assert part_dirs  # __swarm_part=... layout survived the rewrite
+
+    def test_compact_crash_before_promotion_recovers_without_dups(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Manifest published (with replaces), process dies before any
+        delete/move: promote-on-read must yield each row exactly ONCE."""
+        import swarm_spark.sinks.table as table_mod
+
+        sink = _prepare(spark, tmp_path)
+        d = DESTS[0]
+        for i in range(4):
+            sink.append(d, _envelope_frame(spark, 5, f"c{i}").repartition(3))
+        before = sorted(r["id"] for r in sink.read_table(d).collect())
+
+        monkeypatch.setattr(table_mod, "_promote", lambda *a, **k: None)
+        sink.compact(d)  # stages + publishes manifest, promotion "crashes"
+        monkeypatch.undo()
+
+        got = sorted(r["id"] for r in sink.read_table(d).collect())
+        assert got == before  # no duplicates, no loss
+        # and recovery actually swapped the files (old gone, compacted in)
+        assert len(sink._data_files(d)) < 12
+
+
 class TestAtomicIngestMode:
     def test_schema_conflict_on_last_destination_rolls_back_all(
         self, spark, tmp_path, monkeypatch
