@@ -121,6 +121,22 @@ def cmd_migrate(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    from .model import TableDest
+    from .sinks import TableSink
+
+    sink = TableSink(_spark(args), args.warehouse)
+    ds, _, tb = args.table.partition(".")
+    if not tb:
+        raise SystemExit(f"table must be dataset.table, got {args.table!r}")
+    stats = sink.compact(
+        TableDest(ds, tb, args.partition),
+        target_file_bytes=args.target_mb * 1024 * 1024,
+    )
+    print(json.dumps(stats))
+    return 0
+
+
 def cmd_serve(args) -> int:
     from .streaming import AuthPolicy, NotificationProcessor, ServeFrontend, StateStore
 
@@ -177,6 +193,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--dst", required=True, help="dataset.table")
     sp.add_argument("--query", default=None, help="SQL over view 'src'")
     sp.set_defaults(fn=cmd_migrate)
+
+    sp = sub.add_parser("compact", aliases=["c"], help="compact a table's small files")
+    sp.add_argument("--warehouse", default="warehouse")
+    sp.add_argument("--table", required=True, help="dataset.table")
+    sp.add_argument("--partition", default="", help="time unit of the table ('' if none)")
+    sp.add_argument("--target-mb", type=int, default=512)
+    sp.set_defaults(fn=cmd_compact)
 
     sp = sub.add_parser("serve", help="HTTP push endpoint")
     common(sp, objects=False)

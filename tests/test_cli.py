@@ -84,6 +84,26 @@ class TestCommands:
         )
         assert out["tables"] == ["apps.logs"]
 
+    def test_ingest_then_compact(self, spark, workdir, capsys):
+        wh = str(workdir / "wh3")
+        for _ in range(3):  # several batches -> several slices
+            _run(
+                capsys,
+                ["--cpus", "4", "ingest", str(workdir / "data" / "*.ndjson"),
+                 "--rules", str(workdir / "policy"), "--warehouse", wh],
+            )
+        out = _run(
+            capsys,
+            ["--cpus", "4", "compact", "--warehouse", wh, "--table", "apps.logs"],
+        )
+        assert out["files_after"] < out["files_before"]
+        out2 = _run(
+            capsys,
+            ["--cpus", "4", "migrate", "--warehouse", wh,
+             "--src", "apps.logs", "--dst", "apps.verify"],
+        )
+        assert out2["rows"] == 30  # all rows survived the rewrite
+
     def test_enqueue(self, workdir, capsys):
         out = _run(
             capsys,
