@@ -15,6 +15,15 @@ Rules (checked on the executed-plan string at sf0.001):
   or a limit/top-k (bounded by a literal). A single-partition exchange
   over raw rows — a global sort, a partitionBy-less window over the
   corpus — serializes the whole dataset through one task.
+- **Scan budget**: each query is EXECUTED and the number of
+  ``Scan parquet`` nodes in the AQE *final* plan (the stages that
+  actually ran; ReusedExchange leaves hide their reused subtree, and
+  the ``== Initial Plan ==`` echo is stripped) must not exceed a
+  per-query budget. This catches a regression that silently
+  duplicates an expensive subtree — e.g. a self-join side that stops
+  reusing the signature exchange and recomputes the whole
+  shingle pipeline — structurally, instead of waiting for a bench
+  anomaly (the round-5 ``dedup_minhash_lsh`` finding).
 """
 
 from __future__ import annotations
@@ -43,6 +52,29 @@ BNLJ_ALLOWED = {
     "ann_topk_ivf",
     "ann_ivf_recall",
     "corpus_vocab",
+}
+
+# Max "Scan parquet" nodes in the executed final plan. Default 2
+# covers every single-table query (1 scan) plus the designed
+# two-branch shapes: DF-prune's stats branch (minhash/jaccard — the
+# judge-set bar is exactly ≤ 2 there), a dim join, an anti-join
+# against a second table. Queries legitimately above 2 are pinned at
+# their observed count (sf0.001, AQE on) so any growth still fails:
+# - text_decontaminate (3): docs + benchmark-table 5-gram semi-join
+# - text_strip_segments (3): docs + segment-stats + anti-join branch
+# - ann_topk_ivf (4): embeddings scanned for centroids kmeans iter +
+#   assignment + probe (queries frame)
+# - set_ops (4): two tables × two set operands
+# - serve_pubsub_e2e (5): multi-source end-to-end
+# - ann_ivf_recall (6): IVF path + embedded brute-force ground truth
+_SCAN_BUDGET_DEFAULT = 2
+_SCAN_BUDGET = {
+    "text_decontaminate": 3,
+    "text_strip_segments": 3,
+    "ann_topk_ivf": 4,
+    "set_ops": 4,
+    "serve_pubsub_e2e": 5,
+    "ann_ivf_recall": 6,
 }
 
 _AGG_CHILD = re.compile(
@@ -74,3 +106,20 @@ def test_plan_is_scale_safe(name, spark, sf_dir):
         )
     bad = _single_partition_violations(plan)
     assert not bad, f"{name}: single-partition exchange over raw rows: {bad}"
+    # Scan budget is checked on the plan that actually RAN: execute,
+    # then count source scans in the finalized adaptive plan only
+    # (AQE stage reuse and empty-relation elimination are invisible
+    # in the initial plan).
+    df.collect()
+    final = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("+- == Initial Plan ==")[0]
+    )
+    n_scans = final.count("Scan parquet")
+    budget = _SCAN_BUDGET.get(name, _SCAN_BUDGET_DEFAULT)
+    assert n_scans <= budget, (
+        f"{name}: {n_scans} parquet scans in executed plan "
+        f"(budget {budget}) — a subtree is being recomputed"
+    )
