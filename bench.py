@@ -115,6 +115,13 @@ def main() -> None:
                 "sf": sf,
                 "runs_per_query": runs,
                 "aggregation": "median",
+                # raw per-round samples (run order = interleaved rounds):
+                # lets a reader distinguish a host-load burst that
+                # poisoned every sample of one query from a real plan
+                # regression without re-running the bench.
+                "samples": {
+                    name: [round(x, 4) for x in s] for name, s in samples.items()
+                },
             }
         )
     )
