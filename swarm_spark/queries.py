@@ -527,14 +527,34 @@ CORE: dict[str, tuple[Callable, str | None]] = {
 }
 
 
-def _last_checked_round(root=None) -> dict[str, int]:
-    """Map query name -> most recent round with a driver CORRECTNESS row.
+def _row_is_green(row) -> bool:
+    """A driver row counts as verified only if it raised no error and
+    none of its match flags is False. Rows-only checks (queries with no
+    SQL oracle) legitimately omit or null the hash/schema flags — a
+    missing flag is not a failure, but an explicit ``False`` or a
+    non-null ``err`` is."""
+    if not isinstance(row, dict):
+        return False
+    if row.get("err") is not None:
+        return False
+    return all(
+        row.get(k) is not False for k in ("rows_match", "schema_match", "hash_match")
+    )
+
+
+def _last_green_round(root=None) -> dict[str, int]:
+    """Map query name -> most recent round with a GREEN driver
+    CORRECTNESS row.
 
     Reads ``CORRECTNESS_r*.json`` files at ``root`` (default: the repo
     root, where the correctness driver writes them each round). Queries
-    absent from every file have never been driver-oracled. Missing/
-    corrupt files are ignored — with no history the registry keeps
-    registration order.
+    absent from every file have never been driver-oracled. A red row
+    (``err`` set, or any match flag False) deliberately does NOT count
+    as checked: rotation keys on the last *green* round, so a query
+    that failed its oracle re-enters the next round's driver window
+    immediately instead of being deferred as if it had passed.
+    Missing/corrupt files are ignored — with no history the registry
+    keeps registration order.
     """
     import json
     import re
@@ -553,8 +573,9 @@ def _last_checked_round(root=None) -> dict[str, int]:
             continue
         if not isinstance(rows, dict):
             continue
-        for name in rows:
-            last[name] = max(last.get(name, -1), rnd)
+        for name, row in rows.items():
+            if _row_is_green(row):
+                last[name] = max(last.get(name, -1), rnd)
     return last
 
 
@@ -564,11 +585,14 @@ def all_queries() -> dict[str, tuple[Callable, str | None]]:
     Driver-window rotation: the correctness driver oracles only the
     FIRST 50 registry entries per round, in iteration order. To
     guarantee every query gets a driver row at least every other round,
-    entries are ordered by the round they were last driver-checked,
-    ascending — never-checked queries (new this round, or displaced
-    from earlier windows) lead, most-recently-green queries fall out of
-    the window and rotate back in next round. Ties keep registration
-    order, so the ordering is deterministic within a round.
+    entries are ordered by the round they were last driver-checked
+    GREEN, ascending — never-checked queries (new this round, or
+    displaced from earlier windows) lead, and a query whose latest row
+    was red (oracle mismatch or error) sorts by its previous green
+    round, so known failures re-enter the window immediately.
+    Most-recently-green queries fall out of the window and rotate back
+    in next round. Ties keep registration order, so the ordering is
+    deterministic within a round.
     """
     from .classical_queries import CLASSICAL
     from .ops_queries import OPS
@@ -581,7 +605,7 @@ def all_queries() -> dict[str, tuple[Callable, str | None]]:
     # must not shift between those calls within one process
     global _ORDER_CACHE
     if _ORDER_CACHE is None or set(_ORDER_CACHE) != set(out):
-        last = _last_checked_round()
+        last = _last_green_round()
         reg_index = {name: i for i, name in enumerate(out)}
         _ORDER_CACHE = sorted(out, key=lambda n: (last.get(n, -1), reg_index[n]))
     return {name: out[name] for name in _ORDER_CACHE}

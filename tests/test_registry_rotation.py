@@ -1,7 +1,9 @@
 """Driver-window rotation: the correctness driver oracles only the
 first 50 registry entries, so ``all_queries()`` must order queries by
-last-driver-checked round ascending (never-checked first). These tests
-pin that policy against the CORRECTNESS_r*.json history at repo root.
+last-driver-checked-GREEN round ascending (never-checked first, and a
+query whose latest row was RED re-enters the window immediately).
+These tests pin that policy against the CORRECTNESS_r*.json history at
+repo root.
 """
 
 from __future__ import annotations
@@ -9,7 +11,7 @@ from __future__ import annotations
 import json
 from pathlib import Path
 
-from swarm_spark.queries import _last_checked_round, all_queries
+from swarm_spark.queries import _last_green_round, _row_is_green, all_queries
 
 ROOT = Path(__file__).resolve().parent.parent
 DRIVER_WINDOW = 50
@@ -27,7 +29,7 @@ def test_ordering_is_deterministic():
 
 
 def test_never_checked_queries_lead():
-    last = _last_checked_round()
+    last = _last_green_round()
     names = list(all_queries())
     never = {n for n in names if n not in last}
     if never:
@@ -35,26 +37,40 @@ def test_never_checked_queries_lead():
 
 
 def test_window_covers_unchecked_from_latest_round():
-    """Every query without a row in the newest CORRECTNESS file must sit
-    inside the driver's 50-query window next round."""
+    """Every query without a GREEN row in the newest CORRECTNESS file
+    must sit inside the driver's 50-query window next round — that
+    covers both rotated-out queries and freshly-failed ones."""
     newest = _newest_correctness()
     if newest is None:
         return
     names = list(all_queries())
     window = set(names[:DRIVER_WINDOW])
-    unchecked = [n for n in names if n not in newest]
+    unchecked = [
+        n for n in names if not _row_is_green(newest.get(n))
+    ]
     missing = [n for n in unchecked if n not in window]
-    assert not missing, f"unchecked queries outside driver window: {missing}"
+    assert not missing, f"unverified queries outside driver window: {missing}"
+
+
+def test_row_is_green_semantics():
+    assert _row_is_green({"rows_match": True, "hash_match": True, "err": None})
+    # rows-only check: hash flag absent or null is still green
+    assert _row_is_green({"rows_match": True, "hash_match": None, "err": None})
+    assert _row_is_green({"rows_match": True})
+    # any explicit failure or error is red
+    assert not _row_is_green({"rows_match": False, "err": None})
+    assert not _row_is_green({"rows_match": True, "hash_match": False})
+    assert not _row_is_green({"rows_match": True, "schema_match": False})
+    assert not _row_is_green({"rows_match": True, "err": "boom"})
+    assert not _row_is_green(None)
+    assert not _row_is_green("garbage")
 
 
 def test_every_query_checked_at_least_every_other_round(tmp_path):
-    """Simulate the driver across rounds: each round writes rows for the
-    FIRST 50 entries of the rotated order; after any two consecutive
-    rounds, every registry query must have at least one row."""
-    import json
-
-    from swarm_spark.queries import all_queries
-
+    """Simulate the driver across rounds: each round writes green rows
+    for the FIRST 50 entries of the rotated order; after any two
+    consecutive rounds, every registry query must have at least one
+    row."""
     names = list(all_queries())  # current registry, any starting order
 
     def rotate(last: dict[str, int]) -> list[str]:
@@ -67,7 +83,7 @@ def test_every_query_checked_at_least_every_other_round(tmp_path):
         )
 
     for rnd in range(1, 6):
-        last = _last_checked_round(tmp_path)
+        last = _last_green_round(tmp_path)
         order = rotate(last)
         write_round(rnd, order[:DRIVER_WINDOW])
         if rnd >= 2:
@@ -81,18 +97,50 @@ def test_every_query_checked_at_least_every_other_round(tmp_path):
             assert not missing, f"r{rnd}: never checked in 2 rounds: {missing}"
 
 
+def test_red_row_reenters_next_window(tmp_path):
+    """A query that FAILS its oracle in round N must be inside the
+    first-50 window in round N+1 (the ADVICE r5 finding: a red row
+    used to count as 'checked' and rotate out)."""
+    names = list(all_queries())
+    reg = {n: i for i, n in enumerate(names)}
+
+    def rotate(last):
+        return sorted(names, key=lambda n: (last.get(n, -1), reg[n]))
+
+    # round 1: first 50 all get rows, but one fails its hash and one errors
+    order1 = rotate(_last_green_round(tmp_path))
+    window1 = order1[:DRIVER_WINDOW]
+    failed, errored = window1[0], window1[1]
+    rows = {}
+    for n in window1:
+        if n == failed:
+            rows[n] = {"rows_match": True, "schema_match": True, "hash_match": False}
+        elif n == errored:
+            rows[n] = {"rows_match": None, "err": "AnalysisException: boom"}
+        else:
+            rows[n] = {"rows_match": True, "schema_match": True, "hash_match": True}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(rows))
+
+    order2 = rotate(_last_green_round(tmp_path))
+    window2 = set(order2[:DRIVER_WINDOW])
+    assert failed in window2, "hash-failed query rotated out of the window"
+    assert errored in window2, "errored query rotated out of the window"
+    # and the genuinely-green ones from round 1 defer as before
+    green = [n for n in window1 if n not in (failed, errored)]
+    assert all(order2.index(g) >= order2.index(failed) for g in green[:3])
+
+
 def test_fallout_was_green_most_recently():
     """Queries displaced past the window must have a green row in the
     round they were last checked (we only defer verified queries)."""
     names = list(all_queries())
-    last = _last_checked_round()
+    last = _last_green_round()
     files = {
         int(p.name[len("CORRECTNESS_r") : -len(".json")]): json.loads(p.read_text())
         for p in ROOT.glob("CORRECTNESS_r*.json")
     }
     for n in names[DRIVER_WINDOW:]:
-        assert n in last, f"{n} has never been driver-checked yet overflows the window"
-        row = files[last[n]][n]
-        assert row.get("rows_match") and row.get("hash_match"), (
+        assert n in last, f"{n} has never been driver-checked green yet overflows"
+        assert _row_is_green(files[last[n]][n]), (
             f"{n} overflows the window but was not green in r{last[n]}"
         )
