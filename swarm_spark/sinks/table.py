@@ -34,6 +34,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
 import uuid
 
@@ -50,6 +51,105 @@ SCHEMA_FILE = "_swarm_schema.json"
 LOCK_FILE = "_swarm_schema.lock"
 COMMITS_DIR = "_swarm_commits"
 STAGED_PREFIX = "_staged-"
+# A schema lock whose mtime is older than this is treated as orphaned
+# (holder SIGKILLed) and broken by the next waiter. LIVE holders —
+# including a compact() spending minutes in the Spark rewrite — keep
+# the mtime fresh from a heartbeat thread, so only a dead holder's
+# lock ever ages past the threshold.
+LOCK_STALE_S = 60.0
+_HEARTBEAT_S = LOCK_STALE_S / 4
+
+
+class _TableLock:
+    """O_EXCL-create lock with a fencing token, mtime stale-breaking,
+    and a heartbeat for long holds.
+
+    Mirrors the protocol proven in ``streaming/state.py``: acquire =
+    exclusive create with a unique token inside; stale-break = atomic
+    rename to a tombstone, re-verify age on the immutable name, link
+    back if it turned out fresh; release = rename to a private name
+    FIRST, then verify the token — the live lock path is never
+    os.remove()d directly, so a breaker + new-acquirer interleaving
+    can't make us delete the new holder's lock. The heartbeat thread
+    refreshes mtime every ``_HEARTBEAT_S`` so a multi-minute compact
+    is never mistaken for an orphan, while a SIGKILLed holder stops
+    heartbeating and its lock becomes breakable after
+    ``LOCK_STALE_S`` — previously it wedged every future
+    ensure_table/compact on the table forever."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.token = uuid.uuid4().hex
+        self._stop: threading.Event | None = None
+        self._hb: threading.Thread | None = None
+
+    def acquire(self, timeout_s: float) -> "_TableLock":
+        deadline = time.monotonic() + timeout_s
+        while True:
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, self.token.encode())
+                os.close(fd)
+                break
+            except FileExistsError:
+                self._try_break_stale()
+                if time.monotonic() > deadline:
+                    raise ModelError(f"schema lock timeout: {self.path}")
+                time.sleep(0.05)
+        self._stop = threading.Event()
+        self._hb = threading.Thread(target=self._beat, daemon=True)
+        self._hb.start()
+        return self
+
+    def _beat(self) -> None:
+        while not self._stop.wait(_HEARTBEAT_S):
+            try:
+                os.utime(self.path)
+            except OSError:
+                return  # broken as stale; token fencing protects release
+
+    def _try_break_stale(self) -> None:
+        try:
+            if time.time() - os.path.getmtime(self.path) <= LOCK_STALE_S:
+                return
+            tomb = self.path + f".stale-{uuid.uuid4().hex}"
+            os.rename(self.path, tomb)  # atomic: one breaker wins
+        except OSError:
+            return
+        try:
+            if time.time() - os.path.getmtime(tomb) > LOCK_STALE_S:
+                os.remove(tomb)
+            else:
+                try:
+                    os.link(tomb, self.path)
+                except OSError:
+                    pass
+                os.remove(tomb)
+        except OSError:
+            pass
+
+    def release(self) -> None:
+        if self._stop is not None:
+            self._stop.set()
+            self._hb.join(timeout=2.0)
+        priv = self.path + f".rel-{uuid.uuid4().hex}"
+        try:
+            os.rename(self.path, priv)
+        except OSError:
+            return  # broken as stale — nothing of ours at that path
+        try:
+            with open(priv, encoding="utf-8") as f:
+                mine = f.read() == self.token
+            if not mine:
+                # our lock was broken and replaced; hand the new
+                # holder's lock back before dropping the private name
+                try:
+                    os.link(priv, self.path)
+                except OSError:
+                    pass
+            os.remove(priv)
+        except OSError:
+            pass
 
 
 def envelope_schema(data_schema: T.StructType) -> T.StructType:
@@ -72,18 +172,8 @@ class TableSink(Sink):
         with open(p, encoding="utf-8") as f:
             return T.StructType.fromJson(json.load(f))
 
-    def _lock(self, dest: TableDest, timeout_s: float = 30.0):
-        path = os.path.join(self._dir(dest), LOCK_FILE)
-        deadline = time.monotonic() + timeout_s
-        while True:
-            try:
-                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.close(fd)
-                return path
-            except FileExistsError:
-                if time.monotonic() > deadline:
-                    raise ModelError(f"schema lock timeout for {dest}")
-                time.sleep(0.05)
+    def _lock(self, dest: TableDest, timeout_s: float = 30.0) -> _TableLock:
+        return _TableLock(os.path.join(self._dir(dest), LOCK_FILE)).acquire(timeout_s)
 
     def ensure_table(self, dest: TableDest, data_schema: T.StructType) -> T.StructType:
         dest.validate()
@@ -106,7 +196,7 @@ class TableSink(Sink):
             os.replace(tmp, os.path.join(d, SCHEMA_FILE))
             return merged_data
         finally:
-            os.remove(lock)
+            lock.release()
 
     def append(self, dest: TableDest, df: DataFrame) -> int:
         return _write_slice(self._dir(dest), dest, df)
@@ -170,6 +260,16 @@ class TableSink(Sink):
         of an eager swap can see a transient gap — the single-writer
         contract this sink already has; on a cluster this operation is
         Delta/Iceberg OPTIMIZE, which adds snapshot isolation.
+
+        Concurrency: compact holds the table's schema lock for the
+        whole rewrite, heartbeating it so it is never broken as stale;
+        a concurrent ``ensure_table`` (any ingest batch with schema
+        evolution) therefore waits up to its lock timeout and then
+        raises ``ModelError`` — schedule compaction off the ingest
+        path. A compact process that DIES mid-rewrite stops
+        heartbeating: its lock ages past ``LOCK_STALE_S`` and the next
+        writer breaks it, and its staged dir stays hidden (no
+        manifest) so no partial state ever publishes.
         """
         self._recover(dest)
         d = self._dir(dest)
@@ -226,7 +326,7 @@ class TableSink(Sink):
                 "bytes_before": int(total),
             }
         finally:
-            os.remove(lock)
+            lock.release()
 
     def read_table(self, dest: TableDest) -> DataFrame:
         self._recover(dest)

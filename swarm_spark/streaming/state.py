@@ -104,19 +104,21 @@ class StateStore:
 
     # ---------------------------------------------------- lock protocol
     # Acquire = O_EXCL create with a unique token written into the lock.
-    # Release = remove ONLY if the lock still holds our token (a broken
-    # -and-replaced lock must not be deleted out from under its new
-    # holder). Stale-break = atomic rename to a unique tombstone — only
-    # one breaker can win the rename — then re-verify staleness on the
-    # TOMBSTONE (immune to concurrent replacement, unlike the
-    # check-then-remove it replaces); a tombstone that turns out fresh
-    # is linked back. The one residual microsecond window (fresh lock
-    # renamed between mtime check and rename, new lock created before
-    # the link-back) degrades to a doubled critical section, which is
-    # safe here: state writes are atomic os.replace, updates are fenced
-    # by request_id, and a double-acquire yields duplicate rows with
-    # equal content-hash ids that downstream dedup removes (see module
-    # docstring).
+    # Release = atomic rename to a private name FIRST, then verify the
+    # token on that immutable path: the live lock name is never
+    # os.remove()d directly, so the old read-token-then-remove gap
+    # (breaker + new acquirer interleaving between the read and the
+    # remove, deleting the new holder's lock) is closed; a renamed-away
+    # lock that turns out not ours is linked back. Stale-break = the
+    # same rename-to-tombstone trick — only one breaker can win the
+    # rename — then re-verify staleness on the TOMBSTONE; a tombstone
+    # that turns out fresh is linked back. The one residual microsecond
+    # window (fresh lock renamed between mtime check and rename, new
+    # lock created before the link-back) degrades to a doubled critical
+    # section, which is safe here: state writes are atomic os.replace,
+    # updates are fenced by request_id, and a double-acquire yields
+    # duplicate rows with equal content-hash ids that downstream dedup
+    # removes (see module docstring).
     def _acquire_lock(self, lock: str) -> tuple[int, str] | None:
         token = uuid.uuid4().hex
         try:
@@ -128,12 +130,26 @@ class StateStore:
 
     def _release_lock(self, lock: str, fd: int, token: str) -> None:
         os.close(fd)
+        priv = lock + f".rel-{uuid.uuid4().hex}"
         try:
-            with open(lock, encoding="utf-8") as f:
-                if f.read() == token:
-                    os.remove(lock)
+            os.rename(lock, priv)
         except OSError:
-            pass  # already broken as stale — nothing of ours to remove
+            return  # already broken as stale — nothing of ours to remove
+        try:
+            with open(priv, encoding="utf-8") as f:
+                mine = f.read() == token
+            if not mine:
+                # we renamed a NEW holder's lock (ours was broken and
+                # replaced): hand it back before dropping the private
+                # name; if yet another lock appeared meanwhile, the new
+                # holder is fenced by its own token check at release
+                try:
+                    os.link(priv, lock)
+                except OSError:
+                    pass
+            os.remove(priv)
+        except OSError:
+            pass
 
     def _try_break_stale(self, lock: str) -> None:
         """Break an orphaned lock (holder SIGKILLed mid-section) without
