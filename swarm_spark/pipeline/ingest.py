@@ -182,14 +182,24 @@ class IngestPipeline:
         # slices too — the all-or-nothing contract is the whole batch,
         # not per group
         txn = self.sink.transaction() if self.atomic else None
+        # With a batch-spanning txn, per-group staged counts accumulate
+        # here and fold into stats only AFTER the commit succeeds: if a
+        # later source group fails, the txn aborts and the
+        # IngestPartialFailure's stats must not report rows for
+        # destinations that never became visible.
+        pending: dict[tuple, int] = {}
         for source, paths in by_source.items():
             logs = self._transform_group(source, paths)
             if logs is None:
                 continue
             enveloped = self._envelope(logs, stats.ingest_id)
-            self._write_routed(enveloped, stats, txn=txn)
+            staged = self._write_routed(enveloped, stats, txn=txn)
+            for key, n in staged.items():
+                pending[key] = pending.get(key, 0) + n
         if txn is not None:
             txn.commit()
+            for key, n in pending.items():
+                stats.rows_by_dest[key] = stats.rows_by_dest.get(key, 0) + n
 
         stats.finished_at = time.time()
         if self.write_load_log:
@@ -213,7 +223,7 @@ class IngestPipeline:
     # -- G1 + Q1/Q2/Q4 + W1: per-destination evolve + append -----------
     def _write_routed(
         self, enveloped: DataFrame, stats: IngestStats, txn=None
-    ) -> None:
+    ) -> dict[tuple, int]:
         """Per-destination evolve+append.
 
         Default mode: PARTIAL-failure tolerance — one bad destination
@@ -230,7 +240,14 @@ class IngestPipeline:
         additive). When the caller passes an open ``txn`` (load_objects
         spans one across all source groups), this call only STAGES into
         it and the caller commits once; otherwise the transaction is
-        opened and committed here."""
+        opened and committed here.
+
+        Returns the per-destination staged row counts. They are merged
+        into ``stats.rows_by_dest`` here ONLY when this call made the
+        rows visible itself (direct append, or own transaction
+        committed); with a caller-owned txn the counts are returned
+        un-merged and the caller folds them in after ITS commit, so an
+        aborted batch never reports rows for invisible destinations."""
         enveloped = enveloped.persist()
         errors: list[tuple[TableDest, Exception]] = []
         own_txn = txn is None and self.atomic
@@ -270,13 +287,15 @@ class IngestPipeline:
                 staged[key] = staged.get(key, 0) + n
             if own_txn:
                 txn.commit()
-            for key, n in staged.items():  # additive: called per source group
-                stats.rows_by_dest[key] = stats.rows_by_dest.get(key, 0) + n
+            if txn is None or own_txn:  # rows are visible: report them
+                for key, n in staged.items():
+                    stats.rows_by_dest[key] = stats.rows_by_dest.get(key, 0) + n
         finally:
             enveloped.unpersist()
         if errors and self.strict and txn is None:
             dest, first = errors[0]
             raise IngestPartialFailure(stats, errors) from first
+        return staged
 
     def _align_data(self, batch: DataFrame, merged_data: T.StructType) -> DataFrame:
         from ..schema.infer import _align_expr  # aligned struct projection

@@ -298,11 +298,14 @@ class TestAtomicIngestMode:
             ObjectMeta(bucket="x", name="x.a.ndjson", path=str(pa)),
             ObjectMeta(bucket="x", name="x.b.ndjson", path=str(pb)),
         ]
-        with pytest.raises(IngestPartialFailure):
+        with pytest.raises(IngestPartialFailure) as ei:
             pipe.load_objects(objs)
         assert len(calls) == 2
         for d in DESTS:  # group 1's staged slice rolled back with group 2's
             assert sink.read_table(d).count() == 0
+        # the aborted batch must not REPORT rows either: group 1's
+        # staged counts were pending, not folded into stats (ADVICE r5)
+        assert ei.value.stats.rows_by_dest == {}
 
         # happy path: same two groups, one shared txn, one commit
         monkeypatch.setattr(TableTransaction, "stage", orig_stage)
