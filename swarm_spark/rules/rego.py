@@ -598,6 +598,27 @@ class _Undefined(Exception):
     of erroring, matching OPA semantics."""
 
 
+def _rego_typed_key(v):
+    """Canonical comparison key under OPA's typed equality.
+
+    Python's ``==`` treats ``True == 1`` — OPA does not (booleans and
+    numbers are different types), while OPA's single number type makes
+    ``1 == 1.0`` true. Recursive so conflict detection sees
+    ``{"a": true}`` vs ``{"a": 1}`` as distinct too."""
+    if isinstance(v, bool):
+        return ("bool", v)
+    if isinstance(v, (int, float)):
+        return ("number", float(v))
+    if isinstance(v, (list, tuple)):
+        return ("array", tuple(_rego_typed_key(x) for x in v))
+    if isinstance(v, dict):
+        return (
+            "object",
+            tuple(sorted((str(k), _rego_typed_key(x)) for k, x in v.items())),
+        )
+    return (type(v).__name__, v)
+
+
 try:  # optional: only io.jwt.*verify* builtins need it (docs/rule.md:252-283)
     import jwt as _pyjwt
     from jwt import algorithms as _pyjwt_algorithms
@@ -999,7 +1020,14 @@ class RegoAuthPolicy:
         complete rules produce different values, OPA raises
         eval_conflict_error ("complete rules must not conflict") —
         mirrored here so an allow/deny decision can never silently
-        depend on rule declaration order."""
+        depend on rule declaration order. (Behavior note: this is
+        stricter than the pre-r5 short-circuit — a later body whose
+        statements are unsupported now raises instead of being skipped
+        once an earlier body matched, exactly as OPA would evaluate
+        it.) Conflict detection uses OPA's TYPED equality, not
+        Python's: ``true`` and ``1`` are distinct values (bool is not
+        a number in Rego), while ``1`` and ``1.0`` are equal (one
+        number type), recursively through arrays/objects."""
         if name in stack:
             raise RegoError(f"recursive auth rule {name!r}")
         produced: list[Any] = []
@@ -1018,7 +1046,8 @@ class RegoAuthPolicy:
             except _Undefined:
                 continue
         if produced:
-            if any(p != produced[0] for p in produced[1:]):
+            first = _rego_typed_key(produced[0])
+            if any(_rego_typed_key(p) != first for p in produced[1:]):
                 raise RegoError(
                     f"complete rules must not conflict: {name!r} "
                     f"produced {sorted({repr(p) for p in produced})}"

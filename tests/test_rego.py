@@ -285,6 +285,26 @@ class TestRegoAuth:
         )
         assert rego_to_auth([src3]).deny(self._input(path="/x")) is True
 
+    def test_conflict_uses_opa_typed_equality(self):
+        """OPA's equality is typed: `true` and `1` conflict (bool is
+        not a number — Python's True == 1 must not mask it), while `1`
+        and `1.0` agree (one number type)."""
+        from swarm_spark.rules import rego_to_auth
+
+        src = (
+            "package auth\n\n"
+            'deny = true { input.path == "/t" }\n'
+            'deny = 1 { input.path == "/t" }\n'
+        )
+        with pytest.raises(RegoError, match="conflict"):
+            rego_to_auth([src]).deny(self._input(path="/t"))
+        src2 = (
+            "package auth\n\n"
+            'deny = 1 { input.path == "/n" }\n'
+            'deny = 1.0 { input.path == "/n" }\n'
+        )
+        assert rego_to_auth([src2]).deny(self._input(path="/n")) is True
+
     def test_http_send_out_of_subset_fails_loudly(self):
         from swarm_spark.rules import rego_to_auth
 
