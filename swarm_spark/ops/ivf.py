@@ -103,13 +103,20 @@ def ann_topk_ivf(
     n_cells: int = 8,
     nprobe: int = 2,
     iters: int = 4,
+    n_salts: int | None = None,
 ) -> DataFrame:
     """IVF ANN: build cells over the corpus, probe nprobe cells/query.
 
     Returns (query_id, id, cos, rank) like the brute-force baseline —
     swap-compatible, with recall traded for a ~nprobe/n_cells scan.
+    Final ranking is the salted two-phase top-k (similarity.
+    topk_per_query): even a pathologically large probed cell never
+    lands one query's candidates on a single window task.
     """
+    from .similarity import _salts_for, topk_per_query
+
     spark = corpus.sparkSession
+    n_salts = _salts_for(corpus, n_salts)
     cells = kmeans_cells(corpus, vec_col, id_col, k=n_cells, iters=iters)
     c = (
         corpus.select(
@@ -157,10 +164,4 @@ def ann_topk_ivf(
             F.round(dot_expr("qv", "cv") / F.sqrt(F.col("qn2") * F.col("cn2")), 9).alias("cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("id"))
-    return (
-        joined.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .select("query_id", "id", "cos", "rank")
-        .orderBy("query_id", "rank")
-    )
+    return topk_per_query(joined, k, n_salts)

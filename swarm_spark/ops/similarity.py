@@ -13,6 +13,10 @@ Two tiers:
 
 Cosine accumulation is a sequential fold (see dedup.cosine_expr), so a
 DuckDB ``list_dot_product``-based oracle reproduces results bit-for-bit.
+
+Ranking is a salted two-phase top-k (:func:`topk_per_query`) so no
+window task ever holds one query's full candidate set — the per-task
+bound is N/n_salts rows regardless of corpus size.
 """
 
 from __future__ import annotations
@@ -21,16 +25,49 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import dot_expr
+from .sampling import hash_bucket
 
 
-def _topk(joined: DataFrame, k: int) -> DataFrame:
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("id"))
+def topk_per_query(joined: DataFrame, k: int, n_salts: int) -> DataFrame:
+    """Exact top-k per query over a (query_id, id, cos) candidate frame.
+
+    Scale shape: TWO-PHASE salted top-k, not one window over query_id —
+    a query's candidate set is the whole corpus (brute force) or its
+    probed cells (IVF), so `row_number().over(partitionBy(query_id))`
+    would serialize every candidate for a query through one
+    unsplittable window task. Phase 1 ranks inside (query, salt)
+    partitions (salt = deterministic hash of the candidate id, so
+    per-task rows are bounded by N/n_salts); a global top-k row is
+    necessarily in its salt partition's top-k, so phase 2 re-ranks only
+    the ≤ n_salts·k survivors per query. Identical output, identical
+    oracle, identical tie-break (cos desc, id asc).
+    """
+    order = (F.col("cos").desc(), F.col("id"))
+    salt = (hash_bucket(F.col("id").cast("string"), "swarm-ann") % n_salts).cast("int")
+    w1 = Window.partitionBy("query_id", "salt").orderBy(*order)
+    survivors = (
+        joined.withColumn("salt", salt)
+        .withColumn("rk", F.row_number().over(w1))
+        .where(F.col("rk") <= k)
+        .drop("rk", "salt")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(*order)
     return (
-        joined.withColumn("rank", F.row_number().over(w).cast("long"))
+        survivors.withColumn("rank", F.row_number().over(w2).cast("long"))
         .where(F.col("rank") <= k)
         .select("query_id", "id", "cos", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+def _salts_for(corpus: DataFrame, n_salts: int | None) -> int:
+    # ≤ ~2M candidate rows per (query, salt) window task; the count is
+    # a metadata-cheap row-group scan, mirroring topk_per_group/packing.
+    if n_salts is not None:
+        if n_salts < 1:
+            raise ValueError(f"n_salts must be >= 1, got {n_salts}")
+        return n_salts
+    return max(16, corpus.count() // 2_000_000)
 
 
 def ann_topk_bruteforce(
@@ -39,6 +76,7 @@ def ann_topk_bruteforce(
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_salts: int | None = None,
 ) -> DataFrame:
     """Exact top-k: (query_id, id, cos, rank); ties broken by id.
 
@@ -46,6 +84,7 @@ def ann_topk_bruteforce(
     the |Q|·N candidate pairs costs one array fold; algebra matches
     the oracle's sqrt(ldp·ldp) exactly.
     """
+    n_salts = _salts_for(corpus, n_salts)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
@@ -61,7 +100,7 @@ def ann_topk_bruteforce(
         "id",
         F.round(dot_expr("qv", "cv") / F.sqrt(F.col("qn2") * F.col("cn2")), 9).alias("cos"),
     )
-    return _topk(joined, k)
+    return topk_per_query(joined, k, n_salts)
 
 
 def ann_topk_cells(
@@ -71,8 +110,10 @@ def ann_topk_cells(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cell_col: str = "label",
+    n_salts: int | None = None,
 ) -> DataFrame:
     """IVF-bucketed top-k: probe only the query's own cell."""
+    n_salts = _salts_for(corpus, n_salts)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(cell_col).alias("cell"),
@@ -90,4 +131,4 @@ def ann_topk_cells(
         "id",
         F.round(dot_expr("qv", "cv") / F.sqrt(F.col("qn2") * F.col("cn2")), 9).alias("cos"),
     )
-    return _topk(joined, k)
+    return topk_per_query(joined, k, n_salts)

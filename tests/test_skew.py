@@ -283,3 +283,66 @@ class TestEmbeddingCellSkew:
         assert lsh <= blocked
         planted = {(i, N_VECS - N_PLANTED + i) for i in range(N_PLANTED)}
         assert planted <= lsh
+
+
+class TestAnnTopkSkew:
+    """ANN ranking must never put one query's full candidate set on a
+    single window task: topk_per_query ranks inside (query, salt)
+    partitions first, so per-task rows are bounded by N/n_salts."""
+
+    def test_first_window_is_salted(self, spark):
+        from swarm_spark.ops.similarity import ann_topk_bruteforce
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        df = ann_topk_bruteforce(emb, emb.limit(4), k=3, n_salts=8)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        windows = [l for l in plan.splitlines() if "Window [" in l or "Window(" in l]
+        assert len(windows) == 2
+        assert any("salt" in w for w in windows), windows
+
+    def test_matches_unsalted_reference_with_ties(self, spark):
+        """Salting must not change the answer, including under cosine
+        ties (identical vectors) where the id tie-break decides rank."""
+        from pyspark.sql import Window as W
+
+        from swarm_spark.ops.dedup import dot_expr
+        from swarm_spark.ops.similarity import ann_topk_bruteforce
+
+        # 3 groups of identical vectors -> every cos within a group ties
+        rows = [(i, [float(i % 3), 1.0, float((i % 3) * 2)]) for i in range(30)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = [
+            tuple(r)
+            for r in ann_topk_bruteforce(
+                emb, emb.limit(6), k=5, n_salts=7
+            ).collect()
+        ]
+
+        q = emb.limit(6).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            dot_expr("embedding", "embedding").alias("qn2"),
+        )
+        c = emb.select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").alias("cv"),
+            dot_expr("embedding", "embedding").alias("cn2"),
+        )
+        w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("id"))
+        ref = [
+            tuple(r)
+            for r in c.crossJoin(F.broadcast(q))
+            .where(F.col("query_id") != F.col("id"))
+            .select(
+                "query_id",
+                "id",
+                F.round(
+                    dot_expr("qv", "cv") / F.sqrt(F.col("qn2") * F.col("cn2")), 9
+                ).alias("cos"),
+            )
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= 5)
+            .orderBy("query_id", "rank")
+            .collect()
+        ]
+        assert got == ref
