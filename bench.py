@@ -55,6 +55,7 @@ def main() -> None:
         "dedup_embedding",
         "ann_topk_bruteforce",
         "multimodal_features",
+        "tfidf_top_terms",
     ]
     names = [n for n in names if n in CORE]
 

@@ -58,6 +58,60 @@ def stratified_hash_sample(
     return df.where(hash_bucket(key, seed) < cut)
 
 
+def stratified_cap(
+    df: DataFrame,
+    strata: str,
+    cap: int | None,
+    key: str,
+    seed: str = "swarm-strat",
+    n_salts: int | None = None,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per stratum — EXACT counts, chosen
+    deterministically by hash order (so the kept set is a pure function
+    of the records, stable under growth of OTHER strata and under any
+    partitioning). ``cap=None`` balances every stratum down to the
+    smallest stratum's count (domain/language rebalancing).
+
+    Rate-based :func:`stratified_hash_sample` keeps *approximately*
+    fraction·n per stratum; this keeps *exactly* min(cap, n) — the
+    shape training-mix specs ("at most N docs per language") need.
+
+    Scale shape: TWO-PHASE salted rank, not one window per stratum — a
+    hot stratum (half the corpus in `en`) would otherwise land on one
+    unsplittable window task. Phase 1 ranks inside (stratum, salt)
+    partitions; a stratum's global hash-order top-cap rows are each in
+    their salt partition's top-cap, so phase 2 re-ranks only the
+    ≤ n_salts·cap survivors. Adds a ``rk`` column (1-based hash-order
+    rank within the stratum).
+    """
+    from pyspark.sql import Window
+
+    if cap is None:
+        # metadata-sized: one row per stratum to the driver
+        counts = df.groupBy(strata).count().collect()
+        if not counts:
+            return df.withColumn("rk", F.lit(1).cast("long")).limit(0)
+        cap = min(r["count"] for r in counts)
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    if n_salts is None:
+        n_salts = max(16, df.count() // 2_000_000)
+    order = (hash_bucket(key, seed).asc(), F.col(key).asc())
+    salt = (hash_bucket(key, seed + "-salt") % n_salts).cast("int")
+    w1 = Window.partitionBy(strata, "__salt").orderBy(*order)
+    survivors = (
+        df.withColumn("__salt", salt)
+        .withColumn("__rk", F.row_number().over(w1))
+        .where(F.col("__rk") <= cap)
+        .drop("__rk", "__salt")
+    )
+    w2 = Window.partitionBy(strata).orderBy(*order)
+    return (
+        survivors.withColumn("rk", F.row_number().over(w2).cast("long"))
+        .where(F.col("rk") <= cap)
+    )
+
+
 def split_column(
     key: str,
     test_fraction: float = 0.1,

@@ -132,3 +132,48 @@ def ann_topk_cells(
         F.round(dot_expr("qv", "cv") / F.sqrt(F.col("qn2") * F.col("cn2")), 9).alias("cos"),
     )
     return topk_per_query(joined, k, n_salts)
+
+
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    n_salts: int | None = None,
+) -> DataFrame:
+    """k-NN label vote — the similarity-search application layer:
+    predict each query's label as the majority label among its k
+    nearest corpus neighbors by cosine (self excluded). Ties (equal
+    votes) break toward the smaller label. Output
+    (query_id, pred_label, votes).
+
+    Scale shape: rides :func:`ann_topk_bruteforce`'s salted two-phase
+    ranking, then the vote is a k-row-per-query aggregation (bounded by
+    the literal k) and the argmax is a struct-max aggregation — no
+    window over unbounded keys anywhere.
+    """
+    nn = ann_topk_bruteforce(corpus, queries, k, vec_col, id_col, n_salts)
+    labels = corpus.select(
+        F.col(id_col).alias("id"), F.col(label_col).cast("long").alias("nbr_label")
+    )
+    votes = (
+        nn.join(labels, "id")
+        .groupBy("query_id", "nbr_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("votes"))
+    )
+    # argmax by (votes desc, label asc) as a struct max: negate the
+    # label for the comparison, keep the real value as payload
+    best = votes.groupBy("query_id").agg(
+        F.max(
+            F.struct(
+                F.col("votes"),
+                (-F.col("nbr_label")).alias("neg_label"),
+                F.col("nbr_label").alias("pred_label"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "query_id", F.col("b.pred_label").alias("pred_label"), F.col("b.votes").alias("votes")
+    ).orderBy("query_id")

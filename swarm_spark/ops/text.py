@@ -426,3 +426,69 @@ def vocab_stats(
         )
         .orderBy("rank")
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    top_k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+    n_salts: int = 64,
+) -> DataFrame:
+    """Per-stratum TF-IDF leaderboard — the "what characterizes this
+    language/domain slice" report: for each stratum, the ``top_k``
+    tokens by ``tf · ln(N / df)`` where tf counts occurrences WITHIN
+    the stratum and df counts distinct documents corpus-wide.
+    Output (stratum, token, tf, doc_freq, score, rk); score rounded to
+    6 digits, ties broken lexically.
+
+    Scale shape: tf and df are both map-side-combined aggregations over
+    the exploded-token frame (shuffle ∝ vocab, not corpus bytes); N is
+    one scalar. The per-stratum ranking is a salted TWO-PHASE top-k —
+    strata are few (languages), so a single window per stratum would
+    pull a whole language's vocabulary onto one task; phase 1 ranks
+    inside (stratum, salt-of-token) partitions and phase 2 re-ranks
+    only the ≤ n_salts·top_k survivors.
+    """
+    from .sampling import hash_bucket
+
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.col(stratum_col).alias("stratum"),
+        F.explode(tokens_col(text_col)).alias("tok"),
+    )
+    tf = exploded.groupBy("stratum", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    docfreq = (
+        exploded.select("id", "tok")
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_freq"))
+    )
+    n_docs = df.count()
+    scored = tf.join(docfreq, "tok").select(
+        "stratum",
+        F.col("tok").alias("token"),
+        "tf",
+        "doc_freq",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("doc_freq")), 6).alias(
+            "score"
+        ),
+    )
+    order = (F.col("score").desc(), F.col("token"))
+    salt = (hash_bucket(F.col("token"), "swarm-tfidf") % n_salts).cast("int")
+    w1 = Window.partitionBy("stratum", "salt").orderBy(*order)
+    survivors = (
+        scored.withColumn("salt", salt)
+        .withColumn("r1", F.row_number().over(w1))
+        .where(F.col("r1") <= top_k)
+        .drop("r1", "salt")
+    )
+    w2 = Window.partitionBy("stratum").orderBy(*order)
+    return (
+        survivors.withColumn("rk", F.row_number().over(w2).cast("long"))
+        .where(F.col("rk") <= top_k)
+        .orderBy("stratum", "rk")
+    )

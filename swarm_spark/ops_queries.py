@@ -1157,7 +1157,121 @@ FROM b ORDER BY doc_id
 """
 
 
+# -------------------------------------------- mix / balance / rank ops
+def q_sample_stratified_cap(spark, sf):
+    """At most 10 docs per language, picked deterministically by hash
+    order — the 'cap each domain' training-mix primitive (exact counts,
+    unlike rate-based sampling)."""
+    from .ops.sampling import stratified_cap
+
+    return (
+        stratified_cap(_docs(spark, sf), "lang", cap=10, key="doc_id")
+        .select("lang", "doc_id", "rk")
+        .orderBy("lang", "rk")
+    )
+
+
+SQL_STRATIFIED_CAP = f"""
+WITH b AS (SELECT lang, doc_id,
+                  {_md5_bucket_sql('doc_id', 'swarm-strat')} AS bkt
+           FROM documents),
+r AS (SELECT lang, doc_id,
+             cast(row_number() OVER (PARTITION BY lang ORDER BY bkt, doc_id)
+                  AS bigint) AS rk
+      FROM b)
+SELECT lang, doc_id, rk FROM r WHERE rk <= 10 ORDER BY lang, rk
+"""
+
+
+def q_sample_balance_langs(spark, sf):
+    """Rebalance every language down to the SMALLEST language's doc
+    count (cap=None computes the min stratum size) — exact, hash-order
+    deterministic; the output is a balanced multilingual mix."""
+    from .ops.sampling import stratified_cap
+
+    return (
+        stratified_cap(_docs(spark, sf), "lang", cap=None, key="doc_id")
+        .select("lang", "doc_id", "rk")
+        .orderBy("lang", "rk")
+    )
+
+
+SQL_BALANCE_LANGS = f"""
+WITH mn AS (SELECT min(c) AS cap FROM
+            (SELECT count(*) AS c FROM documents GROUP BY lang)),
+b AS (SELECT lang, doc_id,
+             {_md5_bucket_sql('doc_id', 'swarm-strat')} AS bkt
+      FROM documents),
+r AS (SELECT lang, doc_id,
+             cast(row_number() OVER (PARTITION BY lang ORDER BY bkt, doc_id)
+                  AS bigint) AS rk
+      FROM b)
+SELECT lang, doc_id, rk FROM r, mn WHERE rk <= cap ORDER BY lang, rk
+"""
+
+
+def q_tfidf_top_terms(spark, sf):
+    """Top-10 tokens per language by tf·ln(N/df) — the per-slice
+    characteristic-vocabulary report."""
+    from .ops.text import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf), top_k=10)
+
+
+SQL_TFIDF = """
+WITH w AS (SELECT doc_id, lang,
+                  regexp_split_to_array(text, ' +') AS ws FROM documents),
+e AS (SELECT doc_id, lang AS stratum, unnest(ws) AS tok FROM w),
+tf AS (SELECT stratum, tok, cast(count(*) AS bigint) AS tf FROM e GROUP BY 1, 2),
+dfq AS (SELECT tok, cast(count(DISTINCT doc_id) AS bigint) AS doc_freq
+        FROM e GROUP BY 1),
+n AS (SELECT cast(count(*) AS bigint) AS n FROM documents),
+s AS (SELECT stratum, tok AS token, tf, doc_freq,
+             round(tf * ln(n * 1.0 / doc_freq), 6) AS score
+      FROM tf JOIN dfq USING (tok), n),
+r AS (SELECT *, cast(row_number() OVER (PARTITION BY stratum
+            ORDER BY score DESC, token) AS bigint) AS rk
+      FROM s)
+SELECT stratum, token, tf, doc_freq, score, rk
+FROM r WHERE rk <= 10 ORDER BY stratum, rk
+"""
+
+
+def q_knn_classify(spark, sf):
+    """Majority-label vote over each query's 5 nearest neighbors by
+    cosine (self excluded; vote ties -> smaller label)."""
+    from .ops.similarity import knn_classify
+
+    emb = _emb(spark, sf)
+    return knn_classify(emb, emb.where(F.col("vec_id") % 50 == 0), k=5)
+
+
+SQL_KNN_CLASSIFY = f"""
+WITH q AS (SELECT vec_id AS query_id, cast(embedding AS double[]) AS qv
+           FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS id, cast(label AS bigint) AS nbr_label,
+             cast(embedding AS double[]) AS cv FROM embeddings),
+j AS (SELECT query_id, id, nbr_label, {_QCOS} AS cos
+      FROM c, q WHERE query_id != id),
+r AS (SELECT query_id, nbr_label,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rank
+      FROM j),
+v AS (SELECT query_id, nbr_label, cast(count(*) AS bigint) AS votes
+      FROM r WHERE rank <= 5 GROUP BY 1, 2),
+p AS (SELECT query_id, nbr_label, votes,
+             row_number() OVER (PARTITION BY query_id
+                  ORDER BY votes DESC, nbr_label) AS pr
+      FROM v)
+SELECT query_id, nbr_label AS pred_label, votes
+FROM p WHERE pr = 1 ORDER BY query_id
+"""
+
+
 OPS: dict[str, tuple[Callable, str | None]] = {
+    "sample_stratified_cap": (q_sample_stratified_cap, SQL_STRATIFIED_CAP),
+    "sample_balance_langs": (q_sample_balance_langs, SQL_BALANCE_LANGS),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF),
+    "knn_classify": (q_knn_classify, SQL_KNN_CLASSIFY),
     "text_token_stats": (q_text_token_stats, SQL_TOKEN_STATS),
     "text_language_id": (q_text_language_id, SQL_LANGUAGE_ID),
     "text_quality": (q_text_quality, SQL_QUALITY),

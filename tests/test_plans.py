@@ -47,11 +47,14 @@ ALL = {**CORE, **OPS, **CLASSICAL}
 #   verifier as its ground truth.
 # - corpus_vocab: crossJoin(broadcast(total)) attaches a 1-row global
 #   sum to the top-k frame.
+# - knn_classify: embeds the ann_topk_bruteforce verifier (broadcast
+#   query set, |Q| literal) before the label vote.
 BNLJ_ALLOWED = {
     "ann_topk_bruteforce",
     "ann_topk_ivf",
     "ann_ivf_recall",
     "corpus_vocab",
+    "knn_classify",
 }
 
 # Max "Scan parquet" nodes in the executed final plan. Default 2
@@ -69,6 +72,7 @@ BNLJ_ALLOWED = {
 # - ann_ivf_recall (6): IVF path + embedded brute-force ground truth
 _SCAN_BUDGET_DEFAULT = 2
 _SCAN_BUDGET = {
+    "knn_classify": 3,  # embeddings as corpus + broadcast queries + label dim
     "text_decontaminate": 3,
     "text_strip_segments": 3,
     "ann_topk_ivf": 4,

@@ -69,3 +69,93 @@ class TestStratified:
         assert counts.get("a") == 1000          # keep all
         assert abs(counts.get("b", 0) / 1000 - 0.5) < 0.1
         assert "c" not in counts                # default 0
+
+
+class TestStratifiedCap:
+    def _df(self, spark, n=3000):
+        return spark.range(0, n).select(
+            F.col("id"),
+            F.element_at(
+                F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+                (F.col("id") % 3 + 1).cast("int"),
+            ).alias("s"),
+        )
+
+    def test_exact_counts_per_stratum(self, spark):
+        from swarm_spark.ops import stratified_cap
+
+        out = stratified_cap(self._df(spark), "s", cap=7, key="id")
+        counts = {r["s"]: r["n"] for r in
+                  out.groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert counts == {"a": 7, "b": 7, "c": 7}
+        assert out.where(F.col("rk") > 7).count() == 0
+
+    def test_partition_layout_invariant(self, spark):
+        from swarm_spark.ops import stratified_cap
+
+        a = stratified_cap(self._df(spark).repartition(13), "s", cap=5, key="id")
+        b = stratified_cap(self._df(spark).coalesce(1), "s", cap=5, key="id")
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    def test_kept_set_stable_as_other_strata_grow(self, spark):
+        """Adding docs to stratum 'c' must not change which 'a' docs
+        are kept — membership is a pure function of the records."""
+        from swarm_spark.ops import stratified_cap
+
+        small = self._df(spark, 1500)
+        grown = small.unionByName(
+            spark.range(100000, 101000).select(F.col("id"), F.lit("c").alias("s"))
+        )
+        kept_small = {r["id"] for r in
+                      stratified_cap(small, "s", 5, "id").where(F.col("s") == "a").collect()}
+        kept_grown = {r["id"] for r in
+                      stratified_cap(grown, "s", 5, "id").where(F.col("s") == "a").collect()}
+        assert kept_small == kept_grown
+
+    def test_cap_none_balances_to_min(self, spark):
+        from swarm_spark.ops import stratified_cap
+
+        df = self._df(spark, 3000).where(
+            (F.col("s") != "b") | (F.col("id") < 30)  # 'b' has 10 rows
+        )
+        out = stratified_cap(df, "s", cap=None, key="id")
+        counts = {r["s"]: r["n"] for r in
+                  out.groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert counts == {"a": 10, "b": 10, "c": 10}
+
+    def test_first_window_is_salted(self, spark):
+        from swarm_spark.ops import stratified_cap
+
+        df = stratified_cap(self._df(spark), "s", cap=5, key="id", n_salts=8)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        windows = [l for l in plan.splitlines() if "Window [" in l or "Window(" in l]
+        assert len(windows) == 2
+        assert any("salt" in w for w in windows), windows
+
+    def test_bad_cap_rejected(self, spark):
+        from swarm_spark.ops import stratified_cap
+
+        with pytest.raises(ValueError):
+            stratified_cap(self._df(spark), "s", cap=0, key="id")
+
+
+class TestKnnClassify:
+    def test_majority_and_tiebreak(self, spark):
+        """4 identical 'label 1' vectors, 4 identical 'label 2' vectors
+        slightly off, plus a query equidistant-ish: with k=4 nearest all
+        label-1, prediction is 1; with a manufactured 2-2 vote the
+        smaller label wins."""
+        from swarm_spark.ops.similarity import knn_classify
+
+        rows = [
+            # two exact clusters
+            (0, [1.0, 0.0], 1), (1, [1.0, 0.0], 1),
+            (2, [0.0, 1.0], 2), (3, [0.0, 1.0], 2),
+            # query vector equally similar to both clusters
+            (9, [1.0, 1.0], 0),
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+        out = knn_classify(emb, emb.where(F.col("vec_id") == 9), k=4).collect()
+        assert len(out) == 1
+        # 2 votes each for labels 1 and 2 -> tie -> smaller label
+        assert out[0]["pred_label"] == 1 and out[0]["votes"] == 2
