@@ -913,3 +913,74 @@ def decontaminate(
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def dup_ngram_coverage(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicate-shingle coverage — the RefinedWeb-style
+    "how much of this doc is shared text" signal: for each doc, the
+    fraction of its DISTINCT n-gram shingles whose corpus document
+    frequency exceeds 1. Output (doc_id, n_shingles, n_dup, dup_frac),
+    dup_frac rounded to 6 digits.
+
+    Scale shape: one doc_shingles frame feeds BOTH the per-shingle DF
+    aggregate and the per-doc rollup (the same canonical subtree, so
+    the exchange is reused); all counts are integral, the only float is
+    the final ratio. No window, no self-join — shuffle ∝ distinct
+    shingles.
+    """
+    sh = doc_shingles(df, text_col=text_col, id_col=id_col, n=n)
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).cast("long").alias("dfreq"))
+    return (
+        sh.join(dfreq, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum((F.col("dfreq") > 1).cast("long")).cast("long").alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_dup",
+            F.round(F.col("n_dup") / F.col("n_shingles"), 6).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def split_leakage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "swarm-split",
+) -> DataFrame:
+    """Train/val/test leakage audit: exact-duplicate texts whose copies
+    land in DIFFERENT splits (the deterministic split_column assignment)
+    leak eval data into training. Output one row per leaking content
+    digest: (digest, n_docs, n_splits, splits) with splits a sorted
+    comma-joined list.
+
+    Scale shape: one digest groupBy (map-side combined; set aggregation
+    is bounded by the 3 split labels), then a post-aggregation filter —
+    shuffle ∝ distinct digests, never a self-join.
+    """
+    from .sampling import split_column
+
+    labeled = df.select(
+        F.md5(F.col(text_col)).alias("digest"),
+        split_column(id_col, seed=seed).alias("split"),
+    )
+    return (
+        labeled.groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.size(F.collect_set("split")).cast("long").alias("n_splits"),
+            F.array_join(F.array_sort(F.collect_set("split")), ",").alias("splits"),
+        )
+        .where(F.col("n_splits") > 1)
+        .orderBy("digest")
+    )

@@ -492,3 +492,55 @@ def tfidf_top_terms(
         .where(F.col("rk") <= top_k)
         .orderBy("stratum", "rk")
     )
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document average unigram surprisal against the corpus's own
+    token distribution — the CCNet-style "LM quality proxy without an
+    LM": gibberish and rare-token soup score high, template boilerplate
+    scores low. Output (doc_id, n_tokens, avg_surprisal_micro) with
+    avg_surprisal_micro = -mean ln(count(tok)/total) in integer
+    micro-nats.
+
+    Engine-exact float story: each token's ln-probability is rounded to
+    integer MICRO-nats first, so the per-doc sum is 64-bit-integer
+    arithmetic — order-independent under any partitioning — and the
+    mean stays integral via half-up integer division ((2s+n) div 2n):
+    a double average would land exactly on .5 rounding ties that
+    HALF_UP and round-to-even engines resolve differently.
+
+    Scale shape: token-count aggregation shuffles ∝ vocab, the score
+    join shuffles token rows by token (no window, no driver loop), and
+    the per-doc reduce is a map-side-combined integer sum.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    total = counts.agg(F.sum("c").cast("long").alias("t"))
+    micro = counts.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.round(-F.log(F.col("c") / F.col("t")) * 1_000_000)
+        .cast("long")
+        .alias("micro_surprisal"),
+    )
+    return (
+        toks.join(micro, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("micro_surprisal").alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("(2 * s + n_tokens) div (2 * n_tokens)").alias(
+                "avg_surprisal_micro"
+            ),
+        )
+        .orderBy("doc_id")
+    )

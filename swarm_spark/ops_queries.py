@@ -1267,7 +1267,54 @@ FROM p WHERE pr = 1 ORDER BY query_id
 """
 
 
+def q_text_surprisal(spark, sf):
+    """Per-doc average unigram surprisal vs the corpus's own token
+    distribution (micro-nat integer accumulation — order-independent,
+    engine-exact)."""
+    from .ops.text import unigram_surprisal
+
+    return unigram_surprisal(_docs(spark, sf))
+
+
+SQL_SURPRISAL = f"""
+WITH w AS ({_WS}),
+e AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+c AS (SELECT tok, cast(count(*) AS bigint) AS c FROM e GROUP BY 1),
+t AS (SELECT cast(sum(c) AS bigint) AS t FROM c),
+m AS (SELECT tok, cast(round(-ln(c * 1.0 / t) * 1000000) AS bigint) AS ms
+      FROM c, t),
+d AS (SELECT doc_id, cast(count(*) AS bigint) AS n_tokens,
+             cast(sum(ms) AS bigint) AS s
+      FROM e JOIN m USING (tok) GROUP BY 1)
+SELECT doc_id, n_tokens,
+       cast((2 * s + n_tokens) // (2 * n_tokens) AS bigint) AS avg_surprisal_micro
+FROM d ORDER BY doc_id
+"""
+
+
+def q_dedup_ngram_coverage(spark, sf):
+    """Per-doc duplicate-shingle coverage: fraction of each doc's
+    distinct 3-gram shingles that appear in more than one document."""
+    from .ops.dedup import dup_ngram_coverage
+
+    return dup_ngram_coverage(_docs(spark, sf), n=3)
+
+
+SQL_NGRAM_COVERAGE = f"""
+WITH {_shingle_cte(3)},
+d AS (SELECT sh, cast(count(*) AS bigint) AS dfreq FROM s GROUP BY 1),
+r AS (SELECT s.doc_id, cast(count(*) AS bigint) AS n_shingles,
+             cast(sum(CASE WHEN dfreq > 1 THEN 1 ELSE 0 END) AS bigint) AS n_dup
+      FROM s JOIN d USING (sh) GROUP BY 1)
+SELECT doc_id, n_shingles, n_dup,
+       round(n_dup * 1.0 / n_shingles, 6) AS dup_frac
+FROM r ORDER BY doc_id
+"""
+
+
 OPS: dict[str, tuple[Callable, str | None]] = {
+    "text_surprisal": (q_text_surprisal, SQL_SURPRISAL),
+    "dedup_ngram_coverage": (q_dedup_ngram_coverage, SQL_NGRAM_COVERAGE),
     "sample_stratified_cap": (q_sample_stratified_cap, SQL_STRATIFIED_CAP),
     "sample_balance_langs": (q_sample_balance_langs, SQL_BALANCE_LANGS),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF),

@@ -589,3 +589,79 @@ class TestSignLshVectorizedParity:
         assert sum(r["take"] for r in chunks) == 30 * 7
         bins = pack_greedy_bins(docs, capacity=10, id_col="uri", num_buckets=3).collect()
         assert len(bins) == 30 and all(isinstance(r["doc_id"], str) for r in bins)
+
+
+class TestQualityAndLeakageSignals:
+    def test_unigram_surprisal_hand_case(self, spark):
+        """Corpus 'a a a b': p(a)=3/4, p(b)=1/4. Doc 1 = 'a a a',
+        doc 2 = 'b'. micro(a) = round(-ln(.75)*1e6) = 287682,
+        micro(b) = round(-ln(.25)*1e6) = 1386294."""
+        import math
+
+        from swarm_spark.ops.text import unigram_surprisal
+
+        docs = spark.createDataFrame(
+            [(1, "a a a"), (2, "b")], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: (r["n_tokens"], r["avg_surprisal_micro"])
+               for r in unigram_surprisal(docs).collect()}
+        ma = round(-math.log(0.75) * 1e6)
+        mb = round(-math.log(0.25) * 1e6)
+        assert out[1] == (3, (2 * 3 * ma + 3) // 6)
+        assert out[2] == (1, mb)
+
+    def test_surprisal_partition_invariant(self, spark, sf_dir):
+        from swarm_spark.ops.text import unigram_surprisal
+        from swarm_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        a = unigram_surprisal(docs.repartition(17)).collect()
+        b = unigram_surprisal(docs.coalesce(1)).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_dup_ngram_coverage_planted_clone(self, spark):
+        """Two clone docs share every shingle (dup_frac 1.0); a unique
+        doc shares none (0.0)."""
+        from swarm_spark.ops.dedup import dup_ngram_coverage
+
+        docs = spark.createDataFrame(
+            [
+                (1, "x y z w q"),
+                (2, "x y z w q"),
+                (3, "p1 p2 p3 p4 p5"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: (r["n_shingles"], r["n_dup"], r["dup_frac"])
+               for r in dup_ngram_coverage(docs, n=3).collect()}
+        assert out[1] == (3, 3, 1.0) and out[2] == (3, 3, 1.0)
+        assert out[3] == (3, 0, 0.0)
+
+    def test_split_leakage_flags_cross_split_duplicates(self, spark):
+        """Plant one text duplicated across doc_ids that the split
+        hash sends to different splits; it must be the ONLY reported
+        digest, with its splits listed sorted."""
+        from swarm_spark.ops.dedup import split_leakage
+        from swarm_spark.ops.sampling import split_column
+
+        base = spark.range(0, 300).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("unique text "), F.col("id")).alias("text"),
+        )
+        # copies of one text on every doc_id 1000..1049: with 50
+        # assignments the deterministic split hash crosses splits
+        dup = spark.range(1000, 1050).select(
+            F.col("id").alias("doc_id"), F.lit("the planted duplicate").alias("text")
+        )
+        docs = base.unionByName(dup)
+        out = split_leakage(docs).collect()
+        assert len(out) == 1
+        row = out[0]
+        assert row["n_docs"] == 50 and row["n_splits"] >= 2
+        assert row["splits"] == ",".join(sorted(row["splits"].split(",")))
+        # sanity: the splits listed are exactly the ones the hash assigns
+        expected = {
+            r["s"]
+            for r in dup.select(split_column("doc_id").alias("s")).distinct().collect()
+        }
+        assert set(row["splits"].split(",")) == expected

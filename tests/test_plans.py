@@ -49,12 +49,15 @@ ALL = {**CORE, **OPS, **CLASSICAL}
 #   sum to the top-k frame.
 # - knn_classify: embeds the ann_topk_bruteforce verifier (broadcast
 #   query set, |Q| literal) before the label vote.
+# - text_surprisal: crossJoin(broadcast(total)) attaches the 1-row
+#   corpus token total to the vocab frame.
 BNLJ_ALLOWED = {
     "ann_topk_bruteforce",
     "ann_topk_ivf",
     "ann_ivf_recall",
     "corpus_vocab",
     "knn_classify",
+    "text_surprisal",
 }
 
 # Max "Scan parquet" nodes in the executed final plan. Default 2
