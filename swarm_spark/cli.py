@@ -15,6 +15,7 @@ Usage examples::
     python -m swarm_spark schema 'data/*.ndjson' --rules policy/ --warehouse wh/
     python -m swarm_spark migrate --warehouse wh/ --src ds.t1 --dst ds.t2
     python -m swarm_spark serve --rules policy/ --warehouse wh/ --addr 127.0.0.1:8080
+    python -m swarm_spark curate docs.parquet -o curated/ --langs en --cap-per-lang 100000
 """
 
 from __future__ import annotations
@@ -137,6 +138,53 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Training-corpus curation pass over a documents parquet: exact
+    dedup -> quality gate -> language filter -> optional per-language
+    cap -> deterministic split assignment, written partitioned by
+    split. The same one-scan/one-exchange composition as the
+    ``corpus_curate`` registry query, exposed as a command."""
+    from pyspark.sql import functions as F
+
+    from .ops.dedup import exact_dedup_text
+    from .ops.sampling import split_column, stratified_cap
+    from .ops.text import language_pred_expr, quality_expr
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    n_in = docs.count()
+    kept = (
+        exact_dedup_text(docs, text_col=args.text_col, id_col=args.id_col)
+        .withColumn("quality", quality_expr(args.text_col))
+        .withColumn("pred_lang", language_pred_expr(args.text_col))
+        .where(F.col("quality") >= args.min_quality)
+    )
+    if args.langs:
+        kept = kept.where(F.col("pred_lang").isin(args.langs.split(",")))
+    if args.cap_per_lang:
+        kept = stratified_cap(
+            kept, "pred_lang", cap=args.cap_per_lang, key=args.id_col
+        ).drop("rk")
+    kept = kept.withColumn("split", split_column(args.id_col))
+    kept.write.mode("overwrite").partitionBy("split").parquet(args.output)
+    out = spark.read.parquet(args.output)
+    by_split = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    print(
+        json.dumps(
+            {
+                "docs_in": n_in,
+                "docs_kept": sum(by_split.values()),
+                "splits": by_split,
+                "output": args.output,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_serve(args) -> int:
     from .streaming import AuthPolicy, NotificationProcessor, ServeFrontend, StateStore
 
@@ -200,6 +248,16 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--partition", default="", help="time unit of the table ('' if none)")
     sp.add_argument("--target-mb", type=int, default=512)
     sp.set_defaults(fn=cmd_compact)
+
+    sp = sub.add_parser("curate", help="dedup/filter/split a documents corpus")
+    sp.add_argument("input", help="documents parquet path")
+    sp.add_argument("--output", "-o", required=True, help="curated parquet dir")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--min-quality", type=float, default=0.5)
+    sp.add_argument("--langs", default="", help="comma list; empty = keep all")
+    sp.add_argument("--cap-per-lang", type=int, default=0, help="0 = no cap")
+    sp.set_defaults(fn=cmd_curate)
 
     sp = sub.add_parser("serve", help="HTTP push endpoint")
     common(sp, objects=False)

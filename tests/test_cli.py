@@ -115,3 +115,47 @@ class TestCommands:
         assert len(lines) == 1
         msg = json.loads(lines[0])
         assert msg["payload"]["objects"][0]["cs"]["bucket"] == "local"
+
+
+class TestCurate:
+    def test_curate_end_to_end(self, spark, tmp_path, capsys):
+        out = str(tmp_path / "curated")
+        res = _run(
+            capsys,
+            [
+                "--cpus", "4",
+                "curate", "/root/testdata/sf0.001/documents.parquet",
+                "-o", out,
+                "--min-quality", "0.5",
+                "--langs", "en",
+            ],
+        )
+        assert res["docs_in"] == 500
+        assert res["docs_kept"] == sum(res["splits"].values()) > 0
+        back = spark.read.parquet(out)
+        assert set(back.columns) >= {"doc_id", "text", "quality", "pred_lang", "split"}
+        # matches the registry query's kept set exactly
+        from swarm_spark.ops_queries import q_corpus_curate
+
+        expected = {r["doc_id"] for r in
+                    q_corpus_curate(spark, "/root/testdata/sf0.001").collect()}
+        got = {r["doc_id"] for r in back.collect()}
+        assert got == expected
+
+    def test_curate_cap_per_lang(self, spark, tmp_path, capsys):
+        out = str(tmp_path / "capped")
+        res = _run(
+            capsys,
+            [
+                "--cpus", "4",
+                "curate", "/root/testdata/sf0.001/documents.parquet",
+                "-o", out,
+                "--min-quality", "0.0",
+                "--cap-per-lang", "3",
+            ],
+        )
+        back = spark.read.parquet(out)
+        per_lang = {r["pred_lang"]: r["n"] for r in
+                    back.groupBy("pred_lang").count().withColumnRenamed("count", "n").collect()}
+        assert per_lang and all(n <= 3 for n in per_lang.values())
+        assert res["docs_kept"] == sum(per_lang.values())
