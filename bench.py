@@ -113,6 +113,10 @@ def main() -> None:
     timings = {
         name: round(sorted(s)[len(s) // 2], 4) for name, s in samples.items()
     }
+    # Host-load noise is strictly additive, so the per-query MINIMUM
+    # estimates uncontended cost; reported alongside the (headline)
+    # median for drift-vs-regression forensics.
+    minima = {name: round(min(s), 4) for name, s in samples.items()}
 
     total = round(sum(timings.values()), 4)
     print(
@@ -125,6 +129,8 @@ def main() -> None:
                 "sf": sf,
                 "runs_per_query": runs,
                 "aggregation": "median",
+                "queries_min": minima,
+                "value_min": round(sum(minima.values()), 4),
                 # raw per-round samples (run order = interleaved rounds):
                 # lets a reader distinguish a host-load burst that
                 # poisoned every sample of one query from a real plan

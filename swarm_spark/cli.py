@@ -140,10 +140,11 @@ def cmd_compact(args) -> int:
 
 def cmd_curate(args) -> int:
     """Training-corpus curation pass over a documents parquet: exact
-    dedup -> quality gate -> language filter -> optional per-language
-    cap -> deterministic split assignment, written partitioned by
-    split. The same one-scan/one-exchange composition as the
-    ``corpus_curate`` registry query, exposed as a command."""
+    dedup -> optional MinHash near-dup removal -> quality gate ->
+    language filter -> optional per-language cap -> deterministic split
+    assignment, written partitioned by split. The exact-dedup spine is
+    the same one-scan/one-exchange composition as the ``corpus_curate``
+    registry query, exposed as a command."""
     from pyspark.sql import functions as F
 
     from .ops.dedup import exact_dedup_text
@@ -153,9 +154,20 @@ def cmd_curate(args) -> int:
     spark = _spark(args)
     docs = spark.read.parquet(args.input)
     n_in = docs.count()
+    kept = exact_dedup_text(docs, text_col=args.text_col, id_col=args.id_col)
+    if args.near_dup:
+        # MinHash/LSH candidates -> connected components -> keep the
+        # lowest-id member per cluster; DF-pruned so a boilerplate-heavy
+        # corpus can't go quadratic in the band join.
+        from .ops.components import keep_one_per_cluster
+        from .ops.dedup import minhash_lsh_pairs
+
+        pairs = minhash_lsh_pairs(
+            kept, text_col=args.text_col, id_col=args.id_col, max_df=args.max_df
+        ).where(F.col("est_jaccard") >= args.near_dup)
+        kept = keep_one_per_cluster(kept, pairs, id_col=args.id_col)
     kept = (
-        exact_dedup_text(docs, text_col=args.text_col, id_col=args.id_col)
-        .withColumn("quality", quality_expr(args.text_col))
+        kept.withColumn("quality", quality_expr(args.text_col))
         .withColumn("pred_lang", language_pred_expr(args.text_col))
         .where(F.col("quality") >= args.min_quality)
     )
@@ -257,6 +269,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--min-quality", type=float, default=0.5)
     sp.add_argument("--langs", default="", help="comma list; empty = keep all")
     sp.add_argument("--cap-per-lang", type=int, default=0, help="0 = no cap")
+    sp.add_argument(
+        "--near-dup",
+        type=float,
+        default=0.0,
+        help="also drop MinHash near-dups at this est-jaccard (0 = off)",
+    )
+    sp.add_argument("--max-df", type=int, default=1000, help="DF-prune cap for near-dup")
     sp.set_defaults(fn=cmd_curate)
 
     sp = sub.add_parser("serve", help="HTTP push endpoint")

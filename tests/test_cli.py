@@ -159,3 +159,43 @@ class TestCurate:
                     back.groupBy("pred_lang").count().withColumnRenamed("count", "n").collect()}
         assert per_lang and all(n <= 3 for n in per_lang.values())
         assert res["docs_kept"] == sum(per_lang.values())
+
+    def test_curate_near_dup(self, spark, tmp_path, capsys):
+        """With --near-dup, MinHash clusters collapse to their lowest
+        id: planting clone texts via a crafted parquet must shrink
+        docs_kept accordingly."""
+        import pyspark.sql.functions as F  # noqa: N812
+
+        src = str(tmp_path / "docs_src")
+        base = spark.range(0, 40).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[F.concat(F.lit(f"w{k}x"), F.col("id")) for k in range(12)],
+            ).alias("text"),
+        )
+        # 101 = EXACT copy of doc 0 (exact dedup removes it);
+        # 100 = doc 0 plus one trailing token (only the near-dup pass
+        # can remove it — most shingles shared, text digest differs)
+        doc0 = base.where(F.col("doc_id") == 0).select("text")
+        near = doc0.select(
+            F.lit(100).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" tailword")).alias("text"),
+        )
+        exact = doc0.select(F.lit(101).alias("doc_id"), "text")
+        base.unionByName(near).unionByName(exact).write.parquet(src)
+
+        out = str(tmp_path / "nd")
+        res = _run(
+            capsys,
+            [
+                "--cpus", "4",
+                "curate", src, "-o", out,
+                "--min-quality", "0.0",
+                "--near-dup", "0.5",
+            ],
+        )
+        back = spark.read.parquet(out)
+        ids = {r["doc_id"] for r in back.collect()}
+        assert 0 in ids and 100 not in ids and 101 not in ids
+        assert res["docs_kept"] == 40
