@@ -346,3 +346,50 @@ class TestAnnTopkSkew:
             .collect()
         ]
         assert got == ref
+
+    def test_matches_unsalted_reference_randomized(self, spark):
+        """Fixed-seed random vectors, several salt counts: the salted
+        ranking must equal the naive single-window ranking exactly."""
+        from pyspark.sql import Window as W
+
+        from swarm_spark.ops.dedup import dot_expr
+        from swarm_spark.ops.similarity import ann_topk_bruteforce
+
+        rng = np.random.RandomState(7)
+        rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(120)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = emb.where(F.col("vec_id") % 17 == 0)
+
+        qq = q.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            dot_expr("embedding", "embedding").alias("qn2"),
+        )
+        c = emb.select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").alias("cv"),
+            dot_expr("embedding", "embedding").alias("cn2"),
+        )
+        w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("id"))
+        ref = [
+            tuple(r)
+            for r in c.crossJoin(F.broadcast(qq))
+            .where(F.col("query_id") != F.col("id"))
+            .select(
+                "query_id",
+                "id",
+                F.round(
+                    dot_expr("qv", "cv") / F.sqrt(F.col("qn2") * F.col("cn2")), 9
+                ).alias("cos"),
+            )
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= 4)
+            .orderBy("query_id", "rank")
+            .collect()
+        ]
+        for n_salts in (1, 3, 16):
+            got = [
+                tuple(r)
+                for r in ann_topk_bruteforce(emb, q, k=4, n_salts=n_salts).collect()
+            ]
+            assert got == ref, f"n_salts={n_salts}"
