@@ -44,17 +44,29 @@ def asof_join(
     right_time: str,
     tolerance: Column | None = None,
     tie_break: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of left join.
+    """As-of left join (pandas ``merge_asof`` directions).
+
+    - ``backward`` (default): most recent right row at or before the
+      left timestamp;
+    - ``forward``: earliest right row at or after it (the mirrored
+      window, ordered descending);
+    - ``nearest``: whichever of the two is closer in time, ties toward
+      backward — both fills share ONE key shuffle (same window
+      partitioning; only a second in-partition sort is added).
 
     Returns the left columns plus every non-key right column (the
-    matched row's), null when no right row is at or before the left
-    timestamp (or outside ``tolerance``, a Column interval/duration in
-    the same units as the time columns' difference). ``tie_break``
-    names a right column used to order right rows tying at the same
-    (key, time) — keep it slim (an id); omitted, a payload hash is
-    used so the sort key stays 8 bytes regardless of payload width.
+    matched row's), null when no right row is on the required side (or
+    outside ``tolerance``, a Column interval/duration in the same units
+    as the time columns' difference — applied per direction before the
+    nearest choice). ``tie_break`` names a right column used to order
+    right rows tying at the same (key, time) — keep it slim (an id);
+    omitted, a payload hash is used so the sort key stays 8 bytes
+    regardless of payload width.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
     rcols = [c for c in right.columns if c not in (on, right_time)]
     overlap = set(rcols) & set(left.columns)
     if overlap:
@@ -75,16 +87,47 @@ def asof_join(
         tb = F.col(f"{_PAYLOAD}.{tie_break}")
     else:
         tb = F.xxhash64(_PAYLOAD)
-    w = (
-        Window.partitionBy(on)
-        .orderBy(_T, _SIDE, tb)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    filled = u.withColumn(_PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w))
-    out = filled.where(F.col(_SIDE) == 1)
-    if tolerance is not None:
-        ok = F.col(_T) - F.col(f"{_PAYLOAD}.__rt") <= tolerance
-        out = out.withColumn(_PAYLOAD, F.when(ok, F.col(_PAYLOAD)))
+
+    def _fill(forward: bool) -> Column:
+        # right rows sort before left at equal time on BOTH sides, so
+        # "at or before"/"at or after" stay inclusive
+        order = (
+            (F.col(_T).desc(), F.col(_SIDE), tb) if forward else (_T, _SIDE, tb)
+        )
+        w = (
+            Window.partitionBy(on)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return F.last(_PAYLOAD, ignorenulls=True).over(w)
+
+    def _gate(payload: Column, forward: bool) -> Column:
+        if tolerance is None:
+            return payload
+        delta = (
+            payload["__rt"] - F.col(_T) if forward else F.col(_T) - payload["__rt"]
+        )
+        return F.when(delta <= tolerance, payload)
+
+    if direction == "nearest":
+        filled = u.withColumn("__b", _fill(False)).withColumn("__f", _fill(True))
+        back, fwd = _gate(F.col("__b"), False), _gate(F.col("__f"), True)
+        chosen = (
+            F.when(back.isNull(), fwd)
+            .when(fwd.isNull(), back)
+            .when(fwd["__rt"] - F.col(_T) < F.col(_T) - back["__rt"], fwd)
+            .otherwise(back)  # equidistant -> backward, merge_asof-style
+        )
+        out = (
+            filled.where(F.col(_SIDE) == 1)
+            .withColumn(_PAYLOAD, chosen)
+            .drop("__b", "__f")
+        )
+    else:
+        filled = u.withColumn(_PAYLOAD, _fill(direction == "forward"))
+        out = filled.where(F.col(_SIDE) == 1).withColumn(
+            _PAYLOAD, _gate(F.col(_PAYLOAD), direction == "forward")
+        )
     return out.select(
         *left.columns,
         *[F.col(f"{_PAYLOAD}.{c}").alias(c) for c in rcols],

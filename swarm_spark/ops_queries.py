@@ -991,6 +991,48 @@ def q_asof_latest_order(spark, sf):
     ).orderBy("event_id")
 
 
+def q_asof_next_order(spark, sf):
+    """Forward as-of join: each event picks the user's EARLIEST order
+    at or after the event time (next-action attachment — the mirrored
+    direction of asof_latest_order, same one-shuffle window shape)."""
+    from .ops.asof import asof_join
+
+    ev = load_table(spark, sf, "events").select("event_id", "user_id", "ts")
+    orders = (
+        load_table(spark, sf, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp").alias("o_ts"),
+        )
+        .agg(F.max("o_orderkey").alias("order_key"))
+        .withColumn("matched_ts", F.col("o_ts"))
+    )
+    out = asof_join(
+        ev, orders, on="user_id", left_time="ts", right_time="o_ts",
+        direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id", F.col("matched_ts").alias("order_ts"), "order_key"
+    ).orderBy("event_id")
+
+
+SQL_ASOF_NEXT = """
+WITH r AS (
+  SELECT o_custkey AS user_id, cast(o_orderdate AS timestamp) AS order_ts,
+         max(o_orderkey) AS order_key
+  FROM orders GROUP BY 1, 2
+),
+m AS (
+  SELECT e.event_id, r.order_ts, r.order_key,
+         row_number() OVER (PARTITION BY e.event_id ORDER BY r.order_ts) AS rn
+  FROM events e JOIN r ON e.user_id = r.user_id AND r.order_ts >= e.ts
+)
+SELECT e.event_id, e.user_id, m.order_ts, m.order_key
+FROM events e LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (event_id)
+ORDER BY e.event_id
+"""
+
+
 SQL_ASOF = """
 WITH r AS (
   SELECT o_custkey AS user_id, cast(o_orderdate AS timestamp) AS order_ts,
@@ -1342,6 +1384,7 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "ann_topk_ivf": (q_ann_topk_ivf, SQL_ANN_IVF),
     "ann_ivf_recall": (q_ann_ivf_recall, SQL_ANN_IVF_RECALL),
     "asof_latest_order": (q_asof_latest_order, SQL_ASOF),
+    "asof_next_order": (q_asof_next_order, SQL_ASOF_NEXT),
     "range_window_counts": (q_range_window_counts, SQL_RANGE_WINDOW),
     "sample_docs": (q_sample_docs, SQL_SAMPLE_DOCS),
     "sample_split_counts": (q_sample_split_counts, SQL_SAMPLE_SPLIT),

@@ -147,3 +147,85 @@ class TestRangeJoin:
         )._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestAsofDirections:
+    def test_forward_inclusive(self, frames):
+        left, right = frames
+        out = {
+            r["lid"]: r["tag"]
+            for r in asof_join(
+                left, right, on="k", left_time="t", right_time="rt",
+                direction="forward",
+            ).collect()
+        }
+        assert out == {
+            1: "r10",   # equal timestamp matches (inclusive)
+            2: None,    # nothing at or after t=20
+            3: "r10",   # earliest at-or-after wins
+            4: "r101",  # 99 is in the past
+            5: None,
+        }
+
+    def test_nearest_prefers_closer_and_ties_backward(self, spark):
+        left = spark.createDataFrame(
+            [(1, "a", 12), (2, "a", 14), (3, "a", 15)], "lid long, k string, t long"
+        )
+        right = spark.createDataFrame(
+            [("a", 10, "lo"), ("a", 20, "hi")], "k string, rt long, tag string"
+        )
+        out = {
+            r["lid"]: r["tag"]
+            for r in asof_join(
+                left, right, on="k", left_time="t", right_time="rt",
+                direction="nearest",
+            ).collect()
+        }
+        assert out == {
+            1: "lo",  # 2 behind vs 8 ahead
+            2: "lo",  # 4 behind vs 6 ahead
+            3: "lo",  # equidistant -> backward (merge_asof semantics)
+        }
+        out15 = {
+            r["lid"]: r["tag"]
+            for r in asof_join(
+                spark.createDataFrame([(9, "a", 16)], "lid long, k string, t long"),
+                right, on="k", left_time="t", right_time="rt",
+                direction="nearest",
+            ).collect()
+        }
+        assert out15 == {9: "hi"}  # 6 behind vs 4 ahead
+
+    def test_nearest_tolerance_gates_each_side(self, spark):
+        left = spark.createDataFrame([(1, "a", 14)], "lid long, k string, t long")
+        right = spark.createDataFrame(
+            [("a", 10, "lo"), ("a", 20, "hi")], "k string, rt string, tag string".replace("rt string", "rt long")
+        )
+        out = asof_join(
+            left, right, on="k", left_time="t", right_time="rt",
+            direction="nearest", tolerance=F.lit(5),
+        ).collect()
+        # backward delta 4 <= 5 ok; forward delta 6 > 5 gated out
+        assert out[0]["tag"] == "lo"
+        out2 = asof_join(
+            left, right, on="k", left_time="t", right_time="rt",
+            direction="nearest", tolerance=F.lit(3),
+        ).collect()
+        assert out2[0]["tag"] is None  # both sides outside tolerance
+
+    def test_nearest_single_shuffle(self, frames):
+        left, right = frames
+        df = asof_join(
+            left, right, on="k", left_time="t", right_time="rt", direction="nearest"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        # both fills ride one key exchange (two sorts, one shuffle)
+        assert plan.count("Exchange hashpartitioning") <= 1
+
+    def test_bad_direction_rejected(self, frames):
+        left, right = frames
+        with pytest.raises(ValueError):
+            asof_join(left, right, on="k", left_time="t", right_time="rt",
+                      direction="sideways")
