@@ -66,3 +66,57 @@ def range_join(
             .distinct()
         )
     return l.join(r, keys).where(exact).drop(_CELL)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    grid: int,
+    on: str | None = None,
+) -> DataFrame:
+    """Interval × interval overlap join: every (left, right) pair whose
+    half-open ``[start, end)`` ranges intersect (optionally also
+    equi-keyed on ``on``). Start/end are LONG columns in one unit
+    (e.g. epoch micros); ``grid`` is the cell width in the same unit.
+
+    Scale shape: both sides explode to the grid cells they cover and
+    equi-join on (key, cell) — candidate volume is Σ length/grid per
+    side, never |L|·|R|. A pair overlapping k shared cells would match
+    k times; instead of a distinct (a full shuffle of the matched
+    pairs), each pair is kept only in its CANONICAL cell — the cell of
+    ``max(starts)``, which every overlapping pair covers on both sides
+    by definition — so dedup is a codegen'd filter, not an exchange.
+
+    Empty intervals (end <= start) are dropped: they cannot overlap
+    anything, and their cell sequence would be descending.
+    """
+    overlap_cols = set(right.columns) & set(left.columns) - ({on} if on else set())
+    if overlap_cols:
+        raise ValueError(f"right columns collide with left: {sorted(overlap_cols)}")
+
+    def cells(s: str, e: str) -> Column:
+        return F.explode(
+            F.sequence(
+                F.floor(F.col(s) / grid).cast("long"),
+                F.floor((F.col(e) - 1) / grid).cast("long"),
+            )
+        )
+
+    l = left.where(F.col(left_end) > F.col(left_start)).withColumn(
+        _CELL, cells(left_start, left_end)
+    )
+    r = right.where(F.col(right_end) > F.col(right_start)).withColumn(
+        _CELL, cells(right_start, right_end)
+    )
+    keys = [_CELL] if on is None else [on, _CELL]
+    exact = (F.col(left_start) < F.col(right_end)) & (
+        F.col(right_start) < F.col(left_end)
+    )
+    canonical = F.col(_CELL) == F.floor(
+        F.greatest(F.col(left_start), F.col(right_start)) / grid
+    ).cast("long")
+    return l.join(r, keys).where(exact & canonical).drop(_CELL)

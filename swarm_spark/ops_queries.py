@@ -967,6 +967,62 @@ FROM embeddings WHERE vec_id % 100 = 0
 
 
 # --------------------------------------------------------------- asof join
+def q_range_overlap_pairs(spark, sf):
+    """Interval-overlap self-join: per user, how many of their event
+    intervals [ts, ts + floor(value*60)s) overlap, and the total
+    overlap time. Grid-bucketed with canonical-cell dedup — no
+    |events|^2 candidate space, no distinct over matched pairs."""
+    from .ops.rangejoin import interval_overlap_join
+
+    ev = load_table(spark, sf, "events")
+    i = ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("s"),
+        (
+            F.unix_micros(F.col("ts"))
+            + F.floor(F.col("value") * 60).cast("long") * 1_000_000
+        ).alias("e"),
+    )
+    b = i.select(
+        F.col("event_id").alias("event_id_b"),
+        "user_id",
+        F.col("s").alias("s_b"),
+        F.col("e").alias("e_b"),
+    )
+    pairs = interval_overlap_join(
+        i, b, "s", "e", "s_b", "e_b", grid=10_000_000_000, on="user_id"
+    ).where(F.col("event_id") < F.col("event_id_b"))
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.least("e", "e_b") - F.greatest("s", "s_b"))
+            .cast("long")
+            .alias("total_overlap_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_RANGE_OVERLAP = """
+WITH i AS (
+  SELECT event_id, user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + cast(floor(value * 60) AS bigint) * 1000000 AS e
+  FROM events
+),
+p AS (
+  SELECT a.user_id, least(a.e, b.e) - greatest(a.s, b.s) AS ov
+  FROM i a JOIN i b
+    ON a.user_id = b.user_id AND a.event_id < b.event_id
+   AND a.s < b.e AND b.s < a.e AND a.e > a.s AND b.e > b.s
+)
+SELECT user_id, cast(count(*) AS bigint) AS n_pairs,
+       cast(sum(ov) AS bigint) AS total_overlap_us
+FROM p GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_asof_latest_order(spark, sf):
     """Backward as-of join: each event picks the user's most recent
     order at or before the event time (the standard
@@ -1386,6 +1442,7 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "asof_latest_order": (q_asof_latest_order, SQL_ASOF),
     "asof_next_order": (q_asof_next_order, SQL_ASOF_NEXT),
     "range_window_counts": (q_range_window_counts, SQL_RANGE_WINDOW),
+    "range_overlap_pairs": (q_range_overlap_pairs, SQL_RANGE_OVERLAP),
     "sample_docs": (q_sample_docs, SQL_SAMPLE_DOCS),
     "sample_split_counts": (q_sample_split_counts, SQL_SAMPLE_SPLIT),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),

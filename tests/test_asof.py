@@ -229,3 +229,64 @@ class TestAsofDirections:
         with pytest.raises(ValueError):
             asof_join(left, right, on="k", left_time="t", right_time="rt",
                       direction="sideways")
+
+
+class TestIntervalOverlapJoin:
+    def _brute(self, rows_a, rows_b, keyed=True):
+        out = []
+        for ia, ka, sa, ea in rows_a:
+            for ib, kb, sb, eb in rows_b:
+                if keyed and ka != kb:
+                    continue
+                if ea > sa and eb > sb and sa < eb and sb < ea:
+                    out.append((ia, ib))
+        return sorted(out)
+
+    def test_matches_bruteforce_and_counts_once(self, spark):
+        """Pairs spanning MANY shared grid cells must appear exactly
+        once (canonical-cell dedup), empties never."""
+        from swarm_spark.ops.rangejoin import interval_overlap_join
+
+        rows_a = [
+            (1, "u", 0, 1000),     # long interval spanning 100 cells at grid=10
+            (2, "u", 500, 600),
+            (3, "u", 2000, 2000),  # empty
+            (4, "v", 10, 20),
+        ]
+        rows_b = [
+            (11, "u", 900, 1500),
+            (12, "u", 550, 560),
+            (13, "v", 15, 30),
+            (14, "v", 20, 25),     # touches 4's end -> half-open, no overlap
+        ]
+        a = spark.createDataFrame(rows_a, "ida long, k string, s long, e long")
+        b = spark.createDataFrame(
+            rows_b, "idb long, k string, sb long, eb long"
+        )
+        for grid in (10, 64, 100000):
+            got = sorted(
+                (r["ida"], r["idb"])
+                for r in interval_overlap_join(
+                    a, b, "s", "e", "sb", "eb", grid=grid, on="k"
+                ).collect()
+            )
+            assert got == self._brute(rows_a, rows_b), f"grid={grid}"
+
+    def test_no_nested_loop_in_plan(self, spark):
+        from swarm_spark.ops.rangejoin import interval_overlap_join
+
+        a = spark.createDataFrame([(1, "u", 0, 10)], "ida long, k string, s long, e long")
+        b = spark.createDataFrame([(2, "u", 5, 15)], "idb long, k string, sb long, eb long")
+        plan = (
+            interval_overlap_join(a, b, "s", "e", "sb", "eb", grid=10, on="k")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_column_collision_rejected(self, spark):
+        from swarm_spark.ops.rangejoin import interval_overlap_join
+
+        a = spark.createDataFrame([(1, 0, 10)], "x long, s long, e long")
+        with pytest.raises(ValueError):
+            interval_overlap_join(a, a, "s", "e", "s", "e", grid=10)
