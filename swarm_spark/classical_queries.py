@@ -390,7 +390,58 @@ FROM lineitem GROUP BY 1 ORDER BY 1
 """
 
 
+# ------------------------------------------- rolling per-entity features
+def q_rolling_user_features(spark, sf):
+    """Trailing-1h per-user features on every event (count + spend sum
+    over a RANGE frame) — the classic streaming-feature-backfill shape.
+
+    Scale note: the per-user window is taxonomy class (b) — per-key
+    ordered processing IS the semantics (each row's frame is defined
+    relative to its own timestamp within its user's history), so the
+    window is irreducible; per-user row counts bound the task and
+    Spark's window sort spills. Sums are integral cents so the result
+    is independent of intra-frame order."""
+    ev = _t(spark, sf, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        base.select(
+            "event_id",
+            "user_id",
+            F.count(F.lit(1)).over(w).cast("long").alias("n_1h"),
+            F.sum("cents").over(w).cast("long").alias("sum_cents_1h"),
+        )
+        .orderBy("event_id")
+    )
+
+
+SQL_ROLLING = """
+WITH b AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us,
+         cast(round(value * 100) AS bigint) AS cents
+  FROM events
+)
+SELECT event_id, user_id,
+       cast(count(*) OVER w AS bigint) AS n_1h,
+       cast(sum(cents) OVER w AS bigint) AS sum_cents_1h
+FROM b
+WINDOW w AS (PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
 CLASSICAL: dict[str, tuple[Callable, str | None]] = {
+    "rolling_user_features": (q_rolling_user_features, SQL_ROLLING),
     "window_hourly": (q_window_hourly, SQL_WINDOW_HOURLY),
     "window_sliding": (q_window_sliding, SQL_WINDOW_SLIDING),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
