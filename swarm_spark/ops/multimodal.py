@@ -133,3 +133,74 @@ def media_features(df: DataFrame) -> DataFrame:
             )
 
     return df.select("doc_id", "media").mapInPandas(_extract_features, FEATURE_SCHEMA)
+
+
+FAKE_VIDEO_MAGIC = b"SWVD"  # fake video: SWVD|payload -> fixed-size frames
+
+FRAME_SCHEMA = (
+    "doc_id long, n_frames long, n_sampled long, sum_sampled long, digest string"
+)
+
+
+def attach_fake_video(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a deterministic binary 'video' per row: an SWVD magic
+    + the utf-8 payload, interpreted downstream as consecutive
+    fixed-size frames. Real pipelines replace this with container
+    bytes; the sampling op's batch shape is unchanged."""
+    return df.select(
+        F.col(id_col),
+        F.concat(F.lit(FAKE_VIDEO_MAGIC), F.encode(F.col(text_col), "utf-8")).alias(
+            "media"
+        ),
+    )
+
+
+def sample_frames(
+    df: DataFrame, frame_bytes: int = 32, stride: int = 3
+) -> DataFrame:
+    """Arrow-batched frame sampling over the binary column: treat the
+    payload as consecutive ``frame_bytes`` chunks (last chunk may be
+    short) and keep every ``stride``-th frame. Output per doc:
+    frame counts plus the sampled bytes' integral sum and md5 — the
+    deterministic stand-ins for "decode + keep these frames" (a real
+    decoder slots into the same mapInPandas stage).
+
+    Scale shape: pure per-batch numpy/hashlib over Arrow buffers; no
+    shuffle — partitioning passes through like media_features.
+    """
+    if frame_bytes < 1 or stride < 1:
+        raise ValueError("frame_bytes and stride must be >= 1")
+    magic = FAKE_VIDEO_MAGIC
+
+    def _sample(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in it:
+            out = {k: [] for k in ("n_frames", "n_sampled", "sum_sampled", "digest")}
+            for b in (bytes(x) for x in pdf["media"]):
+                p = b[4:] if b[:4] == magic else b
+                n_frames = -(-len(p) // frame_bytes)  # ceil
+                samp = b"".join(
+                    p[i * frame_bytes : (i + 1) * frame_bytes]
+                    for i in range(0, n_frames, stride)
+                )
+                out["n_frames"].append(n_frames)
+                out["n_sampled"].append(len(range(0, n_frames, stride)))
+                out["sum_sampled"].append(
+                    int(_np.frombuffer(samp, dtype=_np.uint8).sum()) if samp else 0
+                )
+                out["digest"].append(_hashlib.md5(samp).hexdigest())
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "n_frames": _np.asarray(out["n_frames"], dtype=_np.int64),
+                    "n_sampled": _np.asarray(out["n_sampled"], dtype=_np.int64),
+                    "sum_sampled": _np.asarray(out["sum_sampled"], dtype=_np.int64),
+                    "digest": out["digest"],
+                }
+            )
+
+    return df.select("doc_id", "media").mapInPandas(_sample, FRAME_SCHEMA)

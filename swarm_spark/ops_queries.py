@@ -1410,7 +1410,41 @@ FROM r ORDER BY doc_id
 """
 
 
+def q_multimodal_frame_sample(spark, sf):
+    """Frame-sampling plumbing over fake binary videos: every 3rd
+    32-byte frame kept; integral byte sum + md5 of the sampled bytes
+    are the decode stand-ins (DuckDB rebuilds the same frames from the
+    source text)."""
+    from .ops.multimodal import attach_fake_video, sample_frames
+
+    return sample_frames(
+        attach_fake_video(_docs(spark, sf)), frame_bytes=32, stride=3
+    ).orderBy("doc_id")
+
+
+SQL_FRAME_SAMPLE = """
+WITH m AS (SELECT doc_id, text, length(text) AS plen FROM documents),
+s AS (SELECT doc_id,
+             cast(ceil(plen / 32.0) AS bigint) AS n_frames,
+             coalesce(list_aggregate(list_transform(
+                 range(0, cast(ceil(plen / 32.0) AS bigint), 3),
+                 i -> substr(text, cast(i AS int) * 32 + 1, 32)),
+                 'string_agg', ''), '') AS samp
+      FROM m),
+h AS (SELECT doc_id, n_frames, samp, lower(hex(encode(samp))) AS sh FROM s)
+SELECT doc_id, n_frames,
+       cast((n_frames + 2) // 3 AS bigint) AS n_sampled,
+       cast(coalesce(list_sum(list_transform(range(length(sh) // 2), i ->
+            (instr('0123456789abcdef', substr(sh, 2 * cast(i AS int) + 1, 1)) - 1) * 16
+          + (instr('0123456789abcdef', substr(sh, 2 * cast(i AS int) + 2, 1)) - 1))), 0)
+          AS bigint) AS sum_sampled,
+       md5(samp) AS digest
+FROM h ORDER BY doc_id
+"""
+
+
 OPS: dict[str, tuple[Callable, str | None]] = {
+    "multimodal_frame_sample": (q_multimodal_frame_sample, SQL_FRAME_SAMPLE),
     "text_surprisal": (q_text_surprisal, SQL_SURPRISAL),
     "dedup_ngram_coverage": (q_dedup_ngram_coverage, SQL_NGRAM_COVERAGE),
     "sample_stratified_cap": (q_sample_stratified_cap, SQL_STRATIFIED_CAP),
