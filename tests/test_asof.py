@@ -290,3 +290,27 @@ class TestIntervalOverlapJoin:
         a = spark.createDataFrame([(1, 0, 10)], "x long, s long, e long")
         with pytest.raises(ValueError):
             interval_overlap_join(a, a, "s", "e", "s", "e", grid=10)
+
+    def test_randomized_bruteforce_parity(self, spark):
+        import random
+
+        from swarm_spark.ops.rangejoin import interval_overlap_join
+
+        rng = random.Random(11)
+        rows_a, rows_b = [], []
+        for i in range(150):
+            k = rng.choice("uvw")
+            s = rng.randrange(0, 5000)
+            (rows_a if i % 2 else rows_b).append(
+                (i, k, s, s + rng.randrange(0, 400))  # incl. some empties
+            )
+        a = spark.createDataFrame(rows_a, "ida long, k string, s long, e long")
+        b = spark.createDataFrame(rows_b, "idb long, k string, sb long, eb long")
+        for grid in (7, 128, 5000):
+            got = sorted(
+                (r["ida"], r["idb"])
+                for r in interval_overlap_join(
+                    a, b, "s", "e", "sb", "eb", grid=grid, on="k"
+                ).collect()
+            )
+            assert got == self._brute(rows_a, rows_b), f"grid={grid}"
