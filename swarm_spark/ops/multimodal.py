@@ -204,3 +204,54 @@ def sample_frames(
             )
 
     return df.select("doc_id", "media").mapInPandas(_sample, FRAME_SCHEMA)
+
+
+def resize_media(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Deterministic 'resize' stand-in over SWIM fake images: divide
+    both header dimensions by ``factor`` (floor, min 1) and downsample
+    the payload by replacing each ``factor``-byte block with its floor
+    mean — the real PIL/ffmpeg resample slots into the same
+    mapInPandas stage with the same (doc_id, media) contract.
+
+    Output is again (doc_id, media binary), so resize composes with
+    media_features / sample_frames; pure per-batch numpy, no shuffle.
+    """
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+    magic = FAKE_MAGIC
+
+    def _resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in it:
+            out = []
+            for b in (bytes(x) for x in pdf["media"]):
+                if b[:4] != magic:
+                    raise NotImplementedError(
+                        "real media resizing needs PIL/ffmpeg (not in this "
+                        "container); only the SWIM fake format resizes here"
+                    )
+                w, h = max(int(b[4:9]) // factor, 1), max(int(b[9:14]) // factor, 1)
+                p = _np.frombuffer(b[14:], dtype=_np.uint8)
+                n_blocks = len(p) // factor
+                if n_blocks:
+                    means = (
+                        p[: n_blocks * factor]
+                        .reshape(n_blocks, factor)
+                        .astype(_np.int64)
+                        .sum(axis=1)
+                        // factor
+                    ).astype(_np.uint8)
+                    payload = means.tobytes() + p[n_blocks * factor :].tobytes()
+                else:
+                    payload = p.tobytes()
+                out.append(
+                    magic
+                    + str(w).zfill(5).encode()
+                    + str(h).zfill(5).encode()
+                    + payload
+                )
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(), "media": out})
+
+    return df.select("doc_id", "media").mapInPandas(_resize, "doc_id long, media binary")

@@ -114,6 +114,48 @@ class TestMultimodal:
         # identical content → identical digest/dims (deterministic)
         assert feats[1]["digest"] == feats[4]["digest"]
 
+    def test_resize_scales_dims_and_block_averages(self, spark):
+        from swarm_spark.ops.multimodal import (
+            attach_fake_video,
+            media_features,
+            resize_media,
+            sample_frames,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "abcdefgh")], "doc_id long, text string"
+        )
+        media = attach_fake_image(docs)
+        orig = media_features(media).collect()[0]
+        small = resize_media(media, factor=2)
+        feats = media_features(small).collect()[0]
+        assert feats["width"] == max(orig["width"] // 2, 1)
+        assert feats["height"] == max(orig["height"] // 2, 1)
+        # payload: pairs floor-averaged -> 4 bytes from 8
+        assert feats["n_bytes"] == 14 + 4
+        exp = [
+            (ord(a) + ord(b)) // 2 for a, b in zip("abcdefgh"[::2], "abcdefgh"[1::2])
+        ]
+        assert feats["sum_bytes"] == sum(exp)
+        # composes with frame sampling downstream (same contract)
+        fr = sample_frames(
+            attach_fake_video(docs), frame_bytes=4, stride=2
+        ).collect()[0]
+        assert fr["n_frames"] == 2 and fr["n_sampled"] == 1
+        assert fr["sum_sampled"] == sum(ord(c) for c in "abcd")
+
+    def test_resize_rejects_real_formats_and_bad_factor(self, spark):
+        from swarm_spark.ops.multimodal import resize_media
+
+        bad = spark.createDataFrame(
+            [(1, bytearray(b"\x89PNG1234567890"))], "doc_id long, media binary"
+        )
+        with pytest.raises(Exception) as ei:
+            resize_media(bad).collect()
+        assert "NotImplementedError" in str(ei.value) or "resizing" in str(ei.value)
+        with pytest.raises(ValueError):
+            resize_media(bad, factor=0)
+
     def test_real_decoder_is_stubbed(self, spark):
         bad = spark.createDataFrame([(1, bytearray(b"\x89PNG1234567890"))], "doc_id long, media binary")
         with pytest.raises(Exception) as ei:
