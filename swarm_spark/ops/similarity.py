@@ -177,3 +177,39 @@ def knn_classify(
     return best.select(
         "query_id", F.col("b.pred_label").alias("pred_label"), F.col("b.votes").alias("votes")
     ).orderBy("query_id")
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric int8 quantization report — the embedding-compression
+    pre-step for ANN at scale (4× smaller vectors, dot products in
+    int arithmetic): per vector, scale = max |x_i|, q_i =
+    floor(x_i · 127 / scale) ∈ [-128, 127]. Output
+    (id, dim, scale_micro, sum_q, min_q, max_q) — scale in integer
+    micro-units and integral q-stats, so every column is engine-exact
+    (floor and round-half-up of identical doubles; no float sums).
+
+    Scale shape: one codegen'd projection, no shuffle, no UDF — the
+    transform/aggregate higher-order functions run per row over the
+    array.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    # zero vectors quantize to zeros (the division would be 0/0)
+    q = F.transform(
+        v,
+        lambda x: F.when(scale == 0, F.lit(0))
+        .otherwise(F.floor(x * 127 / scale))
+        .cast("long"),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(v).cast("long").alias("dim"),
+        F.round(scale * 1_000_000).cast("long").alias("scale_micro"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias("sum_q"),
+        F.array_min(q).alias("min_q"),
+        F.array_max(q).alias("max_q"),
+    ).orderBy("id")

@@ -1443,7 +1443,32 @@ FROM h ORDER BY doc_id
 """
 
 
+def q_embedding_quantize(spark, sf):
+    """Int8 quantization stats per embedding (symmetric, floor) — the
+    compression pre-step for billion-vector ANN."""
+    from .ops.similarity import quantize_embeddings
+
+    return quantize_embeddings(_emb(spark, sf))
+
+
+SQL_EMB_QUANTIZE = """
+WITH v AS (SELECT vec_id AS id, cast(embedding AS double[]) AS e FROM embeddings),
+s AS (SELECT id, e, list_max(list_transform(e, x -> abs(x))) AS scale FROM v),
+q AS (SELECT id, scale, len(e) AS dim,
+             list_transform(e, x -> CASE WHEN scale = 0 THEN 0
+                  ELSE cast(floor(x * 127 / scale) AS bigint) END) AS qs
+      FROM s)
+SELECT id, cast(dim AS bigint) AS dim,
+       cast(round(scale * 1000000) AS bigint) AS scale_micro,
+       cast(list_sum(qs) AS bigint) AS sum_q,
+       cast(list_min(qs) AS bigint) AS min_q,
+       cast(list_max(qs) AS bigint) AS max_q
+FROM q ORDER BY id
+"""
+
+
 OPS: dict[str, tuple[Callable, str | None]] = {
+    "embedding_quantize": (q_embedding_quantize, SQL_EMB_QUANTIZE),
     "multimodal_frame_sample": (q_multimodal_frame_sample, SQL_FRAME_SAMPLE),
     "text_surprisal": (q_text_surprisal, SQL_SURPRISAL),
     "dedup_ngram_coverage": (q_dedup_ngram_coverage, SQL_NGRAM_COVERAGE),
