@@ -213,3 +213,49 @@ def quantize_embeddings(
         F.array_min(q).alias("min_q"),
         F.array_max(q).alias("max_q"),
     ).orderBy("id")
+
+
+def ann_topk_int8(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_salts: int | None = None,
+) -> DataFrame:
+    """Exact top-k over symmetrically int8-QUANTIZED vectors — the
+    compressed-index search path: cosine on floor(x·127/max|x|)
+    components. Quantization is deterministic (floor of identical
+    doubles), every dot product is a sum of integer-valued doubles
+    (< 2^53, exact), so unlike float-approximate indexes this entire
+    approximate path is value-oracle-checkable, not just
+    recall-invariant-checkable. Zero vectors are excluded (their
+    quantized norm is 0 — cosine undefined).
+
+    Ranking: the same salted two-phase top-k as the float path.
+    """
+    n_salts = _salts_for(corpus, n_salts)
+
+    def quantized(frame: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        v = F.col(vec_col).cast("array<double>")
+        scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+        qv = F.transform(
+            v,
+            lambda x: F.when(scale == 0, F.lit(0.0)).otherwise(
+                F.floor(x * 127 / scale)
+            ),
+        )
+        return frame.select(F.col(id_col).alias(out_id), qv.alias(out_vec))
+
+    q = quantized(queries, "query_id", "qv").select(
+        "query_id", "qv", dot_expr("qv", "qv").alias("qn2")
+    ).where(F.col("qn2") > 0)
+    c = quantized(corpus, "id", "cv").select(
+        "id", "cv", dot_expr("cv", "cv").alias("cn2")
+    ).where(F.col("cn2") > 0)
+    joined = c.crossJoin(F.broadcast(q)).where(F.col("query_id") != F.col("id")).select(
+        "query_id",
+        "id",
+        F.round(dot_expr("qv", "cv") / F.sqrt(F.col("qn2") * F.col("cn2")), 9).alias("cos"),
+    )
+    return topk_per_query(joined, k, n_salts)

@@ -1467,7 +1467,45 @@ FROM q ORDER BY id
 """
 
 
+def q_ann_topk_int8(spark, sf):
+    """Top-5 by cosine over int8-quantized vectors — deterministic
+    quantization makes the whole compressed search path value-hashable
+    against DuckDB."""
+    from .ops.similarity import ann_topk_int8
+
+    emb = _emb(spark, sf)
+    return ann_topk_int8(emb, emb.where(F.col("vec_id") % 100 == 0), k=5)
+
+
+_QUANT = (
+    "list_transform(e, x -> CASE WHEN scale = 0 THEN cast(0 AS double) "
+    "ELSE floor(x * 127 / scale) END)"
+)
+SQL_ANN_INT8 = f"""
+WITH v AS (SELECT vec_id, cast(embedding AS double[]) AS e,
+                  list_max(list_transform(cast(embedding AS double[]),
+                                          x -> abs(x))) AS scale
+           FROM embeddings),
+z AS (SELECT vec_id, {_QUANT} AS qe FROM v),
+q AS (SELECT vec_id AS query_id, qe AS qv FROM z WHERE vec_id % 100 = 0
+      AND list_dot_product(qe, qe) > 0),
+c AS (SELECT vec_id AS id, qe AS cv FROM z
+      WHERE list_dot_product(qe, qe) > 0),
+j AS (SELECT query_id, id,
+             round(list_dot_product(qv, cv)
+                 / sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv)), 9)
+                 AS cos
+      FROM c, q WHERE query_id != id),
+r AS (SELECT query_id, id, cos,
+             cast(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id)
+                  AS bigint) AS rank
+      FROM j)
+SELECT query_id, id, cos, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 OPS: dict[str, tuple[Callable, str | None]] = {
+    "ann_topk_int8": (q_ann_topk_int8, SQL_ANN_INT8),
     "embedding_quantize": (q_embedding_quantize, SQL_EMB_QUANTIZE),
     "multimodal_frame_sample": (q_multimodal_frame_sample, SQL_FRAME_SAMPLE),
     "text_surprisal": (q_text_surprisal, SQL_SURPRISAL),
