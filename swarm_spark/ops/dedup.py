@@ -984,3 +984,48 @@ def split_leakage(
         .where(F.col("n_splits") > 1)
         .orderBy("digest")
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.9,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric containment over word n-gram shingle sets: pairs
+    where EITHER doc's shingles are ≥ ``threshold`` contained in the
+    intersection (inter/|A| or inter/|B|) — catches subset duplicates
+    (a doc quoted whole inside a larger one) that symmetric Jaccard
+    misses at any threshold.
+
+    Same candidate-bounded shape as :func:`ngram_jaccard_pairs` (shared
+    shingle self-join, sizes re-attached after the pair aggregation,
+    ``max_df`` pruning bounds skew); only the final filter differs.
+    Output (doc_a, doc_b, inter, na, nb, cont_a, cont_b), containments
+    rounded to 6 digits.
+    """
+    s = doc_shingles(df, text_col, id_col, n)
+    if max_df is not None:
+        s = prune_by_df(s, max_df)
+    sizes = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = s.alias("a")
+    b = s.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    ca = F.round(F.col("inter") / F.col("na"), 6)
+    cb = F.round(F.col("inter") / F.col("nb"), 6)
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", "inter", "na", "nb",
+                ca.alias("cont_a"), cb.alias("cont_b"))
+        .where((F.col("cont_a") >= threshold) | (F.col("cont_b") >= threshold))
+        .orderBy("doc_a", "doc_b")
+    )

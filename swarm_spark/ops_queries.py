@@ -1504,7 +1504,36 @@ SELECT query_id, id, cos, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+def q_dedup_containment(spark, sf):
+    """Asymmetric containment pairs (inter/|A| or inter/|B| >= 0.75
+    over 3-gram shingles, DF-pruned) — subset-duplicate detection."""
+    from .ops.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        _docs(spark, sf), n=3, threshold=0.75, max_df=_MAX_DF
+    )
+
+
+SQL_CONTAINMENT = f"""
+WITH {_shingle_cte(3, _MAX_DF)},
+sz AS (SELECT doc_id, cast(count(*) AS bigint) AS n_sh FROM s GROUP BY 1),
+i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             cast(count(*) AS bigint) AS inter
+      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+SELECT doc_a, doc_b, inter, sa.n_sh AS na, sb.n_sh AS nb,
+       round(inter * 1.0 / sa.n_sh, 6) AS cont_a,
+       round(inter * 1.0 / sb.n_sh, 6) AS cont_b
+FROM i JOIN sz sa ON i.doc_a = sa.doc_id
+       JOIN sz sb ON i.doc_b = sb.doc_id
+WHERE round(inter * 1.0 / sa.n_sh, 6) >= 0.75
+   OR round(inter * 1.0 / sb.n_sh, 6) >= 0.75
+ORDER BY doc_a, doc_b
+"""
+
+
 OPS: dict[str, tuple[Callable, str | None]] = {
+    "dedup_containment": (q_dedup_containment, SQL_CONTAINMENT),
     "ann_topk_int8": (q_ann_topk_int8, SQL_ANN_INT8),
     "embedding_quantize": (q_embedding_quantize, SQL_EMB_QUANTIZE),
     "multimodal_frame_sample": (q_multimodal_frame_sample, SQL_FRAME_SAMPLE),
