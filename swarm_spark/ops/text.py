@@ -544,3 +544,54 @@ def unigram_surprisal(
         )
         .orderBy("doc_id")
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    selection rule): hash every word ``k``-gram, slide a window of
+    ``w`` consecutive hashes, keep each window's minimum — any shared
+    run of ≥ w+k-1 tokens between two documents is GUARANTEED to share
+    a fingerprint, at ~2/(w+1) of the shingle density. Output the
+    distinct (doc_id, fp) pairs — the local-fingerprint index side.
+
+    Scale shape: explode positions + codegen md5 per k-gram (the same
+    explode-project shape as doc_shingles — no interpreted higher-order
+    fold), then a per-doc ordered window bounded by the DOCUMENT's own
+    gram count (taxonomy class (a)), then a distinct ∝ fingerprints.
+    Hashes stay 32-hex strings end to end: string min is
+    engine-portable, no 64-bit hash semantics to replicate.
+    """
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    ws = tokens_col(text_col)
+    base = df.select(F.col(id_col).alias("doc_id"), ws.alias("ws")).where(
+        F.size("ws") >= k
+    )
+    pos = base.select(
+        "doc_id",
+        "ws",
+        F.explode(F.sequence(F.lit(0), F.size("ws") - k)).alias("i"),
+    )
+    gram = F.concat_ws(
+        " ", *[F.element_at("ws", F.col("i") + j + 1) for j in range(k)]
+    )
+    hashed = pos.select("doc_id", "i", F.md5(gram).alias("h"))
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(-(w - 1), 0)
+    )
+    return (
+        hashed.select(
+            "doc_id", "i", F.min("h").over(win).alias("fp")
+        )
+        .where(F.col("i") >= w - 1)
+        .select("doc_id", "fp")
+        .distinct()
+    )

@@ -1532,7 +1532,42 @@ ORDER BY doc_a, doc_b
 """
 
 
+def q_text_winnow(spark, sf):
+    """Winnowing fingerprint summary per doc (k=3 grams, window 4):
+    fingerprint count + lexical min — the MOSS-style local dedup
+    index."""
+    from .ops.text import winnow_fingerprints
+
+    fp = winnow_fingerprints(_docs(spark, sf), k=3, w=4)
+    return (
+        fp.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fp"),
+            F.min("fp").alias("fp_min"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_WINNOW = f"""
+WITH w AS ({_WS}),
+e AS (SELECT doc_id, cast(i AS bigint) AS i,
+             md5(ws[cast(i AS int) + 1] || ' ' || ws[cast(i AS int) + 2]
+                 || ' ' || ws[cast(i AS int) + 3]) AS h
+      FROM (SELECT doc_id, ws, unnest(range(len(ws) - 2)) AS i
+            FROM w WHERE len(ws) >= 3)),
+m AS (SELECT doc_id, i,
+             min(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+      FROM e),
+fp AS (SELECT DISTINCT doc_id, fp FROM m WHERE i >= 3)
+SELECT doc_id, cast(count(*) AS bigint) AS n_fp, min(fp) AS fp_min
+FROM fp GROUP BY 1 ORDER BY 1
+"""
+
+
 OPS: dict[str, tuple[Callable, str | None]] = {
+    "text_winnow": (q_text_winnow, SQL_WINNOW),
     "dedup_containment": (q_dedup_containment, SQL_CONTAINMENT),
     "ann_topk_int8": (q_ann_topk_int8, SQL_ANN_INT8),
     "embedding_quantize": (q_embedding_quantize, SQL_EMB_QUANTIZE),

@@ -195,8 +195,11 @@ class TestMultiProcessContention:
         import json
         import time as _time
 
-        # holder acquires with a 0.6 s lease, then sleeps past it
-        holder = self._spawn("holder", kv_server.port, "m-1", 0.6, 2.0)
+        # holder acquires with a 0.6 s lease, then sleeps far past it —
+        # the wide sleep (not 1-2 s) keeps the ordering deterministic
+        # even when a loaded host delays the taker's interpreter spawn
+        # by seconds (observed flaking under a full parallel suite)
+        holder = self._spawn("holder", kv_server.port, "m-1", 0.6, 15.0)
         line = holder.stdout.readline()
         acq = json.loads(line)
         assert acq["step"] == "acquire" and acq["acquired"]
