@@ -1029,3 +1029,40 @@ def ngram_containment_pairs(
         .where((F.col("cont_a") >= threshold) | (F.col("cont_b") >= threshold))
         .orderBy("doc_a", "doc_b")
     )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Winnowing candidate pairs: documents sharing ≥ ``min_shared``
+    selected fingerprints (ops.text.winnow_fingerprints). Because
+    winnowing guarantees any shared token run of ≥ w+k-1 length shares
+    a fingerprint, this is the MOSS-style local-overlap detector at
+    ~2/(w+1) of the full shingle-join cost.
+
+    Same candidate-bounding discipline as the shingle joins: ``max_df``
+    DF-prunes ubiquitous fingerprints before the self-join (at 100 TB
+    always set it). Output (doc_a, doc_b, shared_fp), doc_a < doc_b.
+    """
+    from .text import winnow_fingerprints
+
+    fp = winnow_fingerprints(df, k=k, w=w, text_col=text_col, id_col=id_col)
+    if max_df is not None:
+        fp = prune_by_df(fp.select("doc_id", F.col("fp").alias("sh")), max_df).select(
+            "doc_id", F.col("sh").alias("fp")
+        )
+    a = fp.alias("a")
+    b = fp.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fp"))
+        .where(F.col("shared_fp") >= min_shared)
+        .orderBy("doc_a", "doc_b")
+    )

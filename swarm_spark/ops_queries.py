@@ -1566,7 +1566,37 @@ FROM fp GROUP BY 1 ORDER BY 1
 """
 
 
+def q_dedup_winnow_pairs(spark, sf):
+    """Winnowing candidate pairs: docs sharing >= 2 selected
+    fingerprints (k=3, w=4, DF-pruned)."""
+    from .ops.dedup import winnow_pairs
+
+    return winnow_pairs(_docs(spark, sf), k=3, w=4, min_shared=2, max_df=_MAX_DF)
+
+
+SQL_WINNOW_PAIRS = f"""
+WITH w AS ({_WS}),
+e AS (SELECT doc_id, cast(i AS bigint) AS i,
+             md5(ws[cast(i AS int) + 1] || ' ' || ws[cast(i AS int) + 2]
+                 || ' ' || ws[cast(i AS int) + 3]) AS h
+      FROM (SELECT doc_id, ws, unnest(range(len(ws) - 2)) AS i
+            FROM w WHERE len(ws) >= 3)),
+m AS (SELECT doc_id, i,
+             min(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+      FROM e),
+f0 AS (SELECT DISTINCT doc_id, fp FROM m WHERE i >= 3),
+f AS (SELECT f0.* FROM f0 JOIN (SELECT fp FROM f0 GROUP BY 1
+                                HAVING count(*) <= {_MAX_DF}) d USING (fp))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       cast(count(*) AS bigint) AS shared_fp
+FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY doc_a, doc_b
+"""
+
+
 OPS: dict[str, tuple[Callable, str | None]] = {
+    "dedup_winnow_pairs": (q_dedup_winnow_pairs, SQL_WINNOW_PAIRS),
     "text_winnow": (q_text_winnow, SQL_WINNOW),
     "dedup_containment": (q_dedup_containment, SQL_CONTAINMENT),
     "ann_topk_int8": (q_ann_topk_int8, SQL_ANN_INT8),
