@@ -440,7 +440,51 @@ ORDER BY event_id
 """
 
 
+# ------------------------------------------------------ cohort retention
+def q_cohort_retention(spark, sf):
+    """Classic cohort-retention matrix over orders: customers grouped
+    by first-order month, distinct actives per month offset.
+
+    Scale shape: the cohort assignment is a min() aggregate per
+    customer (map-side combined), re-attached by a customer-key join;
+    the matrix is one distinct-count aggregate — no windows, shuffles
+    ∝ customers + (cohort, offset) cells."""
+    orders = _t(spark, sf, "orders").select(
+        "o_custkey", F.date_trunc("month", F.col("o_orderdate")).alias("m")
+    )
+    first = orders.groupBy("o_custkey").agg(F.min("m").alias("cohort"))
+    joined = orders.join(first, "o_custkey")
+    offset = (
+        (F.year("m") - F.year("cohort")) * 12 + (F.month("m") - F.month("cohort"))
+    ).cast("long")
+    return (
+        joined.select(
+            F.col("cohort").cast("date").alias("cohort_month"),
+            offset.alias("month_offset"),
+            "o_custkey",
+        )
+        .groupBy("cohort_month", "month_offset")
+        .agg(F.count_distinct("o_custkey").cast("long").alias("n_active"))
+        .orderBy("cohort_month", "month_offset")
+    )
+
+
+SQL_COHORT = """
+WITH o AS (SELECT o_custkey, date_trunc('month', o_orderdate) AS m FROM orders),
+f AS (SELECT o_custkey, min(m) AS cohort FROM o GROUP BY 1),
+j AS (SELECT o.o_custkey, f.cohort,
+             (date_part('year', o.m) - date_part('year', f.cohort)) * 12
+           + (date_part('month', o.m) - date_part('month', f.cohort)) AS off
+      FROM o JOIN f USING (o_custkey))
+SELECT cast(cohort AS date) AS cohort_month,
+       cast(off AS bigint) AS month_offset,
+       cast(count(DISTINCT o_custkey) AS bigint) AS n_active
+FROM j GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 CLASSICAL: dict[str, tuple[Callable, str | None]] = {
+    "cohort_retention": (q_cohort_retention, SQL_COHORT),
     "rolling_user_features": (q_rolling_user_features, SQL_ROLLING),
     "window_hourly": (q_window_hourly, SQL_WINDOW_HOURLY),
     "window_sliding": (q_window_sliding, SQL_WINDOW_SLIDING),
