@@ -483,7 +483,81 @@ FROM j GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# ---------------------------------------------------------- funnel steps
+def q_funnel_steps(spark, sf):
+    """Ordered funnel (view -> click -> purchase) with 24-hour
+    conversion windows: a click counts only within a day of the
+    user's first view, a purchase within a day of that click.
+
+    Scale shape: each stage is a min() aggregate re-joined on the user
+    key — conditional sequencing without any per-user ordered window;
+    three events scans (one per stage filter, predicate pushed down) +
+    user-keyed shuffles ∝ distinct users."""
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("us")
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("v_us"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(
+            (F.col("us") >= F.col("v_us"))
+            & (F.col("us") <= F.col("v_us") + 86_400_000_000)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("c_us"))
+    )
+    pu = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(
+            (F.col("us") >= F.col("c_us"))
+            & (F.col("us") <= F.col("c_us") + 86_400_000_000)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"))
+    )
+
+    # one chain, computed once: v ⊇ c ⊇ p by construction, so stage
+    # counts are non-null counts of one left-joined frame (no union of
+    # three branches re-deriving the earlier stages' subtrees)
+    flags = v.join(c, "user_id", "left").join(pu, "user_id", "left")
+    counts = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("nv"),
+        F.count("c_us").cast("long").alias("nc"),
+        F.count("p_us").cast("long").alias("np"),
+    )
+    return counts.selectExpr(
+        "stack(3, '1_view', nv, '2_click', nc, '3_purchase', np) AS (stage, n_users)"
+    ).orderBy("stage")
+
+
+SQL_FUNNEL = """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+v AS (SELECT user_id, min(us) AS v_us FROM e WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, min(us) AS c_us
+      FROM e JOIN v USING (user_id)
+      WHERE event_type = 'click' AND us >= v_us
+        AND us <= v_us + 86400000000 GROUP BY 1),
+p AS (SELECT e.user_id, min(us) AS p_us
+      FROM e JOIN c USING (user_id)
+      WHERE event_type = 'purchase' AND us >= c_us
+        AND us <= c_us + 86400000000 GROUP BY 1)
+SELECT '1_view' AS stage, cast(count(*) AS bigint) AS n_users FROM v
+UNION ALL
+SELECT '2_click', cast(count(*) AS bigint) FROM c
+UNION ALL
+SELECT '3_purchase', cast(count(*) AS bigint) FROM p
+ORDER BY stage
+"""
+
+
 CLASSICAL: dict[str, tuple[Callable, str | None]] = {
+    "funnel_steps": (q_funnel_steps, SQL_FUNNEL),
     "cohort_retention": (q_cohort_retention, SQL_COHORT),
     "rolling_user_features": (q_rolling_user_features, SQL_ROLLING),
     "window_hourly": (q_window_hourly, SQL_WINDOW_HOURLY),

@@ -80,6 +80,9 @@ _SCAN_BUDGET = {
     "text_decontaminate": 3,
     "text_strip_segments": 3,
     "ann_topk_ivf": 4,
+    "funnel_steps": 4,  # 3 predicate-pushed stage scans (view/click/
+    #   purchase) + the view-stage aggregate feeding both the click
+    #   chain and the stage-count join
     "set_ops": 4,
     "serve_pubsub_e2e": 5,
     "ann_ivf_recall": 6,
