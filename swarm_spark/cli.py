@@ -138,6 +138,21 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_expire(args) -> int:
+    from .model import TableDest
+    from .sinks import TableSink
+
+    sink = TableSink(_spark(args), args.warehouse)
+    ds, _, tb = args.table.partition(".")
+    if not tb:
+        raise SystemExit(f"table must be dataset.table, got {args.table!r}")
+    stats = sink.expire_partitions(
+        TableDest(ds, tb, args.partition), before=args.before
+    )
+    print(json.dumps(stats))
+    return 0
+
+
 def cmd_curate(args) -> int:
     """Training-corpus curation pass over a documents parquet: exact
     dedup -> optional MinHash near-dup removal -> quality gate ->
@@ -260,6 +275,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--partition", default="", help="time unit of the table ('' if none)")
     sp.add_argument("--target-mb", type=int, default=512)
     sp.set_defaults(fn=cmd_compact)
+
+    sp = sub.add_parser("expire", help="drop partitions older than a cutoff")
+    sp.add_argument("--warehouse", default="warehouse")
+    sp.add_argument("--table", required=True, help="dataset.table")
+    sp.add_argument("--partition", required=True, help="time unit of the table")
+    sp.add_argument("--before", required=True, help="cutoff in the partition format")
+    sp.set_defaults(fn=cmd_expire)
 
     sp = sub.add_parser("curate", help="dedup/filter/split a documents corpus")
     sp.add_argument("input", help="documents parquet path")

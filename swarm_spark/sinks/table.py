@@ -328,6 +328,54 @@ class TableSink(Sink):
         finally:
             lock.release()
 
+    def expire_partitions(self, dest: TableDest, before: str) -> dict:
+        """Retention: drop every partition strictly older than
+        ``before`` (a value in the table's own partition format —
+        ``yyyy-MM-dd`` for day tables etc.; the formats sort lexically,
+        so the comparison is a string compare).
+
+        At 100 TB this is the lifecycle primitive that keeps a
+        time-partitioned warehouse bounded: whole-directory deletes,
+        never a rewrite — no data is read, no Spark job runs. Holds the
+        table lock so a concurrent compact cannot resurrect an expired
+        partition from its staged copy (staged dirs are recovered
+        BEFORE the cutoff scan); deleting a partition directory is
+        idempotent, so a crash mid-delete just re-runs.
+        """
+        if dest.partition == TimeUnit.NONE.value:
+            raise ModelError("expire_partitions needs a time-partitioned table")
+        fmt_len = {"hour": 13, "day": 10, "month": 7, "year": 4}[dest.partition]
+        if len(before) != fmt_len or not before.replace("-", "").isdigit():
+            raise ModelError(
+                f"cutoff {before!r} does not match the table's "
+                f"{dest.partition!r} partition format"
+            )
+        if self._read_schema(dest) is None:
+            raise ModelError(f"no such table: {dest.dataset}.{dest.table}")
+        d = self._dir(dest)
+        lock = self._lock(dest)
+        try:
+            self._recover(dest)
+            removed_parts: list[str] = []
+            removed_files = 0
+            for name in sorted(os.listdir(d)):
+                if not name.startswith(f"{PARTITION_COL}="):
+                    continue
+                val = name.split("=", 1)[1]
+                if val < before:
+                    pdir = os.path.join(d, name)
+                    removed_files += sum(
+                        len(fs) for _r, _d, fs in os.walk(pdir)
+                    )
+                    shutil.rmtree(pdir)
+                    removed_parts.append(val)
+            return {
+                "partitions_removed": removed_parts,
+                "files_removed": removed_files,
+            }
+        finally:
+            lock.release()
+
     def read_table(self, dest: TableDest) -> DataFrame:
         self._recover(dest)
         schema = self._read_schema(dest)

@@ -425,3 +425,67 @@ class TestCompactDuringTransaction:
         assert not [
             n for n in os.listdir(d) if n.startswith(STAGED_PREFIX)
         ]
+
+
+class TestRetention:
+    def _partitioned(self, spark, tmp_path):
+        sink = TableSink(spark, str(tmp_path / "whr"))
+        dest = TableDest("ds", "tr", "day")
+        sink.ensure_table(dest, DATA)
+        for day in ("2024-01-01", "2024-01-05", "2024-02-10"):
+            df = spark.range(4).select(
+                F.concat(F.lit(f"{day}-"), F.col("id").cast("string")).alias("id"),
+                F.lit("ing1").alias("ingest_id"),
+                F.lit(f"{day} 12:00:00").cast("timestamp").alias("timestamp"),
+                F.lit(f"{day} 12:00:01").cast("timestamp").alias("ingested_at"),
+                F.struct(F.col("id").alias("v")).alias("data"),
+            )
+            sink.append(dest, df)
+        return sink, dest
+
+    def test_expire_drops_old_partitions_only(self, spark, tmp_path):
+        sink, dest = self._partitioned(spark, tmp_path)
+        assert sink.read_table(dest).count() == 12
+        stats = sink.expire_partitions(dest, before="2024-01-05")
+        assert stats["partitions_removed"] == ["2024-01-01"]
+        assert stats["files_removed"] >= 1
+        rows = {r["id"] for r in sink.read_table(dest).collect()}
+        assert len(rows) == 8
+        assert not any(i.startswith("2024-01-01") for i in rows)
+        # idempotent: nothing left below the cutoff
+        again = sink.expire_partitions(dest, before="2024-01-05")
+        assert again["partitions_removed"] == []
+
+    def test_expire_validates_inputs(self, spark, tmp_path):
+        sink, dest = self._partitioned(spark, tmp_path)
+        with pytest.raises(ModelError):
+            sink.expire_partitions(TableDest("ds", "tr"), before="2024-01-05")
+        with pytest.raises(ModelError):
+            sink.expire_partitions(dest, before="2024-1-5")  # wrong format
+        with pytest.raises(ModelError):
+            sink.expire_partitions(TableDest("ds", "nope", "day"), before="2024-01-05")
+
+    def test_expire_recovers_staged_state_first(self, spark, tmp_path):
+        """A committed-but-unpromoted txn slice for an expired day must
+        not resurrect after expire: recovery runs under the same lock
+        before the cutoff scan."""
+        sink, dest = self._partitioned(spark, tmp_path)
+        txn = sink.transaction()
+        df = spark.range(2).select(
+            F.concat(F.lit("old-"), F.col("id").cast("string")).alias("id"),
+            F.lit("ing2").alias("ingest_id"),
+            F.lit("2024-01-01 01:00:00").cast("timestamp").alias("timestamp"),
+            F.lit("2024-01-01 01:00:01").cast("timestamp").alias("ingested_at"),
+            F.struct(F.col("id").alias("v")).alias("data"),
+        )
+        txn.stage(dest, df)
+        # publish the manifest but crash before promotion
+        os.makedirs(os.path.dirname(sink._commit_path(txn.txn_id)), exist_ok=True)
+        import json as _json
+
+        with open(sink._commit_path(txn.txn_id), "w", encoding="utf-8") as f:
+            _json.dump({"txn": txn.txn_id, "tables": []}, f)
+        stats = sink.expire_partitions(dest, before="2024-02-01")
+        assert set(stats["partitions_removed"]) == {"2024-01-01", "2024-01-05"}
+        rows = {r["id"] for r in sink.read_table(dest).collect()}
+        assert rows == {f"2024-02-10-{i}" for i in range(4)}
