@@ -328,6 +328,121 @@ class TableSink(Sink):
         finally:
             lock.release()
 
+    def merge_by_id(self, dest: TableDest, df: DataFrame) -> dict:
+        """Partition-scoped upsert: replace rows whose ``id`` collides
+        with the batch, append the rest — the incremental-refresh
+        primitive (re-ingest corrected objects without a full-table
+        dedup pass).
+
+        Scale shape: ONLY the partitions the batch touches are read
+        (derived from the batch's timestamps — one metadata-sized
+        distinct), anti-joined on id against the (typically far
+        smaller) batch, and rewritten through the same staged-dir +
+        ``replaces`` manifest protocol as compact — one manifest rename
+        is the durability point, recovery is promote-on-read. The rest
+        of the table is never scanned or rewritten. Correct because ids
+        are deterministic content hashes INCLUDING the record timestamp
+        (functions/ids.py): a colliding id always lives in the same
+        partition as its replacement.
+
+        Unpartitioned tables degrade to a whole-table merge — fine for
+        dimension-sized tables, wrong tool at 100 TB (partition your
+        facts).
+        """
+        schema = self._read_schema(dest)
+        if schema is None:
+            raise ModelError(f"no such table: {dest.dataset}.{dest.table}")
+        d = self._dir(dest)
+        lock = self._lock(dest)
+        try:
+            self._recover(dest)
+            n_new = df.count()
+            if n_new == 0:
+                return {"rows_in": 0, "rows_replaced": 0, "partitions": []}
+            partitioned = dest.partition != TimeUnit.NONE.value
+            if partitioned:
+                parts = sorted(
+                    r["p"]
+                    for r in df.select(
+                        partition_value(F.col("timestamp"), dest.partition).alias("p")
+                    )
+                    .distinct()
+                    .collect()
+                )
+                part_dirs = [
+                    f"{PARTITION_COL}={p}"
+                    for p in parts
+                    if os.path.isdir(os.path.join(d, f"{PARTITION_COL}={p}"))
+                ]
+                old_files = [
+                    f
+                    for f in self._data_files(dest)
+                    if f.split(os.sep)[0] in part_dirs
+                ]
+            else:
+                parts = []
+                old_files = self._data_files(dest)
+            new_ids = df.select("id")
+            if old_files:
+                read_schema = schema
+                if partitioned:
+                    read_schema = T.StructType(
+                        list(schema.fields)
+                        + [T.StructField(PARTITION_COL, T.StringType(), True)]
+                    )
+                old = (
+                    self.spark.read.schema(read_schema)
+                    .option("basePath", d)
+                    .parquet(*[os.path.join(d, f) for f in old_files])
+                )
+                if partitioned:
+                    old = old.drop(PARTITION_COL)
+                survivors = old.join(new_ids, "id", "left_anti")
+                n_replaced = old.join(new_ids, "id", "left_semi").count()
+                merged = survivors.unionByName(df)
+            else:
+                n_replaced = 0
+                merged = df
+            txn_id = f"merge-{uuid.uuid4().hex}"
+            staged = os.path.join(d, f"{STAGED_PREFIX}{txn_id}")
+            writer = merged
+            if partitioned:
+                writer = merged.withColumn(
+                    PARTITION_COL,
+                    partition_value(F.col("timestamp"), dest.partition),
+                )
+                writer.write.mode("overwrite").partitionBy(PARTITION_COL).parquet(
+                    staged
+                )
+            else:
+                writer.write.mode("overwrite").parquet(staged)
+            manifest = {
+                "txn": txn_id,
+                "kind": "merge",
+                "tables": [
+                    {
+                        "dataset": dest.dataset,
+                        "table": dest.table,
+                        "partition": dest.partition,
+                    }
+                ],
+                "replaces": old_files,
+            }
+            cdir = os.path.join(self.warehouse, COMMITS_DIR)
+            os.makedirs(cdir, exist_ok=True)
+            tmp = os.path.join(cdir, f".{txn_id}.tmp")
+            with open(tmp, "w", encoding="utf-8") as f:
+                json.dump(manifest, f)
+            os.replace(tmp, self._commit_path(txn_id))  # durability point
+            _promote(d, txn_id, replaces=old_files)
+            return {
+                "rows_in": int(n_new),
+                "rows_replaced": int(n_replaced),
+                "partitions": parts,
+            }
+        finally:
+            lock.release()
+
     def expire_partitions(self, dest: TableDest, before: str) -> dict:
         """Retention: drop every partition strictly older than
         ``before`` (a value in the table's own partition format —

@@ -489,3 +489,90 @@ class TestRetention:
         assert set(stats["partitions_removed"]) == {"2024-01-01", "2024-01-05"}
         rows = {r["id"] for r in sink.read_table(dest).collect()}
         assert rows == {f"2024-02-10-{i}" for i in range(4)}
+
+
+DATA_STR = T.StructType([T.StructField("v", T.StringType(), True)])
+
+
+class TestMergeById:
+    def _partitioned(self, spark, tmp_path):
+        sink = TableSink(spark, str(tmp_path / "whm"))
+        dest = TableDest("ds", "tm", "day")
+        sink.ensure_table(dest, DATA_STR)
+        for day in ("2024-01-01", "2024-02-10"):
+            df = spark.range(4).select(
+                F.concat(F.lit(f"{day}-"), F.col("id").cast("string")).alias("id"),
+                F.lit("ing1").alias("ingest_id"),
+                F.lit(f"{day} 12:00:00").cast("timestamp").alias("timestamp"),
+                F.lit(f"{day} 12:00:01").cast("timestamp").alias("ingested_at"),
+                F.struct(F.concat(F.lit("v1-"), F.col("id").cast("string")).alias("v")).alias("data"),
+            )
+            sink.append(dest, df)
+        return sink, dest
+
+    def test_replaces_colliding_ids_appends_new(self, spark, tmp_path):
+        sink, dest = self._partitioned(spark, tmp_path)
+        # batch: 2 corrected rows for Jan 1 (existing ids) + 1 new id
+        batch = spark.createDataFrame(
+            [("2024-01-01-0",), ("2024-01-01-1",), ("2024-01-01-9",)], "id string"
+        ).select(
+            "id",
+            F.lit("ing2").alias("ingest_id"),
+            F.lit("2024-01-01 13:00:00").cast("timestamp").alias("timestamp"),
+            F.lit("2024-01-01 13:00:01").cast("timestamp").alias("ingested_at"),
+            F.struct(F.concat(F.lit("v2-"), F.col("id")).alias("v")).alias("data"),
+        )
+        stats = sink.merge_by_id(dest, batch)
+        assert stats == {
+            "rows_in": 3,
+            "rows_replaced": 2,
+            "partitions": ["2024-01-01"],
+        }
+        rows = {r["id"]: r["data"]["v"] for r in sink.read_table(dest).collect()}
+        assert len(rows) == 9  # 8 original + 1 new, 2 replaced in place
+        assert rows["2024-01-01-0"] == "v2-2024-01-01-0"  # replaced
+        assert rows["2024-01-01-2"] == "v1-2"             # untouched survivor
+        assert rows["2024-02-10-3"] == "v1-3"             # other partition intact
+        assert rows["2024-01-01-9"] == "v2-2024-01-01-9"  # appended
+
+    def test_merge_into_untouched_partition_is_append(self, spark, tmp_path):
+        sink, dest = self._partitioned(spark, tmp_path)
+        batch = spark.createDataFrame([("x-1",)], "id string").select(
+            "id",
+            F.lit("ing2").alias("ingest_id"),
+            F.lit("2024-03-05 00:00:00").cast("timestamp").alias("timestamp"),
+            F.lit("2024-03-05 00:00:01").cast("timestamp").alias("ingested_at"),
+            F.struct(F.lit("v2").alias("v")).alias("data"),
+        )
+        stats = sink.merge_by_id(dest, batch)
+        assert stats["rows_replaced"] == 0 and stats["partitions"] == ["2024-03-05"]
+        assert sink.read_table(dest).count() == 9
+
+    def test_empty_batch_is_noop(self, spark, tmp_path):
+        sink, dest = self._partitioned(spark, tmp_path)
+        empty = sink.read_table(dest).limit(0)
+        assert sink.merge_by_id(dest, empty) == {
+            "rows_in": 0, "rows_replaced": 0, "partitions": [],
+        }
+        assert sink.read_table(dest).count() == 8
+
+    def test_crash_before_promote_recovers_on_read(self, spark, tmp_path, monkeypatch):
+        """Manifest published but promotion crashed: the next read must
+        complete the merge (promote-on-read), not double-apply it."""
+        import swarm_spark.sinks.table as tmod
+
+        sink, dest = self._partitioned(spark, tmp_path)
+        batch = spark.createDataFrame([("2024-01-01-0",)], "id string").select(
+            "id",
+            F.lit("ing2").alias("ingest_id"),
+            F.lit("2024-01-01 13:00:00").cast("timestamp").alias("timestamp"),
+            F.lit("2024-01-01 13:00:01").cast("timestamp").alias("ingested_at"),
+            F.struct(F.lit("v2").alias("v")).alias("data"),
+        )
+        real_promote = tmod._promote
+        monkeypatch.setattr(tmod, "_promote", lambda *a, **k: None)
+        sink.merge_by_id(dest, batch)
+        monkeypatch.setattr(tmod, "_promote", real_promote)
+        rows = {r["id"]: r["data"]["v"] for r in sink.read_table(dest).collect()}
+        assert len(rows) == 8
+        assert rows["2024-01-01-0"] == "v2"
