@@ -16,6 +16,8 @@ Usage examples::
     python -m swarm_spark migrate --warehouse wh/ --src ds.t1 --dst ds.t2
     python -m swarm_spark serve --rules policy/ --warehouse wh/ --addr 127.0.0.1:8080
     python -m swarm_spark curate docs.parquet -o curated/ --langs en --cap-per-lang 100000
+    python -m swarm_spark ingest 'fixed/*.ndjson' --rules policy/ --warehouse wh/ --merge
+    python -m swarm_spark expire --warehouse wh/ --table ds.t --partition day --before 2024-01-01
 """
 
 from __future__ import annotations
@@ -62,7 +64,11 @@ def _pipeline(spark, args, sink=None):
             sink = DumpSink(spark, args.output)
         else:
             sink = TableSink(spark, args.warehouse)
-    return IngestPipeline(spark, events, schemas, sink, json_mode=args.json_mode)
+    return IngestPipeline(
+        spark, events, schemas, sink,
+        json_mode=args.json_mode,
+        merge=getattr(args, "merge", False),
+    )
 
 
 def cmd_ingest(args) -> int:
@@ -250,6 +256,10 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--dry-run", "-d", action="store_true", help="dump instead of load")
     sp.add_argument("--output", "-o", default=".", help="dry-run output directory")
+    sp.add_argument(
+        "--merge", action="store_true",
+        help="id-upsert re-ingest: colliding ids replace their rows",
+    )
     sp.set_defaults(fn=cmd_ingest)
 
     sp = sub.add_parser("enqueue", aliases=["e"], help="batch objects into swarm messages")

@@ -90,11 +90,16 @@ class IngestPipeline:
         write_load_log: bool = False,
         json_mode: str = "lines",
         atomic: bool = False,
+        merge: bool = False,
     ):
         if id_mode not in ("fast", "canonical"):
             raise ModelError(f"id_mode must be fast|canonical, got {id_mode!r}")
         if atomic and not hasattr(sink, "transaction"):
             raise ModelError(f"sink {type(sink).__name__} has no transactional mode")
+        if merge and atomic:
+            raise ModelError("merge mode and atomic batches are mutually exclusive")
+        if merge and not hasattr(sink, "merge_by_id"):
+            raise ModelError(f"sink {type(sink).__name__} has no merge_by_id")
         self.spark = spark
         self.event_rules = event_rules
         self.schema_rules = schema_rules
@@ -104,6 +109,7 @@ class IngestPipeline:
         self.write_load_log = write_load_log
         self.json_mode = json_mode
         self.atomic = atomic
+        self.merge = merge
 
     # -- R1: object routing (driver-side; see EventRuleSet.route_listing
     #    for the distributed variant used by backfills) ----------------
@@ -274,6 +280,10 @@ class IngestPipeline:
                     aligned = self._align_data(batch, merged)
                     if txn is not None:
                         n = txn.stage(dest, aligned)
+                    elif self.merge:
+                        # id-upsert re-ingest: corrected objects replace
+                        # their previous rows (partition-scoped rewrite)
+                        n = self.sink.merge_by_id(dest, aligned)["rows_in"]
                     else:
                         n = self.sink.append(dest, aligned)
                 except Exception as e:  # noqa: BLE001 — recorded, surfaced below

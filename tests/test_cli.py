@@ -199,3 +199,34 @@ class TestCurate:
         ids = {r["doc_id"] for r in back.collect()}
         assert 0 in ids and 100 not in ids and 101 not in ids
         assert res["docs_kept"] == 40
+
+
+class TestMergeIngest:
+    def test_reingest_with_merge_does_not_duplicate(self, spark, workdir, capsys):
+        wh = str(workdir / "whm")
+        args = ["--cpus", "4", "ingest", str(workdir / "data" / "*.ndjson"),
+                "--rules", str(workdir / "policy"), "--warehouse", wh, "--merge"]
+        out1 = _run(capsys, args)
+        assert out1["tables"] == {"apps.logs": 10}
+        # identical objects -> identical content-hash ids -> replaced
+        out2 = _run(capsys, args)
+        assert out2["tables"] == {"apps.logs": 10}
+        out3 = _run(
+            capsys,
+            ["--cpus", "4", "migrate", "--warehouse", wh,
+             "--src", "apps.logs", "--dst", "apps.check"],
+        )
+        assert out3["rows"] == 10
+
+    def test_plain_reingest_appends(self, spark, workdir, capsys):
+        wh = str(workdir / "wha")
+        args = ["--cpus", "4", "ingest", str(workdir / "data" / "*.ndjson"),
+                "--rules", str(workdir / "policy"), "--warehouse", wh]
+        _run(capsys, args)
+        _run(capsys, args)
+        out = _run(
+            capsys,
+            ["--cpus", "4", "migrate", "--warehouse", wh,
+             "--src", "apps.logs", "--dst", "apps.check"],
+        )
+        assert out["rows"] == 20
