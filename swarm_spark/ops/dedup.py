@@ -1066,3 +1066,65 @@ def winnow_pairs(
         .where(F.col("shared_fp") >= min_shared)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def minhash_incremental_pairs(
+    corpus: DataFrame,
+    increment: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 12,
+    bands: int = 4,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Directional MinHash/LSH: near-dup candidates between a NEW batch
+    and the existing corpus only — the production shape at 100 TB,
+    where each ingest wave is deduped against history without ever
+    re-running the corpus self-join. Candidate volume is bounded by the
+    increment's band keys (∝ |increment|·bands), not the corpus pair
+    space.
+
+    Signatures are per-document (each side's own shingles), so stored
+    corpus signatures can be reused verbatim across waves; ``max_df``
+    prunes each side's shingle frame independently (set it in
+    production). Output (inc_id, corpus_id, shared_bands, est_jaccard).
+    """
+    if num_perm % bands:
+        raise ValueError("num_perm must be divisible by bands")
+    r = num_perm // bands
+    sig_c = minhash_signatures(corpus, text_col, id_col, n, num_perm, max_df)
+    sig_i = minhash_signatures(increment, text_col, id_col, n, num_perm, max_df)
+
+    def banded(sigs: DataFrame, idname: str, signame: str) -> DataFrame:
+        return sigs.select(
+            F.col("doc_id").alias(idname),
+            F.col("sigs").alias(signame),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.md5(F.concat_ws("|", F.slice("sigs", b * r + 1, r)))
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band", "key"),
+        )
+
+    a = banded(sig_i, "inc_id", "sa")
+    b = banded(sig_c, "corpus_id", "sb")
+    pairs = (
+        a.join(b, ["band", "key"])
+        .where(F.col("inc_id") != F.col("corpus_id"))
+        .groupBy("inc_id", "corpus_id")
+        .agg(
+            F.countDistinct("band").cast("long").alias("shared_bands"),
+            F.first("sa").alias("sa"),
+            F.first("sb").alias("sb"),
+        )
+    )
+    est = F.size(
+        F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda e: e)
+    ) / float(num_perm)
+    return pairs.select(
+        "inc_id", "corpus_id", "shared_bands", F.round(est, 6).alias("est_jaccard")
+    ).orderBy("inc_id", "corpus_id")

@@ -1595,7 +1595,58 @@ GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY doc_a, doc_b
 """
 
 
+_MINC_CUT = int(0.1 * (1 << 32))
+
+
+def q_dedup_minhash_incremental(spark, sf):
+    """Directional MinHash/LSH: a deterministic 10% hash split plays
+    the new ingest wave, deduped against the remaining 90% corpus —
+    candidates bounded by the increment, corpus never self-joined."""
+    from .ops.dedup import minhash_incremental_pairs
+    from .ops.sampling import hash_bucket
+
+    docs = _docs(spark, sf)
+    b = hash_bucket("doc_id", "swarm-minc")
+    return minhash_incremental_pairs(
+        docs.where(b >= _MINC_CUT), docs.where(b < _MINC_CUT)
+    )
+
+
+SQL_MINHASH_INC = f"""
+WITH d AS (SELECT doc_id, text,
+                  {_md5_bucket_sql('doc_id', 'swarm-minc')} AS bkt
+           FROM documents),
+w AS (SELECT doc_id, bkt, regexp_split_to_array(text, ' +') AS ws FROM d),
+e AS (SELECT doc_id, bkt,
+             unnest(list_transform(range(greatest(len(ws)-2, 0)),
+                    i -> ws[i+1]||' '||ws[i+2]||' '||ws[i+3])) AS sh
+      FROM w),
+s AS (SELECT DISTINCT doc_id, bkt, sh FROM e),
+sig AS (SELECT doc_id, bkt, p.perm,
+               min(md5(cast(p.perm AS varchar)||'|'||sh)) AS sig
+        FROM s, (SELECT unnest(range(12)) AS perm) p GROUP BY 1, 2, 3),
+sigs AS (SELECT doc_id, bkt, array_agg(sig ORDER BY perm) AS sigs
+         FROM sig GROUP BY 1, 2),
+banded AS (SELECT doc_id, bkt, sigs, b.band,
+                  md5(array_to_string(sigs[b.band*3+1 : b.band*3+3], '|')) AS key
+           FROM sigs, (SELECT unnest(range(4)) AS band) b),
+pairs AS (SELECT a.doc_id AS inc_id, b.doc_id AS corpus_id,
+                 cast(count(DISTINCT a.band) AS bigint) AS shared_bands,
+                 any_value(a.sigs) AS sa, any_value(b.sigs) AS sb
+          FROM banded a JOIN banded b ON a.key = b.key AND a.band = b.band
+          WHERE a.bkt < {_MINC_CUT} AND b.bkt >= {_MINC_CUT}
+            AND a.doc_id != b.doc_id
+          GROUP BY 1, 2)
+SELECT inc_id, corpus_id, shared_bands,
+       round(list_sum(list_transform(range(12),
+             i -> CASE WHEN sa[i+1] = sb[i+1] THEN 1 ELSE 0 END)) / 12.0, 6)
+           AS est_jaccard
+FROM pairs ORDER BY inc_id, corpus_id
+"""
+
+
 OPS: dict[str, tuple[Callable, str | None]] = {
+    "dedup_minhash_incremental": (q_dedup_minhash_incremental, SQL_MINHASH_INC),
     "dedup_winnow_pairs": (q_dedup_winnow_pairs, SQL_WINNOW_PAIRS),
     "text_winnow": (q_text_winnow, SQL_WINNOW),
     "dedup_containment": (q_dedup_containment, SQL_CONTAINMENT),
