@@ -159,6 +159,26 @@ def cmd_expire(args) -> int:
     return 0
 
 
+def cmd_stats(args) -> int:
+    from .model import TableDest
+    from .sinks import TableSink
+
+    sink = TableSink(_spark(args), args.warehouse)
+    if args.table:
+        ds, _, tb = args.table.partition(".")
+        if not tb:
+            raise SystemExit(f"table must be dataset.table, got {args.table!r}")
+        dests = [TableDest(ds, tb, args.partition)]
+    else:
+        dests = sink.list_tables()
+    print(
+        json.dumps(
+            [sink.table_stats(d, with_rows=args.rows) for d in dests]
+        )
+    )
+    return 0
+
+
 def cmd_curate(args) -> int:
     """Training-corpus curation pass over a documents parquet: exact
     dedup -> optional MinHash near-dup removal -> quality gate ->
@@ -285,6 +305,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--partition", default="", help="time unit of the table ('' if none)")
     sp.add_argument("--target-mb", type=int, default=512)
     sp.set_defaults(fn=cmd_compact)
+
+    sp = sub.add_parser("stats", help="table file/byte/partition metadata")
+    sp.add_argument("--warehouse", default="warehouse")
+    sp.add_argument("--table", default="", help="dataset.table ('' = all tables)")
+    sp.add_argument("--partition", default="", help="time unit of the table")
+    sp.add_argument("--rows", action="store_true", help="also count rows (runs a job)")
+    sp.set_defaults(fn=cmd_stats)
 
     sp = sub.add_parser("expire", help="drop partitions older than a cutoff")
     sp.add_argument("--warehouse", default="warehouse")

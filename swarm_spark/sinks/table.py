@@ -491,6 +491,37 @@ class TableSink(Sink):
         finally:
             lock.release()
 
+    def table_stats(self, dest: TableDest, with_rows: bool = False) -> dict:
+        """Operational metadata for a destination: file/byte counts,
+        partition list, schema width — pure listing, no Spark job
+        unless ``with_rows`` (which runs one count). The health check
+        an operator runs before/after compact, expire, or merge.
+        """
+        if self._read_schema(dest) is None:
+            raise ModelError(f"no such table: {dest.dataset}.{dest.table}")
+        self._recover(dest)
+        d = self._dir(dest)
+        files = self._data_files(dest)
+        partitions = sorted(
+            {
+                f.split(os.sep)[0].split("=", 1)[1]
+                for f in files
+                if f.startswith(f"{PARTITION_COL}=")
+            }
+        )
+        schema = self._read_schema(dest)
+        stats = {
+            "dataset": dest.dataset,
+            "table": dest.table,
+            "files": len(files),
+            "bytes": int(sum(os.path.getsize(os.path.join(d, f)) for f in files)),
+            "partitions": partitions,
+            "data_fields": len(schema["data"].dataType.fields),
+        }
+        if with_rows:
+            stats["rows"] = int(self.read_table(dest).count())
+        return stats
+
     def read_table(self, dest: TableDest) -> DataFrame:
         self._recover(dest)
         schema = self._read_schema(dest)

@@ -230,3 +230,22 @@ class TestMergeIngest:
              "--src", "apps.logs", "--dst", "apps.check"],
         )
         assert out["rows"] == 20
+
+
+class TestStats:
+    def test_stats_all_and_single(self, spark, workdir, capsys):
+        wh = str(workdir / "whs")
+        _run(
+            capsys,
+            ["--cpus", "4", "ingest", str(workdir / "data" / "*.ndjson"),
+             "--rules", str(workdir / "policy"), "--warehouse", wh],
+        )
+        out = _run(capsys, ["--cpus", "4", "stats", "--warehouse", wh, "--rows"])
+        assert isinstance(out, list) and len(out) >= 1
+        t = next(x for x in out if x["table"] == "logs")
+        assert t["files"] >= 1 and t["bytes"] > 0 and t["rows"] == 10
+        one = _run(
+            capsys,
+            ["--cpus", "4", "stats", "--warehouse", wh, "--table", "apps.logs"],
+        )
+        assert one[0]["files"] == t["files"] and "rows" not in one[0]
