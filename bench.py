@@ -51,6 +51,7 @@ def main() -> None:
         "text_token_stats",
         "dedup_ngram_jaccard",
         "dedup_minhash_lsh",
+        "dedup_minhash_incremental",
         "dedup_simhash64_pairs",
         "dedup_embedding",
         "ann_topk_bruteforce",
