@@ -393,3 +393,19 @@ class TestAnnTopkSkew:
                 for r in ann_topk_bruteforce(emb, q, k=4, n_salts=n_salts).collect()
             ]
             assert got == ref, f"n_salts={n_salts}"
+
+
+class TestTfidfSkew:
+    def test_first_window_is_salted(self, spark, sf_dir):
+        """tfidf's per-stratum ranking must never window the raw
+        scored-vocab frame on the stratum alone: phase 1 carries the
+        salt; the stratum-only window sees only the bounded survivor
+        set."""
+        from swarm_spark.ops.text import tfidf_top_terms
+        from swarm_spark.sources.tables import load_table
+
+        df = tfidf_top_terms(load_table(spark, sf_dir, "documents"), top_k=5)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        windows = [l for l in plan.splitlines() if "Window [" in l or "Window(" in l]
+        assert len(windows) == 2
+        assert any("salt" in w for w in windows), windows
