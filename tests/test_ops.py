@@ -707,3 +707,37 @@ class TestQualityAndLeakageSignals:
             for r in dup.select(split_column("doc_id").alias("s")).distinct().collect()
         }
         assert set(row["splits"].split(",")) == expected
+
+
+class TestWinnowingGuarantee:
+    def test_shared_run_guarantees_shared_fingerprint(self, spark):
+        """Winnowing's defining property: any two documents sharing a
+        contiguous token run of length >= w + k - 1 MUST share at least
+        one selected fingerprint (Schleimer et al., thm 1). Randomized
+        docs with planted shared runs of exactly that length."""
+        import random
+
+        from swarm_spark.ops.text import winnow_fingerprints
+
+        k, w = 3, 4
+        run_len = w + k - 1  # 6 tokens
+        rng = random.Random(3)
+        rows = []
+        planted = []
+        for pair in range(10):
+            shared = [f"s{pair}_{j}" for j in range(run_len)]
+            for side in (0, 1):
+                doc_id = pair * 2 + side
+                noise = lambda m: [  # noqa: E731
+                    f"n{doc_id}_{rng.randrange(10**6)}" for _ in range(m)
+                ]
+                toks = noise(rng.randrange(0, 15)) + shared + noise(rng.randrange(0, 15))
+                rows.append((doc_id, " ".join(toks)))
+            planted.append((pair * 2, pair * 2 + 1))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        fp = winnow_fingerprints(docs, k=k, w=w)
+        by_doc: dict[int, set] = {}
+        for r in fp.collect():
+            by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+        for a, b in planted:
+            assert by_doc.get(a, set()) & by_doc.get(b, set()), (a, b)
