@@ -504,7 +504,92 @@ SELECT event_type, count(*) AS n FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def q_streaming_dedup_e2e(spark, sf):
+    """Streaming corpus ingestion with CONTENT dedup: every document
+    arrives twice (a second file under different ids) across multiple
+    micro-batches; a per-batch exact dedup plus an anti-join against a
+    persistent digest ledger must land each distinct text exactly once.
+    Output = per-language landed counts; a missed duplicate doubles a
+    count and fails the oracle hash.
+
+    Scale shape: the ledger is the materialized digest frame a real
+    deployment keeps next to the corpus (ops.dedup.content_digests);
+    each micro-batch shuffles only its own digests, and the anti-join's
+    big side is the batch, never the corpus."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text", "lang")
+    tmp = tempfile.mkdtemp(prefix="swarm_sdedup_")
+    src = os.path.join(tmp, "incoming")
+    # wave 1: the corpus; wave 2: the same texts under shifted ids
+    docs.select(F.to_json(F.struct("doc_id", "text", "lang")).alias("value")) \
+        .coalesce(2).write.mode("overwrite").text(src)
+    docs.select(
+        F.to_json(
+            F.struct(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang"
+            )
+        ).alias("value")
+    ).coalesce(2).write.mode("append").text(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    target = os.path.join(tmp, "landed")
+    ledger = os.path.join(tmp, "ledger")
+
+    def land(batch_df, epoch_id: int) -> None:
+        b = (
+            batch_df.withColumn("h", F.md5("text"))
+            .groupBy("h")
+            .agg(
+                F.min("doc_id").alias("doc_id"),
+                F.first("text").alias("text"),
+                F.first("lang").alias("lang"),
+            )
+        )
+        if os.path.isdir(ledger):
+            seen = batch_df.sparkSession.read.parquet(ledger)
+            b = b.join(seen, "h", "left_anti")
+        b = b.persist()
+        b.select("h").write.mode("append").parquet(ledger)
+        b.select("doc_id", "text", "lang").write.mode("append").parquet(target)
+        b.unpersist()
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")  # force multiple micro-batches
+        .json(src)
+        .writeStream.foreachBatch(land)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return (
+        spark.read.schema("doc_id long, text string, lang string")
+        .parquet(target)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("lang")
+    )
+
+
+SQL_STREAMING_DEDUP = """
+SELECT lang, cast(count(DISTINCT text) AS bigint) AS n_docs
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
 CORE: dict[str, tuple[Callable, str | None]] = {
+    "streaming_dedup_e2e": (q_streaming_dedup_e2e, SQL_STREAMING_DEDUP),
     "s1_scan_count": (q_s1_scan_count, SQL_S1),
     "s3_prefix_filter": (q_s3_prefix_filter, SQL_S3),
     "r1_event_rule_filter": (q_r1_event_rule_filter, SQL_R1),
