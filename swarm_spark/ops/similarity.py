@@ -259,3 +259,28 @@ def ann_topk_int8(
         F.round(dot_expr("qv", "cv") / F.sqrt(F.col("qn2") * F.col("cn2")), 9).alias("cos"),
     )
     return topk_per_query(joined, k, n_salts)
+
+
+def ann_topk_dot(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_salts: int | None = None,
+) -> DataFrame:
+    """Exact maximum-inner-product search (MIPS): top-k by raw dot
+    product, not cosine — the retrieval mode for recommender-style
+    embeddings where magnitude carries signal. Same broadcast scan and
+    salted two-phase ranking as the cosine baseline; scores rounded to
+    9 digits (sequential-fold dot, engine-exact)."""
+    n_salts = _salts_for(corpus, n_salts)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("cv"))
+    joined = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("id"))
+        .select("query_id", "id", F.round(dot_expr("qv", "cv"), 9).alias("cos"))
+    )
+    out = topk_per_query(joined, k, n_salts)
+    return out.withColumnRenamed("cos", "dot")

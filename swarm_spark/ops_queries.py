@@ -1645,7 +1645,87 @@ FROM pairs ORDER BY inc_id, corpus_id
 """
 
 
+def q_ann_topk_dot(spark, sf):
+    """Exact MIPS top-5 (raw dot product — recommender-style
+    retrieval), same scan/ranking shape as the cosine baseline."""
+    from .ops.similarity import ann_topk_dot
+
+    emb = _emb(spark, sf)
+    return ann_topk_dot(emb, emb.where(F.col("vec_id") % 100 == 0), k=5)
+
+
+SQL_ANN_DOT = """
+WITH q AS (SELECT vec_id AS query_id, cast(embedding AS double[]) AS qv
+           FROM embeddings WHERE vec_id % 100 = 0),
+c AS (SELECT vec_id AS id, cast(embedding AS double[]) AS cv FROM embeddings),
+j AS (SELECT query_id, id, round(list_dot_product(qv, cv), 9) AS dot
+      FROM c, q WHERE query_id != id),
+r AS (SELECT query_id, id, dot,
+             cast(row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, id)
+                  AS bigint) AS rank
+      FROM j)
+SELECT query_id, id, dot, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def q_corpus_gate_report(spark, sf):
+    """One-scan corpus quality report: how many docs pass each
+    curation gate (quality, language, length, duplicate coverage is
+    separate) and all of them together — the go/no-go summary before a
+    training run."""
+    from .ops.text import language_pred_expr, quality_expr, tokens_col
+
+    docs = _docs(spark, sf)
+    q = quality_expr("text")
+    lang = language_pred_expr("text")
+    n_tok = F.size(tokens_col("text"))
+    g_quality = (q >= 0.5).cast("long")
+    g_lang = (lang == "en").cast("long")
+    g_len = ((n_tok >= 10) & (n_tok <= 1000)).cast("long")
+    return docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(g_quality).cast("long").alias("n_pass_quality"),
+        F.sum(g_lang).cast("long").alias("n_pass_lang"),
+        F.sum(g_len).cast("long").alias("n_pass_len"),
+        F.sum(g_quality * g_lang * g_len).cast("long").alias("n_pass_all"),
+    )
+
+
+SQL_GATE_REPORT = f"""
+WITH w AS ({_WS}),
+q AS (SELECT doc_id, len(ws) AS n_tok,
+             round(0.4 * least(cast(len(ws) AS bigint)/100.0, 1.0)
+                 + 0.3 * (cast(len(list_distinct(ws)) AS bigint) * 1.0
+                          / cast(len(ws) AS bigint))
+                 + 0.3 * least(cast(len(list_filter(ws,
+                       t -> list_contains(['the','a','of','and','to','in'], t)))
+                       AS bigint) * 5.0 / cast(len(ws) AS bigint), 1.0), 6) AS quality,
+             ws
+      FROM w),
+sc AS (SELECT doc_id, n_tok, quality, {_SCORES} FROM q),
+mx AS (SELECT *, greatest(score_en, score_de, score_fr, score_es, score_zh) AS best
+       FROM sc),
+l AS (SELECT doc_id, n_tok, quality,
+             CASE WHEN best = 0 THEN 'und'
+                  WHEN score_en = best THEN 'en'
+                  WHEN score_de = best THEN 'de'
+                  WHEN score_fr = best THEN 'fr'
+                  WHEN score_es = best THEN 'es'
+                  ELSE 'zh' END AS pred_lang
+      FROM mx)
+SELECT cast(count(*) AS bigint) AS n_total,
+       cast(sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS bigint) AS n_pass_quality,
+       cast(sum(CASE WHEN pred_lang = 'en' THEN 1 ELSE 0 END) AS bigint) AS n_pass_lang,
+       cast(sum(CASE WHEN n_tok BETWEEN 10 AND 1000 THEN 1 ELSE 0 END) AS bigint) AS n_pass_len,
+       cast(sum(CASE WHEN quality >= 0.5 AND pred_lang = 'en'
+                      AND n_tok BETWEEN 10 AND 1000 THEN 1 ELSE 0 END) AS bigint) AS n_pass_all
+FROM l
+"""
+
+
 OPS: dict[str, tuple[Callable, str | None]] = {
+    "ann_topk_dot": (q_ann_topk_dot, SQL_ANN_DOT),
+    "corpus_gate_report": (q_corpus_gate_report, SQL_GATE_REPORT),
     "dedup_minhash_incremental": (q_dedup_minhash_incremental, SQL_MINHASH_INC),
     "dedup_winnow_pairs": (q_dedup_winnow_pairs, SQL_WINNOW_PAIRS),
     "text_winnow": (q_text_winnow, SQL_WINNOW),

@@ -741,3 +741,33 @@ class TestWinnowingGuarantee:
             by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
         for a, b in planted:
             assert by_doc.get(a, set()) & by_doc.get(b, set()), (a, b)
+
+
+class TestNormalizedDedup:
+    def test_case_punct_variants_collapse(self, spark):
+        """Canonical-form dedup: docs differing only in case,
+        punctuation, and whitespace share a norm_hash; genuinely
+        different docs don't. (The synthetic corpus has no such
+        variants, so this is unit-pinned rather than a registry
+        query.)"""
+        from swarm_spark.ops.text import normalize_text
+
+        docs = spark.createDataFrame(
+            [
+                (1, "Hello, World!  Fast table."),
+                (2, "hello world fast table"),
+                (3, "HELLO   world — fast... table"),
+                (4, "another document entirely"),
+            ],
+            "doc_id long, text string",
+        )
+        norm = normalize_text(docs)
+        groups = (
+            norm.groupBy("norm_hash")
+            .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keep"))
+            .collect()
+        )
+        sizes = sorted(r["n"] for r in groups)
+        assert sizes == [1, 3]
+        big = next(r for r in groups if r["n"] == 3)
+        assert big["keep"] == 1

@@ -53,6 +53,7 @@ ALL = {**CORE, **OPS, **CLASSICAL}
 #   corpus token total to the vocab frame.
 BNLJ_ALLOWED = {
     "ann_topk_bruteforce",
+    "ann_topk_dot",
     "ann_topk_int8",
     "ann_topk_ivf",
     "ann_ivf_recall",
