@@ -104,8 +104,10 @@ def main() -> None:
     # all of a query's samples inside one burst (observed: an 11 s
     # median for a 3.6 s query), while interleaving spreads them across
     # the full bench window.
+    load_samples = [os.getloadavg()[0]]
     samples: dict[str, list[float]] = {name: [] for name in names}
     for _ in range(runs):
+        load_samples.append(os.getloadavg()[0])
         for name in names:
             fn = CORE[name][0]
             t0 = time.perf_counter()
@@ -132,6 +134,11 @@ def main() -> None:
                 "aggregation": "median",
                 "queries_min": minima,
                 "value_min": round(sum(minima.values()), 4),
+                # 1-min load average sampled before each round: >> the
+                # bench's own parallelism means an external burst, so a
+                # slow median with high load here is drift, not a
+                # regression.
+                "load_1m": [round(x, 2) for x in load_samples],
                 # raw per-round samples (run order = interleaved rounds):
                 # lets a reader distinguish a host-load burst that
                 # poisoned every sample of one query from a real plan

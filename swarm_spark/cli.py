@@ -159,6 +159,26 @@ def cmd_expire(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Run any registry query against a testdata scale-factor dir and
+    print rows as JSON lines — the whole analytics surface from the
+    shell (``query --list`` enumerates)."""
+    from .queries import all_queries
+
+    reg = all_queries()
+    if args.list or not args.name:
+        print(json.dumps(sorted(reg)))
+        return 0
+    if args.name not in reg:
+        raise SystemExit(f"unknown query {args.name!r}; try --list")
+    spark = _spark(args)
+    df = reg[args.name][0](spark, args.sf_dir)
+    rows = df.limit(args.limit).collect() if args.limit else df.collect()
+    for r in rows:
+        print(json.dumps({k: str(v) for k, v in r.asDict().items()}))
+    return 0
+
+
 def cmd_stats(args) -> int:
     from .model import TableDest
     from .sinks import TableSink
@@ -305,6 +325,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--partition", default="", help="time unit of the table ('' if none)")
     sp.add_argument("--target-mb", type=int, default=512)
     sp.set_defaults(fn=cmd_compact)
+
+    sp = sub.add_parser("query", help="run a registry query and print rows")
+    sp.add_argument("name", nargs="?", default="", help="query name (see --list)")
+    sp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    sp.add_argument("--limit", type=int, default=0, help="0 = all rows")
+    sp.add_argument("--list", action="store_true", help="print the registry names")
+    sp.set_defaults(fn=cmd_query)
 
     sp = sub.add_parser("stats", help="table file/byte/partition metadata")
     sp.add_argument("--warehouse", default="warehouse")

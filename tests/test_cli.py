@@ -249,3 +249,18 @@ class TestStats:
             ["--cpus", "4", "stats", "--warehouse", wh, "--table", "apps.logs"],
         )
         assert one[0]["files"] == t["files"] and "rows" not in one[0]
+
+
+class TestQueryCommand:
+    def test_list_and_run(self, spark, capsys):
+        out = _run(capsys, ["query", "--list"])
+        assert "s1_scan_count" in out and len(out) >= 80
+        rc = main(["--cpus", "4", "query", "s1_scan_count",
+                   "--sf-dir", "/root/testdata/sf0.001"])
+        assert rc == 0
+        row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert int(row["n"]) > 0
+
+    def test_unknown_query_rejected(self):
+        with pytest.raises(SystemExit):
+            main(["query", "nope_nope"])
