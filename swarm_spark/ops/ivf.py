@@ -94,6 +94,60 @@ def _assign(spark, base: DataFrame, centroids) -> DataFrame:
     )
 
 
+def cell_centroids(c: DataFrame) -> DataFrame:
+    """(cell, ccv, ccn2): 9-digit-rounded per-cell means of the
+    assigned vectors (``cv`` double arrays in ``c``) — the determinism
+    contract shared with the DuckDB oracle; bit-reproducible across
+    partitionings because every mean is rounded before reuse."""
+    return (
+        c.select(
+            "cell", F.posexplode(F.col("cv").cast("array<double>")).alias("pos", "x")
+        )
+        .groupBy("cell", "pos")
+        .agg(F.round(F.avg("x"), 9).alias("m"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cell", F.transform("pm", lambda s: s["m"]).alias("ccv"))
+        .select("cell", "ccv", dot_expr("ccv", "ccv").alias("ccn2"))
+    )
+
+
+def ivf_cells_report(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """IVF index-quality report: per final cell, member count and
+    integral micro-unit inertia (Σ round(d²·1e6) to the cell's own
+    centroid). Cell-size skew decides probe cost; inertia decides
+    recall — the two numbers an ANN operator watches after building.
+
+    Integral inertia keeps the sum order-independent (a raw double sum
+    would hash differently per partitioning); every d² is the same
+    IEEE double on both engines, so the oracle matches exactly.
+    """
+    cells = kmeans_cells(corpus, vec_col, id_col, k=n_cells, iters=iters)
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        dot_expr(vec_col, vec_col).alias("cn2"),
+    ).join(cells, "id")
+    cent = cell_centroids(c)
+    d2 = F.col("cn2") - 2 * dot_expr("cv", "ccv") + F.col("ccn2")
+    return (
+        c.join(cent, "cell")
+        .select("cell", F.round(d2 * 1_000_000).cast("long").alias("im"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("im").cast("long").alias("inertia_micro"),
+        )
+        .orderBy("cell")
+    )
+
+
 def ann_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -127,14 +181,8 @@ def ann_topk_ivf(
         .join(cells, "id")
     )
     # rank every (query, cell) by centroid distance → keep nprobe
-    centroids = (
-        c.select("cell", F.posexplode(F.col("cv").cast("array<double>")).alias("pos", "x"))
-        .groupBy("cell", "pos")
-        .agg(F.round(F.avg("x"), 9).alias("m"))
-        .groupBy("cell")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-        .select("cell", F.transform("pm", lambda s: s["m"]).alias("cv"))
-        .select("cell", "cv", dot_expr("cv", "cv").alias("c_n2"))
+    centroids = cell_centroids(c).select(
+        "cell", F.col("ccv").alias("cv"), F.col("ccn2").alias("c_n2")
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),

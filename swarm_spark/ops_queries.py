@@ -846,7 +846,12 @@ def q_ann_topk_ivf(spark, sf):
 
 
 def _ivf_oracle_sql(
-    k_cells: int = 8, iters: int = 3, nprobe: int = 4, topk: int = 5, qmod: int = 100
+    k_cells: int = 8,
+    iters: int = 3,
+    nprobe: int = 4,
+    topk: int = 5,
+    qmod: int = 100,
+    final_select: str | None = None,
 ) -> str:
     """Unrolled Lloyd k-means + IVF probe in DuckDB SQL, mirroring
     ops/ivf.py step for step: init = ``k_cells`` lowest-id vectors,
@@ -923,19 +928,37 @@ def _ivf_oracle_sql(
   FROM probes pr JOIN afin a USING (cell) JOIN ibase b ON a.id = b.id
   WHERE pr.query_id != b.id)"""
     )
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + f"""
+    if final_select is None:
+        final_select = f"""
 SELECT query_id, id, cos, rank FROM (
   SELECT query_id, id, cos,
          cast(row_number() OVER (PARTITION BY query_id
               ORDER BY cos DESC, id) AS bigint) AS rank
   FROM cand) WHERE rank <= {topk} ORDER BY query_id, rank"""
-    )
+    return "WITH " + ",\n".join(ctes) + final_select
 
 
 SQL_ANN_IVF = _ivf_oracle_sql()
+
+
+def q_ann_ivf_cells(spark, sf):
+    """IVF index-quality report: per-cell member count + integral
+    micro-unit inertia to the cell's own (final, 9-digit-rounded)
+    centroid — the balance/recall health check after an index build."""
+    from .ops.ivf import ivf_cells_report
+
+    return ivf_cells_report(_emb(spark, sf), n_cells=8, iters=3)
+
+
+SQL_ANN_IVF_CELLS = _ivf_oracle_sql(
+    final_select="""
+SELECT a.cell, cast(count(*) AS bigint) AS n_vecs,
+       cast(sum(cast(round((b.vn2 - 2 * list_dot_product(b.v, pcx.cv)
+                            + pcx.cn2) * 1000000) AS bigint)) AS bigint)
+           AS inertia_micro
+FROM afin a JOIN ibase b USING (id) JOIN pc pcx USING (cell)
+GROUP BY 1 ORDER BY 1"""
+)
 
 
 def q_ann_ivf_recall(spark, sf):
@@ -1725,6 +1748,7 @@ FROM l
 
 OPS: dict[str, tuple[Callable, str | None]] = {
     "ann_topk_dot": (q_ann_topk_dot, SQL_ANN_DOT),
+    "ann_ivf_cells": (q_ann_ivf_cells, SQL_ANN_IVF_CELLS),
     "corpus_gate_report": (q_corpus_gate_report, SQL_GATE_REPORT),
     "dedup_minhash_incremental": (q_dedup_minhash_incremental, SQL_MINHASH_INC),
     "dedup_winnow_pairs": (q_dedup_winnow_pairs, SQL_WINNOW_PAIRS),

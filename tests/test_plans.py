@@ -49,9 +49,12 @@ ALL = {**CORE, **OPS, **CLASSICAL}
 #   sum to the top-k frame.
 # - knn_classify: embeds the ann_topk_bruteforce verifier (broadcast
 #   query set, |Q| literal) before the label vote.
+# - ann_ivf_cells: k-means assignment's argmin over k centroids (k a
+#   literal), same bounded build side as ann_topk_ivf.
 # - text_surprisal: crossJoin(broadcast(total)) attaches the 1-row
 #   corpus token total to the vocab frame.
 BNLJ_ALLOWED = {
+    "ann_ivf_cells",
     "ann_topk_bruteforce",
     "ann_topk_dot",
     "ann_topk_int8",
@@ -80,6 +83,7 @@ _SCAN_BUDGET = {
     "knn_classify": 3,  # embeddings as corpus + broadcast queries + label dim
     "text_decontaminate": 3,
     "text_strip_segments": 3,
+    "ann_ivf_cells": 4,
     "ann_topk_ivf": 4,
     "funnel_steps": 4,  # 3 predicate-pushed stage scans (view/click/
     #   purchase) + the view-stage aggregate feeding both the click
