@@ -18,6 +18,8 @@ Usage examples::
     python -m swarm_spark curate docs.parquet -o curated/ --langs en --cap-per-lang 100000
     python -m swarm_spark ingest 'fixed/*.ndjson' --rules policy/ --warehouse wh/ --merge
     python -m swarm_spark expire --warehouse wh/ --table ds.t --partition day --before 2024-01-01
+    python -m swarm_spark stats --warehouse wh/ --rows
+    python -m swarm_spark query corpus_gate_report --sf-dir /root/testdata/sf0.01
 """
 
 from __future__ import annotations
