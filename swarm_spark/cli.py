@@ -141,6 +141,7 @@ def cmd_compact(args) -> int:
     stats = sink.compact(
         TableDest(ds, tb, args.partition),
         target_file_bytes=args.target_mb * 1024 * 1024,
+        partitions=args.partitions.split(",") if args.partitions else None,
     )
     print(json.dumps(stats))
     return 0
@@ -326,6 +327,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--table", required=True, help="dataset.table")
     sp.add_argument("--partition", default="", help="time unit of the table ('' if none)")
     sp.add_argument("--target-mb", type=int, default=512)
+    sp.add_argument(
+        "--partitions", default="",
+        help="comma list of partition values to compact ('' = whole table)",
+    )
     sp.set_defaults(fn=cmd_compact)
 
     sp = sub.add_parser("query", help="run a registry query and print rows")

@@ -243,13 +243,18 @@ class TableSink(Sink):
         return sorted(out)
 
     def compact(
-        self, dest: TableDest, target_file_bytes: int = 512 * 1024 * 1024
+        self,
+        dest: TableDest,
+        target_file_bytes: int = 512 * 1024 * 1024,
+        partitions: list[str] | None = None,
     ) -> dict:
         """Rewrite the destination's many small append slices into
         ~``target_file_bytes`` files — the small-file maintenance every
         append-based warehouse needs at scale (each ingest batch writes
         shuffle-partition-count files; a year of batches makes listings
-        and scans metadata-bound).
+        and scans metadata-bound). ``partitions`` restricts the
+        rewrite to those partition values (recent-ingest maintenance
+        — the whole-table default is for small/dimension tables).
 
         Crash-safe via the same staged-dir + manifest protocol as
         :class:`TableTransaction`, extended with a ``replaces`` list:
@@ -279,6 +284,13 @@ class TableSink(Sink):
         lock = self._lock(dest)
         try:
             old = self._data_files(dest)
+            if partitions is not None:
+                # partition-scoped maintenance: at 100 TB you compact
+                # the partitions recent ingests touched, never the
+                # whole table; cold partitions were compacted when THEY
+                # were hot
+                want = {f"{PARTITION_COL}={p}" for p in partitions}
+                old = [f for f in old if f.split(os.sep)[0] in want]
             if len(old) <= 1:
                 return {"files_before": len(old), "files_after": len(old)}
             total = sum(os.path.getsize(os.path.join(d, f)) for f in old)

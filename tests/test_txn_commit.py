@@ -576,3 +576,49 @@ class TestMergeById:
         rows = {r["id"]: r["data"]["v"] for r in sink.read_table(dest).collect()}
         assert len(rows) == 8
         assert rows["2024-01-01-0"] == "v2"
+
+
+class TestPartitionScopedCompaction:
+    def test_compact_only_named_partitions(self, spark, tmp_path):
+        sink = TableSink(spark, str(tmp_path / "whpc"))
+        dest = TableDest("ds", "tc", "day")
+        sink.ensure_table(dest, DATA)
+        for day in ("2024-01-01", "2024-02-10"):
+            for b in range(3):  # several slices per partition
+                df = spark.range(4).select(
+                    F.concat(F.lit(f"{day}-{b}-"), F.col("id").cast("string")).alias("id"),
+                    F.lit("ing1").alias("ingest_id"),
+                    F.lit(f"{day} 12:00:00").cast("timestamp").alias("timestamp"),
+                    F.lit(f"{day} 12:00:01").cast("timestamp").alias("ingested_at"),
+                    F.struct(F.col("id").alias("v")).alias("data"),
+                ).repartition(2)
+                sink.append(dest, df)
+        before = sink._data_files(dest)
+        jan = [f for f in before if "2024-01-01" in f]
+        feb = [f for f in before if "2024-02-10" in f]
+        assert len(jan) >= 3 and len(feb) >= 3
+        rows_before = sorted(r["id"] for r in sink.read_table(dest).collect())
+
+        stats = sink.compact(dest, partitions=["2024-01-01"])
+        after = sink._data_files(dest)
+        jan_after = [f for f in after if "2024-01-01" in f]
+        feb_after = [f for f in after if "2024-02-10" in f]
+        assert len(jan_after) < len(jan)          # compacted
+        assert sorted(feb_after) == sorted(feb)   # untouched, byte-for-byte names
+        assert stats["files_before"] == len(jan)
+        assert sorted(r["id"] for r in sink.read_table(dest).collect()) == rows_before
+
+    def test_unknown_partition_is_noop(self, spark, tmp_path):
+        sink = TableSink(spark, str(tmp_path / "whpc2"))
+        dest = TableDest("ds", "tc", "day")
+        sink.ensure_table(dest, DATA)
+        df = spark.range(2).select(
+            F.concat(F.lit("a-"), F.col("id").cast("string")).alias("id"),
+            F.lit("i").alias("ingest_id"),
+            F.lit("2024-01-01 00:00:00").cast("timestamp").alias("timestamp"),
+            F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ingested_at"),
+            F.struct(F.col("id").alias("v")).alias("data"),
+        )
+        sink.append(dest, df)
+        stats = sink.compact(dest, partitions=["1999-01-01"])
+        assert stats["files_before"] == stats["files_after"]
