@@ -1128,3 +1128,50 @@ def minhash_incremental_pairs(
     return pairs.select(
         "inc_id", "corpus_id", "shared_bands", F.round(est, 6).alias("est_jaccard")
     ).orderBy("inc_id", "corpus_id")
+
+
+def simhash_incremental_pairs(
+    corpus: DataFrame,
+    increment: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 62,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Directional SimHash near-dup: each NEW document's Manku block
+    keys probe the corpus's — the wave-vs-corpus form of
+    :func:`simhash_pairs_blocked`, with the same EXACT (pigeonhole,
+    non-probabilistic) recall. Stored corpus sketches are reusable
+    across waves; candidates are bounded by the increment's block
+    keys. Output (inc_id, corpus_id, hamming).
+    """
+    nblocks = max_hamming + 1
+    width = (bits + nblocks - 1) // nblocks
+    mask = (1 << width) - 1
+
+    def keyed(frame: DataFrame, idname: str, shname: str) -> DataFrame:
+        s = simhash(frame, text_col, id_col, bits)
+        return s.select(
+            F.col("doc_id").alias(idname),
+            F.col("simhash").alias(shname),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask))
+                        for b in range(nblocks)
+                    ]
+                )
+            ).alias("blk", "val"),
+        )
+
+    a = keyed(increment, "inc_id", "sa")
+    b = keyed(corpus, "corpus_id", "sb")
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        a.join(b, ["blk", "val"])
+        .where(F.col("inc_id") != F.col("corpus_id"))
+        .select("inc_id", "corpus_id", ham.cast("long").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+        .orderBy("inc_id", "corpus_id")
+    )

@@ -1746,7 +1746,40 @@ FROM l
 """
 
 
+def q_dedup_simhash_incremental(spark, sf):
+    """Directional SimHash (62-bit, Manku blocks): the 10% hash-split
+    wave probes the 90% corpus — exact pigeonhole recall, candidates
+    bounded by the increment."""
+    from .ops.dedup import simhash_incremental_pairs
+    from .ops.sampling import hash_bucket
+
+    docs = _docs(spark, sf)
+    b = hash_bucket("doc_id", "swarm-sinc")
+    return simhash_incremental_pairs(
+        docs.where(b >= _MINC_CUT), docs.where(b < _MINC_CUT), bits=62
+    )
+
+
+SQL_SIMHASH_INC = f"""
+WITH {{simhash_cte}},
+m AS (SELECT doc_id, simhash,
+             {_md5_bucket_sql('doc_id', 'swarm-sinc')} AS bkt
+      FROM sh),
+k AS (SELECT doc_id, simhash, bkt, b.b AS blk,
+             (simhash >> (cast(b.b AS int) * 16)) & 65535 AS val
+      FROM m, (SELECT unnest(range(4)) AS b) b)
+SELECT DISTINCT a.doc_id AS inc_id, b.doc_id AS corpus_id,
+       cast(bit_count(xor(a.simhash, b.simhash)) AS bigint) AS hamming
+FROM k a JOIN k b ON a.blk = b.blk AND a.val = b.val
+WHERE a.bkt < {_MINC_CUT} AND b.bkt >= {_MINC_CUT}
+  AND a.doc_id != b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY inc_id, corpus_id
+""".format(simhash_cte=_simhash_cte(62))
+
+
 OPS: dict[str, tuple[Callable, str | None]] = {
+    "dedup_simhash_incremental": (q_dedup_simhash_incremental, SQL_SIMHASH_INC),
     "ann_topk_dot": (q_ann_topk_dot, SQL_ANN_DOT),
     "ann_ivf_cells": (q_ann_ivf_cells, SQL_ANN_IVF_CELLS),
     "corpus_gate_report": (q_corpus_gate_report, SQL_GATE_REPORT),
