@@ -1746,24 +1746,29 @@ FROM l
 """
 
 
+_SINC_CUT = int(0.5 * (1 << 32))
+
+
 def q_dedup_simhash_incremental(spark, sf):
-    """Directional SimHash (62-bit, Manku blocks): the 10% hash-split
-    wave probes the 90% corpus — exact pigeonhole recall, candidates
-    bounded by the increment."""
+    """Directional SimHash (62-bit, Manku blocks): a 50% hash-split
+    wave probes the other half as the corpus — exact pigeonhole
+    recall, candidates bounded by the increment. (The even split keeps
+    planted near-dup pairs on BOTH sides of the boundary at every
+    scale factor, so the query always has signal.)"""
     from .ops.dedup import simhash_incremental_pairs
     from .ops.sampling import hash_bucket
 
     docs = _docs(spark, sf)
-    b = hash_bucket("doc_id", "swarm-sinc")
+    b = hash_bucket("doc_id", "swarm-sinc2")
     return simhash_incremental_pairs(
-        docs.where(b >= _MINC_CUT), docs.where(b < _MINC_CUT), bits=62
+        docs.where(b >= _SINC_CUT), docs.where(b < _SINC_CUT), bits=62
     )
 
 
 SQL_SIMHASH_INC = f"""
 WITH {{simhash_cte}},
 m AS (SELECT doc_id, simhash,
-             {_md5_bucket_sql('doc_id', 'swarm-sinc')} AS bkt
+             {_md5_bucket_sql('doc_id', 'swarm-sinc2')} AS bkt
       FROM sh),
 k AS (SELECT doc_id, simhash, bkt, b.b AS blk,
              (simhash >> (cast(b.b AS int) * 16)) & 65535 AS val
@@ -1771,7 +1776,7 @@ k AS (SELECT doc_id, simhash, bkt, b.b AS blk,
 SELECT DISTINCT a.doc_id AS inc_id, b.doc_id AS corpus_id,
        cast(bit_count(xor(a.simhash, b.simhash)) AS bigint) AS hamming
 FROM k a JOIN k b ON a.blk = b.blk AND a.val = b.val
-WHERE a.bkt < {_MINC_CUT} AND b.bkt >= {_MINC_CUT}
+WHERE a.bkt < {_SINC_CUT} AND b.bkt >= {_SINC_CUT}
   AND a.doc_id != b.doc_id
   AND bit_count(xor(a.simhash, b.simhash)) <= 3
 ORDER BY inc_id, corpus_id
