@@ -989,6 +989,69 @@ FROM embeddings WHERE vec_id % 100 = 0
 """
 
 
+# ------------------------------------------------- semantic dedup (SemDeDup)
+def q_dedup_semantic(spark, sf):
+    """SemDeDup-style semantic near-dup pairs: deterministic k-means
+    cells (the bit-reproducible Lloyd contract the IVF oracle pins)
+    block a within-cell cosine scan — paraphrase-level duplicates that
+    every lexical tier (MinHash/SimHash/winnowing) misses. Oracle: the
+    identical unrolled k-means, finished with a within-cell self-join."""
+    from .ops.semdedup import semantic_dup_pairs
+
+    return semantic_dup_pairs(_emb(spark, sf), n_cells=8, iters=3, threshold=0.35)
+
+
+_SEM_COS = (
+    "round(list_dot_product(va.v, vb.v) / sqrt(va.vn2 * vb.vn2), 9)"
+)
+SQL_DEDUP_SEMANTIC = _ivf_oracle_sql(
+    final_select=f"""
+SELECT a.id AS id_a, b.id AS id_b, a.cell AS cell, {_SEM_COS} AS cos
+FROM afin a JOIN afin b ON a.cell = b.cell AND a.id < b.id
+JOIN ibase va ON va.id = a.id
+JOIN ibase vb ON vb.id = b.id
+WHERE {_SEM_COS} >= 0.35
+ORDER BY id_a, id_b"""
+)
+
+
+def q_dedup_semantic_keep(spark, sf):
+    """End-to-end semantic dedup: same-cell cosine pairs → connected
+    components → keep the lowest id per semantic group. Returns the
+    surviving (vec_id, label) rows."""
+    from .ops.semdedup import semantic_keep_one
+
+    return (
+        semantic_keep_one(_emb(spark, sf), n_cells=8, iters=3, threshold=0.35)
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    )
+
+
+SQL_DEDUP_SEMANTIC_KEEP = _ivf_oracle_sql(
+    final_select=f""",
+sp AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM afin a JOIN afin b ON a.cell = b.cell AND a.id < b.id
+  JOIN ibase va ON va.id = a.id
+  JOIN ibase vb ON vb.id = b.id
+  WHERE {_SEM_COS} >= 0.35),
+ed AS (SELECT id_a AS src, id_b AS dst FROM sp
+       UNION SELECT id_b, id_a FROM sp),
+nn AS (SELECT DISTINCT src AS id FROM ed),
+reach AS (
+    SELECT id, id AS r FROM nn
+    UNION
+    SELECT reach.id, ed.dst AS r FROM reach JOIN ed ON reach.r = ed.src
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY 1),
+losers AS (SELECT id FROM comp WHERE id != component)
+SELECT e.vec_id, e.label FROM embeddings e
+LEFT JOIN losers l ON e.vec_id = l.id
+WHERE l.id IS NULL ORDER BY e.vec_id"""
+).replace("WITH ", "WITH RECURSIVE ", 1)
+
+
 # --------------------------------------------------------------- asof join
 def q_range_overlap_pairs(spark, sf):
     """Interval-overlap self-join: per user, how many of their event
@@ -1823,6 +1886,8 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "ann_topk_cells": (q_ann_topk_cells, SQL_ANN_CELLS),
     "ann_topk_ivf": (q_ann_topk_ivf, SQL_ANN_IVF),
     "ann_ivf_recall": (q_ann_ivf_recall, SQL_ANN_IVF_RECALL),
+    "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
+    "dedup_semantic_keep": (q_dedup_semantic_keep, SQL_DEDUP_SEMANTIC_KEEP),
     "asof_latest_order": (q_asof_latest_order, SQL_ASOF),
     "asof_next_order": (q_asof_next_order, SQL_ASOF_NEXT),
     "range_window_counts": (q_range_window_counts, SQL_RANGE_WINDOW),

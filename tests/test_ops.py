@@ -771,3 +771,59 @@ class TestNormalizedDedup:
         assert sizes == [1, 3]
         big = next(r for r in groups if r["n"] == 3)
         assert big["keep"] == 1
+
+
+class TestSemanticDedup:
+    def _toy(self, spark):
+        # 8 vectors in 2 clear clusters; v1/v2 near-identical, v3 a
+        # scaled copy of v1 (cos = 1), v10/v11 identical in the other
+        # cluster; the rest are far from everything.
+        rows = [
+            (1, [1.0, 0.0, 0.0, 0.1]),
+            (2, [0.99, 0.01, 0.0, 0.1]),
+            (3, [2.0, 0.0, 0.0, 0.2]),
+            (4, [0.5, 0.5, 0.5, 0.5]),
+            (10, [0.0, 1.0, 0.0, -0.1]),
+            (11, [0.0, 1.0, 0.0, -0.1]),
+            (12, [0.0, 0.0, 1.0, 0.0]),
+            (13, [-1.0, 0.0, 0.0, 0.4]),
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_planted_semantic_groups_collapse(self, spark):
+        from swarm_spark.ops.semdedup import semantic_dup_pairs, semantic_keep_one
+
+        df = self._toy(spark)
+        pairs = semantic_dup_pairs(
+            df, n_cells=2, iters=2, threshold=0.98
+        ).collect()
+        found = {(r["id_a"], r["id_b"]) for r in pairs}
+        # the planted near-identical groups must pair up
+        assert {(1, 2), (1, 3), (2, 3), (10, 11)} <= found
+        assert all(r["cos"] >= 0.98 for r in pairs)
+        kept = {
+            r["vec_id"]
+            for r in semantic_keep_one(
+                df, n_cells=2, iters=2, threshold=0.98
+            ).collect()
+        }
+        # min id survives each group; singletons pass through
+        assert {1, 10} <= kept
+        assert {2, 3, 11}.isdisjoint(kept)
+        assert {4, 12, 13} <= kept
+
+    def test_pairs_only_within_cells(self, spark):
+        """Blocking contract: every emitted pair shares a k-means cell
+        (same-cell pairs only — the SemDeDup trade)."""
+        from swarm_spark.ops.ivf import kmeans_cells
+        from swarm_spark.ops.semdedup import semantic_dup_pairs
+
+        df = self._toy(spark)
+        cells = {
+            r["id"]: r["cell"]
+            for r in kmeans_cells(df, k=2, iters=2).collect()
+        }
+        pairs = semantic_dup_pairs(df, n_cells=2, iters=2, threshold=0.5).collect()
+        assert pairs  # threshold low enough to emit something
+        for r in pairs:
+            assert cells[r["id_a"]] == cells[r["id_b"]] == r["cell"]

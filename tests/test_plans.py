@@ -56,6 +56,8 @@ ALL = {**CORE, **OPS, **CLASSICAL}
 BNLJ_ALLOWED = {
     "ann_ivf_cells",
     "ann_topk_bruteforce",
+    "dedup_semantic",
+    "dedup_semantic_keep",
     "ann_topk_dot",
     "ann_topk_int8",
     "ann_topk_ivf",
@@ -80,6 +82,8 @@ BNLJ_ALLOWED = {
 # - ann_ivf_recall (6): IVF path + embedded brute-force ground truth
 _SCAN_BUDGET_DEFAULT = 2
 _SCAN_BUDGET = {
+    "dedup_semantic_keep": 3,  # pair graph (cells + cosine) + the
+    #   corpus frame the anti-join preserves
     "knn_classify": 3,  # embeddings as corpus + broadcast queries + label dim
     "text_decontaminate": 3,
     "text_strip_segments": 3,
