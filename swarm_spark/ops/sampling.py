@@ -112,6 +112,133 @@ def stratified_cap(
     )
 
 
+def token_budget_sample(
+    df: DataFrame,
+    strata: str,
+    budget: int,
+    key: str,
+    text_col: str = "text",
+    seed: str = "swarm-budget",
+    n_ranges: int | None = None,
+) -> DataFrame:
+    """Per-stratum TOKEN-budget sampling: walk each stratum's docs in
+    deterministic hash order and keep every doc that STARTS before the
+    stratum's cumulative token count reaches ``budget`` (so each
+    non-empty stratum keeps ≥ 1 doc and total kept tokens land in
+    [budget, budget + max_doc)). Doc-count caps (:func:`stratified_cap`)
+    don't control what a training mix actually spends — tokens; this is
+    the "N tokens per language/domain" shape of a sampling spec, still
+    a pure function of the records (stable under growth of other
+    strata, partitioning, and cluster size).
+
+    Scale shape: the per-stratum running total is a TWO-PHASE prefix
+    sum, not one window per stratum (a hot stratum — half the corpus
+    in `en` — would land on one unsplittable window task). The hash
+    bucket is uniform in [0, 2^32), so its top bits cut each stratum
+    into ``n_ranges`` even, literally-bounded, hash-order-monotone
+    ranges: phase 1 cumsums inside (stratum, range) in parallel;
+    per-(stratum, range) subtotals (metadata-sized: strata cardinality
+    × ranges) come back as exclusive offsets through a broadcast join.
+    Same contract as ops.packing's prefix sum, minus the id sampling —
+    the range id here is pure arithmetic on the hash.
+
+    Adds ``n_tok`` (whitespace tokens) and ``cum_tok`` (inclusive
+    running total in stratum hash order) to the surviving rows.
+    """
+    from .text import tokens_col
+
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    spark = df.sparkSession
+    if n_ranges is None:
+        n_ranges = max(32, df.count() // 2_000_000)
+    bucket = hash_bucket(key, seed)
+    base = (
+        df.withColumn("n_tok", F.size(tokens_col(text_col)).cast("long"))
+        .withColumn("__b", bucket)
+        # monotone in __b, uniform, literal-bounded: no sampling pass
+        .withColumn(
+            "__rng", F.expr(f"cast(__b * {int(n_ranges)} div {_SPACE} as int)")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata, "__rng").orderBy("__b", key)
+    local = base.withColumn("__cum", F.sum("n_tok").over(w))
+    subtotals = (
+        base.groupBy(strata, "__rng").agg(F.sum("n_tok").alias("tot")).collect()
+    )
+    by_stratum: dict = {}
+    for r in sorted(subtotals, key=lambda r: (str(r[strata]), r["__rng"])):
+        off = by_stratum.setdefault(str(r[strata]), [0, []])
+        off[1].append((r[strata], r["__rng"], off[0]))
+        off[0] += r["tot"]
+    rows = [t for _, (_, triples) in sorted(by_stratum.items()) for t in triples]
+    stype = dict(df.dtypes)[strata]
+    off_df = spark.createDataFrame(
+        rows, f"{strata} {stype}, __rng int, __off long"
+    )
+    return (
+        local.join(F.broadcast(off_df), [strata, "__rng"])
+        .withColumn("cum_tok", F.col("__off") + F.col("__cum"))
+        .where(F.col("cum_tok") - F.col("n_tok") < budget)
+        .drop("__b", "__rng", "__cum", "__off")
+    )
+
+
+def mixture_plan(
+    df: DataFrame,
+    strata: str,
+    weights_ppm: dict[str, int],
+    text_col: str = "text",
+) -> DataFrame:
+    """Data-mixture plan: given target mixture weights (parts per
+    million, integral so the arithmetic is engine-exact), find the
+    largest total token budget the corpus can serve AT those weights
+    and each stratum's token allocation.
+
+    budget = min over strata of floor(tokens_s · 10^6 / ppm_s) — the
+    stratum that runs out first caps the whole mix (no implicit
+    up-weighting of what's left, the standard mixture-spec semantics).
+    Output per stratum: tokens_avail, weight_ppm, budget_tokens (the
+    global cap, repeated), take_tokens = floor(ppm_s · budget / 10^6).
+    Pair with :func:`token_budget_sample` (budget=take_tokens per
+    stratum) to materialize the mix.
+
+    Scale shape: one map-side-combined aggregation to strata
+    cardinality, then a broadcast of the single-row min. Strata absent
+    from ``weights_ppm`` are excluded (weight 0).
+    """
+    from .text import tokens_col
+
+    spark = df.sparkSession
+    for s, ppm in weights_ppm.items():
+        if not 0 < ppm <= 1_000_000:
+            raise ValueError(f"weight for {s!r} must be in (0, 1e6], got {ppm}")
+    avail = df.groupBy(strata).agg(
+        F.sum(F.size(tokens_col(text_col)).cast("long")).alias("tokens_avail")
+    )
+    stype = dict(df.dtypes)[strata]
+    wdf = spark.createDataFrame(
+        sorted(weights_ppm.items()), f"{strata} {stype}, weight_ppm int"
+    )
+    j = avail.join(F.broadcast(wdf), strata).withColumn(
+        "__cap", F.expr("tokens_avail * 1000000 div weight_ppm")
+    )
+    budget = j.agg(F.min("__cap").alias("budget_tokens"))
+    return (
+        j.crossJoin(F.broadcast(budget))
+        .select(
+            strata,
+            "tokens_avail",
+            "weight_ppm",
+            "budget_tokens",
+            F.expr("weight_ppm * budget_tokens div 1000000").alias("take_tokens"),
+        )
+        .orderBy(strata)
+    )
+
+
 def split_column(
     key: str,
     test_fraction: float = 0.1,

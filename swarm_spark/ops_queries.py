@@ -1394,6 +1394,66 @@ SELECT lang, doc_id, rk FROM r, mn WHERE rk <= cap ORDER BY lang, rk
 """
 
 
+def q_sample_token_budget(spark, sf):
+    """2000 TOKENS per language, deterministic hash order — the "N
+    tokens per domain" sampling-spec shape (doc-count caps don't
+    control what a mix actually spends). Keeps every doc that starts
+    before the budget line; the prefix sum is two-phase (no
+    per-stratum window task)."""
+    from .ops.sampling import token_budget_sample
+
+    return (
+        token_budget_sample(_docs(spark, sf), "lang", budget=2000, key="doc_id")
+        .select("lang", "doc_id", "n_tok", "cum_tok")
+        .orderBy("lang", "cum_tok")
+    )
+
+
+SQL_TOKEN_BUDGET = f"""
+WITH t AS (SELECT lang, doc_id,
+                  cast(len(regexp_split_to_array(text, ' +')) AS bigint) AS n_tok,
+                  {_md5_bucket_sql('doc_id', 'swarm-budget')} AS bkt
+           FROM documents),
+c AS (SELECT lang, doc_id, n_tok,
+             cast(sum(n_tok) OVER (PARTITION BY lang ORDER BY bkt, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint)
+                 AS cum_tok
+      FROM t)
+SELECT lang, doc_id, n_tok, cum_tok FROM c
+WHERE cum_tok - n_tok < 2000 ORDER BY lang, cum_tok
+"""
+
+
+_MIX_PPM = {"en": 400_000, "de": 150_000, "es": 150_000, "fr": 150_000, "zh": 150_000}
+
+
+def q_corpus_mixture_plan(spark, sf):
+    """Data-mixture plan: the largest token budget this corpus can
+    serve at a 40/15/15/15/15 language mix, and each language's
+    allocation — the stratum that runs out first caps the whole mix.
+    Integral ppm weights keep the arithmetic engine-exact."""
+    from .ops.sampling import mixture_plan
+
+    return mixture_plan(_docs(spark, sf), "lang", _MIX_PPM)
+
+
+_MIX_VALUES = ", ".join(f"('{s}', {p})" for s, p in sorted(_MIX_PPM.items()))
+SQL_MIXTURE_PLAN = f"""
+WITH a AS (SELECT lang,
+                  cast(sum(len(regexp_split_to_array(text, ' +'))) AS bigint)
+                      AS tokens_avail
+           FROM documents GROUP BY 1),
+w AS (SELECT * FROM (VALUES {_MIX_VALUES}) AS w(lang, weight_ppm)),
+j AS (SELECT a.lang, a.tokens_avail, cast(w.weight_ppm AS int) AS weight_ppm,
+             cast(a.tokens_avail * 1000000 // w.weight_ppm AS bigint) AS cap
+      FROM a JOIN w USING (lang)),
+m AS (SELECT cast(min(cap) AS bigint) AS budget_tokens FROM j)
+SELECT j.lang, j.tokens_avail, j.weight_ppm, m.budget_tokens,
+       cast(j.weight_ppm * m.budget_tokens // 1000000 AS bigint) AS take_tokens
+FROM j, m ORDER BY j.lang
+"""
+
+
 def q_tfidf_top_terms(spark, sf):
     """Top-10 tokens per language by tf·ln(N/df) — the per-slice
     characteristic-vocabulary report."""
@@ -1862,6 +1922,8 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "dedup_ngram_coverage": (q_dedup_ngram_coverage, SQL_NGRAM_COVERAGE),
     "sample_stratified_cap": (q_sample_stratified_cap, SQL_STRATIFIED_CAP),
     "sample_balance_langs": (q_sample_balance_langs, SQL_BALANCE_LANGS),
+    "sample_token_budget": (q_sample_token_budget, SQL_TOKEN_BUDGET),
+    "corpus_mixture_plan": (q_corpus_mixture_plan, SQL_MIXTURE_PLAN),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF),
     "knn_classify": (q_knn_classify, SQL_KNN_CLASSIFY),
     "text_token_stats": (q_text_token_stats, SQL_TOKEN_STATS),

@@ -62,6 +62,7 @@ BNLJ_ALLOWED = {
     "ann_topk_int8",
     "ann_topk_ivf",
     "ann_ivf_recall",
+    "corpus_mixture_plan",  # crossJoin(broadcast(1-row min budget))
     "corpus_vocab",
     "knn_classify",
     "text_surprisal",

@@ -159,3 +159,123 @@ class TestKnnClassify:
         assert len(out) == 1
         # 2 votes each for labels 1 and 2 -> tie -> smaller label
         assert out[0]["pred_label"] == 1 and out[0]["votes"] == 2
+
+
+class TestTokenBudgetSample:
+    def _docs(self, spark):
+        rows = []
+        # 'a': 20 docs x 10 tokens; 'b': 3 docs x 100 tokens; 'c': one
+        # giant doc (300 tokens) that alone exceeds the budget
+        for i in range(20):
+            rows.append((f"a{i:02d}", "a", " ".join(["t"] * 10)))
+        for i in range(3):
+            rows.append((f"b{i}", "b", " ".join(["t"] * 100)))
+        rows.append(("c0", "c", " ".join(["t"] * 300)))
+        return spark.createDataFrame(rows, "doc_id string, s string, text string")
+
+    def test_budget_semantics(self, spark):
+        from swarm_spark.ops.sampling import hash_bucket, token_budget_sample
+
+        df = self._docs(spark)
+        out = token_budget_sample(df, "s", budget=95, key="doc_id").collect()
+        by_s = {}
+        for r in out:
+            by_s.setdefault(r["s"], []).append(r)
+        # every kept doc STARTS before the budget line
+        for rws in by_s.values():
+            for r in rws:
+                assert r["cum_tok"] - r["n_tok"] < 95
+        # stratum a: 10-token docs -> exactly ceil(95/10) = 10 kept
+        assert len(by_s["a"]) == 10
+        assert max(r["cum_tok"] for r in by_s["a"]) == 100
+        # stratum b: first 100-token doc crosses the line alone
+        assert len(by_s["b"]) == 1
+        # oversized single doc still kept (>= 1 doc per stratum)
+        assert len(by_s["c"]) == 1 and by_s["c"][0]["n_tok"] == 300
+        # the kept set is the hash-order prefix
+        order = sorted(
+            (r["doc_id"] for r in df.where("s = 'a'").collect()),
+            key=lambda d: (
+                df.sparkSession.range(1)
+                .select(hash_bucket(F.lit(d), "swarm-budget").alias("b"))
+                .head()["b"],
+                d,
+            ),
+        )
+        assert sorted(r["doc_id"] for r in by_s["a"]) == sorted(order[:10])
+
+    def test_partition_invariant(self, spark):
+        from swarm_spark.ops.sampling import token_budget_sample
+
+        df = self._docs(spark)
+        a = {
+            (r["doc_id"], r["cum_tok"])
+            for r in token_budget_sample(df, "s", 95, "doc_id").collect()
+        }
+        b = {
+            (r["doc_id"], r["cum_tok"])
+            for r in token_budget_sample(
+                df.repartition(7), "s", 95, "doc_id", n_ranges=3
+            ).collect()
+        }
+        assert a == b
+
+    def test_two_phase_matches_naive_window(self, spark):
+        from pyspark.sql import Window
+        from swarm_spark.ops.sampling import hash_bucket, token_budget_sample
+
+        df = self._docs(spark)
+        w = Window.partitionBy("s").orderBy(hash_bucket("doc_id", "swarm-budget"), "doc_id")
+        naive = (
+            df.withColumn("n_tok", F.size(F.split("text", " +")).cast("long"))
+            .withColumn("cum_tok", F.sum("n_tok").over(w))
+            .where(F.col("cum_tok") - F.col("n_tok") < 95)
+        )
+        expect = {(r["doc_id"], r["cum_tok"]) for r in naive.collect()}
+        got = {
+            (r["doc_id"], r["cum_tok"])
+            for r in token_budget_sample(df, "s", 95, "doc_id", n_ranges=4).collect()
+        }
+        assert got == expect
+
+    def test_bad_budget_rejected(self, spark):
+        from swarm_spark.ops.sampling import token_budget_sample
+
+        with pytest.raises(ValueError):
+            token_budget_sample(self._docs(spark), "s", 0, "doc_id")
+
+
+class TestMixturePlan:
+    def test_hand_case(self, spark):
+        from swarm_spark.ops.sampling import mixture_plan
+
+        rows = [
+            ("d1", "en", " ".join(["t"] * 900)),
+            ("d2", "de", " ".join(["t"] * 100)),
+            ("d3", "de", " ".join(["t"] * 100)),
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, lang string, text string")
+        out = {
+            r["lang"]: r
+            for r in mixture_plan(
+                df, "lang", {"en": 800_000, "de": 200_000}
+            ).collect()
+        }
+        # en caps the mix: floor(900e6/8e5) = 1125 < floor(200e6/2e5) = 1000?
+        # no: de cap = floor(200*1e6/200000) = 1000 -> budget 1000
+        assert out["en"]["budget_tokens"] == 1000
+        assert out["en"]["take_tokens"] == 800
+        assert out["de"]["take_tokens"] == 200
+        assert out["de"]["tokens_avail"] == 200
+
+    def test_unweighted_stratum_excluded_and_bad_ppm(self, spark):
+        from swarm_spark.ops.sampling import mixture_plan
+
+        df = spark.createDataFrame(
+            [("d1", "en", "t t"), ("d2", "xx", "t")],
+            "doc_id string, lang string, text string",
+        )
+        out = mixture_plan(df, "lang", {"en": 1_000_000}).collect()
+        assert [r["lang"] for r in out] == ["en"]
+        with pytest.raises(ValueError):
+            mixture_plan(df, "lang", {"en": 0})
