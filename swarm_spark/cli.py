@@ -162,6 +162,45 @@ def cmd_expire(args) -> int:
     return 0
 
 
+def cmd_snapshot(args) -> int:
+    """Pin/read/list/drop named table snapshots (reproducible-corpus
+    versions; see TableSink.snapshot)."""
+    from .model import TableDest
+    from .sinks import TableSink
+
+    sink = TableSink(_spark(args), args.warehouse)
+    ds, _, tb = args.table.partition(".")
+    if not tb:
+        raise SystemExit(f"table must be dataset.table, got {args.table!r}")
+    dest = TableDest(ds, tb, args.partition)
+    if args.action == "create":
+        print(json.dumps(sink.snapshot(dest, args.name)))
+    elif args.action == "list":
+        print(json.dumps(sink.list_snapshots(dest)))
+    elif args.action == "drop":
+        sink.drop_snapshot(dest, args.name)
+        print(json.dumps({"dropped": args.name}))
+    elif args.action == "count":
+        print(
+            json.dumps(
+                {"name": args.name, "rows": sink.read_snapshot(dest, args.name).count()}
+            )
+        )
+    return 0
+
+
+def cmd_vacuum(args) -> int:
+    from .model import TableDest
+    from .sinks import TableSink
+
+    sink = TableSink(_spark(args), args.warehouse)
+    ds, _, tb = args.table.partition(".")
+    if not tb:
+        raise SystemExit(f"table must be dataset.table, got {args.table!r}")
+    print(json.dumps(sink.vacuum(TableDest(ds, tb, args.partition))))
+    return 0
+
+
 def cmd_query(args) -> int:
     """Run any registry query against a testdata scale-factor dir and
     print rows as JSON lines — the whole analytics surface from the
@@ -353,6 +392,20 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--partition", required=True, help="time unit of the table")
     sp.add_argument("--before", required=True, help="cutoff in the partition format")
     sp.set_defaults(fn=cmd_expire)
+
+    sp = sub.add_parser("snapshot", help="pin/read/list/drop named table snapshots")
+    sp.add_argument("action", choices=["create", "list", "drop", "count"])
+    sp.add_argument("--warehouse", default="warehouse")
+    sp.add_argument("--table", required=True, help="dataset.table")
+    sp.add_argument("--partition", default="", help="time unit of the table")
+    sp.add_argument("--name", help="snapshot name (create/drop/count)")
+    sp.set_defaults(fn=cmd_snapshot)
+
+    sp = sub.add_parser("vacuum", help="reclaim retired files no snapshot references")
+    sp.add_argument("--warehouse", default="warehouse")
+    sp.add_argument("--table", required=True, help="dataset.table")
+    sp.add_argument("--partition", default="", help="time unit of the table")
+    sp.set_defaults(fn=cmd_vacuum)
 
     sp = sub.add_parser("curate", help="dedup/filter/split a documents corpus")
     sp.add_argument("input", help="documents parquet path")

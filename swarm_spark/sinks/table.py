@@ -51,6 +51,8 @@ SCHEMA_FILE = "_swarm_schema.json"
 LOCK_FILE = "_swarm_schema.lock"
 COMMITS_DIR = "_swarm_commits"
 STAGED_PREFIX = "_staged-"
+SNAPSHOTS_DIR = "_swarm_snapshots"
+RETIRED_DIR = "_swarm_retired"
 # A schema lock whose mtime is older than this is treated as orphaned
 # (holder SIGKILLed) and broken by the next waiter. LIVE holders —
 # including a compact() spending minutes in the Spark rewrite — keep
@@ -235,7 +237,15 @@ class TableSink(Sink):
         d = self._dir(dest)
         out = []
         for root, dirs, files in os.walk(d):
-            dirs[:] = [x for x in dirs if not x.startswith(STAGED_PREFIX)]
+            # skip hidden dirs (staged txns, snapshots, retired files)
+            # but keep partition subdirs, whose marker col is itself
+            # underscore-prefixed
+            dirs[:] = [
+                x
+                for x in dirs
+                if x.startswith(f"{PARTITION_COL}=")
+                or not x.startswith(("_", "."))
+            ]
             for fn in files:
                 if fn.startswith(("_", ".")):
                     continue
@@ -491,10 +501,16 @@ class TableSink(Sink):
                 val = name.split("=", 1)[1]
                 if val < before:
                     pdir = os.path.join(d, name)
-                    removed_files += sum(
-                        len(fs) for _r, _d, fs in os.walk(pdir)
-                    )
-                    shutil.rmtree(pdir)
+                    # retire file-by-file (not rmtree) so a named
+                    # snapshot can still read the expired partition
+                    # until vacuum reclaims it
+                    for root, _dirs, fs in os.walk(pdir):
+                        for fn in fs:
+                            rel = os.path.relpath(os.path.join(root, fn), d)
+                            if not fn.startswith(("_", ".")):
+                                _retire(d, rel)
+                                removed_files += 1
+                    shutil.rmtree(pdir, ignore_errors=True)
                     removed_parts.append(val)
             return {
                 "partitions_removed": removed_parts,
@@ -533,6 +549,129 @@ class TableSink(Sink):
         if with_rows:
             stats["rows"] = int(self.read_table(dest).count())
         return stats
+
+    # -- named snapshots (pinned corpus versions) ----------------------
+    def _snap_path(self, dest: TableDest, name: str) -> str:
+        if not name or "/" in name or name.startswith((".", "_")):
+            raise ModelError(f"bad snapshot name: {name!r}")
+        return os.path.join(self._dir(dest), SNAPSHOTS_DIR, f"{name}.json")
+
+    def snapshot(self, dest: TableDest, name: str) -> dict:
+        """Pin the destination's CURRENT file set (and schema) under a
+        name — the "this exact corpus trained run X" primitive. A
+        snapshot is one atomically-written JSON manifest: no data is
+        copied, and later appends/compactions/retention never change
+        what :meth:`read_snapshot` returns, because maintenance
+        retires replaced files into a hidden mirror instead of
+        deleting them; only :meth:`vacuum` (which honors snapshot
+        references) reclaims bytes. The lock makes the listed set a
+        consistent point — never half of a concurrent compact."""
+        self._recover(dest)
+        schema = self._read_schema(dest)
+        if schema is None:
+            raise ModelError(f"no such table: {dest.dataset}.{dest.table}")
+        path = self._snap_path(dest, name)
+        if os.path.exists(path):
+            raise ModelError(f"snapshot already exists: {name}")
+        lock = self._lock(dest)
+        try:
+            files = self._data_files(dest)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = f"{path}.tmp"
+            with open(tmp, "w", encoding="utf-8") as f:
+                json.dump(
+                    {"name": name, "files": files, "schema": schema.jsonValue()},
+                    f,
+                )
+            os.replace(tmp, path)  # the snapshot's atomic publish
+            return {"name": name, "files": len(files)}
+        finally:
+            lock.release()
+
+    def _load_snapshot(self, dest: TableDest, name: str) -> dict:
+        path = self._snap_path(dest, name)
+        if not os.path.exists(path):
+            raise ModelError(f"no such snapshot: {name}")
+        with open(path, encoding="utf-8") as f:
+            return json.load(f)
+
+    def read_snapshot(self, dest: TableDest, name: str) -> DataFrame:
+        """Read exactly the rows the table held when ``name`` was
+        taken, with the schema AS OF the snapshot (later evolution
+        does not widen a pinned read). Each pinned file resolves to
+        its live path or its retired mirror; a file in neither was
+        vacuumed away and the read fails loudly rather than silently
+        shrinking a training corpus."""
+        snap = self._load_snapshot(dest, name)
+        d = self._dir(dest)
+        paths = []
+        for rel in snap["files"]:
+            live = os.path.join(d, rel)
+            retired = os.path.join(d, RETIRED_DIR, rel)
+            if os.path.exists(live):
+                paths.append(live)
+            elif os.path.exists(retired):
+                paths.append(retired)
+            else:
+                raise ModelError(
+                    f"snapshot {name!r} references vacuumed file: {rel}"
+                )
+        schema = T.StructType.fromJson(snap["schema"])
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def list_snapshots(self, dest: TableDest) -> list[dict]:
+        sdir = os.path.join(self._dir(dest), SNAPSHOTS_DIR)
+        if not os.path.isdir(sdir):
+            return []
+        out = []
+        for fn in sorted(os.listdir(sdir)):
+            if not fn.endswith(".json"):
+                continue
+            with open(os.path.join(sdir, fn), encoding="utf-8") as f:
+                snap = json.load(f)
+            out.append({"name": snap["name"], "files": len(snap["files"])})
+        return out
+
+    def drop_snapshot(self, dest: TableDest, name: str) -> None:
+        path = self._snap_path(dest, name)
+        if not os.path.exists(path):
+            raise ModelError(f"no such snapshot: {name}")
+        os.remove(path)
+
+    def vacuum(self, dest: TableDest) -> dict:
+        """Reclaim retired files no snapshot references — the Delta
+        VACUUM analogue (reference-counted by manifest, not by age).
+        Pure listing + unlink under the table lock; never touches the
+        live layout, so it is safe at any time and O(retired files)."""
+        if self._read_schema(dest) is None:
+            raise ModelError(f"no such table: {dest.dataset}.{dest.table}")
+        d = self._dir(dest)
+        rdir = os.path.join(d, RETIRED_DIR)
+        lock = self._lock(dest)
+        try:
+            referenced: set[str] = set()
+            for snap in self.list_snapshots(dest):
+                referenced.update(
+                    self._load_snapshot(dest, snap["name"])["files"]
+                )
+            removed = 0
+            kept = 0
+            if os.path.isdir(rdir):
+                for root, _dirs, files in os.walk(rdir, topdown=False):
+                    for fn in files:
+                        rel = os.path.relpath(os.path.join(root, fn), rdir)
+                        if rel in referenced:
+                            kept += 1
+                        else:
+                            os.remove(os.path.join(root, fn))
+                            removed += 1
+                    if root != rdir and not os.listdir(root):
+                        os.rmdir(root)
+            return {"files_removed": removed, "files_kept": kept}
+        finally:
+            lock.release()
 
     def read_table(self, dest: TableDest) -> DataFrame:
         self._recover(dest)
@@ -576,6 +715,22 @@ def _write_slice(d: str, dest: TableDest, df: DataFrame) -> int:
     return n
 
 
+def _retire(table_dir: str, rel: str) -> None:
+    """Atomically move a live data file into the ``_swarm_retired/``
+    mirror (same relative path, partition subdirs preserved). No-op if
+    the file is already retired or vacuumed — idempotent under crash
+    recovery and concurrent promoters."""
+    src = os.path.join(table_dir, rel)
+    if not os.path.exists(src):
+        return
+    dst = os.path.join(table_dir, RETIRED_DIR, rel)
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    try:
+        os.replace(src, dst)
+    except FileNotFoundError:
+        pass
+
+
 def _promote(table_dir: str, txn_id: str, replaces: list[str] | None = None) -> None:
     """Move a committed staged dir's data files into the table layout.
 
@@ -584,18 +739,19 @@ def _promote(table_dir: str, txn_id: str, replaces: list[str] | None = None) -> 
     only moves whatever is left. Partition subdirs (``__swarm_part=…``)
     are preserved; marker files (``_SUCCESS``) are dropped.
 
-    ``replaces`` (compaction manifests) lists old files to DELETE —
-    processed before the moves so a compacted row can never be visible
-    twice; deletion of an already-deleted file is a no-op, keeping
-    recovery re-runnable from any crash point."""
+    ``replaces`` (compaction/merge manifests) lists old files to drop
+    from the live layout — processed before the moves so a replaced
+    row can never be visible twice. Dropped files are RETIRED (atomic
+    rename into the hidden ``_swarm_retired/`` mirror), not deleted:
+    named snapshots may still reference them, and :meth:`TableSink.
+    vacuum` reclaims whatever no snapshot pins (the Delta/Iceberg
+    remove-then-VACUUM lifecycle). Retiring an already-retired file is
+    a no-op, keeping recovery re-runnable from any crash point."""
     staged = os.path.join(table_dir, f"{STAGED_PREFIX}{txn_id}")
     if not os.path.isdir(staged):
         return
     for rel in replaces or ():
-        try:
-            os.remove(os.path.join(table_dir, rel))
-        except FileNotFoundError:
-            pass
+        _retire(table_dir, rel)
     for root, _dirs, files in os.walk(staged):
         rel = os.path.relpath(root, staged)
         tgt = table_dir if rel == "." else os.path.join(table_dir, rel)

@@ -264,3 +264,51 @@ class TestQueryCommand:
     def test_unknown_query_rejected(self):
         with pytest.raises(SystemExit):
             main(["query", "nope_nope"])
+
+
+class TestSnapshotCli:
+    def test_snapshot_lifecycle(self, spark, workdir, capsys):
+        wh = str(workdir / "wh-snap")
+        _run(
+            capsys,
+            ["--cpus", "4", "ingest", str(workdir / "data" / "*.ndjson"),
+             "--rules", str(workdir / "policy"), "--warehouse", wh],
+        )
+        out = _run(
+            capsys,
+            ["--cpus", "4", "snapshot", "create", "--warehouse", wh,
+             "--table", "apps.logs", "--name", "run1"],
+        )
+        assert out["name"] == "run1" and out["files"] >= 1
+        # second ingest; snapshot count stays pinned
+        _run(
+            capsys,
+            ["--cpus", "4", "ingest", str(workdir / "data" / "*.ndjson"),
+             "--rules", str(workdir / "policy"), "--warehouse", wh],
+        )
+        out = _run(
+            capsys,
+            ["--cpus", "4", "snapshot", "count", "--warehouse", wh,
+             "--table", "apps.logs", "--name", "run1"],
+        )
+        assert out == {"name": "run1", "rows": 10}
+        out = _run(
+            capsys,
+            ["--cpus", "4", "snapshot", "list", "--warehouse", wh,
+             "--table", "apps.logs"],
+        )
+        assert [s["name"] for s in out] == ["run1"]
+        # compact retires the pinned slices; vacuum keeps them while
+        # the snapshot exists and reclaims them after the drop
+        _run(capsys, ["--cpus", "4", "compact", "--warehouse", wh,
+                      "--table", "apps.logs"])
+        out = _run(capsys, ["--cpus", "4", "vacuum", "--warehouse", wh,
+                            "--table", "apps.logs"])
+        # ingest-1's slice is pinned by the snapshot; ingest-2's
+        # (unpinned) retired slice is reclaimed immediately
+        assert out["files_kept"] >= 1
+        _run(capsys, ["--cpus", "4", "snapshot", "drop", "--warehouse", wh,
+                      "--table", "apps.logs", "--name", "run1"])
+        out = _run(capsys, ["--cpus", "4", "vacuum", "--warehouse", wh,
+                            "--table", "apps.logs"])
+        assert out["files_removed"] >= 1 and out["files_kept"] == 0

@@ -622,3 +622,112 @@ class TestPartitionScopedCompaction:
         sink.append(dest, df)
         stats = sink.compact(dest, partitions=["1999-01-01"])
         assert stats["files_before"] == stats["files_after"]
+
+
+class TestSnapshots:
+    """Named snapshots pin an exact file set; maintenance retires
+    (never deletes) replaced files; vacuum reclaims only what no
+    snapshot references — the Delta remove-then-VACUUM lifecycle."""
+
+    def _sink(self, spark, tmp_path):
+        sink = TableSink(spark, str(tmp_path / "wh"))
+        dest = TableDest("ds", "snap")
+        sink.ensure_table(dest, DATA)
+        return sink, dest
+
+    def test_snapshot_is_immune_to_later_appends(self, spark, tmp_path):
+        sink, dest = self._sink(spark, tmp_path)
+        sink.append(dest, _envelope_frame(spark, 5, "a"))
+        n_files = len(sink._data_files(dest))
+        assert sink.snapshot(dest, "run1") == {"name": "run1", "files": n_files}
+        sink.append(dest, _envelope_frame(spark, 7, "b"))
+        assert sink.read_table(dest).count() == 12
+        assert sink.read_snapshot(dest, "run1").count() == 5
+        assert sink.list_snapshots(dest) == [{"name": "run1", "files": n_files}]
+
+    def test_snapshot_survives_compaction_until_vacuum(self, spark, tmp_path):
+        sink, dest = self._sink(spark, tmp_path)
+        for i in range(4):
+            sink.append(dest, _envelope_frame(spark, 3, f"s{i}"))
+        n_pinned = len(sink._data_files(dest))
+        sink.snapshot(dest, "pinned")
+        ids_before = {r["id"] for r in sink.read_snapshot(dest, "pinned").collect()}
+        stats = sink.compact(dest)
+        assert stats["files_after"] < stats["files_before"]
+        # live read unchanged, snapshot still byte-exact via the
+        # retired mirror
+        assert sink.read_table(dest).count() == 12
+        ids_after = {r["id"] for r in sink.read_snapshot(dest, "pinned").collect()}
+        assert ids_after == ids_before
+        # vacuum keeps every snapshot-referenced retired file
+        v = sink.vacuum(dest)
+        assert v["files_removed"] == 0 and v["files_kept"] == n_pinned
+        assert sink.read_snapshot(dest, "pinned").count() == 12
+        # dropping the snapshot releases the references
+        sink.drop_snapshot(dest, "pinned")
+        v = sink.vacuum(dest)
+        assert v["files_kept"] == 0 and v["files_removed"] == n_pinned
+        with pytest.raises(ModelError):
+            sink.read_snapshot(dest, "pinned")
+
+    def test_vacuumed_snapshot_fails_loudly_not_short(self, spark, tmp_path):
+        sink, dest = self._sink(spark, tmp_path)
+        sink.append(dest, _envelope_frame(spark, 4, "a"))
+        sink.append(dest, _envelope_frame(spark, 4, "b"))
+        sink.snapshot(dest, "pin")
+        sink.compact(dest)
+        # vacuum while the snapshot exists: nothing reclaimed
+        assert sink.vacuum(dest)["files_removed"] == 0
+        sink.drop_snapshot(dest, "pin")
+        sink.vacuum(dest)
+        # the manifest is gone with the snapshot; a fresh one can't
+        # resurrect the vacuumed files
+        with pytest.raises(ModelError):
+            sink.read_snapshot(dest, "pin")
+
+    def test_snapshot_pins_expired_partition(self, spark, tmp_path):
+        sink = TableSink(spark, str(tmp_path / "wh"))
+        dest = TableDest("ds", "parts", "day")
+        sink.ensure_table(dest, DATA)
+        old = _envelope_frame(spark, 3, "old").withColumn(
+            "timestamp", F.lit("2024-01-01 00:00:00").cast("timestamp")
+        )
+        new = _envelope_frame(spark, 4, "new").withColumn(
+            "timestamp", F.lit("2024-03-01 00:00:00").cast("timestamp")
+        )
+        sink.append(dest, old)
+        sink.append(dest, new)
+        sink.snapshot(dest, "before-retention")
+        got = sink.expire_partitions(dest, before="2024-02-01")
+        assert got["partitions_removed"] == ["2024-01-01"]
+        assert sink.read_table(dest).count() == 4
+        # the pinned read still sees the expired partition's rows
+        assert sink.read_snapshot(dest, "before-retention").count() == 7
+        sink.drop_snapshot(dest, "before-retention")
+        assert sink.vacuum(dest)["files_removed"] >= 1
+
+    def test_snapshot_schema_is_as_of(self, spark, tmp_path):
+        """Later schema evolution does not widen a pinned read."""
+        sink, dest = self._sink(spark, tmp_path)
+        sink.append(dest, _envelope_frame(spark, 2, "a"))
+        sink.snapshot(dest, "v1")
+        wider = T.StructType(
+            [T.StructField("v", T.LongType(), True),
+             T.StructField("extra", T.StringType(), True)]
+        )
+        sink.ensure_table(dest, wider)
+        assert "extra" in sink.read_table(dest).schema["data"].dataType.names
+        snap_fields = sink.read_snapshot(dest, "v1").schema["data"].dataType.names
+        assert "extra" not in snap_fields
+
+    def test_duplicate_and_bad_names_rejected(self, spark, tmp_path):
+        sink, dest = self._sink(spark, tmp_path)
+        sink.append(dest, _envelope_frame(spark, 1, "a"))
+        sink.snapshot(dest, "x")
+        with pytest.raises(ModelError):
+            sink.snapshot(dest, "x")
+        for bad in ("", "_hidden", ".dot", "a/b"):
+            with pytest.raises(ModelError):
+                sink.snapshot(dest, bad)
+        with pytest.raises(ModelError):
+            sink.drop_snapshot(dest, "nope")
