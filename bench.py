@@ -54,9 +54,11 @@ def main() -> None:
         "dedup_minhash_incremental",
         "dedup_simhash64_pairs",
         "dedup_embedding",
+        "dedup_semantic",
         "ann_topk_bruteforce",
         "multimodal_features",
         "tfidf_top_terms",
+        "sample_token_budget",
     ]
     names = [n for n in names if n in CORE]
 

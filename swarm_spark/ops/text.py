@@ -546,6 +546,113 @@ def unigram_surprisal(
     )
 
 
+def dsir_importance(
+    df: DataFrame,
+    target: DataFrame | Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 4096,
+    seed: str = "swarm-dsir",
+) -> DataFrame:
+    """Hashed-bigram importance weights (DSIR, Xie et al. 2023): score
+    every raw document by how target-like its n-gram distribution is —
+    importance(doc) = Σ over the doc's hashed bigram features of
+    ln p_target(bucket) − ln p_raw(bucket), Laplace-smoothed over
+    ``num_buckets``. Rank by the weight (or sample ∝ exp(weight)) to
+    select pretraining data toward a target domain without a model.
+
+    Output (doc_id, n_bigrams, importance_micro): the log-ratio sum in
+    integer micro-nats — each bucket's ratio is rounded to micro-nats
+    ONCE, so the per-doc sum is 64-bit-integer arithmetic,
+    order-independent under any partitioning (the same engine-exact
+    contract as :func:`unigram_surprisal`). Docs with < 2 tokens have
+    no features and are excluded.
+
+    Scale shape: feature hashing bounds the statistic to
+    ``num_buckets`` rows — count aggregations are map-side-combined
+    shuffles that collapse to ≤ num_buckets rows, the per-bucket
+    log-ratio frame BROADCASTS to the scoring join (never a shuffle of
+    the corpus by bucket), and the per-doc reduce is a map-side-
+    combined integer sum. Pass ``target`` as a boolean COLUMN over
+    ``df``'s rows (the common "target is a labeled slice of the raw
+    pool" case) and raw + target counts fuse into ONE aggregation over
+    one corpus scan — the executed plan reads the corpus exactly
+    twice (stats + scoring), total. A separate target DataFrame costs
+    one extra scan of its own. The two grand totals are collected at
+    the driver (two longs — metadata, like IVF centroids) so no
+    1-row-broadcast joins ride the plan.
+    """
+    if num_buckets < 2:
+        raise ValueError(f"num_buckets must be >= 2, got {num_buckets}")
+    from .sampling import hash_bucket
+
+    def _bg(frame: DataFrame, extra: Column | None = None) -> DataFrame:
+        cols = [F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("ws")]
+        if extra is not None:
+            cols.append(extra.cast("long").alias("is_t"))
+        out = frame.select(*cols).select(
+            "*",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(ws) < 2 THEN array() "
+                    "ELSE transform(sequence(0, size(ws) - 2), "
+                    "i -> concat(ws[i], ' ', ws[i + 1])) END"
+                )
+            ).alias("bg"),
+        )
+        keep = ["doc_id"] + (["is_t"] if extra is not None else [])
+        return out.select(
+            *keep,
+            (hash_bucket(F.col("bg"), seed) % num_buckets)
+            .cast("int")
+            .alias("bkt"),
+        )
+
+    if isinstance(target, Column):
+        bk = _bg(df, extra=target)
+        counts = bk.groupBy("bkt").agg(
+            F.count(F.lit(1)).cast("long").alias("cr"),
+            F.sum("is_t").cast("long").alias("ct"),
+        )
+        raw_bg = bk.select("doc_id", "bkt")
+    else:
+        raw_bg = _bg(df)
+        raw = raw_bg.groupBy("bkt").agg(
+            F.count(F.lit(1)).cast("long").alias("cr")
+        )
+        tgt = _bg(target).groupBy("bkt").agg(
+            F.count(F.lit(1)).cast("long").alias("ct")
+        )
+        counts = raw.join(tgt, "bkt", "left").na.fill(0, ["ct"])
+    tot = counts.agg(
+        F.coalesce(F.sum("cr"), F.lit(0)).alias("rt"),
+        F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"),
+    ).head()
+    rt, tt = int(tot["rt"]), int(tot["tt"])
+    b = int(num_buckets)
+    stats = counts.select(
+        "bkt",
+        F.round(
+            (
+                F.log((F.col("ct") + 1) / F.lit(float(tt + b)))
+                - F.log((F.col("cr") + 1) / F.lit(float(rt + b)))
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("lr_micro"),
+    )
+    return (
+        raw_bg.join(F.broadcast(stats), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("lr_micro").alias("importance_micro"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     k: int = 3,

@@ -1454,6 +1454,43 @@ FROM j, m ORDER BY j.lang
 """
 
 
+def q_text_dsir(spark, sf):
+    """DSIR importance weights toward the English slice: every doc
+    scored by Σ hashed-bigram ln(p_target/p_raw) in integer micro-nats
+    — the model-free data-selection ranking (rank or sample ∝ weight
+    to shift a 100-TB corpus toward a target domain)."""
+    from .ops.text import dsir_importance
+
+    # predicate-form target: raw + target stats fuse into one scan
+    return dsir_importance(_docs(spark, sf), F.col("lang") == "en")
+
+
+SQL_DSIR = f"""
+WITH w AS (SELECT doc_id, lang, regexp_split_to_array(text, ' +') AS ws
+           FROM documents),
+bg AS (SELECT doc_id, lang,
+              unnest(list_transform(range(greatest(len(ws) - 1, 0)),
+                     i -> ws[i + 1] || ' ' || ws[i + 2])) AS bg
+       FROM w),
+bk AS (SELECT doc_id, lang,
+              {_md5_bucket_sql('bg', 'swarm-dsir')} % 4096 AS bkt
+       FROM bg),
+raw AS (SELECT bkt, cast(count(*) AS bigint) AS cr FROM bk GROUP BY 1),
+tgt AS (SELECT bkt, cast(count(*) AS bigint) AS ct FROM bk
+        WHERE lang = 'en' GROUP BY 1),
+rt AS (SELECT cast(sum(cr) AS bigint) AS rt FROM raw),
+tt AS (SELECT cast(coalesce(sum(ct), 0) AS bigint) AS tt FROM tgt),
+stats AS (SELECT raw.bkt,
+                 cast(round((ln((coalesce(ct, 0) + 1) / (tt + 4096.0))
+                           - ln((cr + 1) / (rt + 4096.0))) * 1000000)
+                      AS bigint) AS lr
+          FROM raw LEFT JOIN tgt USING (bkt), rt, tt)
+SELECT bk.doc_id, cast(count(*) AS bigint) AS n_bigrams,
+       cast(sum(lr) AS bigint) AS importance_micro
+FROM bk JOIN stats USING (bkt) GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_tfidf_top_terms(spark, sf):
     """Top-10 tokens per language by tf·ln(N/df) — the per-slice
     characteristic-vocabulary report."""
@@ -1924,6 +1961,7 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "sample_balance_langs": (q_sample_balance_langs, SQL_BALANCE_LANGS),
     "sample_token_budget": (q_sample_token_budget, SQL_TOKEN_BUDGET),
     "corpus_mixture_plan": (q_corpus_mixture_plan, SQL_MIXTURE_PLAN),
+    "text_dsir": (q_text_dsir, SQL_DSIR),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF),
     "knn_classify": (q_knn_classify, SQL_KNN_CLASSIFY),
     "text_token_stats": (q_text_token_stats, SQL_TOKEN_STATS),

@@ -827,3 +827,54 @@ class TestSemanticDedup:
         assert pairs  # threshold low enough to emit something
         for r in pairs:
             assert cells[r["id_a"]] == cells[r["id_b"]] == r["cell"]
+
+
+class TestDsirImportance:
+    def _corpus(self, spark):
+        rows = [
+            # target-domain docs: legal-ish bigrams
+            (1, "the court held that the court ruled", 1),
+            (2, "the court ruled on the appeal", 1),
+            # near-target doc: shares the distinctive bigrams
+            (3, "the court held the appeal", 0),
+            # off-target doc: disjoint vocabulary
+            (4, "banana smoothie recipe with extra mango", 0),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string, is_tgt int")
+
+    def test_target_like_docs_rank_higher(self, spark):
+        from swarm_spark.ops.text import dsir_importance
+
+        df = self._corpus(spark)
+        out = {
+            r["doc_id"]: r
+            for r in dsir_importance(df, F.col("is_tgt") == 1).collect()
+        }
+        assert set(out) == {1, 2, 3, 4}
+        # normalize by feature count to compare docs of different length
+        avg = {k: v["importance_micro"] / v["n_bigrams"] for k, v in out.items()}
+        assert avg[3] > avg[4]          # near-target beats off-target
+        assert min(avg[1], avg[2]) > avg[4]
+
+    def test_column_and_frame_targets_agree(self, spark):
+        from swarm_spark.ops.text import dsir_importance
+
+        df = self._corpus(spark)
+        fused = dsir_importance(df, F.col("is_tgt") == 1).collect()
+        twoframe = dsir_importance(df, df.where(F.col("is_tgt") == 1)).collect()
+        key = lambda rows: sorted(
+            (r["doc_id"], r["n_bigrams"], r["importance_micro"]) for r in rows
+        )
+        assert key(fused) == key(twoframe)
+
+    def test_short_docs_excluded_and_bad_buckets(self, spark):
+        from swarm_spark.ops.text import dsir_importance
+
+        df = spark.createDataFrame(
+            [(1, "one", 0), (2, "two tokens here", 1)],
+            "doc_id long, text string, is_tgt int",
+        )
+        out = dsir_importance(df, F.col("is_tgt") == 1).collect()
+        assert [r["doc_id"] for r in out] == [2]
+        with pytest.raises(ValueError):
+            dsir_importance(df, F.col("is_tgt") == 1, num_buckets=1)
