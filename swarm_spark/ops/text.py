@@ -546,6 +546,66 @@ def unigram_surprisal(
     )
 
 
+def chunk_text(
+    df: DataFrame,
+    size: int = 128,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window token chunking WITHIN each document — the
+    RAG-indexing / context-window-preprocessing splitter (documents
+    keep their boundaries, unlike :func:`swarm_spark.ops.packing.
+    pack_concat_chunks` which packs across them). Windows of ``size``
+    whitespace tokens advance by ``size − overlap``; the last window
+    starts at the smallest multiple of the stride that still reaches
+    the document's end (the standard fixed-stride rule — no trailing
+    window fully contained in its predecessor).
+
+    Output, one row per (doc, window): (doc_id, chunk_id, start_tok,
+    n_tok, chunk). Pure codegen — an array transform + explode + slice
+    per row, no shuffle, no UDF; chunking pushes through the scan like
+    any projection, so chunking 100 TB is scan-bound.
+    """
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    if not 0 <= overlap < size:
+        raise ValueError(f"overlap must be in [0, size), got {overlap}")
+    step = size - overlap
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("ws")
+    ).withColumn("n", F.size("ws"))
+    # last chunk index: 0 if the doc fits one window, else
+    # ceil((n - size) / step) — the add-then-truncate form is exact for
+    # non-negative operands in BOTH truncating (Spark div) and flooring
+    # (DuckDB //) integer division, so the oracle mirrors it verbatim
+    starts = (
+        f"transform(sequence(0, CASE WHEN n <= {size} THEN 0 "
+        f"ELSE (n - {size} + {step - 1}) div {step} END), k -> k * {step})"
+    )
+    return (
+        toks.where(F.col("n") > 0)
+        .select(
+            "doc_id",
+            "ws",
+            "n",
+            F.posexplode(F.expr(starts)).alias("chunk_id", "start_tok"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long"),
+            F.col("start_tok").cast("long"),
+            F.least(F.lit(size), F.col("n") - F.col("start_tok"))
+            .cast("long")
+            .alias("n_tok"),
+            F.expr(f"concat_ws(' ', slice(ws, start_tok + 1, {size}))").alias(
+                "chunk"
+            ),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
 def dsir_importance(
     df: DataFrame,
     target: DataFrame | Column,

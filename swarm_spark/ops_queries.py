@@ -1454,6 +1454,32 @@ FROM j, m ORDER BY j.lang
 """
 
 
+def q_text_chunks(spark, sf):
+    """Sliding-window token chunking (size 32, overlap 8): the
+    RAG-indexing splitter — per-document windows, boundaries kept,
+    pure codegen (array transform + explode; chunking is scan-bound
+    at any corpus size)."""
+    from .ops.text import chunk_text
+
+    return chunk_text(_docs(spark, sf), size=32, overlap=8)
+
+
+SQL_TEXT_CHUNKS = f"""
+WITH w AS ({_WS}),
+t AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) > 0),
+s AS (SELECT doc_id, ws, n,
+             unnest(range(0, (CASE WHEN n <= 32 THEN 0
+                              ELSE (n - 32 + 23) // 24 END) + 1)) AS chunk_id
+      FROM t)
+SELECT doc_id, cast(chunk_id AS bigint) AS chunk_id,
+       cast(chunk_id * 24 AS bigint) AS start_tok,
+       cast(least(32, n - chunk_id * 24) AS bigint) AS n_tok,
+       array_to_string(list_slice(ws, chunk_id * 24 + 1, chunk_id * 24 + 32),
+                       ' ') AS chunk
+FROM s ORDER BY doc_id, chunk_id
+"""
+
+
 def q_text_dsir(spark, sf):
     """DSIR importance weights toward the English slice: every doc
     scored by Σ hashed-bigram ln(p_target/p_raw) in integer micro-nats
@@ -1962,6 +1988,7 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "sample_token_budget": (q_sample_token_budget, SQL_TOKEN_BUDGET),
     "corpus_mixture_plan": (q_corpus_mixture_plan, SQL_MIXTURE_PLAN),
     "text_dsir": (q_text_dsir, SQL_DSIR),
+    "text_chunks": (q_text_chunks, SQL_TEXT_CHUNKS),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF),
     "knn_classify": (q_knn_classify, SQL_KNN_CLASSIFY),
     "text_token_stats": (q_text_token_stats, SQL_TOKEN_STATS),

@@ -878,3 +878,62 @@ class TestDsirImportance:
         assert [r["doc_id"] for r in out] == [2]
         with pytest.raises(ValueError):
             dsir_importance(df, F.col("is_tgt") == 1, num_buckets=1)
+
+
+class TestChunkText:
+    def test_hand_case_windows(self, spark):
+        from swarm_spark.ops.text import chunk_text
+
+        df = spark.createDataFrame(
+            [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2, "a b c"), (3, "")],
+            "doc_id long, text string",
+        )
+        out = chunk_text(df, size=4, overlap=2).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        # 10 tokens, size 4, stride 2 -> starts 0,2,4,6 (6+4 >= 10 stops)
+        d1 = by_doc[1]
+        assert [(r["chunk_id"], r["start_tok"], r["n_tok"]) for r in d1] == [
+            (0, 0, 4), (1, 2, 4), (2, 4, 4), (3, 6, 4)
+        ]
+        assert d1[0]["chunk"] == "t0 t1 t2 t3"
+        assert d1[3]["chunk"] == "t6 t7 t8 t9"
+        # short doc -> one (shorter) window; empty text -> one ['']
+        # token (the whitespace-token contract), still one chunk
+        assert [(r["start_tok"], r["n_tok"], r["chunk"]) for r in by_doc[2]] == [
+            (0, 3, "a b c")
+        ]
+        assert len(by_doc[3]) == 1
+
+    def test_every_token_covered_and_strides_exact(self, spark):
+        from swarm_spark.ops.text import chunk_text
+
+        df = spark.createDataFrame(
+            [(i, " ".join(f"w{j}" for j in range(i))) for i in range(1, 40)],
+            "doc_id long, text string",
+        )
+        out = chunk_text(df, size=8, overlap=3).collect()
+        for r in out:
+            assert 1 <= r["n_tok"] <= 8
+            assert r["start_tok"] == r["chunk_id"] * 5
+        cover = {}
+        for r in out:
+            cover.setdefault(r["doc_id"], set()).update(
+                range(r["start_tok"], r["start_tok"] + r["n_tok"])
+            )
+        for i in range(1, 40):
+            assert cover[i] == set(range(i))
+        # no window fully contained in its predecessor
+        for doc, rows in ((d, [r for r in out if r["doc_id"] == d]) for d in (25, 39)):
+            ends = [r["start_tok"] + r["n_tok"] for r in sorted(rows, key=lambda r: r["chunk_id"])]
+            assert ends == sorted(set(ends))
+
+    def test_bad_params(self, spark):
+        from swarm_spark.ops.text import chunk_text
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            chunk_text(df, size=0)
+        with pytest.raises(ValueError):
+            chunk_text(df, size=4, overlap=4)
