@@ -402,9 +402,43 @@ def vocab_stats(
     (shuffle ∝ distinct vocab, not corpus bytes), then rank/cumsum
     windows over the top_k frame only — top_k is a constant, so the
     single-partition window is metadata-sized by construction.
+
+    Composition: ``vocab_report(vocab_counts(df), top_k)`` — keep the
+    (token, count) frame (:func:`vocab_counts`) in the warehouse and
+    maintain it with :func:`vocab_merge` so a new ingest wave never
+    forces a full-corpus rescan.
     """
-    toks = df.select(F.explode(tokens_col(text_col)).alias("tok"))
-    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    return vocab_report(vocab_counts(df, text_col), top_k)
+
+
+def vocab_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(tok, cnt) raw vocabulary counts — the materialized statistic a
+    warehouse stores next to the corpus. One map-side-combined shuffle
+    ∝ distinct vocab."""
+    return (
+        df.select(F.explode(tokens_col(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def vocab_merge(stored: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold a new wave's (tok, cnt) counts into stored counts —
+    incremental vocabulary maintenance: counts are a commutative
+    monoid, so merge(counts(A), counts(B)) is EXACTLY counts(A ∪ B)
+    (pinned by the ``corpus_vocab_incremental`` oracle). At 100 TB the
+    union shuffles two vocab-sized frames, never the corpus."""
+    return (
+        stored.select("tok", "cnt")
+        .unionByName(delta.select("tok", "cnt"))
+        .groupBy("tok")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def vocab_report(counts: DataFrame, top_k: int = 1000) -> DataFrame:
+    """(token, count, rank, cum_share) report from a (tok, cnt) frame
+    (see :func:`vocab_stats` for the contract)."""
     total = counts.agg(F.sum("cnt").alias("tot"))
     # orderBy().limit() plans as distributed TakeOrdered — no global
     # single-partition sort of the vocab; only the top_k survivors

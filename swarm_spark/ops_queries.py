@@ -463,6 +463,26 @@ FROM r, tot WHERE rank <= 25 ORDER BY rank
 """
 
 
+def q_corpus_vocab_incremental(spark, sf):
+    """Incremental vocabulary maintenance invariant, hash-checked:
+    fold wave B's token counts into the STORED counts of wave A (a
+    hash split of the corpus) and report the top-40 — byte-identical
+    to a full recompute (the oracle), because counts form a
+    commutative monoid. The property that lets a 100-TB warehouse
+    keep vocab stats current without ever rescanning the corpus."""
+    from .ops.sampling import hash_bucket
+    from .ops.text import vocab_counts, vocab_merge, vocab_report
+
+    docs = _docs(spark, sf)
+    b = hash_bucket("doc_id", "swarm-vmerge") % 2
+    stored = vocab_counts(docs.where(b == 0))
+    merged = vocab_merge(stored, vocab_counts(docs.where(b == 1)))
+    return vocab_report(merged, top_k=40)
+
+
+SQL_VOCAB_INCR = SQL_CORPUS_VOCAB.replace("rank <= 25", "rank <= 40")
+
+
 # -------------------------------------------------- corpus curation e2e
 def q_corpus_length_hist(spark, sf):
     """Pre-packing corpus length report: 128-token buckets with
@@ -2028,5 +2048,6 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "text_decontaminate": (q_text_decontaminate, SQL_DECONTAMINATE),
     "corpus_curate": (q_corpus_curate, SQL_CORPUS_CURATE),
     "corpus_vocab": (q_corpus_vocab, SQL_CORPUS_VOCAB),
+    "corpus_vocab_incremental": (q_corpus_vocab_incremental, SQL_VOCAB_INCR),
     "corpus_length_hist": (q_corpus_length_hist, SQL_CORPUS_LENGTH_HIST),
 }

@@ -937,3 +937,25 @@ class TestChunkText:
             chunk_text(df, size=0)
         with pytest.raises(ValueError):
             chunk_text(df, size=4, overlap=4)
+
+
+class TestVocabMerge:
+    def test_merge_equals_full_recompute(self, spark):
+        from swarm_spark.ops.text import vocab_counts, vocab_merge, vocab_report
+
+        a = spark.createDataFrame(
+            [(1, "x y x"), (2, "y z")], "doc_id long, text string"
+        )
+        b = spark.createDataFrame(
+            [(3, "z z w"), (4, "x")], "doc_id long, text string"
+        )
+        merged = vocab_merge(vocab_counts(a), vocab_counts(b))
+        full = vocab_counts(a.unionByName(b))
+        assert {(r["tok"], r["cnt"]) for r in merged.collect()} == {
+            (r["tok"], r["cnt"]) for r in full.collect()
+        } == {("x", 3), ("y", 2), ("z", 3), ("w", 1)}
+        rep = vocab_report(merged, top_k=2).collect()
+        assert [(r["token"], r["count"], r["rank"]) for r in rep] == [
+            ("x", 3, 1), ("z", 3, 2)
+        ]
+        assert rep[-1]["cum_share"] == round(6 / 9, 6)

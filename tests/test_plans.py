@@ -64,6 +64,7 @@ BNLJ_ALLOWED = {
     "ann_ivf_recall",
     "corpus_mixture_plan",  # crossJoin(broadcast(1-row min budget))
     "corpus_vocab",
+    "corpus_vocab_incremental",  # same 1-row total attach as corpus_vocab
     "knn_classify",
     "text_surprisal",
 }
