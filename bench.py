@@ -59,6 +59,7 @@ def main() -> None:
         "multimodal_features",
         "tfidf_top_terms",
         "sample_token_budget",
+        "text_dsir",
     ]
     names = [n for n in names if n in CORE]
 
