@@ -280,7 +280,33 @@ def cmd_curate(args) -> int:
         kept = stratified_cap(
             kept, "pred_lang", cap=args.cap_per_lang, key=args.id_col
         ).drop("rk")
+    if args.token_budget_per_lang:
+        # token-denominated mix control: hash-order prefix per language
+        # until the budget (what a training mix actually spends)
+        from .ops.sampling import token_budget_sample
+
+        kept = token_budget_sample(
+            kept,
+            "pred_lang",
+            budget=args.token_budget_per_lang,
+            key=args.id_col,
+            text_col=args.text_col,
+        ).drop("n_tok", "cum_tok")
     kept = kept.withColumn("split", split_column(args.id_col))
+    if args.chunk_size:
+        # terminal chunking stage: emit fixed-stride token windows
+        # (RAG/pretraining layout) instead of whole documents
+        from .ops.text import chunk_text
+
+        kept = chunk_text(
+            kept.select(args.id_col, args.text_col, "split"),
+            size=args.chunk_size,
+            overlap=args.chunk_overlap,
+            text_col=args.text_col,
+            id_col=args.id_col,
+        ).join(
+            kept.select(F.col(args.id_col).alias("doc_id"), "split"), "doc_id"
+        )
     kept.write.mode("overwrite").partitionBy("split").parquet(args.output)
     out = spark.read.parquet(args.output)
     by_split = {
@@ -422,6 +448,19 @@ def build_parser() -> argparse.ArgumentParser:
         help="also drop MinHash near-dups at this est-jaccard (0 = off)",
     )
     sp.add_argument("--max-df", type=int, default=1000, help="DF-prune cap for near-dup")
+    sp.add_argument(
+        "--token-budget-per-lang",
+        type=int,
+        default=0,
+        help="keep each language's hash-order prefix up to N tokens (0 = off)",
+    )
+    sp.add_argument(
+        "--chunk-size",
+        type=int,
+        default=0,
+        help="emit fixed-stride token windows of this size instead of docs (0 = off)",
+    )
+    sp.add_argument("--chunk-overlap", type=int, default=0)
     sp.set_defaults(fn=cmd_curate)
 
     sp = sub.add_parser("serve", help="HTTP push endpoint")

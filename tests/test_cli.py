@@ -312,3 +312,54 @@ class TestSnapshotCli:
         out = _run(capsys, ["--cpus", "4", "vacuum", "--warehouse", wh,
                             "--table", "apps.logs"])
         assert out["files_removed"] >= 1 and out["files_kept"] == 0
+
+
+class TestCurateBudgetAndChunks:
+    def test_curate_token_budget(self, spark, tmp_path, capsys):
+        import pyspark.sql.functions as F  # noqa: N812
+
+        out = str(tmp_path / "budgeted")
+        _run(
+            capsys,
+            [
+                "--cpus", "4",
+                "curate", "/root/testdata/sf0.001/documents.parquet",
+                "-o", out,
+                "--min-quality", "0.0",
+                "--token-budget-per-lang", "500",
+            ],
+        )
+        back = spark.read.parquet(out)
+        per_lang = {
+            r["pred_lang"]: r["toks"]
+            for r in back.selectExpr(
+                "pred_lang", "size(split(text, ' +')) AS n"
+            ).groupBy("pred_lang").agg(F.sum("n").alias("toks")).collect()
+        }
+        assert per_lang
+        # every language stops within one doc of the budget line
+        for lang, toks in per_lang.items():
+            mx = back.where(F.col("pred_lang") == lang).selectExpr(
+                "max(size(split(text, ' +')))"
+            ).head()[0]
+            assert toks < 500 + mx
+
+    def test_curate_chunked_output(self, spark, tmp_path, capsys):
+        import pyspark.sql.functions as F  # noqa: N812
+
+        out = str(tmp_path / "chunked")
+        _run(
+            capsys,
+            [
+                "--cpus", "4",
+                "curate", "/root/testdata/sf0.001/documents.parquet",
+                "-o", out,
+                "--min-quality", "0.0",
+                "--chunk-size", "16",
+                "--chunk-overlap", "4",
+            ],
+        )
+        back = spark.read.parquet(out)
+        assert set(back.columns) >= {"doc_id", "chunk_id", "start_tok", "n_tok", "chunk", "split"}
+        assert back.where(F.col("n_tok") > 16).count() == 0
+        assert back.count() > back.select("doc_id").distinct().count()
