@@ -150,6 +150,90 @@ def prune_by_df(
     return shingles.join(over, "sh", "left_anti")
 
 
+def shared_substring_runs(
+    df: DataFrame,
+    k: int = 8,
+    min_run: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int = 100,
+) -> DataFrame:
+    """Exact shared-substring runs of ≥ ``min_run`` tokens between
+    document pairs — the ExactSubstr dedup signal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"):
+    verbatim passages copied across documents, which set-based Jaccard
+    underweights and MinHash can miss entirely when the rest of the
+    documents differ.
+
+    Method: every k-token gram is hashed with its position; matching
+    grams across a pair lie on a DIAGONAL (pos_a − pos_b constant),
+    and consecutive positions on one diagonal merge into a maximal
+    run via the gaps-and-islands rule (pos − row_number constant ⇔
+    contiguous). A run of m matching grams is m + k − 1 shared tokens.
+    Output (doc_a, doc_b, start_a, start_b, run_tokens).
+
+    Scale shape: gram hashing is the codegen explode-project shape of
+    winnowing; DF pruning caps the candidate join exactly as the
+    Jaccard tier does (a boilerplate gram in d docs is O(d²) —
+    ``max_df`` bounds it); the islands window partitions by (pair,
+    diagonal), so a window partition is bounded by one PAIR's matches
+    on one alignment — per-document-pair-bounded, the same taxonomy
+    class as winnowing's per-doc window, never corpus-keyed.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if min_run < k:
+        raise ValueError(f"min_run must be >= k, got {min_run} < {k}")
+    from pyspark.sql import Window
+
+    ws = tokens_col(text_col)
+    base = df.select(F.col(id_col).alias("doc_id"), ws.alias("ws")).where(
+        F.size("ws") >= k
+    )
+    pos = base.select(
+        "doc_id",
+        "ws",
+        F.explode(F.sequence(F.lit(0), F.size("ws") - k)).alias("i"),
+    )
+    gram = F.concat_ws(
+        " ", *[F.element_at("ws", F.col("i") + j + 1) for j in range(k)]
+    )
+    hashed = pos.select(
+        "doc_id", F.col("i").cast("long").alias("i"), F.md5(gram).alias("sh")
+    )
+    pruned = prune_by_df(hashed, max_df)
+    a = pruned.select(
+        F.col("doc_id").alias("doc_a"), F.col("i").alias("pa"), "sh"
+    )
+    b = pruned.select(
+        F.col("doc_id").alias("doc_b"), F.col("i").alias("pb"), "sh"
+    )
+    m = (
+        a.join(b, "sh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    return (
+        m.withColumn("island", F.col("pa") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+            F.count(F.lit(1)).alias("nm"),
+        )
+        .where(F.col("nm") + (k - 1) >= min_run)
+        .select(
+            "doc_a",
+            "doc_b",
+            "start_a",
+            "start_b",
+            (F.col("nm") + (k - 1)).cast("long").alias("run_tokens"),
+        )
+        .orderBy("doc_a", "doc_b", "start_a")
+    )
+
+
 # ------------------------------------------------------ ngram jaccard
 def ngram_jaccard_pairs(
     df: DataFrame,

@@ -1474,6 +1474,43 @@ FROM j, m ORDER BY j.lang
 """
 
 
+def q_dedup_substring_runs(spark, sf):
+    """Exact shared-substring runs ≥ 16 tokens (8-gram diagonals,
+    gaps-and-islands merge) — the ExactSubstr verbatim-copy signal
+    that set-based similarity underweights."""
+    from .ops.dedup import shared_substring_runs
+
+    return shared_substring_runs(_docs(spark, sf), k=8, min_run=16)
+
+
+def _substr_runs_sql(k: int = 8, min_run: int = 16, max_df: int = 100) -> str:
+    terms = " || ' ' || ".join(f"ws[i + {j + 1}]" for j in range(k))
+    return f"""
+WITH w AS ({_WS}),
+t AS (SELECT doc_id, ws FROM w WHERE len(ws) >= {k}),
+p AS (SELECT doc_id, unnest(range(len(ws) - {k - 1})) AS i, ws FROM t),
+g AS (SELECT doc_id, cast(i AS bigint) AS i, md5({terms}) AS sh FROM p),
+keep AS (SELECT sh FROM g GROUP BY 1 HAVING count(*) <= {max_df}),
+gp AS (SELECT g.* FROM g JOIN keep USING (sh)),
+m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.i AS pa, b.i AS pb,
+             a.i - b.i AS diag
+      FROM gp a JOIN gp b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+r AS (SELECT doc_a, doc_b, diag, pa, pb,
+             pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                     ORDER BY pa) AS island
+      FROM m)
+SELECT doc_a, doc_b, cast(min(pa) AS bigint) AS start_a,
+       cast(min(pb) AS bigint) AS start_b,
+       cast(count(*) + {k - 1} AS bigint) AS run_tokens
+FROM r GROUP BY doc_a, doc_b, diag, island
+HAVING count(*) + {k - 1} >= {min_run}
+ORDER BY doc_a, doc_b, start_a
+"""
+
+
+SQL_SUBSTRING_RUNS = _substr_runs_sql()
+
+
 def q_text_chunks(spark, sf):
     """Sliding-window token chunking (size 32, overlap 8): the
     RAG-indexing splitter — per-document windows, boundaries kept,
@@ -2009,6 +2046,7 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "corpus_mixture_plan": (q_corpus_mixture_plan, SQL_MIXTURE_PLAN),
     "text_dsir": (q_text_dsir, SQL_DSIR),
     "text_chunks": (q_text_chunks, SQL_TEXT_CHUNKS),
+    "dedup_substring_runs": (q_dedup_substring_runs, SQL_SUBSTRING_RUNS),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF),
     "knn_classify": (q_knn_classify, SQL_KNN_CLASSIFY),
     "text_token_stats": (q_text_token_stats, SQL_TOKEN_STATS),

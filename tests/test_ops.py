@@ -959,3 +959,49 @@ class TestVocabMerge:
             ("x", 3, 1), ("z", 3, 2)
         ]
         assert rep[-1]["cum_share"] == round(6 / 9, 6)
+
+
+class TestSharedSubstringRuns:
+    def test_planted_verbatim_passage(self, spark):
+        from swarm_spark.ops.dedup import shared_substring_runs
+
+        passage = " ".join(f"p{j}" for j in range(20))
+        rows = [
+            (1, "a1 a2 a3 " + passage + " a4 a5"),          # passage at pos 3
+            (2, passage + " b1 b2 b3 b4 b5 b6 b7"),          # passage at pos 0
+            (3, " ".join(f"c{j}" for j in range(30))),       # shares nothing
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = shared_substring_runs(df, k=8, min_run=16).collect()
+        assert [(r["doc_a"], r["doc_b"], r["start_a"], r["start_b"], r["run_tokens"])
+                for r in out] == [(1, 2, 3, 0, 20)]
+
+    def test_runs_are_maximal_not_fragmented(self, spark):
+        """m matching k-grams on one diagonal merge into ONE run of
+        m + k - 1 tokens; a second, disjoint shared passage yields a
+        separate row."""
+        from swarm_spark.ops.dedup import shared_substring_runs
+
+        s1 = " ".join(f"x{j}" for j in range(12))
+        s2 = " ".join(f"y{j}" for j in range(10))
+        d1 = s1 + " q1 q2 q3 q4 q5 " + s2
+        d2 = s1 + " r1 r2 r3 " + s2
+        df = spark.createDataFrame(
+            [(1, d1), (2, d2)], "doc_id long, text string"
+        )
+        out = sorted(
+            shared_substring_runs(df, k=5, min_run=8).collect(),
+            key=lambda r: r["start_a"],
+        )
+        assert [(r["start_a"], r["start_b"], r["run_tokens"]) for r in out] == [
+            (0, 0, 12), (17, 15, 10)
+        ]
+
+    def test_param_validation(self, spark):
+        from swarm_spark.ops.dedup import shared_substring_runs
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            shared_substring_runs(df, k=1)
+        with pytest.raises(ValueError):
+            shared_substring_runs(df, k=8, min_run=4)
