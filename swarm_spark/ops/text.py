@@ -580,6 +580,83 @@ def unigram_surprisal(
     )
 
 
+def hashed_embedding(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "swarm-htf",
+    normalize: bool = True,
+) -> DataFrame:
+    """Model-free document vectors by the signed hashing trick
+    (Weinberger et al. 2009): token t adds ±1 (sign from a second
+    hash) to dimension md5-bucket(t) mod ``dim``; optional unit-L2
+    normalization, components rounded to 9 digits. Bridges raw text
+    into every embedding-tier operator (semantic dedup, ANN, k-NN)
+    without a model — the standard cheap featurizer for
+    cluster-then-dedup pipelines.
+
+    Output (doc_id, vec array<double>). Deterministic and
+    engine-portable: md5-derived buckets/signs, integral accumulation,
+    one rounded division — a pure function of the text.
+
+    Scale shape: explode + one map-side-combined groupBy(doc, dim)
+    shuffle, then a per-doc collect_list bounded by ``dim`` (a
+    literal) — never a corpus-keyed window. An all-zero vector (empty
+    text) stays zero instead of dividing by its zero norm.
+    """
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    from .sampling import hash_bucket
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("tok")
+    )
+    signed = toks.select(
+        "doc_id",
+        (hash_bucket(F.col("tok"), seed) % dim).cast("int").alias("d"),
+        (hash_bucket(F.col("tok"), seed + "-sign") % 2 * 2 - 1)
+        .cast("long")
+        .alias("s"),
+    )
+    cells = signed.groupBy("doc_id", "d").agg(F.sum("s").alias("v"))
+    # integral components end to end: the squared norm is a LONG sum,
+    # so it is exact and order-independent — the one division below is
+    # the only float op, making the vector engine-exact after rounding
+    dense = (
+        cells.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("d", "v"))).alias("m")
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(0, {dim - 1}), "
+                f"d -> cast(coalesce(element_at(m, d), 0) AS bigint))"
+            ).alias("raw"),
+        )
+    )
+    as_double = F.transform("raw", lambda x: x.cast("double"))
+    if not normalize:
+        return dense.select("doc_id", as_double.alias("vec"))
+    n2 = F.aggregate(
+        "raw", F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    return dense.select(
+        "doc_id",
+        F.when(F.lit(0).cast("long") == n2, as_double)
+        .otherwise(
+            F.transform(
+                "raw",
+                lambda x: F.round(
+                    x.cast("double") / F.sqrt(n2.cast("double")), 9
+                ),
+            )
+        )
+        .alias("vec"),
+    )
+
+
 def chunk_text(
     df: DataFrame,
     size: int = 128,

@@ -1474,6 +1474,41 @@ FROM j, m ORDER BY j.lang
 """
 
 
+def q_text_hash_embed(spark, sf):
+    """Signed hashing-trick document vectors (dim 64, unit-L2):
+    model-free featurization that feeds raw text into the embedding
+    tier. Emitted exploded (doc_id, d, val) so every component is a
+    hash-checked scalar; the squared norm accumulates in LONGs, so the
+    single rounded division is the only float op."""
+    from .ops.text import hashed_embedding
+
+    emb = hashed_embedding(_docs(spark, sf), dim=64)
+    return emb.select(
+        "doc_id", F.posexplode("vec").alias("d", "val")
+    ).orderBy("doc_id", "d")
+
+
+SQL_HASH_EMBED = f"""
+WITH w AS ({_WS}),
+tk AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+sg AS (SELECT doc_id,
+              {_md5_bucket_sql('tok', 'swarm-htf')} % 64 AS d,
+              ({_md5_bucket_sql('tok', 'swarm-htf-sign')} % 2) * 2 - 1 AS s
+       FROM tk),
+c AS (SELECT doc_id, d, cast(sum(s) AS bigint) AS v FROM sg GROUP BY 1, 2),
+n AS (SELECT doc_id, cast(sum(v * v) AS bigint) AS n2 FROM c GROUP BY 1),
+grid AS (SELECT doc_id, unnest(range(64)) AS d
+         FROM (SELECT DISTINCT doc_id FROM w)),
+fl AS (SELECT g.doc_id, cast(g.d AS int) AS d, coalesce(c.v, 0) AS v
+       FROM grid g LEFT JOIN c ON g.doc_id = c.doc_id AND g.d = c.d)
+SELECT fl.doc_id, fl.d,
+       CASE WHEN n.n2 = 0 THEN cast(fl.v AS double)
+            ELSE round(cast(fl.v AS double) / sqrt(cast(n.n2 AS double)), 9)
+       END AS val
+FROM fl JOIN n USING (doc_id) ORDER BY doc_id, d
+"""
+
+
 def q_dedup_substring_runs(spark, sf):
     """Exact shared-substring runs ≥ 16 tokens (8-gram diagonals,
     gaps-and-islands merge) — the ExactSubstr verbatim-copy signal
@@ -2047,6 +2082,7 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "text_dsir": (q_text_dsir, SQL_DSIR),
     "text_chunks": (q_text_chunks, SQL_TEXT_CHUNKS),
     "dedup_substring_runs": (q_dedup_substring_runs, SQL_SUBSTRING_RUNS),
+    "text_hash_embed": (q_text_hash_embed, SQL_HASH_EMBED),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF),
     "knn_classify": (q_knn_classify, SQL_KNN_CLASSIFY),
     "text_token_stats": (q_text_token_stats, SQL_TOKEN_STATS),

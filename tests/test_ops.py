@@ -1005,3 +1005,47 @@ class TestSharedSubstringRuns:
             shared_substring_runs(df, k=1)
         with pytest.raises(ValueError):
             shared_substring_runs(df, k=8, min_run=4)
+
+
+class TestHashedEmbedding:
+    def test_unit_norm_and_zero_doc(self, spark):
+        from swarm_spark.ops.text import hashed_embedding
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["vec"] for r in hashed_embedding(df, dim=16).collect()}
+        n2 = sum(x * x for x in out[1])
+        assert abs(n2 - 1.0) < 1e-6
+        # empty text hashes the one '' token somewhere — still unit;
+        # raw (unnormalized) components are integral
+        raw = {
+            r["doc_id"]: r["vec"]
+            for r in hashed_embedding(df, dim=16, normalize=False).collect()
+        }
+        assert all(float(x).is_integer() for x in raw[1])
+
+    def test_feeds_semantic_dedup(self, spark):
+        """The whole point: raw text -> hashed vectors -> SemDeDup
+        finds the planted near-identical documents."""
+        from swarm_spark.ops.semdedup import semantic_dup_pairs
+        from swarm_spark.ops.text import hashed_embedding
+
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "completely different subject matter entirely here now"),
+            (4, "unrelated text about cooking pasta with garlic butter"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        emb = hashed_embedding(df, dim=32)
+        # n_cells=1: with 4 docs, k-means init would seed docs 1 and 2
+        # as separate centroids and block the very pair we planted
+        pairs = semantic_dup_pairs(
+            emb, vec_col="vec", id_col="doc_id", n_cells=1, iters=1,
+            threshold=0.8,
+        ).collect()
+        found = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (1, 2) in found
+        assert all(p == (1, 2) or 3 not in p and 4 not in p for p in found)
