@@ -872,6 +872,7 @@ def _ivf_oracle_sql(
     topk: int = 5,
     qmod: int = 100,
     final_select: str | None = None,
+    ibase_sql: str | None = None,
 ) -> str:
     """Unrolled Lloyd k-means + IVF probe in DuckDB SQL, mirroring
     ops/ivf.py step for step: init = ``k_cells`` lowest-id vectors,
@@ -881,8 +882,12 @@ def _ivf_oracle_sql(
     centroids are recomputed from the final assignment exactly as
     ``ann_topk_ivf`` does in-plan."""
     d2 = "b.vn2 - 2 * list_dot_product(b.v, c.cv) + c.cn2"
+    # ibase_sql overrides the vector source: any CTE body yielding
+    # (id, v double[], vn2) — e.g. hashed-trick doc vectors
     ctes = [
-        """ibase AS (
+        "ibase AS (" + ibase_sql + ")"
+        if ibase_sql is not None
+        else """ibase AS (
   SELECT vec_id AS id, cast(embedding AS double[]) AS v,
          list_dot_product(cast(embedding AS double[]),
                           cast(embedding AS double[])) AS vn2
@@ -1509,6 +1514,38 @@ FROM fl JOIN n USING (doc_id) ORDER BY doc_id, d
 """
 
 
+def q_dedup_semantic_text(spark, sf):
+    """The end-to-end semantic tier over RAW TEXT: hashed-trick
+    vectors -> deterministic k-means cells -> within-cell cosine
+    pairs. No model anywhere, yet paraphrase-grade near-dups surface —
+    and the whole composition is value-oracled: the hashed vectors,
+    the Lloyd iterations, and the pair scores all reproduce in SQL."""
+    from .ops.semdedup import semantic_dup_pairs
+    from .ops.text import hashed_embedding
+
+    emb = hashed_embedding(_docs(spark, sf), dim=64)
+    return semantic_dup_pairs(
+        emb, vec_col="vec", id_col="doc_id", n_cells=8, iters=3, threshold=0.9
+    )
+
+
+_HTF_IBASE = f"""
+  SELECT id, v, list_dot_product(v, v) AS vn2 FROM (
+    SELECT doc_id AS id, list(val ORDER BY d) AS v
+    FROM ({SQL_HASH_EMBED}) GROUP BY 1)"""
+
+SQL_DEDUP_SEMANTIC_TEXT = _ivf_oracle_sql(
+    ibase_sql=_HTF_IBASE,
+    final_select=f"""
+SELECT a.id AS id_a, b.id AS id_b, a.cell AS cell, {_SEM_COS} AS cos
+FROM afin a JOIN afin b ON a.cell = b.cell AND a.id < b.id
+JOIN ibase va ON va.id = a.id
+JOIN ibase vb ON vb.id = b.id
+WHERE {_SEM_COS} >= 0.9
+ORDER BY id_a, id_b""",
+)
+
+
 def q_dedup_substring_runs(spark, sf):
     """Exact shared-substring runs ≥ 16 tokens (8-gram diagonals,
     gaps-and-islands merge) — the ExactSubstr verbatim-copy signal
@@ -2083,6 +2120,7 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "text_chunks": (q_text_chunks, SQL_TEXT_CHUNKS),
     "dedup_substring_runs": (q_dedup_substring_runs, SQL_SUBSTRING_RUNS),
     "text_hash_embed": (q_text_hash_embed, SQL_HASH_EMBED),
+    "dedup_semantic_text": (q_dedup_semantic_text, SQL_DEDUP_SEMANTIC_TEXT),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF),
     "knn_classify": (q_knn_classify, SQL_KNN_CLASSIFY),
     "text_token_stats": (q_text_token_stats, SQL_TOKEN_STATS),

@@ -58,6 +58,7 @@ BNLJ_ALLOWED = {
     "ann_topk_bruteforce",
     "dedup_semantic",
     "dedup_semantic_keep",
+    "dedup_semantic_text",
     "ann_topk_dot",
     "ann_topk_int8",
     "ann_topk_ivf",
