@@ -77,6 +77,44 @@ def pack_concat_chunks(
     """
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
+    base, _total = token_prefix(df, text_col, id_col, num_partitions)
+    spanned = base.select(
+        "doc_id",
+        "n_tok",
+        "start",
+        F.explode(
+            F.sequence(
+                # integer div: exact at any corpus size (no double round)
+                F.expr(f"start div {int(capacity)}"),
+                F.expr(f"(end - 1) div {int(capacity)}"),
+            )
+        ).alias("window_id"),
+    )
+    win_lo = F.col("window_id") * capacity
+    lo = F.greatest(F.col("start"), win_lo)
+    hi = F.least(F.col("start") + F.col("n_tok"), win_lo + capacity)
+    return spanned.select(
+        "doc_id",
+        "n_tok",
+        "window_id",
+        (lo - win_lo).cast("long").alias("off"),
+        (hi - lo).cast("long").alias("take"),
+    ).orderBy("doc_id", "window_id")
+
+
+def token_prefix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """(frame, total_tokens): the global token-interval frame
+    (doc_id, n_tok, start, end) in ``id_col`` order, built with the
+    two-phase range-partitioned prefix sum (no single-partition global
+    sort; see :func:`pack_concat_chunks` for the contract). The grand
+    total falls out of the per-range subtotals already collected at
+    the driver — no extra scan. Shared by concat-and-chunk packing and
+    shard assignment."""
     spark = df.sparkSession
     ids = df.select(F.col(id_col).alias("doc_id"))
     n_docs = ids.count()
@@ -119,28 +157,38 @@ def pack_concat_chunks(
         .withColumn("end", F.col("part_off") + F.col("local_end"))
         .withColumn("start", F.col("end") - F.col("n_tok"))
     )
-    spanned = base.select(
+    return base, int(running)
+
+
+def shard_assignments(
+    df: DataFrame,
+    n_shards: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Balanced training-shard assignment: documents keep their
+    boundaries and land in the shard their global token interval
+    STARTS in, with shard capacity ceil(total_tokens / n_shards) —
+    every shard's token count is within one document of the target,
+    deterministically (a pure function of the corpus and n_shards).
+    Output (doc_id, n_tok, shard). Partition the write by ``shard``
+    for the training-export layout.
+
+    Scale shape: the same two-phase prefix sum as concat-and-chunk
+    packing (:func:`token_prefix`) plus one codegen projection — no
+    extra shuffle, no skew (shards are token-balanced by
+    construction).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    base, total = token_prefix(df, text_col, id_col, num_partitions)
+    cap = max(1, -(-total // int(n_shards)))
+    return base.select(
         "doc_id",
         "n_tok",
-        "start",
-        F.explode(
-            F.sequence(
-                # integer div: exact at any corpus size (no double round)
-                F.expr(f"start div {int(capacity)}"),
-                F.expr(f"(end - 1) div {int(capacity)}"),
-            )
-        ).alias("window_id"),
-    )
-    win_lo = F.col("window_id") * capacity
-    lo = F.greatest(F.col("start"), win_lo)
-    hi = F.least(F.col("start") + F.col("n_tok"), win_lo + capacity)
-    return spanned.select(
-        "doc_id",
-        "n_tok",
-        "window_id",
-        (lo - win_lo).cast("long").alias("off"),
-        (hi - lo).cast("long").alias("take"),
-    ).orderBy("doc_id", "window_id")
+        F.expr(f"start div {cap}").cast("long").alias("shard"),
+    ).orderBy("doc_id")
 
 
 def pack_greedy_bins(

@@ -665,6 +665,31 @@ FROM x ORDER BY doc_id, window_id
 """
 
 
+def q_pack_shards(spark, sf):
+    """Balanced training-shard assignment (16 shards): each document
+    lands in the shard its global token interval starts in, shard
+    capacity = ceil(total/16) — token-balanced to within one document,
+    deterministic, no extra shuffle beyond the packing prefix sum."""
+    from .ops.packing import shard_assignments
+
+    return shard_assignments(_docs(spark, sf), n_shards=16)
+
+
+SQL_PACK_SHARDS = f"""
+WITH w AS ({_WS}),
+t AS (SELECT doc_id, cast(len(ws) AS bigint) AS n_tok FROM w
+      WHERE len(ws) > 0),
+c AS (SELECT doc_id, n_tok,
+             cast(sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                  - n_tok AS bigint) AS s
+      FROM t),
+tot AS (SELECT cast(sum(n_tok) AS bigint) AS tt FROM t)
+SELECT c.doc_id, c.n_tok,
+       cast(c.s // ((tot.tt + 15) // 16) AS bigint) AS shard
+FROM c, tot ORDER BY c.doc_id
+"""
+
+
 def q_pack_bins(spark, sf):
     """Greedy no-split bin packing (512-token bins, 8 deterministic
     hash buckets): first-fit-sequential per bucket; the sequential
@@ -2155,6 +2180,7 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "sample_split_counts": (q_sample_split_counts, SQL_SAMPLE_SPLIT),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
     "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
+    "pack_shards": (q_pack_shards, SQL_PACK_SHARDS),
     "pack_bins": (q_pack_bins, SQL_PACK_BINS),
     "text_strip_segments": (q_text_strip_segments, SQL_STRIP_SEGMENTS),
     "text_decontaminate": (q_text_decontaminate, SQL_DECONTAMINATE),

@@ -1049,3 +1049,38 @@ class TestHashedEmbedding:
         found = {(r["id_a"], r["id_b"]) for r in pairs}
         assert (1, 2) in found
         assert all(p == (1, 2) or 3 not in p and 4 not in p for p in found)
+
+
+class TestShardAssignments:
+    def test_shards_token_balanced_and_deterministic(self, spark):
+        from swarm_spark.ops.packing import shard_assignments
+
+        df = spark.createDataFrame(
+            [(i, " ".join(["t"] * (5 + i % 7))) for i in range(60)],
+            "doc_id long, text string",
+        )
+        out = shard_assignments(df, n_shards=4).collect()
+        total = sum(r["n_tok"] for r in out)
+        cap = -(-total // 4)
+        by_shard = {}
+        for r in out:
+            by_shard.setdefault(r["shard"], []).append(r["n_tok"])
+        assert set(by_shard) <= set(range(4))
+        mx = max(r["n_tok"] for r in out)
+        # each shard within one doc of the capacity target
+        for s, toks in by_shard.items():
+            assert sum(toks) < cap + mx
+        # partition-invariant
+        again = shard_assignments(df.repartition(7), n_shards=4, num_partitions=3).collect()
+        assert {(r["doc_id"], r["shard"]) for r in again} == {
+            (r["doc_id"], r["shard"]) for r in out
+        }
+
+    def test_single_shard_and_validation(self, spark):
+        from swarm_spark.ops.packing import shard_assignments
+
+        df = spark.createDataFrame([(1, "a b"), (2, "c")], "doc_id long, text string")
+        out = shard_assignments(df, n_shards=1).collect()
+        assert {r["shard"] for r in out} == {0}
+        with pytest.raises(ValueError):
+            shard_assignments(df, n_shards=0)
