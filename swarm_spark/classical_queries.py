@@ -556,7 +556,41 @@ ORDER BY stage
 """
 
 
+def q_event_transitions(spark, sf):
+    """First-order event-type transition counts (the Markov-chain /
+    clickstream-path report): per user, order events by time and count
+    (previous type -> type) pairs corpus-wide. Lag rides a per-user
+    window — bounded by ONE user's events, the same taxonomy class as
+    sessionize — and the count is a map-side-combined aggregate over
+    |types|² keys."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("prev_type", "next_type")
+    )
+
+
+SQL_TRANSITIONS = """
+WITH o AS (SELECT user_id, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS prev_type
+           FROM events)
+SELECT prev_type, event_type AS next_type, cast(count(*) AS bigint) AS n
+FROM o WHERE prev_type IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 CLASSICAL: dict[str, tuple[Callable, str | None]] = {
+    "event_transitions": (q_event_transitions, SQL_TRANSITIONS),
     "funnel_steps": (q_funnel_steps, SQL_FUNNEL),
     "cohort_retention": (q_cohort_retention, SQL_COHORT),
     "rolling_user_features": (q_rolling_user_features, SQL_ROLLING),

@@ -293,6 +293,14 @@ def cmd_curate(args) -> int:
             text_col=args.text_col,
         ).drop("n_tok", "cum_tok")
     kept = kept.withColumn("split", split_column(args.id_col))
+    if args.shards:
+        # token-balanced shard layout for the training export
+        from .ops.packing import shard_assignments
+
+        sh = shard_assignments(
+            kept, n_shards=args.shards, text_col=args.text_col, id_col=args.id_col
+        ).select(F.col("doc_id").alias(args.id_col), "shard")
+        kept = kept.join(sh, args.id_col)
     if args.chunk_size:
         # terminal chunking stage: emit fixed-stride token windows
         # (RAG/pretraining layout) instead of whole documents
@@ -305,9 +313,15 @@ def cmd_curate(args) -> int:
             text_col=args.text_col,
             id_col=args.id_col,
         ).join(
-            kept.select(F.col(args.id_col).alias("doc_id"), "split"), "doc_id"
+            kept.select(
+                F.col(args.id_col).alias("doc_id"),
+                "split",
+                *(["shard"] if args.shards else []),
+            ),
+            "doc_id",
         )
-    kept.write.mode("overwrite").partitionBy("split").parquet(args.output)
+    part_cols = ["split"] + (["shard"] if args.shards else [])
+    kept.write.mode("overwrite").partitionBy(*part_cols).parquet(args.output)
     out = spark.read.parquet(args.output)
     by_split = {
         r["split"]: r["n"]
@@ -461,6 +475,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="emit fixed-stride token windows of this size instead of docs (0 = off)",
     )
     sp.add_argument("--chunk-overlap", type=int, default=0)
+    sp.add_argument(
+        "--shards",
+        type=int,
+        default=0,
+        help="partition output into N token-balanced shards (0 = off)",
+    )
     sp.set_defaults(fn=cmd_curate)
 
     sp = sub.add_parser("serve", help="HTTP push endpoint")

@@ -363,3 +363,32 @@ class TestCurateBudgetAndChunks:
         assert set(back.columns) >= {"doc_id", "chunk_id", "start_tok", "n_tok", "chunk", "split"}
         assert back.where(F.col("n_tok") > 16).count() == 0
         assert back.count() > back.select("doc_id").distinct().count()
+
+
+class TestCurateShards:
+    def test_curate_sharded_layout(self, spark, tmp_path, capsys):
+        import pyspark.sql.functions as F  # noqa: N812
+
+        out = str(tmp_path / "sharded")
+        _run(
+            capsys,
+            [
+                "--cpus", "4",
+                "curate", "/root/testdata/sf0.001/documents.parquet",
+                "-o", out,
+                "--min-quality", "0.0",
+                "--shards", "4",
+            ],
+        )
+        back = spark.read.parquet(out)
+        assert {"split", "shard"} <= set(back.columns)
+        toks = {
+            r["shard"]: r["t"]
+            for r in back.selectExpr("shard", "size(split(text, ' +')) AS n")
+            .groupBy("shard").agg(F.sum("n").alias("t")).collect()
+        }
+        assert set(toks) <= {0, 1, 2, 3} and len(toks) == 4
+        total = sum(toks.values())
+        mx = back.selectExpr("max(size(split(text, ' +')))").head()[0]
+        cap = -(-total // 4)
+        assert all(t < cap + mx for t in toks.values())
