@@ -1225,6 +1225,51 @@ ORDER BY e.event_id
 """
 
 
+def q_asof_nearest_order(spark, sf):
+    """Nearest-direction as-of join: each event attaches the user's
+    order CLOSEST in time, ties toward the past — both directional
+    fills share one key shuffle (the third merge_asof direction,
+    completing backward/forward)."""
+    from .ops.asof import asof_join
+
+    ev = load_table(spark, sf, "events").select("event_id", "user_id", "ts")
+    orders = (
+        load_table(spark, sf, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp").alias("o_ts"),
+        )
+        .agg(F.max("o_orderkey").alias("order_key"))
+        .withColumn("matched_ts", F.col("o_ts"))
+    )
+    out = asof_join(
+        ev, orders, on="user_id", left_time="ts", right_time="o_ts",
+        direction="nearest",
+    )
+    return out.select(
+        "event_id", "user_id", F.col("matched_ts").alias("order_ts"), "order_key"
+    ).orderBy("event_id")
+
+
+SQL_ASOF_NEAREST = """
+WITH r AS (
+  SELECT o_custkey AS user_id, cast(o_orderdate AS timestamp) AS order_ts,
+         max(o_orderkey) AS order_key
+  FROM orders GROUP BY 1, 2
+),
+m AS (
+  SELECT e.event_id, r.order_ts, r.order_key,
+         row_number() OVER (PARTITION BY e.event_id
+           ORDER BY abs(epoch_us(e.ts) - epoch_us(r.order_ts)),
+                    CASE WHEN r.order_ts <= e.ts THEN 0 ELSE 1 END) AS rn
+  FROM events e JOIN r ON e.user_id = r.user_id
+)
+SELECT e.event_id, e.user_id, m.order_ts, m.order_key
+FROM events e LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (event_id)
+ORDER BY e.event_id
+"""
+
+
 SQL_ASOF = """
 WITH r AS (
   SELECT o_custkey AS user_id, cast(o_orderdate AS timestamp) AS order_ts,
@@ -2174,6 +2219,7 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "dedup_semantic_keep": (q_dedup_semantic_keep, SQL_DEDUP_SEMANTIC_KEEP),
     "asof_latest_order": (q_asof_latest_order, SQL_ASOF),
     "asof_next_order": (q_asof_next_order, SQL_ASOF_NEXT),
+    "asof_nearest_order": (q_asof_nearest_order, SQL_ASOF_NEAREST),
     "range_window_counts": (q_range_window_counts, SQL_RANGE_WINDOW),
     "range_overlap_pairs": (q_range_overlap_pairs, SQL_RANGE_OVERLAP),
     "sample_docs": (q_sample_docs, SQL_SAMPLE_DOCS),
