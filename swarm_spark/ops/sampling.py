@@ -115,7 +115,7 @@ def stratified_cap(
 def token_budget_sample(
     df: DataFrame,
     strata: str,
-    budget: int,
+    budget: int | dict[str, int],
     key: str,
     text_col: str = "text",
     seed: str = "swarm-budget",
@@ -144,11 +144,25 @@ def token_budget_sample(
 
     Adds ``n_tok`` (whitespace tokens) and ``cum_tok`` (inclusive
     running total in stratum hash order) to the surviving rows.
+
+    ``budget`` may be a dict of per-stratum budgets (a mixture plan's
+    ``take_tokens``); strata absent from the dict get budget 0 and are
+    excluded entirely — see :func:`sample_to_mixture`.
     """
     from .text import tokens_col
 
-    if budget < 1:
+    if isinstance(budget, dict):
+        if any(v < 0 for v in budget.values()):
+            raise ValueError("per-stratum budgets must be >= 0")
+        cut: Column = F.lit(0).cast("long")
+        for val, b in sorted(budget.items()):
+            cut = F.when(F.col(strata) == val, F.lit(int(b)).cast("long")).otherwise(
+                cut
+            )
+    elif budget < 1:
         raise ValueError(f"budget must be >= 1, got {budget}")
+    else:
+        cut = F.lit(int(budget)).cast("long")
     spark = df.sparkSession
     if n_ranges is None:
         n_ranges = max(32, df.count() // 2_000_000)
@@ -181,9 +195,28 @@ def token_budget_sample(
     return (
         local.join(F.broadcast(off_df), [strata, "__rng"])
         .withColumn("cum_tok", F.col("__off") + F.col("__cum"))
-        .where(F.col("cum_tok") - F.col("n_tok") < budget)
+        .where(F.col("cum_tok") - F.col("n_tok") < cut)
         .drop("__b", "__rng", "__cum", "__off")
     )
+
+
+def sample_to_mixture(
+    df: DataFrame,
+    strata: str,
+    weights_ppm: dict[str, int],
+    key: str,
+    text_col: str = "text",
+    seed: str = "swarm-budget",
+) -> DataFrame:
+    """Materialize a data mixture end-to-end: :func:`mixture_plan`
+    computes the largest budget the corpus serves at the target
+    weights, then each stratum keeps its hash-order prefix up to its
+    ``take_tokens`` allocation (:func:`token_budget_sample` with the
+    plan's per-stratum budgets). The plan round-trips the driver as
+    one row per stratum — metadata, like IVF centroids."""
+    plan = mixture_plan(df, strata, weights_ppm, text_col).collect()
+    budgets = {r[strata]: int(r["take_tokens"]) for r in plan}
+    return token_budget_sample(df, strata, budgets, key, text_col, seed)
 
 
 def mixture_plan(

@@ -1716,6 +1716,48 @@ FROM bk JOIN stats USING (bkt) GROUP BY 1 ORDER BY 1
 """
 
 
+def q_sample_mixture(spark, sf):
+    """The mixture pipeline end-to-end: plan the largest budget the
+    corpus serves at the 40/15/15/15/15 weights, then keep each
+    language's hash-order token prefix up to its allocation — the
+    materialized training mix, fully oracled through both stages."""
+    from .ops.sampling import sample_to_mixture
+
+    return (
+        sample_to_mixture(_docs(spark, sf), "lang", _MIX_PPM, key="doc_id")
+        .select("lang", "doc_id", "n_tok", "cum_tok")
+        .orderBy("lang", "cum_tok")
+    )
+
+
+SQL_SAMPLE_MIXTURE = f"""
+WITH a AS (SELECT lang,
+                  cast(sum(len(regexp_split_to_array(text, ' +'))) AS bigint)
+                      AS tokens_avail
+           FROM documents GROUP BY 1),
+wt AS (SELECT * FROM (VALUES {_MIX_VALUES}) AS wt(lang, weight_ppm)),
+j AS (SELECT a.lang, cast(a.tokens_avail * 1000000 // wt.weight_ppm AS bigint)
+             AS cap, wt.weight_ppm
+      FROM a JOIN wt USING (lang)),
+m AS (SELECT cast(min(cap) AS bigint) AS budget_tokens FROM j),
+tk AS (SELECT j.lang,
+              cast(j.weight_ppm * m.budget_tokens // 1000000 AS bigint) AS take
+       FROM j, m),
+t AS (SELECT lang, doc_id,
+             cast(len(regexp_split_to_array(text, ' +')) AS bigint) AS n_tok,
+             {_md5_bucket_sql('doc_id', 'swarm-budget')} AS bkt
+      FROM documents),
+c AS (SELECT lang, doc_id, n_tok,
+             cast(sum(n_tok) OVER (PARTITION BY lang ORDER BY bkt, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint)
+                 AS cum_tok
+      FROM t)
+SELECT c.lang, c.doc_id, c.n_tok, c.cum_tok
+FROM c JOIN tk USING (lang)
+WHERE c.cum_tok - c.n_tok < tk.take ORDER BY c.lang, c.cum_tok
+"""
+
+
 def q_tfidf_top_terms(spark, sf):
     """Top-10 tokens per language by tf·ln(N/df) — the per-slice
     characteristic-vocabulary report."""
@@ -2186,6 +2228,7 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "sample_balance_langs": (q_sample_balance_langs, SQL_BALANCE_LANGS),
     "sample_token_budget": (q_sample_token_budget, SQL_TOKEN_BUDGET),
     "corpus_mixture_plan": (q_corpus_mixture_plan, SQL_MIXTURE_PLAN),
+    "sample_mixture": (q_sample_mixture, SQL_SAMPLE_MIXTURE),
     "text_dsir": (q_text_dsir, SQL_DSIR),
     "text_chunks": (q_text_chunks, SQL_TEXT_CHUNKS),
     "dedup_substring_runs": (q_dedup_substring_runs, SQL_SUBSTRING_RUNS),

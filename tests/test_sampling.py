@@ -279,3 +279,38 @@ class TestMixturePlan:
         assert [r["lang"] for r in out] == ["en"]
         with pytest.raises(ValueError):
             mixture_plan(df, "lang", {"en": 0})
+
+
+class TestSampleToMixture:
+    def test_allocations_respected(self, spark):
+        from swarm_spark.ops.sampling import mixture_plan, sample_to_mixture
+
+        rows = []
+        for i in range(30):
+            rows.append((f"e{i:02d}", "en", " ".join(["t"] * 20)))
+        for i in range(10):
+            rows.append((f"d{i:02d}", "de", " ".join(["t"] * 20)))
+        df = spark.createDataFrame(rows, "doc_id string, lang string, text string")
+        weights = {"en": 600_000, "de": 400_000}
+        plan = {r["lang"]: r for r in mixture_plan(df, "lang", weights).collect()}
+        # de caps: floor(200e6/4e5) = 500 -> en take 300, de take 200
+        assert plan["de"]["budget_tokens"] == 500
+        out = sample_to_mixture(df, "lang", weights, key="doc_id").collect()
+        toks = {}
+        for r in out:
+            toks[r["lang"]] = toks.get(r["lang"], 0) + r["n_tok"]
+        # prefix rule: total stops within one doc past the allocation
+        assert 300 <= toks["en"] < 300 + 20
+        assert 200 <= toks["de"] < 200 + 20
+        for r in out:
+            assert r["cum_tok"] - r["n_tok"] < plan[r["lang"]]["take_tokens"]
+
+    def test_unweighted_stratum_dropped(self, spark):
+        from swarm_spark.ops.sampling import sample_to_mixture
+
+        df = spark.createDataFrame(
+            [("a", "en", "t t t"), ("b", "xx", "t t t")],
+            "doc_id string, lang string, text string",
+        )
+        out = sample_to_mixture(df, "lang", {"en": 1_000_000}, key="doc_id").collect()
+        assert {r["lang"] for r in out} == {"en"}
