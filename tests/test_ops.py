@@ -1084,3 +1084,62 @@ class TestShardAssignments:
         assert {r["shard"] for r in out} == {0}
         with pytest.raises(ValueError):
             shard_assignments(df, n_shards=0)
+
+
+class TestSubstringRunsRandomized:
+    def test_matches_bruteforce_on_random_corpora(self, spark):
+        """Diagonal/islands logic vs a quadratic per-pair reference on
+        a random corpus with planted shared slices (fixed seed)."""
+        import random
+
+        from swarm_spark.ops.dedup import shared_substring_runs
+
+        rnd = random.Random(20260814)
+        k, min_run = 4, 6
+        vocab = [f"w{j}" for j in range(25)]  # small vocab -> chance collisions
+        docs = []
+        for i in range(24):
+            docs.append((i, [rnd.choice(vocab) for _ in range(rnd.randint(4, 30))]))
+        # plant shared slices across random pairs
+        for _ in range(6):
+            a, b = rnd.sample(range(24), 2)
+            seg = [rnd.choice(vocab) for _ in range(rnd.randint(6, 12))]
+            pa = rnd.randint(0, len(docs[a][1]))
+            pb = rnd.randint(0, len(docs[b][1]))
+            docs[a] = (a, docs[a][1][:pa] + seg + docs[a][1][pa:])
+            docs[b] = (b, docs[b][1][:pb] + seg + docs[b][1][pb:])
+
+        def grams(toks):
+            return [tuple(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+
+        expected = set()
+        for ia in range(24):
+            for ib in range(ia + 1, 24):
+                ga, gb = grams(docs[ia][1]), grams(docs[ib][1])
+                match = {
+                    (pa, pb)
+                    for pa, g in enumerate(ga)
+                    for pb, h in enumerate(gb)
+                    if g == h
+                }
+                for (pa, pb) in match:
+                    if (pa - 1, pb - 1) in match:
+                        continue  # not a run start
+                    ln = 0
+                    while (pa + ln, pb + ln) in match:
+                        ln += 1
+                    run_tokens = ln + k - 1
+                    if run_tokens >= min_run:
+                        expected.add((ia, ib, pa, pb, run_tokens))
+
+        df = spark.createDataFrame(
+            [(i, " ".join(t)) for i, t in docs], "doc_id long, text string"
+        )
+        got = {
+            (r["doc_a"], r["doc_b"], r["start_a"], r["start_b"], r["run_tokens"])
+            for r in shared_substring_runs(
+                df, k=k, min_run=min_run, max_df=10_000
+            ).collect()
+        }
+        assert expected, "seed produced no runs — regenerate the fixture"
+        assert got == expected
