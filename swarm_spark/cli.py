@@ -215,9 +215,15 @@ def cmd_query(args) -> int:
         raise SystemExit(f"unknown query {args.name!r}; try --list")
     spark = _spark(args)
     df = reg[args.name][0](spark, args.sf_dir)
-    rows = df.limit(args.limit).collect() if args.limit else df.collect()
+    shown = df.limit(args.limit) if args.limit else df
+    rows = shown.collect()
     for r in rows:
         print(json.dumps({k: str(v) for k, v in r.asDict().items()}))
+    if args.metrics:
+        # executed-plan forensics: did pruning/pushdown actually hold?
+        from .metrics import scan_summary
+
+        print(json.dumps({"metrics": scan_summary(shown)}))
     return 0
 
 
@@ -417,6 +423,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     sp.add_argument("--limit", type=int, default=0, help="0 = all rows")
     sp.add_argument("--list", action="store_true", help="print the registry names")
+    sp.add_argument(
+        "--metrics",
+        action="store_true",
+        help="append executed-plan scan/row metrics as a JSON line",
+    )
     sp.set_defaults(fn=cmd_query)
 
     sp = sub.add_parser("stats", help="table file/byte/partition metadata")

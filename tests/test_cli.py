@@ -392,3 +392,16 @@ class TestCurateShards:
         mx = back.selectExpr("max(size(split(text, ' +')))").head()[0]
         cap = -(-total // 4)
         assert all(t < cap + mx for t in toks.values())
+
+
+class TestQueryMetrics:
+    def test_metrics_line_reports_scans(self, spark, capsys):
+        rc = main(
+            ["--cpus", "4", "query", "s3_prefix_filter",
+             "--sf-dir", "/root/testdata/sf0.001", "--metrics"]
+        )
+        assert rc == 0
+        lines = capsys.readouterr().out.strip().splitlines()
+        m = json.loads(lines[-1])["metrics"]
+        assert m["scan_nodes"] >= 1 and m["files_read"] >= 1
+        assert m["files_size"] > 0 and m["output_rows"] >= 1

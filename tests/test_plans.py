@@ -146,3 +146,50 @@ def test_plan_is_scale_safe(name, spark, sf_dir):
         f"{name}: {n_scans} parquet scans in executed plan "
         f"(budget {budget}) — a subtree is being recomputed"
     )
+
+
+class TestExecutedMetrics:
+    def test_scan_summary_reports_filter_cut(self, spark, sf_dir):
+        """The observability contract, measured from the executed plan:
+        a filtered projection's output rows fall below the scan's rows
+        (the filter cut is visible), and scan file/size metrics are
+        populated for capacity accounting."""
+        from pyspark.sql import functions as F
+
+        from swarm_spark.metrics import executed_plan_metrics, scan_summary
+        from swarm_spark.sources.tables import load_table
+
+        pruned = (
+            load_table(spark, sf_dir, "orders")
+            .where(F.col("o_orderstatus") == "F")
+            .select("o_orderkey")
+        )
+        pruned.collect()
+        s = scan_summary(pruned)
+        assert s["scan_nodes"] == 1 and s["files_read"] >= 1
+        assert s["files_size"] > 0
+        assert 0 < s["output_rows"] < s["scan_rows"]
+        nodes = executed_plan_metrics(pruned)
+        assert any(n["node"].lower().startswith("scan") for n in nodes)
+
+    def test_partition_pruning_shrinks_file_list(self, spark, tmp_path):
+        """Partition pruning is visible in the metrics: a predicate on
+        the partition column cuts files_read and files_size, not just
+        rows — the property that keeps a one-day query off a year of
+        files."""
+        from pyspark.sql import functions as F
+
+        from swarm_spark.metrics import scan_summary
+
+        p = str(tmp_path / "parts")
+        spark.range(1000).withColumn(
+            "day", (F.col("id") % 4).cast("string")
+        ).write.partitionBy("day").parquet(p)
+        full = spark.read.parquet(p)
+        full.collect()
+        one = spark.read.parquet(p).where(F.col("day") == "2")
+        one.collect()
+        s_full, s_one = scan_summary(full), scan_summary(one)
+        assert s_one["files_read"] < s_full["files_read"]
+        assert s_one["files_size"] < s_full["files_size"]
+        assert s_one["scan_rows"] == 250
