@@ -673,16 +673,40 @@ class TableSink(Sink):
         finally:
             lock.release()
 
-    def read_table(self, dest: TableDest) -> DataFrame:
+    def read_table(
+        self, dest: TableDest, partitions: list[str] | None = None
+    ) -> DataFrame:
+        """Read a destination; ``partitions`` restricts the read to
+        those partition VALUES by listing only their directories —
+        pruning at the file-listing level (an object-store LIST per
+        selected partition, never a walk of the whole table), which is
+        the read-side analogue of partition-scoped compact/merge."""
         self._recover(dest)
         schema = self._read_schema(dest)
         if schema is None:
             raise ModelError(f"no such table: {dest.dataset}.{dest.table}")
+        if partitions is not None and dest.partition == TimeUnit.NONE.value:
+            raise ModelError("partitions= needs a time-partitioned table")
         if dest.partition != TimeUnit.NONE.value:
             schema = T.StructType(
                 list(schema.fields) + [T.StructField(PARTITION_COL, T.StringType(), True)]
             )
-        df = self.spark.read.schema(schema).parquet(self._dir(dest))
+        d = self._dir(dest)
+        if partitions is None:
+            df = self.spark.read.schema(schema).parquet(d)
+        else:
+            paths = [
+                os.path.join(d, f"{PARTITION_COL}={p}")
+                for p in partitions
+                if os.path.isdir(os.path.join(d, f"{PARTITION_COL}={p}"))
+            ]
+            if not paths:
+                return self.spark.createDataFrame([], schema).drop(PARTITION_COL)
+            df = (
+                self.spark.read.schema(schema)
+                .option("basePath", d)
+                .parquet(*paths)
+            )
         return df.drop(PARTITION_COL)
 
     def list_tables(self) -> list[TableDest]:

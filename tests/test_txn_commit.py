@@ -731,3 +731,35 @@ class TestSnapshots:
                 sink.snapshot(dest, bad)
         with pytest.raises(ModelError):
             sink.drop_snapshot(dest, "nope")
+
+
+class TestPartitionScopedRead:
+    def test_only_selected_partitions_listed(self, spark, tmp_path):
+        sink = TableSink(spark, str(tmp_path / "wh"))
+        dest = TableDest("ds", "pr", "day")
+        sink.ensure_table(dest, DATA)
+        for day, n in (("2024-01-01", 3), ("2024-01-02", 4), ("2024-01-03", 5)):
+            sink.append(
+                dest,
+                _envelope_frame(spark, n, day).withColumn(
+                    "timestamp", F.lit(f"{day} 00:00:00").cast("timestamp")
+                ),
+            )
+        assert sink.read_table(dest).count() == 12
+        one = sink.read_table(dest, partitions=["2024-01-02"])
+        assert one.count() == 4
+        two = sink.read_table(dest, partitions=["2024-01-01", "2024-01-03"])
+        assert two.count() == 8
+        # pruning happens at the listing: fewer files reach the scan
+        from swarm_spark.metrics import scan_summary
+
+        one.collect()
+        full = sink.read_table(dest)
+        full.collect()
+        assert scan_summary(one)["files_read"] < scan_summary(full)["files_read"]
+        # missing partition -> empty, same schema
+        assert sink.read_table(dest, partitions=["1999-01-01"]).count() == 0
+        with pytest.raises(ModelError):
+            TableSink(spark, str(tmp_path / "wh")).read_table(
+                TableDest("ds", "pr"), partitions=["x"]
+            )
