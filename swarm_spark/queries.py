@@ -588,8 +588,120 @@ FROM documents GROUP BY 1 ORDER BY 1
 """
 
 
+def q_streaming_sessionize_e2e(spark, sf):
+    """Streaming gap sessionization end-to-end: the events table
+    arrives as three TIME-SLICED micro-batches (slices are contiguous
+    in event time, so nothing is watermark-late) through the
+    applyInPandasWithState sessionizer; a far-future sentinel batch
+    plus one flush batch advance the watermark so every real session
+    CLOSES. The emitted sessions must equal the batch gaps-and-islands
+    computation — the oracle — proving the unbounded-stream form and
+    the batch form implement the same semantics, including sessions
+    that straddle micro-batch boundaries.
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .streaming.stateful import sessionize_stream
+
+    ev = load_table(spark, sf, "events").select("user_id", "ts")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).head()
+    span = hi - lo
+    q1 = lo + span / 3
+    q2 = lo + 2 * span / 3
+    mx = hi
+    tmp = tempfile.mkdtemp(prefix="swarm_sess_")
+    src = os.path.join(tmp, "incoming")
+    os.makedirs(src)
+
+    def dump(frame, name):
+        rows = frame.select(
+            F.to_json(
+                F.struct(
+                    "user_id",
+                    # full micros precision: the oracle sessions the
+                    # original event times
+                    F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+                )
+            ).alias("v")
+        ).collect()
+        with open(os.path.join(src, name), "w") as f:
+            for r in rows:
+                f.write(r["v"] + "\n")
+
+    dump(ev.where(F.col("ts") <= q1), "b0.ndjson")
+    dump(ev.where((F.col("ts") > q1) & (F.col("ts") <= q2)), "b1.ndjson")
+    dump(ev.where(F.col("ts") > q2), "b2.ndjson")
+    sentinel = spark.createDataFrame(
+        [(10**9, mx)], "user_id long, ts timestamp"
+    ).select("user_id", (F.col("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"))
+    dump(sentinel, "b3.ndjson")
+    dump(
+        sentinel.select("user_id", (F.col("ts") + F.expr("INTERVAL 1 MINUTE")).alias("ts")),
+        "b4.ndjson",
+    )
+
+    schema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("ts", T.TimestampType())]
+    )
+    target = os.path.join(tmp, "sessions")
+    os.makedirs(target)
+
+    def sink(batch_df, _epoch):
+        batch_df.write.mode("append").parquet(target)
+
+    prev_ndmb = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try:
+        q = (
+            sessionize_stream(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .json(src),
+                gap_s=1800,
+                watermark="10 minutes",
+            )
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev_ndmb)
+    return (
+        spark.read.schema(
+            "user_id long, session_start timestamp, session_end timestamp, n_events long"
+        )
+        .parquet(target)
+        .where(F.col("user_id") < 10**9)  # sentinel's session stays open anyway
+        .orderBy("user_id", "session_start")
+    )
+
+
+SQL_STREAMING_SESSIONIZE = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sess
+      FROM o)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       cast(count(*) AS bigint) AS n_events
+FROM s GROUP BY user_id, sess ORDER BY user_id, session_start
+"""
+
+
 CORE: dict[str, tuple[Callable, str | None]] = {
     "streaming_dedup_e2e": (q_streaming_dedup_e2e, SQL_STREAMING_DEDUP),
+    "streaming_sessionize_e2e": (q_streaming_sessionize_e2e, SQL_STREAMING_SESSIONIZE),
     "s1_scan_count": (q_s1_scan_count, SQL_S1),
     "s3_prefix_filter": (q_s3_prefix_filter, SQL_S3),
     "r1_event_rule_filter": (q_r1_event_rule_filter, SQL_R1),

@@ -10,7 +10,7 @@ from .messages import (
 from .http import ServeFrontend
 from .serve import Ack, NotificationProcessor, ServeResult
 from .state import MsgState, State, StateStore
-from .stateful import dedup_within_watermark, first_seen_gate
+from .stateful import dedup_within_watermark, first_seen_gate, sessionize_stream
 
 __all__ = [
     "Ack",
@@ -25,6 +25,7 @@ __all__ = [
     "StateStore",
     "dedup_within_watermark",
     "first_seen_gate",
+    "sessionize_stream",
     "make_swarm_message",
     "parse_eventarc_direct",
     "parse_pubsub_push",

@@ -100,6 +100,99 @@ def first_seen_gate(
     )
 
 
+def sessionize_stream(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_s: int = 1800,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming gap sessionization — the canonical custom stateful
+    operator: per key, events closer than ``gap_s`` merge into one
+    session; a session CLOSES (and emits one row) when the event-time
+    watermark passes its last event + gap, i.e. no on-time event can
+    extend it any more. The batch analogue is
+    ``classical_queries.q_sessionize`` / native ``session_window`` —
+    this is the form that runs forever on an unbounded stream with
+    bounded state.
+
+    Output: (``user_col``, session_start, session_end, n_events).
+    State per key: the one OPEN session (three longs) — closed
+    sessions leave state immediately, so state size tracks live keys,
+    not history. Late events inside the watermark merge correctly
+    (they can extend a session backwards); an event older than
+    ``session_start − gap`` forms its own already-closed session and
+    emits immediately.
+
+    Scale shape: state is partitioned by key in Spark's streaming
+    state store, checkpointed with the query; the timeout is
+    EventTimeTimeout, so closure is driven by the data's own clock —
+    no wall-clock coupling, deterministic replay.
+    """
+    import pandas as pd
+
+    gap_us = int(gap_s) * 1_000_000
+    key_type = dict(stream.dtypes)[user_col]
+    out_schema = (
+        f"{user_col} {key_type}, session_start timestamp, "
+        "session_end timestamp, n_events long"
+    )
+    state_schema = "start long, last long, n long"  # epoch micros
+
+    def fn(key, pdf_iter, state):
+        def row(start_us, last_us, n):
+            return pd.DataFrame(
+                {
+                    user_col: [key[0]],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us, unit="us")],
+                    "n_events": [int(n)],
+                }
+            )
+
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield row(start, last, n)
+            return
+        ts_us = []
+        for pdf in pdf_iter:
+            ts_us.extend(
+                int(t.value // 1000) for t in pd.to_datetime(pdf[ts_col])
+            )
+        ts_us.sort()
+        cur = list(state.get) if state.exists else None
+        for t in ts_us:
+            if cur is None:
+                cur = [t, t, 1]
+            elif t <= cur[1] + gap_us and t >= cur[0] - gap_us:
+                cur[0], cur[1], cur[2] = min(cur[0], t), max(cur[1], t), cur[2] + 1
+            elif t > cur[1] + gap_us:
+                yield row(*cur)
+                cur = [t, t, 1]
+            else:
+                # older than start - gap: its own, already-closed session
+                yield row(t, t, 1)
+        if cur is None:
+            state.remove()
+        else:
+            state.update(tuple(cur))
+            # close when the WATERMARK passes last + gap (ms precision)
+            state.setTimeoutTimestamp(cur[1] // 1000 + gap_s * 1000)
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def dedup_within_watermark(
     stream: DataFrame,
     id_cols: list[str] | None = None,

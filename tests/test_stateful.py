@@ -156,3 +156,92 @@ class TestDedupWithinWatermark:
             lambda s: dedup_within_watermark(s, ["msg_id"], "ts", "1 hour"),
         )
         assert sorted(r["payload"] for r in rows) == ["a", "b"]
+
+
+class TestSessionizeStream:
+    def test_sessions_close_on_watermark_and_merge_in_gap(self, spark, tmp_path):
+        from swarm_spark.streaming import sessionize_stream
+
+        src = tmp_path / "sess-src"
+        src.mkdir()
+        # u1: two events 10 min apart (one session), then a 2-hour jump
+        # (closes it, opens another); u2: one event
+        _write_batch(
+            src,
+            "b1.ndjson",
+            [
+                ("u1", "2024-01-01 10:00:00", "a"),
+                ("u1", "2024-01-01 10:10:00", "b"),
+                ("u2", "2024-01-01 10:05:00", "c"),
+            ],
+        )
+        _write_batch(
+            src,
+            "b2.ndjson",
+            [
+                ("u1", "2024-01-01 12:30:00", "d"),
+                # late-but-in-gap event extends u1's FIRST session
+                # backwards? no — that session is long past; this one
+                # belongs to the open 12:30 session
+                ("u1", "2024-01-01 12:40:00", "e"),
+            ],
+        )
+        # far-future batch advances the watermark past everything; the
+        # harness disables no-data microbatches, so a further DATA
+        # batch is needed for the engine to fire pending event-time
+        # timeouts (in production the no-data microbatch does this)
+        _write_batch(src, "b3.ndjson", [("u9", "2024-01-02 09:00:00", "z")])
+        _write_batch(src, "b4.ndjson", [("u9", "2024-01-02 09:00:30", "z2")])
+
+        rows = _run(
+            spark,
+            src,
+            tmp_path / "sess-ck",
+            lambda s: sessionize_stream(
+                s.withColumnRenamed("msg_id", "user_id").select("user_id", "ts"),
+                gap_s=1800,
+                watermark="1 minute",
+            ),
+        )
+        got = sorted(
+            (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+            for r in rows
+        )
+        assert ("u1", "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2) in got
+        assert ("u1", "2024-01-01 12:30:00", "2024-01-01 12:40:00", 2) in got
+        assert ("u2", "2024-01-01 10:05:00", "2024-01-01 10:05:00", 1) in got
+        # u9's session is still OPEN (nothing advanced the watermark
+        # past it) — withheld, exactly the append-mode contract
+        assert not any(u == "u9" for (u, *_rest) in got)
+
+    def test_same_batch_multi_session_split(self, spark, tmp_path):
+        from swarm_spark.streaming import sessionize_stream
+
+        src = tmp_path / "sess2-src"
+        src.mkdir()
+        _write_batch(
+            src,
+            "b1.ndjson",
+            [
+                ("u1", "2024-01-01 10:00:00", "a"),
+                ("u1", "2024-01-01 13:00:00", "b"),  # > gap: splits in-batch
+                ("u1", "2024-01-01 13:05:00", "c"),
+            ],
+        )
+        _write_batch(src, "b2.ndjson", [("u9", "2024-01-02 09:00:00", "z")])
+        _write_batch(src, "b3.ndjson", [("u9", "2024-01-02 09:00:30", "z2")])
+        rows = _run(
+            spark,
+            src,
+            tmp_path / "sess2-ck",
+            lambda s: sessionize_stream(
+                s.withColumnRenamed("msg_id", "user_id").select("user_id", "ts"),
+                gap_s=1800,
+                watermark="1 minute",
+            ),
+        )
+        got = sorted(
+            (r["user_id"], str(r["session_start"]), r["n_events"]) for r in rows
+        )
+        assert ("u1", "2024-01-01 10:00:00", 1) in got
+        assert ("u1", "2024-01-01 13:00:00", 2) in got
