@@ -1040,6 +1040,39 @@ FROM embeddings WHERE vec_id % 100 = 0
 
 
 # ------------------------------------------------- semantic dedup (SemDeDup)
+def q_dedup_minhash_recall(spark, sf):
+    """Declared banding-quality invariant, hash-checked (the fuzzy-tier
+    analogue of ann_ivf_recall): MinHash/LSH candidates must cover
+    ≥ 90% of the TRUE jaccard-0.8 pairs. Candidate generation is
+    probabilistic in design but deterministic given the md5 banding,
+    so a parameter regression (fewer perms/bands than the threshold
+    needs) flips the hash. Output: (n_true, recall_ge_90pct)."""
+    docs = _docs(spark, sf)
+    truth = ngram_jaccard_pairs(docs, threshold=0.8, max_df=_MAX_DF).select(
+        "doc_a", "doc_b"
+    )
+    cand = minhash_lsh_pairs(docs, max_df=_MAX_DF).select("doc_a", "doc_b")
+    hits = truth.join(cand, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    total = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    return hits.crossJoin(F.broadcast(total)).select(
+        "n_true",
+        (F.col("n_hits") * 100 >= F.col("n_true") * 90).alias("recall_ge_90pct"),
+    )
+
+
+SQL_MINHASH_RECALL = f"""
+WITH {_shingle_cte(3, _MAX_DF)},
+sz AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY 1),
+i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT cast(count(*) AS bigint) AS n_true, true AS recall_ge_90pct
+FROM i JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+WHERE round(inter * 1.0 / (x.n_sh + y.n_sh - inter), 6) >= 0.8
+"""
+
+
 def q_dedup_semantic(spark, sf):
     """SemDeDup-style semantic near-dup pairs: deterministic k-means
     cells (the bit-reproducible Lloyd contract the IVF oracle pins)
@@ -2249,6 +2282,7 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_keep_one": (q_dedup_keep_one, SQL_DEDUP_KEEP_ONE),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_MINHASH_LSH),
+    "dedup_minhash_recall": (q_dedup_minhash_recall, SQL_MINHASH_RECALL),
     "dedup_simhash": (q_dedup_simhash, SQL_SIMHASH),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_SIMHASH_PAIRS),
     "dedup_simhash64_pairs": (q_dedup_simhash64_pairs, SQL_SIMHASH64_PAIRS),

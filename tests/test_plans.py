@@ -64,6 +64,7 @@ BNLJ_ALLOWED = {
     "ann_topk_ivf",
     "ann_ivf_recall",
     "corpus_mixture_plan",  # crossJoin(broadcast(1-row min budget))
+    "dedup_minhash_recall",  # crossJoin(broadcast(1-row true-pair count))
     "corpus_vocab",
     "corpus_vocab_incremental",  # same 1-row total attach as corpus_vocab
     "knn_classify",
@@ -92,6 +93,8 @@ _SCAN_BUDGET = {
     "text_strip_segments": 3,
     "ann_ivf_cells": 4,
     "ann_topk_ivf": 4,
+    "dedup_minhash_recall": 4,  # jaccard truth (2-scan shape) + the
+    #   embedded minhash candidate generator (2-scan shape)
     "funnel_steps": 4,  # 3 predicate-pushed stage scans (view/click/
     #   purchase) + the view-stage aggregate feeding both the click
     #   chain and the stage-count join
