@@ -1649,6 +1649,51 @@ ORDER BY id_a, id_b""",
 )
 
 
+def q_dedup_signlsh_recall(spark, sf):
+    """Declared recall gate for the sign-LSH tier at its DESIGN point
+    (high cosine — at cos 0.9 a 2-bit band matches with p≈0.73, so 8
+    bands catch ≈100%; at low cosine sign-LSH is the wrong tool and
+    the cell-blocked tiers apply): candidates must cover ≥ 90% of the
+    same-kmeans-cell cos-≥-0.9 pairs over the hashed doc vectors —
+    the exact pair set `dedup_semantic_text` oracles. Deterministic:
+    planes are md5-Rademacher literals."""
+    from .ops.semdedup import semantic_dup_pairs
+    from .ops.text import hashed_embedding
+
+    emb = hashed_embedding(_docs(spark, sf), dim=64)
+    truth = semantic_dup_pairs(
+        emb, vec_col="vec", id_col="doc_id", n_cells=8, iters=3, threshold=0.9
+    ).select("id_a", "id_b")
+    cand = embedding_signlsh_pairs(
+        emb,
+        vec_col="vec",
+        id_col="doc_id",
+        num_planes=16,
+        bands=8,
+        threshold=0.9,
+        dim=64,
+    ).select("id_a", "id_b")
+    hits = truth.join(cand, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    total = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    return hits.crossJoin(F.broadcast(total)).select(
+        "n_true",
+        (F.col("n_hits") * 100 >= F.col("n_true") * 90).alias("recall_ge_90pct"),
+    )
+
+
+SQL_SIGNLSH_RECALL = _ivf_oracle_sql(
+    ibase_sql=_HTF_IBASE,
+    final_select=f"""
+SELECT cast(count(*) AS bigint) AS n_true, true AS recall_ge_90pct
+FROM afin a JOIN afin b ON a.cell = b.cell AND a.id < b.id
+JOIN ibase va ON va.id = a.id
+JOIN ibase vb ON vb.id = b.id
+WHERE {_SEM_COS} >= 0.9""",
+)
+
+
 def q_dedup_substring_runs(spark, sf):
     """Exact shared-substring runs ≥ 16 tokens (8-gram diagonals,
     gaps-and-islands merge) — the ExactSubstr verbatim-copy signal
@@ -2267,6 +2312,7 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "dedup_substring_runs": (q_dedup_substring_runs, SQL_SUBSTRING_RUNS),
     "text_hash_embed": (q_text_hash_embed, SQL_HASH_EMBED),
     "dedup_semantic_text": (q_dedup_semantic_text, SQL_DEDUP_SEMANTIC_TEXT),
+    "dedup_signlsh_recall": (q_dedup_signlsh_recall, SQL_SIGNLSH_RECALL),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF),
     "knn_classify": (q_knn_classify, SQL_KNN_CLASSIFY),
     "text_token_stats": (q_text_token_stats, SQL_TOKEN_STATS),

@@ -65,6 +65,7 @@ BNLJ_ALLOWED = {
     "ann_ivf_recall",
     "corpus_mixture_plan",  # crossJoin(broadcast(1-row min budget))
     "dedup_minhash_recall",  # crossJoin(broadcast(1-row true-pair count))
+    "dedup_signlsh_recall",  # kmeans argmin + 1-row true-pair attach
     "corpus_vocab",
     "corpus_vocab_incremental",  # same 1-row total attach as corpus_vocab
     "knn_classify",
@@ -95,6 +96,8 @@ _SCAN_BUDGET = {
     "ann_topk_ivf": 4,
     "dedup_minhash_recall": 4,  # jaccard truth (2-scan shape) + the
     #   embedded minhash candidate generator (2-scan shape)
+    "dedup_signlsh_recall": 4,  # semantic truth (hashed vectors +
+    #   kmeans) + the sign-LSH candidate generator
     "funnel_steps": 4,  # 3 predicate-pushed stage scans (view/click/
     #   purchase) + the view-stage aggregate feeding both the click
     #   chain and the stage-count join
