@@ -665,6 +665,32 @@ FROM x ORDER BY doc_id, window_id
 """
 
 
+def q_pack_bins_report(spark, sf):
+    """Packing-efficiency report — THE padding metric a pretraining
+    pipeline watches: bin count, packed tokens, oversize bins, and
+    utilization in integral ppm (tokens / (bins × capacity); oversize
+    single-doc bins can push a bin past capacity, so > 1e6 is
+    possible). One extra metadata-sized aggregation over the greedy
+    packing."""
+    from .ops.packing import pack_greedy_bins
+
+    packed = pack_greedy_bins(_docs(spark, sf), capacity=512, num_buckets=8)
+    g = packed.groupBy("bucket", "bin_id").agg(
+        F.sum("n_tok").alias("bin_tok"),
+        F.max(F.col("oversize").cast("int")).alias("ov"),
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum("bin_tok").cast("long").alias("total_tokens"),
+        F.sum("ov").cast("long").alias("oversize_bins"),
+    ).select(
+        "n_bins",
+        "total_tokens",
+        "oversize_bins",
+        F.expr("total_tokens * 1000000 div (n_bins * 512)").alias("util_ppm"),
+    )
+
+
 def q_pack_shards(spark, sf):
     """Balanced training-shard assignment (16 shards): each document
     lands in the shard its global token interval starts in, shard
@@ -720,6 +746,22 @@ walk AS (
 SELECT doc_id, n_tok, bucket, bin_id, fill, n_tok > 512 AS oversize
 FROM walk ORDER BY doc_id
 """
+
+
+SQL_PACK_BINS_REPORT = SQL_PACK_BINS.replace(
+    """SELECT doc_id, n_tok, bucket, bin_id, fill, n_tok > 512 AS oversize
+FROM walk ORDER BY doc_id""",
+    """, fin AS (SELECT bucket, bin_id, cast(sum(n_tok) AS bigint) AS bin_tok,
+              max(CASE WHEN n_tok > 512 THEN 1 ELSE 0 END) AS ov
+       FROM walk GROUP BY 1, 2)
+SELECT cast(count(*) AS bigint) AS n_bins,
+       cast(sum(bin_tok) AS bigint) AS total_tokens,
+       cast(sum(ov) AS bigint) AS oversize_bins,
+       cast(sum(bin_tok) * 1000000 // (count(*) * 512) AS bigint) AS util_ppm
+FROM fin""",
+)
+
+
 
 
 def q_dedup_embedding(spark, sf):
@@ -2351,6 +2393,7 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
     "pack_shards": (q_pack_shards, SQL_PACK_SHARDS),
     "pack_bins": (q_pack_bins, SQL_PACK_BINS),
+    "pack_bins_report": (q_pack_bins_report, SQL_PACK_BINS_REPORT),
     "text_strip_segments": (q_text_strip_segments, SQL_STRIP_SEGMENTS),
     "text_decontaminate": (q_text_decontaminate, SQL_DECONTAMINATE),
     "corpus_curate": (q_corpus_curate, SQL_CORPUS_CURATE),
