@@ -763,3 +763,45 @@ class TestPartitionScopedRead:
             TableSink(spark, str(tmp_path / "wh")).read_table(
                 TableDest("ds", "pr"), partitions=["x"]
             )
+
+
+class TestSnapshotMergeInterplay:
+    def test_snapshot_survives_id_upsert(self, spark, tmp_path):
+        """merge_by_id rewrites touched partitions through the retired
+        mirror like compact — a snapshot taken before the upsert must
+        still read the ORIGINAL values; vacuum honors its references
+        until the snapshot drops."""
+        sink = TableSink(spark, str(tmp_path / "whsm"))
+        dest = TableDest("ds", "tsm", "day")
+        sink.ensure_table(dest, DATA_STR)
+        day = "2024-01-01"
+        base = spark.range(4).select(
+            F.concat(F.lit(f"{day}-"), F.col("id").cast("string")).alias("id"),
+            F.lit("ing1").alias("ingest_id"),
+            F.lit(f"{day} 12:00:00").cast("timestamp").alias("timestamp"),
+            F.lit(f"{day} 12:00:01").cast("timestamp").alias("ingested_at"),
+            F.struct(F.concat(F.lit("v1-"), F.col("id").cast("string")).alias("v")).alias("data"),
+        )
+        sink.append(dest, base)
+        sink.snapshot(dest, "pre-merge")
+        batch = spark.createDataFrame([(f"{day}-0",)], "id string").select(
+            "id",
+            F.lit("ing2").alias("ingest_id"),
+            F.lit(f"{day} 13:00:00").cast("timestamp").alias("timestamp"),
+            F.lit(f"{day} 13:00:01").cast("timestamp").alias("ingested_at"),
+            F.struct(F.concat(F.lit("v2-"), F.col("id")).alias("v")).alias("data"),
+        )
+        stats = sink.merge_by_id(dest, batch)
+        assert stats["rows_replaced"] == 1
+        live = {r["id"]: r["data"]["v"] for r in sink.read_table(dest).collect()}
+        assert live[f"{day}-0"] == f"v2-{day}-0"
+        snap = {
+            r["id"]: r["data"]["v"]
+            for r in sink.read_snapshot(dest, "pre-merge").collect()
+        }
+        assert snap[f"{day}-0"] == "v1-0"  # pinned pre-merge value
+        assert len(snap) == 4
+        # references hold through vacuum until the snapshot drops
+        assert sink.vacuum(dest)["files_removed"] == 0
+        sink.drop_snapshot(dest, "pre-merge")
+        assert sink.vacuum(dest)["files_removed"] >= 1
