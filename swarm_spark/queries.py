@@ -588,6 +588,116 @@ FROM documents GROUP BY 1 ORDER BY 1
 """
 
 
+def _time_sliced_src(df, cols_json, tmp, slices=3, sentinel_rows=()):
+    """Write ``df`` as ``slices`` contiguous event-time NDJSON files
+    (plus sentinel files) under ``tmp``/incoming — deterministic
+    micro-batch replay: slices are contiguous in ``ts``, so no event is
+    watermark-late and results are a pure function of the data."""
+    import os
+
+    lo, hi = df.agg(F.min("ts"), F.max("ts")).head()
+    span = hi - lo
+    src = os.path.join(tmp, "incoming")
+    os.makedirs(src, exist_ok=True)
+
+    def dump(frame, name):
+        rows = frame.select(F.to_json(F.struct(*cols_json)).alias("v")).collect()
+        with open(os.path.join(src, name), "w") as f:
+            for r in rows:
+                f.write(r["v"] + "\n")
+
+    bounds = [lo + span * k / slices for k in range(1, slices)]
+    prev = None
+    for k, b in enumerate([*bounds, None]):
+        part = df
+        if prev is not None:
+            part = part.where(F.col("ts") > prev)
+        if b is not None:
+            part = part.where(F.col("ts") <= b)
+        dump(part, f"b{k}.ndjson")
+        prev = b
+    for i, frame in enumerate(sentinel_rows):
+        dump(frame, f"s{i}.ndjson")
+    return src
+
+
+_TS_MICROS = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def q_streaming_window_e2e(spark, sf):
+    """Streaming tumbling-window aggregation end-to-end: the events
+    table replays as contiguous time-sliced micro-batches through a
+    watermarked ``groupBy(window, event_type)`` in APPEND mode — each
+    window row emits exactly once, when the watermark passes its end.
+    A far-future sentinel (plus a flush batch) closes every real
+    window; the emitted rows must hash-equal the batch
+    ``window_hourly`` computation — the built-in stateful-aggregation
+    counterpart of the custom-state `streaming_sessionize_e2e`.
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    ev = load_table(spark, sf, "events").select("ts", "event_type", "value")
+    mx = ev.agg(F.max("ts")).head()[0]
+    tmp = tempfile.mkdtemp(prefix="swarm_swin_")
+    sentinel = spark.createDataFrame(
+        [("__sentinel__", 0.0, mx)], "event_type string, value double, ts timestamp"
+    ).select(
+        (F.col("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"), "event_type", "value"
+    )
+    sentinel2 = sentinel.select(
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"), "event_type", "value"
+    )
+    cols = [
+        F.date_format("ts", _TS_MICROS).alias("ts"),
+        "event_type",
+        "value",
+    ]
+    src = _time_sliced_src(ev, cols, tmp, slices=3, sentinel_rows=[sentinel, sentinel2])
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    target = os.path.join(tmp, "windows")
+    os.makedirs(target)
+
+    def sink(batch_df, _epoch):
+        batch_df.write.mode("append").parquet(target)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+        .withWatermark("ts", "10 minutes")
+        # group by the window STRUCT (not .start) — extracting the
+        # field pre-aggregation severs the event-time/watermark link
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(F.col("w").getField("start").alias("bucket"), "event_type", "n", "value_cents")
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return (
+        spark.read.schema("bucket timestamp, event_type string, n long, value_cents long")
+        .parquet(target)
+        .where(F.col("event_type") != "__sentinel__")
+        .orderBy("bucket", "event_type")
+    )
+
+
 def q_streaming_sessionize_e2e(spark, sf):
     """Streaming gap sessionization end-to-end: the events table
     arrives as three TIME-SLICED micro-batches (slices are contiguous
@@ -682,6 +792,14 @@ def q_streaming_sessionize_e2e(spark, sf):
     )
 
 
+SQL_WINDOW_STREAM = """
+SELECT cast(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS bucket, event_type,
+       count(*) AS n,
+       cast(sum(cast(round(value * 100) AS bigint)) AS BIGINT) AS value_cents
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 SQL_STREAMING_SESSIONIZE = """
 WITH o AS (
   SELECT user_id, ts,
@@ -702,6 +820,7 @@ FROM s GROUP BY user_id, sess ORDER BY user_id, session_start
 CORE: dict[str, tuple[Callable, str | None]] = {
     "streaming_dedup_e2e": (q_streaming_dedup_e2e, SQL_STREAMING_DEDUP),
     "streaming_sessionize_e2e": (q_streaming_sessionize_e2e, SQL_STREAMING_SESSIONIZE),
+    "streaming_window_e2e": (q_streaming_window_e2e, SQL_WINDOW_STREAM),
     "s1_scan_count": (q_s1_scan_count, SQL_S1),
     "s3_prefix_filter": (q_s3_prefix_filter, SQL_S3),
     "r1_event_rule_filter": (q_r1_event_rule_filter, SQL_R1),
