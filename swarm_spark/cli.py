@@ -275,6 +275,23 @@ def cmd_curate(args) -> int:
             kept, text_col=args.text_col, id_col=args.id_col, max_df=args.max_df
         ).where(F.col("est_jaccard") >= args.near_dup)
         kept = keep_one_per_cluster(kept, pairs, id_col=args.id_col)
+    if args.semantic:
+        # model-free semantic pass: hashed-trick vectors -> k-means
+        # cells -> within-cell cosine -> keep one per semantic group
+        from .ops.semdedup import semantic_dup_pairs
+        from .ops.text import hashed_embedding
+        from .ops.components import keep_one_per_cluster
+
+        emb = hashed_embedding(kept, dim=64, text_col=args.text_col, id_col=args.id_col)
+        pairs = semantic_dup_pairs(
+            emb,
+            vec_col="vec",
+            id_col="doc_id",
+            n_cells=args.semantic_cells,
+            iters=3,
+            threshold=args.semantic,
+        )
+        kept = keep_one_per_cluster(kept, pairs, args.id_col, "id_a", "id_b")
     kept = (
         kept.withColumn("quality", quality_expr(args.text_col))
         .withColumn("pred_lang", language_pred_expr(args.text_col))
@@ -473,6 +490,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="also drop MinHash near-dups at this est-jaccard (0 = off)",
     )
     sp.add_argument("--max-df", type=int, default=1000, help="DF-prune cap for near-dup")
+    sp.add_argument(
+        "--semantic",
+        type=float,
+        default=0.0,
+        help="also drop SEMANTIC near-dups at this hashed-vector cosine (0 = off)",
+    )
+    sp.add_argument("--semantic-cells", type=int, default=64)
     sp.add_argument(
         "--token-budget-per-lang",
         type=int,

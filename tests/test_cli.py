@@ -405,3 +405,38 @@ class TestQueryMetrics:
         m = json.loads(lines[-1])["metrics"]
         assert m["scan_nodes"] >= 1 and m["files_read"] >= 1
         assert m["files_size"] > 0 and m["output_rows"] >= 1
+
+
+class TestCurateSemantic:
+    def test_semantic_pass_drops_paraphrase_clones(self, spark, tmp_path, capsys):
+        import pyspark.sql.functions as F  # noqa: N812
+
+        src = str(tmp_path / "sem_src")
+        base = spark.range(0, 30).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ", *[F.concat(F.lit(f"tok{k}x"), F.col("id")) for k in range(15)]
+            ).alias("text"),
+        )
+        # 100: shares 13 of doc 0's 15 tokens reordered — high hashed
+        # cosine but a different digest (exact dedup can't catch it)
+        d0 = base.where(F.col("doc_id") == 0).head()["text"].split(" ")
+        clone = " ".join(d0[2:] + d0[:2][:0] + ["zz1", "zz2"])
+        extra = spark.createDataFrame([(100, clone)], "doc_id long, text string")
+        base.unionByName(extra).write.parquet(src)
+
+        out = str(tmp_path / "sem_out")
+        res = _run(
+            capsys,
+            [
+                "--cpus", "4",
+                "curate", src, "-o", out,
+                "--min-quality", "0.0",
+                "--semantic", "0.8",
+                "--semantic-cells", "4",
+            ],
+        )
+        back = spark.read.parquet(out)
+        ids = {r["doc_id"] for r in back.collect()}
+        assert 0 in ids and 100 not in ids
+        assert res["docs_kept"] == 30
