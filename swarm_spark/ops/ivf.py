@@ -148,40 +148,73 @@ def ivf_cells_report(
     )
 
 
-def ann_topk_ivf(
+def build_ivf(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_cells: int = 8,
-    nprobe: int = 2,
     iters: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the IVF index: (assignments (id, cell), centroids (cell,
+    ccv, ccn2)). Persist both with :func:`save_ivf` and probe many
+    query batches without re-running Lloyd — the build-once/probe-many
+    workflow an ANN service runs (the k-means driver round-trips
+    happen once per index, not once per query batch)."""
+    cells = kmeans_cells(corpus, vec_col, id_col, k=n_cells, iters=iters)
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("cv"),
+        dot_expr(vec_col, vec_col).alias("cn2"),
+    ).join(cells, "id")
+    return cells, cell_centroids(c)
+
+
+def save_ivf(assignments: DataFrame, centroids: DataFrame, path: str) -> None:
+    """Persist an IVF index as two parquet tables (assignments are
+    corpus-sized; centroids are k rows)."""
+    import os
+
+    assignments.write.mode("overwrite").parquet(os.path.join(path, "assignments"))
+    centroids.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+
+
+def load_ivf(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    import os
+
+    return (
+        spark.read.schema("id long, cell int").parquet(
+            os.path.join(path, "assignments")
+        ),
+        spark.read.schema(
+            "cell int, ccv array<double>, ccn2 double"
+        ).parquet(os.path.join(path, "centroids")),
+    )
+
+
+def ann_topk_ivf_probe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    assignments: DataFrame,
+    centroids_df: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nprobe: int = 2,
     n_salts: int | None = None,
 ) -> DataFrame:
-    """IVF ANN: build cells over the corpus, probe nprobe cells/query.
-
-    Returns (query_id, id, cos, rank) like the brute-force baseline —
-    swap-compatible, with recall traded for a ~nprobe/n_cells scan.
-    Final ranking is the salted two-phase top-k (similarity.
-    topk_per_query): even a pathologically large probed cell never
-    lands one query's candidates on a single window task.
-    """
+    """Probe a (pre)built IVF index: queries rank cells by centroid
+    distance, scan their nprobe nearest, and the salted two-phase
+    top-k finishes — no Lloyd iterations, no centroid round-trips.
+    Same output contract as :func:`ann_topk_ivf`."""
     from .similarity import _salts_for, topk_per_query
 
-    spark = corpus.sparkSession
     n_salts = _salts_for(corpus, n_salts)
-    cells = kmeans_cells(corpus, vec_col, id_col, k=n_cells, iters=iters)
-    c = (
-        corpus.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("cv"),
-            dot_expr(vec_col, vec_col).alias("cn2"),
-        )
-        .join(cells, "id")
-    )
-    # rank every (query, cell) by centroid distance → keep nprobe
-    centroids = cell_centroids(c).select(
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("cv"),
+        dot_expr(vec_col, vec_col).alias("cn2"),
+    ).join(assignments, "id")
+    centroids = centroids_df.select(
         "cell", F.col("ccv").alias("cv"), F.col("ccn2").alias("c_n2")
     )
     q = queries.select(
@@ -213,3 +246,37 @@ def ann_topk_ivf(
         )
     )
     return topk_per_query(joined, k, n_salts)
+
+
+def ann_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 8,
+    nprobe: int = 2,
+    iters: int = 4,
+    n_salts: int | None = None,
+) -> DataFrame:
+    """IVF ANN: build cells over the corpus, probe nprobe cells/query —
+    :func:`build_ivf` + :func:`ann_topk_ivf_probe` in one call.
+
+    Returns (query_id, id, cos, rank) like the brute-force baseline —
+    swap-compatible, with recall traded for a ~nprobe/n_cells scan.
+    Final ranking is the salted two-phase top-k (similarity.
+    topk_per_query): even a pathologically large probed cell never
+    lands one query's candidates on a single window task.
+    """
+    assignments, centroids = build_ivf(corpus, vec_col, id_col, n_cells, iters)
+    return ann_topk_ivf_probe(
+        corpus,
+        queries,
+        assignments,
+        centroids,
+        k=k,
+        vec_col=vec_col,
+        id_col=id_col,
+        nprobe=nprobe,
+        n_salts=n_salts,
+    )

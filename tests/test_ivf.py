@@ -52,3 +52,35 @@ class TestIvfAnn:
         rows = approx.collect()
         assert len(rows) > 0
         assert all(r["rank"] <= 3 for r in rows)
+
+
+class TestIvfPersistence:
+    def test_saved_index_probe_matches_inline(self, spark, sf_dir, tmp_path):
+        """Build-once/probe-many: a saved+loaded index must probe to
+        exactly the inline ann_topk_ivf results (same rounded
+        centroids, same assignments, same ranking)."""
+        from pyspark.sql import functions as F
+
+        from swarm_spark.ops.ivf import (
+            ann_topk_ivf,
+            ann_topk_ivf_probe,
+            build_ivf,
+            load_ivf,
+            save_ivf,
+        )
+        from swarm_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries = emb.where(F.col("vec_id") % 100 == 0)
+        inline = ann_topk_ivf(emb, queries, k=5, n_cells=8, nprobe=4, iters=3)
+        a, c = build_ivf(emb, n_cells=8, iters=3)
+        path = str(tmp_path / "ivf_idx")
+        save_ivf(a, c, path)
+        a2, c2 = load_ivf(spark, path)
+        probed = ann_topk_ivf_probe(emb, queries, a2, c2, k=5, nprobe=4)
+        key = lambda df: sorted(
+            (r["query_id"], r["id"], r["cos"], r["rank"]) for r in df.collect()
+        )
+        assert key(probed) == key(inline)
+        # the index is two tables: corpus-sized assignments + k centroids
+        assert a2.count() == emb.count() and c2.count() == 8
