@@ -201,6 +201,46 @@ def cmd_vacuum(args) -> int:
     return 0
 
 
+def cmd_index(args) -> int:
+    """Build/probe a persisted IVF ANN index over an embeddings
+    parquet (build-once/probe-many; see ops/ivf.py)."""
+    from .ops.ivf import ann_topk_ivf_probe, build_ivf, load_ivf, save_ivf
+
+    spark = _spark(args)
+    if args.action == "build":
+        emb = spark.read.parquet(args.input)
+        a, c = build_ivf(
+            emb,
+            vec_col=args.vec_col,
+            id_col=args.id_col,
+            n_cells=args.cells,
+            iters=args.iters,
+        )
+        save_ivf(a, c, args.index)
+        print(
+            json.dumps(
+                {"index": args.index, "vectors": a.count(), "cells": args.cells}
+            )
+        )
+    else:  # probe
+        emb = spark.read.parquet(args.input)
+        queries = spark.read.parquet(args.queries) if args.queries else emb
+        a, c = load_ivf(spark, args.index)
+        out = ann_topk_ivf_probe(
+            emb,
+            queries,
+            a,
+            c,
+            k=args.k,
+            vec_col=args.vec_col,
+            id_col=args.id_col,
+            nprobe=args.nprobe,
+        )
+        for r in (out.limit(args.limit) if args.limit else out).collect():
+            print(json.dumps({k: str(v) for k, v in r.asDict().items()}))
+    return 0
+
+
 def cmd_query(args) -> int:
     """Run any registry query against a testdata scale-factor dir and
     print rows as JSON lines — the whole analytics surface from the
@@ -434,6 +474,20 @@ def build_parser() -> argparse.ArgumentParser:
         help="comma list of partition values to compact ('' = whole table)",
     )
     sp.set_defaults(fn=cmd_compact)
+
+    sp = sub.add_parser("index", help="build/probe a persisted IVF ANN index")
+    sp.add_argument("action", choices=["build", "probe"])
+    sp.add_argument("--input", required=True, help="embeddings parquet path")
+    sp.add_argument("--index", required=True, help="index directory")
+    sp.add_argument("--queries", default="", help="query vectors parquet (probe)")
+    sp.add_argument("--vec-col", default="embedding")
+    sp.add_argument("--id-col", default="vec_id")
+    sp.add_argument("--cells", type=int, default=64)
+    sp.add_argument("--iters", type=int, default=4)
+    sp.add_argument("--k", type=int, default=5)
+    sp.add_argument("--nprobe", type=int, default=4)
+    sp.add_argument("--limit", type=int, default=0)
+    sp.set_defaults(fn=cmd_index)
 
     sp = sub.add_parser("query", help="run a registry query and print rows")
     sp.add_argument("name", nargs="?", default="", help="query name (see --list)")

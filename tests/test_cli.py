@@ -440,3 +440,25 @@ class TestCurateSemantic:
         ids = {r["doc_id"] for r in back.collect()}
         assert 0 in ids and 100 not in ids
         assert res["docs_kept"] == 30
+
+
+class TestIndexCli:
+    def test_build_then_probe(self, spark, tmp_path, capsys):
+        idx = str(tmp_path / "idx")
+        out = _run(
+            capsys,
+            ["--cpus", "4", "index", "build",
+             "--input", "/root/testdata/sf0.001/embeddings.parquet",
+             "--index", idx, "--cells", "8", "--iters", "3"],
+        )
+        assert out == {"index": idx, "vectors": 500, "cells": 8}
+        rc = main(
+            ["--cpus", "4", "index", "probe",
+             "--input", "/root/testdata/sf0.001/embeddings.parquet",
+             "--index", idx, "--k", "3", "--nprobe", "4", "--limit", "6"]
+        )
+        assert rc == 0
+        lines = capsys.readouterr().out.strip().splitlines()
+        assert len(lines) == 6
+        row = json.loads(lines[0])
+        assert {"query_id", "id", "cos", "rank"} <= set(row)
