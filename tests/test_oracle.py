@@ -151,3 +151,13 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert df.columns == ["l_returnflag", "l_linestatus", "n", "sum_qty", "price_ceil"]
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_oracle_is_not_trivially_empty(name, ddb):
+    """A query whose oracle returns ZERO rows at test scale would
+    hash-match an empty Spark result no matter how broken the operator
+    is — every declared query must exercise at least one row."""
+    assert len(ddb.execute(ORACLE[name]).fetchall()) >= 1, (
+        f"{name}: oracle empty at test scale — the green row is vacuous"
+    )
