@@ -824,6 +824,75 @@ def dsir_importance(
     )
 
 
+def bigram_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document average BIGRAM surprisal against the corpus's own
+    Laplace-smoothed conditional model: −mean ln P(tok | prev) with
+    P = (c(prev,tok)+1) / (c(prev)+V), V the unigram vocabulary size.
+    One order up from :func:`unigram_surprisal` — template boilerplate
+    scores even lower (its transitions are predictable), token-soup
+    scores higher (no transition is), the CCNet-style quality signal
+    without a trained LM.
+
+    Output (doc_id, n_bigrams, avg_surprisal_micro); docs with < 2
+    tokens have no transitions and are excluded. Same engine-exact
+    contract as the unigram form: each transition's ln-probability is
+    rounded to integer micro-nats FIRST, sums are 64-bit integers, the
+    mean is half-up integer division.
+
+    Scale shape: bigram counts are one map-side-combined shuffle ∝
+    bigram vocabulary, unigram counts ∝ vocab; V rides the driver as
+    one long; the score join shuffles bigram rows by bigram key — no
+    windows, no driver loops.
+    """
+    bg_expr = (
+        "CASE WHEN size(ws) < 2 THEN array() "
+        "ELSE transform(sequence(0, size(ws) - 2), "
+        "i -> struct(ws[i] AS prev, ws[i + 1] AS cur)) END"
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("ws")
+    )
+    bgs = base.select(
+        "doc_id", F.explode(F.expr(bg_expr)).alias("b")
+    ).select("doc_id", F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur"))
+    uni = base.select(F.explode("ws").alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("cu")
+    )
+    v = uni.count()  # vocabulary size: one long via the driver
+    bi = bgs.groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).cast("long").alias("cb")
+    )
+    stats = bi.join(uni.withColumnRenamed("tok", "prev"), "prev").select(
+        "prev",
+        "cur",
+        F.round(
+            -F.log((F.col("cb") + 1) / (F.col("cu") + F.lit(int(v)))) * 1_000_000
+        )
+        .cast("long")
+        .alias("micro"),
+    )
+    return (
+        bgs.join(stats, ["prev", "cur"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("micro").alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.expr("(2 * s + n_bigrams) div (2 * n_bigrams)").alias(
+                "avg_surprisal_micro"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     k: int = 3,

@@ -1960,6 +1960,41 @@ FROM d ORDER BY doc_id
 """
 
 
+def q_text_bigram_surprisal(spark, sf):
+    """Per-doc average bigram surprisal vs the corpus's own
+    Laplace-smoothed conditional model — one order up from the unigram
+    proxy (predictable transitions score low; token soup scores
+    high); micro-nat integer accumulation, engine-exact."""
+    from .ops.text import bigram_surprisal
+
+    return bigram_surprisal(_docs(spark, sf))
+
+
+SQL_BIGRAM_SURPRISAL = f"""
+WITH w AS ({_WS}),
+e AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+bg AS (SELECT doc_id,
+              unnest(list_transform(range(greatest(len(ws) - 1, 0)),
+                     i -> struct_pack(prev := ws[i + 1], cur := ws[i + 2]))) AS b
+       FROM w),
+bu AS (SELECT doc_id, b.prev AS prev, b.cur AS cur FROM bg),
+uni AS (SELECT tok, cast(count(*) AS bigint) AS cu FROM e GROUP BY 1),
+v AS (SELECT cast(count(*) AS bigint) AS v FROM uni),
+bi AS (SELECT prev, cur, cast(count(*) AS bigint) AS cb FROM bu GROUP BY 1, 2),
+m AS (SELECT bi.prev, bi.cur,
+             cast(round(-ln((bi.cb + 1) * 1.0 / (uni.cu + v.v)) * 1000000)
+                  AS bigint) AS micro
+      FROM bi JOIN uni ON bi.prev = uni.tok, v),
+d AS (SELECT doc_id, cast(count(*) AS bigint) AS n_bigrams,
+             cast(sum(micro) AS bigint) AS s
+      FROM bu JOIN m USING (prev, cur) GROUP BY 1)
+SELECT doc_id, n_bigrams,
+       cast((2 * s + n_bigrams) // (2 * n_bigrams) AS bigint)
+           AS avg_surprisal_micro
+FROM d ORDER BY doc_id
+"""
+
+
 def q_dedup_ngram_coverage(spark, sf):
     """Per-doc duplicate-shingle coverage: fraction of each doc's
     distinct 3-gram shingles that appear in more than one document."""
@@ -2343,6 +2378,7 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "embedding_quantize": (q_embedding_quantize, SQL_EMB_QUANTIZE),
     "multimodal_frame_sample": (q_multimodal_frame_sample, SQL_FRAME_SAMPLE),
     "text_surprisal": (q_text_surprisal, SQL_SURPRISAL),
+    "text_bigram_surprisal": (q_text_bigram_surprisal, SQL_BIGRAM_SURPRISAL),
     "dedup_ngram_coverage": (q_dedup_ngram_coverage, SQL_NGRAM_COVERAGE),
     "sample_stratified_cap": (q_sample_stratified_cap, SQL_STRATIFIED_CAP),
     "sample_balance_langs": (q_sample_balance_langs, SQL_BALANCE_LANGS),

@@ -1143,3 +1143,22 @@ class TestSubstringRunsRandomized:
         }
         assert expected, "seed produced no runs — regenerate the fixture"
         assert got == expected
+
+
+class TestBigramSurprisal:
+    def test_repetitive_doc_scores_below_novel_doc(self, spark):
+        from swarm_spark.ops.text import bigram_surprisal
+
+        rows = [
+            (1, "a b a b a b a b a b"),          # one dominant transition
+            (2, "q w e r t y u i o p"),          # all transitions unique
+            (3, "a b"),                           # shares doc 1's transition
+            (4, "x"),                              # < 2 tokens: excluded
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in bigram_surprisal(df).collect()}
+        assert 4 not in out
+        assert out[1]["n_bigrams"] == 9 and out[2]["n_bigrams"] == 9
+        assert out[1]["avg_surprisal_micro"] < out[2]["avg_surprisal_micro"]
+        # doc 3 rides doc 1's frequent transition: also low surprisal
+        assert out[3]["avg_surprisal_micro"] < out[2]["avg_surprisal_micro"]

@@ -90,6 +90,7 @@ _SCAN_BUDGET = {
     "dedup_semantic_keep": 3,  # pair graph (cells + cosine) + the
     #   corpus frame the anti-join preserves
     "knn_classify": 3,  # embeddings as corpus + broadcast queries + label dim
+    "text_bigram_surprisal": 3,  # unigram stats + bigram stats + scoring
     "text_decontaminate": 3,
     "text_strip_segments": 3,
     "ann_ivf_cells": 4,
