@@ -125,6 +125,32 @@ def main() -> None:
     minima = {name: round(min(s), 4) for name, s in samples.items()}
 
     total = round(sum(timings.values()), 4)
+    # The driver captures only the TAIL of stdout, so the headline JSON
+    # must be a single COMPACT line (<~2 KB): r6's combined line (with
+    # the samples dict inlined) outgrew the capture and BENCH_r06.json
+    # recorded parsed:null. Minima, per-round samples and load traces go
+    # to a sidecar file next to this script instead.
+    sidecar = {
+        "queries_min": minima,
+        "value_min": round(sum(minima.values()), 4),
+        # 1-min load average sampled before each round: >> the bench's
+        # own parallelism means an external burst, so a slow median with
+        # high load here is drift, not a regression.
+        "load_1m": [round(x, 2) for x in load_samples],
+        # raw per-round samples (run order = interleaved rounds): lets a
+        # reader distinguish a host-load burst that poisoned every sample
+        # of one query from a real plan regression without re-running.
+        "samples": {name: [round(x, 4) for x in s] for name, s in samples.items()},
+    }
+    sidecar_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_samples.json"
+    )
+    try:
+        with open(sidecar_path, "w") as fh:
+            json.dump(sidecar, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass  # sidecar is best-effort; the headline line is the artifact
     print(
         json.dumps(
             {
@@ -135,21 +161,10 @@ def main() -> None:
                 "sf": sf,
                 "runs_per_query": runs,
                 "aggregation": "median",
-                "queries_min": minima,
-                "value_min": round(sum(minima.values()), 4),
-                # 1-min load average sampled before each round: >> the
-                # bench's own parallelism means an external burst, so a
-                # slow median with high load here is drift, not a
-                # regression.
                 "load_1m": [round(x, 2) for x in load_samples],
-                # raw per-round samples (run order = interleaved rounds):
-                # lets a reader distinguish a host-load burst that
-                # poisoned every sample of one query from a real plan
-                # regression without re-running the bench.
-                "samples": {
-                    name: [round(x, 4) for x in s] for name, s in samples.items()
-                },
-            }
+                "samples_file": "BENCH_samples.json",
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -895,20 +895,151 @@ def _last_green_round(root=None) -> dict[str, int]:
     return last
 
 
+def _source_fingerprint(fn: Callable, sql: str | None) -> str:
+    """Hex digest of a query's *code identity*: the source text of the
+    query function plus every ``swarm_spark`` function/class/module it
+    transitively references, plus its oracle SQL. Two queries whose
+    implementation (at any depth inside the package) or oracle changed
+    get different digests; edits outside the package (tests, docs) do
+    not perturb it. Pieces are sorted before hashing so traversal order
+    can't flip the digest between processes.
+    """
+    import functools
+    import hashlib
+    import inspect
+    import types
+    from pathlib import Path
+
+    pieces: list[str] = [sql or ""]
+    seen: set[int] = set()
+    stack: list[object] = [fn]
+    root_id = id(fn)
+    while stack:
+        obj = stack.pop()
+        if id(obj) in seen:
+            continue
+        seen.add(id(obj))
+        if isinstance(obj, functools.partial):
+            stack.append(obj.func)
+            continue
+        if isinstance(obj, types.ModuleType):
+            name = getattr(obj, "__name__", "")
+            f = getattr(obj, "__file__", None)
+            if name.startswith("swarm_spark") and f:
+                # module referenced as an object: hash the whole file
+                # (coarse on purpose — any edit inside it re-windows)
+                try:
+                    pieces.append(Path(f).read_text())
+                except OSError:
+                    pieces.append(name)
+            continue
+        mod = getattr(obj, "__module__", None) or ""
+        in_pkg = mod == "swarm_spark" or mod.startswith("swarm_spark.")
+        if not (in_pkg or id(obj) == root_id):
+            continue
+        if isinstance(obj, type):
+            try:
+                pieces.append(inspect.getsource(obj))
+            except (OSError, TypeError):
+                pieces.append(obj.__qualname__)
+            stack.extend(
+                v for v in vars(obj).values() if isinstance(v, types.FunctionType)
+            )
+        elif isinstance(obj, types.FunctionType):
+            try:
+                pieces.append(inspect.getsource(obj))
+            except (OSError, TypeError):
+                pieces.append(obj.__qualname__)
+            g = obj.__globals__
+            codes = [obj.__code__]
+            while codes:
+                code = codes.pop()
+                codes.extend(c for c in code.co_consts if isinstance(c, types.CodeType))
+                stack.extend(g[n] for n in code.co_names if n in g)
+    pieces.sort()
+    return hashlib.sha256("\x00".join(pieces).encode()).hexdigest()
+
+
+def _change_rounds(
+    registry: dict[str, tuple[Callable, str | None]], root=None
+) -> dict[str, int]:
+    """Map query name -> the round since which its CURRENT source
+    fingerprint has been in effect.
+
+    Backed by a committed ledger (``QUERY_HASHES.json`` at repo root):
+    when a query's fingerprint differs from the ledger's, the ledger is
+    rewritten with ``since = last completed driver round + 1`` (i.e. the
+    round now in progress). The rotation compares ``since`` against the
+    query's last GREEN driver round — a green row OLDER than the code it
+    supposedly verified no longer defers the query out of the window
+    (the r6 VERDICT hole: ``text_strip_segments``/``pack_bins`` changed
+    in r5 and coasted on r4 rows). The ledger write is best-effort; on a
+    read-only checkout the in-memory result is still correct for this
+    process.
+    """
+    import json
+    import re
+    from pathlib import Path
+
+    root = Path(root) if root is not None else Path(__file__).resolve().parent.parent
+    cur_round = 1
+    for p in root.glob("CORRECTNESS_r*.json"):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p.name)
+        if m:
+            cur_round = max(cur_round, int(m.group(1)) + 1)
+    ledger_path = root / "QUERY_HASHES.json"
+    try:
+        ledger = json.loads(ledger_path.read_text())
+        if not isinstance(ledger, dict):
+            ledger = {}
+    except (OSError, ValueError):
+        ledger = {}
+    dirty = False
+    out: dict[str, int] = {}
+    for name, (fn, sql) in registry.items():
+        fp = _source_fingerprint(fn, sql)
+        ent = ledger.get(name)
+        if not isinstance(ent, dict) or ent.get("fp") != fp:
+            ent = {"fp": fp, "since": cur_round}
+            ledger[name] = ent
+            dirty = True
+        out[name] = int(ent.get("since", cur_round))
+    if dirty:
+        try:
+            ledger_path.write_text(json.dumps(ledger, indent=1, sort_keys=True) + "\n")
+        except OSError:
+            pass
+    return out
+
+
+def _rotation_key(name: str, last: dict[str, int], since: dict[str, int], reg_index: dict[str, int]):
+    """Sort key for the driver window: never-driver-checked queries
+    first, then queries whose source changed AFTER their last green row
+    (their green row verifies stale code), then verified queries by
+    last-green round ascending. Registration order breaks ties."""
+    lg = last.get(name, -1)
+    if lg < 0:
+        pri = 0
+    elif since.get(name, 0) > lg:
+        pri = 1
+    else:
+        pri = 2
+    return (pri, lg, reg_index[name])
+
+
 def all_queries() -> dict[str, tuple[Callable, str | None]]:
     """CORE ingestion-dataflow + LLM-pipeline + classical operators.
 
     Driver-window rotation: the correctness driver oracles only the
     FIRST 50 registry entries per round, in iteration order. To
-    guarantee every query gets a driver row at least every other round,
-    entries are ordered by the round they were last driver-checked
-    GREEN, ascending — never-checked queries (new this round, or
-    displaced from earlier windows) lead, and a query whose latest row
-    was red (oracle mismatch or error) sorts by its previous green
-    round, so known failures re-enter the window immediately.
-    Most-recently-green queries fall out of the window and rotate back
-    in next round. Ties keep registration order, so the ordering is
-    deterministic within a round.
+    guarantee every query gets a driver row at least every ceil(N/50)
+    rounds, entries are ordered never-checked first, then
+    source-changed-since-last-green (a green row predating the current
+    implementation verifies nothing), then by last driver-checked-GREEN
+    round ascending. A query whose latest row was red (oracle mismatch
+    or error) sorts by its previous green round, so known failures
+    re-enter the window immediately. Ties keep registration order, so
+    the ordering is deterministic within a round.
     """
     from .classical_queries import CLASSICAL
     from .ops_queries import OPS
@@ -922,8 +1053,9 @@ def all_queries() -> dict[str, tuple[Callable, str | None]]:
     global _ORDER_CACHE
     if _ORDER_CACHE is None or set(_ORDER_CACHE) != set(out):
         last = _last_green_round()
+        since = _change_rounds(out)
         reg_index = {name: i for i, name in enumerate(out)}
-        _ORDER_CACHE = sorted(out, key=lambda n: (last.get(n, -1), reg_index[n]))
+        _ORDER_CACHE = sorted(out, key=lambda n: _rotation_key(n, last, since, reg_index))
     return {name: out[name] for name in _ORDER_CACHE}
 
 

@@ -11,7 +11,14 @@ from __future__ import annotations
 import json
 from pathlib import Path
 
-from swarm_spark.queries import _last_green_round, _row_is_green, all_queries
+from swarm_spark.queries import (
+    _change_rounds,
+    _last_green_round,
+    _rotation_key,
+    _row_is_green,
+    _source_fingerprint,
+    all_queries,
+)
 
 ROOT = Path(__file__).resolve().parent.parent
 DRIVER_WINDOW = 50
@@ -37,26 +44,38 @@ def test_never_checked_queries_lead():
 
 
 def test_window_holds_the_stalest_queries():
-    """The 50-query window must be exactly the 50 least-recently-green
-    queries (with registration order breaking ties): no query outside
-    the window may be staler than one inside. While the registry held
-    <= 100 queries this implied "every unchecked query is in the next
-    window"; past 100 the pigeonhole makes that impossible, and the
-    correct (and sufficient) invariant is the ordering one — staleness
-    strictly drives admission, so coverage lag is the provable
-    ceil(N/50)-round bound pinned by the simulation test below."""
+    """The 50-query window must be exactly the 50 smallest by the
+    rotation key (never-checked, then source-changed-since-green, then
+    least-recently-green; registration order breaking ties): no query
+    outside the window may sort below one inside. While the registry
+    held <= 100 queries this implied "every unchecked query is in the
+    next window"; past 100 the pigeonhole makes that impossible, and
+    the correct (and sufficient) invariant is the ordering one —
+    staleness strictly drives admission, so coverage lag is the
+    provable ceil(N/50)-round bound pinned by the simulation test
+    below."""
     newest = _newest_correctness()
     if newest is None:
         return
+    from swarm_spark.queries import CORE
+    from swarm_spark.classical_queries import CLASSICAL
+    from swarm_spark.ops_queries import OPS
+
+    registry = dict(CORE)
+    registry.update(OPS)
+    registry.update(CLASSICAL)
     last = _last_green_round()
+    since = _change_rounds(registry)
+    reg_index = {n: i for i, n in enumerate(registry)}
     names = list(all_queries())
-    inside_max = max(last.get(n, -1) for n in names[:DRIVER_WINDOW])
+    keys = {n: _rotation_key(n, last, since, reg_index) for n in names}
+    inside_max = max(keys[n][:2] for n in names[:DRIVER_WINDOW])
     outside_min = (
-        min(last.get(n, -1) for n in names[DRIVER_WINDOW:])
+        min(keys[n][:2] for n in names[DRIVER_WINDOW:])
         if len(names) > DRIVER_WINDOW
         else inside_max
     )
-    assert inside_max <= outside_min, "a staler query sits outside the window"
+    assert inside_max <= outside_min, "a lower-key query sits outside the window"
     # and every query RED in the newest file re-enters immediately
     red = [
         n
@@ -148,6 +167,64 @@ def test_red_row_reenters_next_window(tmp_path):
     # and the genuinely-green ones from round 1 defer as before
     green = [n for n in window1 if n not in (failed, errored)]
     assert all(order2.index(g) >= order2.index(failed) for g in green[:3])
+
+
+def test_source_changed_query_reenters_window(tmp_path):
+    """A query whose implementation changes AFTER its last green driver
+    row must sort ahead of still-verified queries (the r6 VERDICT hole:
+    text_strip_segments/pack_bins changed in r5 and coasted on r4
+    rows). Simulated against a throwaway ledger root."""
+
+    def q_v1(spark, sf):
+        return "v1"
+
+    def q_v2(spark, sf):
+        return "v2-different-body"
+
+    def q_other(spark, sf):
+        return "other"
+
+    sql = "SELECT 1 AS n"
+    assert _source_fingerprint(q_v1, sql) == _source_fingerprint(q_v1, sql)
+    assert _source_fingerprint(q_v1, sql) != _source_fingerprint(q_v2, sql)
+    assert _source_fingerprint(q_v1, sql) != _source_fingerprint(q_v1, "SELECT 2 AS n")
+
+    reg1 = {"alpha": (q_v1, sql), "beta": (q_other, sql)}
+    # initial sighting before any driver round: since=1 for both
+    since = _change_rounds(reg1, tmp_path)
+    assert since == {"alpha": 1, "beta": 1}
+    # round 1: both green → last_green=1 >= since=1 → both defer (pri 2)
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps(
+            {
+                "alpha": {"rows_match": True, "hash_match": True},
+                "beta": {"rows_match": True, "hash_match": True},
+            }
+        )
+    )
+    last = _last_green_round(tmp_path)
+    reg_index = {"alpha": 0, "beta": 1}
+    k_alpha = _rotation_key("alpha", last, _change_rounds(reg1, tmp_path), reg_index)
+    assert k_alpha[0] == 2, "green-and-unchanged query should be priority 2"
+
+    # alpha's implementation changes (round 2 in progress): re-fingerprint
+    reg2 = {"alpha": (q_v2, sql), "beta": (q_other, sql)}
+    since2 = _change_rounds(reg2, tmp_path)
+    assert since2["alpha"] == 2 and since2["beta"] == 1
+    k_alpha = _rotation_key("alpha", last, since2, reg_index)
+    k_beta = _rotation_key("beta", last, since2, reg_index)
+    assert k_alpha[0] == 1 and k_beta[0] == 2
+    assert k_alpha < k_beta, "source-changed query must sort ahead of verified ones"
+    # ledger is stable: same code → same since on every later call
+    assert _change_rounds(reg2, tmp_path)["alpha"] == 2
+
+    # round 2's driver row lands green → alpha is verified again and defers
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"alpha": {"rows_match": True, "hash_match": True}})
+    )
+    last = _last_green_round(tmp_path)
+    k_alpha = _rotation_key("alpha", last, _change_rounds(reg2, tmp_path), reg_index)
+    assert k_alpha[0] == 2
 
 
 def test_fallout_was_green_most_recently():
