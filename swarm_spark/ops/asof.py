@@ -16,7 +16,18 @@ The scalable shape is the union + ordered-window forward-fill:
 
 Cost: ONE shuffle on the key + an in-partition sort — the same plan
 a sort-merge join would pay, with no quadratic candidate expansion.
-Skewed keys behave like any windowed aggregation (AQE/salting apply).
+
+Skew bound: the default fill is one window partition PER KEY, so a
+key's entire row count must fit one task — AQE can split skewed JOIN
+partitions but NOT window partitions, and salting would break the
+forward-fill's cross-row dependency. That bound is fine for the usual
+user/order/instrument keys; for a pathological hot key (one key owning
+a large fraction of 100 TB) pass ``time_chunks=C``: rows are bucketed
+into C equal time ranges, filled per (key, chunk), and chunk-boundary
+carries (per-chunk edge payloads, a keys×C-row frame) are forward-
+filled and joined back — identical output, per-task bound cut to
+~rows(key)/C at the cost of one extra aggregation + join on the
+already-shuffled frame.
 
 Determinism: ties among right rows at the same (key, time) resolve by
 a SLIM tie-break — ``tie_break`` (a right column, e.g. an id) when
@@ -45,6 +56,7 @@ def asof_join(
     tolerance: Column | None = None,
     tie_break: str | None = None,
     direction: str = "backward",
+    time_chunks: int | None = None,
 ) -> DataFrame:
     """As-of left join (pandas ``merge_asof`` directions).
 
@@ -64,9 +76,17 @@ def asof_join(
     right rows tying at the same (key, time) — keep it slim (an id);
     omitted, a payload hash is used so the sort key stays 8 bytes
     regardless of payload width.
+
+    ``time_chunks``: hot-key escape hatch (see module docstring). With
+    ``time_chunks=C`` each fill runs per (key, time-range chunk) —
+    per-task rows bounded by ~rows(key)/C instead of rows(key) — and a
+    chunk-boundary carry pass (a keys×C summary frame) restores the
+    cross-chunk fills. Output is identical to the default path.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
+    if time_chunks is not None and time_chunks < 1:
+        raise ValueError(f"time_chunks must be >= 1, got {time_chunks}")
     rcols = [c for c in right.columns if c not in (on, right_time)]
     overlap = set(rcols) & set(left.columns)
     if overlap:
@@ -88,18 +108,31 @@ def asof_join(
     else:
         tb = F.xxhash64(_PAYLOAD)
 
-    def _fill(forward: bool) -> Column:
+    chunked = time_chunks is not None and time_chunks > 1
+    if chunked:
+        u = _with_time_chunks(u, time_chunks)
+
+    def _order(forward: bool):
         # right rows sort before left at equal time on BOTH sides, so
         # "at or before"/"at or after" stay inclusive
-        order = (
-            (F.col(_T).desc(), F.col(_SIDE), tb) if forward else (_T, _SIDE, tb)
+        return (
+            (F.col(_T).desc(), F.col(_SIDE), tb)
+            if forward
+            else (F.col(_T).asc(), F.col(_SIDE), tb)
         )
-        w = (
-            Window.partitionBy(on)
-            .orderBy(*order)
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        return F.last(_PAYLOAD, ignorenulls=True).over(w)
+
+    def _filled(frame: DataFrame, fills: list[tuple[str, bool]]) -> DataFrame:
+        """Attach one forward-fill column per (out_name, forward) pair."""
+        if chunked:
+            return _chunked_fills(frame, on, tb, fills, _order)
+        for name, fwd in fills:
+            w = (
+                Window.partitionBy(on)
+                .orderBy(*_order(fwd))
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            frame = frame.withColumn(name, F.last(_PAYLOAD, ignorenulls=True).over(w))
+        return frame
 
     def _gate(payload: Column, forward: bool) -> Column:
         if tolerance is None:
@@ -110,7 +143,7 @@ def asof_join(
         return F.when(delta <= tolerance, payload)
 
     if direction == "nearest":
-        filled = u.withColumn("__b", _fill(False)).withColumn("__f", _fill(True))
+        filled = _filled(u, [("__b", False), ("__f", True)])
         back, fwd = _gate(F.col("__b"), False), _gate(F.col("__f"), True)
         chosen = (
             F.when(back.isNull(), fwd)
@@ -124,11 +157,86 @@ def asof_join(
             .drop("__b", "__f")
         )
     else:
-        filled = u.withColumn(_PAYLOAD, _fill(direction == "forward"))
-        out = filled.where(F.col(_SIDE) == 1).withColumn(
-            _PAYLOAD, _gate(F.col(_PAYLOAD), direction == "forward")
+        is_fwd = direction == "forward"
+        filled = _filled(u, [("__fill", is_fwd)])
+        out = (
+            filled.where(F.col(_SIDE) == 1)
+            .withColumn(_PAYLOAD, _gate(F.col("__fill"), is_fwd))
+            .drop("__fill")
         )
     return out.select(
         *left.columns,
         *[F.col(f"{_PAYLOAD}.{c}").alias(c) for c in rcols],
     )
+
+
+_CHUNK = "__asof_chunk"
+
+
+def _with_time_chunks(u: DataFrame, n_chunks: int) -> DataFrame:
+    """Bucket rows into ``n_chunks`` equal time ranges over the union's
+    global [min, max] — one metadata-sized aggregate (two scalars to
+    the driver). Chunk ids are a pure function of the time value, so
+    rows tying on time always share a chunk and the fill order within a
+    chunk matches the unchunked sort order."""
+    dt = dict(u.dtypes)[_T]
+    tnum = (
+        F.unix_micros(F.col(_T).cast("timestamp")).cast("double")
+        if dt.startswith("timestamp") or dt == "date"
+        else F.col(_T).cast("double")
+    )
+    lo, hi = u.agg(F.min(tnum), F.max(tnum)).first()
+    if lo is None or hi is None or hi <= lo:
+        return u.withColumn(_CHUNK, F.lit(0))
+    span = (hi - lo) / n_chunks
+    chunk = F.least(
+        F.lit(n_chunks - 1), F.floor((tnum - F.lit(float(lo))) / F.lit(span))
+    ).cast("int")
+    return u.withColumn(_CHUNK, chunk)
+
+
+def _chunked_fills(
+    u: DataFrame, on: str, tb: Column, fills: list[tuple[str, bool]], order_fn
+) -> DataFrame:
+    """Two-phase forward fill bounded per (key, chunk).
+
+    Phase 1 aggregates each (key, chunk)'s EDGE right payload (last for
+    backward fills, first for forward) — a keys×chunks summary frame —
+    and forward-fills it ACROSS chunks with a window whose partitions
+    hold at most ``n_chunks`` rows per key. Phase 2 joins the carry back
+    and coalesces it under the per-(key, chunk) local fill. Same answer
+    as the single-window fill, per-task rows cut to ~rows(key)/chunks.
+    """
+    edge_aggs = []
+    for name, fwd in fills:
+        # struct max/min ignores null inputs; (t, tb) leads the
+        # comparison so the payload tail only breaks exact ties
+        edge = F.when(
+            F.col(_SIDE) == 0,
+            F.struct(F.col(_T).alias("t"), tb.alias("k"), F.col(_PAYLOAD).alias("p")),
+        )
+        edge_aggs.append((F.min if fwd else F.max)(edge).alias(f"__edge{name}"))
+    summary = u.groupBy(on, _CHUNK).agg(*edge_aggs)
+    for name, fwd in fills:
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col(_CHUNK).desc() if fwd else F.col(_CHUNK).asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        summary = summary.withColumn(
+            f"__carry{name}",
+            F.last(F.col(f"__edge{name}.p"), ignorenulls=True).over(w),
+        )
+    carries = summary.select(on, _CHUNK, *[f"__carry{n}" for n, _ in fills])
+    joined = u.join(carries, [on, _CHUNK], "left")
+    for name, fwd in fills:
+        w = (
+            Window.partitionBy(on, _CHUNK)
+            .orderBy(*order_fn(fwd))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        local = F.last(_PAYLOAD, ignorenulls=True).over(w)
+        joined = joined.withColumn(name, F.coalesce(local, F.col(f"__carry{name}"))).drop(
+            f"__carry{name}"
+        )
+    return joined

@@ -179,12 +179,14 @@ def save_ivf(assignments: DataFrame, centroids: DataFrame, path: str) -> None:
 
 
 def load_ivf(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Read back a :func:`save_ivf` index. The assignments table keeps
+    its own embedded parquet schema — ``build_ivf`` accepts any id type
+    (the CLI exposes ``--id-col``), so forcing ``id long`` here would
+    corrupt or reject an index built over string ids."""
     import os
 
     return (
-        spark.read.schema("id long, cell int").parquet(
-            os.path.join(path, "assignments")
-        ),
+        spark.read.parquet(os.path.join(path, "assignments")),
         spark.read.schema(
             "cell int, ccv array<double>, ccn2 double"
         ).parquet(os.path.join(path, "centroids")),
@@ -201,12 +203,23 @@ def ann_topk_ivf_probe(
     id_col: str = "vec_id",
     nprobe: int = 2,
     n_salts: int | None = None,
+    broadcast_max_queries: int | None = 10_000,
 ) -> DataFrame:
     """Probe a (pre)built IVF index: queries rank cells by centroid
     distance, scan their nprobe nearest, and the salted two-phase
     top-k finishes — no Lloyd iterations, no centroid round-trips.
-    Same output contract as :func:`ann_topk_ivf`."""
-    from .similarity import _salts_for, topk_per_query
+    Same output contract as :func:`ann_topk_ivf`.
+
+    The probes frame (queries × nprobe rows, each carrying the full
+    query vector) is broadcast to the corpus-cell join only when the
+    query batch is small: a bounded ``limit(n+1).count()`` probe checks
+    it against ``broadcast_max_queries`` (default 10k ≈ 10 MB at
+    dim=64 × nprobe=2). Larger batches — the production 10M-query shape
+    that would blow the broadcast limit / driver heap — fall back to a
+    plain ``cell`` equi-join and let AQE pick the physical strategy.
+    Pass ``broadcast_max_queries=None`` to force the shuffle join, or a
+    huge value to force the broadcast when the batch size is known."""
+    from .similarity import _probe_is_small, _salts_for, topk_per_query
 
     n_salts = _salts_for(corpus, n_salts)
     c = corpus.select(
@@ -236,8 +249,9 @@ def ann_topk_ivf_probe(
         .where(F.col("rn") <= nprobe)
         .select("query_id", "qv", "qn2", "cell")
     )
+    small_batch = _probe_is_small(queries, broadcast_max_queries)
     joined = (
-        c.join(F.broadcast(probes), "cell")
+        c.join(F.broadcast(probes) if small_batch else probes, "cell")
         .where(F.col("query_id") != F.col("id"))
         .select(
             "query_id",
@@ -258,6 +272,7 @@ def ann_topk_ivf(
     nprobe: int = 2,
     iters: int = 4,
     n_salts: int | None = None,
+    broadcast_max_queries: int | None = 10_000,
 ) -> DataFrame:
     """IVF ANN: build cells over the corpus, probe nprobe cells/query —
     :func:`build_ivf` + :func:`ann_topk_ivf_probe` in one call.
@@ -279,4 +294,5 @@ def ann_topk_ivf(
         id_col=id_col,
         nprobe=nprobe,
         n_salts=n_salts,
+        broadcast_max_queries=broadcast_max_queries,
     )

@@ -70,6 +70,23 @@ def _salts_for(corpus: DataFrame, n_salts: int | None) -> int:
     return max(16, corpus.count() // 2_000_000)
 
 
+def _probe_is_small(queries: DataFrame, broadcast_max_queries: int | None) -> bool:
+    """Broadcast guard for the query side of an ANN join: True iff the
+    batch has at most ``broadcast_max_queries`` rows. The
+    ``limit(n+1).count()`` probe caps the action's cost regardless of
+    the batch's true size (at 10M queries it still scans n+1 rows), so
+    a production-sized batch can never blow the broadcast limit or the
+    driver heap — it falls back to a shuffle/cartesian plan that AQE
+    sizes instead. ``None`` disables broadcasting outright."""
+    return broadcast_max_queries is not None and (
+        queries.limit(broadcast_max_queries + 1).count() <= broadcast_max_queries
+    )
+
+
+def _maybe_broadcast(q: DataFrame, small: bool) -> DataFrame:
+    return F.broadcast(q) if small else q
+
+
 def ann_topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -77,14 +94,19 @@ def ann_topk_bruteforce(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_salts: int | None = None,
+    broadcast_max_queries: int | None = 10_000,
 ) -> DataFrame:
     """Exact top-k: (query_id, id, cos, rank); ties broken by id.
 
     Squared norms are precomputed per side (N + |Q| folds) so each of
     the |Q|·N candidate pairs costs one array fold; algebra matches
-    the oracle's sqrt(ldp·ldp) exactly.
+    the oracle's sqrt(ldp·ldp) exactly. Query batches over
+    ``broadcast_max_queries`` rows skip the broadcast (an unguarded
+    broadcast of a 10M-query batch OOMs the driver) and run the honest
+    block-cartesian plan that a genuinely huge exact Q×N scan is.
     """
     n_salts = _salts_for(corpus, n_salts)
+    small = _probe_is_small(queries, broadcast_max_queries)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
@@ -95,7 +117,9 @@ def ann_topk_bruteforce(
         F.col(vec_col).alias("cv"),
         dot_expr(vec_col, vec_col).alias("cn2"),
     )
-    joined = c.crossJoin(F.broadcast(q)).where(F.col("query_id") != F.col("id")).select(
+    joined = c.crossJoin(_maybe_broadcast(q, small)).where(
+        F.col("query_id") != F.col("id")
+    ).select(
         "query_id",
         "id",
         F.round(dot_expr("qv", "cv") / F.sqrt(F.col("qn2") * F.col("cn2")), 9).alias("cos"),
@@ -111,9 +135,13 @@ def ann_topk_cells(
     id_col: str = "vec_id",
     cell_col: str = "label",
     n_salts: int | None = None,
+    broadcast_max_queries: int | None = 10_000,
 ) -> DataFrame:
-    """IVF-bucketed top-k: probe only the query's own cell."""
+    """IVF-bucketed top-k: probe only the query's own cell. Oversized
+    query batches fall back from the broadcast to a plain ``cell``
+    equi-join (see :func:`_probe_is_small`)."""
     n_salts = _salts_for(corpus, n_salts)
+    small = _probe_is_small(queries, broadcast_max_queries)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(cell_col).alias("cell"),
@@ -126,7 +154,9 @@ def ann_topk_cells(
         F.col(vec_col).alias("cv"),
         dot_expr(vec_col, vec_col).alias("cn2"),
     )
-    joined = c.join(F.broadcast(q), "cell").where(F.col("query_id") != F.col("id")).select(
+    joined = c.join(_maybe_broadcast(q, small), "cell").where(
+        F.col("query_id") != F.col("id")
+    ).select(
         "query_id",
         "id",
         F.round(dot_expr("qv", "cv") / F.sqrt(F.col("qn2") * F.col("cn2")), 9).alias("cos"),
@@ -222,6 +252,7 @@ def ann_topk_int8(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_salts: int | None = None,
+    broadcast_max_queries: int | None = 10_000,
 ) -> DataFrame:
     """Exact top-k over symmetrically int8-QUANTIZED vectors — the
     compressed-index search path: cosine on floor(x·127/max|x|)
@@ -253,7 +284,10 @@ def ann_topk_int8(
     c = quantized(corpus, "id", "cv").select(
         "id", "cv", dot_expr("cv", "cv").alias("cn2")
     ).where(F.col("cn2") > 0)
-    joined = c.crossJoin(F.broadcast(q)).where(F.col("query_id") != F.col("id")).select(
+    small = _probe_is_small(queries, broadcast_max_queries)
+    joined = c.crossJoin(_maybe_broadcast(q, small)).where(
+        F.col("query_id") != F.col("id")
+    ).select(
         "query_id",
         "id",
         F.round(dot_expr("qv", "cv") / F.sqrt(F.col("qn2") * F.col("cn2")), 9).alias("cos"),
@@ -268,17 +302,19 @@ def ann_topk_dot(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_salts: int | None = None,
+    broadcast_max_queries: int | None = 10_000,
 ) -> DataFrame:
     """Exact maximum-inner-product search (MIPS): top-k by raw dot
     product, not cosine — the retrieval mode for recommender-style
-    embeddings where magnitude carries signal. Same broadcast scan and
-    salted two-phase ranking as the cosine baseline; scores rounded to
-    9 digits (sequential-fold dot, engine-exact)."""
+    embeddings where magnitude carries signal. Same guarded broadcast
+    scan and salted two-phase ranking as the cosine baseline; scores
+    rounded to 9 digits (sequential-fold dot, engine-exact)."""
     n_salts = _salts_for(corpus, n_salts)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("cv"))
+    small = _probe_is_small(queries, broadcast_max_queries)
     joined = (
-        c.crossJoin(F.broadcast(q))
+        c.crossJoin(_maybe_broadcast(q, small))
         .where(F.col("query_id") != F.col("id"))
         .select("query_id", "id", F.round(dot_expr("qv", "cv"), 9).alias("cos"))
     )

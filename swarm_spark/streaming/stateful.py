@@ -117,12 +117,16 @@ def sessionize_stream(
     bounded state.
 
     Output: (``user_col``, session_start, session_end, n_events).
-    State per key: the one OPEN session (three longs) — closed
-    sessions leave state immediately, so state size tracks live keys,
-    not history. Late events inside the watermark merge correctly
-    (they can extend a session backwards); an event older than
-    ``session_start − gap`` forms its own already-closed session and
-    emits immediately.
+    State per key: every session NOT YET CLOSED BY THE WATERMARK, as
+    parallel (start, last, n) arrays. Sessions are NOT emitted eagerly
+    when an in-batch event jumps past the gap — an out-of-order event
+    arriving in a LATER micro-batch (but inside the watermark) may
+    still belong to, bridge, or backward-extend any candidate — so a
+    session leaves state and emits exactly once, when the watermark
+    passes its last event + gap and no on-time event can touch it.
+    Candidates span at most watermark+gap of event time, so per-key
+    state is bounded by ~(watermark/gap)+2 sessions regardless of
+    stream length; closed sessions leave state at once.
 
     Scale shape: state is partitioned by key in Spark's streaming
     state store, checkpointed with the query; the timeout is
@@ -132,53 +136,66 @@ def sessionize_stream(
     import pandas as pd
 
     gap_us = int(gap_s) * 1_000_000
+    gap_ms = int(gap_s) * 1000
     key_type = dict(stream.dtypes)[user_col]
     out_schema = (
         f"{user_col} {key_type}, session_start timestamp, "
         "session_end timestamp, n_events long"
     )
-    state_schema = "start long, last long, n long"  # epoch micros
+    # open candidate sessions as parallel arrays (epoch micros)
+    state_schema = "starts array<long>, lasts array<long>, ns array<long>"
 
     def fn(key, pdf_iter, state):
-        def row(start_us, last_us, n):
+        def rows(sessions):
             return pd.DataFrame(
                 {
-                    user_col: [key[0]],
-                    "session_start": [pd.Timestamp(start_us, unit="us")],
-                    "session_end": [pd.Timestamp(last_us, unit="us")],
-                    "n_events": [int(n)],
+                    user_col: [key[0]] * len(sessions),
+                    "session_start": [pd.Timestamp(s[0], unit="us") for s in sessions],
+                    "session_end": [pd.Timestamp(s[1], unit="us") for s in sessions],
+                    "n_events": [int(s[2]) for s in sessions],
                 }
             )
 
-        if state.hasTimedOut:
-            start, last, n = state.get
-            state.remove()
-            yield row(start, last, n)
-            return
-        ts_us = []
-        for pdf in pdf_iter:
-            ts_us.extend(
-                int(t.value // 1000) for t in pd.to_datetime(pdf[ts_col])
-            )
-        ts_us.sort()
-        cur = list(state.get) if state.exists else None
-        for t in ts_us:
-            if cur is None:
-                cur = [t, t, 1]
-            elif t <= cur[1] + gap_us and t >= cur[0] - gap_us:
-                cur[0], cur[1], cur[2] = min(cur[0], t), max(cur[1], t), cur[2] + 1
-            elif t > cur[1] + gap_us:
-                yield row(*cur)
-                cur = [t, t, 1]
+        wm_ms = state.getCurrentWatermarkMs()
+        items = []
+        if state.exists:
+            starts, lasts, ns = state.get
+            items = [[s, e, n] for s, e, n in zip(starts, lasts, ns)]
+        if not state.hasTimedOut:
+            for pdf in pdf_iter:
+                items.extend(
+                    [int(t.value // 1000), int(t.value // 1000), 1]
+                    for t in pd.to_datetime(pdf[ts_col])
+                )
+        # gap-merge sweep: items (existing candidates + new events)
+        # sorted by start; anything within gap of the running session's
+        # end merges — bridging events collapse two candidates into one
+        items.sort(key=lambda s: (s[0], s[1]))
+        sessions: list[list[int]] = []
+        for it in items:
+            if sessions and it[0] <= sessions[-1][1] + gap_us:
+                cur = sessions[-1]
+                cur[1] = max(cur[1], it[1])
+                cur[2] += it[2]
             else:
-                # older than start - gap: its own, already-closed session
-                yield row(t, t, 1)
-        if cur is None:
+                sessions.append(list(it))
+        closed = [s for s in sessions if s[1] // 1000 + gap_ms <= wm_ms]
+        still_open = [s for s in sessions if s[1] // 1000 + gap_ms > wm_ms]
+        if still_open:
+            state.update(
+                (
+                    [s[0] for s in still_open],
+                    [s[1] for s in still_open],
+                    [s[2] for s in still_open],
+                )
+            )
+            # wake when the WATERMARK passes the earliest open
+            # session's last + gap (strictly > wm_ms by construction)
+            state.setTimeoutTimestamp(min(s[1] for s in still_open) // 1000 + gap_ms)
+        elif state.exists:
             state.remove()
-        else:
-            state.update(tuple(cur))
-            # close when the WATERMARK passes last + gap (ms precision)
-            state.setTimeoutTimestamp(cur[1] // 1000 + gap_s * 1000)
+        if closed:
+            yield rows(closed)
 
     return (
         stream.withWatermark(ts_col, watermark)

@@ -231,6 +231,90 @@ class TestAsofDirections:
                       direction="sideways")
 
 
+class TestAsofTimeChunks:
+    """time_chunks hot-key escape hatch: the chunked two-phase fill
+    must produce IDENTICAL output to the single-window path for every
+    direction/tolerance combination, while bounding each window task to
+    one (key, time-range chunk)."""
+
+    def _parity(self, spark, left, right, **kw):
+        base = sorted(
+            map(tuple, asof_join(left, right, on="k", left_time="t",
+                                 right_time="rt", **kw).collect())
+        )
+        for c in (2, 3, 7):
+            got = sorted(
+                map(tuple, asof_join(left, right, on="k", left_time="t",
+                                     right_time="rt", time_chunks=c, **kw).collect())
+            )
+            assert got == base, f"time_chunks={c} diverged ({kw})"
+
+    def test_fixture_parity_all_directions(self, spark, frames):
+        left, right = frames
+        for direction in ("backward", "forward", "nearest"):
+            self._parity(spark, left, right, direction=direction)
+        self._parity(spark, left, right, tolerance=F.lit(1))
+        self._parity(spark, left, right, direction="nearest", tolerance=F.lit(5))
+
+    def test_randomized_hot_key_parity(self, spark):
+        """One key owns ~90% of rows (the adversarial-skew shape);
+        random times force fills across chunk boundaries."""
+        import random
+
+        rng = random.Random(7)
+        lrows = [
+            (i, "hot" if rng.random() < 0.9 else "cold", rng.randrange(0, 1000))
+            for i in range(400)
+        ]
+        rrows = [
+            ("hot" if rng.random() < 0.9 else "cold", rng.randrange(0, 1000),
+             f"r{i}")
+            for i in range(120)
+        ]
+        left = spark.createDataFrame(lrows, "lid long, k string, t long")
+        right = spark.createDataFrame(rrows, "k string, rt long, tag string")
+        # unique (k, rt, tag) not guaranteed -> pin determinism with a
+        # tie_break column, as the docstring's contract requires
+        right = right.dropDuplicates(["k", "rt"])
+        for direction in ("backward", "forward", "nearest"):
+            self._parity(spark, left, right, direction=direction,
+                         tie_break="tag")
+
+    def test_timestamp_time_column(self, spark):
+        left = spark.createDataFrame(
+            [(1, "a", "2024-01-01 10:00:00"), (2, "a", "2024-03-01 00:00:00")],
+            "lid long, k string, ts string",
+        ).select("lid", "k", F.col("ts").cast("timestamp").alias("t"))
+        right = spark.createDataFrame(
+            [("a", "2024-01-01 09:00:00", "w1"), ("a", "2024-02-01 00:00:00", "w2")],
+            "k string, rts string, tag string",
+        ).select("k", F.col("rts").cast("timestamp").alias("rt"), "tag")
+        base = sorted(map(tuple, asof_join(
+            left, right, on="k", left_time="t", right_time="rt").collect()))
+        got = sorted(map(tuple, asof_join(
+            left, right, on="k", left_time="t", right_time="rt",
+            time_chunks=4).collect()))
+        assert got == base
+        assert {r[-1] for r in got} == {"w1", "w2"}
+
+    def test_chunked_windows_are_bounded(self, spark, frames):
+        """The executed plan's fill windows must partition by
+        (key, chunk), not key alone — the actual skew bound."""
+        left, right = frames
+        df = asof_join(left, right, on="k", left_time="t", right_time="rt",
+                       time_chunks=4)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "__asof_chunk" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_bad_time_chunks_rejected(self, frames):
+        left, right = frames
+        with pytest.raises(ValueError, match="time_chunks"):
+            asof_join(left, right, on="k", left_time="t", right_time="rt",
+                      time_chunks=0)
+
+
 class TestIntervalOverlapJoin:
     def _brute(self, rows_a, rows_b, keyed=True):
         out = []

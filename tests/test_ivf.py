@@ -84,3 +84,68 @@ class TestIvfPersistence:
         assert key(probed) == key(inline)
         # the index is two tables: corpus-sized assignments + k centroids
         assert a2.count() == emb.count() and c2.count() == 8
+
+    def test_string_id_index_roundtrips(self, spark, sf_dir, tmp_path):
+        """build_ivf accepts any id type (CLI --id-col); load_ivf must
+        read the assignments with their embedded schema, not force
+        'id long' (ADVICE r6: a string-id index saved fine and then
+        failed at probe time)."""
+        from swarm_spark.ops.ivf import ann_topk_ivf_probe, build_ivf, load_ivf, save_ivf
+
+        emb = load_table(spark, sf_dir, "embeddings").withColumn(
+            "vec_id", F.concat(F.lit("doc-"), F.col("vec_id").cast("string"))
+        )
+        queries = emb.where(F.col("vec_id").endswith("00")).limit(3)
+        a, c = build_ivf(emb, n_cells=4, iters=2)
+        path = str(tmp_path / "ivf_str")
+        save_ivf(a, c, path)
+        a2, c2 = load_ivf(spark, path)
+        assert dict(a2.dtypes)["id"] == "string"
+        rows = ann_topk_ivf_probe(emb, queries, a2, c2, k=3, nprobe=2).collect()
+        assert rows and all(isinstance(r["id"], str) for r in rows)
+
+
+class TestProbeBroadcastGuard:
+    """VERDICT r6 #3: the probes frame (queries × nprobe full vectors)
+    must be broadcast only for small query batches; big batches fall
+    back to the plain cell equi-join so a production 10M-query batch
+    can't blow the broadcast limit or driver heap."""
+
+    def _plans(self, df):
+        df.collect()
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_small_batch_broadcasts_and_big_batch_shuffles(self, spark, sf_dir):
+        from swarm_spark.ops.ivf import ann_topk_ivf_probe, build_ivf
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries = emb.where(F.col("vec_id") % 100 == 0)
+        a, c = build_ivf(emb, n_cells=8, iters=2)
+        bcast = ann_topk_ivf_probe(emb, queries, a, c, k=5, nprobe=4)
+        fallback = ann_topk_ivf_probe(
+            emb, queries, a, c, k=5, nprobe=4, broadcast_max_queries=0
+        )
+        key = lambda df: sorted(
+            (r["query_id"], r["id"], r["cos"], r["rank"]) for r in df.collect()
+        )
+        assert key(bcast) == key(fallback), "guard changed the results"
+        p_small, p_big = self._plans(bcast), self._plans(fallback)
+        assert "BroadcastHashJoin" in p_small
+        # the corpus-probe join specifically must not broadcast in the
+        # fallback plan: every BroadcastHashJoin left is the tiny
+        # centroid/cell-ranking side, so assert the cell join shuffles
+        assert ("SortMergeJoin" in p_big) or ("ShuffledHashJoin" in p_big), (
+            "fallback plan still broadcasts the probes"
+        )
+
+    def test_bruteforce_guard_preserves_results(self, spark, sf_dir):
+        from swarm_spark.ops.similarity import ann_topk_bruteforce
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries = emb.where(F.col("vec_id") % 200 == 0)
+        bcast = ann_topk_bruteforce(emb, queries, k=3)
+        plain = ann_topk_bruteforce(emb, queries, k=3, broadcast_max_queries=0)
+        key = lambda df: sorted(
+            (r["query_id"], r["id"], r["cos"], r["rank"]) for r in df.collect()
+        )
+        assert key(bcast) == key(plain)

@@ -214,6 +214,88 @@ class TestSessionizeStream:
         # past it) — withheld, exactly the append-mode contract
         assert not any(u == "u9" for (u, *_rest) in got)
 
+    def test_late_event_after_gap_jump_merges_not_fragments(self, spark, tmp_path):
+        """ADVICE r6 (medium): an event may jump past the gap in batch
+        N while a LATE event belonging to the earlier session is still
+        inside the watermark and arrives in batch N+1. Eager
+        close-on-gap emitted the earlier session at batch N and the
+        late event became a spurious extra session; candidates must
+        stay in state until the WATERMARK passes last+gap."""
+        from swarm_spark.streaming import sessionize_stream
+
+        src = tmp_path / "sess3-src"
+        src.mkdir()
+        # batch 1: 10:00 then a >gap jump to 13:00 — two candidates
+        _write_batch(
+            src,
+            "b1.ndjson",
+            [
+                ("u1", "2024-01-01 10:00:00", "a"),
+                ("u1", "2024-01-01 13:00:00", "b"),
+            ],
+        )
+        # batch 2: late event 10:10 (wm after b1 = 13:00-6h, so it is
+        # on time) must merge into the 10:00 candidate, NOT fragment
+        _write_batch(src, "b2.ndjson", [("u1", "2024-01-01 10:10:00", "late")])
+        # advance the watermark past everything, then one more data
+        # batch so the engine fires the pending event-time timeouts
+        _write_batch(src, "b3.ndjson", [("u9", "2024-01-03 09:00:00", "z")])
+        _write_batch(src, "b4.ndjson", [("u9", "2024-01-03 09:00:30", "z2")])
+        rows = _run(
+            spark,
+            src,
+            tmp_path / "sess3-ck",
+            lambda s: sessionize_stream(
+                s.withColumnRenamed("msg_id", "user_id").select("user_id", "ts"),
+                gap_s=1800,
+                watermark="6 hours",
+            ),
+        )
+        got = sorted(
+            (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+            for r in rows
+            if r["user_id"] == "u1"
+        )
+        assert got == [
+            ("u1", "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2),
+            ("u1", "2024-01-01 13:00:00", "2024-01-01 13:00:00", 1),
+        ], f"late event fragmented: {got}"
+
+    def test_late_event_bridges_two_candidates(self, spark, tmp_path):
+        """A late event landing between two open candidates within gap
+        of both must collapse them into ONE session."""
+        from swarm_spark.streaming import sessionize_stream
+
+        src = tmp_path / "sess4-src"
+        src.mkdir()
+        _write_batch(
+            src,
+            "b1.ndjson",
+            [
+                ("u1", "2024-01-01 10:00:00", "a"),
+                ("u1", "2024-01-01 10:50:00", "b"),  # 50 min > 30 min gap
+            ],
+        )
+        _write_batch(src, "b2.ndjson", [("u1", "2024-01-01 10:25:00", "bridge")])
+        _write_batch(src, "b3.ndjson", [("u9", "2024-01-03 09:00:00", "z")])
+        _write_batch(src, "b4.ndjson", [("u9", "2024-01-03 09:00:30", "z2")])
+        rows = _run(
+            spark,
+            src,
+            tmp_path / "sess4-ck",
+            lambda s: sessionize_stream(
+                s.withColumnRenamed("msg_id", "user_id").select("user_id", "ts"),
+                gap_s=1800,
+                watermark="6 hours",
+            ),
+        )
+        got = [
+            (str(r["session_start"]), str(r["session_end"]), r["n_events"])
+            for r in rows
+            if r["user_id"] == "u1"
+        ]
+        assert got == [("2024-01-01 10:00:00", "2024-01-01 10:50:00", 3)], got
+
     def test_same_batch_multi_session_split(self, spark, tmp_path):
         from swarm_spark.streaming import sessionize_stream
 
