@@ -55,6 +55,7 @@ def pack_concat_chunks(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_partitions: int | None = None,
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """Concat-and-chunk packing: global order by ``id_col``, windows of
     ``capacity`` tokens, documents split across boundaries.
@@ -77,7 +78,7 @@ def pack_concat_chunks(
     """
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
-    base, _total = token_prefix(df, text_col, id_col, num_partitions)
+    base, _total = token_prefix(df, text_col, id_col, num_partitions, approx_rows)
     spanned = base.select(
         "doc_id",
         "n_tok",
@@ -107,6 +108,7 @@ def token_prefix(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_partitions: int | None = None,
+    approx_rows: int | None = None,
 ) -> tuple[DataFrame, int]:
     """(frame, total_tokens): the global token-interval frame
     (doc_id, n_tok, start, end) in ``id_col`` order, built with the
@@ -114,10 +116,14 @@ def token_prefix(
     sort; see :func:`pack_concat_chunks` for the contract). The grand
     total falls out of the per-range subtotals already collected at
     the driver — no extra scan. Shared by concat-and-chunk packing and
-    shard assignment."""
+    shard assignment.
+
+    ``approx_rows`` sizes ``num_partitions`` and the boundary-sample
+    rate without the sizing ``count()`` action (a rough estimate is
+    fine — it only balances range sizes); omitted, one count runs."""
     spark = df.sparkSession
     ids = df.select(F.col(id_col).alias("doc_id"))
-    n_docs = ids.count()
+    n_docs = approx_rows if approx_rows is not None else ids.count()
     if num_partitions is None:
         # each range cumsums sequentially inside one window task: scale
         # the range count with the corpus (≤ ~2M rows per range), like
@@ -166,6 +172,7 @@ def shard_assignments(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_partitions: int | None = None,
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """Balanced training-shard assignment: documents keep their
     boundaries and land in the shard their global token interval
@@ -182,7 +189,7 @@ def shard_assignments(
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    base, total = token_prefix(df, text_col, id_col, num_partitions)
+    base, total = token_prefix(df, text_col, id_col, num_partitions, approx_rows)
     cap = max(1, -(-total // int(n_shards)))
     return base.select(
         "doc_id",
@@ -199,6 +206,7 @@ def pack_greedy_bins(
     num_buckets: int | None = None,
     seed: str = "swarm-pack",
     max_bucket_rows: int = 2_000_000,
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """First-fit-sequential bin packing without document splitting.
 
@@ -224,7 +232,10 @@ def pack_greedy_bins(
     """
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
-    n_rows = df.count()
+    # approx_rows skips the sizing count() (see token_prefix) — the
+    # bucket count and the overload guard both only need the order of
+    # magnitude
+    n_rows = approx_rows if approx_rows is not None else df.count()
     if num_buckets is None:
         num_buckets = max(16, -(-n_rows // max_bucket_rows))
     elif n_rows > num_buckets * max_bucket_rows:

@@ -65,6 +65,7 @@ def stratified_cap(
     key: str,
     seed: str = "swarm-strat",
     n_salts: int | None = None,
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """Keep at most ``cap`` rows per stratum — EXACT counts, chosen
     deterministically by hash order (so the kept set is a pure function
@@ -83,6 +84,12 @@ def stratified_cap(
     their salt partition's top-cap, so phase 2 re-ranks only the
     ≤ n_salts·cap survivors. Adds a ``rk`` column (1-based hash-order
     rank within the stratum).
+
+    ``approx_rows``: sizes the salt count without an extra ``count()``
+    action (at 100 TB every redundant action is a full file listing) —
+    a rough estimate is fine, salting only needs the right order of
+    magnitude. With ``cap=None`` the stratum-count pass already yields
+    the total, so no extra scan happens either way.
     """
     from pyspark.sql import Window
 
@@ -92,10 +99,13 @@ def stratified_cap(
         if not counts:
             return df.withColumn("rk", F.lit(1).cast("long")).limit(0)
         cap = min(r["count"] for r in counts)
+        if approx_rows is None:  # reuse the pass we already paid for
+            approx_rows = sum(r["count"] for r in counts)
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
     if n_salts is None:
-        n_salts = max(16, df.count() // 2_000_000)
+        n = approx_rows if approx_rows is not None else df.count()
+        n_salts = max(16, n // 2_000_000)
     order = (hash_bucket(key, seed).asc(), F.col(key).asc())
     salt = (hash_bucket(key, seed + "-salt") % n_salts).cast("int")
     w1 = Window.partitionBy(strata, "__salt").orderBy(*order)
@@ -142,6 +152,12 @@ def token_budget_sample(
     Same contract as ops.packing's prefix sum, minus the id sampling —
     the range id here is pure arithmetic on the hash.
 
+    ``n_ranges`` defaults to a fixed 1024 — a LITERAL, so no sizing
+    ``count()`` action runs (r6 VERDICT: every redundant action is a
+    full scan at 100 TB). Expected rows per (stratum, range) window
+    task are rows(stratum)/1024; raise ``n_ranges`` explicitly past
+    ~2B-row strata. Driver traffic stays strata × n_ranges rows.
+
     Adds ``n_tok`` (whitespace tokens) and ``cum_tok`` (inclusive
     running total in stratum hash order) to the surviving rows.
 
@@ -165,7 +181,7 @@ def token_budget_sample(
         cut = F.lit(int(budget)).cast("long")
     spark = df.sparkSession
     if n_ranges is None:
-        n_ranges = max(32, df.count() // 2_000_000)
+        n_ranges = 1024
     bucket = hash_bucket(key, seed)
     base = (
         df.withColumn("n_tok", F.size(tokens_col(text_col)).cast("long"))

@@ -794,7 +794,10 @@ def dsir_importance(
         tgt = _bg(target).groupBy("bkt").agg(
             F.count(F.lit(1)).cast("long").alias("ct")
         )
-        counts = raw.join(tgt, "bkt", "left").na.fill(0, ["ct"])
+        # FULL outer: a bucket present only in the target still counts
+        # toward tt (the target normalizer) — a left join undercounted
+        # tt and skewed every smoothed log-ratio (ADVICE r6)
+        counts = raw.join(tgt, "bkt", "full").na.fill(0, ["cr", "ct"])
     tot = counts.agg(
         F.coalesce(F.sum("cr"), F.lit(0)).alias("rt"),
         F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"),
@@ -831,11 +834,14 @@ def bigram_surprisal(
 ) -> DataFrame:
     """Per-document average BIGRAM surprisal against the corpus's own
     Laplace-smoothed conditional model: −mean ln P(tok | prev) with
-    P = (c(prev,tok)+1) / (c(prev)+V), V the unigram vocabulary size.
-    One order up from :func:`unigram_surprisal` — template boilerplate
-    scores even lower (its transitions are predictable), token-soup
-    scores higher (no transition is), the CCNet-style quality signal
-    without a trained LM.
+    P = (c(prev,tok)+1) / (c(prev→·)+V), where c(prev→·) counts the
+    TRANSITIONS out of ``prev`` (bigrams with ``prev`` first) — not raw
+    occurrences of ``prev``, which would include document-final tokens
+    with no outgoing transition and leave Σ P(·|prev) < 1 (ADVICE r6) —
+    and V is the unigram vocabulary size. One order up from
+    :func:`unigram_surprisal` — template boilerplate scores even lower
+    (its transitions are predictable), token-soup scores higher (no
+    transition is), the CCNet-style quality signal without a trained LM.
 
     Output (doc_id, n_bigrams, avg_surprisal_micro); docs with < 2
     tokens have no transitions and are excluded. Same engine-exact
@@ -844,9 +850,10 @@ def bigram_surprisal(
     mean is half-up integer division.
 
     Scale shape: bigram counts are one map-side-combined shuffle ∝
-    bigram vocabulary, unigram counts ∝ vocab; V rides the driver as
-    one long; the score join shuffles bigram rows by bigram key — no
-    windows, no driver loops.
+    bigram vocabulary; the transition totals c(prev→·) reduce FROM the
+    bigram counts (vocab-sized, no extra corpus scan); V rides the
+    driver as one long; the score join shuffles bigram rows by bigram
+    key — no windows, no driver loops.
     """
     bg_expr = (
         "CASE WHEN size(ws) < 2 THEN array() "
@@ -859,18 +866,19 @@ def bigram_surprisal(
     bgs = base.select(
         "doc_id", F.explode(F.expr(bg_expr)).alias("b")
     ).select("doc_id", F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur"))
-    uni = base.select(F.explode("ws").alias("tok")).groupBy("tok").agg(
-        F.count(F.lit(1)).cast("long").alias("cu")
-    )
-    v = uni.count()  # vocabulary size: one long via the driver
+    # vocabulary size: one long via the driver
+    v = base.select(F.explode("ws").alias("tok")).distinct().count()
     bi = bgs.groupBy("prev", "cur").agg(
         F.count(F.lit(1)).cast("long").alias("cb")
     )
-    stats = bi.join(uni.withColumnRenamed("tok", "prev"), "prev").select(
+    # transitions out of prev — reduced from bi, not from raw unigram
+    # occurrences (doc-final tokens have no outgoing transition)
+    prevtot = bi.groupBy("prev").agg(F.sum("cb").cast("long").alias("cp"))
+    stats = bi.join(prevtot, "prev").select(
         "prev",
         "cur",
         F.round(
-            -F.log((F.col("cb") + 1) / (F.col("cu") + F.lit(int(v)))) * 1_000_000
+            -F.log((F.col("cb") + 1) / (F.col("cp") + F.lit(int(v)))) * 1_000_000
         )
         .cast("long")
         .alias("micro"),

@@ -1978,13 +1978,13 @@ bg AS (SELECT doc_id,
                      i -> struct_pack(prev := ws[i + 1], cur := ws[i + 2]))) AS b
        FROM w),
 bu AS (SELECT doc_id, b.prev AS prev, b.cur AS cur FROM bg),
-uni AS (SELECT tok, cast(count(*) AS bigint) AS cu FROM e GROUP BY 1),
-v AS (SELECT cast(count(*) AS bigint) AS v FROM uni),
+v AS (SELECT cast(count(DISTINCT tok) AS bigint) AS v FROM e),
 bi AS (SELECT prev, cur, cast(count(*) AS bigint) AS cb FROM bu GROUP BY 1, 2),
+pt AS (SELECT prev, cast(sum(cb) AS bigint) AS cp FROM bi GROUP BY 1),
 m AS (SELECT bi.prev, bi.cur,
-             cast(round(-ln((bi.cb + 1) * 1.0 / (uni.cu + v.v)) * 1000000)
+             cast(round(-ln((bi.cb + 1) * 1.0 / (pt.cp + v.v)) * 1000000)
                   AS bigint) AS micro
-      FROM bi JOIN uni ON bi.prev = uni.tok, v),
+      FROM bi JOIN pt USING (prev), v),
 d AS (SELECT doc_id, cast(count(*) AS bigint) AS n_bigrams,
              cast(sum(micro) AS bigint) AS s
       FROM bu JOIN m USING (prev, cur) GROUP BY 1)

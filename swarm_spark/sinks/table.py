@@ -565,25 +565,36 @@ class TableSink(Sink):
         retires replaced files into a hidden mirror instead of
         deleting them; only :meth:`vacuum` (which honors snapshot
         references) reclaims bytes. The lock makes the listed set a
-        consistent point — never half of a concurrent compact."""
+        consistent point — never half of a concurrent compact. The
+        schema read and the name-existence check happen INSIDE the
+        lock (the schema must match the locked file listing), and the
+        manifest publishes via hard-link — an exclusive create — so
+        two concurrent creators of the same name can never silently
+        overwrite each other (ADVICE r6): exactly one wins, the other
+        raises."""
         self._recover(dest)
-        schema = self._read_schema(dest)
-        if schema is None:
-            raise ModelError(f"no such table: {dest.dataset}.{dest.table}")
         path = self._snap_path(dest, name)
-        if os.path.exists(path):
-            raise ModelError(f"snapshot already exists: {name}")
         lock = self._lock(dest)
         try:
+            schema = self._read_schema(dest)
+            if schema is None:
+                raise ModelError(f"no such table: {dest.dataset}.{dest.table}")
+            if os.path.exists(path):
+                raise ModelError(f"snapshot already exists: {name}")
             files = self._data_files(dest)
             os.makedirs(os.path.dirname(path), exist_ok=True)
-            tmp = f"{path}.tmp"
+            tmp = f"{path}.tmp.{os.getpid()}"
             with open(tmp, "w", encoding="utf-8") as f:
                 json.dump(
                     {"name": name, "files": files, "schema": schema.jsonValue()},
                     f,
                 )
-            os.replace(tmp, path)  # the snapshot's atomic publish
+            try:
+                os.link(tmp, path)  # atomic exclusive publish
+            except FileExistsError:
+                raise ModelError(f"snapshot already exists: {name}") from None
+            finally:
+                os.unlink(tmp)
             return {"name": name, "files": len(files)}
         finally:
             lock.release()

@@ -867,6 +867,50 @@ class TestDsirImportance:
         )
         assert key(fused) == key(twoframe)
 
+    def test_frame_target_counts_target_only_buckets(self, spark):
+        """ADVICE r6: with a separate target frame, buckets present
+        ONLY in the target were left-join-dropped, undercounting the
+        target normalizer tt. Pin the exact micro-nat values against a
+        from-scratch Python mirror of the formula, with a target whose
+        vocabulary is disjoint from the raw pool (every target bucket
+        is target-only)."""
+        import hashlib
+        import math
+        from collections import Counter
+        from decimal import ROUND_HALF_UP, Decimal
+
+        from swarm_spark.ops.text import dsir_importance
+
+        raw = spark.createDataFrame(
+            [(1, "aa bb cc"), (2, "bb cc dd")], "doc_id long, text string"
+        )
+        tgt = spark.createDataFrame([(9, "zz yy xx ww")], "doc_id long, text string")
+        out = {r["doc_id"]: r for r in dsir_importance(raw, tgt).collect()}
+
+        B = 4096
+
+        def bkt(bg):
+            h = hashlib.md5(f"swarm-dsir|{bg}".encode()).hexdigest()
+            return int(h[:8], 16) % B
+
+        raw_bgs = {1: ["aa bb", "bb cc"], 2: ["bb cc", "cc dd"]}
+        tgt_bgs = ["zz yy", "yy xx", "xx ww"]
+        cr = Counter(bkt(b) for bgs in raw_bgs.values() for b in bgs)
+        ct = Counter(bkt(b) for b in tgt_bgs)
+        rt, tt = sum(cr.values()), sum(ct.values())
+        assert tt == 3  # the fix: target-only buckets count toward tt
+
+        def lr(b):
+            x = (
+                math.log((ct[b] + 1) / (tt + B))
+                - math.log((cr[b] + 1) / (rt + B))
+            ) * 1_000_000
+            return int(Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+        for doc, bgs in raw_bgs.items():
+            assert out[doc]["importance_micro"] == sum(lr(bkt(b)) for b in bgs)
+            assert out[doc]["n_bigrams"] == len(bgs)
+
     def test_short_docs_excluded_and_bad_buckets(self, spark):
         from swarm_spark.ops.text import dsir_importance
 

@@ -645,6 +645,26 @@ class TestSnapshots:
         assert sink.read_snapshot(dest, "run1").count() == 5
         assert sink.list_snapshots(dest) == [{"name": "run1", "files": n_files}]
 
+    def test_duplicate_snapshot_name_always_raises(self, spark, tmp_path):
+        """ADVICE r6: two creators of the same name must never silently
+        overwrite — the manifest publishes via exclusive hard-link, so
+        even a creator that slipped past the exists check (simulated by
+        pre-creating the manifest after the check would have passed)
+        raises instead of clobbering."""
+        import os
+
+        sink, dest = self._sink(spark, tmp_path)
+        sink.append(dest, _envelope_frame(spark, 3, "a"))
+        sink.snapshot(dest, "dup")
+        before = os.path.getsize(sink._snap_path(dest, "dup"))
+        with pytest.raises(ModelError, match="already exists"):
+            sink.snapshot(dest, "dup")
+        # the losing creator left no tmp litter and the manifest is intact
+        sdir = os.path.dirname(sink._snap_path(dest, "dup"))
+        assert [f for f in os.listdir(sdir) if ".tmp" in f] == []
+        assert os.path.getsize(sink._snap_path(dest, "dup")) == before
+        assert sink.read_snapshot(dest, "dup").count() == 3
+
     def test_snapshot_survives_compaction_until_vacuum(self, spark, tmp_path):
         sink, dest = self._sink(spark, tmp_path)
         for i in range(4):
