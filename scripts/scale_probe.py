@@ -1,0 +1,179 @@
+"""Empirical scaling probe for the dedup/ANN tier (SCALING.md §"Measured
+scaling exponents").
+
+SCALING.md argues 100-TB behavior from plan shape; this script adds the
+empirical exponent VERDICT r6 asked for: generate two corpora from the
+SAME deterministic process at 1× and 10× scale (matching the driver
+testdata's shape: 31-word vocab soup, ~0.2% planted exact dups, ~0.5%
+near-dups, 64-dim 10-cluster embeddings), time the four headline
+dedup/ANN operators at both points with PRODUCTION knob scaling
+(max_df and n_cells grow with the corpus, query batch fixed), and
+print the wall-time ratios. Expected ~linear (ratio ≈ 10 ± noise);
+anything clearly super-linear is a finding.
+
+Run:  python scripts/scale_probe.py [--factor 10] [--runs 3]
+Data lands in .scale/f{1,N}/ (gitignored). Uses local[$SPARK_GRAFT_CPUS].
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE_DOCS = 5_000  # sf0.1-equivalent
+BASE_VECS = 2_000
+VOCAB = [  # the driver testdata's 31-token vocabulary (sf0.1 documents)
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window",
+]
+LANGS = [("en", 0.41), ("zh", 0.15), ("es", 0.15), ("fr", 0.15), ("de", 0.14)]
+
+
+def generate(out_dir: str, factor: int, seed: int = 42) -> None:
+    """Deterministic word-soup corpus + clustered embeddings at
+    ``factor``× the sf0.1 row counts, written as two parquet files."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    n_docs, n_vecs = BASE_DOCS * factor, BASE_VECS * factor
+
+    langs = [l for l, _ in LANGS]
+    lang_p = np.array([p for _, p in LANGS])
+    lang_p = lang_p / lang_p.sum()
+    lang_idx = rng.choice(len(langs), size=n_docs, p=lang_p)
+    n_tok = rng.integers(8, 97, size=n_docs)
+    texts = [
+        " ".join(rng.choice(VOCAB, size=int(k)).tolist()) for k in n_tok
+    ]
+    # planted structure at the driver-testdata rate, scale-invariant:
+    # ~0.16% exact duplicates, ~0.5% near-duplicates (10% token edits)
+    for i in rng.choice(n_docs, size=max(8, n_docs // 625), replace=False):
+        texts[(i + 1) % n_docs] = texts[i]
+    for i in rng.choice(n_docs, size=max(25, n_docs // 200), replace=False):
+        toks = texts[i].split()
+        for j in rng.choice(len(toks), size=max(1, len(toks) // 10), replace=False):
+            toks[j] = str(rng.choice(VOCAB))
+        texts[(i + 2) % n_docs] = " ".join(toks)
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(n_docs), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array([langs[i] for i in lang_idx], pa.string()),
+            "source": pa.array([f"src{i % 20}" for i in range(n_docs)], pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+
+    centroids = rng.normal(0.0, 0.25, size=(10, 64))
+    label = rng.integers(0, 10, size=n_vecs)
+    vecs = (centroids[label] * 0.6 + rng.normal(0.0, 0.08, size=(n_vecs, 64))).astype(
+        np.float32
+    )
+    emb = pa.table(
+        {
+            "vec_id": pa.array(range(n_vecs), pa.int64()),
+            "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+            "label": pa.array(label.tolist(), pa.int32()),
+        }
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(docs, os.path.join(out_dir, "documents.parquet"))
+    pq.write_table(emb, os.path.join(out_dir, "embeddings.parquet"))
+
+
+def probe(spark, data_dir: str, factor: int, runs: int) -> dict[str, float]:
+    """Median wall seconds for the four operators, knobs scaled the way
+    a production deployment scales them: the absolute-DF prune cap and
+    the cell counts grow with the corpus (keeping per-bucket/per-cell
+    work constant); the ANN query batch stays FIXED at 200 queries so
+    the measured quantity is corpus-scan cost, not batch size."""
+    from pyspark.sql import functions as F
+
+    from swarm_spark.ops.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    from swarm_spark.ops.ivf import ann_topk_ivf
+    from swarm_spark.ops.semdedup import semantic_dup_pairs
+
+    docs = spark.read.parquet(os.path.join(data_dir, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(data_dir, "embeddings.parquet"))
+    queries = emb.where(F.col("vec_id") < 200)  # fixed batch at every scale
+
+    ops = {
+        "dedup_ngram_jaccard": lambda: ngram_jaccard_pairs(
+            docs, threshold=0.8, max_df=100 * factor
+        ),
+        "dedup_minhash_lsh": lambda: minhash_lsh_pairs(
+            docs, num_perm=12, bands=4, max_df=100 * factor
+        ),
+        "dedup_semantic": lambda: semantic_dup_pairs(
+            emb, n_cells=8 * factor, iters=3, threshold=0.35
+        ),
+        "ann_topk_ivf": lambda: ann_topk_ivf(
+            emb, queries, k=5, n_cells=8 * factor, nprobe=4, iters=3
+        ),
+    }
+    out: dict[str, float] = {}
+    for name, build in ops.items():
+        build().collect()  # untimed warm-up (plan compilation/codegen)
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            n = build().count()
+            samples.append(time.perf_counter() - t0)
+        out[name] = round(sorted(samples)[len(samples) // 2], 2)
+        print(f"  f{factor} {name}: {out[name]} s ({n} rows)", flush=True)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--runs", type=int, default=3)
+    args = ap.parse_args()
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    scale_dir = os.path.join(root, ".scale")
+    for f in (1, args.factor):
+        d = os.path.join(scale_dir, f"f{f}")
+        if not os.path.exists(os.path.join(d, "embeddings.parquet")):
+            print(f"generating f{f} ({BASE_DOCS * f} docs)...", flush=True)
+            generate(d, f)
+
+    from swarm_spark.session import get_spark
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="swarm-scale-probe", master=f"local[{cpus}]")
+    spark.range(1000).count()
+    results = {}
+    for f in (1, args.factor):
+        print(f"probing f{f}...", flush=True)
+        results[f] = probe(spark, os.path.join(scale_dir, f"f{f}"), f, args.runs)
+    ratios = {
+        name: round(results[args.factor][name] / max(results[1][name], 1e-9), 2)
+        for name in results[1]
+    }
+    print(
+        json.dumps(
+            {
+                "factor": args.factor,
+                "load_1m": round(os.getloadavg()[0], 2),
+                "f1_sec": results[1],
+                f"f{args.factor}_sec": results[args.factor],
+                "wall_ratio": ratios,
+            },
+            indent=1,
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -386,6 +386,109 @@ def length_histogram(
     )
 
 
+def top_ngrams(
+    df: DataFrame,
+    n: int = 5,
+    top_k: int = 20,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide most-repeated word n-grams — the boilerplate-mining
+    report (C4/CCNet-style cleanup starts from this list: the n-grams
+    that recur across a web corpus are headers, footers, cookie banners
+    and license blurbs). Output (ngram, count, doc_freq, rank): total
+    occurrences, distinct documents containing it, rank by
+    (count desc, ngram asc), top_k rows.
+
+    Scale shape: explode to n-gram occurrences, ONE aggregation keyed
+    by the n-gram computing count(*) (map-side-combined) and the exact
+    distinct-doc count (planned as Spark's two-phase partial/merge
+    distinct aggregate — no per-group sets materialize); ``min_count``
+    drops the unique-n-gram long tail (the overwhelming majority at
+    corpus scale) before the global top-k, which is orderBy().limit()
+    = distributed TakeOrdered — per-partition top-k, only top_k rows
+    meet the driver; the rank window touches those top_k rows only.
+    """
+    if n < 1 or top_k < 1:
+        raise ValueError(f"n and top_k must be >= 1, got n={n}, top_k={top_k}")
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_expr(tokens_col(text_col), n)).alias("ngram"),
+    )
+    counts = (
+        grams.groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("count"),
+            F.countDistinct("doc_id").cast("long").alias("doc_freq"),
+        )
+        .where(F.col("count") >= int(min_count))
+    )
+    w = Window.orderBy(F.col("count").desc(), F.col("ngram"))
+    return (
+        counts.orderBy(F.col("count").desc(), "ngram")
+        .limit(top_k)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .orderBy("rank")
+    )
+
+
+def group_value_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: Column | str,
+    q_permille: tuple[int, ...] = (500, 900, 990),
+) -> DataFrame:
+    """Exact per-group nearest-rank quantiles via a VALUE HISTOGRAM:
+    quantile q = the smallest value whose cumulative count reaches
+    ceil(q·n/1000) within its group. Output
+    (``group_col``, q_permille, value, n_rows), one row per
+    (group, quantile point).
+
+    Scale shape — why not ``percentile()``: Spark's percentile (and
+    any sort-based exact quantile) buffers every raw value per group
+    in aggregation state, so a hot group OOMs the aggregate at corpus
+    scale. Here the corpus collapses FIRST to a (group, value)
+    histogram — one map-side-combined shuffle whose output is
+    group × distinct-value cardinality, independent of row count —
+    and the cumulative walk runs over histogram rows only. The
+    contract: the value must be LOW-CARDINALITY (integral token
+    counts, bucketed scores); the per-group window is bounded by that
+    cardinality, which is the histogram-quantile trade. Quantile
+    points are integral permille so the rank arithmetic is
+    engine-exact: rank = (q·n + 999) div 1000 — no float boundary for
+    two engines to disagree on.
+    """
+    qs_sorted = sorted(set(int(q) for q in q_permille))
+    for q in qs_sorted:
+        if not 0 < q <= 1000:
+            raise ValueError(f"q_permille entries must be in (0, 1000], got {q}")
+    if not qs_sorted:
+        raise ValueError("q_permille must be non-empty")
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    h = (
+        df.select(F.col(group_col).alias("__g"), v.alias("value"))
+        .groupBy("__g", "value")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    w = Window.partitionBy("__g").orderBy("value")
+    cum = h.withColumn("__cum", F.sum("__c").over(w))
+    totals = h.groupBy("__g").agg(F.sum("__c").cast("long").alias("n_rows"))
+    qs = totals.select(
+        "__g",
+        "n_rows",
+        F.explode(F.array([F.lit(q) for q in qs_sorted])).alias("q_permille"),
+    ).withColumn("__rk", F.expr("(q_permille * n_rows + 999) div 1000"))
+    return (
+        cum.join(F.broadcast(qs), "__g")
+        .where(F.col("__cum") >= F.col("__rk"))
+        .groupBy("__g", "q_permille", "n_rows")
+        .agg(F.min("value").alias("value"))
+        .select(F.col("__g").alias(group_col), "q_permille", "value", "n_rows")
+        .orderBy(group_col, "q_permille")
+    )
+
+
 # ---------------------------------------------------- vocabulary stats
 def vocab_stats(
     df: DataFrame,

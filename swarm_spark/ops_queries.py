@@ -2365,7 +2365,66 @@ ORDER BY inc_id, corpus_id
 """.format(simhash_cte=_simhash_cte(62))
 
 
+def q_corpus_top_ngrams(spark, sf):
+    """Boilerplate mining: the corpus's most-repeated 5-grams with
+    occurrence and document counts — the list a C4/CCNet-style cleanup
+    filters against. One vocab-keyed aggregation + distributed
+    TakeOrdered; the rank window sees only the top-k survivors."""
+    from .ops.text import top_ngrams
+
+    return top_ngrams(_docs(spark, sf), n=5, top_k=20, min_count=2)
+
+
+SQL_TOP_NGRAMS = f"""
+WITH w AS ({_WS}),
+e AS (SELECT doc_id,
+             unnest(list_transform(range(greatest(len(ws) - 4, 0)),
+                    i -> ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]||' '||ws[i+5]))
+                 AS ngram
+      FROM w),
+c AS (SELECT ngram, cast(count(*) AS bigint) AS count,
+             cast(count(DISTINCT doc_id) AS bigint) AS doc_freq
+      FROM e GROUP BY 1 HAVING count(*) >= 2)
+SELECT ngram, count, doc_freq,
+       cast(row_number() OVER (ORDER BY count DESC, ngram) AS bigint) AS rank
+FROM c ORDER BY count DESC, ngram LIMIT 20
+"""
+
+
+def q_corpus_tok_quantiles(spark, sf):
+    """Exact per-language token-count quantiles (p50/p90/p99) via the
+    VALUE-HISTOGRAM form — the scale-safe exact quantile: the corpus
+    collapses to a (lang, n_tok) histogram first, so no aggregate ever
+    buffers a hot group's raw values (what percentile() would do)."""
+    from .ops.text import group_value_quantiles, tokens_col
+
+    docs = _docs(spark, sf).select(
+        "lang", F.size(tokens_col("text")).cast("long").alias("n_tok")
+    )
+    return group_value_quantiles(docs, "lang", "n_tok", q_permille=(500, 900, 990))
+
+
+SQL_TOK_QUANTILES = """
+WITH w AS (SELECT lang,
+                  cast(len(regexp_split_to_array(text, ' +')) AS bigint) AS v
+           FROM documents),
+h AS (SELECT lang, v, cast(count(*) AS bigint) AS c FROM w GROUP BY 1, 2),
+t AS (SELECT lang, cast(sum(c) AS bigint) AS n_rows FROM h GROUP BY 1),
+cu AS (SELECT lang, v,
+              sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum
+       FROM h),
+q AS (SELECT unnest([500, 900, 990]) AS q_permille)
+SELECT cu.lang, cast(q.q_permille AS int) AS q_permille,
+       cast(min(cu.v) AS bigint) AS value, t.n_rows
+FROM cu JOIN t USING (lang), q
+WHERE cu.cum >= (q.q_permille * t.n_rows + 999) // 1000
+GROUP BY 1, 2, 4 ORDER BY 1, 2
+"""
+
+
 OPS: dict[str, tuple[Callable, str | None]] = {
+    "corpus_top_ngrams": (q_corpus_top_ngrams, SQL_TOP_NGRAMS),
+    "corpus_tok_quantiles": (q_corpus_tok_quantiles, SQL_TOK_QUANTILES),
     "dedup_simhash_incremental": (q_dedup_simhash_incremental, SQL_SIMHASH_INC),
     "ann_topk_dot": (q_ann_topk_dot, SQL_ANN_DOT),
     "ann_ivf_cells": (q_ann_ivf_cells, SQL_ANN_IVF_CELLS),

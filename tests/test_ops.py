@@ -924,6 +924,109 @@ class TestDsirImportance:
             dsir_importance(df, F.col("is_tgt") == 1, num_buckets=1)
 
 
+class TestTopNgrams:
+    def test_hand_case_counts_and_rank(self, spark):
+        from swarm_spark.ops.text import top_ngrams
+
+        df = spark.createDataFrame(
+            [
+                (1, "click here to accept cookies now please"),
+                (2, "click here to accept cookies today"),
+                (3, "totally unrelated text with other words"),
+                (4, "click here to accept cookies now again"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = top_ngrams(df, n=5, top_k=10, min_count=2).collect()
+        by = {r["ngram"]: r for r in rows}
+        assert by["click here to accept cookies"]["count"] == 3
+        assert by["click here to accept cookies"]["doc_freq"] == 3
+        assert by["click here to accept cookies"]["rank"] == 1
+        assert by["here to accept cookies now"]["count"] == 2
+        # singleton n-grams pruned by min_count
+        assert "totally unrelated text with other" not in by
+
+    def test_occurrences_vs_doc_freq(self, spark):
+        from swarm_spark.ops.text import top_ngrams
+
+        # one doc repeats the 2-gram 3 times; another has it once
+        df = spark.createDataFrame(
+            [(1, "ha ha ha ha"), (2, "ha ha no")], "doc_id long, text string"
+        )
+        (row,) = top_ngrams(df, n=2, top_k=1, min_count=2).collect()
+        assert row["ngram"] == "ha ha"
+        assert row["count"] == 4 and row["doc_freq"] == 2
+
+    def test_bad_args(self, spark):
+        import pytest as _pytest
+
+        from swarm_spark.ops.text import top_ngrams
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            top_ngrams(df, n=0)
+        with _pytest.raises(ValueError):
+            top_ngrams(df, top_k=0)
+
+
+class TestGroupValueQuantiles:
+    def test_matches_nearest_rank_reference(self, spark):
+        import math
+        import random
+
+        from swarm_spark.ops.text import group_value_quantiles
+
+        rng = random.Random(5)
+        rows = [
+            (f"g{rng.randrange(3)}", rng.randrange(1, 40)) for _ in range(500)
+        ]
+        df = spark.createDataFrame(rows, "g string, v long")
+        got = {
+            (r["g"], r["q_permille"]): (r["value"], r["n_rows"])
+            for r in group_value_quantiles(df, "g", "v", (250, 500, 900, 1000)).collect()
+        }
+        from collections import defaultdict
+
+        by_g = defaultdict(list)
+        for g, v in rows:
+            by_g[g].append(v)
+        for g, vals in by_g.items():
+            vals.sort()
+            n = len(vals)
+            for q in (250, 500, 900, 1000):
+                expect = vals[math.ceil(q * n / 1000) - 1]
+                assert got[(g, q)] == (expect, n), (g, q)
+
+    def test_bounded_window_is_histogram_sized(self, spark):
+        """The quantile window partitions over HISTOGRAM rows (distinct
+        values per group), never raw rows — pin by plan: the window's
+        input is the aggregated (group, value) frame."""
+        from swarm_spark.ops.text import group_value_quantiles
+
+        df = spark.createDataFrame(
+            [("a", i % 5) for i in range(1000)], "g string, v long"
+        )
+        out = group_value_quantiles(df, "g", "v")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "WindowExec" not in plan or "percentile" not in plan.lower()
+        rows = out.collect()
+        assert {r["q_permille"] for r in rows} == {500, 900, 990}
+        assert all(r["n_rows"] == 1000 for r in rows)
+
+    def test_bad_quantile_points(self, spark):
+        import pytest as _pytest
+
+        from swarm_spark.ops.text import group_value_quantiles
+
+        df = spark.createDataFrame([("a", 1)], "g string, v long")
+        with _pytest.raises(ValueError):
+            group_value_quantiles(df, "g", "v", (0,))
+        with _pytest.raises(ValueError):
+            group_value_quantiles(df, "g", "v", (1001,))
+        with _pytest.raises(ValueError):
+            group_value_quantiles(df, "g", "v", ())
+
+
 class TestChunkText:
     def test_hand_case_windows(self, spark):
         from swarm_spark.ops.text import chunk_text
