@@ -3,10 +3,42 @@ composability, split stability, and fraction accuracy."""
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import pytest
 from pyspark.sql import functions as F
 
 from swarm_spark.ops import hash_sample, split_column, stratified_hash_sample
+
+
+@contextmanager
+def _action_counter():
+    """Count DataFrame actions (count/collect/first/head) triggered
+    inside the block — sizing actions at plan-CONSTRUCTION time, each a
+    full scan at 100 TB. Job counting would be AQE-stage-dependent;
+    action counting pins intent exactly."""
+    # patch the CONCRETE class (Spark 4's classic DataFrame overrides
+    # the unified pyspark.sql.DataFrame methods, so patching the base
+    # would never fire)
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    calls = {"count": 0, "collect": 0, "first": 0, "head": 0}
+    orig = {k: getattr(DataFrame, k) for k in calls}
+
+    def wrap(name):
+        def f(self, *a, **kw):
+            calls[name] += 1
+            return orig[name](self, *a, **kw)
+
+        return f
+
+    for k in calls:
+        setattr(DataFrame, k, wrap(k))
+    try:
+        yield calls
+    finally:
+        for k, v in orig.items():
+            setattr(DataFrame, k, v)
 
 
 @pytest.fixture(scope="module")
@@ -314,3 +346,62 @@ class TestSampleToMixture:
         )
         out = sample_to_mixture(df, "lang", {"en": 1_000_000}, key="doc_id").collect()
         assert {r["lang"] for r in out} == {"en"}
+
+
+class TestConstructionActions:
+    """VERDICT r6 #5: sizing count() actions at plan-construction time
+    are full scans at 100 TB. Pin each operator's construction-time
+    ACTION budget so a redundant action can't silently come back (the
+    scan-budget sweep only sees the RETURNED plan, not side actions)."""
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [(i, f"lang{i % 3}", "tok " * (5 + i % 7)) for i in range(60)],
+            "doc_id long, lang string, text string",
+        )
+
+    def test_token_budget_sample_constructs_with_one_action(self, spark):
+        from swarm_spark.ops.sampling import token_budget_sample
+
+        docs = self._docs(spark)
+        with _action_counter() as calls:
+            df = token_budget_sample(docs, "lang", 50, key="doc_id")
+        # exactly the subtotal collect — the n_ranges sizing count is gone
+        assert calls == {"count": 0, "collect": 1, "first": 0, "head": 0}, calls
+        assert df.count() > 0
+
+    def test_stratified_cap_balance_path_constructs_with_one_action(self, spark):
+        from swarm_spark.ops.sampling import stratified_cap
+
+        docs = self._docs(spark)
+        with _action_counter() as calls:
+            df = stratified_cap(docs, "lang", None, key="doc_id")
+        # the stratum-count pass doubles as the salt-sizing row count
+        assert calls == {"count": 0, "collect": 1, "first": 0, "head": 0}, calls
+        assert df.count() > 0
+
+    def test_stratified_cap_hint_skips_the_sizing_count(self, spark):
+        from swarm_spark.ops.sampling import stratified_cap
+
+        docs = self._docs(spark)
+        with _action_counter() as calls:
+            stratified_cap(docs, "lang", 5, key="doc_id", approx_rows=60)
+        assert sum(calls.values()) == 0, calls
+
+    def test_pack_bins_hint_skips_the_sizing_count(self, spark):
+        from swarm_spark.ops.packing import pack_greedy_bins
+
+        docs = self._docs(spark)
+        with _action_counter() as calls:
+            pack_greedy_bins(docs, capacity=64, approx_rows=60)
+        assert sum(calls.values()) == 0, calls
+
+    def test_token_prefix_hint_constructs_with_one_action(self, spark):
+        from swarm_spark.ops.packing import token_prefix
+
+        docs = self._docs(spark)
+        with _action_counter() as calls:
+            # boundary sample collect + subtotal collect stay (they ARE
+            # the range partitioner); the row-sizing count is skipped
+            token_prefix(docs, approx_rows=60)
+        assert calls["count"] == 0 and calls["collect"] == 2, calls
