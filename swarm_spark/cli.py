@@ -403,6 +403,68 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_report(args) -> int:
+    """Pre-curation corpus diagnostics over a documents parquet — the
+    numbers a pipeline reads BEFORE choosing dedup/filter/packing
+    thresholds: boilerplate n-grams (what to strip), per-group
+    token-count quantiles (context-length/packing capacity), length
+    histogram, vocabulary head. One JSON object to stdout; each section
+    is opt-in so a 100-TB run pays only for what it asks."""
+    from pyspark.sql import functions as F
+
+    from .ops.text import (
+        group_value_quantiles,
+        length_histogram,
+        tokens_col,
+        top_ngrams,
+        vocab_stats,
+    )
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    out: dict = {}
+    if args.ngrams:
+        out["top_ngrams"] = [
+            r.asDict()
+            for r in top_ngrams(
+                docs,
+                n=args.ngrams,
+                top_k=args.top_k,
+                min_count=args.min_count,
+                text_col=args.text_col,
+                id_col=args.id_col,
+            ).collect()
+        ]
+    if args.quantiles_by:
+        q = group_value_quantiles(
+            docs.select(
+                F.col(args.quantiles_by),
+                F.size(tokens_col(args.text_col)).cast("long").alias("n_tok"),
+            ),
+            args.quantiles_by,
+            "n_tok",
+        )
+        out["tok_quantiles"] = [r.asDict() for r in q.collect()]
+    if args.length_hist:
+        out["length_hist"] = [
+            r.asDict()
+            for r in length_histogram(
+                docs, bucket_tokens=args.length_hist, text_col=args.text_col
+            ).collect()
+        ]
+    if args.vocab:
+        out["vocab"] = [
+            r.asDict()
+            for r in vocab_stats(docs, top_k=args.vocab, text_col=args.text_col).collect()
+        ]
+    if not out:
+        raise SystemExit(
+            "nothing to report: pass --ngrams/--quantiles-by/--length-hist/--vocab"
+        )
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_serve(args) -> int:
     from .streaming import AuthPolicy, NotificationProcessor, ServeFrontend, StateStore
 
@@ -571,6 +633,22 @@ def build_parser() -> argparse.ArgumentParser:
         help="partition output into N token-balanced shards (0 = off)",
     )
     sp.set_defaults(fn=cmd_curate)
+
+    sp = sub.add_parser("report", help="corpus diagnostics (n-grams/quantiles/histogram/vocab)")
+    sp.add_argument("input", help="documents parquet path")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--ngrams", type=int, default=0, help="mine top repeated N-grams (0 = off)")
+    sp.add_argument("--top-k", type=int, default=20)
+    sp.add_argument("--min-count", type=int, default=2)
+    sp.add_argument(
+        "--quantiles-by", default="", help="exact token-count quantiles per this column"
+    )
+    sp.add_argument(
+        "--length-hist", type=int, default=0, help="token-length histogram bucket size (0 = off)"
+    )
+    sp.add_argument("--vocab", type=int, default=0, help="top-K vocabulary report (0 = off)")
+    sp.set_defaults(fn=cmd_report)
 
     sp = sub.add_parser("serve", help="HTTP push endpoint")
     common(sp, objects=False)

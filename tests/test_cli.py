@@ -117,6 +117,41 @@ class TestCommands:
         assert msg["payload"]["objects"][0]["cs"]["bucket"] == "local"
 
 
+class TestReport:
+    def test_report_sections_match_registry_queries(self, spark, capsys):
+        res = _run(
+            capsys,
+            [
+                "--cpus", "4",
+                "report", "/root/testdata/sf0.001/documents.parquet",
+                "--ngrams", "5", "--top-k", "5",
+                "--quantiles-by", "lang",
+                "--length-hist", "128",
+                "--vocab", "3",
+            ],
+        )
+        assert set(res) == {"top_ngrams", "tok_quantiles", "length_hist", "vocab"}
+        assert len(res["top_ngrams"]) == 5
+        assert res["top_ngrams"][0]["rank"] == 1
+        assert all(r["count"] >= r["doc_freq"] >= 1 for r in res["top_ngrams"])
+        # quantile rows: one per (lang, q-point), value monotone in q
+        from collections import defaultdict
+
+        by_lang = defaultdict(dict)
+        for r in res["tok_quantiles"]:
+            by_lang[r["lang"]][r["q_permille"]] = r["value"]
+        for qs in by_lang.values():
+            assert qs[500] <= qs[900] <= qs[990]
+        assert len(res["vocab"]) == 3
+        assert sum(b["n_docs"] for b in res["length_hist"]) == 500
+
+    def test_report_requires_a_section(self, capsys):
+        import pytest as _pytest
+
+        with _pytest.raises(SystemExit, match="nothing to report"):
+            _run(capsys, ["report", "/root/testdata/sf0.001/documents.parquet"])
+
+
 class TestCurate:
     def test_curate_end_to_end(self, spark, tmp_path, capsys):
         out = str(tmp_path / "curated")
