@@ -193,6 +193,73 @@ def load_ivf(spark, path: str) -> tuple[DataFrame, DataFrame]:
     )
 
 
+def assign_to_centroids(
+    wave: DataFrame,
+    centroids_df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cell): nearest-centroid assignment of NEW vectors against a
+    built index's centroids — incremental IVF maintenance. An ingest
+    wave joins the index by appending these rows to the assignments
+    table, with NO Lloyd re-run and no driver round-trips; rebuild only
+    when :func:`ivf_drift_report` shows the cell loads skewing.
+
+    Same argmin-d2/tie-by-cell arithmetic as the in-build ``_assign``
+    (the 9-digit-rounded centroid contract keeps it oracle-exact);
+    centroids are k rows, so the cross-join broadcasts and the whole
+    assignment is one wave-sized codegen pass.
+    """
+    base = wave.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        dot_expr(vec_col, vec_col).alias("v_n2"),
+    )
+    cdf = centroids_df.select(
+        "cell", F.col("ccv").alias("c"), F.col("ccn2").alias("c_n2")
+    )
+    w = Window.partitionBy("id").orderBy("d2", "cell")
+    return (
+        base.crossJoin(F.broadcast(cdf))
+        .select("id", "cell", _dist2("v", "c").alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("id", "cell")
+    )
+
+
+def ivf_drift_report(
+    assignments: DataFrame, wave_assignments: DataFrame
+) -> DataFrame:
+    """(cell, n_base, n_wave, wave_share_micro): per-cell index load
+    before vs after a wave — the rebuild trigger for incremental IVF
+    maintenance (a wave that piles into few cells degrades probe cost
+    and recall; rebuild when shares skew). Two metadata-sized count
+    aggregations and a cells-sized outer join; share in integer
+    micro-units so the report is engine-exact."""
+    nb = assignments.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_base")
+    )
+    nw = wave_assignments.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_wave")
+    )
+    return (
+        nb.join(nw, "cell", "full")
+        .na.fill(0, ["n_base", "n_wave"])
+        .select(
+            "cell",
+            "n_base",
+            "n_wave",
+            F.round(
+                F.col("n_wave") * 1_000_000 / (F.col("n_base") + F.col("n_wave"))
+            )
+            .cast("long")
+            .alias("wave_share_micro"),
+        )
+        .orderBy("cell")
+    )
+
+
 def ann_topk_ivf_probe(
     corpus: DataFrame,
     queries: DataFrame,

@@ -489,6 +489,38 @@ def group_value_quantiles(
     )
 
 
+def filter_by_group_quantile(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    q_permille: int = 900,
+    keep: str = "ge",
+) -> DataFrame:
+    """Keep each group's rows at/above (``keep="ge"``) or at/below
+    (``"le"``) the group's q-th nearest-rank quantile of ``value_col``
+    — the "top decile quality per language" curation gate, with the
+    threshold ADAPTIVE per group instead of one global cutoff (a global
+    cutoff over-prunes low-scoring languages and under-prunes high-
+    scoring ones).
+
+    Scale shape: the thresholds come from
+    :func:`group_value_quantiles` (histogram form — nothing buffers a
+    hot group's raw values), yielding ONE row per group that
+    broadcast-joins back as a filter. Two corpus passes total
+    (histogram + filter), both scan-bound. The value must be
+    low-cardinality (the histogram contract): round/bucket continuous
+    scores to permille first.
+    """
+    if keep not in ("ge", "le"):
+        raise ValueError(f"keep must be 'ge' or 'le', got {keep!r}")
+    thr = group_value_quantiles(df, group_col, value_col, (q_permille,)).select(
+        group_col, F.col("value").alias("__thr")
+    )
+    v = F.col(value_col)
+    cond = v >= F.col("__thr") if keep == "ge" else v <= F.col("__thr")
+    return df.join(F.broadcast(thr), group_col).where(cond).drop("__thr")
+
+
 # ---------------------------------------------------- vocabulary stats
 def vocab_stats(
     df: DataFrame,

@@ -2422,7 +2422,101 @@ GROUP BY 1, 2, 4 ORDER BY 1, 2
 """
 
 
+def q_text_quality_gate(spark, sf):
+    """Per-language adaptive quality gate: keep docs at/above their
+    language's MEDIAN quality (integral permille) — the group-quantile
+    curation filter; thresholds adapt per group instead of one global
+    cutoff."""
+    from .ops.text import filter_by_group_quantile, quality_expr
+
+    docs = _docs(spark, sf).select(
+        "doc_id",
+        "lang",
+        F.round(quality_expr("text") * 1000).cast("long").alias("q_perm"),
+    )
+    return filter_by_group_quantile(
+        docs, "lang", "q_perm", q_permille=500, keep="ge"
+    ).select("lang", "doc_id", "q_perm").orderBy("doc_id")
+
+
+SQL_QUALITY_GATE = """
+WITH w AS (SELECT doc_id, lang, regexp_split_to_array(text, ' +') AS ws
+           FROM documents),
+c AS (SELECT doc_id, lang,
+             cast(len(ws) AS bigint) AS n_tokens,
+             cast(len(list_distinct(ws)) AS bigint) AS n_distinct,
+             cast(len(list_filter(ws, t -> list_contains(['the','a','of','and','to','in'], t)))
+                  AS bigint) AS n_stop
+      FROM w),
+s AS (SELECT doc_id, lang,
+             cast(round(round(0.4 * least(n_tokens/100.0, 1.0)
+                 + 0.3 * (n_distinct * 1.0 / n_tokens)
+                 + 0.3 * least(n_stop * 5.0 / n_tokens, 1.0), 6) * 1000)
+                  AS bigint) AS q_perm
+      FROM c),
+h AS (SELECT lang, q_perm AS v, cast(count(*) AS bigint) AS c FROM s GROUP BY 1, 2),
+t AS (SELECT lang, cast(sum(c) AS bigint) AS n FROM h GROUP BY 1),
+cu AS (SELECT lang, v, sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum FROM h),
+thr AS (SELECT cu.lang, min(cu.v) AS thr
+        FROM cu JOIN t USING (lang)
+        WHERE cu.cum >= (500 * t.n + 999) // 1000 GROUP BY 1)
+SELECT s.lang, s.doc_id, s.q_perm
+FROM s JOIN thr USING (lang)
+WHERE s.q_perm >= thr.thr ORDER BY s.doc_id
+"""
+
+
+def q_ann_ivf_assign_wave(spark, sf):
+    """Incremental IVF maintenance: build the index over the even-id
+    half, assign the odd-id WAVE to the frozen centroids (no Lloyd
+    re-run, no driver round-trips), and report per-cell base/wave
+    loads with the micro-unit wave share — the rebuild trigger."""
+    from .ops.ivf import assign_to_centroids, build_ivf, ivf_drift_report
+
+    emb = _emb(spark, sf)
+    base = emb.where(F.col("vec_id") % 2 == 0)
+    wave = emb.where(F.col("vec_id") % 2 == 1)
+    assignments, centroids = build_ivf(base, n_cells=8, iters=3)
+    return ivf_drift_report(assignments, assign_to_centroids(wave, centroids))
+
+
+SQL_ASSIGN_WAVE = _ivf_oracle_sql(
+    ibase_sql="""
+  SELECT vec_id AS id, cast(embedding AS double[]) AS v,
+         list_dot_product(cast(embedding AS double[]),
+                          cast(embedding AS double[])) AS vn2
+  FROM embeddings WHERE vec_id % 2 = 0""",
+    final_select="""
+SELECT pcx.cell,
+       coalesce(nb.n_base, 0) AS n_base,
+       coalesce(nw.n_wave, 0) AS n_wave,
+       cast(round(coalesce(nw.n_wave, 0) * 1000000.0
+                  / (coalesce(nb.n_base, 0) + coalesce(nw.n_wave, 0)))
+            AS bigint) AS wave_share_micro
+FROM (SELECT DISTINCT cell FROM pc) pcx
+LEFT JOIN (SELECT cell, cast(count(*) AS bigint) AS n_base
+           FROM afin GROUP BY 1) nb USING (cell)
+LEFT JOIN (SELECT cell, cast(count(*) AS bigint) AS n_wave FROM (
+             SELECT id, cell FROM (
+               SELECT b.id, c.cell,
+                      row_number() OVER (PARTITION BY b.id
+                        ORDER BY b.vn2 - 2 * list_dot_product(b.v, c.cv) + c.cn2,
+                                 c.cell) AS rn
+               FROM (SELECT vec_id AS id, cast(embedding AS double[]) AS v,
+                            list_dot_product(cast(embedding AS double[]),
+                                             cast(embedding AS double[])) AS vn2
+                     FROM embeddings WHERE vec_id % 2 = 1) b
+               CROSS JOIN pc c) WHERE rn = 1)
+           GROUP BY 1) nw USING (cell)
+WHERE coalesce(nb.n_base, 0) + coalesce(nw.n_wave, 0) > 0
+ORDER BY pcx.cell
+""",
+)
+
+
 OPS: dict[str, tuple[Callable, str | None]] = {
+    "text_quality_gate": (q_text_quality_gate, SQL_QUALITY_GATE),
+    "ann_ivf_assign_wave": (q_ann_ivf_assign_wave, SQL_ASSIGN_WAVE),
     "corpus_top_ngrams": (q_corpus_top_ngrams, SQL_TOP_NGRAMS),
     "corpus_tok_quantiles": (q_corpus_tok_quantiles, SQL_TOK_QUANTILES),
     "dedup_simhash_incremental": (q_dedup_simhash_incremental, SQL_SIMHASH_INC),

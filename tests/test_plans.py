@@ -51,9 +51,12 @@ ALL = {**CORE, **OPS, **CLASSICAL}
 #   query set, |Q| literal) before the label vote.
 # - ann_ivf_cells: k-means assignment's argmin over k centroids (k a
 #   literal), same bounded build side as ann_topk_ivf.
+# - ann_ivf_assign_wave: the incremental wave assignment is the same
+#   argmin over k frozen centroids (k a literal).
 # - text_surprisal: crossJoin(broadcast(total)) attaches the 1-row
 #   corpus token total to the vocab frame.
 BNLJ_ALLOWED = {
+    "ann_ivf_assign_wave",
     "ann_ivf_cells",
     "ann_topk_bruteforce",
     "dedup_semantic",
@@ -93,6 +96,7 @@ _SCAN_BUDGET = {
     "text_bigram_surprisal": 3,  # unigram stats + bigram stats + scoring
     "text_decontaminate": 3,
     "text_strip_segments": 3,
+    "ann_ivf_assign_wave": 3,  # build (assignment + centroid join) + wave
     "ann_ivf_cells": 4,
     "ann_topk_ivf": 4,
     "dedup_minhash_recall": 4,  # jaccard truth (2-scan shape) + the
