@@ -870,6 +870,97 @@ def content_digests(
     )
 
 
+def _bloom_exprs(n_blocks: int, k: int) -> tuple[Column, Column]:
+    """(block, mask) Columns over a ``__bloom_h`` md5-hex column, all
+    integer arithmetic: block = first 8 hex digits mod n_blocks; mask =
+    OR of ``k`` bits, bit_j = hex[8+4j : 12+4j] mod 62. 62-bit masks
+    keep every shift in signed-positive bigint range on BOTH engines
+    (the repo's simhash 62-bit trick), so the whole filter is
+    engine-exact — a Bloom filter with a DuckDB oracle."""
+    if not 1 <= k <= 6:
+        raise ValueError(f"k must be in [1, 6] (md5 has 32 hex chars), got {k}")
+    if n_blocks < 1:
+        raise ValueError(f"n_blocks must be >= 1, got {n_blocks}")
+    block = (
+        F.conv(F.substring("__bloom_h", 1, 8), 16, 10).cast("long") % n_blocks
+    ).cast("int")
+    terms = " | ".join(
+        "shiftleft(cast(1 as bigint), "
+        f"cast(conv(substring(__bloom_h, {9 + 4 * j}, 4), 16, 10) % 62 as int))"
+        for j in range(k)
+    )
+    return block, F.expr(terms)
+
+
+def _bloom_hash(key_col: str, seed: str) -> Column:
+    return F.md5(F.concat_ws("|", F.lit(seed), F.col(key_col).cast("string")))
+
+
+def build_block_bloom(
+    df: DataFrame,
+    key_col: str = "text",
+    n_blocks: int = 1024,
+    k: int = 4,
+    seed: str = "swarm-bloom",
+) -> DataFrame:
+    """(block, mask): split-block Bloom filter over ``key_col`` — the
+    approximate-membership pre-filter for wave-vs-history dedup. A
+    100-TB history's digest ledger is corpus-sized; this filter is
+    ``n_blocks`` longs (n_blocks × 12 bytes), broadcastable, with NO
+    false negatives by construction: probe the wave against it first
+    and only the flagged sliver pays the exact anti-join against the
+    full ledger.
+
+    Blocked layout (Impala/parquet-bloom style): each key sets ``k``
+    bits inside ONE 62-bit block chosen by its hash, so a probe touches
+    one long. Build is a single map-side-combined ``bit_or`` shuffle of
+    ≤ n_blocks rows. FPR ≈ (1 − e^(−k·n/m))^k with m = 62·n_blocks
+    bits — size n_blocks ≈ n/6 for ~1% at k=4; oversizing only costs
+    12 bytes per block. Deterministic (md5-derived bits), so the same
+    corpus always builds the identical filter on any engine — pinned by
+    the ``dedup_bloom_gate`` oracle.
+    """
+    block, mask = _bloom_exprs(n_blocks, k)
+    return (
+        df.select(_bloom_hash(key_col, seed).alias("__bloom_h"))
+        .select(block.alias("block"), mask.alias("mask"))
+        .groupBy("block")
+        .agg(F.bit_or("mask").alias("mask"))
+    )
+
+
+def bloom_contains(
+    items: DataFrame,
+    bloom: DataFrame,
+    key_col: str = "text",
+    n_blocks: int = 1024,
+    k: int = 4,
+    seed: str = "swarm-bloom",
+) -> DataFrame:
+    """``items`` + ``might_contain`` boolean: probe a
+    :func:`build_block_bloom` filter (built with the SAME
+    n_blocks/k/seed). The filter broadcasts (≤ n_blocks rows); the
+    probe is one codegen projection + broadcast left join — no shuffle
+    of the probed frame. ``might_contain=False`` is definitive (no
+    false negatives); ``True`` means "check exactly"."""
+    block, mask = _bloom_exprs(n_blocks, k)
+    probed = (
+        items.withColumn("__bloom_h", _bloom_hash(key_col, seed))
+        .withColumn("block", block)
+        .withColumn("__m", mask)
+    )
+    return (
+        probed.join(F.broadcast(bloom.withColumnRenamed("mask", "__bmask")), "block", "left")
+        .withColumn(
+            "might_contain",
+            F.coalesce(
+                F.col("__bmask").bitwiseAND(F.col("__m")) == F.col("__m"), F.lit(False)
+            ),
+        )
+        .drop("__bloom_h", "__m", "__bmask", "block")
+    )
+
+
 def incremental_dup_flags(
     new_df: DataFrame,
     corpus_df: DataFrame | None = None,

@@ -2422,6 +2422,58 @@ GROUP BY 1, 2, 4 ORDER BY 1, 2
 """
 
 
+def q_dedup_bloom_gate(spark, sf):
+    """Split-block Bloom membership pre-filter, gate-checked: build the
+    filter over the even-doc_id half's texts, probe EVERY doc, and
+    report the confusion counts. ``missed`` must be 0 (no false
+    negatives — the contract that lets a wave skip the exact anti-join
+    for unflagged docs); ``false_pos`` is the price of the 12-byte-per-
+    block sketch, deterministic because every bit is md5-derived."""
+    from .ops.dedup import bloom_contains, build_block_bloom
+
+    docs = _docs(spark, sf).select("doc_id", "text")
+    members = docs.where(F.col("doc_id") % 2 == 0)
+    bloom = build_block_bloom(members, "text", n_blocks=256, k=4)
+    probed = bloom_contains(docs, bloom, "text", n_blocks=256, k=4)
+    is_m = (F.col("doc_id") % 2 == 0).cast("long")
+    mc = F.col("might_contain").cast("long")
+    return probed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probe"),
+        F.sum(is_m).cast("long").alias("n_member"),
+        F.sum(mc).cast("long").alias("n_flagged"),
+        F.sum(is_m * (1 - mc)).cast("long").alias("missed"),
+        F.sum((1 - is_m) * mc).cast("long").alias("false_pos"),
+    )
+
+
+def _bloom_mask_sql(k: int = 4) -> str:
+    return " | ".join(
+        f"(cast(1 AS bigint) << cast({_hexval('h', 9 + 4 * j, 4)} % 62 AS int))"
+        for j in range(k)
+    )
+
+
+SQL_BLOOM_GATE = f"""
+WITH d AS (SELECT doc_id, md5('swarm-bloom|' || text) AS h FROM documents),
+p AS (SELECT doc_id,
+             {_hexval('h', 1, 8)} % 256 AS block,
+             {_bloom_mask_sql(4)} AS mask
+      FROM d),
+b AS (SELECT block, bit_or(mask) AS bmask FROM p WHERE doc_id % 2 = 0 GROUP BY 1),
+j AS (SELECT p.doc_id,
+             coalesce((b.bmask & p.mask) = p.mask, false) AS mc
+      FROM p LEFT JOIN b USING (block))
+SELECT cast(count(*) AS bigint) AS n_probe,
+       cast(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS bigint) AS n_member,
+       cast(sum(CASE WHEN mc THEN 1 ELSE 0 END) AS bigint) AS n_flagged,
+       cast(sum(CASE WHEN doc_id % 2 = 0 AND NOT mc THEN 1 ELSE 0 END) AS bigint)
+           AS missed,
+       cast(sum(CASE WHEN doc_id % 2 <> 0 AND mc THEN 1 ELSE 0 END) AS bigint)
+           AS false_pos
+FROM j
+"""
+
+
 def q_text_quality_gate(spark, sf):
     """Per-language adaptive quality gate: keep docs at/above their
     language's MEDIAN quality (integral permille) — the group-quantile
@@ -2515,6 +2567,7 @@ ORDER BY pcx.cell
 
 
 OPS: dict[str, tuple[Callable, str | None]] = {
+    "dedup_bloom_gate": (q_dedup_bloom_gate, SQL_BLOOM_GATE),
     "text_quality_gate": (q_text_quality_gate, SQL_QUALITY_GATE),
     "ann_ivf_assign_wave": (q_ann_ivf_assign_wave, SQL_ASSIGN_WAVE),
     "corpus_top_ngrams": (q_corpus_top_ngrams, SQL_TOP_NGRAMS),

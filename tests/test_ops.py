@@ -388,6 +388,75 @@ class TestPiiScrub:
         assert (out[3]["n_email"], out[3]["n_phone"], out[3]["n_ipv4"]) == (0, 0, 0)
 
 
+class TestBlockBloom:
+    def _frames(self, spark, n=400):
+        rows = [(i, f"member text {i}") for i in range(n)]
+        probes = rows + [(1000 + i, f"novel text {i}") for i in range(n)]
+        return (
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            spark.createDataFrame(probes, "doc_id long, text string"),
+        )
+
+    def test_no_false_negatives_ever(self, spark):
+        """The contract that makes the filter a safe pre-filter: every
+        member must be flagged, at ANY filter size (even a saturated
+        one-block filter)."""
+        from swarm_spark.ops.dedup import bloom_contains, build_block_bloom
+
+        members, probes = self._frames(spark)
+        for n_blocks in (1, 16, 4096):
+            bloom = build_block_bloom(members, n_blocks=n_blocks)
+            out = bloom_contains(probes, bloom, n_blocks=n_blocks)
+            missed = out.where(
+                (F.col("doc_id") < 1000) & ~F.col("might_contain")
+            ).count()
+            assert missed == 0, f"n_blocks={n_blocks}: {missed} false negatives"
+
+    def test_fpr_falls_with_size_and_dense_filter_saturates(self, spark):
+        from swarm_spark.ops.dedup import bloom_contains, build_block_bloom
+
+        members, probes = self._frames(spark)
+
+        def fpr(n_blocks):
+            bloom = build_block_bloom(members, n_blocks=n_blocks)
+            out = bloom_contains(probes, bloom, n_blocks=n_blocks)
+            fp = out.where((F.col("doc_id") >= 1000) & F.col("might_contain")).count()
+            return fp / 400
+
+        dense, sized = fpr(8), fpr(4096)
+        # 400 keys x 4 bits into 8 blocks saturates; 4096 blocks
+        # (~60 bits/key) is near-exact
+        assert dense > 0.5, dense
+        assert sized < 0.05, sized
+
+    def test_filter_is_partitioning_invariant_and_small(self, spark):
+        from swarm_spark.ops.dedup import build_block_bloom
+
+        members, _ = self._frames(spark)
+        a = sorted(map(tuple, build_block_bloom(members, n_blocks=64).collect()))
+        b = sorted(
+            map(
+                tuple,
+                build_block_bloom(members.repartition(13), n_blocks=64).collect(),
+            )
+        )
+        assert a == b
+        assert len(a) <= 64
+        # 62-bit contract: every mask stays in signed-positive range
+        assert all(m >= 0 for _, m in a)
+
+    def test_bad_args(self, spark):
+        from swarm_spark.ops.dedup import build_block_bloom
+
+        members, _ = self._frames(spark, n=4)
+        with pytest.raises(ValueError):
+            build_block_bloom(members, k=0)
+        with pytest.raises(ValueError):
+            build_block_bloom(members, k=7)
+        with pytest.raises(ValueError):
+            build_block_bloom(members, n_blocks=0)
+
+
 class TestIncrementalDedup:
     def test_flags_against_corpus(self, spark):
         from swarm_spark.ops import incremental_dup_flags
