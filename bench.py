@@ -60,6 +60,10 @@ def main() -> None:
         "tfidf_top_terms",
         "sample_token_budget",
         "text_dsir",
+        "corpus_top_ngrams",
+        "corpus_tok_quantiles",
+        "dedup_bloom_gate",
+        "text_quality_gate",
     ]
     names = [n for n in names if n in CORE]
 

@@ -339,6 +339,21 @@ def cmd_curate(args) -> int:
     )
     if args.langs:
         kept = kept.where(F.col("pred_lang").isin(args.langs.split(",")))
+    if args.quality_quantile:
+        # ADAPTIVE per-language gate: keep docs at/above their language's
+        # q-th quality quantile (histogram form — the threshold adapts
+        # per group instead of one global cutoff over-pruning
+        # low-scoring languages)
+        from .ops.text import filter_by_group_quantile
+
+        kept = filter_by_group_quantile(
+            kept.withColumn(
+                "q_perm", F.round(F.col("quality") * 1000).cast("long")
+            ),
+            "pred_lang",
+            "q_perm",
+            q_permille=args.quality_quantile,
+        ).drop("q_perm")
     if args.cap_per_lang:
         kept = stratified_cap(
             kept, "pred_lang", cap=args.cap_per_lang, key=args.id_col
@@ -597,6 +612,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--text-col", default="text")
     sp.add_argument("--id-col", default="doc_id")
     sp.add_argument("--min-quality", type=float, default=0.5)
+    sp.add_argument(
+        "--quality-quantile",
+        type=int,
+        default=0,
+        help="also keep only docs at/above their language's q-permille "
+        "quality quantile, adaptive per language (0 = off)",
+    )
     sp.add_argument("--langs", default="", help="comma list; empty = keep all")
     sp.add_argument("--cap-per-lang", type=int, default=0, help="0 = no cap")
     sp.add_argument(

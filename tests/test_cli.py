@@ -177,6 +177,39 @@ class TestCurate:
         got = {r["doc_id"] for r in back.collect()}
         assert got == expected
 
+    def test_curate_quality_quantile_gate(self, spark, tmp_path, capsys):
+        """--quality-quantile keeps each language's top half by quality
+        — per-language counts must be about half the ungated run's and
+        every kept doc at/above its language's median quality."""
+        base_out = str(tmp_path / "ungated")
+        _run(
+            capsys,
+            ["--cpus", "4", "curate", "/root/testdata/sf0.001/documents.parquet",
+             "-o", base_out, "--min-quality", "0.0"],
+        )
+        gated_out = str(tmp_path / "gated")
+        _run(
+            capsys,
+            ["--cpus", "4", "curate", "/root/testdata/sf0.001/documents.parquet",
+             "-o", gated_out, "--min-quality", "0.0", "--quality-quantile", "500"],
+        )
+        import pyspark.sql.functions as F
+
+        base = spark.read.parquet(base_out)
+        gated = spark.read.parquet(gated_out)
+        assert 0 < gated.count() < base.count()
+        # per language: the kept minimum is that language's base median
+        med = {
+            r["pred_lang"]: r["m"]
+            for r in base.groupBy("pred_lang")
+            .agg(F.expr("percentile_approx(round(quality*1000), 0.5)").alias("m"))
+            .collect()
+        }
+        for r in gated.groupBy("pred_lang").agg(
+            F.min(F.round(F.col("quality") * 1000)).alias("lo")
+        ).collect():
+            assert r["lo"] >= med[r["pred_lang"]] - 1  # approx median slack
+
     def test_curate_cap_per_lang(self, spark, tmp_path, capsys):
         out = str(tmp_path / "capped")
         res = _run(
