@@ -961,6 +961,50 @@ def bloom_contains(
     )
 
 
+def linear_count_distinct(
+    df: DataFrame,
+    key_col: str,
+    n_blocks: int = 4096,
+    seed: str = "swarm-lc",
+) -> DataFrame:
+    """One-row DataFrame (m_bits, set_bits, zero_bits, estimate):
+    linear-counting distinct estimate (Whang et al. 1990) of
+    ``key_col`` over m = 62·n_blocks bits — the cardinality sketch that
+    feeds vocab sizing, dedup planning and bloom sizing WITHOUT an
+    exact distinct's full shuffle of the key space.
+
+    estimate = round(−m · ln(zero_bits / m)); stands within ~1% while
+    the bitmap is < ~half full (size n_blocks ≳ distinct/30). Unlike
+    Spark's approx_count_distinct (HLL++, whose sketch bytes are
+    engine-private), every bit here is md5-derived integer arithmetic —
+    the same 62-bit block layout as :func:`build_block_bloom` — so the
+    sketch AND the estimate reproduce exactly in DuckDB and the
+    operator is value-oracle-checkable, not just tolerance-checked.
+
+    Scale shape: one codegen projection to (block, bit-mask), one
+    map-side-combined ``bit_or`` shuffle of ≤ n_blocks rows, one
+    n_blocks-row aggregation. The corpus is never shuffled by key.
+    """
+    block, mask = _bloom_exprs(n_blocks, k=1)
+    m = 62 * int(n_blocks)
+    bits = (
+        df.select(_bloom_hash(key_col, seed).alias("__bloom_h"))
+        .select(block.alias("block"), mask.alias("mask"))
+        .groupBy("block")
+        .agg(F.bit_or("mask").alias("mask"))
+        .agg(F.coalesce(F.sum(F.bit_count("mask")), F.lit(0)).alias("set_bits"))
+    )
+    zero = F.lit(m) - F.col("set_bits")
+    return bits.select(
+        F.lit(m).cast("long").alias("m_bits"),
+        F.col("set_bits").cast("long"),
+        zero.cast("long").alias("zero_bits"),
+        F.when(zero <= 0, F.lit(None).cast("long"))  # saturated: undefined
+        .otherwise(F.round(-F.lit(float(m)) * F.log(zero / F.lit(float(m)))).cast("long"))
+        .alias("estimate"),
+    )
+
+
 def incremental_dup_flags(
     new_df: DataFrame,
     corpus_df: DataFrame | None = None,

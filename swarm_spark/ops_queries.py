@@ -2422,6 +2422,59 @@ GROUP BY 1, 2, 4 ORDER BY 1, 2
 """
 
 
+def q_corpus_distinct_sketch(spark, sf):
+    """Linear-counting distinct-3-gram estimate vs the exact count —
+    the cardinality sketch that sizes vocabs, blooms and dedup plans
+    without an exact distinct's key-space shuffle; deterministic
+    md5-derived bits make even the ESTIMATE value-oracle-checkable
+    (HLL sketches are engine-private). err_ppm pins the accuracy."""
+    from .ops.dedup import doc_shingles, linear_count_distinct
+
+    sh = doc_shingles(_docs(spark, sf), n=3)
+    sk = linear_count_distinct(sh, "sh", n_blocks=4096)
+    exact = sh.agg(F.countDistinct("sh").cast("long").alias("exact_distinct"))
+    return sk.crossJoin(F.broadcast(exact)).select(
+        "m_bits",
+        "set_bits",
+        "zero_bits",
+        "estimate",
+        "exact_distinct",
+        F.round(
+            F.abs(F.col("estimate") - F.col("exact_distinct"))
+            * 1_000_000
+            / F.col("exact_distinct")
+        )
+        .cast("long")
+        .alias("err_ppm"),
+    )
+
+
+_LC_M = 62 * 4096
+
+SQL_DISTINCT_SKETCH = f"""
+WITH {_shingle_cte(3)},
+d AS (SELECT md5('swarm-lc|' || sh) AS h FROM s),
+p AS (SELECT {_hexval('h', 1, 8)} % 4096 AS block,
+             (cast(1 AS bigint) << cast({_hexval('h', 9, 4)} % 62 AS int)) AS mask
+      FROM d),
+b AS (SELECT block, bit_or(mask) AS mask FROM p GROUP BY 1),
+sb AS (SELECT cast(coalesce(sum(bit_count(mask)), 0) AS bigint) AS set_bits FROM b),
+x AS (SELECT cast(count(DISTINCT sh) AS bigint) AS exact_distinct FROM s),
+est AS (SELECT sb.set_bits,
+               cast(round(-{_LC_M}.0 * ln(({_LC_M} - sb.set_bits) / {_LC_M}.0))
+                    AS bigint) AS estimate
+        FROM sb)
+SELECT cast({_LC_M} AS bigint) AS m_bits,
+       est.set_bits,
+       cast({_LC_M} - est.set_bits AS bigint) AS zero_bits,
+       est.estimate,
+       x.exact_distinct,
+       cast(round(abs(est.estimate - x.exact_distinct) * 1000000.0
+                  / x.exact_distinct) AS bigint) AS err_ppm
+FROM est, x
+"""
+
+
 def q_dedup_bloom_gate(spark, sf):
     """Split-block Bloom membership pre-filter, gate-checked: build the
     filter over the even-doc_id half's texts, probe EVERY doc, and
@@ -2567,6 +2620,7 @@ ORDER BY pcx.cell
 
 
 OPS: dict[str, tuple[Callable, str | None]] = {
+    "corpus_distinct_sketch": (q_corpus_distinct_sketch, SQL_DISTINCT_SKETCH),
     "dedup_bloom_gate": (q_dedup_bloom_gate, SQL_BLOOM_GATE),
     "text_quality_gate": (q_text_quality_gate, SQL_QUALITY_GATE),
     "ann_ivf_assign_wave": (q_ann_ivf_assign_wave, SQL_ASSIGN_WAVE),

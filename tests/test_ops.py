@@ -457,6 +457,42 @@ class TestBlockBloom:
             build_block_bloom(members, n_blocks=0)
 
 
+class TestLinearCountDistinct:
+    def test_estimate_tracks_true_cardinality(self, spark):
+        from swarm_spark.ops.dedup import linear_count_distinct
+
+        for n in (100, 2000, 20000):
+            df = spark.range(n).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+            (row,) = linear_count_distinct(df, "k", n_blocks=4096).collect()
+            est = row["estimate"]
+            assert abs(est - n) / n < 0.05, (n, est)
+            assert row["m_bits"] == 62 * 4096
+            assert row["set_bits"] + row["zero_bits"] == row["m_bits"]
+
+    def test_duplicates_do_not_inflate(self, spark):
+        from swarm_spark.ops.dedup import linear_count_distinct
+
+        uniq = spark.range(500).select(F.concat(F.lit("k"), F.col("id") % 50).alias("k"))
+        (row,) = linear_count_distinct(uniq, "k", n_blocks=1024).collect()
+        assert abs(row["estimate"] - 50) <= 3
+
+    def test_saturated_bitmap_returns_null(self, spark):
+        from swarm_spark.ops.dedup import linear_count_distinct
+
+        # 1 block = 62 bits; >>62 distinct keys saturate it
+        df = spark.range(20000).select(F.col("id").cast("string").alias("k"))
+        (row,) = linear_count_distinct(df, "k", n_blocks=1).collect()
+        assert row["zero_bits"] == 0 and row["estimate"] is None
+
+    def test_partitioning_invariant(self, spark):
+        from swarm_spark.ops.dedup import linear_count_distinct
+
+        df = spark.range(3000).select(F.col("id").cast("string").alias("k"))
+        a = linear_count_distinct(df, "k").collect()
+        b = linear_count_distinct(df.repartition(17), "k").collect()
+        assert a == b
+
+
 class TestIncrementalDedup:
     def test_flags_against_corpus(self, spark):
         from swarm_spark.ops import incremental_dup_flags

@@ -58,6 +58,7 @@ ALL = {**CORE, **OPS, **CLASSICAL}
 BNLJ_ALLOWED = {
     "ann_ivf_assign_wave",
     "ann_ivf_cells",
+    "corpus_distinct_sketch",  # crossJoin(broadcast(1-row exact count))
     "ann_topk_bruteforce",
     "dedup_semantic",
     "dedup_semantic_keep",
