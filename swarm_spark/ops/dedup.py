@@ -961,38 +961,54 @@ def bloom_contains(
     )
 
 
-def linear_count_distinct(
+def linear_count_bitmap(
     df: DataFrame,
     key_col: str,
     n_blocks: int = 4096,
     seed: str = "swarm-lc",
 ) -> DataFrame:
-    """One-row DataFrame (m_bits, set_bits, zero_bits, estimate):
-    linear-counting distinct estimate (Whang et al. 1990) of
-    ``key_col`` over m = 62·n_blocks bits — the cardinality sketch that
-    feeds vocab sizing, dedup planning and bloom sizing WITHOUT an
-    exact distinct's full shuffle of the key space.
-
-    estimate = round(−m · ln(zero_bits / m)); stands within ~1% while
-    the bitmap is < ~half full (size n_blocks ≳ distinct/30). Unlike
-    Spark's approx_count_distinct (HLL++, whose sketch bytes are
-    engine-private), every bit here is md5-derived integer arithmetic —
-    the same 62-bit block layout as :func:`build_block_bloom` — so the
-    sketch AND the estimate reproduce exactly in DuckDB and the
-    operator is value-oracle-checkable, not just tolerance-checked.
-
-    Scale shape: one codegen projection to (block, bit-mask), one
-    map-side-combined ``bit_or`` shuffle of ≤ n_blocks rows, one
-    n_blocks-row aggregation. The corpus is never shuffled by key.
-    """
+    """(block, mask): the linear-counting bitmap of ``key_col`` — the
+    MATERIALIZABLE form of the sketch (≤ n_blocks rows; store it next
+    to the corpus like the vocab counts). Bitmaps are a bit_or monoid:
+    :func:`merge_count_bitmaps` of two waves' bitmaps equals the
+    full-recompute bitmap exactly, so incremental maintenance never
+    rescans history (pinned by the ``corpus_sketch_incremental``
+    oracle). One codegen projection + one map-side-combined ``bit_or``
+    shuffle of ≤ n_blocks rows; the corpus is never shuffled by key."""
     block, mask = _bloom_exprs(n_blocks, k=1)
-    m = 62 * int(n_blocks)
-    bits = (
+    return (
         df.select(_bloom_hash(key_col, seed).alias("__bloom_h"))
         .select(block.alias("block"), mask.alias("mask"))
         .groupBy("block")
         .agg(F.bit_or("mask").alias("mask"))
-        .agg(F.coalesce(F.sum(F.bit_count("mask")), F.lit(0)).alias("set_bits"))
+    )
+
+
+def merge_count_bitmaps(stored: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold a wave's bitmap into a stored bitmap — union + per-block
+    ``bit_or`` over ≤ 2·n_blocks rows (metadata-sized). Exactly the
+    incremental contract of :func:`~swarm_spark.ops.text.vocab_merge`,
+    for cardinality instead of counts."""
+    return (
+        stored.select("block", "mask")
+        .unionByName(delta.select("block", "mask"))
+        .groupBy("block")
+        .agg(F.bit_or("mask").alias("mask"))
+    )
+
+
+def linear_count_estimate(bitmap: DataFrame, n_blocks: int = 4096) -> DataFrame:
+    """One-row (m_bits, set_bits, zero_bits, estimate) from a
+    :func:`linear_count_bitmap` frame: estimate =
+    round(−m · ln(zero_bits / m)) over m = 62·n_blocks bits (Whang et
+    al. 1990) — within ~1% while the bitmap is < ~half full (size
+    n_blocks ≳ distinct/30); NULL when saturated (never silently
+    wrong). All md5-derived integer arithmetic — unlike HLL sketches
+    (engine-private bytes), the sketch AND the estimate reproduce
+    exactly in DuckDB."""
+    m = 62 * int(n_blocks)
+    bits = bitmap.agg(
+        F.coalesce(F.sum(F.bit_count("mask")), F.lit(0)).alias("set_bits")
     )
     zero = F.lit(m) - F.col("set_bits")
     return bits.select(
@@ -1002,6 +1018,20 @@ def linear_count_distinct(
         F.when(zero <= 0, F.lit(None).cast("long"))  # saturated: undefined
         .otherwise(F.round(-F.lit(float(m)) * F.log(zero / F.lit(float(m)))).cast("long"))
         .alias("estimate"),
+    )
+
+
+def linear_count_distinct(
+    df: DataFrame,
+    key_col: str,
+    n_blocks: int = 4096,
+    seed: str = "swarm-lc",
+) -> DataFrame:
+    """One-row linear-counting distinct estimate of ``key_col`` —
+    :func:`linear_count_bitmap` + :func:`linear_count_estimate` in one
+    call (see those for the scale/determinism contract)."""
+    return linear_count_estimate(
+        linear_count_bitmap(df, key_col, n_blocks, seed), n_blocks
     )
 
 

@@ -2449,6 +2449,72 @@ def q_corpus_distinct_sketch(spark, sf):
     )
 
 
+def q_corpus_sketch_incremental(spark, sf):
+    """Incremental sketch maintenance is EXACT: the bit_or merge of two
+    waves' bitmaps equals the full-recompute bitmap, so the merged
+    estimate is identical — history is never rescanned. Output the
+    merged and full estimates plus the per-block bitmap diff count
+    (must be 0)."""
+    from .ops.dedup import (
+        doc_shingles,
+        linear_count_bitmap,
+        linear_count_estimate,
+        merge_count_bitmaps,
+    )
+
+    docs = _docs(spark, sf)
+    sh = doc_shingles(docs, n=3)
+    even = sh.where(F.col("doc_id") % 2 == 0)
+    odd = sh.where(F.col("doc_id") % 2 == 1)
+    merged_bm = merge_count_bitmaps(
+        linear_count_bitmap(even, "sh"), linear_count_bitmap(odd, "sh")
+    )
+    full_bm = linear_count_bitmap(sh, "sh")
+    merged = linear_count_estimate(merged_bm).select(
+        F.col("estimate").alias("merged_estimate")
+    )
+    full = linear_count_estimate(full_bm).select(
+        F.col("estimate").alias("full_estimate")
+    )
+    diff = (
+        merged_bm.withColumnRenamed("mask", "ma")
+        .join(full_bm.withColumnRenamed("mask", "mb"), "block", "full")
+        .where(
+            F.coalesce(F.col("ma"), F.lit(-1)) != F.coalesce(F.col("mb"), F.lit(-1))
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("blocks_differing"))
+    )
+    return merged.crossJoin(F.broadcast(full)).crossJoin(F.broadcast(diff))
+
+
+SQL_SKETCH_INCR = """
+WITH w AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS ws FROM documents),
+e AS (SELECT doc_id, unnest(list_transform(range(greatest(len(ws)-2, 0)),
+             i -> ws[i+1]||' '||ws[i+2]||' '||ws[i+3])) AS sh FROM w),
+s AS (SELECT DISTINCT doc_id, sh FROM e),
+p AS (SELECT doc_id,
+             {b8} % 4096 AS block,
+             (cast(1 AS bigint) << cast({b4} % 62 AS int)) AS mask
+      FROM (SELECT doc_id, md5('swarm-lc|' || sh) AS h FROM s)),
+me AS (SELECT block, bit_or(mask) AS mask FROM p WHERE doc_id % 2 = 0 GROUP BY 1),
+mo AS (SELECT block, bit_or(mask) AS mask FROM p WHERE doc_id % 2 = 1 GROUP BY 1),
+mg AS (SELECT block, bit_or(mask) AS mask
+       FROM (SELECT * FROM me UNION ALL SELECT * FROM mo) GROUP BY 1),
+fu AS (SELECT block, bit_or(mask) AS mask FROM p GROUP BY 1),
+est AS (SELECT
+  (SELECT cast(round(-253952.0 * ln((253952 - coalesce(sum(bit_count(mask)), 0))
+       / 253952.0)) AS bigint) FROM mg) AS merged_estimate,
+  (SELECT cast(round(-253952.0 * ln((253952 - coalesce(sum(bit_count(mask)), 0))
+       / 253952.0)) AS bigint) FROM fu) AS full_estimate,
+  (SELECT cast(count(*) AS bigint)
+   FROM mg FULL JOIN fu USING (block)
+   WHERE coalesce(mg.mask, -1) <> coalesce(fu.mask, -1)) AS blocks_differing)
+SELECT merged_estimate, full_estimate, blocks_differing FROM est
+""".format(
+    b8=_hexval("h", 1, 8), b4=_hexval("h", 9, 4)
+)
+
+
 _LC_M = 62 * 4096
 
 SQL_DISTINCT_SKETCH = f"""
@@ -2621,6 +2687,7 @@ ORDER BY pcx.cell
 
 OPS: dict[str, tuple[Callable, str | None]] = {
     "corpus_distinct_sketch": (q_corpus_distinct_sketch, SQL_DISTINCT_SKETCH),
+    "corpus_sketch_incremental": (q_corpus_sketch_incremental, SQL_SKETCH_INCR),
     "dedup_bloom_gate": (q_dedup_bloom_gate, SQL_BLOOM_GATE),
     "text_quality_gate": (q_text_quality_gate, SQL_QUALITY_GATE),
     "ann_ivf_assign_wave": (q_ann_ivf_assign_wave, SQL_ASSIGN_WAVE),

@@ -59,6 +59,7 @@ BNLJ_ALLOWED = {
     "ann_ivf_assign_wave",
     "ann_ivf_cells",
     "corpus_distinct_sketch",  # crossJoin(broadcast(1-row exact count))
+    "corpus_sketch_incremental",  # crossJoins of three 1-row estimates
     "ann_topk_bruteforce",
     "dedup_semantic",
     "dedup_semantic_keep",
@@ -98,6 +99,9 @@ _SCAN_BUDGET = {
     "text_decontaminate": 3,
     "text_strip_segments": 3,
     "ann_ivf_assign_wave": 3,  # build (assignment + centroid join) + wave
+    "corpus_sketch_incremental": 3,  # even + odd wave bitmaps + the
+    #   full-recompute bitmap the contract compares against (the diff
+    #   join reuses the bitmap exchanges)
     "ann_ivf_cells": 4,
     "ann_topk_ivf": 4,
     "dedup_minhash_recall": 4,  # jaccard truth (2-scan shape) + the
