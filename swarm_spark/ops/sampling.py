@@ -288,6 +288,56 @@ def mixture_plan(
     )
 
 
+def global_shuffle_order(
+    df: DataFrame,
+    key: str,
+    seed: str = "swarm-shuffle",
+    n_ranges: int = 1024,
+) -> DataFrame:
+    """Reproducible global training-shuffle order: every row gets
+    ``pos`` (0-based) — its rank under ``(md5-hash, key)`` ordering — a
+    deterministic permutation that looks random but is a pure function
+    of the records. The property a training pipeline needs from its
+    shuffle: identical across reruns/partitionings/engines (so a
+    crashed run resumes at a position), changeable by ``seed`` per
+    epoch, and defined WITHOUT materializing an ordering column ahead
+    of time.
+
+    Scale shape: no global sort. The hash is uniform in [0, 2^32), so
+    its top bits cut the corpus into ``n_ranges`` literal-bounded,
+    hash-order-monotone ranges (the token_prefix contract): phase 1
+    ranks inside each range in parallel, per-range counts (n_ranges
+    rows — metadata) come back as exclusive offsets through a
+    broadcast join. Ties on the full hash break by ``key``, so the
+    permutation is total and stable.
+    """
+    if n_ranges < 1:
+        raise ValueError(f"n_ranges must be >= 1, got {n_ranges}")
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    b = hash_bucket(key, seed)
+    base = df.withColumn("__b", b).withColumn(
+        "__rng", F.expr(f"cast(__b * {int(n_ranges)} div {_SPACE} as int)")
+    )
+    w = Window.partitionBy("__rng").orderBy("__b", key)
+    local = base.withColumn("__rk", F.row_number().over(w))
+    counts = {
+        r["__rng"]: r["n"]
+        for r in base.groupBy("__rng").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    running, offsets = 0, []
+    for rng_id in sorted(counts):  # ranges are monotone in hash order
+        offsets.append((rng_id, running))
+        running += counts[rng_id]
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "__rng int, __off long")
+    return (
+        local.join(F.broadcast(off_df), "__rng")
+        .withColumn("pos", (F.col("__off") + F.col("__rk") - 1).cast("long"))
+        .drop("__b", "__rng", "__rk", "__off")
+    )
+
+
 def split_column(
     key: str,
     test_fraction: float = 0.1,

@@ -2422,6 +2422,27 @@ GROUP BY 1, 2, 4 ORDER BY 1, 2
 """
 
 
+def q_sample_shuffle_order(spark, sf):
+    """Reproducible global training-shuffle: every doc's 0-based
+    position under (md5-hash, id) ordering — a deterministic
+    permutation, built with the two-phase ranged rank (no global
+    sort). The oracle is the direct single-window definition."""
+    from .ops.sampling import global_shuffle_order
+
+    return global_shuffle_order(
+        _docs(spark, sf).select("doc_id"), "doc_id"
+    ).orderBy("pos")
+
+
+SQL_SHUFFLE_ORDER = f"""
+SELECT doc_id,
+       cast(row_number() OVER (
+           ORDER BY {_md5_bucket_sql('doc_id', 'swarm-shuffle')}, doc_id) - 1
+           AS bigint) AS pos
+FROM documents ORDER BY pos
+"""
+
+
 def q_corpus_distinct_sketch(spark, sf):
     """Linear-counting distinct-3-gram estimate vs the exact count —
     the cardinality sketch that sizes vocabs, blooms and dedup plans
@@ -2688,6 +2709,7 @@ ORDER BY pcx.cell
 OPS: dict[str, tuple[Callable, str | None]] = {
     "corpus_distinct_sketch": (q_corpus_distinct_sketch, SQL_DISTINCT_SKETCH),
     "corpus_sketch_incremental": (q_corpus_sketch_incremental, SQL_SKETCH_INCR),
+    "sample_shuffle_order": (q_sample_shuffle_order, SQL_SHUFFLE_ORDER),
     "dedup_bloom_gate": (q_dedup_bloom_gate, SQL_BLOOM_GATE),
     "text_quality_gate": (q_text_quality_gate, SQL_QUALITY_GATE),
     "ann_ivf_assign_wave": (q_ann_ivf_assign_wave, SQL_ASSIGN_WAVE),

@@ -405,3 +405,65 @@ class TestConstructionActions:
             # the range partitioner); the row-sizing count is skipped
             token_prefix(docs, approx_rows=60)
         assert calls["count"] == 0 and calls["collect"] == 2, calls
+
+
+class TestGlobalShuffleOrder:
+    def test_total_permutation_and_invariance(self, spark):
+        from swarm_spark.ops.sampling import global_shuffle_order
+
+        df = spark.range(2000).select(F.col("id"))
+        out = global_shuffle_order(df, "id")
+        rows = out.collect()
+        assert sorted(r["pos"] for r in rows) == list(range(2000))
+        # partition-layout invariant: same permutation at any layout
+        again = {
+            r["id"]: r["pos"]
+            for r in global_shuffle_order(df.repartition(17), "id").collect()
+        }
+        assert {r["id"]: r["pos"] for r in rows} == again
+        # looks shuffled: not the identity or a near-sorted order
+        by_pos = [r["id"] for r in sorted(rows, key=lambda r: r["pos"])]
+        asc = sum(1 for a, b in zip(by_pos, by_pos[1:]) if a < b)
+        assert 0.4 < asc / (len(by_pos) - 1) < 0.6  # ~random rises
+
+    def test_seed_changes_permutation(self, spark):
+        from swarm_spark.ops.sampling import global_shuffle_order
+
+        df = spark.range(500).select(F.col("id"))
+        a = {r["id"]: r["pos"] for r in global_shuffle_order(df, "id").collect()}
+        b = {
+            r["id"]: r["pos"]
+            for r in global_shuffle_order(df, "id", seed="epoch-2").collect()
+        }
+        assert a != b
+        assert sorted(b.values()) == list(range(500))
+
+    def test_membership_prefix_is_resume_stable(self, spark):
+        """A run that stopped at pos < k resumes against the same
+        prefix: positions are a pure function of records, so removing
+        NO rows and rerunning yields byte-identical order."""
+        from swarm_spark.ops.sampling import global_shuffle_order
+
+        df = spark.range(300).select(F.col("id"))
+        first = sorted(
+            (r["pos"], r["id"]) for r in global_shuffle_order(df, "id").collect()
+        )[:100]
+        second = sorted(
+            (r["pos"], r["id"]) for r in global_shuffle_order(df, "id").collect()
+        )[:100]
+        assert first == second
+
+    def test_construction_runs_one_action(self, spark):
+        from swarm_spark.ops.sampling import global_shuffle_order
+
+        df = spark.range(100).select(F.col("id"))
+        with _action_counter() as calls:
+            global_shuffle_order(df, "id")
+        assert calls == {"count": 0, "collect": 1, "first": 0, "head": 0}, calls
+
+    def test_bad_ranges(self, spark):
+        from swarm_spark.ops.sampling import global_shuffle_order
+
+        df = spark.range(5).select(F.col("id"))
+        with pytest.raises(ValueError):
+            global_shuffle_order(df, "id", n_ranges=0)
