@@ -2422,6 +2422,54 @@ GROUP BY 1, 2, 4 ORDER BY 1, 2
 """
 
 
+def q_corpus_expectations(spark, sf):
+    """Ingest-side data-expectation gate over the documents table:
+    null/uniqueness/range/accepted-values/regex checks, every count
+    from ONE conditional-aggregation scan — the fail-fast quality
+    report a pipeline runs before training ever sees the data."""
+    from .ops.validate import expectations_report
+
+    return expectations_report(
+        _docs(spark, sf),
+        [
+            ("not_null", "text"),
+            ("unique", "doc_id"),
+            ("in_range", "n_chars", 1, 100_000),
+            ("accepted", "lang", ["en", "de", "fr", "es", "zh"]),
+            ("matches", "source", "^src[0-9]+$"),
+        ],
+    )
+
+
+SQL_EXPECTATIONS = """
+WITH a AS (SELECT
+    cast(count(*) AS bigint) AS n,
+    cast(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS bigint) AS v_null,
+    cast(sum(CASE WHEN doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         - count(DISTINCT doc_id) AS bigint) AS v_uniq,
+    cast(sum(CASE WHEN n_chars IS NOT NULL AND (n_chars < 1 OR n_chars > 100000)
+             THEN 1 ELSE 0 END) AS bigint) AS v_range,
+    cast(sum(CASE WHEN lang IS NOT NULL
+                   AND lang NOT IN ('en','de','fr','es','zh')
+             THEN 1 ELSE 0 END) AS bigint) AS v_acc,
+    cast(sum(CASE WHEN source IS NOT NULL
+                   AND NOT regexp_matches(source, '^src[0-9]+$')
+             THEN 1 ELSE 0 END) AS bigint) AS v_re
+  FROM documents)
+SELECT c.chk AS "check", c.col AS "column", a.n AS n_rows,
+       CASE c.chk WHEN 'not_null' THEN a.v_null WHEN 'unique' THEN a.v_uniq
+            WHEN 'in_range' THEN a.v_range WHEN 'accepted' THEN a.v_acc
+            ELSE a.v_re END AS n_violations,
+       (CASE c.chk WHEN 'not_null' THEN a.v_null WHEN 'unique' THEN a.v_uniq
+             WHEN 'in_range' THEN a.v_range WHEN 'accepted' THEN a.v_acc
+             ELSE a.v_re END) = 0 AS passed
+FROM a, (VALUES ('not_null', 'text'), ('unique', 'doc_id'),
+                ('in_range', 'n_chars'), ('accepted', 'lang'),
+                ('matches', 'source')) AS c(chk, col)
+ORDER BY 1, 2
+"""
+
+
 def q_sample_shuffle_order(spark, sf):
     """Reproducible global training-shuffle: every doc's 0-based
     position under (md5-hash, id) ordering — a deterministic
@@ -2710,6 +2758,7 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "corpus_distinct_sketch": (q_corpus_distinct_sketch, SQL_DISTINCT_SKETCH),
     "corpus_sketch_incremental": (q_corpus_sketch_incremental, SQL_SKETCH_INCR),
     "sample_shuffle_order": (q_sample_shuffle_order, SQL_SHUFFLE_ORDER),
+    "corpus_expectations": (q_corpus_expectations, SQL_EXPECTATIONS),
     "dedup_bloom_gate": (q_dedup_bloom_gate, SQL_BLOOM_GATE),
     "text_quality_gate": (q_text_quality_gate, SQL_QUALITY_GATE),
     "ann_ivf_assign_wave": (q_ann_ivf_assign_wave, SQL_ASSIGN_WAVE),
