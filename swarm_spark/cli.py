@@ -472,9 +472,21 @@ def cmd_report(args) -> int:
             r.asDict()
             for r in vocab_stats(docs, top_k=args.vocab, text_col=args.text_col).collect()
         ]
+    if args.expectations:
+        # JSON file: a list of checks, e.g.
+        # [["not_null", "text"], ["unique", "doc_id"],
+        #  ["in_range", "n_chars", 1, 100000]]
+        from .ops.validate import expectations_report
+
+        with open(args.expectations, encoding="utf-8") as fh:
+            checks = [tuple(c) for c in json.load(fh)]
+        out["expectations"] = [
+            r.asDict() for r in expectations_report(docs, checks).collect()
+        ]
     if not out:
         raise SystemExit(
-            "nothing to report: pass --ngrams/--quantiles-by/--length-hist/--vocab"
+            "nothing to report: pass --ngrams/--quantiles-by/--length-hist/"
+            "--vocab/--expectations"
         )
     print(json.dumps(out))
     return 0
@@ -670,6 +682,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--length-hist", type=int, default=0, help="token-length histogram bucket size (0 = off)"
     )
     sp.add_argument("--vocab", type=int, default=0, help="top-K vocabulary report (0 = off)")
+    sp.add_argument(
+        "--expectations",
+        default="",
+        help="JSON file with a list of data-expectation checks to run",
+    )
     sp.set_defaults(fn=cmd_report)
 
     sp = sub.add_parser("serve", help="HTTP push endpoint")

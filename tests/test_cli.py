@@ -145,6 +145,30 @@ class TestReport:
         assert len(res["vocab"]) == 3
         assert sum(b["n_docs"] for b in res["length_hist"]) == 500
 
+    def test_report_expectations_from_json(self, tmp_path, capsys):
+        import json as _json
+
+        spec = tmp_path / "checks.json"
+        spec.write_text(
+            _json.dumps(
+                [
+                    ["not_null", "text"],
+                    ["unique", "doc_id"],
+                    ["accepted", "lang", ["en", "de", "fr", "es", "zh"]],
+                ]
+            )
+        )
+        res = _run(
+            capsys,
+            ["--cpus", "4", "report", "/root/testdata/sf0.001/documents.parquet",
+             "--expectations", str(spec)],
+        )
+        rows = {(r["check"], r["column"]): r for r in res["expectations"]}
+        assert set(rows) == {
+            ("not_null", "text"), ("unique", "doc_id"), ("accepted", "lang")
+        }
+        assert all(r["passed"] and r["n_rows"] == 500 for r in rows.values())
+
     def test_report_requires_a_section(self, capsys):
         import pytest as _pytest
 
