@@ -588,6 +588,93 @@ FROM documents GROUP BY 1 ORDER BY 1
 """
 
 
+def q_streaming_sketch_e2e(spark, sf):
+    """Streaming cardinality maintenance end-to-end: documents arrive
+    as hash-sliced micro-batches; each batch APPENDS its
+    linear-counting bitmap to an append-only ledger (bitmaps are a
+    bit_or monoid, so append + merge-at-read equals the full recompute
+    — no read-modify-write on the stored sketch, hence no races and
+    crash-safe replay); the final merged estimate must hash-equal the
+    one-shot batch sketch the oracle computes. The streaming form of
+    ``corpus_sketch_incremental``."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .ops.dedup import linear_count_bitmap, linear_count_estimate
+    from .ops.sampling import hash_bucket
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="swarm_sketch_stream_")
+    src = os.path.join(tmp, "incoming")
+    os.makedirs(src)
+    slice_id = hash_bucket("doc_id", "swarm-sketch-slice") % 4
+    for k in range(4):
+        rows = (
+            docs.where(slice_id == k)
+            .select(F.to_json(F.struct("doc_id", "text")).alias("v"))
+            .collect()
+        )
+        with open(os.path.join(src, f"b{k}.ndjson"), "w") as f:
+            for r in rows:
+                f.write(r["v"] + "\n")
+
+    ledger = os.path.join(tmp, "bitmaps")
+    os.makedirs(ledger)
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+
+    def land(batch_df, _epoch):
+        linear_count_bitmap(batch_df, "text").write.mode("append").parquet(ledger)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")  # one slice per micro-batch
+        .json(src)
+        .writeStream.foreachBatch(land)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    merged = (
+        spark.read.schema("block int, mask long")
+        .parquet(ledger)
+        .groupBy("block")
+        .agg(F.bit_or("mask").alias("mask"))
+    )
+    return linear_count_estimate(merged)
+
+
+SQL_STREAMING_SKETCH = """
+WITH d AS (SELECT md5('swarm-lc|' || text) AS h FROM documents),
+p AS (SELECT (
+        (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 268435456
+      + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216
+      + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 1048576
+      + (instr('0123456789abcdef', substr(h, 4, 1)) - 1) * 65536
+      + (instr('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096
+      + (instr('0123456789abcdef', substr(h, 6, 1)) - 1) * 256
+      + (instr('0123456789abcdef', substr(h, 7, 1)) - 1) * 16
+      + (instr('0123456789abcdef', substr(h, 8, 1)) - 1)) % 4096 AS block,
+      (cast(1 AS bigint) << cast((
+        (instr('0123456789abcdef', substr(h, 9, 1)) - 1) * 4096
+      + (instr('0123456789abcdef', substr(h, 10, 1)) - 1) * 256
+      + (instr('0123456789abcdef', substr(h, 11, 1)) - 1) * 16
+      + (instr('0123456789abcdef', substr(h, 12, 1)) - 1)) % 62 AS int)) AS mask
+      FROM d),
+b AS (SELECT block, bit_or(mask) AS mask FROM p GROUP BY 1),
+sb AS (SELECT cast(coalesce(sum(bit_count(mask)), 0) AS bigint) AS set_bits FROM b)
+SELECT cast(253952 AS bigint) AS m_bits, sb.set_bits,
+       cast(253952 - sb.set_bits AS bigint) AS zero_bits,
+       cast(round(-253952.0 * ln((253952 - sb.set_bits) / 253952.0)) AS bigint)
+           AS estimate
+FROM sb
+"""
+
+
 def _time_sliced_src(df, cols_json, tmp, slices=3, sentinel_rows=()):
     """Write ``df`` as ``slices`` contiguous event-time NDJSON files
     (plus sentinel files) under ``tmp``/incoming — deterministic
@@ -819,6 +906,7 @@ FROM s GROUP BY user_id, sess ORDER BY user_id, session_start
 
 CORE: dict[str, tuple[Callable, str | None]] = {
     "streaming_dedup_e2e": (q_streaming_dedup_e2e, SQL_STREAMING_DEDUP),
+    "streaming_sketch_e2e": (q_streaming_sketch_e2e, SQL_STREAMING_SKETCH),
     "streaming_sessionize_e2e": (q_streaming_sessionize_e2e, SQL_STREAMING_SESSIONIZE),
     "streaming_window_e2e": (q_streaming_window_e2e, SQL_WINDOW_STREAM),
     "s1_scan_count": (q_s1_scan_count, SQL_S1),
