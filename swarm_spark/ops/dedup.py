@@ -911,9 +911,10 @@ def build_block_bloom(
     and only the flagged sliver pays the exact anti-join against the
     full ledger.
 
-    Blocked layout (Impala/parquet-bloom style): each key sets ``k``
-    bits inside ONE 62-bit block chosen by its hash, so a probe touches
-    one long. Build is a single map-side-combined ``bit_or`` shuffle of
+    Blocked layout (Putze/Sanders/Singler 2007 "Cache-, Hash- and
+    Space-Efficient Bloom Filters"; the parquet split-block bloom
+    spec's shape): each key sets ``k`` bits inside ONE 62-bit block
+    chosen by its hash, so a probe touches one long. Build is a single map-side-combined ``bit_or`` shuffle of
     ≤ n_blocks rows. FPR ≈ (1 − e^(−k·n/m))^k with m = 62·n_blocks
     bits — size n_blocks ≈ n/6 for ~1% at k=4; oversizing only costs
     12 bytes per block. Deterministic (md5-derived bits), so the same

@@ -271,6 +271,7 @@ def ann_topk_ivf_probe(
     nprobe: int = 2,
     n_salts: int | None = None,
     broadcast_max_queries: int | None = 10_000,
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """Probe a (pre)built IVF index: queries rank cells by centroid
     distance, scan their nprobe nearest, and the salted two-phase
@@ -288,7 +289,7 @@ def ann_topk_ivf_probe(
     huge value to force the broadcast when the batch size is known."""
     from .similarity import _probe_is_small, _salts_for, topk_per_query
 
-    n_salts = _salts_for(corpus, n_salts)
+    n_salts = _salts_for(corpus, n_salts, approx_rows)
     c = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("cv"),
@@ -340,6 +341,7 @@ def ann_topk_ivf(
     iters: int = 4,
     n_salts: int | None = None,
     broadcast_max_queries: int | None = 10_000,
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """IVF ANN: build cells over the corpus, probe nprobe cells/query —
     :func:`build_ivf` + :func:`ann_topk_ivf_probe` in one call.
@@ -362,4 +364,5 @@ def ann_topk_ivf(
         nprobe=nprobe,
         n_salts=n_salts,
         broadcast_max_queries=broadcast_max_queries,
+        approx_rows=approx_rows,
     )

@@ -60,14 +60,19 @@ def topk_per_query(joined: DataFrame, k: int, n_salts: int) -> DataFrame:
     )
 
 
-def _salts_for(corpus: DataFrame, n_salts: int | None) -> int:
-    # ≤ ~2M candidate rows per (query, salt) window task; the count is
-    # a metadata-cheap row-group scan, mirroring topk_per_group/packing.
+def _salts_for(
+    corpus: DataFrame, n_salts: int | None, approx_rows: int | None = None
+) -> int:
+    # ≤ ~2M candidate rows per (query, salt) window task. The sizing
+    # count() is metadata-cheap on a raw parquet source but a real scan
+    # on a derived frame — pass n_salts or approx_rows (order of
+    # magnitude suffices) to skip it, same contract as the samplers.
     if n_salts is not None:
         if n_salts < 1:
             raise ValueError(f"n_salts must be >= 1, got {n_salts}")
         return n_salts
-    return max(16, corpus.count() // 2_000_000)
+    n = approx_rows if approx_rows is not None else corpus.count()
+    return max(16, n // 2_000_000)
 
 
 def _probe_is_small(queries: DataFrame, broadcast_max_queries: int | None) -> bool:
@@ -95,6 +100,7 @@ def ann_topk_bruteforce(
     id_col: str = "vec_id",
     n_salts: int | None = None,
     broadcast_max_queries: int | None = 10_000,
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """Exact top-k: (query_id, id, cos, rank); ties broken by id.
 
@@ -105,7 +111,7 @@ def ann_topk_bruteforce(
     broadcast of a 10M-query batch OOMs the driver) and run the honest
     block-cartesian plan that a genuinely huge exact Q×N scan is.
     """
-    n_salts = _salts_for(corpus, n_salts)
+    n_salts = _salts_for(corpus, n_salts, approx_rows)
     small = _probe_is_small(queries, broadcast_max_queries)
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -136,11 +142,12 @@ def ann_topk_cells(
     cell_col: str = "label",
     n_salts: int | None = None,
     broadcast_max_queries: int | None = 10_000,
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """IVF-bucketed top-k: probe only the query's own cell. Oversized
     query batches fall back from the broadcast to a plain ``cell``
     equi-join (see :func:`_probe_is_small`)."""
-    n_salts = _salts_for(corpus, n_salts)
+    n_salts = _salts_for(corpus, n_salts, approx_rows)
     small = _probe_is_small(queries, broadcast_max_queries)
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -172,6 +179,7 @@ def knn_classify(
     id_col: str = "vec_id",
     label_col: str = "label",
     n_salts: int | None = None,
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """k-NN label vote — the similarity-search application layer:
     predict each query's label as the majority label among its k
@@ -184,7 +192,9 @@ def knn_classify(
     the literal k) and the argmax is a struct-max aggregation — no
     window over unbounded keys anywhere.
     """
-    nn = ann_topk_bruteforce(corpus, queries, k, vec_col, id_col, n_salts)
+    nn = ann_topk_bruteforce(
+        corpus, queries, k, vec_col, id_col, n_salts, approx_rows=approx_rows
+    )
     labels = corpus.select(
         F.col(id_col).alias("id"), F.col(label_col).cast("long").alias("nbr_label")
     )
@@ -253,6 +263,7 @@ def ann_topk_int8(
     id_col: str = "vec_id",
     n_salts: int | None = None,
     broadcast_max_queries: int | None = 10_000,
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """Exact top-k over symmetrically int8-QUANTIZED vectors — the
     compressed-index search path: cosine on floor(x·127/max|x|)
@@ -265,7 +276,7 @@ def ann_topk_int8(
 
     Ranking: the same salted two-phase top-k as the float path.
     """
-    n_salts = _salts_for(corpus, n_salts)
+    n_salts = _salts_for(corpus, n_salts, approx_rows)
 
     def quantized(frame: DataFrame, out_id: str, out_vec: str) -> DataFrame:
         v = F.col(vec_col).cast("array<double>")
@@ -303,13 +314,14 @@ def ann_topk_dot(
     id_col: str = "vec_id",
     n_salts: int | None = None,
     broadcast_max_queries: int | None = 10_000,
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """Exact maximum-inner-product search (MIPS): top-k by raw dot
     product, not cosine — the retrieval mode for recommender-style
     embeddings where magnitude carries signal. Same guarded broadcast
     scan and salted two-phase ranking as the cosine baseline; scores
     rounded to 9 digits (sequential-fold dot, engine-exact)."""
-    n_salts = _salts_for(corpus, n_salts)
+    n_salts = _salts_for(corpus, n_salts, approx_rows)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("cv"))
     small = _probe_is_small(queries, broadcast_max_queries)
