@@ -983,6 +983,72 @@ def _last_green_round(root=None) -> dict[str, int]:
     return last
 
 
+# package prefix whose modules/objects count toward a query's source
+# fingerprint (module-level so tests can aim the walker at a fixture
+# package)
+_FP_PKG = "swarm_spark"
+
+
+def _imported_objects(code, owner_module: str) -> list:
+    """Objects brought into ``code`` by import STATEMENTS — resolved
+    from the bytecode (IMPORT_NAME / IMPORT_FROM), because a
+    function-local ``from .ops.x import helper`` binds a LOCAL variable
+    that the ``__globals__`` walk in :func:`_source_fingerprint` can
+    never see (the dominant import pattern in this registry). For
+    ``from M import a, b`` the imported attributes are returned; for a
+    plain ``import M`` the module object itself is (hashed whole-file —
+    coarse on purpose). Only ``_FP_PKG`` modules resolve; anything else
+    returns nothing."""
+    import dis
+    import importlib
+    import types
+
+    out: list = []
+    consts: list = []  # rolling LOAD_CONST argvals (level, fromlist precede IMPORT_NAME)
+    pending: types.ModuleType | None = None
+    pending_used = True
+
+    def flush():
+        nonlocal pending, pending_used
+        if pending is not None and not pending_used:
+            out.append(pending)
+        pending, pending_used = None, True
+
+    for ins in dis.get_instructions(code):
+        if ins.opname == "LOAD_CONST":
+            consts.append(ins.argval)
+            continue
+        if ins.opname == "IMPORT_NAME":
+            flush()
+            level = (
+                consts[-2] if len(consts) >= 2 and isinstance(consts[-2], int) else 0
+            )
+            name = ins.argval or ""
+            if level:  # relative: strip `level` trailing components of the owner
+                parts = owner_module.split(".")
+                if len(parts) >= level:
+                    base = ".".join(parts[:-level]) or parts[0]
+                    full = f"{base}.{name}" if name else base
+                else:
+                    full = None
+            else:
+                full = name
+            if full and (full == _FP_PKG or full.startswith(_FP_PKG + ".")):
+                try:
+                    pending = importlib.import_module(full)
+                    pending_used = False
+                except ImportError:
+                    pending = None
+            continue
+        if ins.opname == "IMPORT_FROM" and pending is not None:
+            pending_used = True
+            attr = getattr(pending, ins.argval, None)
+            if attr is not None:
+                out.append(attr)
+    flush()
+    return out
+
+
 def _source_fingerprint(fn: Callable, sql: str | None) -> str:
     """Hex digest of a query's *code identity*: the source text of the
     query function plus every ``swarm_spark`` function/class/module it
@@ -1013,7 +1079,7 @@ def _source_fingerprint(fn: Callable, sql: str | None) -> str:
         if isinstance(obj, types.ModuleType):
             name = getattr(obj, "__name__", "")
             f = getattr(obj, "__file__", None)
-            if name.startswith("swarm_spark") and f:
+            if name.startswith(_FP_PKG) and f:
                 # module referenced as an object: hash the whole file
                 # (coarse on purpose — any edit inside it re-windows)
                 try:
@@ -1022,7 +1088,7 @@ def _source_fingerprint(fn: Callable, sql: str | None) -> str:
                     pieces.append(name)
             continue
         mod = getattr(obj, "__module__", None) or ""
-        in_pkg = mod == "swarm_spark" or mod.startswith("swarm_spark.")
+        in_pkg = mod == _FP_PKG or mod.startswith(_FP_PKG + ".")
         if not (in_pkg or id(obj) == root_id):
             continue
         if isinstance(obj, type):
@@ -1044,6 +1110,10 @@ def _source_fingerprint(fn: Callable, sql: str | None) -> str:
                 code = codes.pop()
                 codes.extend(c for c in code.co_consts if isinstance(c, types.CodeType))
                 stack.extend(g[n] for n in code.co_names if n in g)
+                # function-local `from .ops.x import f` binds a local —
+                # invisible to __globals__; resolve from the bytecode
+                # (ADVICE r7: the dominant pattern in this registry)
+                stack.extend(_imported_objects(code, mod))
     pieces.sort()
     return hashlib.sha256("\x00".join(pieces).encode()).hexdigest()
 

@@ -227,6 +227,63 @@ def test_source_changed_query_reenters_window(tmp_path):
     assert k_alpha[0] == 2
 
 
+def test_local_import_dependency_changes_fingerprint(tmp_path, monkeypatch):
+    """ADVICE r7 (high): ``from .dep import helper`` inside a query
+    function binds a LOCAL variable, invisible to the ``__globals__``
+    walk — an edit to the imported helper (not the query body) must
+    still flip the query's fingerprint. Exercised against a throwaway
+    package via the patchable ``_FP_PKG`` prefix, with both the
+    relative and absolute import spellings."""
+    import importlib
+    import sys
+
+    pkg = tmp_path / "fp_probe_pkg"
+    pkg.mkdir()
+    (pkg / "__init__.py").write_text("")
+    (pkg / "dep.py").write_text("def helper():\n    return 1\n")
+    (pkg / "q.py").write_text(
+        "def q(spark, sf):\n"
+        "    from .dep import helper\n"
+        "    return helper()\n"
+        "def q_abs(spark, sf):\n"
+        "    from fp_probe_pkg.dep import helper\n"
+        "    return helper()\n"
+    )
+    monkeypatch.syspath_prepend(str(tmp_path))
+    monkeypatch.setattr("swarm_spark.queries._FP_PKG", "fp_probe_pkg")
+
+    def load():
+        for m in [m for m in sys.modules if m.startswith("fp_probe_pkg")]:
+            del sys.modules[m]
+        return importlib.import_module("fp_probe_pkg.q")
+
+    m1 = load()
+    fp_rel_1 = _source_fingerprint(m1.q, None)
+    fp_abs_1 = _source_fingerprint(m1.q_abs, None)
+    # rewrite the DEPENDENCY only; the query functions are byte-identical
+    (pkg / "dep.py").write_text("def helper():\n    return 2  # changed\n")
+    m2 = load()
+    assert m2.q.__code__.co_code == m1.q.__code__.co_code
+    assert _source_fingerprint(m2.q, None) != fp_rel_1
+    assert _source_fingerprint(m2.q_abs, None) != fp_abs_1
+    # identical content on reload → identical fingerprint (no churn)
+    m3 = load()
+    assert _source_fingerprint(m3.q, None) == _source_fingerprint(m2.q, None)
+
+
+def test_imported_objects_resolves_registry_pattern():
+    """The bytecode import walker must resolve the registry's dominant
+    pattern — a function-local ``from .ops.x import f`` — to the real
+    helper object, so the helper's source lands in the fingerprint."""
+    from swarm_spark.ops_queries import OPS
+    from swarm_spark.ops.text import top_ngrams
+    from swarm_spark.queries import _imported_objects
+
+    fn = OPS["corpus_top_ngrams"][0]
+    objs = _imported_objects(fn.__code__, fn.__module__)
+    assert top_ngrams in objs, "local `from .ops.text import top_ngrams` unresolved"
+
+
 def test_fallout_was_green_most_recently():
     """Queries displaced past the window must have a green row in the
     round they were last checked (we only defer verified queries)."""
