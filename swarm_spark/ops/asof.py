@@ -207,15 +207,29 @@ def _chunked_fills(
     and coalesces it under the per-(key, chunk) local fill. Same answer
     as the single-window fill, per-task rows cut to ~rows(key)/chunks.
     """
+    # the unchunked window resolves right rows tying at (key, time) to
+    # the MAX tie-break for BOTH directions (last() over tb-ascending
+    # order), so the chunk edge must too: backward = max(t) then
+    # max(tb) — a plain struct max — while forward = MIN(t) then
+    # max(tb), expressed as a struct max over the NEGATED numeric time
+    # (ADVICE r7: min(struct(t, tb, p)) picked the MIN tie-break)
+    dt = dict(u.dtypes)[_T]
+    if dt.startswith("timestamp"):
+        tnum = F.unix_micros(F.col(_T))
+    elif dt == "date":
+        tnum = F.unix_micros(F.col(_T).cast("timestamp"))
+    else:
+        tnum = F.col(_T)
     edge_aggs = []
     for name, fwd in fills:
-        # struct max/min ignores null inputs; (t, tb) leads the
+        # struct max ignores null inputs; the leading fields order the
         # comparison so the payload tail only breaks exact ties
+        lead = (-tnum).alias("nt") if fwd else F.col(_T).alias("t")
         edge = F.when(
             F.col(_SIDE) == 0,
-            F.struct(F.col(_T).alias("t"), tb.alias("k"), F.col(_PAYLOAD).alias("p")),
+            F.struct(lead, tb.alias("k"), F.col(_PAYLOAD).alias("p")),
         )
-        edge_aggs.append((F.min if fwd else F.max)(edge).alias(f"__edge{name}"))
+        edge_aggs.append(F.max(edge).alias(f"__edge{name}"))
     summary = u.groupBy(on, _CHUNK).agg(*edge_aggs)
     for name, fwd in fills:
         w = (

@@ -944,21 +944,32 @@ def bloom_contains(
     probe is one codegen projection + broadcast left join — no shuffle
     of the probed frame. ``might_contain=False`` is definitive (no
     false negatives); ``True`` means "check exactly"."""
+    # probe-side temporaries use collision-safe __bloom_* names:
+    # 'block' is build_block_bloom's OWN output column, so a frame
+    # derived from bloom tooling is a plausible probe input and a bare
+    # withColumn("block", ...) would silently destroy it (ADVICE r7)
     block, mask = _bloom_exprs(n_blocks, k)
     probed = (
         items.withColumn("__bloom_h", _bloom_hash(key_col, seed))
-        .withColumn("block", block)
-        .withColumn("__m", mask)
+        .withColumn("__bloom_block", block)
+        .withColumn("__bloom_m", mask)
+    )
+    filt = F.broadcast(
+        bloom.select(
+            F.col("block").alias("__bloom_block"), F.col("mask").alias("__bloom_bmask")
+        )
     )
     return (
-        probed.join(F.broadcast(bloom.withColumnRenamed("mask", "__bmask")), "block", "left")
+        probed.join(filt, "__bloom_block", "left")
         .withColumn(
             "might_contain",
             F.coalesce(
-                F.col("__bmask").bitwiseAND(F.col("__m")) == F.col("__m"), F.lit(False)
+                F.col("__bloom_bmask").bitwiseAND(F.col("__bloom_m"))
+                == F.col("__bloom_m"),
+                F.lit(False),
             ),
         )
-        .drop("__bloom_h", "__m", "__bmask", "block")
+        .drop("__bloom_h", "__bloom_m", "__bloom_bmask", "__bloom_block")
     )
 
 

@@ -2470,6 +2470,72 @@ ORDER BY 1, 2
 """
 
 
+def q_corpus_expectations_approx(spark, sf):
+    """Wide uniqueness audit at sketch cost: ``unique_approx`` checks
+    ride the deterministic linear-counting bitmap — the whole approx
+    batch is ONE extra column-pruned scan whose shuffle is block-keyed
+    metadata (≤ checks×n_blocks rows), vs an exact value-space distinct
+    per audited column. Exact and approx run side by side on doc_id so
+    the driver pins the sketch against the exact surplus."""
+    from .ops.validate import expectations_report
+
+    return expectations_report(
+        _docs(spark, sf),
+        [
+            ("not_null", "text"),
+            ("unique", "doc_id"),
+            ("unique_approx", "doc_id"),
+            ("unique_approx", "source"),
+        ],
+    )
+
+
+_EA_M = 62 * 4096
+
+SQL_EXPECTATIONS_APPROX = f"""
+WITH a AS (SELECT
+    cast(count(*) AS bigint) AS n,
+    cast(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS bigint) AS v_null,
+    cast(sum(CASE WHEN doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         - count(DISTINCT doc_id) AS bigint) AS v_uniq,
+    cast(sum(CASE WHEN doc_id IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS nn_id,
+    cast(sum(CASE WHEN source IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS nn_src
+  FROM documents),
+hid AS (SELECT md5('swarm-lc|' || cast(doc_id AS varchar)) AS h
+        FROM documents WHERE doc_id IS NOT NULL),
+hsr AS (SELECT md5('swarm-lc|' || source) AS h
+        FROM documents WHERE source IS NOT NULL),
+bid AS (SELECT cast(coalesce(sum(bit_count(mask)), 0) AS bigint) AS sb FROM
+        (SELECT {{b8}} % 4096 AS block,
+                bit_or(cast(1 AS bigint) << cast({{b4}} % 62 AS int)) AS mask
+         FROM hid GROUP BY 1)),
+bsr AS (SELECT cast(coalesce(sum(bit_count(mask)), 0) AS bigint) AS sb FROM
+        (SELECT {{b8}} % 4096 AS block,
+                bit_or(cast(1 AS bigint) << cast({{b4}} % 62 AS int)) AS mask
+         FROM hsr GROUP BY 1)),
+eid AS (SELECT CASE WHEN {_EA_M} - sb <= 0 THEN NULL
+               ELSE cast(round(-{_EA_M}.0 * ln(({_EA_M} - sb) / {_EA_M}.0)) AS bigint)
+               END AS est FROM bid),
+esr AS (SELECT CASE WHEN {_EA_M} - sb <= 0 THEN NULL
+               ELSE cast(round(-{_EA_M}.0 * ln(({_EA_M} - sb) / {_EA_M}.0)) AS bigint)
+               END AS est FROM bsr),
+r AS (
+  SELECT 'not_null' AS chk, 'text' AS col, a.n, a.v_null AS v FROM a
+  UNION ALL SELECT 'unique', 'doc_id', a.n, a.v_uniq FROM a
+  UNION ALL SELECT 'unique_approx', 'doc_id', a.n,
+      CASE WHEN eid.est IS NULL THEN NULL
+           ELSE greatest(0, a.nn_id - eid.est) END FROM a, eid
+  UNION ALL SELECT 'unique_approx', 'source', a.n,
+      CASE WHEN esr.est IS NULL THEN NULL
+           ELSE greatest(0, a.nn_src - esr.est) END FROM a, esr)
+SELECT chk AS "check", col AS "column", n AS n_rows,
+       cast(v AS bigint) AS n_violations, v = 0 AS passed
+FROM r ORDER BY 1, 2
+""".format(
+    b8=_hexval("h", 1, 8), b4=_hexval("h", 9, 4)
+)
+
+
 def q_sample_shuffle_order(spark, sf):
     """Reproducible global training-shuffle: every doc's 0-based
     position under (md5-hash, id) ordering — a deterministic
@@ -2759,6 +2825,7 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "corpus_sketch_incremental": (q_corpus_sketch_incremental, SQL_SKETCH_INCR),
     "sample_shuffle_order": (q_sample_shuffle_order, SQL_SHUFFLE_ORDER),
     "corpus_expectations": (q_corpus_expectations, SQL_EXPECTATIONS),
+    "corpus_expectations_approx": (q_corpus_expectations_approx, SQL_EXPECTATIONS_APPROX),
     "dedup_bloom_gate": (q_dedup_bloom_gate, SQL_BLOOM_GATE),
     "text_quality_gate": (q_text_quality_gate, SQL_QUALITY_GATE),
     "ann_ivf_assign_wave": (q_ann_ivf_assign_wave, SQL_ASSIGN_WAVE),

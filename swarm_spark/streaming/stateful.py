@@ -179,8 +179,15 @@ def sessionize_stream(
                 cur[2] += it[2]
             else:
                 sessions.append(list(it))
-        closed = [s for s in sessions if s[1] // 1000 + gap_ms <= wm_ms]
-        still_open = [s for s in sessions if s[1] // 1000 + gap_ms > wm_ms]
+        # close STRICTLY: an on-time event at exactly last+gap (the
+        # watermark filter only drops ts < wm) must still be able to
+        # merge, and the µs→ms conversion must CEIL so a session can't
+        # close up to 999µs early (ADVICE r7)
+        def close_ms(s):
+            return (s[1] + 999) // 1000 + gap_ms
+
+        closed = [s for s in sessions if close_ms(s) < wm_ms]
+        still_open = [s for s in sessions if close_ms(s) >= wm_ms]
         if still_open:
             state.update(
                 (
@@ -190,8 +197,12 @@ def sessionize_stream(
                 )
             )
             # wake when the WATERMARK passes the earliest open
-            # session's last + gap (strictly > wm_ms by construction)
-            state.setTimeoutTimestamp(min(s[1] for s in still_open) // 1000 + gap_ms)
+            # session's close point (>= wm_ms by construction; clamp
+            # past wm_ms — Spark rejects a timeout at/behind the
+            # current watermark, and the close test re-runs then)
+            state.setTimeoutTimestamp(
+                max(wm_ms + 1, min(close_ms(s) for s in still_open))
+            )
         elif state.exists:
             state.remove()
         if closed:

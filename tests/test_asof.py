@@ -280,6 +280,49 @@ class TestAsofTimeChunks:
             self._parity(spark, left, right, direction=direction,
                          tie_break="tag")
 
+    def test_duplicate_right_time_tie_parity(self, spark):
+        """ADVICE r7 (medium): right rows tying at the same (key, time)
+        with DISTINCT payloads — the unchunked window resolves ties to
+        the MAX tie-break for every direction, and the chunked edge
+        carry must agree even when the tie sits on a chunk boundary.
+        The advisor's reproducer: left (a,5), rights (a,10,'r1') and
+        (a,10,'r2'), direction='forward' — the carry used to pick
+        'r1' (min) while the window picks 'r2' (max)."""
+        left = spark.createDataFrame(
+            [(1, "a", 5), (2, "a", 10), (3, "a", 42), (4, "b", 0)],
+            "lid long, k string, t long",
+        )
+        right = spark.createDataFrame(
+            [("a", 10, "r1"), ("a", 10, "r2"), ("a", 40, "s1"), ("a", 40, "s2"),
+             ("b", 7, "u1"), ("b", 7, "u2")],
+            "k string, rt long, tag string",
+        )
+        for direction in ("backward", "forward", "nearest"):
+            self._parity(spark, left, right, direction=direction,
+                         tie_break="tag")
+        # explicit semantics pin: forward from t=5 hits the MAX tag
+        got = {
+            (r["lid"], r["tag"])
+            for r in asof_join(left, right, on="k", left_time="t",
+                               right_time="rt", direction="forward",
+                               tie_break="tag", time_chunks=2).collect()
+        }
+        assert (1, "r2") in got
+
+    def test_duplicate_right_time_default_tie_break_parity(self, spark):
+        """Same tie shape with the tie_break OMITTED: the payload-hash
+        tie-break is a pure function of the row, so chunked and
+        unchunked paths still agree exactly."""
+        left = spark.createDataFrame(
+            [(1, "a", 5), (2, "a", 25)], "lid long, k string, t long"
+        )
+        right = spark.createDataFrame(
+            [("a", 10, "r1"), ("a", 10, "r2"), ("a", 20, "w1"), ("a", 20, "w2")],
+            "k string, rt long, tag string",
+        )
+        for direction in ("backward", "forward", "nearest"):
+            self._parity(spark, left, right, direction=direction)
+
     def test_timestamp_time_column(self, spark):
         left = spark.createDataFrame(
             [(1, "a", "2024-01-01 10:00:00"), (2, "a", "2024-03-01 00:00:00")],

@@ -412,6 +412,21 @@ class TestBlockBloom:
             ).count()
             assert missed == 0, f"n_blocks={n_blocks}: {missed} false negatives"
 
+    def test_probe_preserves_user_block_column(self, spark):
+        """ADVICE r7: the probe's internal temporaries must not clobber
+        a pre-existing 'block' column on the probed frame (plausible
+        when probing a frame derived from bloom tooling, whose own
+        output schema uses 'block')."""
+        from swarm_spark.ops.dedup import bloom_contains, build_block_bloom
+
+        members, probes = self._frames(spark, n=50)
+        probes = probes.withColumn("block", F.col("doc_id") * 10)
+        bloom = build_block_bloom(members, n_blocks=64)
+        out = bloom_contains(probes, bloom, n_blocks=64)
+        assert "block" in out.columns
+        rows = out.where(F.col("block") != F.col("doc_id") * 10).count()
+        assert rows == 0, "user 'block' column was overwritten by the probe"
+
     def test_fpr_falls_with_size_and_dense_filter_saturates(self, spark):
         from swarm_spark.ops.dedup import bloom_contains, build_block_bloom
 
