@@ -302,6 +302,29 @@ def cmd_curate(args) -> int:
 
     spark = _spark(args)
     docs = spark.read.parquet(args.input)
+    if getattr(args, "expect", ""):
+        # fail-fast pre-gate: ONE scan up front buys the contract that
+        # a curation run never spends its budget on a corpus that
+        # violates its declared expectations. A NULL `passed`
+        # (saturated unique_approx sketch) counts as a failure —
+        # inconclusive must never read as green.
+        from .ops.validate import expectations_report
+
+        with open(args.expect, encoding="utf-8") as fh:
+            checks = [tuple(c) for c in json.load(fh)]
+        report = [r.asDict() for r in expectations_report(docs, checks).collect()]
+        failed = [r for r in report if r["passed"] is not True]
+        if failed:
+            print(
+                json.dumps(
+                    {
+                        "error": "expectations failed",
+                        "failed": len(failed),
+                        "expectations": report,
+                    }
+                )
+            )
+            return 2
     n_in = docs.count()
     kept = exact_dedup_text(docs, text_col=args.text_col, id_col=args.id_col)
     if args.near_dup:
@@ -665,6 +688,13 @@ def build_parser() -> argparse.ArgumentParser:
         type=int,
         default=0,
         help="partition output into N token-balanced shards (0 = off)",
+    )
+    sp.add_argument(
+        "--expect",
+        default="",
+        help="JSON file with data-expectation checks run as a fail-fast "
+        "pre-gate: any failed check aborts the curation (exit 2) with "
+        "the report on stdout",
     )
     sp.set_defaults(fn=cmd_curate)
 

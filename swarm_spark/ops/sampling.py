@@ -288,11 +288,20 @@ def mixture_plan(
     )
 
 
+# auto-sizing targets for global_shuffle_order: ~2M rows per range
+# window task (the _salts_for bound), floor 1024 ranges, and a fixed
+# fine counting granularity the no-hint path measures the corpus at
+_RANGE_ROWS = 2_000_000
+_RANGE_FLOOR = 1024
+_FINE_RANGES = 65536
+
+
 def global_shuffle_order(
     df: DataFrame,
     key: str,
     seed: str = "swarm-shuffle",
-    n_ranges: int = 1024,
+    n_ranges: int | None = None,
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """Reproducible global training-shuffle order: every row gets
     ``pos`` (0-based) — its rank under ``(md5-hash, key)`` ordering — a
@@ -301,31 +310,65 @@ def global_shuffle_order(
     shuffle: identical across reruns/partitionings/engines (so a
     crashed run resumes at a position), changeable by ``seed`` per
     epoch, and defined WITHOUT materializing an ordering column ahead
-    of time.
+    of time. The output is IDENTICAL for any range count — ``n_ranges``
+    only sets the parallelism of the rank phase.
 
     Scale shape: no global sort. The hash is uniform in [0, 2^32), so
-    its top bits cut the corpus into ``n_ranges`` literal-bounded,
-    hash-order-monotone ranges (the token_prefix contract): phase 1
-    ranks inside each range in parallel, per-range counts (n_ranges
-    rows — metadata) come back as exclusive offsets through a
-    broadcast join. Ties on the full hash break by ``key``, so the
-    permutation is total and stable.
+    its top bits cut the corpus into hash-order-monotone, literal-
+    bounded ranges (the token_prefix contract): phase 1 ranks inside
+    each range in parallel, per-range counts (metadata rows) come back
+    as exclusive offsets through a broadcast join. Ties on the full
+    hash break by ``key``, so the permutation is total and stable.
+
+    Range-count sizing (~``2M`` rows per window task, floor 1024):
+    pass ``n_ranges`` to pin it, or ``approx_rows`` (order of magnitude
+    suffices) to derive it without any extra action. With NEITHER hint
+    there is still NO sizing scan: rows are counted at a fixed fine
+    granularity (65536 hash ranges — the pass the offsets need anyway),
+    the range count is chosen from the measured total as a power of
+    two, and fine counts fold into the coarser offsets exactly. The
+    fine granularity caps the auto-scaled parallelism at 65536 tasks
+    (~2M rows per task at ~10^11 rows); beyond that, pass
+    ``approx_rows``.
     """
-    if n_ranges < 1:
+    if n_ranges is not None and n_ranges < 1:
         raise ValueError(f"n_ranges must be >= 1, got {n_ranges}")
     from pyspark.sql import Window
 
     spark = df.sparkSession
+    if n_ranges is None and approx_rows is not None:
+        n_ranges = max(_RANGE_FLOOR, approx_rows // _RANGE_ROWS)
+    # fine counting granularity: the requested ranges, or the fixed
+    # power-of-two grid the auto path coarsens from
+    fine = int(n_ranges) if n_ranges is not None else _FINE_RANGES
+
     b = hash_bucket(key, seed)
     base = df.withColumn("__b", b).withColumn(
-        "__rng", F.expr(f"cast(__b * {int(n_ranges)} div {_SPACE} as int)")
+        "__rng", F.expr(f"cast(__b * {fine} div {_SPACE} as int)")
     )
-    w = Window.partitionBy("__rng").orderBy("__b", key)
-    local = base.withColumn("__rk", F.row_number().over(w))
     counts = {
         r["__rng"]: r["n"]
         for r in base.groupBy("__rng").agg(F.count(F.lit(1)).alias("n")).collect()
     }
+    if n_ranges is None:
+        # derive from the count pass already paid: smallest power of
+        # two >= floor covering ~_RANGE_ROWS rows per range. Power of
+        # two, so coarse(b) = fine(b) div (fine/n_ranges) EXACTLY and
+        # the fine counts fold into coarse offsets without re-scanning.
+        total = sum(counts.values())
+        n_ranges = _RANGE_FLOOR
+        while n_ranges < _FINE_RANGES and n_ranges * _RANGE_ROWS < total:
+            n_ranges *= 2
+        fold = _FINE_RANGES // n_ranges
+        coarse: dict[int, int] = {}
+        for rng_id, n in counts.items():
+            coarse[rng_id // fold] = coarse.get(rng_id // fold, 0) + n
+        counts = coarse
+        base = base.withColumn(
+            "__rng", F.expr(f"cast(__b * {int(n_ranges)} div {_SPACE} as int)")
+        )
+    w = Window.partitionBy("__rng").orderBy("__b", key)
+    local = base.withColumn("__rk", F.row_number().over(w))
     running, offsets = 0, []
     for rng_id in sorted(counts):  # ranges are monotone in hash order
         offsets.append((rng_id, running))

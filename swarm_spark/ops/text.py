@@ -424,6 +424,9 @@ def top_ngrams(
         )
         .where(F.col("count") >= int(min_count))
     )
+    # the partition-less window is EXPECTED and bounded: it runs
+    # strictly after .limit(top_k), so Spark's "WindowExec: No
+    # Partition Defined" warning at runtime concerns <= top_k rows
     w = Window.orderBy(F.col("count").desc(), F.col("ngram"))
     return (
         counts.orderBy(F.col("count").desc(), "ngram")
@@ -577,7 +580,9 @@ def vocab_report(counts: DataFrame, top_k: int = 1000) -> DataFrame:
     total = counts.agg(F.sum("cnt").alias("tot"))
     # orderBy().limit() plans as distributed TakeOrdered — no global
     # single-partition sort of the vocab; only the top_k survivors
-    # meet the rank/cumsum window (bounded by construction)
+    # meet the rank/cumsum window (bounded by construction), so the
+    # runtime "WindowExec: No Partition Defined" warning is expected
+    # and touches <= top_k rows
     w = Window.orderBy(F.col("cnt").desc(), F.col("tok"))
     top = (
         counts.orderBy(F.col("cnt").desc(), "tok")

@@ -201,6 +201,39 @@ class TestCurate:
         got = {r["doc_id"] for r in back.collect()}
         assert got == expected
 
+    def test_curate_expect_gate_passes_and_fails(self, spark, tmp_path, capsys):
+        """--expect runs the expectation report as a fail-fast
+        PRE-gate: a passing spec curates normally; a failing one
+        aborts with exit 2, prints the report, and writes NO output
+        (r7 VERDICT task #6)."""
+        import json as _json
+
+        good = tmp_path / "good.json"
+        good.write_text(
+            _json.dumps([["not_null", "text"], ["unique_approx", "doc_id"]])
+        )
+        out = str(tmp_path / "curated")
+        res = _run(
+            capsys,
+            ["--cpus", "4", "curate", "/root/testdata/sf0.001/documents.parquet",
+             "-o", out, "--langs", "en", "--expect", str(good)],
+        )
+        assert res["docs_kept"] > 0
+
+        bad = tmp_path / "bad.json"
+        # sf0.001 docs have n_chars far above 5 -> guaranteed failure
+        bad.write_text(_json.dumps([["in_range", "n_chars", 1, 5]]))
+        out2 = str(tmp_path / "curated2")
+        rc = main(
+            ["--cpus", "4", "curate", "/root/testdata/sf0.001/documents.parquet",
+             "-o", out2, "--expect", str(bad)]
+        )
+        assert rc == 2
+        rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["error"] == "expectations failed" and rep["failed"] == 1
+        assert rep["expectations"][0]["check"] == "in_range"
+        assert not (tmp_path / "curated2").exists(), "gate must abort before writing"
+
     def test_curate_quality_quantile_gate(self, spark, tmp_path, capsys):
         """--quality-quantile keeps each language's top half by quality
         — per-language counts must be about half the ungated run's and
