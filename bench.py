@@ -64,6 +64,8 @@ def main() -> None:
         "corpus_tok_quantiles",
         "dedup_bloom_gate",
         "text_quality_gate",
+        "text_nb_quality",
+        "corpus_expectations_approx",
     ]
     names = [n for n in names if n in CORE]
 

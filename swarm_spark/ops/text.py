@@ -720,6 +720,162 @@ def unigram_surprisal(
     )
 
 
+def nb_train_quality(
+    df: DataFrame,
+    label: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 16384,
+    seed: str = "swarm-nb",
+) -> DataFrame:
+    """Train a hashed-feature Naive-Bayes quality classifier — the
+    standard public shape for corpus quality scoring (multinomial NB
+    over bag-of-words, McCallum & Nigam 1998; the linear
+    bag-of-features classifier popularized for corpus filtering by
+    fastText, Joulin et al. 2016): ``label`` marks the known-good
+    slice (CCNet/GPT-style "looks like the reference corpus"), and
+    every hashed token bucket gets a Laplace-smoothed log-likelihood
+    ratio ln p(bucket|good) − ln p(bucket|bad).
+
+    Returns the MODEL as one small persistable frame (≤ num_buckets+2
+    rows) of (bkt, llr_micro), with two reserved rows: bkt = −1 holds
+    the document-prior log-odds ln((n_good+1)/(n_bad+1)) and bkt = −3
+    the unseen-bucket default ln((tn+B)/(tp+B)) — so the model file is
+    self-contained for :func:`nb_score_quality`. All values are integer
+    MICRO-nats (rounded once), the same engine-exact contract as
+    :func:`dsir_importance`. A NULL label counts as bad.
+
+    Scale shape: ONE corpus scan — token counts AND per-class document
+    counts fuse into a single map-side-combined aggregation (each doc
+    contributes its tokens plus one marker element, so the doc prior
+    needs no second pass); the shuffle collapses to ≤ num_buckets+1
+    rows, and the four grand totals are collected at the driver (four
+    longs — metadata). Training cost is therefore the same as one
+    conditional count over the corpus, at any corpus size.
+    """
+    if num_buckets < 2:
+        raise ValueError(f"num_buckets must be >= 2, got {num_buckets}")
+    import math
+
+    from .sampling import hash_bucket
+
+    spark = df.sparkSession
+    base = df.select(
+        tokens_col(text_col).alias("ws"), label.cast("long").alias("is_p")
+    )
+    # one NULL marker element per doc rides the same explode as the
+    # tokens: markers land in reserved bucket -2 and become the
+    # per-class DOCUMENT counts, fusing the prior into the token pass
+    ent = base.select(
+        "is_p",
+        F.explode(
+            F.concat(F.array(F.lit(None).cast("string")), F.col("ws"))
+        ).alias("tok"),
+    )
+    bkt = (
+        F.when(F.col("tok").isNull(), F.lit(-2))
+        .otherwise((hash_bucket(F.col("tok"), seed) % num_buckets).cast("int"))
+        .cast("int")
+    )
+    counts = (
+        ent.select(bkt.alias("bkt"), "is_p")
+        .groupBy("bkt")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cr"),
+            F.coalesce(F.sum("is_p"), F.lit(0)).cast("long").alias("cp"),
+        )
+    )
+    tot = counts.agg(
+        F.sum(F.when(F.col("bkt") >= 0, F.col("cp"))).alias("tp"),
+        F.sum(F.when(F.col("bkt") >= 0, F.col("cr") - F.col("cp"))).alias("tn"),
+        F.sum(F.when(F.col("bkt") == -2, F.col("cp"))).alias("dp"),
+        F.sum(F.when(F.col("bkt") == -2, F.col("cr") - F.col("cp"))).alias("dn"),
+    ).head()
+    tp, tn, dp, dn = (int(tot[k] or 0) for k in ("tp", "tn", "dp", "dn"))
+    b = int(num_buckets)
+
+    def _micro(x: float) -> int:
+        # HALF-UP like Spark round()/DuckDB round(), not Python's
+        # banker's rounding
+        v = x * 1_000_000
+        return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+    stats = counts.where(F.col("bkt") >= 0).select(
+        "bkt",
+        F.round(
+            (
+                F.log((F.col("cp") + 1) / F.lit(float(tp + b)))
+                - F.log((F.col("cr") - F.col("cp") + 1) / F.lit(float(tn + b)))
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("llr_micro"),
+    )
+    reserved = spark.createDataFrame(
+        [
+            (-1, _micro(math.log((dp + 1) / (dn + 1)))),
+            (-3, _micro(math.log((tn + b) / (tp + b)))),
+        ],
+        "bkt int, llr_micro long",
+    )
+    return stats.unionByName(reserved)
+
+
+def nb_score_quality(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 16384,
+    seed: str = "swarm-nb",
+) -> DataFrame:
+    """Score documents with a :func:`nb_train_quality` model (built
+    with the SAME num_buckets/seed): score = prior + Σ per-token
+    bucket log-likelihood ratio, in integer micro-nats. Output
+    (doc_id, n_tokens, score_micro, pred_good) with pred_good =
+    score > 0; docs with no tokens are excluded (no features).
+
+    Scale shape: the model BROADCASTS (≤ num_buckets rows) onto one
+    exploded-token pass — one corpus scan, one map-side-combined
+    integer sum per doc, never a corpus shuffle by bucket. Tokens
+    hashing to a bucket unseen in training contribute the model's
+    stored unseen-default llr (reserved row −3), so scoring a NEW wave
+    against a historical model is well-defined.
+    """
+    if num_buckets < 2:
+        raise ValueError(f"num_buckets must be >= 2, got {num_buckets}")
+    from .sampling import hash_bucket
+
+    res = {
+        int(r["bkt"]): int(r["llr_micro"])
+        for r in model.where(F.col("bkt") < 0).collect()
+    }
+    prior, unseen = res.get(-1, 0), res.get(-3, 0)
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("tok")
+    )
+    bk = toks.select(
+        "doc_id", (hash_bucket(F.col("tok"), seed) % num_buckets).cast("int").alias("bkt")
+    )
+    score = F.lit(prior) + F.col("s")
+    return (
+        bk.join(F.broadcast(model.where(F.col("bkt") >= 0)), "bkt", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("llr_micro"), F.lit(unseen))).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            score.cast("long").alias("score_micro"),
+            (score > 0).alias("pred_good"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def hashed_embedding(
     df: DataFrame,
     dim: int = 64,

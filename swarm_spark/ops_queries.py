@@ -1799,6 +1799,51 @@ FROM s ORDER BY doc_id, chunk_id
 """
 
 
+def q_text_nb_quality(spark, sf):
+    """Learned corpus-quality scorer (hashed-feature Naive Bayes, the
+    public fastText-shape classifier): train on the lang=='en' slice
+    as the known-good class — counts-only training, one fused
+    scan/aggregation — then score every doc by prior + Σ bucket
+    log-likelihood ratio in integer micro-nats (broadcast model join,
+    the DSIR shape). pred_good is the resulting quality gate."""
+    from .ops.text import nb_score_quality, nb_train_quality
+
+    docs = _docs(spark, sf)
+    model = nb_train_quality(docs, F.col("lang") == "en", num_buckets=4096)
+    return nb_score_quality(docs, model, num_buckets=4096)
+
+
+SQL_NB_QUALITY = f"""
+WITH w AS (SELECT doc_id, lang, regexp_split_to_array(text, ' +') AS ws
+           FROM documents),
+tk AS (SELECT doc_id, (lang = 'en') AS is_p, unnest(ws) AS tok FROM w),
+bk AS (SELECT doc_id, is_p,
+              {_md5_bucket_sql('tok', 'swarm-nb')} % 4096 AS bkt
+       FROM tk),
+ag AS (SELECT bkt, cast(count(*) AS bigint) AS cr,
+              cast(sum(CASE WHEN is_p THEN 1 ELSE 0 END) AS bigint) AS cp
+       FROM bk GROUP BY 1),
+tt AS (SELECT cast(sum(cp) AS bigint) AS tp,
+              cast(sum(cr - cp) AS bigint) AS tn FROM ag),
+dc AS (SELECT cast(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS bigint) AS dp,
+              cast(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS bigint) AS dn
+       FROM w WHERE ws IS NOT NULL),
+st AS (SELECT bkt,
+              cast(round((ln((cp + 1) / (tp + 4096.0))
+                        - ln((cr - cp + 1) / (tn + 4096.0))) * 1000000)
+                   AS bigint) AS lr
+       FROM ag, tt),
+pr AS (SELECT cast(round(ln((dp + 1.0) / (dn + 1.0)) * 1000000) AS bigint) AS p
+       FROM dc)
+SELECT bk.doc_id, cast(count(*) AS bigint) AS n_tokens,
+       cast(pr.p + sum(st.lr) AS bigint) AS score_micro,
+       (pr.p + sum(st.lr)) > 0 AS pred_good
+FROM bk JOIN st USING (bkt), pr
+GROUP BY bk.doc_id, pr.p
+ORDER BY doc_id
+"""
+
+
 def q_text_dsir(spark, sf):
     """DSIR importance weights toward the English slice: every doc
     scored by Σ hashed-bigram ln(p_target/p_raw) in integer micro-nats
@@ -2851,6 +2896,7 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "corpus_mixture_plan": (q_corpus_mixture_plan, SQL_MIXTURE_PLAN),
     "sample_mixture": (q_sample_mixture, SQL_SAMPLE_MIXTURE),
     "text_dsir": (q_text_dsir, SQL_DSIR),
+    "text_nb_quality": (q_text_nb_quality, SQL_NB_QUALITY),
     "text_chunks": (q_text_chunks, SQL_TEXT_CHUNKS),
     "dedup_substring_runs": (q_dedup_substring_runs, SQL_SUBSTRING_RUNS),
     "text_hash_embed": (q_text_hash_embed, SQL_HASH_EMBED),

@@ -1044,6 +1044,127 @@ class TestDsirImportance:
             dsir_importance(df, F.col("is_tgt") == 1, num_buckets=1)
 
 
+class TestNaiveBayesQuality:
+    def _corpus(self, spark):
+        rows = [
+            # good class: clean prose vocabulary
+            (1, "the court held that the ruling stands", 1),
+            (2, "the court ruled on the appeal today", 1),
+            (3, "the appeal stands and the ruling holds", 1),
+            # bad class: keyword-spam vocabulary
+            (4, "buy cheap pills buy cheap pills now", 0),
+            (5, "cheap pills discount discount buy now", 0),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string, good int")
+
+    def test_separates_classes_and_self_consistent(self, spark):
+        from swarm_spark.ops.text import nb_score_quality, nb_train_quality
+
+        df = self._corpus(spark)
+        model = nb_train_quality(df, F.col("good") == 1, num_buckets=4096)
+        out = {
+            r["doc_id"]: r
+            for r in nb_score_quality(df, model, num_buckets=4096).collect()
+        }
+        assert set(out) == {1, 2, 3, 4, 5}
+        assert all(out[d]["pred_good"] for d in (1, 2, 3))
+        assert not any(out[d]["pred_good"] for d in (4, 5))
+        for r in out.values():
+            assert r["pred_good"] == (r["score_micro"] > 0)
+
+    def test_exact_micro_nats_against_python_mirror(self, spark):
+        """Pin the llr/prior arithmetic against a from-scratch Python
+        mirror (HALF_UP micro-nat rounding, Laplace smoothing, doc
+        prior) — the engine-exact contract the oracle relies on."""
+        import hashlib
+        import math
+        from collections import Counter
+        from decimal import ROUND_HALF_UP, Decimal
+
+        from swarm_spark.ops.text import nb_score_quality, nb_train_quality
+
+        df = self._corpus(spark)
+        B = 4096
+        model = nb_train_quality(df, F.col("good") == 1, num_buckets=B)
+        out = {
+            r["doc_id"]: r
+            for r in nb_score_quality(df, model, num_buckets=B).collect()
+        }
+
+        def bkt(tok):
+            h = hashlib.md5(f"swarm-nb|{tok}".encode()).hexdigest()
+            return int(h[:8], 16) % B
+
+        docs = {
+            r["doc_id"]: (r["text"].split(" "), r["good"] == 1)
+            for r in df.collect()
+        }
+        cp = Counter(bkt(t) for ws, g in docs.values() if g for t in ws)
+        cn = Counter(bkt(t) for ws, g in docs.values() if not g for t in ws)
+        tp, tn = sum(cp.values()), sum(cn.values())
+        dp = sum(1 for _, g in docs.values() if g)
+        dn = len(docs) - dp
+
+        def micro(x):
+            return int(
+                Decimal(x * 1_000_000).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+            )
+
+        prior = micro(math.log((dp + 1) / (dn + 1)))
+        for doc_id, (ws, _) in docs.items():
+            want = prior + sum(
+                micro(
+                    math.log((cp[bkt(t)] + 1) / (tp + B))
+                    - math.log((cn[bkt(t)] + 1) / (tn + B))
+                )
+                for t in ws
+            )
+            assert out[doc_id]["score_micro"] == want, doc_id
+            assert out[doc_id]["n_tokens"] == len(ws)
+
+    def test_scoring_new_wave_uses_unseen_default(self, spark):
+        """A wave token hashing to a bucket absent from training gets
+        the model's stored unseen-bucket llr (reserved row -3), not a
+        silent drop — scoring new data against a historical model is
+        well-defined."""
+        import math
+
+        from swarm_spark.ops.text import nb_score_quality, nb_train_quality
+
+        df = self._corpus(spark)
+        B = 4096
+        model = nb_train_quality(df, F.col("good") == 1, num_buckets=B)
+        res = {r["bkt"]: r["llr_micro"] for r in model.where(F.col("bkt") < 0).collect()}
+        assert set(res) == {-1, -3}
+        wave = spark.createDataFrame(
+            [(9, "zzzunseen qqqnovel wwwfresh")], "doc_id long, text string"
+        )
+        (row,) = nb_score_quality(wave, model, num_buckets=B).collect()
+        assert row["n_tokens"] == 3
+        # all three tokens unseen -> prior + 3 * unseen default
+        assert row["score_micro"] == res[-1] + 3 * res[-3]
+        # sanity: the unseen default is ln((tn+B)/(tp+B)) in micro-nats
+        tp = 21  # 3 good docs x 7 tokens
+        tn = 13  # bad docs: 7 + 6 tokens
+        assert abs(res[-3] - round(math.log((tn + B) / (tp + B)) * 1e6)) <= 1
+
+    def test_null_label_counts_as_bad_and_model_is_small(self, spark):
+        from swarm_spark.ops.text import nb_train_quality
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta", 1), (2, "gamma delta", None)],
+            "doc_id long, text string, good int",
+        )
+        model = nb_train_quality(df, F.col("good") == 1, num_buckets=64)
+        rows = model.collect()
+        assert len(rows) <= 64 + 2
+        prior = next(r["llr_micro"] for r in rows if r["bkt"] == -1)
+        # dp=1, dn=1 -> prior ln(2/2)=0
+        assert prior == 0
+        with pytest.raises(ValueError):
+            nb_train_quality(df, F.col("good") == 1, num_buckets=1)
+
+
 class TestTopNgrams:
     def test_hand_case_counts_and_rank(self, spark):
         from swarm_spark.ops.text import top_ngrams
