@@ -98,13 +98,46 @@ def probe(spark, data_dir: str, factor: int, runs: int) -> dict[str, float]:
     the measured quantity is corpus-scan cost, not batch size."""
     from pyspark.sql import functions as F
 
-    from swarm_spark.ops.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    from swarm_spark.ops.dedup import (
+        bloom_contains,
+        build_block_bloom,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
     from swarm_spark.ops.ivf import ann_topk_ivf
+    from swarm_spark.ops.sampling import global_shuffle_order
     from swarm_spark.ops.semdedup import semantic_dup_pairs
+    from swarm_spark.ops.text import (
+        group_value_quantiles,
+        nb_score_quality,
+        nb_train_quality,
+        tokens_col,
+        top_ngrams,
+    )
 
     docs = spark.read.parquet(os.path.join(data_dir, "documents.parquet"))
     emb = spark.read.parquet(os.path.join(data_dir, "embeddings.parquet"))
     queries = emb.where(F.col("vec_id") < 200)  # fixed batch at every scale
+
+    # governance-tier forcing aggregations: a bare count() could let
+    # Catalyst prune a cardinality-preserving broadcast join out of the
+    # plan, timing a scan instead of the operator
+    def _bloom():
+        bloom = build_block_bloom(
+            docs.where(F.col("doc_id") % 2 == 0), "text",
+            n_blocks=256 * factor, k=4,
+        )
+        return bloom_contains(
+            docs, bloom, "text", n_blocks=256 * factor, k=4
+        ).agg(F.sum(F.col("might_contain").cast("long")).alias("n"))
+
+    def _nb():
+        model = nb_train_quality(
+            docs, F.col("lang") == "en", num_buckets=4096
+        )
+        return nb_score_quality(docs, model, num_buckets=4096).agg(
+            F.sum("score_micro").alias("s")
+        )
 
     ops = {
         "dedup_ngram_jaccard": lambda: ngram_jaccard_pairs(
@@ -119,6 +152,25 @@ def probe(spark, data_dir: str, factor: int, runs: int) -> dict[str, float]:
         "ann_topk_ivf": lambda: ann_topk_ivf(
             emb, queries, k=5, n_cells=8 * factor, nprobe=4, iters=3
         ),
+        # governance tier (r7 VERDICT task #5): the new operators with
+        # the most interesting shuffle shapes, production knob scaling
+        # (bloom blocks grow with the corpus; top_k/quantile grids and
+        # the NB bucket count are scale-invariant by design)
+        "corpus_top_ngrams": lambda: top_ngrams(
+            docs, n=5, top_k=20, min_count=2
+        ),
+        "corpus_tok_quantiles": lambda: group_value_quantiles(
+            docs.select(
+                "lang", F.size(tokens_col("text")).cast("long").alias("n_tok")
+            ),
+            "lang",
+            "n_tok",
+        ),
+        "dedup_bloom_gate": _bloom,
+        "sample_shuffle_order": lambda: global_shuffle_order(
+            docs.select("doc_id"), "doc_id"
+        ),
+        "text_nb_quality": _nb,
     }
     out: dict[str, float] = {}
     for name, build in ops.items():

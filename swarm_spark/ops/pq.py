@@ -1,0 +1,308 @@
+"""Product quantization (PQ) for compressed ANN search.
+
+Jégou/Douze/Schmid 2011 ("Product Quantization for Nearest Neighbor
+Search"): split each d-dim vector into ``m`` subvectors, learn an
+independent k-means codebook per subspace, and store each vector as m
+small integer codes — d·4 bytes collapse to m bytes (k ≤ 256). Query
+time uses ADC (asymmetric distance computation): the query stays
+exact, each candidate's distance is the sum of m table lookups
+||q_j − codebook_j[code_j]||². This is the storage/scan layout a
+100-TB embedding corpus actually ships: the float vectors live cold,
+the PQ codes (25–100× smaller) are what the fleet scans.
+
+Spark shapes:
+- **Training** mirrors :mod:`swarm_spark.ops.ivf`'s deterministic
+  Lloyd contract — init from the k lowest-id vectors' slices, ties
+  break by code id, every mean rounded to 9 digits at the driver,
+  empty codes keep their previous centroid — but all ``m`` subspace
+  k-means run TOGETHER: one exploded (id, sub, subvector) frame, one
+  distributed assignment + one per-(sub, code, pos) mean job per
+  iteration, regardless of m. Codebooks are m·k small vectors
+  (metadata) and round-trip the driver like IVF centroids.
+- **Encoding** is a broadcast codebook join + min-struct aggregation
+  per (id, sub) — never a window over the corpus; codes collect into
+  one array<int> per vector (bounded by m, a literal).
+- **Search (ADC)** precomputes each query's m·k lookup table in-plan
+  (query × broadcast codebook — metadata-sized), joins it to the
+  exploded code frame, and sums per (query, id) in integral
+  MICRO-units (each sub-distance rounded to micro once, so the sum is
+  64-bit integer arithmetic — order-independent and oracle-exact, the
+  inertia trick). Ranking is the salted two-phase top-k, so no window
+  task holds one query's full candidate set.
+
+Determinism end to end makes the whole pipeline value-oracle-checkable
+against an unrolled per-subspace k-means + ADC written in DuckDB SQL
+(`ops_queries.SQL_ANN_PQ`) — recall gates alone can't catch a subtly
+wrong distance table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import dot_expr
+from .sampling import hash_bucket
+
+
+def _subvectors(df: DataFrame, vec_col: str, id_col: str, m: int, s: int) -> DataFrame:
+    """(id, sub, sv, sv_n2): one row per (vector, subspace), sliced
+    in-plan — a codegen explode, no UDF."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("sub"),
+                F.slice(F.col("v"), j * s + 1, s).alias("sv"),
+            )
+            for j in range(m)
+        ]
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        .select("id", F.explode(entries).alias("e"))
+        .select("id", "e.sub", "e.sv")
+        .withColumn("sv_n2", dot_expr("sv", "sv"))
+    )
+
+
+def _dim_of(df: DataFrame, vec_col: str) -> int:
+    row = df.select(F.size(vec_col).alias("d")).head()
+    if row is None:
+        raise ValueError("cannot train PQ on an empty corpus")
+    return int(row["d"])
+
+
+def _codebook_df(spark, books: dict[tuple[int, int], list[float]]) -> DataFrame:
+    return spark.createDataFrame(
+        [
+            (j, c, v, sum(x * x for x in v))
+            for (j, c), v in sorted(books.items())
+        ],
+        "sub int, code int, cv array<double>, cn2 double",
+    )
+
+
+def _assign_codes(subs: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """(id, sub, code): nearest code per subvector — broadcast
+    codebook join + min-struct aggregation (ties break by code id),
+    never a corpus-keyed window."""
+    d2 = F.col("sv_n2") - 2 * dot_expr("sv", "cv") + F.col("cn2")
+    return (
+        subs.join(F.broadcast(codebooks), "sub")
+        .select("id", "sub", F.struct(d2.alias("d2"), F.col("code")).alias("dc"))
+        .groupBy("id", "sub")
+        .agg(F.min("dc").alias("b"))
+        .select("id", "sub", F.col("b.code").alias("code"))
+    )
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Learn the m per-subspace codebooks; returns the codebook frame
+    (sub, code, cv array<double>, cn2) — m·k rows, the persistable
+    model. See the module docstring for the determinism contract."""
+    if m < 1 or k < 1:
+        raise ValueError(f"m and k must be >= 1, got m={m} k={k}")
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    spark = df.sparkSession
+    dim = _dim_of(df, vec_col)
+    if dim % m != 0:
+        raise ValueError(f"vector dim {dim} not divisible by m={m}")
+    s = dim // m
+    subs = _subvectors(df, vec_col, id_col, m, s).persist()
+    try:
+        first_k = (
+            df.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).cast("array<double>").alias("v"),
+            )
+            .orderBy("id")
+            .limit(k)
+            .collect()
+        )
+        if len(first_k) < k:
+            raise ValueError(f"need >= k={k} vectors to init, got {len(first_k)}")
+        books = {
+            (j, c): [float(x) for x in first_k[c]["v"][j * s : (j + 1) * s]]
+            for j in range(m)
+            for c in range(k)
+        }
+        for _ in range(iters):
+            assigned = _assign_codes(subs, _codebook_df(spark, books))
+            means = (
+                assigned.join(subs, ["id", "sub"])
+                .select("sub", "code", F.posexplode("sv").alias("pos", "x"))
+                .groupBy("sub", "code", "pos")
+                .agg(F.avg("x").alias("mu"))
+                .collect()
+            )
+            fresh: dict[tuple[int, int], list[float]] = {}
+            for r in means:
+                # fixed-digit rounding: the next assignment is
+                # independent of float-sum order in the distributed avg
+                fresh.setdefault((r["sub"], r["code"]), [0.0] * s)[r["pos"]] = round(
+                    r["mu"], 9
+                )
+            # empty codes keep their previous centroid (IVF contract)
+            books = {jc: fresh.get(jc, v) for jc, v in books.items()}
+        return _codebook_df(spark, books)
+    finally:
+        subs.unpersist()
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes array<int>): each vector's m nearest-code indices —
+    the compressed corpus representation (m bytes/vector at k ≤ 256).
+    One broadcast join + two bounded aggregations; collect_list is
+    bounded by m (a literal)."""
+    dim = _dim_of(df, vec_col)
+    if dim % m != 0:
+        raise ValueError(f"vector dim {dim} not divisible by m={m}")
+    subs = _subvectors(df, vec_col, id_col, m, dim // m)
+    return (
+        _assign_codes(subs, codebooks)
+        .groupBy("id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("sub", "code"))).alias("sc")
+        )
+        .select("id", F.transform("sc", lambda x: x["code"]).alias("codes"))
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_salts: int = 16,
+) -> DataFrame:
+    """ADC top-k: (query_id, id, adc_micro, rank) — approximate squared
+    L2 in integral micro-units, rank 1 = nearest, ties by id.
+    ``codes`` is the ENCODED corpus (:func:`pq_encode`'s (id, codes)
+    frame — the form a deployment materializes); ``queries`` carries
+    raw ``vec_col`` vectors (ADC keeps the query side exact).
+
+    The query's m·k lookup table is built in-plan from the broadcast
+    codebook; candidates pay ONE integer lookup join per (sub, code)
+    and a map-side-combined long sum — the corpus's float vectors are
+    never read at query time (that is the point of PQ). Every
+    sub-distance is rounded to micro-units once, so per-candidate sums
+    are 64-bit-integer arithmetic: order-independent, engine-exact.
+    """
+    dim = _dim_of(queries, vec_col)
+    if dim % m != 0:
+        raise ValueError(f"vector dim {dim} not divisible by m={m}")
+    s = dim // m
+    qsubs = _subvectors(queries, vec_col, id_col, m, s).withColumnRenamed(
+        "id", "query_id"
+    )
+    d2 = F.col("sv_n2") - 2 * dot_expr("sv", "cv") + F.col("cn2")
+    lut = (
+        qsubs.join(F.broadcast(codebooks), "sub")
+        .select(
+            "query_id",
+            "sub",
+            "code",
+            F.round(d2 * 1_000_000).cast("long").alias("d2_micro"),
+        )
+    )
+    code_rows = codes.select(
+        F.col("id"),
+        F.posexplode("codes").alias("sub", "code"),
+    )
+    joined = (
+        code_rows.join(F.broadcast(lut), ["sub", "code"])
+        .where(F.col("query_id") != F.col("id"))
+        .groupBy("query_id", "id")
+        .agg(F.sum("d2_micro").alias("adc_micro"))
+    )
+    # salted two-phase top-k (nearest = smallest ADC), the
+    # similarity.topk_per_query shape with ascending order
+    order = (F.col("adc_micro").asc(), F.col("id"))
+    salt = (hash_bucket(F.col("id").cast("string"), "swarm-pq") % n_salts).cast("int")
+    w1 = Window.partitionBy("query_id", "salt").orderBy(*order)
+    survivors = (
+        joined.withColumn("salt", salt)
+        .withColumn("rk", F.row_number().over(w1))
+        .where(F.col("rk") <= k)
+        .drop("rk", "salt")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "id", "adc_micro", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def pq_topk_rerank(
+    corpus: DataFrame,
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    m: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-stage production search: ADC retrieves a ``shortlist`` of
+    candidates from the CODES alone, then only those ≤ |Q|·shortlist
+    survivors pay an exact cosine against their raw vectors. Output
+    matches :func:`~swarm_spark.ops.similarity.ann_topk_bruteforce`'s
+    schema and tie-break — (query_id, id, cos, rank) — so the recall
+    gate is a set comparison. Scale shape: the shortlist (metadata-
+    sized) BROADCASTS against the corpus scan for the vector fetch;
+    the rerank window is bounded by the ``shortlist`` literal."""
+    short = pq_topk(
+        codes, queries, codebooks, k=shortlist, m=m,
+        vec_col=vec_col, id_col=id_col, n_salts=n_salts,
+    ).select("query_id", "id")
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("cv"),
+        dot_expr(vec_col, vec_col).alias("cn2"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        dot_expr(vec_col, vec_col).alias("qn2"),
+    )
+    rer = (
+        c.join(F.broadcast(short), "id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "id",
+            F.round(
+                dot_expr("qv", "cv") / F.sqrt(F.col("qn2") * F.col("cn2")), 9
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "id", "cos", "rank")
+        .orderBy("query_id", "rank")
+    )

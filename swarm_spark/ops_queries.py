@@ -1075,6 +1075,171 @@ def q_ann_ivf_recall(spark, sf):
     )
 
 
+def _pq_oracle_sql(
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    topk: int = 5,
+    qmod: int = 100,
+    shortlist: int | None = None,
+) -> str:
+    """Unrolled per-subspace Lloyd k-means + PQ encode + ADC search in
+    DuckDB SQL, mirroring ops/pq.py step for step: init = the k
+    lowest-id vectors' slices per subspace, assignment ties break by
+    code id, every mean rounded to 9 digits, empty codes keep their
+    previous centroid, each (query, sub, code) distance rounded to
+    integral micro-units ONCE so per-candidate ADC sums are 64-bit
+    integer arithmetic. ``shortlist`` switches the final stage to the
+    two-stage rerank (exact cosine over the ADC shortlist)."""
+    s_expr = "len(v) // " + str(m)  # subvector width, from the data
+
+    def _slices(src: str, idc: str) -> str:
+        return "\n  UNION ALL ".join(
+            f"SELECT {idc}, {j} AS sub, "
+            f"v[({j} * ({s_expr})) + 1 : ({j} + 1) * ({s_expr})] AS sv "
+            f"FROM {src}"
+            for j in range(m)
+        )
+
+    ctes = [
+        """ibase AS (
+  SELECT vec_id AS id, cast(embedding AS double[]) AS v FROM embeddings)""",
+        f"""sb AS (
+  SELECT id, sub, sv, list_dot_product(sv, sv) AS svn2 FROM (
+  {_slices("ibase", "id")}))""",
+        f"""c0 AS (
+  SELECT sub, cast(row_number() OVER (PARTITION BY sub ORDER BY id) - 1
+                   AS int) AS code,
+         sv AS cv, list_dot_product(sv, sv) AS cn2
+  FROM sb WHERE id IN (SELECT id FROM ibase ORDER BY id LIMIT {k}))""",
+    ]
+    assign = (
+        "  SELECT id, sub, code FROM (\n"
+        "    SELECT b.id, b.sub, c.code,\n"
+        "           row_number() OVER (PARTITION BY b.id, b.sub\n"
+        "             ORDER BY b.svn2 - 2 * list_dot_product(b.sv, c.cv)"
+        " + c.cn2, c.code) AS rn\n"
+        "    FROM sb b JOIN {cent} c USING (sub)) WHERE rn = 1)"
+    )
+    prev = "c0"
+    for i in range(1, iters + 1):
+        ctes.append(f"a{i} AS (\n" + assign.format(cent=prev))
+        ctes.append(
+            f"""m{i} AS (
+  SELECT sub, code, list(round(mu, 9) ORDER BY pos) AS cv FROM (
+    SELECT sub, code, pos, avg(x) AS mu FROM (
+      SELECT a.sub, a.code, unnest(b.sv) AS x,
+             unnest(range(1, len(b.sv) + 1)) AS pos
+      FROM a{i} a JOIN sb b USING (id, sub))
+    GROUP BY 1, 2, 3)
+  GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""c{i} AS (
+  SELECT p.sub, p.code, coalesce(n.cv, p.cv) AS cv,
+         list_dot_product(coalesce(n.cv, p.cv), coalesce(n.cv, p.cv)) AS cn2
+  FROM {prev} p LEFT JOIN m{i} n USING (sub, code))"""
+        )
+        prev = f"c{i}"
+    # encode = assignment against the FINAL codebooks (what pq_encode
+    # computes from pq_train's returned frame)
+    ctes.append("afin AS (\n" + assign.format(cent=prev))
+    ctes.append(
+        f"""qs AS (
+  SELECT vec_id AS query_id, cast(embedding AS double[]) AS v
+  FROM embeddings WHERE vec_id % {qmod} = 0)"""
+    )
+    ctes.append(
+        f"""qsb AS (
+  SELECT query_id, sub, sv, list_dot_product(sv, sv) AS svn2 FROM (
+  {_slices("qs", "query_id")}))"""
+    )
+    ctes.append(
+        f"""lut AS (
+  SELECT q.query_id, c.sub, c.code,
+         cast(round((q.svn2 - 2 * list_dot_product(q.sv, c.cv) + c.cn2)
+                    * 1000000) AS bigint) AS d2m
+  FROM qsb q JOIN {prev} c USING (sub))"""
+    )
+    ctes.append(
+        """adc AS (
+  SELECT l.query_id, e.id, cast(sum(l.d2m) AS bigint) AS adc_micro
+  FROM afin e JOIN lut l USING (sub, code)
+  WHERE l.query_id <> e.id
+  GROUP BY 1, 2)"""
+    )
+    if shortlist is None:
+        final = f"""
+SELECT query_id, id, adc_micro, rank FROM (
+  SELECT query_id, id, adc_micro,
+         cast(row_number() OVER (PARTITION BY query_id
+              ORDER BY adc_micro, id) AS bigint) AS rank
+  FROM adc) WHERE rank <= {topk} ORDER BY query_id, rank"""
+    else:
+        ctes.append(
+            f"""short AS (
+  SELECT query_id, id FROM (
+    SELECT query_id, id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY adc_micro, id) AS rn
+    FROM adc) WHERE rn <= {shortlist})"""
+        )
+        ctes.append(
+            """rr AS (
+  SELECT s.query_id, s.id,
+         round(list_dot_product(q.v, b.v)
+               / sqrt(list_dot_product(q.v, q.v)
+                      * list_dot_product(b.v, b.v)), 9) AS cos
+  FROM short s JOIN ibase b ON b.id = s.id
+  JOIN qs q ON q.query_id = s.query_id)"""
+        )
+        final = f"""
+SELECT query_id, id, cos, rank FROM (
+  SELECT query_id, id, cos,
+         cast(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, id) AS bigint) AS rank
+  FROM rr) WHERE rank <= {topk} ORDER BY query_id, rank"""
+    return "WITH " + ",\n".join(ctes) + final
+
+
+def q_ann_pq_adc(spark, sf):
+    """Product quantization end to end (Jégou et al. 2011): train m=4
+    per-subspace codebooks (deterministic Lloyd, the IVF contract),
+    encode every vector to 4 small codes, and answer a query batch by
+    ADC — integral micro-unit lookup sums over the CODES only; the
+    corpus's float vectors are never read at query time. Full value
+    oracle: an unrolled per-subspace k-means + ADC in DuckDB SQL."""
+    from .ops.pq import pq_encode, pq_topk, pq_train
+
+    emb = _emb(spark, sf)
+    books = pq_train(emb, m=4, k=8, iters=2)
+    codes = pq_encode(emb, books, m=4)
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return pq_topk(codes, queries, books, k=5, m=4)
+
+
+SQL_ANN_PQ = _pq_oracle_sql()
+
+
+def q_ann_pq_rerank(spark, sf):
+    """The two-stage production PQ search: ADC shortlist from the
+    compressed codes, exact cosine rerank of only the ≤ |Q|·shortlist
+    survivors (broadcast shortlist against one corpus scan). Output
+    schema/tie-break matches the brute-force verifier; the whole
+    composition — codebooks, codes, shortlist, rerank — is
+    value-oracled."""
+    from .ops.pq import pq_encode, pq_topk_rerank, pq_train
+
+    emb = _emb(spark, sf)
+    books = pq_train(emb, m=4, k=8, iters=2)
+    codes = pq_encode(emb, books, m=4)
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return pq_topk_rerank(emb, codes, queries, books, k=5, shortlist=50, m=4)
+
+
+SQL_ANN_PQ_RERANK = _pq_oracle_sql(shortlist=50)
+
+
 SQL_ANN_IVF_RECALL = """
 SELECT cast(5 * count(*) AS bigint) AS n_total, true AS recall_ge_60pct
 FROM embeddings WHERE vec_id % 100 = 0
@@ -2927,6 +3092,8 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "ann_topk_cells": (q_ann_topk_cells, SQL_ANN_CELLS),
     "ann_topk_ivf": (q_ann_topk_ivf, SQL_ANN_IVF),
     "ann_ivf_recall": (q_ann_ivf_recall, SQL_ANN_IVF_RECALL),
+    "ann_pq_adc": (q_ann_pq_adc, SQL_ANN_PQ),
+    "ann_pq_rerank": (q_ann_pq_rerank, SQL_ANN_PQ_RERANK),
     "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
     "dedup_semantic_keep": (q_dedup_semantic_keep, SQL_DEDUP_SEMANTIC_KEEP),
     "asof_latest_order": (q_asof_latest_order, SQL_ASOF),

@@ -103,6 +103,9 @@ _SCAN_BUDGET = {
     #   full-recompute bitmap the contract compares against (the diff
     #   join reuses the bitmap exchanges)
     "ann_ivf_cells": 4,
+    "ann_pq_rerank": 4,  # encode + LUT queries + rerank vector fetch +
+    #   rerank query side (production materializes the codes, so the
+    #   fused 4-scan shape exists only in this oracle composition)
     "ann_topk_ivf": 4,
     "dedup_minhash_recall": 4,  # jaccard truth (2-scan shape) + the
     #   embedded minhash candidate generator (2-scan shape)
