@@ -462,17 +462,59 @@ def group_value_quantiles(
     engine-exact: rank = (q·n + 999) div 1000 — no float boundary for
     two engines to disagree on.
     """
+    hist = value_histogram_counts(df, group_col, value_col)
+    return quantiles_from_histogram(hist, group_col, q_permille)
+
+
+def value_histogram_counts(
+    df: DataFrame, group_col: str, value_col: Column | str
+) -> DataFrame:
+    """(``group_col``, value, cnt): the per-group value histogram —
+    the STORED statistic behind the quantile tier, and a count monoid:
+    :func:`histogram_merge` of two waves' histograms equals the
+    full-recompute histogram exactly, so corpus-wide quantiles update
+    per ingest wave with a histogram-sized union instead of a corpus
+    rescan (the `vocab_merge`/`merge_count_bitmaps` contract, for
+    distributions). One map-side-combined shuffle whose output is
+    group × distinct-value cardinality, independent of row count."""
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    return (
+        df.select(F.col(group_col).alias(group_col), v.alias("value"))
+        .groupBy(group_col, "value")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def histogram_merge(stored: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold a wave's value histogram into a stored one — union +
+    per-(group, value) count sum over histogram-sized frames
+    (metadata, not corpus)."""
+    cols = stored.columns
+    return (
+        stored.unionByName(delta.select(*cols))
+        .groupBy(*[c for c in cols if c != "cnt"])
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def quantiles_from_histogram(
+    hist: DataFrame,
+    group_col: str,
+    q_permille: tuple[int, ...] = (500, 900, 990),
+) -> DataFrame:
+    """The nearest-rank quantile walk over a
+    :func:`value_histogram_counts` frame (see
+    :func:`group_value_quantiles` for the semantics and rank
+    arithmetic). Runs over histogram rows only — bounded by value
+    cardinality, never corpus size."""
     qs_sorted = sorted(set(int(q) for q in q_permille))
     for q in qs_sorted:
         if not 0 < q <= 1000:
             raise ValueError(f"q_permille entries must be in (0, 1000], got {q}")
     if not qs_sorted:
         raise ValueError("q_permille must be non-empty")
-    v = F.col(value_col) if isinstance(value_col, str) else value_col
-    h = (
-        df.select(F.col(group_col).alias("__g"), v.alias("value"))
-        .groupBy("__g", "value")
-        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    h = hist.select(
+        F.col(group_col).alias("__g"), "value", F.col("cnt").alias("__c")
     )
     w = Window.partitionBy("__g").orderBy("value")
     cum = h.withColumn("__cum", F.sum("__c").over(w))

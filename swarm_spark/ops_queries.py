@@ -2614,6 +2614,64 @@ def q_corpus_tok_quantiles(spark, sf):
     return group_value_quantiles(docs, "lang", "n_tok", q_permille=(500, 900, 990))
 
 
+def q_corpus_quantiles_incremental(spark, sf):
+    """Incremental quantile maintenance is EXACT: the per-group value
+    histogram is a count monoid (`histogram_merge` of two waves ==
+    full recompute), so corpus-wide token-count quantiles update per
+    ingest wave with a histogram-sized union — never a corpus rescan.
+    Output compares the merged-path and full-path quantiles per
+    (lang, q); `identical` must be all-true."""
+    from .ops.text import (
+        group_value_quantiles,
+        histogram_merge,
+        quantiles_from_histogram,
+        tokens_col,
+        value_histogram_counts,
+    )
+
+    docs = _docs(spark, sf).select(
+        "doc_id", "lang", F.size(tokens_col("text")).cast("long").alias("n_tok")
+    )
+    even = docs.where(F.col("doc_id") % 2 == 0)
+    odd = docs.where(F.col("doc_id") % 2 == 1)
+    merged = histogram_merge(
+        value_histogram_counts(even, "lang", "n_tok"),
+        value_histogram_counts(odd, "lang", "n_tok"),
+    )
+    mq = quantiles_from_histogram(merged, "lang").select(
+        "lang", "q_permille", F.col("value").alias("merged_value"), "n_rows"
+    )
+    fq = group_value_quantiles(
+        docs.select("lang", "n_tok"), "lang", "n_tok"
+    ).select("lang", "q_permille", F.col("value").alias("full_value"))
+    return (
+        mq.join(fq, ["lang", "q_permille"])
+        .withColumn("identical", F.col("merged_value") == F.col("full_value"))
+        .orderBy("lang", "q_permille")
+    )
+
+
+SQL_QUANTILES_INCR = """
+WITH w AS (SELECT lang,
+                  cast(len(regexp_split_to_array(text, ' +')) AS bigint) AS v
+           FROM documents),
+h AS (SELECT lang, v, cast(count(*) AS bigint) AS c FROM w GROUP BY 1, 2),
+t AS (SELECT lang, cast(sum(c) AS bigint) AS n_rows FROM h GROUP BY 1),
+cu AS (SELECT lang, v,
+              sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum
+       FROM h),
+q AS (SELECT unnest([500, 900, 990]) AS q_permille),
+r AS (SELECT cu.lang, cast(q.q_permille AS int) AS q_permille,
+             cast(min(cu.v) AS bigint) AS value, t.n_rows
+      FROM cu JOIN t USING (lang), q
+      WHERE cu.cum >= (q.q_permille * t.n_rows + 999) // 1000
+      GROUP BY 1, 2, 4)
+SELECT lang, q_permille, value AS merged_value, n_rows,
+       value AS full_value, true AS identical
+FROM r ORDER BY lang, q_permille
+"""
+
+
 SQL_TOK_QUANTILES = """
 WITH w AS (SELECT lang,
                   cast(len(regexp_split_to_array(text, ' +')) AS bigint) AS v
@@ -3041,6 +3099,7 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "ann_ivf_assign_wave": (q_ann_ivf_assign_wave, SQL_ASSIGN_WAVE),
     "corpus_top_ngrams": (q_corpus_top_ngrams, SQL_TOP_NGRAMS),
     "corpus_tok_quantiles": (q_corpus_tok_quantiles, SQL_TOK_QUANTILES),
+    "corpus_quantiles_incremental": (q_corpus_quantiles_incremental, SQL_QUANTILES_INCR),
     "dedup_simhash_incremental": (q_dedup_simhash_incremental, SQL_SIMHASH_INC),
     "ann_topk_dot": (q_ann_topk_dot, SQL_ANN_DOT),
     "ann_ivf_cells": (q_ann_ivf_cells, SQL_ANN_IVF_CELLS),

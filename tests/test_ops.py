@@ -1268,6 +1268,33 @@ class TestGroupValueQuantiles:
             group_value_quantiles(df, "g", "v", ())
 
 
+class TestHistogramMerge:
+    def test_merge_equals_full_recompute(self, spark):
+        """The value histogram is a count monoid: folding two waves'
+        histograms equals the full-corpus histogram EXACTLY, and so do
+        the quantiles computed from it — incremental quantile
+        maintenance never rescans history."""
+        from swarm_spark.ops.text import (
+            group_value_quantiles,
+            histogram_merge,
+            quantiles_from_histogram,
+            value_histogram_counts,
+        )
+
+        rows = [(i, "g%d" % (i % 3), (i * 7) % 11) for i in range(200)]
+        df = spark.createDataFrame(rows, "id long, g string, v long")
+        a = value_histogram_counts(df.where("id % 2 = 0"), "g", "v")
+        b = value_histogram_counts(df.where("id % 2 = 1"), "g", "v")
+        merged = histogram_merge(a, b)
+        full = value_histogram_counts(df, "g", "v")
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, full.collect())
+        )
+        mq = sorted(map(tuple, quantiles_from_histogram(merged, "g").collect()))
+        fq = sorted(map(tuple, group_value_quantiles(df, "g", "v").collect()))
+        assert mq == fq
+
+
 class TestFilterByGroupQuantile:
     def test_keeps_top_half_per_group(self, spark):
         from swarm_spark.ops.text import filter_by_group_quantile

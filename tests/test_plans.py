@@ -102,6 +102,8 @@ _SCAN_BUDGET = {
     "corpus_sketch_incremental": 3,  # even + odd wave bitmaps + the
     #   full-recompute bitmap the contract compares against (the diff
     #   join reuses the bitmap exchanges)
+    "corpus_quantiles_incremental": 3,  # even + odd wave histograms +
+    #   the full-recompute quantiles the merge contract compares against
     "ann_ivf_cells": 4,
     "ann_pq_rerank": 4,  # encode + LUT queries + rerank vector fetch +
     #   rerank query side (production materializes the codes, so the
