@@ -287,6 +287,63 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_quality(args) -> int:
+    """Train / apply the hashed Naive-Bayes corpus-quality model
+    (``ops/text.py::nb_train_quality``/``nb_score_quality``): train
+    labels the known-good slice by a column value and writes the
+    self-describing model parquet (≤ buckets+3 rows); score reads any
+    model file and writes or summarizes per-doc scores."""
+    from pyspark.sql import functions as F
+
+    from .ops.text import nb_score_quality, nb_train_quality
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    if args.action == "train":
+        label = F.col(args.label_col) == args.label_value
+        model = nb_train_quality(
+            docs,
+            label,
+            text_col=args.text_col,
+            id_col=args.id_col,
+            num_buckets=args.buckets,
+        )
+        model.write.mode("overwrite").parquet(args.model)
+        print(
+            json.dumps(
+                {
+                    "model": args.model,
+                    "buckets": args.buckets,
+                    "docs": docs.count(),
+                    "good_docs": docs.where(label).count(),
+                }
+            )
+        )
+    else:  # score
+        model = spark.read.parquet(args.model)
+        out = nb_score_quality(
+            docs, model, text_col=args.text_col, id_col=args.id_col
+        )
+        if args.output:
+            out.write.mode("overwrite").parquet(args.output)
+        agg = out.agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.coalesce(F.sum(F.col("pred_good").cast("long")), F.lit(0))
+            .cast("long")
+            .alias("pred_good"),
+        ).head()
+        print(
+            json.dumps(
+                {
+                    "docs": agg["docs"],
+                    "pred_good": agg["pred_good"],
+                    "output": args.output or None,
+                }
+            )
+        )
+    return 0
+
+
 def cmd_curate(args) -> int:
     """Training-corpus curation pass over a documents parquet: exact
     dedup -> optional MinHash near-dup removal -> quality gate ->
@@ -362,6 +419,20 @@ def cmd_curate(args) -> int:
     )
     if args.langs:
         kept = kept.where(F.col("pred_lang").isin(args.langs.split(",")))
+    if getattr(args, "nb_model", ""):
+        # learned quality gate: score against a persisted NB model
+        # (broadcast model join) and keep docs above the micro-nat
+        # threshold — the trained counterpart of the heuristic
+        # quality_expr gate above
+        from .ops.text import nb_score_quality
+
+        model = spark.read.parquet(args.nb_model)
+        good = (
+            nb_score_quality(kept, model, text_col=args.text_col, id_col=args.id_col)
+            .where(F.col("score_micro") > args.nb_min_score)
+            .select(F.col("doc_id").alias(args.id_col))
+        )
+        kept = kept.join(good, args.id_col)
     if args.quality_quantile:
         # ADAPTIVE per-language gate: keep docs at/above their language's
         # q-th quality quantile (histogram form — the threshold adapts
@@ -696,7 +767,27 @@ def build_parser() -> argparse.ArgumentParser:
         "pre-gate: any failed check aborts the curation (exit 2) with "
         "the report on stdout",
     )
+    sp.add_argument(
+        "--nb-model",
+        default="",
+        help="persisted NB quality model (see `quality train`): keep "
+        "docs scoring above --nb-min-score micro-nats",
+    )
+    sp.add_argument("--nb-min-score", type=int, default=0)
     sp.set_defaults(fn=cmd_curate)
+
+    sp = sub.add_parser("quality", help="train/apply the NB corpus-quality model")
+    sp.add_argument("action", choices=["train", "score"])
+    sp.add_argument("input", help="documents parquet path")
+    sp.add_argument("--model", required=True, help="model parquet dir")
+    sp.add_argument("--label-col", default="lang")
+    sp.add_argument("--label-value", default="en",
+                    help="rows with label-col == this are the known-good class")
+    sp.add_argument("--buckets", type=int, default=16384)
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--output", default="", help="score: write per-doc scores here")
+    sp.set_defaults(fn=cmd_quality)
 
     sp = sub.add_parser("report", help="corpus diagnostics (n-grams/quantiles/histogram/vocab)")
     sp.add_argument("input", help="documents parquet path")

@@ -779,10 +779,11 @@ def nb_train_quality(
     every hashed token bucket gets a Laplace-smoothed log-likelihood
     ratio ln p(bucket|good) − ln p(bucket|bad).
 
-    Returns the MODEL as one small persistable frame (≤ num_buckets+2
-    rows) of (bkt, llr_micro), with two reserved rows: bkt = −1 holds
-    the document-prior log-odds ln((n_good+1)/(n_bad+1)) and bkt = −3
-    the unseen-bucket default ln((tn+B)/(tp+B)) — so the model file is
+    Returns the MODEL as one small persistable frame (≤ num_buckets+3
+    rows) of (bkt, llr_micro), with reserved rows: bkt = −1 holds the
+    document-prior log-odds ln((n_good+1)/(n_bad+1)), bkt = −3 the
+    unseen-bucket default ln((tn+B)/(tp+B)), and bkt = −4 the
+    ``num_buckets`` itself — so a persisted model file is fully
     self-contained for :func:`nb_score_quality`. All values are integer
     MICRO-nats (rounded once), the same engine-exact contract as
     :func:`dsir_importance`. A NULL label counts as bad.
@@ -858,6 +859,7 @@ def nb_train_quality(
         [
             (-1, _micro(math.log((dp + 1) / (dn + 1)))),
             (-3, _micro(math.log((tn + b) / (tp + b)))),
+            (-4, b),
         ],
         "bkt int, llr_micro long",
     )
@@ -869,12 +871,14 @@ def nb_score_quality(
     model: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_buckets: int = 16384,
+    num_buckets: int | None = None,
     seed: str = "swarm-nb",
 ) -> DataFrame:
     """Score documents with a :func:`nb_train_quality` model (built
-    with the SAME num_buckets/seed): score = prior + Σ per-token
-    bucket log-likelihood ratio, in integer micro-nats. Output
+    with the SAME seed; ``num_buckets`` defaults to the value the
+    model stored in its reserved −4 row, so a persisted model file is
+    self-describing): score = prior + Σ per-token bucket
+    log-likelihood ratio, in integer micro-nats. Output
     (doc_id, n_tokens, score_micro, pred_good) with pred_good =
     score > 0; docs with no tokens are excluded (no features).
 
@@ -885,8 +889,6 @@ def nb_score_quality(
     stored unseen-default llr (reserved row −3), so scoring a NEW wave
     against a historical model is well-defined.
     """
-    if num_buckets < 2:
-        raise ValueError(f"num_buckets must be >= 2, got {num_buckets}")
     from .sampling import hash_bucket
 
     res = {
@@ -894,6 +896,14 @@ def nb_score_quality(
         for r in model.where(F.col("bkt") < 0).collect()
     }
     prior, unseen = res.get(-1, 0), res.get(-3, 0)
+    if num_buckets is None:
+        if -4 not in res:
+            raise ValueError(
+                "num_buckets not given and the model carries no -4 row"
+            )
+        num_buckets = res[-4]
+    if num_buckets < 2:
+        raise ValueError(f"num_buckets must be >= 2, got {num_buckets}")
     toks = df.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("tok")
     )

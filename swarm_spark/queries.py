@@ -675,6 +675,96 @@ FROM sb
 """
 
 
+def q_streaming_quantiles_e2e(spark, sf):
+    """Streaming quantile maintenance end-to-end: documents arrive as
+    hash-sliced micro-batches; each batch APPENDS its (lang, value)
+    histogram to an append-only ledger (histograms are a count monoid,
+    so append + sum-at-read equals the full recompute — no
+    read-modify-write on the stored statistic, no races, crash-safe
+    replay); the merged nearest-rank quantiles must hash-equal the
+    one-shot batch computation. The streaming form of
+    ``corpus_quantiles_incremental``, sharing its oracle shape with
+    ``corpus_tok_quantiles``."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .ops.sampling import hash_bucket
+    from .ops.text import quantiles_from_histogram, tokens_col, value_histogram_counts
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang", "text")
+    tmp = tempfile.mkdtemp(prefix="swarm_quant_stream_")
+    src = os.path.join(tmp, "incoming")
+    os.makedirs(src)
+    slice_id = hash_bucket("doc_id", "swarm-quant-slice") % 4
+    for k in range(4):
+        rows = (
+            docs.where(slice_id == k)
+            .select(F.to_json(F.struct("doc_id", "lang", "text")).alias("v"))
+            .collect()
+        )
+        with open(os.path.join(src, f"b{k}.ndjson"), "w") as f:
+            for r in rows:
+                f.write(r["v"] + "\n")
+
+    ledger = os.path.join(tmp, "hists")
+    os.makedirs(ledger)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+
+    def land(batch_df, _epoch):
+        h = value_histogram_counts(
+            batch_df.select(
+                "lang", F.size(tokens_col("text")).cast("long").alias("n_tok")
+            ),
+            "lang",
+            "n_tok",
+        )
+        h.write.mode("append").parquet(ledger)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")  # one slice per micro-batch
+        .json(src)
+        .writeStream.foreachBatch(land)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    merged = (
+        spark.read.schema("lang string, value long, cnt long")
+        .parquet(ledger)
+        .groupBy("lang", "value")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    return quantiles_from_histogram(merged, "lang")
+
+
+SQL_STREAMING_QUANTILES = """
+WITH w AS (SELECT lang,
+                  cast(len(regexp_split_to_array(text, ' +')) AS bigint) AS v
+           FROM documents),
+h AS (SELECT lang, v, cast(count(*) AS bigint) AS c FROM w GROUP BY 1, 2),
+t AS (SELECT lang, cast(sum(c) AS bigint) AS n_rows FROM h GROUP BY 1),
+cu AS (SELECT lang, v,
+              sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum
+       FROM h),
+q AS (SELECT unnest([500, 900, 990]) AS q_permille)
+SELECT cu.lang, cast(q.q_permille AS int) AS q_permille,
+       cast(min(cu.v) AS bigint) AS value, t.n_rows
+FROM cu JOIN t USING (lang), q
+WHERE cu.cum >= (q.q_permille * t.n_rows + 999) // 1000
+GROUP BY 1, 2, 4 ORDER BY 1, 2
+"""
+
+
 def _time_sliced_src(df, cols_json, tmp, slices=3, sentinel_rows=()):
     """Write ``df`` as ``slices`` contiguous event-time NDJSON files
     (plus sentinel files) under ``tmp``/incoming — deterministic
@@ -907,6 +997,7 @@ FROM s GROUP BY user_id, sess ORDER BY user_id, session_start
 CORE: dict[str, tuple[Callable, str | None]] = {
     "streaming_dedup_e2e": (q_streaming_dedup_e2e, SQL_STREAMING_DEDUP),
     "streaming_sketch_e2e": (q_streaming_sketch_e2e, SQL_STREAMING_SKETCH),
+    "streaming_quantiles_e2e": (q_streaming_quantiles_e2e, SQL_STREAMING_QUANTILES),
     "streaming_sessionize_e2e": (q_streaming_sessionize_e2e, SQL_STREAMING_SESSIONIZE),
     "streaming_window_e2e": (q_streaming_window_e2e, SQL_WINDOW_STREAM),
     "s1_scan_count": (q_s1_scan_count, SQL_S1),

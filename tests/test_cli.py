@@ -234,6 +234,52 @@ class TestCurate:
         assert rep["expectations"][0]["check"] == "in_range"
         assert not (tmp_path / "curated2").exists(), "gate must abort before writing"
 
+    def test_quality_train_score_and_curate_gate(self, spark, tmp_path, capsys):
+        """`quality train` writes a self-describing model parquet;
+        `quality score` reproduces the registry scorer exactly after
+        the parquet round-trip (no num_buckets threading needed); and
+        `curate --nb-model` applies it as a keep-gate."""
+        model_dir = str(tmp_path / "nbmodel")
+        res = _run(
+            capsys,
+            ["--cpus", "4", "quality", "train",
+             "/root/testdata/sf0.001/documents.parquet",
+             "--model", model_dir, "--label-col", "lang",
+             "--label-value", "en", "--buckets", "4096"],
+        )
+        assert res["docs"] == 500 and 0 < res["good_docs"] < 500
+        scores_dir = str(tmp_path / "scores")
+        res_s = _run(
+            capsys,
+            ["--cpus", "4", "quality", "score",
+             "/root/testdata/sf0.001/documents.parquet",
+             "--model", model_dir, "--output", scores_dir],
+        )
+        # at this corpus size Laplace smoothing dominates and all
+        # scores sit below 0 (correct NB behavior); the contracts to
+        # pin are the round-trip equality and the threshold gate below
+        assert res_s["docs"] == 500 and res_s["pred_good"] >= 0
+        back = spark.read.parquet(scores_dir)
+        assert set(back.columns) == {"doc_id", "n_tokens", "score_micro", "pred_good"}
+        from swarm_spark.ops_queries import q_text_nb_quality
+
+        want = {
+            (r["doc_id"], r["score_micro"])
+            for r in q_text_nb_quality(spark, "/root/testdata/sf0.001").collect()
+        }
+        got = {(r["doc_id"], r["score_micro"]) for r in back.collect()}
+        assert got == want
+        out = str(tmp_path / "cur")
+        res_c = _run(
+            capsys,
+            ["--cpus", "4", "curate",
+             "/root/testdata/sf0.001/documents.parquet", "-o", out,
+             "--min-quality", "0", "--nb-model", model_dir,
+             "--nb-min-score", "-7000000"],  # near the corpus median
+        )
+        n_above = sum(1 for _, s in got if s > -7_000_000)
+        assert 0 < res_c["docs_kept"] <= n_above < 500
+
     def test_curate_quality_quantile_gate(self, spark, tmp_path, capsys):
         """--quality-quantile keeps each language's top half by quality
         — per-language counts must be about half the ungated run's and

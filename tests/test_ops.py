@@ -1135,7 +1135,8 @@ class TestNaiveBayesQuality:
         B = 4096
         model = nb_train_quality(df, F.col("good") == 1, num_buckets=B)
         res = {r["bkt"]: r["llr_micro"] for r in model.where(F.col("bkt") < 0).collect()}
-        assert set(res) == {-1, -3}
+        assert set(res) == {-1, -3, -4}
+        assert res[-4] == B  # model is self-describing
         wave = spark.createDataFrame(
             [(9, "zzzunseen qqqnovel wwwfresh")], "doc_id long, text string"
         )
@@ -1157,7 +1158,7 @@ class TestNaiveBayesQuality:
         )
         model = nb_train_quality(df, F.col("good") == 1, num_buckets=64)
         rows = model.collect()
-        assert len(rows) <= 64 + 2
+        assert len(rows) <= 64 + 3
         prior = next(r["llr_micro"] for r in rows if r["bkt"] == -1)
         # dp=1, dn=1 -> prior ln(2/2)=0
         assert prior == 0
