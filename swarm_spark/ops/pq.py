@@ -234,8 +234,13 @@ def pq_topk(
         .groupBy("query_id", "id")
         .agg(F.sum("d2_micro").alias("adc_micro"))
     )
-    # salted two-phase top-k (nearest = smallest ADC), the
-    # similarity.topk_per_query shape with ascending order
+    return _rank_adc(joined, k, n_salts)
+
+
+def _rank_adc(joined: DataFrame, k: int, n_salts: int) -> DataFrame:
+    """Salted two-phase top-k over a (query_id, id, adc_micro) frame —
+    the similarity.topk_per_query shape with ascending order (nearest
+    = smallest ADC, ties by id)."""
     order = (F.col("adc_micro").asc(), F.col("id"))
     salt = (hash_bucket(F.col("id").cast("string"), "swarm-pq") % n_salts).cast("int")
     w1 = Window.partitionBy("query_id", "salt").orderBy(*order)
@@ -251,6 +256,112 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "id", "adc_micro", "rank")
         .orderBy("query_id", "rank")
+    )
+
+
+def pq_probe_cells(
+    codes: DataFrame,
+    centroids_df: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    m: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_salts: int = 16,
+) -> DataFrame:
+    """IVF-PQ search stage: queries rank the broadcast IVF centroids,
+    probe their ``nprobe`` nearest cells, and pay ADC lookups ONLY for
+    code rows in probed cells — cells cut the candidate set to
+    ~nprobe/n_cells of the corpus, codes cut candidate bytes to m
+    small ints (FAISS's IndexIVFPQ composition, the no-residual
+    variant — codes quantize raw vectors, not cell residuals, keeping
+    one codebook corpus-wide and the whole pipeline value-oracle-
+    checkable). ``codes`` must carry a ``cell`` column (the persisted
+    index form: PQ codes stored alongside their IVF assignment).
+    Output (query_id, id, adc_micro, rank)."""
+    if "cell" not in codes.columns:
+        raise ValueError("codes must carry a 'cell' column (join the IVF assignment)")
+    dim = _dim_of(queries, vec_col)
+    if dim % m != 0:
+        raise ValueError(f"vector dim {dim} not divisible by m={m}")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        dot_expr(vec_col, vec_col).alias("qn2"),
+    )
+    centroids = centroids_df.select(
+        "cell", F.col("ccv").alias("ccv"), F.col("ccn2").alias("ccn2")
+    )
+    cd2 = F.col("qn2") - 2 * dot_expr("qv", "ccv") + F.col("ccn2")
+    wq = Window.partitionBy("query_id").orderBy("cd2", "cell")
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .select("query_id", "cell", cd2.alias("cd2"))
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "cell")
+    )
+    qsubs = _subvectors(queries, vec_col, id_col, m, dim // m).withColumnRenamed(
+        "id", "query_id"
+    )
+    d2 = F.col("sv_n2") - 2 * dot_expr("sv", "cv") + F.col("cn2")
+    lut = qsubs.join(F.broadcast(codebooks), "sub").select(
+        "query_id",
+        "sub",
+        "code",
+        F.round(d2 * 1_000_000).cast("long").alias("d2_micro"),
+    )
+    code_rows = codes.select(
+        "id", "cell", F.posexplode("codes").alias("sub", "code")
+    )
+    joined = (
+        code_rows.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .where(F.col("query_id") != F.col("id"))
+        .groupBy("query_id", "id")
+        .agg(F.sum("d2_micro").alias("adc_micro"))
+    )
+    return _rank_adc(joined, k, n_salts)
+
+
+def ann_topk_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 4,
+    cell_iters: int = 2,
+    m: int = 4,
+    pq_k: int = 8,
+    pq_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_salts: int = 16,
+) -> DataFrame:
+    """End-to-end IVF-PQ: build the IVF cells and the PQ codebooks
+    over the corpus (both under the deterministic Lloyd contract),
+    store each vector as (cell, m codes), and search by probing
+    nprobe cells with ADC lookups — the double cost cut a 100-TB
+    embedding fleet actually deploys (candidate count ∝ nprobe/n_cells,
+    candidate bytes ∝ m, floats never read at query time). Production
+    materializes the (id, cell, codes) frame once and calls
+    :func:`pq_probe_cells` per batch."""
+    from .ivf import build_ivf
+
+    assignments, centroids = build_ivf(
+        corpus, vec_col, id_col, n_cells=n_cells, iters=cell_iters
+    )
+    books = pq_train(
+        corpus, m=m, k=pq_k, iters=pq_iters, vec_col=vec_col, id_col=id_col
+    )
+    codes = pq_encode(corpus, books, m=m, vec_col=vec_col, id_col=id_col).join(
+        assignments, "id"
+    )
+    return pq_probe_cells(
+        codes, centroids, queries, books,
+        k=k, nprobe=nprobe, m=m, vec_col=vec_col, id_col=id_col, n_salts=n_salts,
     )
 
 

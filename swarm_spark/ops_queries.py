@@ -1202,6 +1202,188 @@ SELECT query_id, id, cos, rank FROM (
     return "WITH " + ",\n".join(ctes) + final
 
 
+def _ivfpq_oracle_sql(
+    n_cells: int = 8,
+    cell_iters: int = 2,
+    nprobe: int = 4,
+    m: int = 4,
+    pq_k: int = 8,
+    pq_iters: int = 2,
+    topk: int = 5,
+    qmod: int = 100,
+) -> str:
+    """Unrolled IVF-PQ in DuckDB SQL: the cell k-means of
+    ``_ivf_oracle_sql`` (g-prefixed CTEs) + the per-subspace PQ
+    k-means of ``_pq_oracle_sql`` (z-prefixed), then probes rank the
+    final cell centroids, and ADC sums run only over code rows whose
+    IVF cell is probed — mirroring ops/pq.py::ann_topk_ivfpq step for
+    step under the shared determinism contract."""
+    s_expr = "len(v) // " + str(m)
+
+    def _slices(src: str, idc: str) -> str:
+        return "\n  UNION ALL ".join(
+            f"SELECT {idc}, {j} AS sub, "
+            f"v[({j} * ({s_expr})) + 1 : ({j} + 1) * ({s_expr})] AS sv "
+            f"FROM {src}"
+            for j in range(m)
+        )
+
+    ctes = [
+        """ib AS (
+  SELECT vec_id AS id, cast(embedding AS double[]) AS v,
+         list_dot_product(cast(embedding AS double[]),
+                          cast(embedding AS double[])) AS vn2
+  FROM embeddings)""",
+        f"""g0 AS (
+  SELECT cast(row_number() OVER (ORDER BY id) - 1 AS int) AS cell, v AS cv,
+         list_dot_product(v, v) AS cn2
+  FROM (SELECT id, v FROM ib ORDER BY id LIMIT {n_cells}))""",
+    ]
+    g_assign = (
+        "  SELECT id, cell FROM (\n"
+        "    SELECT b.id, c.cell,\n"
+        "           row_number() OVER (PARTITION BY b.id\n"
+        "             ORDER BY b.vn2 - 2 * list_dot_product(b.v, c.cv)"
+        " + c.cn2, c.cell) AS rn\n"
+        "    FROM ib b CROSS JOIN {cent} c) WHERE rn = 1)"
+    )
+    g_means = (
+        "  SELECT cell, list(round(mu, 9) ORDER BY pos) AS cv FROM (\n"
+        "    SELECT cell, pos, avg(x) AS mu FROM (\n"
+        "      SELECT a.cell, unnest(b.v) AS x,\n"
+        "             unnest(range(1, len(b.v) + 1)) AS pos\n"
+        "      FROM {a} a JOIN ib b USING (id))\n"
+        "    GROUP BY 1, 2)\n"
+        "  GROUP BY 1)"
+    )
+    prev = "g0"
+    for i in range(1, cell_iters + 1):
+        ctes.append(f"ga{i} AS (\n" + g_assign.format(cent=prev))
+        ctes.append(f"gm{i} AS (\n" + g_means.format(a=f"ga{i}"))
+        ctes.append(
+            f"""g{i} AS (
+  SELECT p.cell, coalesce(n.cv, p.cv) AS cv,
+         list_dot_product(coalesce(n.cv, p.cv), coalesce(n.cv, p.cv)) AS cn2
+  FROM {prev} p LEFT JOIN gm{i} n USING (cell))"""
+        )
+        prev = f"g{i}"
+    ctes.append("gfin AS (\n" + g_assign.format(cent=prev))
+    ctes.append("gmf AS (\n" + g_means.format(a="gfin"))
+    ctes.append(
+        """gpc AS (
+  SELECT cell, cv, list_dot_product(cv, cv) AS cn2 FROM gmf)"""
+    )
+    # PQ codebooks over subvector slices
+    ctes.append(
+        f"""sb AS (
+  SELECT id, sub, sv, list_dot_product(sv, sv) AS svn2 FROM (
+  {_slices("ib", "id")}))"""
+    )
+    ctes.append(
+        f"""z0 AS (
+  SELECT sub, cast(row_number() OVER (PARTITION BY sub ORDER BY id) - 1
+                   AS int) AS code,
+         sv AS cv, list_dot_product(sv, sv) AS cn2
+  FROM sb WHERE id IN (SELECT id FROM ib ORDER BY id LIMIT {pq_k}))"""
+    )
+    z_assign = (
+        "  SELECT id, sub, code FROM (\n"
+        "    SELECT b.id, b.sub, c.code,\n"
+        "           row_number() OVER (PARTITION BY b.id, b.sub\n"
+        "             ORDER BY b.svn2 - 2 * list_dot_product(b.sv, c.cv)"
+        " + c.cn2, c.code) AS rn\n"
+        "    FROM sb b JOIN {cent} c USING (sub)) WHERE rn = 1)"
+    )
+    prev = "z0"
+    for i in range(1, pq_iters + 1):
+        ctes.append(f"za{i} AS (\n" + z_assign.format(cent=prev))
+        ctes.append(
+            f"""zm{i} AS (
+  SELECT sub, code, list(round(mu, 9) ORDER BY pos) AS cv FROM (
+    SELECT sub, code, pos, avg(x) AS mu FROM (
+      SELECT a.sub, a.code, unnest(b.sv) AS x,
+             unnest(range(1, len(b.sv) + 1)) AS pos
+      FROM za{i} a JOIN sb b USING (id, sub))
+    GROUP BY 1, 2, 3)
+  GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""z{i} AS (
+  SELECT p.sub, p.code, coalesce(n.cv, p.cv) AS cv,
+         list_dot_product(coalesce(n.cv, p.cv), coalesce(n.cv, p.cv)) AS cn2
+  FROM {prev} p LEFT JOIN zm{i} n USING (sub, code))"""
+        )
+        prev = f"z{i}"
+    ctes.append("zfin AS (\n" + z_assign.format(cent=prev))
+    # queries, probes, LUT, cell-gated ADC
+    ctes.append(
+        f"""qs AS (
+  SELECT vec_id AS query_id, cast(embedding AS double[]) AS v,
+         list_dot_product(cast(embedding AS double[]),
+                          cast(embedding AS double[])) AS qn2
+  FROM embeddings WHERE vec_id % {qmod} = 0)"""
+    )
+    ctes.append(
+        f"""probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY q.qn2 - 2 * list_dot_product(q.v, c.cv) + c.cn2,
+                      c.cell) AS rn
+    FROM qs q CROSS JOIN gpc c) WHERE rn <= {nprobe})"""
+    )
+    ctes.append(
+        f"""qsb AS (
+  SELECT query_id, sub, sv, list_dot_product(sv, sv) AS svn2 FROM (
+  {_slices("qs", "query_id")}))"""
+    )
+    ctes.append(
+        f"""lut AS (
+  SELECT q.query_id, c.sub, c.code,
+         cast(round((q.svn2 - 2 * list_dot_product(q.sv, c.cv) + c.cn2)
+                    * 1000000) AS bigint) AS d2m
+  FROM qsb q JOIN {prev} c USING (sub))"""
+    )
+    ctes.append(
+        """cand AS (
+  SELECT l.query_id, e.id, cast(sum(l.d2m) AS bigint) AS adc_micro
+  FROM zfin e JOIN gfin a USING (id)
+       JOIN probes p ON p.cell = a.cell
+       JOIN lut l ON l.query_id = p.query_id
+                 AND l.sub = e.sub AND l.code = e.code
+  WHERE l.query_id <> e.id
+  GROUP BY 1, 2)"""
+    )
+    final = f"""
+SELECT query_id, id, adc_micro, rank FROM (
+  SELECT query_id, id, adc_micro,
+         cast(row_number() OVER (PARTITION BY query_id
+              ORDER BY adc_micro, id) AS bigint) AS rank
+  FROM cand) WHERE rank <= {topk} ORDER BY query_id, rank"""
+    return "WITH " + ",\n".join(ctes) + final
+
+
+def q_ann_topk_ivfpq(spark, sf):
+    """IVF-PQ end to end — the double cost cut of a deployed ANN
+    fleet: IVF cells bound the candidate COUNT (~nprobe/n_cells of
+    the corpus per query), PQ codes bound the candidate BYTES (m
+    small ints; floats never read at query time). Both quantizers
+    train under the deterministic Lloyd contract, so the entire
+    composition — cells, codebooks, probes, ADC sums — carries a full
+    value oracle (generated unrolled SQL)."""
+    from .ops.pq import ann_topk_ivfpq
+
+    emb = _emb(spark, sf)
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return ann_topk_ivfpq(
+        emb, queries, k=5, n_cells=8, nprobe=4, cell_iters=2,
+        m=4, pq_k=8, pq_iters=2,
+    )
+
+
+SQL_ANN_IVFPQ = _ivfpq_oracle_sql()
+
+
 def q_ann_pq_adc(spark, sf):
     """Product quantization end to end (Jégou et al. 2011): train m=4
     per-subspace codebooks (deterministic Lloyd, the IVF contract),
@@ -3153,6 +3335,7 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "ann_ivf_recall": (q_ann_ivf_recall, SQL_ANN_IVF_RECALL),
     "ann_pq_adc": (q_ann_pq_adc, SQL_ANN_PQ),
     "ann_pq_rerank": (q_ann_pq_rerank, SQL_ANN_PQ_RERANK),
+    "ann_topk_ivfpq": (q_ann_topk_ivfpq, SQL_ANN_IVFPQ),
     "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
     "dedup_semantic_keep": (q_dedup_semantic_keep, SQL_DEDUP_SEMANTIC_KEEP),
     "asof_latest_order": (q_asof_latest_order, SQL_ASOF),

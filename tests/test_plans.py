@@ -67,6 +67,7 @@ BNLJ_ALLOWED = {
     "ann_topk_dot",
     "ann_topk_int8",
     "ann_topk_ivf",
+    "ann_topk_ivfpq",  # centroid-argmin crossJoin (n_cells-row broadcast)
     "ann_ivf_recall",
     "corpus_mixture_plan",  # crossJoin(broadcast(1-row min budget))
     "dedup_minhash_recall",  # crossJoin(broadcast(1-row true-pair count))
@@ -108,6 +109,10 @@ _SCAN_BUDGET = {
     "ann_pq_rerank": 4,  # encode + LUT queries + rerank vector fetch +
     #   rerank query side (production materializes the codes, so the
     #   fused 4-scan shape exists only in this oracle composition)
+    "ann_topk_ivfpq": 5,  # IVF assignment + PQ encode + probe queries +
+    #   LUT queries + centroid branch — the fused build+probe oracle
+    #   composition; production materializes (id, cell, codes) once
+    #   and probes pay 2 scans
     "ann_topk_ivf": 4,
     "dedup_minhash_recall": 4,  # jaccard truth (2-scan shape) + the
     #   embedded minhash candidate generator (2-scan shape)

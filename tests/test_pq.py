@@ -111,6 +111,38 @@ class TestAdcSearch:
         assert a == b
         assert all(isinstance(t[2], int) for t in a)  # micro-unit longs
 
+    def test_ivfpq_full_probe_equals_plain_adc(self, spark, corpus):
+        """With nprobe == n_cells every cell is probed, so IVF-PQ must
+        reduce exactly to the plain ADC scan — the cell gate only ever
+        REMOVES candidates, deterministically."""
+        from swarm_spark.ops.pq import ann_topk_ivfpq
+
+        queries = corpus.where(F.col("vec_id") % 2 == 0)
+        books, codes = self._index(spark, corpus)
+        plain = sorted(
+            map(tuple, pq_topk(codes, queries, books, k=3, m=2).collect())
+        )
+        full_probe = sorted(
+            map(
+                tuple,
+                ann_topk_ivfpq(
+                    corpus, queries, k=3, n_cells=2, nprobe=2,
+                    cell_iters=2, m=2, pq_k=2, pq_iters=3,
+                ).collect(),
+            )
+        )
+        assert full_probe == plain
+
+    def test_probe_requires_cell_column(self, spark, corpus):
+        from swarm_spark.ops.pq import pq_probe_cells
+
+        books, codes = self._index(spark, corpus)
+        cent = spark.createDataFrame(
+            [(0, [1.0, 1.0, 0.0, 0.0], 2.0)], "cell int, ccv array<double>, ccn2 double"
+        )
+        with pytest.raises(ValueError, match="cell"):
+            pq_probe_cells(codes, cent, corpus, books, m=2)
+
     def test_rerank_returns_exact_cosine_order(self, spark, corpus):
         """With shortlist >= corpus the rerank IS brute force: compare
         against ann_topk_bruteforce directly."""
