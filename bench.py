@@ -66,6 +66,10 @@ def main() -> None:
         "text_quality_gate",
         "text_nb_quality",
         "corpus_expectations_approx",
+        # the fused ANN build+probe compositions (ann_topk_ivf,
+        # ann_topk_ivfpq) are excluded like the rest of that tier:
+        # their wall is k-means driver-round fixed overhead, measured
+        # properly by scripts/scale_probe.py's 1x/10x exponents
     ]
     names = [n for n in names if n in CORE]
 

@@ -202,40 +202,85 @@ def cmd_vacuum(args) -> int:
 
 
 def cmd_index(args) -> int:
-    """Build/probe a persisted IVF ANN index over an embeddings
-    parquet (build-once/probe-many; see ops/ivf.py)."""
+    """Build/probe a persisted ANN index over an embeddings parquet
+    (build-once/probe-many). ``--kind ivf`` (default) stores float
+    assignments + centroids (ops/ivf.py); ``--kind ivfpq`` stores the
+    compressed form — (id, cell, m codes) + centroids + codebooks
+    (ops/pq.py) — and probes by cell-gated ADC without ever reading
+    the float vectors."""
+    from pyspark.sql import functions as F
+
     from .ops.ivf import ann_topk_ivf_probe, build_ivf, load_ivf, save_ivf
 
     spark = _spark(args)
     if args.action == "build":
         emb = spark.read.parquet(args.input)
-        a, c = build_ivf(
-            emb,
-            vec_col=args.vec_col,
-            id_col=args.id_col,
-            n_cells=args.cells,
-            iters=args.iters,
-        )
-        save_ivf(a, c, args.index)
-        print(
-            json.dumps(
-                {"index": args.index, "vectors": a.count(), "cells": args.cells}
+        if args.kind == "ivfpq":
+            from .ops.pq import pq_encode, pq_train, save_ivfpq
+
+            a, c = build_ivf(
+                emb, vec_col=args.vec_col, id_col=args.id_col,
+                n_cells=args.cells, iters=args.iters,
             )
-        )
+            books = pq_train(
+                emb, m=args.m, k=args.pq_k, iters=args.pq_iters,
+                vec_col=args.vec_col, id_col=args.id_col,
+            )
+            codes = pq_encode(
+                emb, books, m=args.m, vec_col=args.vec_col, id_col=args.id_col
+            ).join(a, "id")
+            save_ivfpq(codes, c, books, args.index)
+            print(
+                json.dumps(
+                    {
+                        "index": args.index,
+                        "kind": "ivfpq",
+                        "vectors": codes.count(),
+                        "cells": args.cells,
+                        "m": args.m,
+                        "pq_k": args.pq_k,
+                    }
+                )
+            )
+        else:
+            a, c = build_ivf(
+                emb,
+                vec_col=args.vec_col,
+                id_col=args.id_col,
+                n_cells=args.cells,
+                iters=args.iters,
+            )
+            save_ivf(a, c, args.index)
+            print(
+                json.dumps(
+                    {"index": args.index, "vectors": a.count(), "cells": args.cells}
+                )
+            )
     else:  # probe
         emb = spark.read.parquet(args.input)
         queries = spark.read.parquet(args.queries) if args.queries else emb
-        a, c = load_ivf(spark, args.index)
-        out = ann_topk_ivf_probe(
-            emb,
-            queries,
-            a,
-            c,
-            k=args.k,
-            vec_col=args.vec_col,
-            id_col=args.id_col,
-            nprobe=args.nprobe,
-        )
+        if args.kind == "ivfpq":
+            from .ops.pq import load_ivfpq, pq_probe_cells
+
+            codes, cent, books = load_ivfpq(spark, args.index)
+            m = int(codes.select(F.size("codes")).head()[0])
+            out = pq_probe_cells(
+                codes, cent, queries, books,
+                k=args.k, nprobe=args.nprobe, m=m,
+                vec_col=args.vec_col, id_col=args.id_col,
+            )
+        else:
+            a, c = load_ivf(spark, args.index)
+            out = ann_topk_ivf_probe(
+                emb,
+                queries,
+                a,
+                c,
+                k=args.k,
+                vec_col=args.vec_col,
+                id_col=args.id_col,
+                nprobe=args.nprobe,
+            )
         for r in (out.limit(args.limit) if args.limit else out).collect():
             print(json.dumps({k: str(v) for k, v in r.asDict().items()}))
     return 0
@@ -670,6 +715,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--k", type=int, default=5)
     sp.add_argument("--nprobe", type=int, default=4)
     sp.add_argument("--limit", type=int, default=0)
+    sp.add_argument(
+        "--kind", choices=["ivf", "ivfpq"], default="ivf",
+        help="ivfpq stores (cell, m codes) per vector and probes by "
+        "cell-gated ADC without reading the float vectors",
+    )
+    sp.add_argument("--m", type=int, default=4, help="PQ subspaces (ivfpq)")
+    sp.add_argument("--pq-k", type=int, default=16, help="codes per subspace")
+    sp.add_argument("--pq-iters", type=int, default=3)
     sp.set_defaults(fn=cmd_index)
 
     sp = sub.add_parser("query", help="run a registry query and print rows")

@@ -365,6 +365,36 @@ def ann_topk_ivfpq(
     )
 
 
+def save_ivfpq(
+    codes: DataFrame, centroids: DataFrame, codebooks: DataFrame, path: str
+) -> None:
+    """Persist an IVF-PQ index: codes (corpus-sized — (id, cell,
+    codes), the only table that scales with the corpus), centroids
+    (n_cells rows), codebooks (m·k rows)."""
+    import os
+
+    codes.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+    centroids.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    codebooks.write.mode("overwrite").parquet(os.path.join(path, "codebooks"))
+
+
+def load_ivfpq(spark, path: str) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Read back a :func:`save_ivfpq` index as (codes, centroids,
+    codebooks). The codes table keeps its own embedded schema (any id
+    type survives the round trip)."""
+    import os
+
+    return (
+        spark.read.parquet(os.path.join(path, "codes")),
+        spark.read.schema("cell int, ccv array<double>, ccn2 double").parquet(
+            os.path.join(path, "centroids")
+        ),
+        spark.read.schema("sub int, code int, cv array<double>, cn2 double").parquet(
+            os.path.join(path, "codebooks")
+        ),
+    )
+
+
 def pq_topk_rerank(
     corpus: DataFrame,
     codes: DataFrame,

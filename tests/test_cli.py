@@ -633,3 +633,43 @@ class TestIndexCli:
         assert len(lines) == 6
         row = json.loads(lines[0])
         assert {"query_id", "id", "cos", "rank"} <= set(row)
+
+    def test_build_then_probe_ivfpq(self, spark, tmp_path, capsys):
+        """--kind ivfpq persists (id, cell, codes) + centroids +
+        codebooks and probes by cell-gated ADC; the probe must match
+        the in-memory ann_topk_ivfpq composition exactly (the whole
+        pipeline is deterministic)."""
+        idx = str(tmp_path / "pqidx")
+        out = _run(
+            capsys,
+            ["--cpus", "4", "index", "build", "--kind", "ivfpq",
+             "--input", "/root/testdata/sf0.001/embeddings.parquet",
+             "--index", idx, "--cells", "8", "--iters", "2",
+             "--m", "4", "--pq-k", "8", "--pq-iters", "2"],
+        )
+        assert out["vectors"] == 500 and out["kind"] == "ivfpq"
+        q_dir = str(tmp_path / "q")
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        emb.where("vec_id % 100 = 0").write.parquet(q_dir)
+        rc = main(
+            ["--cpus", "4", "index", "probe", "--kind", "ivfpq",
+             "--input", "/root/testdata/sf0.001/embeddings.parquet",
+             "--queries", q_dir, "--index", idx, "--k", "5", "--nprobe", "4"]
+        )
+        assert rc == 0
+        lines = capsys.readouterr().out.strip().splitlines()
+        got = {
+            (int(r["query_id"]), int(r["id"]), int(r["adc_micro"]), int(r["rank"]))
+            for r in map(json.loads, lines)
+        }
+        from swarm_spark.ops.pq import ann_topk_ivfpq
+        from pyspark.sql import functions as F
+
+        want = {
+            tuple(r)
+            for r in ann_topk_ivfpq(
+                emb, emb.where(F.col("vec_id") % 100 == 0), k=5,
+                n_cells=8, nprobe=4, cell_iters=2, m=4, pq_k=8, pq_iters=2,
+            ).collect()
+        }
+        assert got == want
