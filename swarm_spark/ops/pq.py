@@ -70,7 +70,7 @@ def _subvectors(df: DataFrame, vec_col: str, id_col: str, m: int, s: int) -> Dat
 def _dim_of(df: DataFrame, vec_col: str) -> int:
     row = df.select(F.size(vec_col).alias("d")).head()
     if row is None:
-        raise ValueError("cannot train PQ on an empty corpus")
+        raise ValueError(f"empty frame: cannot derive {vec_col!r} dimension")
     return int(row["d"])
 
 
@@ -193,6 +193,7 @@ def pq_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_salts: int = 16,
+    broadcast_max_queries: int | None = 10_000,
 ) -> DataFrame:
     """ADC top-k: (query_id, id, adc_micro, rank) — approximate squared
     L2 in integral micro-units, rank 1 = nearest, ties by id.
@@ -206,10 +207,18 @@ def pq_topk(
     never read at query time (that is the point of PQ). Every
     sub-distance is rounded to micro-units once, so per-candidate sums
     are 64-bit-integer arithmetic: order-independent, engine-exact.
+
+    The LUT (|Q|·m·k rows) broadcasts only when the query batch passes
+    the bounded ``broadcast_max_queries`` probe (the similarity-tier
+    guard): a production-sized batch falls back to a plain (sub, code)
+    equi-join AQE sizes, never blowing the broadcast/driver.
     """
+    from .similarity import _probe_is_small
+
     dim = _dim_of(queries, vec_col)
     if dim % m != 0:
         raise ValueError(f"vector dim {dim} not divisible by m={m}")
+    small = _probe_is_small(queries, broadcast_max_queries)
     s = dim // m
     qsubs = _subvectors(queries, vec_col, id_col, m, s).withColumnRenamed(
         "id", "query_id"
@@ -229,7 +238,7 @@ def pq_topk(
         F.posexplode("codes").alias("sub", "code"),
     )
     joined = (
-        code_rows.join(F.broadcast(lut), ["sub", "code"])
+        code_rows.join(F.broadcast(lut) if small else lut, ["sub", "code"])
         .where(F.col("query_id") != F.col("id"))
         .groupBy("query_id", "id")
         .agg(F.sum("d2_micro").alias("adc_micro"))
@@ -270,6 +279,7 @@ def pq_probe_cells(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_salts: int = 16,
+    broadcast_max_queries: int | None = 10_000,
 ) -> DataFrame:
     """IVF-PQ search stage: queries rank the broadcast IVF centroids,
     probe their ``nprobe`` nearest cells, and pay ADC lookups ONLY for
@@ -280,12 +290,21 @@ def pq_probe_cells(
     one codebook corpus-wide and the whole pipeline value-oracle-
     checkable). ``codes`` must carry a ``cell`` column (the persisted
     index form: PQ codes stored alongside their IVF assignment).
-    Output (query_id, id, adc_micro, rank)."""
+    Output (query_id, id, adc_micro, rank).
+
+    The query-derived probes (|Q|·nprobe rows) and LUT (|Q|·m·k rows)
+    broadcast only when the batch passes the bounded
+    ``broadcast_max_queries`` probe; production-sized batches fall
+    back to plain equi-joins AQE sizes (the similarity-tier guard —
+    an unguarded broadcast of a 10M-query batch OOMs the driver)."""
+    from .similarity import _probe_is_small
+
     if "cell" not in codes.columns:
         raise ValueError("codes must carry a 'cell' column (join the IVF assignment)")
     dim = _dim_of(queries, vec_col)
     if dim % m != 0:
         raise ValueError(f"vector dim {dim} not divisible by m={m}")
+    small = _probe_is_small(queries, broadcast_max_queries)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
@@ -317,8 +336,8 @@ def pq_probe_cells(
         "id", "cell", F.posexplode("codes").alias("sub", "code")
     )
     joined = (
-        code_rows.join(F.broadcast(probes), "cell")
-        .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        code_rows.join(F.broadcast(probes) if small else probes, "cell")
+        .join(F.broadcast(lut) if small else lut, ["query_id", "sub", "code"])
         .where(F.col("query_id") != F.col("id"))
         .groupBy("query_id", "id")
         .agg(F.sum("d2_micro").alias("adc_micro"))
@@ -339,6 +358,7 @@ def ann_topk_ivfpq(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_salts: int = 16,
+    broadcast_max_queries: int | None = 10_000,
 ) -> DataFrame:
     """End-to-end IVF-PQ: build the IVF cells and the PQ codebooks
     over the corpus (both under the deterministic Lloyd contract),
@@ -361,7 +381,8 @@ def ann_topk_ivfpq(
     )
     return pq_probe_cells(
         codes, centroids, queries, books,
-        k=k, nprobe=nprobe, m=m, vec_col=vec_col, id_col=id_col, n_salts=n_salts,
+        k=k, nprobe=nprobe, m=m, vec_col=vec_col, id_col=id_col,
+        n_salts=n_salts, broadcast_max_queries=broadcast_max_queries,
     )
 
 
@@ -406,18 +427,25 @@ def pq_topk_rerank(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_salts: int = 16,
+    broadcast_max_queries: int | None = 10_000,
 ) -> DataFrame:
     """Two-stage production search: ADC retrieves a ``shortlist`` of
     candidates from the CODES alone, then only those ≤ |Q|·shortlist
     survivors pay an exact cosine against their raw vectors. Output
     matches :func:`~swarm_spark.ops.similarity.ann_topk_bruteforce`'s
     schema and tie-break — (query_id, id, cos, rank) — so the recall
-    gate is a set comparison. Scale shape: the shortlist (metadata-
-    sized) BROADCASTS against the corpus scan for the vector fetch;
-    the rerank window is bounded by the ``shortlist`` literal."""
+    gate is a set comparison. Scale shape: the shortlist and query
+    frames broadcast against the corpus scan only when the batch
+    passes the bounded ``broadcast_max_queries`` probe (an oversized
+    batch falls back to equi-joins AQE sizes); the rerank window is
+    bounded by the ``shortlist`` literal."""
+    from .similarity import _probe_is_small
+
+    small = _probe_is_small(queries, broadcast_max_queries)
     short = pq_topk(
         codes, queries, codebooks, k=shortlist, m=m,
         vec_col=vec_col, id_col=id_col, n_salts=n_salts,
+        broadcast_max_queries=broadcast_max_queries,
     ).select("query_id", "id")
     c = corpus.select(
         F.col(id_col).alias("id"),
@@ -430,8 +458,8 @@ def pq_topk_rerank(
         dot_expr(vec_col, vec_col).alias("qn2"),
     )
     rer = (
-        c.join(F.broadcast(short), "id")
-        .join(F.broadcast(q), "query_id")
+        c.join(F.broadcast(short) if small else short, "id")
+        .join(F.broadcast(q) if small else q, "query_id")
         .select(
             "query_id",
             "id",

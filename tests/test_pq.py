@@ -133,6 +133,39 @@ class TestAdcSearch:
         )
         assert full_probe == plain
 
+    def test_broadcast_guard_fallback_is_identical(self, spark, corpus):
+        """An oversized query batch must fall back from the broadcast
+        LUT/probes to plain equi-joins with IDENTICAL output (the
+        similarity-tier guard — an unguarded broadcast of a huge batch
+        OOMs the driver)."""
+        from swarm_spark.ops.pq import ann_topk_ivfpq
+
+        queries = corpus.where(F.col("vec_id") % 2 == 0)
+        books, codes = self._index(spark, corpus)
+        want = sorted(
+            map(tuple, pq_topk(codes, queries, books, k=3, m=2).collect())
+        )
+        got = sorted(
+            map(
+                tuple,
+                pq_topk(
+                    codes, queries, books, k=3, m=2, broadcast_max_queries=1
+                ).collect(),
+            )
+        )
+        assert got == want
+        kw = dict(k=3, n_cells=2, nprobe=2, cell_iters=2, m=2, pq_k=2, pq_iters=3)
+        want = sorted(map(tuple, ann_topk_ivfpq(corpus, queries, **kw).collect()))
+        got = sorted(
+            map(
+                tuple,
+                ann_topk_ivfpq(
+                    corpus, queries, broadcast_max_queries=None, **kw
+                ).collect(),
+            )
+        )
+        assert got == want
+
     def test_probe_requires_cell_column(self, spark, corpus):
         from swarm_spark.ops.pq import pq_probe_cells
 
