@@ -386,6 +386,151 @@ def ann_topk_ivfpq(
     )
 
 
+def _residuals(
+    df: DataFrame,
+    assignments: DataFrame,
+    centroids_df: DataFrame,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(id, cell, rv): each vector minus its cell's 9-digit-rounded
+    centroid — the FAISS-default encoding target (residuals are
+    smaller and better centered than raw vectors, so the same m·k
+    codebook budget quantizes them more finely). One broadcast
+    centroid join + a codegen zip_with; exact IEEE subtraction, so
+    residuals reproduce bit-for-bit in the SQL oracle."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .join(assignments, "id")
+        .join(F.broadcast(centroids_df.select("cell", "ccv")), "cell")
+        .select(
+            "id", "cell", F.zip_with("v", "ccv", lambda a, b: a - b).alias("rv")
+        )
+    )
+
+
+def pq_probe_cells_residual(
+    codes: DataFrame,
+    centroids_df: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    m: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_salts: int = 16,
+    broadcast_max_queries: int | None = 10_000,
+) -> DataFrame:
+    """Residual-variant IVF-PQ search: codebooks were trained on
+    (vector − cell centroid) residuals, so the query side computes a
+    PER-PROBED-CELL residual and the LUT is keyed (query, cell, sub,
+    code) — |Q|·nprobe·m·k rows, still metadata when the batch passes
+    the broadcast guard. Candidates join the LUT on (cell, sub, code):
+    only ids in probed cells match, so no separate probe join rides
+    the plan. Output (query_id, id, adc_micro, rank)."""
+    from .similarity import _probe_is_small
+
+    if "cell" not in codes.columns:
+        raise ValueError("codes must carry a 'cell' column (join the IVF assignment)")
+    dim = _dim_of(queries, vec_col)
+    if dim % m != 0:
+        raise ValueError(f"vector dim {dim} not divisible by m={m}")
+    s = dim // m
+    small = _probe_is_small(queries, broadcast_max_queries)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        dot_expr(vec_col, vec_col).alias("qn2"),
+    )
+    centroids = centroids_df.select("cell", "ccv", "ccn2")
+    cd2 = F.col("qn2") - 2 * dot_expr("qv", "ccv") + F.col("ccn2")
+    wq = Window.partitionBy("query_id").orderBy("cd2", "cell")
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .select("query_id", "qv", "cell", "ccv", cd2.alias("cd2"))
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select(
+            "query_id",
+            "cell",
+            F.zip_with("qv", "ccv", lambda a, b: a - b).alias("rqv"),
+        )
+    )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("sub"),
+                F.slice(F.col("rqv"), j * s + 1, s).alias("sv"),
+            )
+            for j in range(m)
+        ]
+    )
+    qsubs = (
+        probes.select("query_id", "cell", F.explode(entries).alias("e"))
+        .select("query_id", "cell", "e.sub", "e.sv")
+        .withColumn("sv_n2", dot_expr("sv", "sv"))
+    )
+    d2 = F.col("sv_n2") - 2 * dot_expr("sv", "cv") + F.col("cn2")
+    lut = qsubs.join(F.broadcast(codebooks), "sub").select(
+        "query_id",
+        "cell",
+        "sub",
+        "code",
+        F.round(d2 * 1_000_000).cast("long").alias("d2_micro"),
+    )
+    code_rows = codes.select("id", "cell", F.posexplode("codes").alias("sub", "code"))
+    joined = (
+        code_rows.join(F.broadcast(lut) if small else lut, ["cell", "sub", "code"])
+        .where(F.col("query_id") != F.col("id"))
+        .groupBy("query_id", "id")
+        .agg(F.sum("d2_micro").alias("adc_micro"))
+    )
+    return _rank_adc(joined, k, n_salts)
+
+
+def ann_topk_ivfpq_residual(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 4,
+    cell_iters: int = 2,
+    m: int = 4,
+    pq_k: int = 8,
+    pq_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_salts: int = 16,
+    broadcast_max_queries: int | None = 10_000,
+) -> DataFrame:
+    """End-to-end residual IVF-PQ (the FAISS ``by_residual`` default):
+    PQ codebooks train on (vector − cell centroid) residuals, so the
+    code budget spends itself on within-cell structure instead of
+    re-encoding the coarse cell position — finer quantization at the
+    same m·k. The query side pays one extra subtraction per probed
+    cell. Everything stays on the deterministic Lloyd contract, so the
+    full composition is value-oracled (``ann_ivfpq_residual``)."""
+    from .ivf import build_ivf
+
+    assignments, centroids = build_ivf(
+        corpus, vec_col, id_col, n_cells=n_cells, iters=cell_iters
+    )
+    res = _residuals(corpus, assignments, centroids, vec_col, id_col)
+    books = pq_train(res, m=m, k=pq_k, iters=pq_iters, vec_col="rv", id_col="id")
+    codes = pq_encode(res, books, m=m, vec_col="rv", id_col="id").join(
+        res.select("id", "cell"), "id"
+    )
+    return pq_probe_cells_residual(
+        codes, centroids, queries, books,
+        k=k, nprobe=nprobe, m=m, vec_col=vec_col, id_col=id_col,
+        n_salts=n_salts, broadcast_max_queries=broadcast_max_queries,
+    )
+
+
 def save_ivfpq(
     codes: DataFrame, centroids: DataFrame, codebooks: DataFrame, path: str
 ) -> None:

@@ -602,6 +602,76 @@ def vocab_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def vocab_js_divergence(stored: DataFrame, wave: DataFrame) -> DataFrame:
+    """Corpus DRIFT monitor: Jensen–Shannon divergence between two
+    (tok, cnt) vocabulary distributions (:func:`vocab_counts` frames),
+    in integer micro-nats — the gate a pipeline checks before folding
+    an ingest wave into a corpus (a drifted wave means the source
+    changed: new boilerplate, a language shift, a scraper bug).
+    JS = ½·KL(P‖M) + ½·KL(Q‖M), M = (P+Q)/2 — symmetric and bounded
+    by ln 2 (≤ 693147 micro-nats), 0 iff identical distributions.
+
+    One-row output (tokens_stored, tokens_wave, vocab_stored,
+    vocab_wave, vocab_union, js_micro). Each token's KL term is
+    rounded to micro-nats ONCE, so the sums are 64-bit-integer
+    arithmetic (order-independent, engine-exact — the surprisal
+    contract); the final halving is half-up integer division.
+
+    Scale shape: one full-outer join of two vocab-sized frames (the
+    stored statistic, not the corpus), two grand totals to the driver,
+    then a map-side-combined integer sum. The corpora themselves are
+    never rescanned — drift checks run on the SAME (tok, cnt) frames
+    :func:`vocab_merge` maintains incrementally.
+    """
+    j = (
+        stored.select("tok", F.col("cnt").alias("ca"))
+        .join(wave.select("tok", F.col("cnt").alias("cb")), "tok", "full")
+        .na.fill(0, ["ca", "cb"])
+    )
+    tot = j.agg(
+        F.coalesce(F.sum("ca"), F.lit(0)).alias("ta"),
+        F.coalesce(F.sum("cb"), F.lit(0)).alias("tb"),
+    ).head()
+    ta, tb = int(tot["ta"]), int(tot["tb"])
+    if ta == 0 or tb == 0:
+        raise ValueError("both vocabularies must be non-empty")
+    p = F.col("ca") / F.lit(float(ta))
+    q = F.col("cb") / F.lit(float(tb))
+    m = (p + q) / 2
+
+    def term(x):
+        return (
+            F.when(x > 0, F.round(F.lit(1_000_000) * x * F.log(x / m)))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+
+    return (
+        j.agg(
+            F.lit(ta).cast("long").alias("tokens_stored"),
+            F.lit(tb).cast("long").alias("tokens_wave"),
+            F.sum((F.col("ca") > 0).cast("long")).cast("long").alias("vocab_stored"),
+            F.sum((F.col("cb") > 0).cast("long")).cast("long").alias("vocab_wave"),
+            F.count(F.lit(1)).cast("long").alias("vocab_union"),
+            (
+                F.coalesce(F.sum(term(p)), F.lit(0))
+                + F.coalesce(F.sum(term(q)), F.lit(0))
+            ).alias("__s"),
+        )
+        .select(
+            "tokens_stored",
+            "tokens_wave",
+            "vocab_stored",
+            "vocab_wave",
+            "vocab_union",
+            # JS >= 0 mathematically; the clamp kills the negative
+            # few-micro-nat edge where per-term rounding error could
+            # otherwise make the two engines' integer halving disagree
+            F.expr("greatest(0, (__s + 1) div 2)").cast("long").alias("js_micro"),
+        )
+    )
+
+
 def vocab_merge(stored: DataFrame, delta: DataFrame) -> DataFrame:
     """Fold a new wave's (tok, cnt) counts into stored counts —
     incremental vocabulary maintenance: counts are a commutative

@@ -483,6 +483,56 @@ def q_corpus_vocab_incremental(spark, sf):
 SQL_VOCAB_INCR = SQL_CORPUS_VOCAB.replace("rank <= 25", "rank <= 40")
 
 
+def q_corpus_vocab_drift(spark, sf):
+    """Corpus drift gate: Jensen–Shannon divergence between the stored
+    vocabulary distribution (even-doc_id half) and an ingest wave's
+    (odd half), in integer micro-nats — the number a pipeline checks
+    before folding a wave in (a drifted wave means the source changed).
+    Runs on the SAME (tok, cnt) frames vocab_merge maintains — the
+    corpora are never rescanned for the check."""
+    from .ops.text import vocab_counts, vocab_js_divergence
+
+    docs = _docs(spark, sf)
+    stored = vocab_counts(docs.where(F.col("doc_id") % 2 == 0))
+    wave = vocab_counts(docs.where(F.col("doc_id") % 2 == 1))
+    return vocab_js_divergence(stored, wave)
+
+
+SQL_VOCAB_DRIFT = """
+WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(text, ' +')) AS tok
+           FROM documents),
+a AS (SELECT tok, cast(count(*) AS bigint) AS ca FROM w
+      WHERE doc_id % 2 = 0 GROUP BY 1),
+b AS (SELECT tok, cast(count(*) AS bigint) AS cb FROM w
+      WHERE doc_id % 2 = 1 GROUP BY 1),
+j AS (SELECT coalesce(a.ca, 0) AS ca, coalesce(b.cb, 0) AS cb
+      FROM a FULL JOIN b USING (tok)),
+t AS (SELECT cast(sum(ca) AS bigint) AS ta, cast(sum(cb) AS bigint) AS tb
+      FROM j),
+k AS (SELECT t.ta, t.tb,
+        cast(sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS bigint) AS va,
+        cast(sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS bigint) AS vb,
+        cast(count(*) AS bigint) AS vu,
+        cast(sum(CASE WHEN ca > 0 THEN
+            round(1000000 * (ca / cast(t.ta AS double))
+                  * ln((ca / cast(t.ta AS double))
+                       / (((ca / cast(t.ta AS double))
+                           + (cb / cast(t.tb AS double))) / 2)))
+            ELSE 0 END) AS bigint)
+        + cast(sum(CASE WHEN cb > 0 THEN
+            round(1000000 * (cb / cast(t.tb AS double))
+                  * ln((cb / cast(t.tb AS double))
+                       / (((ca / cast(t.ta AS double))
+                           + (cb / cast(t.tb AS double))) / 2)))
+            ELSE 0 END) AS bigint) AS s
+      FROM j, t GROUP BY 1, 2)
+SELECT ta AS tokens_stored, tb AS tokens_wave, va AS vocab_stored,
+       vb AS vocab_wave, vu AS vocab_union,
+       cast(greatest(0, (s + 1) // 2) AS bigint) AS js_micro
+FROM k
+"""
+
+
 # -------------------------------------------------- corpus curation e2e
 def q_corpus_length_hist(spark, sf):
     """Pre-packing corpus length report: 128-token buckets with
@@ -1211,13 +1261,17 @@ def _ivfpq_oracle_sql(
     pq_iters: int = 2,
     topk: int = 5,
     qmod: int = 100,
+    residual: bool = False,
 ) -> str:
     """Unrolled IVF-PQ in DuckDB SQL: the cell k-means of
     ``_ivf_oracle_sql`` (g-prefixed CTEs) + the per-subspace PQ
     k-means of ``_pq_oracle_sql`` (z-prefixed), then probes rank the
     final cell centroids, and ADC sums run only over code rows whose
     IVF cell is probed — mirroring ops/pq.py::ann_topk_ivfpq step for
-    step under the shared determinism contract."""
+    step under the shared determinism contract. ``residual=True``
+    mirrors the FAISS-default variant: PQ trains/encodes (vector −
+    cell centroid) residuals and the query side slices a per-probed-
+    cell residual, so the LUT is keyed (query, cell, sub, code)."""
     s_expr = "len(v) // " + str(m)
 
     def _slices(src: str, idc: str) -> str:
@@ -1273,11 +1327,19 @@ def _ivfpq_oracle_sql(
         """gpc AS (
   SELECT cell, cv, list_dot_product(cv, cv) AS cn2 FROM gmf)"""
     )
-    # PQ codebooks over subvector slices
+    # PQ codebooks over subvector slices (of residuals when asked)
+    if residual:
+        ctes.append(
+            """rb AS (
+  SELECT b.id, a.cell,
+         list_transform(range(len(b.v)), i -> b.v[i + 1] - c.cv[i + 1]) AS v
+  FROM ib b JOIN gfin a USING (id) JOIN gpc c USING (cell))"""
+        )
+    pq_src = "rb" if residual else "ib"
     ctes.append(
         f"""sb AS (
   SELECT id, sub, sv, list_dot_product(sv, sv) AS svn2 FROM (
-  {_slices("ib", "id")}))"""
+  {_slices(pq_src, "id")}))"""
     )
     ctes.append(
         f"""z0 AS (
@@ -1332,20 +1394,49 @@ def _ivfpq_oracle_sql(
                       c.cell) AS rn
     FROM qs q CROSS JOIN gpc c) WHERE rn <= {nprobe})"""
     )
-    ctes.append(
-        f"""qsb AS (
+    if residual:
+        ctes.append(
+            """qrb AS (
+  SELECT p.query_id, p.cell,
+         list_transform(range(len(q.v)), i -> q.v[i + 1] - c.cv[i + 1]) AS v
+  FROM probes p JOIN qs q USING (query_id) JOIN gpc c USING (cell))"""
+        )
+        ctes.append(
+            f"""qsb AS (
+  SELECT query_id, cell, sub, sv, list_dot_product(sv, sv) AS svn2 FROM (
+  {_slices("qrb", "query_id, cell")}))"""
+        )
+        ctes.append(
+            f"""lut AS (
+  SELECT q.query_id, q.cell, c.sub, c.code,
+         cast(round((q.svn2 - 2 * list_dot_product(q.sv, c.cv) + c.cn2)
+                    * 1000000) AS bigint) AS d2m
+  FROM qsb q JOIN {prev} c USING (sub))"""
+        )
+        ctes.append(
+            """cand AS (
+  SELECT l.query_id, e.id, cast(sum(l.d2m) AS bigint) AS adc_micro
+  FROM zfin e JOIN gfin a USING (id)
+       JOIN lut l ON l.cell = a.cell
+                 AND l.sub = e.sub AND l.code = e.code
+  WHERE l.query_id <> e.id
+  GROUP BY 1, 2)"""
+        )
+    else:
+        ctes.append(
+            f"""qsb AS (
   SELECT query_id, sub, sv, list_dot_product(sv, sv) AS svn2 FROM (
   {_slices("qs", "query_id")}))"""
-    )
-    ctes.append(
-        f"""lut AS (
+        )
+        ctes.append(
+            f"""lut AS (
   SELECT q.query_id, c.sub, c.code,
          cast(round((q.svn2 - 2 * list_dot_product(q.sv, c.cv) + c.cn2)
                     * 1000000) AS bigint) AS d2m
   FROM qsb q JOIN {prev} c USING (sub))"""
-    )
-    ctes.append(
-        """cand AS (
+        )
+        ctes.append(
+            """cand AS (
   SELECT l.query_id, e.id, cast(sum(l.d2m) AS bigint) AS adc_micro
   FROM zfin e JOIN gfin a USING (id)
        JOIN probes p ON p.cell = a.cell
@@ -1353,7 +1444,7 @@ def _ivfpq_oracle_sql(
                  AND l.sub = e.sub AND l.code = e.code
   WHERE l.query_id <> e.id
   GROUP BY 1, 2)"""
-    )
+        )
     final = f"""
 SELECT query_id, id, adc_micro, rank FROM (
   SELECT query_id, id, adc_micro,
@@ -1382,6 +1473,26 @@ def q_ann_topk_ivfpq(spark, sf):
 
 
 SQL_ANN_IVFPQ = _ivfpq_oracle_sql()
+
+
+def q_ann_ivfpq_residual(spark, sf):
+    """Residual IVF-PQ (the FAISS ``by_residual`` default): codebooks
+    train on (vector − cell centroid) residuals so the code budget
+    encodes within-cell structure instead of the coarse cell position;
+    the query side slices one residual per probed cell. Full value
+    oracle — the generated SQL adds the residual CTEs to the IVF-PQ
+    unroll."""
+    from .ops.pq import ann_topk_ivfpq_residual
+
+    emb = _emb(spark, sf)
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return ann_topk_ivfpq_residual(
+        emb, queries, k=5, n_cells=8, nprobe=4, cell_iters=2,
+        m=4, pq_k=8, pq_iters=2,
+    )
+
+
+SQL_ANN_IVFPQ_RES = _ivfpq_oracle_sql(residual=True)
 
 
 def q_ann_pq_adc(spark, sf):
@@ -3336,6 +3447,7 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "ann_pq_adc": (q_ann_pq_adc, SQL_ANN_PQ),
     "ann_pq_rerank": (q_ann_pq_rerank, SQL_ANN_PQ_RERANK),
     "ann_topk_ivfpq": (q_ann_topk_ivfpq, SQL_ANN_IVFPQ),
+    "ann_ivfpq_residual": (q_ann_ivfpq_residual, SQL_ANN_IVFPQ_RES),
     "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
     "dedup_semantic_keep": (q_dedup_semantic_keep, SQL_DEDUP_SEMANTIC_KEEP),
     "asof_latest_order": (q_asof_latest_order, SQL_ASOF),
@@ -3355,5 +3467,6 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "corpus_curate": (q_corpus_curate, SQL_CORPUS_CURATE),
     "corpus_vocab": (q_corpus_vocab, SQL_CORPUS_VOCAB),
     "corpus_vocab_incremental": (q_corpus_vocab_incremental, SQL_VOCAB_INCR),
+    "corpus_vocab_drift": (q_corpus_vocab_drift, SQL_VOCAB_DRIFT),
     "corpus_length_hist": (q_corpus_length_hist, SQL_CORPUS_LENGTH_HIST),
 }

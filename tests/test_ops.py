@@ -1269,6 +1269,47 @@ class TestGroupValueQuantiles:
             group_value_quantiles(df, "g", "v", ())
 
 
+class TestVocabDrift:
+    def _counts(self, spark, pairs):
+        return spark.createDataFrame(pairs, "tok string, cnt long")
+
+    def test_identical_distributions_are_zero(self, spark):
+        from swarm_spark.ops.text import vocab_js_divergence
+
+        a = self._counts(spark, [("x", 10), ("y", 30)])
+        b = self._counts(spark, [("x", 20), ("y", 60)])  # same distribution
+        (row,) = vocab_js_divergence(a, b).collect()
+        assert row["js_micro"] == 0
+        assert row["vocab_union"] == 2 and row["tokens_wave"] == 80
+
+    def test_disjoint_vocabs_hit_ln2(self, spark):
+        import math
+
+        from swarm_spark.ops.text import vocab_js_divergence
+
+        a = self._counts(spark, [("x", 5), ("y", 5)])
+        b = self._counts(spark, [("u", 3), ("v", 7)])
+        (row,) = vocab_js_divergence(a, b).collect()
+        # JS of disjoint supports = ln 2 exactly (the upper bound)
+        assert abs(row["js_micro"] - round(math.log(2) * 1e6)) <= 2
+        assert row["vocab_stored"] == 2 and row["vocab_wave"] == 2
+        assert row["vocab_union"] == 4
+
+    def test_drift_orders_and_empty_rejected(self, spark):
+        import pytest as _pytest
+
+        from swarm_spark.ops.text import vocab_js_divergence
+
+        base = self._counts(spark, [("x", 50), ("y", 50)])
+        near = self._counts(spark, [("x", 55), ("y", 45)])
+        far = self._counts(spark, [("x", 95), ("y", 5)])
+        js_near = vocab_js_divergence(base, near).head()["js_micro"]
+        js_far = vocab_js_divergence(base, far).head()["js_micro"]
+        assert 0 < js_near < js_far
+        with _pytest.raises(ValueError, match="non-empty"):
+            vocab_js_divergence(base, base.limit(0)).collect()
+
+
 class TestHistogramMerge:
     def test_merge_equals_full_recompute(self, spark):
         """The value histogram is a count monoid: folding two waves'

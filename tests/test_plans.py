@@ -68,6 +68,8 @@ BNLJ_ALLOWED = {
     "ann_topk_int8",
     "ann_topk_ivf",
     "ann_topk_ivfpq",  # centroid-argmin crossJoin (n_cells-row broadcast)
+    "ann_ivfpq_residual",  # same centroid-argmin crossJoin, twice
+    #   (IVF assignment + per-query probe ranking)
     "ann_ivf_recall",
     "corpus_mixture_plan",  # crossJoin(broadcast(1-row min budget))
     "dedup_minhash_recall",  # crossJoin(broadcast(1-row true-pair count))
@@ -113,6 +115,9 @@ _SCAN_BUDGET = {
     #   LUT queries + centroid branch — the fused build+probe oracle
     #   composition; production materializes (id, cell, codes) once
     #   and probes pay 2 scans
+    "ann_ivfpq_residual": 6,  # the ivfpq fused shape + one residual
+    #   branch (corpus rejoined to its assignment); production
+    #   materializes (id, cell, codes) once and probes pay 2 scans
     "ann_topk_ivf": 4,
     "dedup_minhash_recall": 4,  # jaccard truth (2-scan shape) + the
     #   embedded minhash candidate generator (2-scan shape)

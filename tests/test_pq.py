@@ -195,3 +195,76 @@ class TestAdcSearch:
             map(tuple, ann_topk_bruteforce(corpus, queries, k=3, n_salts=2).collect())
         )
         assert got == want
+
+
+class TestResidualIvfPq:
+    def test_one_cell_reduces_to_centered_pq(self, spark, corpus):
+        """With n_cells=1 the residual variant IS plain PQ over the
+        mean-centered corpus: subtract build_ivf's own centroid in
+        Python and the two pipelines must agree row for row (same
+        Lloyd contract, same micro rounding)."""
+        from swarm_spark.ops.ivf import build_ivf
+        from swarm_spark.ops.pq import ann_topk_ivfpq_residual
+
+        _, centroids = build_ivf(corpus, n_cells=1, iters=2)
+        (crow,) = centroids.collect()
+        cc = list(crow["ccv"])
+        centered = _vecs(
+            spark,
+            [
+                (r["vec_id"], [a - b for a, b in zip(r["embedding"], cc)])
+                for r in corpus.collect()
+            ],
+        )
+        queries = corpus.where(F.col("vec_id") % 2 == 0)
+        books = pq_train(centered, m=2, k=2, iters=3)
+        codes = pq_encode(centered, books, m=2)
+        cq = centered.where(F.col("vec_id") % 2 == 0)
+        want = sorted(map(tuple, pq_topk(codes, cq, books, k=3, m=2).collect()))
+        got = sorted(
+            map(
+                tuple,
+                ann_topk_ivfpq_residual(
+                    corpus, queries, k=3, n_cells=1, nprobe=1,
+                    cell_iters=2, m=2, pq_k=2, pq_iters=3,
+                ).collect(),
+            )
+        )
+        assert got == want
+
+    def test_broadcast_guard_fallback_is_identical(self, spark, corpus):
+        from swarm_spark.ops.pq import ann_topk_ivfpq_residual
+
+        queries = corpus.where(F.col("vec_id") % 2 == 0)
+        kw = dict(k=3, n_cells=2, nprobe=2, cell_iters=2, m=2, pq_k=2, pq_iters=3)
+        want = sorted(
+            map(tuple, ann_topk_ivfpq_residual(corpus, queries, **kw).collect())
+        )
+        got = sorted(
+            map(
+                tuple,
+                ann_topk_ivfpq_residual(
+                    corpus, queries, broadcast_max_queries=None, **kw
+                ).collect(),
+            )
+        )
+        assert got == want
+
+    def test_partitioning_invariant(self, spark, corpus):
+        from swarm_spark.ops.pq import ann_topk_ivfpq_residual
+
+        queries = corpus.where(F.col("vec_id") % 2 == 0)
+        kw = dict(k=3, n_cells=2, nprobe=2, cell_iters=2, m=2, pq_k=2, pq_iters=3)
+        a = sorted(
+            map(tuple, ann_topk_ivfpq_residual(corpus, queries, **kw).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                ann_topk_ivfpq_residual(
+                    corpus.repartition(5), queries, n_salts=3, **kw
+                ).collect(),
+            )
+        )
+        assert a == b
+        assert all(isinstance(t[2], int) for t in a)

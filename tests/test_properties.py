@@ -122,3 +122,45 @@ class TestStripProperties:
                     check(val)
 
         check(out)
+
+
+class TestShuffleRangeFold:
+    """global_shuffle_order's no-hint path measures counts on a fixed
+    65536-range power-of-two grid and folds them into the chosen
+    coarser range count. That is only sound if coarse(b) is EXACTLY a
+    function of fine(b) for every hash value — pin the arithmetic."""
+
+    @given(
+        st.integers(min_value=0, max_value=2**32 - 1),
+        st.integers(min_value=0, max_value=6),
+    )
+    @settings(max_examples=500)
+    def test_coarse_range_is_exact_fold_of_fine(self, b, rpow):
+        FINE = 65536
+        r = 1024 << rpow  # the auto path's candidates: 1024..65536
+        coarse = b * r // (1 << 32)
+        fine = b * FINE // (1 << 32)
+        assert coarse == fine // (FINE // r)
+
+    @given(st.integers(min_value=0, max_value=2**32 - 1), st.integers(1, 5000))
+    @settings(max_examples=500)
+    def test_ranges_are_monotone_in_hash(self, b, n_ranges):
+        # offsets accumulate in sorted range order; sound only if the
+        # range id never decreases as the hash grows
+        r1 = b * n_ranges // (1 << 32)
+        r2 = min(b + 1, 2**32 - 1) * n_ranges // (1 << 32)
+        assert r1 <= r2 < n_ranges
+
+
+class TestNearestRankArithmetic:
+    """The quantile tier's rank = (q*n + 999) div 1000 must be the
+    exact nearest-rank ceil for every (q, n) — no float boundary for
+    two engines to disagree on."""
+
+    @given(st.integers(1, 1000), st.integers(0, 10**12))
+    @settings(max_examples=500)
+    def test_rank_is_integral_ceil(self, q, n):
+        r = (q * n + 999) // 1000
+        assert r * 1000 >= q * n
+        if q * n > 0:
+            assert (r - 1) * 1000 < q * n
