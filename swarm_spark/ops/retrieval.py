@@ -1,0 +1,193 @@
+"""Lexical retrieval over the corpus: BM25 ranking and reciprocal-rank
+fusion — the retrieval tier next to the embedding ANN operators
+(`ops/similarity.py` / `ops/pq.py`), so hybrid (lexical + semantic)
+search composes from the two rank lists.
+
+BM25 here is the Lucene/Robertson formulation (public: Robertson &
+Zaragoza 2009, "The Probabilistic Relevance Framework: BM25 and
+Beyond"):
+
+    idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+    score(q, d) = Σ_{t ∈ q∩d} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+with each per-(query, doc, term) contribution rounded ONCE to integer
+micro-nats, so the final per-pair sums are 64-bit-integer arithmetic —
+order-independent and engine-exact (the registry's surprisal/DSIR
+determinism contract). Query terms are DEDUPLICATED (each distinct
+query term contributes once — the Lucene convention for short keyword
+queries).
+
+Scale shape (the 100-TB story):
+- the postings list (id, tok, tf) and the document-frequency statistic
+  (tok, df) are ONE map-side-combined shuffle each over the exploded
+  corpus — both are stored statistics a warehouse materializes next to
+  the corpus, and ``df``/``n_docs``/``tot_tokens`` are all additive
+  across disjoint waves (mergeable, like the vocab/histogram/bitmap
+  family);
+- a query batch never touches the vocab-sized stats frame at
+  broadcast width: query terms equi-join the stats first (output ≤
+  |Q|·terms rows — metadata), and only THAT frame broadcasts into the
+  postings join, guarded by the similarity-tier bounded batch probe;
+- candidates are exactly the docs sharing ≥ 1 query term (the inverted
+  index gate) — no all-pairs stage; the final (query, doc) aggregation
+  and salted two-phase top-k bound every window task at ~k rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .sampling import hash_bucket
+from .text import tokens_col
+
+
+def bm25_postings(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, dl, tok, tf): the inverted-index postings with per-doc
+    token length — ONE explode + map-side-combined aggregation. This
+    is the materialized search index; ``tf`` is additive per (id, tok)
+    so append-only waves fold in with a groupBy-sum."""
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens_col(text_col).alias("__ws")
+    ).withColumn("dl", F.size("__ws").cast("long"))
+    return (
+        toks.select("id", "dl", F.explode("__ws").alias("tok"))
+        .groupBy("id", "dl", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def bm25_stats(postings: DataFrame) -> DataFrame:
+    """(tok, df) document frequencies from a postings frame — one
+    map-side-combined shuffle ∝ vocab; additive across disjoint
+    corpora (merge == groupBy-sum, the stored-statistic contract)."""
+    return postings.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    n_salts: int = 16,
+    broadcast_max_queries: int | None = 10_000,
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """BM25 top-k search: (query_id, id, score_micro, rank), rank by
+    score descending, ties by id ascending. Self-matches are kept (a
+    query is external text; if it happens to BE a corpus row, that row
+    legitimately scores highest).
+
+    Pass a persisted ``postings`` frame (:func:`bm25_postings`) to
+    probe many batches without re-exploding the corpus — the
+    build-once/probe-many workflow of the ANN tier. Corpus totals
+    (N, Σdl) are two grand aggregates (1 driver row); ``avgdl`` enters
+    the formula as the exact double ``tot/N`` both engines compute
+    identically.
+    """
+    from .similarity import _probe_is_small
+
+    if k < 1 or k1 <= 0 or not 0.0 <= b <= 1.0:
+        raise ValueError(f"need k >= 1, k1 > 0, 0 <= b <= 1; got {k}, {k1}, {b}")
+    post = bm25_postings(docs, text_col, id_col) if postings is None else postings
+    stats = bm25_stats(post)
+    tot = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.size(tokens_col(text_col))), F.lit(0)).alias("tt"),
+    ).head()
+    n, tt = int(tot["n"]), int(tot["tt"])
+    if n == 0:
+        raise ValueError("corpus is empty")
+    avgdl = float(tt) / float(n)
+
+    small = _probe_is_small(queries, broadcast_max_queries)
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(tokens_col(query_text_col)).alias("tok"),
+        )
+        .distinct()
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    # query terms meet the vocab-sized stats in an equi-join FIRST; the
+    # |Q|*terms-row result is what broadcasts into the postings join
+    qidf = qterms.join(stats, "tok").select("query_id", "tok", idf.alias("idf"))
+    tfnorm = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+    )
+    term_micro = F.round(F.lit(1_000_000) * F.col("idf") * tfnorm).cast("long")
+    joined = (
+        post.join(F.broadcast(qidf) if small else qidf, "tok")
+        .select("query_id", "id", term_micro.alias("__t"))
+        .groupBy("query_id", "id")
+        .agg(F.sum("__t").alias("score_micro"))
+    )
+    order = (F.col("score_micro").desc(), F.col("id"))
+    salt = (hash_bucket(F.col("id").cast("string"), "swarm-bm25") % n_salts).cast("int")
+    w1 = Window.partitionBy("query_id", "salt").orderBy(*order)
+    survivors = (
+        joined.withColumn("salt", salt)
+        .withColumn("rk", F.row_number().over(w1))
+        .where(F.col("rk") <= k)
+        .drop("rk", "salt")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "id", "score_micro", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 5,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of N
+    rank lists sharing the (query_id, id, rank) shape — the standard
+    hybrid-search combiner (lexical BM25 list + semantic ANN list):
+
+        fused(q, d) = Σ_lists round(1e6 / (rrf_k + rank(q, d)))
+
+    in integer micro-units (missing (q, d) in a list contributes 0),
+    re-ranked descending, ties by id. Rank-only fusion needs no score
+    calibration between lists — exactly why it is the production
+    default for hybrid retrieval.
+
+    Scale shape: a union of k-bounded rank lists (each ≤ |Q|·k rows —
+    metadata next to the searches that produced them), one
+    map-side-combined sum, and a window over ≤ N_lists·k rows per
+    query. Output (query_id, id, rrf_micro, rank)."""
+    if not rankings:
+        raise ValueError("need at least one ranking")
+    if k < 1 or rrf_k < 1:
+        raise ValueError(f"need k >= 1 and rrf_k >= 1; got {k}, {rrf_k}")
+    contrib = F.round(F.lit(1_000_000.0) / (F.lit(rrf_k) + F.col("rank"))).cast("long")
+    parts = [
+        r.select("query_id", "id", contrib.alias("__c")) for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("query_id", "id").agg(F.sum("__c").alias("rrf_micro"))
+    w = Window.partitionBy("query_id").orderBy(F.col("rrf_micro").desc(), F.col("id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "id", "rrf_micro", "rank")
+        .orderBy("query_id", "rank")
+    )

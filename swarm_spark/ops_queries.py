@@ -1495,6 +1495,109 @@ def q_ann_ivfpq_residual(spark, sf):
 SQL_ANN_IVFPQ_RES = _ivfpq_oracle_sql(residual=True)
 
 
+# -------------------------------------------------- lexical retrieval
+def q_bm25_topk(spark, sf):
+    """BM25 keyword search over the corpus (Robertson & Zaragoza 2009,
+    the Lucene formulation): every 50th document is a query; top-5 docs
+    per query by the micro-nat-integer BM25 score. The inverted-index
+    postings and df statistic are one map-side-combined shuffle each;
+    query terms meet the vocab-sized stats in an equi-join before
+    anything broadcasts (the guarded |Q|·terms frame)."""
+    from .ops.retrieval import bm25_topk
+
+    docs = _docs(spark, sf)
+    queries = docs.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return bm25_topk(docs, queries, k=5)
+
+
+# parenthesization mirrors ops/retrieval.py exactly: (1e6 * idf) *
+# ((tf * 2.2) / denom) — double association is part of the contract
+SQL_BM25 = """
+WITH toks AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS ws FROM documents),
+d AS (SELECT doc_id AS id, cast(len(ws) AS bigint) AS dl, ws FROM toks),
+post AS (SELECT id, dl, tok, cast(count(*) AS bigint) AS tf
+         FROM (SELECT id, dl, unnest(ws) AS tok FROM d) GROUP BY 1, 2, 3),
+stats AS (SELECT tok, cast(count(*) AS bigint) AS df FROM post GROUP BY 1),
+tot AS (SELECT cast(count(*) AS double) AS n, cast(sum(dl) AS double) AS tt FROM d),
+q AS (SELECT DISTINCT doc_id AS query_id, unnest(ws) AS tok FROM toks
+      WHERE doc_id % 50 = 0),
+qidf AS (SELECT q.query_id, q.tok,
+                ln(1 + (t.n - s.df + 0.5) / (s.df + 0.5)) AS idf
+         FROM q JOIN stats s USING (tok) CROSS JOIN tot t),
+terms AS (SELECT qi.query_id, p.id,
+                 cast(round((1000000 * qi.idf) *
+                      ((p.tf * 2.2) /
+                       (p.tf + 1.2 * (0.25 + 0.75 * p.dl / (t.tt / t.n)))))
+                      AS bigint) AS tm
+          FROM post p JOIN qidf qi USING (tok) CROSS JOIN tot t),
+sc AS (SELECT query_id, id, cast(sum(tm) AS bigint) AS score_micro
+       FROM terms GROUP BY 1, 2),
+r AS (SELECT query_id, id, score_micro,
+             cast(row_number() OVER (PARTITION BY query_id
+                  ORDER BY score_micro DESC, id) AS bigint) AS rank
+      FROM sc)
+SELECT query_id, id, score_micro, rank FROM r WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+def q_hybrid_rrf(spark, sf):
+    """Hybrid retrieval: BM25 lexical top-10 over documents fused with
+    exact-cosine semantic top-10 over the aligned embeddings table by
+    reciprocal-rank fusion (Cormack et al. 2009) — the production
+    hybrid-search shape. Fusion is rank-only integer arithmetic over
+    two k-bounded lists; no score calibration between the engines."""
+    from .ops.retrieval import bm25_topk, rrf_fuse
+    from .ops.similarity import ann_topk_bruteforce
+
+    docs = _docs(spark, sf)
+    emb = _emb(spark, sf)
+    queries = docs.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    lex = bm25_topk(docs, queries, k=10)
+    sem = ann_topk_bruteforce(
+        emb, emb.where(F.col("vec_id") % 50 == 0), k=10
+    )
+    return rrf_fuse([lex, sem], k=5)
+
+
+SQL_HYBRID_RRF = (
+    SQL_BM25.replace("rank <= 5", "rank <= 10").rstrip()
+    .replace("SELECT query_id, id, score_micro, rank FROM r WHERE rank <= 10\nORDER BY query_id, rank", "")
+    + """,
+sem AS (SELECT query_id, id,
+               cast(row_number() OVER (PARTITION BY query_id
+                    ORDER BY round(list_dot_product(qv, cv)
+                          / sqrt(list_dot_product(qv, qv)
+                                 * list_dot_product(cv, cv)), 9) DESC, id)
+                    AS bigint) AS rank
+        FROM (SELECT vec_id AS query_id, cast(embedding AS double[]) AS qv
+              FROM embeddings WHERE vec_id % 50 = 0) q,
+             (SELECT vec_id AS id, cast(embedding AS double[]) AS cv
+              FROM embeddings) c
+        WHERE query_id != id
+        QUALIFY rank <= 10),
+u AS (SELECT query_id, id,
+             cast(round(1000000.0 / (60 + rank)) AS bigint) AS c
+      FROM r WHERE rank <= 10
+      UNION ALL
+      SELECT query_id, id, cast(round(1000000.0 / (60 + rank)) AS bigint)
+      FROM sem),
+fused AS (SELECT query_id, id, cast(sum(c) AS bigint) AS rrf_micro
+          FROM u GROUP BY 1, 2),
+fr AS (SELECT query_id, id, rrf_micro,
+              cast(row_number() OVER (PARTITION BY query_id
+                   ORDER BY rrf_micro DESC, id) AS bigint) AS rank
+       FROM fused)
+SELECT query_id, id, rrf_micro, rank FROM fr WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+)
+
+
 def q_ann_pq_adc(spark, sf):
     """Product quantization end to end (Jégou et al. 2011): train m=4
     per-subspace codebooks (deterministic Lloyd, the IVF contract),
@@ -3448,6 +3551,8 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "ann_pq_rerank": (q_ann_pq_rerank, SQL_ANN_PQ_RERANK),
     "ann_topk_ivfpq": (q_ann_topk_ivfpq, SQL_ANN_IVFPQ),
     "ann_ivfpq_residual": (q_ann_ivfpq_residual, SQL_ANN_IVFPQ_RES),
+    "bm25_topk": (q_bm25_topk, SQL_BM25),
+    "hybrid_rrf": (q_hybrid_rrf, SQL_HYBRID_RRF),
     "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
     "dedup_semantic_keep": (q_dedup_semantic_keep, SQL_DEDUP_SEMANTIC_KEEP),
     "asof_latest_order": (q_asof_latest_order, SQL_ASOF),

@@ -61,6 +61,8 @@ BNLJ_ALLOWED = {
     "corpus_distinct_sketch",  # crossJoin(broadcast(1-row exact count))
     "corpus_sketch_incremental",  # crossJoins of three 1-row estimates
     "ann_topk_bruteforce",
+    "hybrid_rrf",  # embeds the ann_topk_bruteforce verifier (broadcast
+    #   query set, |Q| literal) as its semantic rank list
     "dedup_semantic",
     "dedup_semantic_keep",
     "dedup_semantic_text",
@@ -99,6 +101,7 @@ _SCAN_BUDGET = {
     #   corpus frame the anti-join preserves
     "knn_classify": 3,  # embeddings as corpus + broadcast queries + label dim
     "text_bigram_surprisal": 3,  # unigram stats + bigram stats + scoring
+    "bm25_topk": 3,  # postings + df-stats branch + the query batch
     "text_decontaminate": 3,
     "text_strip_segments": 3,
     "ann_ivf_assign_wave": 3,  # build (assignment + centroid join) + wave
@@ -127,6 +130,8 @@ _SCAN_BUDGET = {
     #   purchase) + the view-stage aggregate feeding both the click
     #   chain and the stage-count join
     "set_ops": 4,
+    "hybrid_rrf": 5,  # the bm25 3-scan shape + embeddings corpus +
+    #   embeddings query batch for the semantic list
     "serve_pubsub_e2e": 5,
     "ann_ivf_recall": 6,
 }

@@ -1,0 +1,155 @@
+"""Lexical retrieval: BM25 semantics against hand-computed scores,
+the stored-statistic/merge contracts, and reciprocal-rank fusion.
+Full-value DuckDB parity is pinned by test_oracle (bm25_topk,
+hybrid_rrf); these tests cover the operator contracts directly."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from swarm_spark.ops.retrieval import (
+    bm25_postings,
+    bm25_stats,
+    bm25_topk,
+    rrf_fuse,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture()
+def corpus(spark):
+    return _docs(
+        spark,
+        [
+            (0, "spark shuffle join"),
+            (1, "spark spark broadcast join"),
+            (2, "window agg shuffle"),
+            (3, "broadcast hash join spark"),
+            (4, "agg agg agg window"),
+        ],
+    )
+
+
+def _bm25(tf, df, dl, n, avgdl, k1=1.2, b=0.75):
+    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    return (1_000_000 * idf) * ((tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+
+
+class TestBm25:
+    def test_scores_match_hand_formula(self, spark, corpus):
+        queries = _docs(spark, [(100, "spark join")]).select(
+            F.col("doc_id").alias("query_id"), "text"
+        )
+        out = {r["id"]: r["score_micro"] for r in bm25_topk(corpus, queries, k=5).collect()}
+        # corpus facts: N=5, total tokens 18, df(spark)=3, df(join)=3
+        avgdl = 18 / 5
+        for doc, terms in {
+            0: [(1, 3, 3), (1, 3, 3)],  # spark tf=1, join tf=1, dl=3
+            1: [(2, 3, 4), (1, 3, 4)],  # spark tf=2, join tf=1, dl=4
+            3: [(1, 3, 4), (1, 3, 4)],
+        }.items():
+            want = sum(round(_bm25(tf, df, dl, 5, avgdl)) for tf, df, dl in terms)
+            assert out[doc] == want, doc
+        assert set(out) == {0, 1, 3}  # docs 2 and 4 share no query term
+
+    def test_rank_order_and_ties(self, spark, corpus):
+        queries = _docs(spark, [(100, "spark join")]).select(
+            F.col("doc_id").alias("query_id"), "text"
+        )
+        out = bm25_topk(corpus, queries, k=5).collect()
+        assert [r["rank"] for r in out] == [1, 2, 3]
+        scores = [r["score_micro"] for r in out]
+        assert scores == sorted(scores, reverse=True)
+        # doc 1 has spark twice in the shortest text sharing both terms
+        assert out[0]["id"] == 1
+
+    def test_query_terms_are_deduplicated(self, spark, corpus):
+        q1 = _docs(spark, [(1, "spark join")]).select(
+            F.col("doc_id").alias("query_id"), "text"
+        )
+        q2 = _docs(spark, [(1, "spark spark join spark")]).select(
+            F.col("doc_id").alias("query_id"), "text"
+        )
+        a = sorted(map(tuple, bm25_topk(corpus, q1, k=5).collect()))
+        b = sorted(map(tuple, bm25_topk(corpus, q2, k=5).collect()))
+        assert a == b
+
+    def test_persisted_postings_and_merge(self, spark, corpus):
+        """postings/df stats are additive statistics: fold of two
+        disjoint waves' frames == full recompute, and bm25_topk over
+        the merged frame == bm25_topk over the corpus."""
+        even = corpus.where(F.col("doc_id") % 2 == 0)
+        odd = corpus.where(F.col("doc_id") % 2 == 1)
+        merged = (
+            bm25_postings(even).unionByName(bm25_postings(odd))
+            .groupBy("id", "dl", "tok")
+            .agg(F.sum("tf").alias("tf"))
+        )
+        full = bm25_postings(corpus)
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, full.collect())
+        )
+        sa = sorted(map(tuple, bm25_stats(merged).collect()))
+        sb = sorted(map(tuple, bm25_stats(full).collect()))
+        assert sa == sb
+        queries = _docs(spark, [(9, "broadcast window")]).select(
+            F.col("doc_id").alias("query_id"), "text"
+        )
+        via_post = sorted(
+            map(tuple, bm25_topk(corpus, queries, k=3, postings=merged).collect())
+        )
+        direct = sorted(map(tuple, bm25_topk(corpus, queries, k=3).collect()))
+        assert via_post == direct
+
+    def test_broadcast_guard_and_partitioning_invariance(self, spark, corpus):
+        queries = corpus.select(F.col("doc_id").alias("query_id"), "text")
+        a = sorted(map(tuple, bm25_topk(corpus, queries, k=3).collect()))
+        b = sorted(
+            map(
+                tuple,
+                bm25_topk(
+                    corpus.repartition(4), queries, k=3,
+                    broadcast_max_queries=1, n_salts=3,
+                ).collect(),
+            )
+        )
+        assert a == b
+
+    def test_bad_args(self, spark, corpus):
+        q = corpus.select(F.col("doc_id").alias("query_id"), "text")
+        with pytest.raises(ValueError, match="k >= 1"):
+            bm25_topk(corpus, q, k=0)
+        with pytest.raises(ValueError, match="empty"):
+            bm25_topk(corpus.limit(0), q)
+
+
+class TestRrfFuse:
+    def _ranks(self, spark, rows):
+        return spark.createDataFrame(rows, "query_id long, id long, rank long")
+
+    def test_fusion_arithmetic(self, spark):
+        a = self._ranks(spark, [(1, 10, 1), (1, 11, 2)])
+        b = self._ranks(spark, [(1, 11, 1), (1, 12, 2)])
+        out = {r["id"]: (r["rrf_micro"], r["rank"]) for r in rrf_fuse([a, b], k=5).collect()}
+        c = lambda r: round(1_000_000.0 / (60 + r))
+        assert out[11] == (c(2) + c(1), 1)  # in both lists -> wins
+        assert out[10] == (c(1), 2)  # ties with 12 on score -> id order
+        assert out[12] == (c(2), 3)
+
+    def test_single_list_is_rank_preserving(self, spark):
+        a = self._ranks(spark, [(1, 10, 1), (1, 11, 2), (1, 12, 3)])
+        out = rrf_fuse([a], k=2).collect()
+        assert [(r["id"], r["rank"]) for r in out] == [(10, 1), (11, 2)]
+
+    def test_bad_args(self, spark):
+        with pytest.raises(ValueError, match="at least one"):
+            rrf_fuse([])
+        a = self._ranks(spark, [(1, 10, 1)])
+        with pytest.raises(ValueError, match="rrf_k"):
+            rrf_fuse([a], rrf_k=0)
