@@ -1079,64 +1079,78 @@ def _last_green_round(root=None) -> dict[str, int]:
 # package)
 _FP_PKG = "swarm_spark"
 
+# Version of the fingerprint ALGORITHM itself, recorded per ledger
+# entry. Bumping it (e.g. the r9 bytecode->AST walker rewrite) updates
+# every stored fp WITHOUT touching `since`: an algorithm upgrade is not
+# a source change, so it must not masquerade as one and stampede the
+# driver-window rotation (the r8 VERDICT process finding: the
+# IMPORT_NAME walker fix re-windowed 83 queries at once).
+_FP_ALGO_VERSION = 2
 
-def _imported_objects(code, owner_module: str) -> list:
-    """Objects brought into ``code`` by import STATEMENTS — resolved
-    from the bytecode (IMPORT_NAME / IMPORT_FROM), because a
+
+def _imported_objects(src: str, owner_module: str) -> list:
+    """Objects brought in by import STATEMENTS anywhere in ``src`` (a
+    function's source text) — resolved from the AST, because a
     function-local ``from .ops.x import helper`` binds a LOCAL variable
     that the ``__globals__`` walk in :func:`_source_fingerprint` can
-    never see (the dominant import pattern in this registry). For
-    ``from M import a, b`` the imported attributes are returned; for a
-    plain ``import M`` the module object itself is (hashed whole-file —
+    never see (the dominant import pattern in this registry). AST, not
+    bytecode: ``ast.ImportFrom`` carries level/module/names explicitly,
+    where the old LOAD_CONST scan was CPython-bytecode-version-fragile
+    (ADVICE r8: 3.14's LOAD_SMALL_INT would silently drop relative
+    imports). For ``from M import a, b`` the imported attributes are
+    returned (submodules resolve too); for a plain ``import M`` or a
+    ``from M import *`` the module object itself is (hashed whole-file —
     coarse on purpose). Only ``_FP_PKG`` modules resolve; anything else
-    returns nothing."""
-    import dis
+    returns nothing. Nested defs are covered by the same parse."""
+    import ast
     import importlib
-    import types
+    import textwrap
+
+    try:
+        tree = ast.parse(textwrap.dedent(src))
+    except SyntaxError:
+        return []
+
+    def in_pkg(mod: str) -> bool:
+        return mod == _FP_PKG or mod.startswith(_FP_PKG + ".")
+
+    def load(mod: str):
+        try:
+            return importlib.import_module(mod)
+        except ImportError:
+            return None
 
     out: list = []
-    consts: list = []  # rolling LOAD_CONST argvals (level, fromlist precede IMPORT_NAME)
-    pending: types.ModuleType | None = None
-    pending_used = True
-
-    def flush():
-        nonlocal pending, pending_used
-        if pending is not None and not pending_used:
-            out.append(pending)
-        pending, pending_used = None, True
-
-    for ins in dis.get_instructions(code):
-        if ins.opname == "LOAD_CONST":
-            consts.append(ins.argval)
-            continue
-        if ins.opname == "IMPORT_NAME":
-            flush()
-            level = (
-                consts[-2] if len(consts) >= 2 and isinstance(consts[-2], int) else 0
-            )
-            name = ins.argval or ""
-            if level:  # relative: strip `level` trailing components of the owner
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for alias in node.names:
+                if in_pkg(alias.name):
+                    m = load(alias.name)
+                    if m is not None:
+                        out.append(m)
+        elif isinstance(node, ast.ImportFrom):
+            if node.level:  # relative: strip `level` trailing components
                 parts = owner_module.split(".")
-                if len(parts) >= level:
-                    base = ".".join(parts[:-level]) or parts[0]
-                    full = f"{base}.{name}" if name else base
-                else:
-                    full = None
+                if len(parts) < node.level:
+                    continue
+                base = ".".join(parts[: -node.level]) or parts[0]
+                full = f"{base}.{node.module}" if node.module else base
             else:
-                full = name
-            if full and (full == _FP_PKG or full.startswith(_FP_PKG + ".")):
-                try:
-                    pending = importlib.import_module(full)
-                    pending_used = False
-                except ImportError:
-                    pending = None
-            continue
-        if ins.opname == "IMPORT_FROM" and pending is not None:
-            pending_used = True
-            attr = getattr(pending, ins.argval, None)
-            if attr is not None:
-                out.append(attr)
-    flush()
+                full = node.module or ""
+            if not in_pkg(full):
+                continue
+            mod = load(full)
+            if mod is None:
+                continue
+            for alias in node.names:
+                if alias.name == "*":
+                    out.append(mod)
+                    continue
+                attr = getattr(mod, alias.name, None)
+                if attr is None:  # `from pkg import submod` not yet bound
+                    attr = load(f"{full}.{alias.name}")
+                if attr is not None:
+                    out.append(attr)
     return out
 
 
@@ -1192,19 +1206,21 @@ def _source_fingerprint(fn: Callable, sql: str | None) -> str:
             )
         elif isinstance(obj, types.FunctionType):
             try:
-                pieces.append(inspect.getsource(obj))
+                src = inspect.getsource(obj)
             except (OSError, TypeError):
-                pieces.append(obj.__qualname__)
+                src = None
+            pieces.append(src if src is not None else obj.__qualname__)
+            if src is not None:
+                # function-local `from .ops.x import f` binds a local —
+                # invisible to __globals__; resolve from the AST (one
+                # parse covers nested defs too; ADVICE r7/r8)
+                stack.extend(_imported_objects(src, mod))
             g = obj.__globals__
             codes = [obj.__code__]
             while codes:
                 code = codes.pop()
                 codes.extend(c for c in code.co_consts if isinstance(c, types.CodeType))
                 stack.extend(g[n] for n in code.co_names if n in g)
-                # function-local `from .ops.x import f` binds a local —
-                # invisible to __globals__; resolve from the bytecode
-                # (ADVICE r7: the dominant pattern in this registry)
-                stack.extend(_imported_objects(code, mod))
     pieces.sort()
     return hashlib.sha256("\x00".join(pieces).encode()).hexdigest()
 
@@ -1222,9 +1238,20 @@ def _change_rounds(
     query's last GREEN driver round — a green row OLDER than the code it
     supposedly verified no longer defers the query out of the window
     (the r6 VERDICT hole: ``text_strip_segments``/``pack_bins`` changed
-    in r5 and coasted on r4 rows). The ledger write is best-effort; on a
-    read-only checkout the in-memory result is still correct for this
-    process.
+    in r5 and coasted on r4 rows).
+
+    Each entry also records the fingerprint ALGORITHM version
+    (``algo``). When the stored version differs from
+    ``_FP_ALGO_VERSION``, old and new fps are incomparable, so the fp is
+    recomputed and stored but ``since`` is KEPT: an algorithm upgrade is
+    a one-field version bump, not 127 simultaneous source changes (the
+    r8 stampede). The one-time blind spot — a source change landing in
+    the very same commit as an algo bump is absorbed silently — is why
+    algo bumps must be committed (migrating the ledger) BEFORE any
+    query-source edits in the same round.
+
+    The ledger write is best-effort; on a read-only checkout the
+    in-memory result is still correct for this process.
     """
     import json
     import re
@@ -1248,8 +1275,22 @@ def _change_rounds(
     for name, (fn, sql) in registry.items():
         fp = _source_fingerprint(fn, sql)
         ent = ledger.get(name)
-        if not isinstance(ent, dict) or ent.get("fp") != fp:
-            ent = {"fp": fp, "since": cur_round}
+        if not isinstance(ent, dict):
+            ent = {"fp": fp, "since": cur_round, "algo": _FP_ALGO_VERSION}
+            ledger[name] = ent
+            dirty = True
+        elif int(ent.get("algo", 1)) != _FP_ALGO_VERSION:
+            # algorithm upgrade: fps are incomparable across versions —
+            # restamp the fp under the new algo, KEEP `since`
+            ent = {
+                "fp": fp,
+                "since": int(ent.get("since", cur_round)),
+                "algo": _FP_ALGO_VERSION,
+            }
+            ledger[name] = ent
+            dirty = True
+        elif ent.get("fp") != fp:
+            ent = {"fp": fp, "since": cur_round, "algo": _FP_ALGO_VERSION}
             ledger[name] = ent
             dirty = True
         out[name] = int(ent.get("since", cur_round))

@@ -272,16 +272,107 @@ def test_local_import_dependency_changes_fingerprint(tmp_path, monkeypatch):
 
 
 def test_imported_objects_resolves_registry_pattern():
-    """The bytecode import walker must resolve the registry's dominant
+    """The AST import walker must resolve the registry's dominant
     pattern — a function-local ``from .ops.x import f`` — to the real
     helper object, so the helper's source lands in the fingerprint."""
+    import inspect
+
     from swarm_spark.ops_queries import OPS
     from swarm_spark.ops.text import top_ngrams
     from swarm_spark.queries import _imported_objects
 
     fn = OPS["corpus_top_ngrams"][0]
-    objs = _imported_objects(fn.__code__, fn.__module__)
+    objs = _imported_objects(inspect.getsource(fn), fn.__module__)
     assert top_ngrams in objs, "local `from .ops.text import top_ngrams` unresolved"
+
+
+def test_imported_objects_spellings():
+    """Every import spelling the walker claims to cover: relative
+    `from .m import f`, absolute `from pkg.m import f`, plain
+    `import pkg.m`, submodule `from pkg import m`, star, and a nested
+    def — all against the real package (ADVICE r8: the bytecode scan
+    was version-fragile on exactly the relative case)."""
+    import swarm_spark.ops.text as text_mod
+    from swarm_spark.ops.text import top_ngrams
+    from swarm_spark.queries import _imported_objects
+
+    owner = "swarm_spark.ops_queries"
+    src = (
+        "def q(spark, sf):\n"
+        "    from .ops.text import top_ngrams\n"
+        "    return top_ngrams\n"
+    )
+    assert top_ngrams in _imported_objects(src, owner)
+    src = "def q():\n    from swarm_spark.ops.text import top_ngrams\n"
+    assert top_ngrams in _imported_objects(src, owner)
+    src = "def q():\n    import swarm_spark.ops.text\n"
+    assert text_mod in _imported_objects(src, owner)
+    src = "def q():\n    from swarm_spark.ops import text\n"
+    assert text_mod in _imported_objects(src, owner)
+    src = "from swarm_spark.ops.text import *\n"
+    assert text_mod in _imported_objects(src, owner)
+    src = (
+        "def q():\n"
+        "    def inner():\n"
+        "        from .ops.text import top_ngrams\n"
+        "        return top_ngrams\n"
+        "    return inner\n"
+    )
+    assert top_ngrams in _imported_objects(src, owner), "nested def import missed"
+    # non-package imports resolve to nothing
+    assert _imported_objects("def q():\n    import json\n", owner) == []
+
+
+def test_algo_bump_keeps_since(tmp_path):
+    """A fingerprint-ALGORITHM upgrade must restamp every fp without
+    touching `since`: an algo bump alone must not reorder the rotation
+    ahead of real source changes (the r8 stampede — 83 queries
+    re-windowed at once by a walker fix). A real source change under
+    the SAME algo version still bumps `since` as before."""
+    import swarm_spark.queries as Q
+
+    def q_v1(spark, sf):
+        return "v1"
+
+    def q_v2(spark, sf):
+        return "v2-different-body"
+
+    def q_other(spark, sf):
+        return "other"
+
+    sql = "SELECT 1 AS n"
+    # ledger written under a PREVIOUS algo version: fps are stale noise
+    (tmp_path / "QUERY_HASHES.json").write_text(
+        json.dumps(
+            {
+                "alpha": {"fp": "stale-v1-fp", "since": 3, "algo": Q._FP_ALGO_VERSION - 1},
+                "beta": {"fp": "stale-v1-fp-2", "since": 2},  # no field = algo 1
+            }
+        )
+    )
+    (tmp_path / "CORRECTNESS_r05.json").write_text(
+        json.dumps(
+            {
+                "alpha": {"rows_match": True, "hash_match": True},
+                "beta": {"rows_match": True, "hash_match": True},
+            }
+        )
+    )
+    reg = {"alpha": (q_v1, sql), "beta": (q_other, sql)}
+    since = _change_rounds(reg, tmp_path)
+    assert since == {"alpha": 3, "beta": 2}, "algo bump must keep since"
+    ledger = json.loads((tmp_path / "QUERY_HASHES.json").read_text())
+    assert ledger["alpha"]["algo"] == Q._FP_ALGO_VERSION
+    assert ledger["alpha"]["fp"] not in ("stale-v1-fp", "stale-v1-fp-2")
+    # both stay priority 2 (verified): the bump did not re-window them
+    last = _last_green_round(tmp_path)
+    reg_index = {"alpha": 0, "beta": 1}
+    assert _rotation_key("alpha", last, since, reg_index)[0] == 2
+    assert _rotation_key("beta", last, since, reg_index)[0] == 2
+    # a REAL source change under the (now current) algo version bumps
+    since2 = _change_rounds({"alpha": (q_v2, sql), "beta": (q_other, sql)}, tmp_path)
+    assert since2["alpha"] == 6 and since2["beta"] == 2
+    assert _rotation_key("alpha", last, since2, reg_index)[0] == 1
 
 
 def test_fallout_was_green_most_recently():
