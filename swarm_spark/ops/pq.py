@@ -47,7 +47,12 @@ from .sampling import hash_bucket
 
 def _subvectors(df: DataFrame, vec_col: str, id_col: str, m: int, s: int) -> DataFrame:
     """(id, sub, sv, sv_n2): one row per (vector, subspace), sliced
-    in-plan — a codegen explode, no UDF."""
+    in-plan — a codegen explode, no UDF. Rows whose vector length
+    differs from the m·s dimension probed from the first row fail the
+    job in-plan (``raise_error``) instead of silently zero-padding
+    short slices into garbage codes (ADVICE r8) — a ragged corpus is a
+    data bug, and the guard costs nothing: no extra scan, just one
+    branch inside the explode every caller already pays for."""
     entries = F.array(
         *[
             F.struct(
@@ -57,11 +62,22 @@ def _subvectors(df: DataFrame, vec_col: str, id_col: str, m: int, s: int) -> Dat
             for j in range(m)
         ]
     )
+    guarded = F.when(F.size("v") == m * s, entries).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"ragged {vec_col}: expected dim {m * s}, found "),
+                F.size("v").cast("string"),
+                F.lit(" (id="),
+                F.col("id").cast("string"),
+                F.lit(")"),
+            )
+        )
+    )
     return (
         df.select(
             F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
         )
-        .select("id", F.explode(entries).alias("e"))
+        .select("id", F.explode(guarded).alias("e"))
         .select("id", "e.sub", "e.sv")
         .withColumn("sv_n2", dot_expr("sv", "sv"))
     )
@@ -237,9 +253,29 @@ def pq_topk(
         F.col("id"),
         F.posexplode("codes").alias("sub", "code"),
     )
+    if small:
+        matched = code_rows.join(F.broadcast(lut), ["sub", "code"])
+    else:
+        # Fallback shuffle join: (sub, code) has only m·k (~dozens)
+        # distinct values, so hash-partitioning the corpus·m code rows
+        # by it would collapse them onto a handful of tasks (ADVICE
+        # r8). Salt the big side by id and replicate the LUT across
+        # the salts — output identical, shuffle spread over
+        # m·k·n_salts keys; the extra shuffle volume is (n_salts − 1)·
+        # |LUT|, tiny next to the code-row side it de-skews.
+        jsalt = (
+            hash_bucket(F.col("id").cast("string"), "swarm-pq-lut") % n_salts
+        ).cast("int")
+        lut_r = lut.withColumn(
+            "jsalt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+        )
+        matched = (
+            code_rows.withColumn("jsalt", jsalt)
+            .join(lut_r, ["sub", "code", "jsalt"])
+            .drop("jsalt")
+        )
     joined = (
-        code_rows.join(F.broadcast(lut) if small else lut, ["sub", "code"])
-        .where(F.col("query_id") != F.col("id"))
+        matched.where(F.col("query_id") != F.col("id"))
         .groupBy("query_id", "id")
         .agg(F.sum("d2_micro").alias("adc_micro"))
     )

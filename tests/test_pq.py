@@ -79,6 +79,27 @@ class TestTrainEncode:
         with pytest.raises(ValueError, match="empty"):
             pq_train(corpus.limit(0), m=2, k=2)
 
+    def test_ragged_dims_fail_fast(self, spark, corpus):
+        """A corpus with ragged embedding lengths must FAIL, not
+        silently zero-pad short slices into garbage centroids/codes
+        (ADVICE r8). The guard is in-plan (raise_error inside the
+        subvector explode), so train, encode, and the query side of
+        search all inherit it with zero extra scans."""
+        ragged = corpus.unionByName(
+            _vecs(spark, [(99, [1.0, 2.0])])  # dim 2 among dim-4 rows
+        )
+        # wrapper class varies (SparkRuntimeException vs Py4JJavaError)
+        # with where the action surfaces the task failure — pin the
+        # raise_error MESSAGE, not the wrapper
+        with pytest.raises(Exception, match="ragged"):
+            pq_train(ragged, m=2, k=2, iters=1)
+        books = pq_train(corpus, m=2, k=2, iters=1)
+        with pytest.raises(Exception, match="ragged"):
+            pq_encode(ragged, books, m=2).collect()
+        codes = pq_encode(corpus, books, m=2)
+        with pytest.raises(Exception, match="ragged"):
+            pq_topk(codes, ragged, books, k=2, m=2).collect()
+
 
 class TestAdcSearch:
     def _index(self, spark, corpus):
