@@ -202,17 +202,64 @@ def cmd_vacuum(args) -> int:
 
 
 def cmd_index(args) -> int:
-    """Build/probe a persisted ANN index over an embeddings parquet
-    (build-once/probe-many). ``--kind ivf`` (default) stores float
-    assignments + centroids (ops/ivf.py); ``--kind ivfpq`` stores the
-    compressed form — (id, cell, m codes) + centroids + codebooks
-    (ops/pq.py) — and probes by cell-gated ADC without ever reading
-    the float vectors."""
+    """Build/probe a persisted search index (build-once/probe-many).
+    ``--kind ivf`` (default) stores float assignments + centroids
+    (ops/ivf.py); ``--kind ivfpq`` stores the compressed form — (id,
+    cell, m codes) + centroids + codebooks (ops/pq.py) — and probes by
+    cell-gated ADC without ever reading the float vectors; ``--kind
+    bm25`` stores the lexical inverted index — postings + df stats +
+    additive totals (ops/retrieval.py) — and probes without ever
+    re-tokenizing the corpus."""
     from pyspark.sql import functions as F
+
+    spark = _spark(args)
+    if args.id_col is None:
+        args.id_col = "doc_id" if args.kind == "bm25" else "vec_id"
+    if args.kind == "bm25":
+        from .ops.retrieval import (
+            bm25_postings,
+            bm25_stats,
+            bm25_topk,
+            bm25_totals,
+            load_bm25,
+            save_bm25,
+        )
+
+        if args.action == "build":
+            docs = spark.read.parquet(args.input)
+            post = bm25_postings(docs, args.text_col, args.id_col)
+            save_bm25(
+                post, bm25_stats(post), bm25_totals(docs, args.text_col, args.id_col),
+                args.index,
+            )
+            trow = load_bm25(spark, args.index)[2].head()
+            print(
+                json.dumps(
+                    {
+                        "index": args.index,
+                        "kind": "bm25",
+                        "docs": int(trow["n_docs"]),
+                        "tokens": int(trow["tot_tokens"]),
+                    }
+                )
+            )
+        else:  # probe: index tables only — the raw corpus is never read
+            post, stats, totals = load_bm25(spark, args.index)
+            qsrc = spark.read.parquet(args.queries or args.input)
+            queries = qsrc.select(
+                F.col(args.id_col).alias("query_id"),
+                F.col(args.text_col).alias("text"),
+            )
+            out = bm25_topk(
+                None, queries, k=args.k,
+                postings=post, stats=stats, totals=totals,
+            )
+            for r in (out.limit(args.limit) if args.limit else out).collect():
+                print(json.dumps({k: str(v) for k, v in r.asDict().items()}))
+        return 0
 
     from .ops.ivf import ann_topk_ivf_probe, build_ivf, load_ivf, save_ivf
 
-    spark = _spark(args)
     if args.action == "build":
         emb = spark.read.parquet(args.input)
         if args.kind == "ivfpq":
@@ -283,6 +330,45 @@ def cmd_index(args) -> int:
             )
         for r in (out.limit(args.limit) if args.limit else out).collect():
             print(json.dumps({k: str(v) for k, v in r.asDict().items()}))
+    return 0
+
+
+def cmd_search(args) -> int:
+    """Hybrid production search over PERSISTED indexes: BM25 lexical
+    top-k from the stored postings/stats/totals, semantic top-k from
+    the stored PQ codes (ADC shortlist -> exact cosine rerank — the
+    only stage that touches raw floats, and only for shortlist
+    survivors), fused by reciprocal-rank fusion. The serving shape the
+    retrieval tier implies: corpus text and float vectors stay cold;
+    probes read index tables plus the rerank survivors."""
+    from pyspark.sql import functions as F
+
+    from .ops.pq import load_ivfpq, pq_topk_rerank
+    from .ops.retrieval import bm25_topk, load_bm25, rrf_fuse
+
+    spark = _spark(args)
+    q = spark.read.parquet(args.queries)
+    post, stats, totals = load_bm25(spark, args.bm25)
+    lex = bm25_topk(
+        None,
+        q.select("query_id", "text"),
+        k=args.lex_k,
+        postings=post,
+        stats=stats,
+        totals=totals,
+    )
+    codes, _cent, books = load_ivfpq(spark, args.ivfpq)
+    m = int(codes.select(F.size("codes")).head()[0])
+    vectors = spark.read.parquet(args.vectors)
+    qv = q.select(F.col("query_id").alias(args.id_col), args.vec_col)
+    sem = pq_topk_rerank(
+        vectors, codes.select("id", "codes"), qv, books,
+        k=args.sem_k, shortlist=args.shortlist, m=m,
+        vec_col=args.vec_col, id_col=args.id_col,
+    )
+    out = rrf_fuse([lex, sem], k=args.k, rrf_k=args.rrf_k)
+    for r in (out.limit(args.limit) if args.limit else out).collect():
+        print(json.dumps({k: str(v) for k, v in r.asDict().items()}))
     return 0
 
 
@@ -703,27 +789,60 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sp.set_defaults(fn=cmd_compact)
 
-    sp = sub.add_parser("index", help="build/probe a persisted IVF ANN index")
+    sp = sub.add_parser("index", help="build/probe a persisted search index")
     sp.add_argument("action", choices=["build", "probe"])
-    sp.add_argument("--input", required=True, help="embeddings parquet path")
+    sp.add_argument("--input", required=True, help="embeddings/documents parquet path")
     sp.add_argument("--index", required=True, help="index directory")
-    sp.add_argument("--queries", default="", help="query vectors parquet (probe)")
+    sp.add_argument("--queries", default="", help="query parquet (probe)")
     sp.add_argument("--vec-col", default="embedding")
-    sp.add_argument("--id-col", default="vec_id")
+    sp.add_argument(
+        "--id-col", default=None,
+        help="id column (default: vec_id, or doc_id for --kind bm25)",
+    )
+    sp.add_argument("--text-col", default="text", help="text column (bm25)")
     sp.add_argument("--cells", type=int, default=64)
     sp.add_argument("--iters", type=int, default=4)
     sp.add_argument("--k", type=int, default=5)
     sp.add_argument("--nprobe", type=int, default=4)
     sp.add_argument("--limit", type=int, default=0)
     sp.add_argument(
-        "--kind", choices=["ivf", "ivfpq"], default="ivf",
+        "--kind", choices=["ivf", "ivfpq", "bm25"], default="ivf",
         help="ivfpq stores (cell, m codes) per vector and probes by "
-        "cell-gated ADC without reading the float vectors",
+        "cell-gated ADC without reading the float vectors; bm25 stores "
+        "postings + df stats + totals and probes without re-tokenizing",
     )
     sp.add_argument("--m", type=int, default=4, help="PQ subspaces (ivfpq)")
     sp.add_argument("--pq-k", type=int, default=16, help="codes per subspace")
     sp.add_argument("--pq-iters", type=int, default=3)
     sp.set_defaults(fn=cmd_index)
+
+    sp = sub.add_parser(
+        "search",
+        help="hybrid lexical+semantic search over persisted bm25 + ivfpq indexes",
+    )
+    sp.add_argument("--bm25", required=True, help="bm25 index directory")
+    sp.add_argument("--ivfpq", required=True, help="ivfpq index directory")
+    sp.add_argument(
+        "--vectors", required=True,
+        help="raw embeddings parquet (cold float store — read only for "
+        "the rerank shortlist survivors)",
+    )
+    sp.add_argument(
+        "--queries", required=True,
+        help="query parquet with (query_id, text, embedding) columns",
+    )
+    sp.add_argument("--vec-col", default="embedding")
+    sp.add_argument("--id-col", default="vec_id", help="id column of --vectors")
+    sp.add_argument("--k", type=int, default=5, help="fused results per query")
+    sp.add_argument("--lex-k", type=int, default=10, help="BM25 list depth")
+    sp.add_argument("--sem-k", type=int, default=10, help="semantic list depth")
+    sp.add_argument("--rrf-k", type=int, default=60)
+    sp.add_argument(
+        "--shortlist", type=int, default=50,
+        help="ADC shortlist size the exact cosine rerank pays floats for",
+    )
+    sp.add_argument("--limit", type=int, default=0)
+    sp.set_defaults(fn=cmd_search)
 
     sp = sub.add_parser("query", help="run a registry query and print rows")
     sp.add_argument("name", nargs="?", default="", help="query name (see --list)")

@@ -66,8 +66,60 @@ def bm25_stats(postings: DataFrame) -> DataFrame:
     return postings.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
 
 
+def bm25_totals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(n_docs, tot_tokens): the corpus grand totals BM25's idf/avgdl
+    need — ONE aggregate row computed at BUILD time from the raw docs
+    (so zero-token documents count toward N, which a postings-derived
+    count would miss). Additive across disjoint waves: merging is
+    ``union`` and probes fold multi-row frames with a sum, so the
+    stored statistic follows the vocab/histogram/bitmap monoid
+    contract."""
+    return df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum(F.size(tokens_col(text_col))), F.lit(0)).alias(
+            "tot_tokens"
+        ),
+    )
+
+
+def save_bm25(
+    postings: DataFrame,
+    stats: DataFrame,
+    totals: DataFrame,
+    path: str,
+) -> None:
+    """Persist a BM25 lexical index: postings (corpus-sized — the only
+    table that scales with the corpus), df stats (vocab-sized) and the
+    grand totals (1+ rows; additive). All three are mergeable, so
+    append-only waves fold in without rebuilding — mirror of
+    :func:`swarm_spark.ops.pq.save_ivfpq`."""
+    import os
+
+    postings.write.mode("overwrite").parquet(os.path.join(path, "postings"))
+    stats.write.mode("overwrite").parquet(os.path.join(path, "stats"))
+    totals.write.mode("overwrite").parquet(os.path.join(path, "totals"))
+
+
+def load_bm25(spark, path: str) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Read back a :func:`save_bm25` index as (postings, stats,
+    totals). The postings keep their embedded schema (any id type
+    survives the round trip); totals are pinned to the additive
+    (n_docs, tot_tokens) long pair."""
+    import os
+
+    return (
+        spark.read.parquet(os.path.join(path, "postings")),
+        spark.read.parquet(os.path.join(path, "stats")),
+        spark.read.schema("n_docs long, tot_tokens long").parquet(
+            os.path.join(path, "totals")
+        ),
+    )
+
+
 def bm25_topk(
-    docs: DataFrame,
+    docs: DataFrame | None,
     queries: DataFrame,
     k: int = 5,
     k1: float = 1.2,
@@ -79,28 +131,60 @@ def bm25_topk(
     n_salts: int = 16,
     broadcast_max_queries: int | None = 10_000,
     postings: DataFrame | None = None,
+    stats: DataFrame | None = None,
+    totals: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 top-k search: (query_id, id, score_micro, rank), rank by
     score descending, ties by id ascending. Self-matches are kept (a
     query is external text; if it happens to BE a corpus row, that row
     legitimately scores highest).
 
-    Pass a persisted ``postings`` frame (:func:`bm25_postings`) to
-    probe many batches without re-exploding the corpus — the
-    build-once/probe-many workflow of the ANN tier. Corpus totals
-    (N, Σdl) are two grand aggregates (1 driver row); ``avgdl`` enters
-    the formula as the exact double ``tot/N`` both engines compute
-    identically.
+    Two entry shapes:
+
+    - **ad-hoc**: pass ``docs``; postings, df stats and totals are
+      built in-line (one corpus explode + one grand aggregate).
+    - **persisted index** (build-once/probe-many, the ANN-tier
+      workflow): pass ``postings``/``stats``/``totals`` from
+      :func:`load_bm25` and ``docs=None`` — the probe then touches the
+      INDEX tables only, never the raw text (r8 ADVICE: the old path
+      re-tokenized every doc per batch, and a drifted ``docs`` could
+      silently mismatch the postings). All index frames must describe
+      the same corpus — they are one index, not mix-and-match inputs.
+      ``totals`` may hold one row per appended wave; it is folded with
+      a sum (the additive-statistic contract). With ``postings`` but
+      no ``totals`` the totals are derived from the postings' distinct
+      (id, dl) pairs — exact unless the corpus contains zero-token
+      docs (which contribute to N/avgdl but have no postings); pass
+      the stored totals when that matters.
+
+    Corpus totals are ONE driver row however obtained; ``avgdl``
+    enters the formula as the exact double ``tot/N`` both engines
+    compute identically.
     """
     from .similarity import _probe_is_small
 
     if k < 1 or k1 <= 0 or not 0.0 <= b <= 1.0:
         raise ValueError(f"need k >= 1, k1 > 0, 0 <= b <= 1; got {k}, {k1}, {b}")
-    post = bm25_postings(docs, text_col, id_col) if postings is None else postings
-    stats = bm25_stats(post)
-    tot = docs.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.sum(F.size(tokens_col(text_col))), F.lit(0)).alias("tt"),
+    if postings is None:
+        if docs is None:
+            raise ValueError("need docs or a persisted postings frame")
+        post = bm25_postings(docs, text_col, id_col)
+        if totals is None:
+            totals = bm25_totals(docs, text_col, id_col)
+    else:
+        post = postings
+        if totals is None:
+            # derived fallback: exact except zero-token docs (no
+            # postings rows), which shift N/avgdl only
+            totals = post.select("id", "dl").distinct().agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.coalesce(F.sum("dl"), F.lit(0)).alias("tot_tokens"),
+            )
+    if stats is None:
+        stats = bm25_stats(post)
+    tot = totals.agg(
+        F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n"),
+        F.coalesce(F.sum("tot_tokens"), F.lit(0)).alias("tt"),
     ).head()
     n, tt = int(tot["n"]), int(tot["tt"])
     if n == 0:

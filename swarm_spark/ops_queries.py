@@ -1543,6 +1543,38 @@ ORDER BY query_id, rank
 """
 
 
+def q_bm25_incremental(spark, sf):
+    """Append-only BM25 index maintenance: the corpus arrives as two
+    disjoint waves; each wave contributes postings, df stats and grand
+    totals independently, and the stored index is the pure MONOID fold
+    — postings union (disjoint doc ids), stats groupBy-sum, totals
+    union (summed at probe time). Probing the folded index with
+    ``docs=None`` must equal the one-shot build over the full corpus
+    (the incremental-statistic contract shared with
+    corpus_vocab_incremental / corpus_sketch_incremental), and the
+    probe never touches raw text."""
+    from .ops.retrieval import bm25_postings, bm25_stats, bm25_topk, bm25_totals
+
+    docs = _docs(spark, sf)
+    w0 = docs.where(F.col("doc_id") % 2 == 0)
+    w1 = docs.where(F.col("doc_id") % 2 == 1)
+    p0, p1 = bm25_postings(w0), bm25_postings(w1)
+    post = p0.unionByName(p1)  # disjoint ids: union IS the fold
+    stats = (
+        bm25_stats(p0)
+        .unionByName(bm25_stats(p1))
+        .groupBy("tok")
+        .agg(F.sum("df").alias("df"))
+    )
+    totals = bm25_totals(w0).unionByName(bm25_totals(w1))
+    queries = docs.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return bm25_topk(
+        None, queries, k=5, postings=post, stats=stats, totals=totals
+    )
+
+
 def q_hybrid_rrf(spark, sf):
     """Hybrid retrieval: BM25 lexical top-10 over documents fused with
     exact-cosine semantic top-10 over the aligned embeddings table by
@@ -3552,6 +3584,7 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "ann_topk_ivfpq": (q_ann_topk_ivfpq, SQL_ANN_IVFPQ),
     "ann_ivfpq_residual": (q_ann_ivfpq_residual, SQL_ANN_IVFPQ_RES),
     "bm25_topk": (q_bm25_topk, SQL_BM25),
+    "bm25_incremental": (q_bm25_incremental, SQL_BM25),
     "hybrid_rrf": (q_hybrid_rrf, SQL_HYBRID_RRF),
     "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
     "dedup_semantic_keep": (q_dedup_semantic_keep, SQL_DEDUP_SEMANTIC_KEEP),

@@ -673,3 +673,91 @@ class TestIndexCli:
             ).collect()
         }
         assert got == want
+
+    def test_build_then_probe_bm25(self, spark, tmp_path, capsys):
+        """--kind bm25 persists postings + df stats + totals; the probe
+        reads ONLY the index tables (docs=None in bm25_topk) and must
+        match the bm25_topk registry query exactly at sf0.001."""
+        from pyspark.sql import functions as F
+
+        docs_src = "/root/testdata/sf0.001/documents.parquet"
+        idx = str(tmp_path / "bmidx")
+        out = _run(
+            capsys,
+            ["--cpus", "4", "index", "build", "--kind", "bm25",
+             "--input", docs_src, "--index", idx],
+        )
+        assert out["kind"] == "bm25" and out["docs"] == 500 and out["tokens"] > 0
+        q_dir = str(tmp_path / "bq")
+        docs = spark.read.parquet(docs_src)
+        docs.where("doc_id % 50 = 0").write.parquet(q_dir)
+        rc = main(
+            ["--cpus", "4", "index", "probe", "--kind", "bm25",
+             "--input", docs_src, "--queries", q_dir, "--index", idx, "--k", "5"]
+        )
+        assert rc == 0
+        lines = capsys.readouterr().out.strip().splitlines()
+        got = {
+            (int(r["query_id"]), int(r["id"]), int(r["score_micro"]), int(r["rank"]))
+            for r in map(json.loads, lines)
+        }
+        from swarm_spark.ops.retrieval import bm25_topk
+
+        queries = docs.where(F.col("doc_id") % 50 == 0).select(
+            F.col("doc_id").alias("query_id"), "text"
+        )
+        want = {tuple(r) for r in bm25_topk(docs, queries, k=5).collect()}
+        assert got == want
+
+
+class TestSearchCli:
+    def test_hybrid_search_matches_registry_query(self, spark, tmp_path, capsys):
+        """The production serving shape: hybrid search composed from
+        CLI-persisted BM25 + IVF-PQ indexes must return exactly the
+        hybrid_rrf registry query's rows at sf0.001 — with shortlist >=
+        corpus the cosine rerank IS the registry's brute-force semantic
+        arm, so the whole composition is value-comparable end to end."""
+        from pyspark.sql import functions as F
+
+        docs_src = "/root/testdata/sf0.001/documents.parquet"
+        emb_src = "/root/testdata/sf0.001/embeddings.parquet"
+        bidx, vidx = str(tmp_path / "bm"), str(tmp_path / "pq")
+        _run(
+            capsys,
+            ["--cpus", "4", "index", "build", "--kind", "bm25",
+             "--input", docs_src, "--index", bidx],
+        )
+        _run(
+            capsys,
+            ["--cpus", "4", "index", "build", "--kind", "ivfpq",
+             "--input", emb_src, "--index", vidx, "--cells", "8",
+             "--iters", "2", "--m", "4", "--pq-k", "8", "--pq-iters", "2"],
+        )
+        q_dir = str(tmp_path / "q")
+        docs = spark.read.parquet(docs_src)
+        emb = spark.read.parquet(emb_src)
+        docs.where("doc_id % 50 = 0").select(
+            F.col("doc_id").alias("query_id"), "text"
+        ).join(
+            emb.where("vec_id % 50 = 0").select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            ),
+            "query_id",
+        ).write.parquet(q_dir)
+        rc = main(
+            ["--cpus", "4", "search", "--bm25", bidx, "--ivfpq", vidx,
+             "--vectors", emb_src, "--queries", q_dir,
+             "--k", "5", "--lex-k", "10", "--sem-k", "10", "--shortlist", "500"]
+        )
+        assert rc == 0
+        lines = capsys.readouterr().out.strip().splitlines()
+        got = {
+            (int(r["query_id"]), int(r["id"]), int(r["rrf_micro"]), int(r["rank"]))
+            for r in map(json.loads, lines)
+        }
+        from swarm_spark.ops_queries import OPS
+
+        want = {
+            tuple(r) for r in OPS["hybrid_rrf"][0](spark, "/root/testdata/sf0.001").collect()
+        }
+        assert got == want

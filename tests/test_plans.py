@@ -132,6 +132,11 @@ _SCAN_BUDGET = {
     "set_ops": 4,
     "hybrid_rrf": 5,  # the bm25 3-scan shape + embeddings corpus +
     #   embeddings query batch for the semantic list
+    "bm25_incremental": 5,  # two wave-postings builds + per-wave df
+    #   stats/totals branches (AQE reuses two of the exchanges) + the
+    #   query batch — the fused build+fold+probe oracle composition;
+    #   production probes the SAVED index at <= 3 scans and zero text
+    #   reads (pinned by test_retrieval's persisted-index plan test)
     "serve_pubsub_e2e": 5,
     "ann_ivf_recall": 6,
 }

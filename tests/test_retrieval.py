@@ -14,7 +14,10 @@ from swarm_spark.ops.retrieval import (
     bm25_postings,
     bm25_stats,
     bm25_topk,
+    bm25_totals,
+    load_bm25,
     rrf_fuse,
+    save_bm25,
 )
 
 
@@ -127,6 +130,72 @@ class TestBm25:
             bm25_topk(corpus, q, k=0)
         with pytest.raises(ValueError, match="empty"):
             bm25_topk(corpus.limit(0), q)
+        with pytest.raises(ValueError, match="docs or a persisted"):
+            bm25_topk(None, q)
+
+    def test_totals_are_additive_and_exact(self, spark, corpus):
+        even = corpus.where(F.col("doc_id") % 2 == 0)
+        odd = corpus.where(F.col("doc_id") % 2 == 1)
+        folded = (
+            bm25_totals(even)
+            .unionByName(bm25_totals(odd))
+            .agg(F.sum("n_docs").alias("n"), F.sum("tot_tokens").alias("t"))
+            .head()
+        )
+        full = bm25_totals(corpus).head()
+        assert (folded["n"], folded["t"]) == (
+            full["n_docs"],
+            full["tot_tokens"],
+        ) == (5, 18)
+
+    def test_persisted_index_probe_never_reads_text(self, spark, corpus, tmp_path):
+        """The build-once/probe-many contract (r8 ADVICE): probing a
+        saved index with docs=None must (a) return exactly the ad-hoc
+        build's rows and (b) execute with ONLY the index tables'
+        parquet scans — the raw corpus text is not in the plan at all,
+        so a probe batch costs zero corpus scans however large the
+        corpus."""
+        post = bm25_postings(corpus)
+        save_bm25(post, bm25_stats(post), bm25_totals(corpus), str(tmp_path / "ix"))
+        lpost, lstats, ltot = load_bm25(spark, str(tmp_path / "ix"))
+        queries = _docs(spark, [(9, "broadcast window"), (8, "spark agg")]).select(
+            F.col("doc_id").alias("query_id"), "text"
+        )
+        probe = bm25_topk(
+            None, queries, k=3, postings=lpost, stats=lstats, totals=ltot
+        )
+        got = sorted(map(tuple, probe.collect()))
+        want = sorted(map(tuple, bm25_topk(corpus, queries, k=3).collect()))
+        assert got == want
+        final = (
+            probe._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("+- == Initial Plan ==")[0]
+        )
+        # postings + stats + totals only (queries are a local relation)
+        assert final.count("Scan parquet") <= 3
+
+    def test_derived_totals_match_stored_on_dense_corpus(self, spark, corpus):
+        """With postings but no stored totals, (N, Σdl) derive from the
+        postings' distinct (id, dl) — identical to the stored statistic
+        whenever every doc has >= 1 token (the documented caveat)."""
+        post = bm25_postings(corpus)
+        queries = _docs(spark, [(9, "broadcast window")]).select(
+            F.col("doc_id").alias("query_id"), "text"
+        )
+        derived = sorted(
+            map(tuple, bm25_topk(None, queries, k=3, postings=post).collect())
+        )
+        stored = sorted(
+            map(
+                tuple,
+                bm25_topk(
+                    None, queries, k=3, postings=post, totals=bm25_totals(corpus)
+                ).collect(),
+            )
+        )
+        assert derived == stored
 
 
 class TestRrfFuse:
