@@ -450,6 +450,22 @@ def cmd_quality(args) -> int:
                 }
             )
         )
+    elif args.action == "eval":
+        # labeled-holdout operating curve: one JSON line per threshold
+        from .ops.text import nb_eval_quality
+
+        model = spark.read.parquet(args.model)
+        thresholds = [int(t) for t in str(args.thresholds).split(",") if t != ""]
+        out = nb_eval_quality(
+            docs,
+            model,
+            F.col(args.label_col) == args.label_value,
+            thresholds=thresholds,
+            text_col=args.text_col,
+            id_col=args.id_col,
+        )
+        for r in out.collect():
+            print(json.dumps(r.asDict()))
     else:  # score
         model = spark.read.parquet(args.model)
         out = nb_score_quality(
@@ -948,8 +964,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--nb-min-score", type=int, default=0)
     sp.set_defaults(fn=cmd_curate)
 
-    sp = sub.add_parser("quality", help="train/apply the NB corpus-quality model")
-    sp.add_argument("action", choices=["train", "score"])
+    sp = sub.add_parser("quality", help="train/apply/evaluate the NB corpus-quality model")
+    sp.add_argument("action", choices=["train", "score", "eval"])
     sp.add_argument("input", help="documents parquet path")
     sp.add_argument("--model", required=True, help="model parquet dir")
     sp.add_argument("--label-col", default="lang")
@@ -959,6 +975,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--text-col", default="text")
     sp.add_argument("--id-col", default="doc_id")
     sp.add_argument("--output", default="", help="score: write per-doc scores here")
+    sp.add_argument(
+        "--thresholds", default="0",
+        help="eval: comma-separated micro-nat score thresholds to sweep",
+    )
     sp.set_defaults(fn=cmd_quality)
 
     sp = sub.add_parser("report", help="corpus diagnostics (n-grams/quantiles/histogram/vocab)")

@@ -998,6 +998,81 @@ def nb_score_quality(
     )
 
 
+def nb_eval_quality(
+    df: DataFrame,
+    model: DataFrame,
+    label: Column,
+    thresholds: list[int] = (0,),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int | None = None,
+    seed: str = "swarm-nb",
+) -> DataFrame:
+    """Evaluate a :func:`nb_train_quality` model on a labeled holdout:
+    score ``df``, predict good where ``score_micro > t`` for each
+    threshold in the sweep, and compare against ``label`` (the ground
+    truth, NULL = bad). One row PER THRESHOLD — exact integer
+    confusion counts (tp, fp, fn, tn) plus precision/recall/accuracy/
+    F1 as integer micro-units, each an exact integer division rounded
+    ONCE (NULL when the denominator is 0), so the whole operating
+    curve is value-oracle-checkable. This is the measured operating
+    point a ``curate --nb-model`` threshold should come from, instead
+    of an unexamined ``score > 0``.
+
+    Docs with zero tokens are not scored (no features — the
+    :func:`nb_score_quality` contract) and therefore not counted.
+
+    Scale shape: one scoring pass (broadcast model, the score
+    contract) joined to the label projection on the id, fanned out
+    only |thresholds|× (a literal), collapsing map-side into
+    4·|thresholds| grand counters — the output is |thresholds| rows
+    however large the holdout."""
+    if not thresholds:
+        raise ValueError("need at least one threshold")
+    scored = nb_score_quality(
+        df, model, text_col=text_col, id_col=id_col,
+        num_buckets=num_buckets, seed=seed,
+    )
+    labs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(label.cast("boolean"), F.lit(False)).alias("y"),
+    )
+    pred = F.col("score_micro") > F.col("threshold_micro")
+    cnt = lambda c: F.coalesce(F.sum(c.cast("long")), F.lit(0)).cast("long")
+    conf = (
+        scored.join(labs, "doc_id")
+        .select(
+            "score_micro",
+            "y",
+            F.explode(
+                F.array(*[F.lit(int(t)).cast("long") for t in thresholds])
+            ).alias("threshold_micro"),
+        )
+        .groupBy("threshold_micro")
+        .agg(
+            cnt(pred & F.col("y")).alias("tp"),
+            cnt(pred & ~F.col("y")).alias("fp"),
+            cnt(~pred & F.col("y")).alias("fn"),
+            cnt(~pred & ~F.col("y")).alias("tn"),
+        )
+    )
+    micro = lambda num, den: F.when(
+        den > 0, F.round(F.lit(1_000_000.0) * num / den).cast("long")
+    )
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    return conf.select(
+        "threshold_micro",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        micro(tp, tp + fp).alias("precision_micro"),
+        micro(tp, tp + fn).alias("recall_micro"),
+        micro(tp + tn, tp + fp + fn + tn).alias("accuracy_micro"),
+        micro(2 * tp, 2 * tp + fp + fn).alias("f1_micro"),
+    ).orderBy("threshold_micro")
+
+
 def hashed_embedding(
     df: DataFrame,
     dim: int = 64,

@@ -2437,6 +2437,97 @@ ORDER BY doc_id
 """
 
 
+def q_text_nb_eval(spark, sf):
+    """The NB quality scorer's measured operating curve: train on the
+    even-doc_id half (lang=='en' as the known-good class), evaluate on
+    the odd-doc_id HOLDOUT over a threshold sweep — exact integer
+    confusion counts and precision/recall/accuracy/F1 in micro-units
+    per threshold. Holdout tokens hashing to buckets unseen in
+    training exercise the model's stored unseen-default path. This is
+    the gate that turns ``curate --nb-model`` from a bare sign test
+    into a measured threshold choice."""
+    from .ops.text import nb_eval_quality, nb_train_quality
+
+    docs = _docs(spark, sf)
+    model = nb_train_quality(
+        docs.where(F.col("doc_id") % 2 == 0), F.col("lang") == "en",
+        num_buckets=4096,
+    )
+    return nb_eval_quality(
+        docs.where(F.col("doc_id") % 2 == 1), model, F.col("lang") == "en",
+        thresholds=_NB_EVAL_THRESHOLDS, num_buckets=4096,
+    )
+
+
+# the sweep brackets the holdout score distribution (scores are length-
+# scaled sums of per-token llrs, so the bracket is stable across SFs);
+# 0 pins the degenerate all-negative sign test for contrast
+_NB_EVAL_THRESHOLDS = [-12_000_000, -11_000_000, -10_000_000, 0]
+
+
+SQL_NB_EVAL = f"""
+WITH w AS (SELECT doc_id, lang, regexp_split_to_array(text, ' +') AS ws
+           FROM documents),
+tk AS (SELECT doc_id, (lang = 'en') AS is_p, unnest(ws) AS tok FROM w
+       WHERE doc_id % 2 = 0),
+bk AS (SELECT doc_id, is_p,
+              {_md5_bucket_sql('tok', 'swarm-nb')} % 4096 AS bkt
+       FROM tk),
+ag AS (SELECT bkt, cast(count(*) AS bigint) AS cr,
+              cast(sum(CASE WHEN is_p THEN 1 ELSE 0 END) AS bigint) AS cp
+       FROM bk GROUP BY 1),
+tt AS (SELECT cast(sum(cp) AS bigint) AS tp_tok,
+              cast(sum(cr - cp) AS bigint) AS tn_tok FROM ag),
+dc AS (SELECT cast(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS bigint) AS dp,
+              cast(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS bigint) AS dn
+       FROM w WHERE ws IS NOT NULL AND doc_id % 2 = 0),
+st AS (SELECT bkt,
+              cast(round((ln((cp + 1) / (tp_tok + 4096.0))
+                        - ln((cr - cp + 1) / (tn_tok + 4096.0))) * 1000000)
+                   AS bigint) AS lr
+       FROM ag, tt),
+pr AS (SELECT cast(round(ln((dp + 1.0) / (dn + 1.0)) * 1000000) AS bigint) AS p
+       FROM dc),
+un AS (SELECT cast(round(ln((tn_tok + 4096.0) / (tp_tok + 4096.0)) * 1000000)
+              AS bigint) AS u
+       FROM tt),
+hk AS (SELECT doc_id, (lang = 'en') AS y,
+              {_md5_bucket_sql('tok', 'swarm-nb')} % 4096 AS bkt
+       FROM (SELECT doc_id, lang, unnest(ws) AS tok FROM w
+             WHERE doc_id % 2 = 1)),
+sc AS (SELECT hk.doc_id, hk.y,
+              cast(pr.p + sum(coalesce(st.lr, un.u)) AS bigint) AS score
+       FROM hk LEFT JOIN st USING (bkt), pr, un
+       GROUP BY hk.doc_id, hk.y, pr.p, un.u),
+th AS (SELECT cast(unnest([-12000000, -11000000, -10000000, 0]) AS bigint)
+              AS threshold_micro),
+cf AS (SELECT th.threshold_micro,
+    cast(sum(CASE WHEN score > th.threshold_micro AND y
+             THEN 1 ELSE 0 END) AS bigint) AS tp,
+    cast(sum(CASE WHEN score > th.threshold_micro AND NOT y
+             THEN 1 ELSE 0 END) AS bigint) AS fp,
+    cast(sum(CASE WHEN score <= th.threshold_micro AND y
+             THEN 1 ELSE 0 END) AS bigint) AS fn,
+    cast(sum(CASE WHEN score <= th.threshold_micro AND NOT y
+             THEN 1 ELSE 0 END) AS bigint) AS tn
+  FROM sc, th GROUP BY 1)
+SELECT threshold_micro, tp, fp, fn, tn,
+  CASE WHEN tp + fp > 0
+       THEN cast(round(1000000.0 * tp / (tp + fp)) AS bigint) END
+      AS precision_micro,
+  CASE WHEN tp + fn > 0
+       THEN cast(round(1000000.0 * tp / (tp + fn)) AS bigint) END
+      AS recall_micro,
+  CASE WHEN tp + fp + fn + tn > 0
+       THEN cast(round(1000000.0 * (tp + tn) / (tp + fp + fn + tn)) AS bigint) END
+      AS accuracy_micro,
+  CASE WHEN 2 * tp + fp + fn > 0
+       THEN cast(round(1000000.0 * 2 * tp / (2 * tp + fp + fn)) AS bigint) END
+      AS f1_micro
+FROM cf ORDER BY threshold_micro
+"""
+
+
 def q_text_dsir(spark, sf):
     """DSIR importance weights toward the English slice: every doc
     scored by Σ hashed-bigram ln(p_target/p_raw) in integer micro-nats
@@ -3549,6 +3640,7 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "sample_mixture": (q_sample_mixture, SQL_SAMPLE_MIXTURE),
     "text_dsir": (q_text_dsir, SQL_DSIR),
     "text_nb_quality": (q_text_nb_quality, SQL_NB_QUALITY),
+    "text_nb_eval": (q_text_nb_eval, SQL_NB_EVAL),
     "text_chunks": (q_text_chunks, SQL_TEXT_CHUNKS),
     "dedup_substring_runs": (q_dedup_substring_runs, SQL_SUBSTRING_RUNS),
     "text_hash_embed": (q_text_hash_embed, SQL_HASH_EMBED),

@@ -765,6 +765,90 @@ GROUP BY 1, 2, 4 ORDER BY 1, 2
 """
 
 
+def q_streaming_postings_e2e(spark, sf):
+    """Streaming search-index maintenance end-to-end: documents arrive
+    as hash-sliced micro-batches; each batch APPENDS its BM25 postings,
+    df stats and grand totals to three append-only ledgers (all three
+    are additive monoids — postings sum tf per (id, tok), stats sum df
+    per token, totals sum the two grand counters — so append +
+    fold-at-read equals the one-shot build: no read-modify-write on the
+    stored index, no races, crash-safe replay). Probing the folded
+    ledgers with ``docs=None`` must hash-equal the ad-hoc bm25_topk
+    build the oracle computes. Completes the streaming-statistics
+    family: digests, bitmaps, histograms, postings."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .ops.retrieval import bm25_postings, bm25_stats, bm25_topk, bm25_totals
+    from .ops.sampling import hash_bucket
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="swarm_post_stream_")
+    src = os.path.join(tmp, "incoming")
+    os.makedirs(src)
+    slice_id = hash_bucket("doc_id", "swarm-post-slice") % 4
+    for k in range(4):
+        rows = (
+            docs.where(slice_id == k)
+            .select(F.to_json(F.struct("doc_id", "text")).alias("v"))
+            .collect()
+        )
+        with open(os.path.join(src, f"b{k}.ndjson"), "w") as f:
+            for r in rows:
+                f.write(r["v"] + "\n")
+
+    led_post = os.path.join(tmp, "postings")
+    led_stats = os.path.join(tmp, "stats")
+    led_tot = os.path.join(tmp, "totals")
+    for d in (led_post, led_stats, led_tot):
+        os.makedirs(d)
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+
+    def land(batch_df, _epoch):
+        p = bm25_postings(batch_df).persist()
+        p.write.mode("append").parquet(led_post)
+        bm25_stats(p).write.mode("append").parquet(led_stats)
+        p.unpersist()
+        bm25_totals(batch_df).write.mode("append").parquet(led_tot)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")  # one slice per micro-batch
+        .json(src)
+        .writeStream.foreachBatch(land)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    post = (
+        spark.read.schema("id long, dl long, tok string, tf long")
+        .parquet(led_post)
+        .groupBy("id", "dl", "tok")
+        .agg(F.sum("tf").cast("long").alias("tf"))
+    )
+    stats = (
+        spark.read.schema("tok string, df long")
+        .parquet(led_stats)
+        .groupBy("tok")
+        .agg(F.sum("df").cast("long").alias("df"))
+    )
+    totals = spark.read.schema("n_docs long, tot_tokens long").parquet(led_tot)
+    queries = docs.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return bm25_topk(None, queries, k=5, postings=post, stats=stats, totals=totals)
+
+
+# the streaming fold must equal the one-shot build — the oracle IS the
+# ad-hoc BM25 SQL (ops_queries does not import queries, so no cycle)
+from .ops_queries import SQL_BM25 as SQL_STREAMING_POSTINGS  # noqa: E402
+
+
 def _time_sliced_src(df, cols_json, tmp, slices=3, sentinel_rows=()):
     """Write ``df`` as ``slices`` contiguous event-time NDJSON files
     (plus sentinel files) under ``tmp``/incoming — deterministic
@@ -998,6 +1082,7 @@ CORE: dict[str, tuple[Callable, str | None]] = {
     "streaming_dedup_e2e": (q_streaming_dedup_e2e, SQL_STREAMING_DEDUP),
     "streaming_sketch_e2e": (q_streaming_sketch_e2e, SQL_STREAMING_SKETCH),
     "streaming_quantiles_e2e": (q_streaming_quantiles_e2e, SQL_STREAMING_QUANTILES),
+    "streaming_postings_e2e": (q_streaming_postings_e2e, SQL_STREAMING_POSTINGS),
     "streaming_sessionize_e2e": (q_streaming_sessionize_e2e, SQL_STREAMING_SESSIONIZE),
     "streaming_window_e2e": (q_streaming_window_e2e, SQL_WINDOW_STREAM),
     "s1_scan_count": (q_s1_scan_count, SQL_S1),

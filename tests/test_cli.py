@@ -280,6 +280,40 @@ class TestCurate:
         n_above = sum(1 for _, s in got if s > -7_000_000)
         assert 0 < res_c["docs_kept"] <= n_above < 500
 
+    def test_quality_eval_matches_registry_curve(self, spark, tmp_path, capsys):
+        """`quality eval` sweeps thresholds on a labeled holdout and
+        must reproduce the text_nb_eval registry operating curve: train
+        on the even-doc_id half, evaluate the odd half, one JSON row
+        per threshold with exact confusion counts."""
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        train_dir, hold_dir = str(tmp_path / "train"), str(tmp_path / "hold")
+        docs.where("doc_id % 2 = 0").write.parquet(train_dir)
+        docs.where("doc_id % 2 = 1").write.parquet(hold_dir)
+        model_dir = str(tmp_path / "nb")
+        _run(
+            capsys,
+            ["--cpus", "4", "quality", "train", train_dir,
+             "--model", model_dir, "--label-col", "lang",
+             "--label-value", "en", "--buckets", "4096"],
+        )
+        rc = main(
+            ["--cpus", "4", "quality", "eval", hold_dir,
+             "--model", model_dir, "--label-col", "lang", "--label-value", "en",
+             "--thresholds=-12000000,-11000000,-10000000,0"]
+        )
+        assert rc == 0
+        lines = capsys.readouterr().out.strip().splitlines()
+        got = [json.loads(ln) for ln in lines]
+        from swarm_spark.ops_queries import OPS
+
+        want = [
+            r.asDict()
+            for r in OPS["text_nb_eval"][0](spark, "/root/testdata/sf0.001").collect()
+        ]
+        assert got == want
+        # the curve is non-degenerate: some threshold splits the holdout
+        assert any(r["tp"] > 0 and r["tn"] > 0 for r in got)
+
     def test_curate_quality_quantile_gate(self, spark, tmp_path, capsys):
         """--quality-quantile keeps each language's top half by quality
         — per-language counts must be about half the ungated run's and

@@ -132,6 +132,9 @@ _SCAN_BUDGET = {
     "set_ops": 4,
     "hybrid_rrf": 5,  # the bm25 3-scan shape + embeddings corpus +
     #   embeddings query batch for the semantic list
+    "streaming_postings_e2e": 4,  # the three appended ledgers
+    #   (postings / df stats / totals) + the docs scan that builds the
+    #   probe batch; the raw corpus is absent from the probe plan
     "bm25_incremental": 5,  # two wave-postings builds + per-wave df
     #   stats/totals branches (AQE reuses two of the exchanges) + the
     #   query batch — the fused build+fold+probe oracle composition;
