@@ -66,6 +66,8 @@ def main() -> None:
         "text_quality_gate",
         "text_nb_quality",
         "corpus_expectations_approx",
+        "bm25_topk",
+        "text_nb_eval",
         # the fused ANN build+probe compositions (ann_topk_ivf,
         # ann_topk_ivfpq) are excluded like the rest of that tier:
         # their wall is k-means driver-round fixed overhead, measured

@@ -234,6 +234,77 @@ def shared_substring_runs(
     )
 
 
+def auto_max_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    budget_pairs_per_row: int = 8,
+    floor: int = 16,
+    cap_max: int = 1 << 30,
+    shingles: DataFrame | None = None,
+) -> int:
+    """Derive the DF cap for the Jaccard/MinHash candidate join from
+    the MEASURED shingle-df distribution instead of corpus row count
+    (the r8 SCALING.md guidance, encoded: "scale the cap with corpus
+    growth only when the shingle vocabulary grows too — never on a
+    saturated key space").
+
+    A shingle in d docs contributes min(d, cap)² candidate rows, so
+    the cap is exactly the knob bounding the join's quadratic term.
+    This picks the LARGEST power-of-two cap whose conservative
+    candidate estimate Σ_sh min(df, cap)² stays within a LINEAR budget
+    of ``budget_pairs_per_row`` × (total shingle rows):
+
+    - real Zipfian corpora: vocabulary grows with the corpus, dfs stay
+      flat, the estimate stays small at any cap → the cap floats up
+      (no recall lost to pruning);
+    - saturated key spaces (tiny vocab — the synthetic-corpus worst
+      case): every df grows ∝ N, so the budget only admits a cap
+      ≈ √(budget·rows/vocab) — growing as √N, never ∝ N — and the
+      candidate volume stays LINEAR in corpus rows by construction
+      (a max_df ∝ N rule makes it quadratic here; that was the r8
+      scale probe's 17.3× row).
+
+    Cost: the same one map-side-combined ``groupBy(sh).count()`` the
+    pruning pass already pays, folded to a ≤ ~40-row log₂ df histogram
+    (driver traffic = metadata). The estimate uses each bin's upper
+    bound, so it over-counts (never under-protects). Returns
+    ``max(floor, chosen)`` clamped to ``cap_max``; pass the result as
+    ``max_df`` to :func:`ngram_jaccard_pairs` /
+    :func:`minhash_signatures`."""
+    if budget_pairs_per_row < 1 or floor < 1:
+        raise ValueError(
+            f"budget_pairs_per_row and floor must be >= 1, got "
+            f"{budget_pairs_per_row}, {floor}"
+        )
+    s = doc_shingles(df, text_col, id_col, n) if shingles is None else shingles
+    hist = (
+        s.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select(F.ceil(F.log2("df")).cast("int").alias("b"), "df")
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum("df").alias("rows"),
+        )
+        .collect()
+    )
+    if not hist:
+        return floor
+    total_rows = sum(int(r["rows"]) for r in hist)
+    budget = budget_pairs_per_row * total_rows
+    bins = sorted((int(r["b"]), int(r["n_sh"])) for r in hist)
+
+    def est(cap: int) -> int:
+        return sum(n_sh * min(1 << b, cap) ** 2 for b, n_sh in bins)
+
+    cap = 1
+    while cap < cap_max and est(cap * 2) <= budget:
+        cap *= 2
+    return min(max(cap, floor), cap_max)
+
+
 # ------------------------------------------------------ ngram jaccard
 def ngram_jaccard_pairs(
     df: DataFrame,

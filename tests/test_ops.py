@@ -256,6 +256,62 @@ class TestDFPruning:
         pruned = ngram_jaccard_pairs(docs, threshold=0.5, max_df=100).collect()
         assert sorted(map(tuple, unpruned)) == sorted(map(tuple, pruned))
 
+    def test_auto_max_df_holds_on_saturated_vocab(self, spark):
+        """The SCALING.md guidance, now executable: on a SATURATED
+        shingle space (tiny vocab — every df grows with the corpus) the
+        derived cap grows only ~√N, so the candidate volume
+        Σ min(df, cap)² stays LINEAR in corpus rows (a max_df ∝ N rule
+        makes it quadratic); on a sparse corpus (vocabulary grows with
+        the data, dfs stay ~1) the cap floats up. Deterministic: pure
+        function of the df histogram."""
+        from swarm_spark.ops.dedup import auto_max_df
+
+        # saturated: 3-token vocab -> ONE distinct shingle, df = n_docs
+        def saturated(n_docs):
+            rows = [(i, "aaa bbb ccc") for i in range(n_docs)]
+            return spark.createDataFrame(rows, "doc_id long, text string")
+
+        cap_small = auto_max_df(saturated(100), floor=4)
+        cap_big = auto_max_df(saturated(1000), floor=4)
+        # candidate volume (one shingle -> exactly cap^2) stays within
+        # the linear budget at BOTH sizes: the invariant that matters
+        assert cap_small**2 <= 8 * 100
+        assert cap_big**2 <= 8 * 1000
+        # and the cap grows sub-linearly (~sqrt): 10x data -> <= 4x cap,
+        # where the naive max_df ∝ N rule would 10x it
+        assert cap_big <= 4 * cap_small
+
+        # sparse: every shingle unique to its doc (df = 1 everywhere)
+        sparse = spark.createDataFrame(
+            [(i, f"u{i}a u{i}b u{i}c u{i}d u{i}e") for i in range(500)],
+            "doc_id long, text string",
+        )
+        cap_sparse = auto_max_df(sparse, floor=4)
+        assert cap_sparse >= 64, "sparse corpus should not be over-pruned"
+        # determinism + partition invariance
+        assert cap_sparse == auto_max_df(sparse.repartition(7), floor=4)
+        # the derived cap keeps true duplicates: feed it to the join
+        pairs = ngram_jaccard_pairs(
+            sparse.unionByName(
+                spark.createDataFrame(
+                    [(900, "u7a u7b u7c u7d u7e")], "doc_id long, text string"
+                )
+            ),
+            threshold=0.9,
+            max_df=cap_sparse,
+        ).collect()
+        assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(7, 900)}
+
+    def test_auto_max_df_empty_and_args(self, spark):
+        from swarm_spark.ops.dedup import auto_max_df
+
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        assert auto_max_df(empty, floor=16) == 16
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match=">= 1"):
+            auto_max_df(empty, budget_pairs_per_row=0)
+
 
 class TestWideSimhash:
     def test_48_bit_blocked_equals_exact(self, docs):
