@@ -132,6 +132,9 @@ _SCAN_BUDGET = {
     "set_ops": 4,
     "hybrid_rrf": 5,  # the bm25 3-scan shape + embeddings corpus +
     #   embeddings query batch for the semantic list
+    "text_nb_eval": 3,  # train scan (even half) + holdout scoring scan
+    #   + the (doc_id, lang)-pruned label projection the confusion join
+    #   re-reads (ReadSchema is two columns — metadata-cheap)
     "streaming_postings_e2e": 4,  # the three appended ledgers
     #   (postings / df stats / totals) + the docs scan that builds the
     #   probe batch; the raw corpus is absent from the probe plan
