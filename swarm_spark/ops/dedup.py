@@ -293,8 +293,26 @@ def auto_max_df(
     if not hist:
         return floor
     total_rows = sum(int(r["rows"]) for r in hist)
-    budget = budget_pairs_per_row * total_rows
     bins = sorted((int(r["b"]), int(r["n_sh"])) for r in hist)
+    return _select_df_cap(bins, total_rows, budget_pairs_per_row, floor, cap_max)
+
+
+def _select_df_cap(
+    bins: list[tuple[int, int]],
+    total_rows: int,
+    budget_pairs_per_row: int,
+    floor: int,
+    cap_max: int,
+) -> int:
+    """Pure cap selection from a log₂ df histogram (``bins`` =
+    [(⌈log₂ df⌉, n_shingles)]): the largest power-of-two cap whose
+    conservative candidate estimate Σ n·min(2^b, cap)² stays within
+    ``budget_pairs_per_row × total_rows``, clamped to [floor, cap_max].
+    Factored out of :func:`auto_max_df` so the selection invariants
+    (bounds, budget-maximality, budget monotonicity) are directly
+    property-testable without a Spark session."""
+
+    budget = budget_pairs_per_row * total_rows
 
     def est(cap: int) -> int:
         return sum(n_sh * min(1 << b, cap) ** 2 for b, n_sh in bins)

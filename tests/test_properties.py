@@ -164,3 +164,78 @@ class TestNearestRankArithmetic:
         assert r * 1000 >= q * n
         if q * n > 0:
             assert (r - 1) * 1000 < q * n
+
+
+class TestDfCapSelection:
+    """auto_max_df's pure cap selector: whatever the df histogram, the
+    returned cap must respect its bounds, never exceed the linear
+    candidate budget except when the floor forces it, and respond
+    monotonically to a bigger budget."""
+
+    bins_st = st.lists(
+        st.tuples(st.integers(0, 30), st.integers(1, 10**6)),
+        min_size=1,
+        max_size=12,
+    )
+
+    @staticmethod
+    def _est(bins, cap):
+        return sum(n * min(1 << b, cap) ** 2 for b, n in bins)
+
+    @staticmethod
+    def _rows(bins):
+        # a plausible row total: each bin's shingles at the bin's df
+        # upper bound (the estimate is conservative the same way)
+        return sum(n * (1 << b) for b, n in bins)
+
+    @given(bins_st, st.integers(1, 64), st.integers(1, 1024))
+    @settings(max_examples=300)
+    def test_within_bounds_and_power_of_two_or_clamped(self, bins, bud, floor):
+        from swarm_spark.ops.dedup import _select_df_cap
+
+        cap = _select_df_cap(bins, self._rows(bins), bud, floor, 1 << 20)
+        assert floor <= cap <= 1 << 20
+        # cap is a power of two unless the floor clamp produced it
+        assert cap == floor or (cap & (cap - 1)) == 0
+
+    @given(bins_st, st.integers(1, 64))
+    @settings(max_examples=300)
+    def test_budget_maximality(self, bins, bud):
+        """The selector is greedy-maximal: the unclamped choice fits
+        the budget (or is the 1 minimum), and the next power of two
+        would not (or hit cap_max)."""
+        from swarm_spark.ops.dedup import _select_df_cap
+
+        rows = self._rows(bins)
+        cap_max = 1 << 20
+        cap = _select_df_cap(bins, rows, bud, 1, cap_max)  # floor=1: pure choice
+        budget = bud * rows
+        if cap > 1:
+            assert self._est(bins, cap) <= budget
+        if cap < cap_max:
+            assert self._est(bins, cap * 2) > budget
+
+    @given(bins_st, st.integers(1, 32), st.integers(1, 32))
+    @settings(max_examples=300)
+    def test_budget_monotone(self, bins, bud, extra):
+        from swarm_spark.ops.dedup import _select_df_cap
+
+        rows = self._rows(bins)
+        lo = _select_df_cap(bins, rows, bud, 1, 1 << 20)
+        hi = _select_df_cap(bins, rows, bud + extra, 1, 1 << 20)
+        assert hi >= lo
+
+    @given(bins_st, st.integers(1, 16), st.integers(1, 8))
+    @settings(max_examples=200)
+    def test_saturated_growth_is_sublinear(self, bins, bud, k):
+        """Scaling every df by 2^k with the SAME vocabulary (the
+        saturated-key-space model: bins shift up, counts unchanged,
+        rows scale 2^k) must grow the chosen cap by at most 2^ceil(k/2)
+        — the √N law, never the ∝N of a row-count rule."""
+        from swarm_spark.ops.dedup import _select_df_cap
+
+        rows = self._rows(bins)
+        base = _select_df_cap(bins, rows, bud, 1, 1 << 30)
+        shifted = [(b + k, n) for b, n in bins]
+        grown = _select_df_cap(shifted, rows << k, bud, 1, 1 << 30)
+        assert grown <= base << ((k + 1) // 2)
