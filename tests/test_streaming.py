@@ -253,6 +253,97 @@ class TestStructuredStreaming:
         assert sink.read_table(TableDest("ds", "t")).count() == 15
 
 
+class TestPostingsLedgerReplay:
+    def test_restart_is_idempotent_and_complete(self, spark, tmp_path):
+        """The BM25 postings ledger's crash story, exercised: a stream
+        lands two micro-batches and stops (the 'crash'), more data
+        arrives, a NEW query against the SAME checkpoint replays only
+        the unprocessed files, and a third run with nothing new appends
+        nothing. The folded ledgers must then probe identically to the
+        one-shot batch build — append-only + checkpoint = exactly-once
+        index maintenance with no read-modify-write anywhere."""
+        from swarm_spark.ops.retrieval import (
+            bm25_postings,
+            bm25_stats,
+            bm25_topk,
+            bm25_totals,
+        )
+
+        rows = [(i, f"tok{i % 7} tok{(i + 1) % 7} shared") for i in range(40)]
+        src = tmp_path / "in"
+        src.mkdir()
+
+        def write(i):
+            lines = [
+                json.dumps({"doc_id": d, "text": t})
+                for d, t in rows[i * 10 : (i + 1) * 10]
+            ]
+            (src / f"f{i}.ndjson").write_text("\n".join(lines))
+
+        led = {n: str(tmp_path / n) for n in ("post", "stats", "tot")}
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+
+        def land(batch_df, _epoch):
+            p = bm25_postings(batch_df).persist()
+            p.write.mode("append").parquet(led["post"])
+            bm25_stats(p).write.mode("append").parquet(led["stats"])
+            p.unpersist()
+            bm25_totals(batch_df).write.mode("append").parquet(led["tot"])
+
+        def run():
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .json(str(src))
+                .writeStream.foreachBatch(land)
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+
+        write(0), write(1)
+        run()  # two micro-batches land, then the query stops ("crash")
+        write(2), write(3)
+        run()  # restart: ONLY the two new files replay
+        run()  # nothing new: appends nothing
+        # one totals row per processed micro-batch — 4, not 6/8
+        assert spark.read.parquet(led["tot"]).count() == 4
+
+        post = (
+            spark.read.schema("id long, dl long, tok string, tf long")
+            .parquet(led["post"])
+            .groupBy("id", "dl", "tok")
+            .agg(F.sum("tf").cast("long").alias("tf"))
+        )
+        stats = (
+            spark.read.schema("tok string, df long")
+            .parquet(led["stats"])
+            .groupBy("tok")
+            .agg(F.sum("df").cast("long").alias("df"))
+        )
+        totals = spark.read.schema("n_docs long, tot_tokens long").parquet(led["tot"])
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        queries = docs.where(F.col("doc_id") % 10 == 0).select(
+            F.col("doc_id").alias("query_id"), "text"
+        )
+        via_ledger = sorted(
+            map(
+                tuple,
+                bm25_topk(
+                    None, queries, k=3, postings=post, stats=stats, totals=totals
+                ).collect(),
+            )
+        )
+        direct = sorted(map(tuple, bm25_topk(docs, queries, k=3).collect()))
+        assert via_ledger == direct
+
+
 def _race_worker(args):
     """Cross-process acquire racer (module-level: must pickle)."""
     path, msg_id = args
