@@ -3463,6 +3463,68 @@ FROM est, x
 """
 
 
+def q_corpus_cms_freq(spark, sf):
+    """Count-min frequency sketch (Cormode & Muthukrishnan 2005),
+    gate-checked against exact counts: sketch every token occurrence
+    into a 3×512 counter grid, probe the exact top-20 tokens, and
+    report (exact, estimate, overcount). The one-sided guarantee —
+    estimates never undercount — makes ``overcount >= 0`` a structural
+    invariant the value oracle pins cell-exactly (md5-derived integer
+    arithmetic reproduces in DuckDB, unlike engine-private sketch
+    bytes). Build is one codegen projection + one <= depth·width-row
+    shuffle; the probe broadcasts the SKETCH, never the key frame."""
+    from .ops.sketch import cms_lookup, cms_sketch
+    from .ops.text import tokens_col
+
+    docs = _docs(spark, sf)
+    toks = docs.select(F.explode(tokens_col("text")).alias("tok"))
+    sk = cms_sketch(toks, "tok", width=512, depth=3)
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact"))
+        .orderBy(F.col("exact").desc(), "tok")
+        .limit(20)
+    )
+    est = cms_lookup(sk, exact.select("tok"), "tok", width=512, depth=3)
+    return (
+        exact.join(est, "tok")
+        .select(
+            "tok",
+            "exact",
+            "est",
+            (F.col("est") - F.col("exact")).alias("overcount"),
+        )
+        .orderBy(F.col("exact").desc(), "tok")
+    )
+
+
+def _cms_probe_sql(key_expr: str, src: str, width: int, depth: int) -> str:
+    """UNION ALL of ``depth`` per-row hash probes — the SQL mirror of
+    ops.sketch._probe_structs (row d hashes md5('swarm-cms-d|key'))."""
+    return " UNION ALL ".join(
+        f"SELECT {key_expr} AS tok, cast({d} AS int) AS row, "
+        f"cast({_md5_bucket_sql(key_expr, f'swarm-cms-{d}')} % {width} AS int) AS col "
+        f"FROM {src}"
+        for d in range(depth)
+    )
+
+
+SQL_CMS_FREQ = f"""
+WITH w AS ({_WS}),
+t AS (SELECT unnest(ws) AS tok FROM w),
+cells AS (SELECT row, col, cast(count(*) AS bigint) AS cnt
+          FROM ({_cms_probe_sql('tok', 't', 512, 3)}) GROUP BY 1, 2),
+exact AS (SELECT tok, cast(count(*) AS bigint) AS exact FROM t
+          GROUP BY 1 ORDER BY exact DESC, tok LIMIT 20),
+probe AS ({_cms_probe_sql('tok', 'exact', 512, 3)}),
+est AS (SELECT p.tok, cast(min(coalesce(c.cnt, 0)) AS bigint) AS est
+        FROM probe p LEFT JOIN cells c USING (row, col) GROUP BY 1)
+SELECT e.tok, e.exact, s.est, s.est - e.exact AS overcount
+FROM exact e JOIN est s USING (tok)
+ORDER BY e.exact DESC, e.tok
+"""
+
+
 def q_dedup_bloom_gate(spark, sf):
     """Split-block Bloom membership pre-filter, gate-checked: build the
     filter over the even-doc_id half's texts, probe EVERY doc, and
@@ -3610,6 +3672,7 @@ ORDER BY pcx.cell
 OPS: dict[str, tuple[Callable, str | None]] = {
     "corpus_distinct_sketch": (q_corpus_distinct_sketch, SQL_DISTINCT_SKETCH),
     "corpus_sketch_incremental": (q_corpus_sketch_incremental, SQL_SKETCH_INCR),
+    "corpus_cms_freq": (q_corpus_cms_freq, SQL_CMS_FREQ),
     "sample_shuffle_order": (q_sample_shuffle_order, SQL_SHUFFLE_ORDER),
     "corpus_expectations": (q_corpus_expectations, SQL_EXPECTATIONS),
     "corpus_expectations_approx": (q_corpus_expectations_approx, SQL_EXPECTATIONS_APPROX),

@@ -849,6 +849,82 @@ def q_streaming_postings_e2e(spark, sf):
 from .ops_queries import SQL_BM25 as SQL_STREAMING_POSTINGS  # noqa: E402
 
 
+def q_streaming_cms_e2e(spark, sf):
+    """Streaming frequency-sketch maintenance end-to-end: documents
+    arrive as hash-sliced micro-batches; each batch APPENDS its token
+    count-min sketch to an append-only ledger (cells are a SUM monoid,
+    so append + sum-at-read equals the one-shot sketch CELL-EXACTLY —
+    no read-modify-write on the stored statistic, no races, crash-safe
+    replay). The merged grid itself is the result: <= depth·width rows
+    the oracle recomputes one-shot. Closes the streaming-statistics
+    family: digests, bitmaps, histograms, postings, frequencies."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .ops.sampling import hash_bucket
+    from .ops.sketch import cms_sketch
+    from .ops.text import tokens_col
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="swarm_cms_stream_")
+    src = os.path.join(tmp, "incoming")
+    os.makedirs(src)
+    slice_id = hash_bucket("doc_id", "swarm-cms-slice") % 4
+    for k in range(4):
+        rows = (
+            docs.where(slice_id == k)
+            .select(F.to_json(F.struct("doc_id", "text")).alias("v"))
+            .collect()
+        )
+        with open(os.path.join(src, f"b{k}.ndjson"), "w") as f:
+            for r in rows:
+                f.write(r["v"] + "\n")
+
+    ledger = os.path.join(tmp, "cells")
+    os.makedirs(ledger)
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+
+    def land(batch_df, _epoch):
+        toks = batch_df.select(F.explode(tokens_col("text")).alias("tok"))
+        cms_sketch(toks, "tok", width=512, depth=3).write.mode("append").parquet(
+            ledger
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")  # one slice per micro-batch
+        .json(src)
+        .writeStream.foreachBatch(land)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return (
+        spark.read.schema("row int, col int, cnt long")
+        .parquet(ledger)
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .orderBy("row", "col")
+    )
+
+
+from .ops_queries import _WS as _ORACLE_WS  # noqa: E402
+from .ops_queries import _cms_probe_sql as _cms_sql  # noqa: E402
+
+SQL_STREAMING_CMS = f"""
+WITH w AS ({_ORACLE_WS}),
+t AS (SELECT unnest(ws) AS tok FROM w)
+SELECT row, col, cast(count(*) AS bigint) AS cnt
+FROM ({_cms_sql('tok', 't', 512, 3)})
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def _time_sliced_src(df, cols_json, tmp, slices=3, sentinel_rows=()):
     """Write ``df`` as ``slices`` contiguous event-time NDJSON files
     (plus sentinel files) under ``tmp``/incoming — deterministic
@@ -1083,6 +1159,7 @@ CORE: dict[str, tuple[Callable, str | None]] = {
     "streaming_sketch_e2e": (q_streaming_sketch_e2e, SQL_STREAMING_SKETCH),
     "streaming_quantiles_e2e": (q_streaming_quantiles_e2e, SQL_STREAMING_QUANTILES),
     "streaming_postings_e2e": (q_streaming_postings_e2e, SQL_STREAMING_POSTINGS),
+    "streaming_cms_e2e": (q_streaming_cms_e2e, SQL_STREAMING_CMS),
     "streaming_sessionize_e2e": (q_streaming_sessionize_e2e, SQL_STREAMING_SESSIONIZE),
     "streaming_window_e2e": (q_streaming_window_e2e, SQL_WINDOW_STREAM),
     "s1_scan_count": (q_s1_scan_count, SQL_S1),

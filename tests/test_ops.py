@@ -1705,3 +1705,108 @@ class TestBigramSurprisal:
         assert out[1]["avg_surprisal_micro"] < out[2]["avg_surprisal_micro"]
         # doc 3 rides doc 1's frequent transition: also low surprisal
         assert out[3]["avg_surprisal_micro"] < out[2]["avg_surprisal_micro"]
+
+
+class TestCountMinSketch:
+    def _tokens(self, spark):
+        # known multiset: tok_i occurs i times, i in 1..40 (total 820)
+        rows = [(f"tok{i:02d}",) for i in range(1, 41) for _ in range(i)]
+        return spark.createDataFrame(rows, "tok string")
+
+    def test_never_undercounts_and_is_tight_when_wide(self, spark):
+        from swarm_spark.ops.sketch import cms_lookup, cms_sketch
+
+        toks = self._tokens(spark)
+        sk = cms_sketch(toks, "tok", width=1024, depth=4)
+        est = {
+            r["tok"]: r["est"]
+            for r in cms_lookup(
+                sk, toks.select("tok").distinct(), "tok", width=1024, depth=4
+            ).collect()
+        }
+        exact = {f"tok{i:02d}": i for i in range(1, 41)}
+        assert set(est) == set(exact)
+        for k, true in exact.items():
+            assert est[k] >= true, (k, est[k], true)
+        # 40 keys in 1024 columns x 4 rows: min over rows is exact
+        assert est == exact
+
+    def test_narrow_sketch_overcounts_never_undercounts(self, spark):
+        from swarm_spark.ops.sketch import cms_lookup, cms_sketch
+
+        toks = self._tokens(spark)
+        sk = cms_sketch(toks, "tok", width=8, depth=2)
+        est = {
+            r["tok"]: r["est"]
+            for r in cms_lookup(
+                sk, toks.select("tok").distinct(), "tok", width=8, depth=2
+            ).collect()
+        }
+        assert all(est[f"tok{i:02d}"] >= i for i in range(1, 41))
+        assert sum(est.values()) > 820  # collisions forced at width 8
+
+    def test_unseen_key_estimates_zero_when_cell_empty(self, spark):
+        from swarm_spark.ops.sketch import cms_lookup, cms_sketch
+
+        toks = self._tokens(spark)
+        sk = cms_sketch(toks, "tok", width=4096, depth=4)
+        probe = spark.createDataFrame([("never-seen-key-xyz",)], "tok string")
+        (row,) = cms_lookup(sk, probe, "tok", width=4096, depth=4).collect()
+        assert row["est"] == 0
+
+    def test_merge_equals_recompute(self, spark):
+        from swarm_spark.ops.sketch import cms_merge, cms_sketch
+
+        toks = self._tokens(spark)
+        even = F.substring("tok", 4, 2).cast("int") % 2 == 0
+        a, b = toks.where(even), toks.where(~even)
+        merged = cms_merge(
+            cms_sketch(a, "tok", width=64, depth=3),
+            cms_sketch(b, "tok", width=64, depth=3),
+        )
+        full = cms_sketch(toks, "tok", width=64, depth=3)
+        diff = (
+            merged.withColumnRenamed("cnt", "ca")
+            .join(full.withColumnRenamed("cnt", "cb"), ["row", "col"], "full")
+            .where(
+                F.coalesce("ca", F.lit(-1)) != F.coalesce("cb", F.lit(-1))
+            )
+            .count()
+        )
+        assert diff == 0
+
+    def test_partitioning_invariant(self, spark):
+        from swarm_spark.ops.sketch import cms_sketch
+
+        toks = self._tokens(spark)
+        a = sorted(map(tuple, cms_sketch(toks, "tok", width=32, depth=2).collect()))
+        b = sorted(
+            map(tuple, cms_sketch(toks.repartition(13), "tok", width=32, depth=2).collect())
+        )
+        assert a == b
+
+    def test_heavy_hitters_one_sided(self, spark):
+        from swarm_spark.ops.sketch import cms_heavy_hitters
+
+        toks = self._tokens(spark)
+        hh = {
+            r["tok"]: r["est"]
+            for r in cms_heavy_hitters(toks, "tok", threshold=30, width=1024, depth=4).collect()
+        }
+        # every truly-heavy key survives (the one-sided guarantee)
+        assert {f"tok{i:02d}" for i in range(30, 41)} <= set(hh)
+        # and at this width nothing rides along
+        assert set(hh) == {f"tok{i:02d}" for i in range(30, 41)}
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from swarm_spark.ops.sketch import cms_heavy_hitters, cms_sketch
+
+        toks = self._tokens(spark)
+        with _pytest.raises(ValueError):
+            cms_sketch(toks, "tok", width=0)
+        with _pytest.raises(ValueError):
+            cms_sketch(toks, "tok", depth=0)
+        with _pytest.raises(ValueError):
+            cms_heavy_hitters(toks, "tok", threshold=0)
