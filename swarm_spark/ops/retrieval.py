@@ -275,3 +275,134 @@ def rrf_fuse(
         .select("query_id", "id", "rrf_micro", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+def lm_cf_stats(postings: DataFrame) -> DataFrame:
+    """(tok, cf) collection frequencies (total occurrences, not
+    document counts) from a postings frame — the statistic
+    query-likelihood smoothing needs where BM25 needs ``df``. One
+    vocab-sized map-side-combined shuffle; additive across disjoint
+    corpora (merge == groupBy-sum, the stored-statistic contract), and
+    derivable for free from a persisted :func:`save_bm25` index."""
+    return postings.groupBy("tok").agg(F.sum("tf").cast("long").alias("cf"))
+
+
+def lm_topk(
+    docs: DataFrame | None,
+    queries: DataFrame,
+    k: int = 5,
+    mu: float = 2000.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    n_salts: int = 16,
+    broadcast_max_queries: int | None = 10_000,
+    postings: DataFrame | None = None,
+    cf_stats: DataFrame | None = None,
+    totals: DataFrame | None = None,
+) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (public:
+    Zhai & Lafferty 2004, "A Study of Smoothing Methods for Language
+    Models Applied to Ad Hoc Information Retrieval") — the other
+    classical lexical ranker next to :func:`bm25_topk`, sharing its
+    inverted-index gate and persisted-index shapes. Rank-preserving
+    decomposition (their Eq. 6):
+
+        score(q, d) = Σ_{t ∈ q∩d} c(t,q)·ln(1 + tf·|C| / (µ·cf(t)))
+                      + |q|·ln(µ / (dl + µ))
+
+    with cf(t) the COLLECTION frequency and |C| total corpus tokens.
+    Unlike BM25's deduplicated keyword convention, query terms keep
+    their multiplicity c(t,q) — the query IS a language-model sample.
+    Each ln(...) is rounded ONCE to integer micro-nats and multiplied
+    by the integer term count, so per-pair scores are 64-bit-integer
+    sums — order-independent and engine-exact. Output (query_id, id,
+    score_micro, rank); candidates are docs sharing >= 1 query term
+    (the inverted-index gate — the |q|·ln(µ/(dl+µ)) length normalizer
+    only reranks docs already in the candidate set).
+
+    Same two entry shapes as :func:`bm25_topk`: ad-hoc (pass ``docs``)
+    or persisted index (pass ``postings`` [+ ``totals``] from
+    :func:`load_bm25`; ``cf_stats`` folds from the postings when not
+    given). Scale shape is BM25's: query terms meet the vocab-sized cf
+    stats in an equi-join BEFORE the guarded broadcast into the
+    postings join; the salted two-phase top-k bounds every window task
+    at ~k rows."""
+    from .similarity import _probe_is_small
+
+    if k < 1 or mu <= 0:
+        raise ValueError(f"need k >= 1 and mu > 0; got {k}, {mu}")
+    if postings is None:
+        if docs is None:
+            raise ValueError("need docs or a persisted postings frame")
+        post = bm25_postings(docs, text_col, id_col)
+        if totals is None:
+            totals = bm25_totals(docs, text_col, id_col)
+    else:
+        post = postings
+        if totals is None:
+            totals = post.select("id", "dl").distinct().agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.coalesce(F.sum("dl"), F.lit(0)).alias("tot_tokens"),
+            )
+    if cf_stats is None:
+        cf_stats = lm_cf_stats(post)
+    tot = totals.agg(
+        F.coalesce(F.sum("tot_tokens"), F.lit(0)).alias("tt")
+    ).head()
+    tt = int(tot["tt"])
+    if tt == 0:
+        raise ValueError("corpus has no tokens")
+
+    small = _probe_is_small(queries, broadcast_max_queries)
+    qtoks = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(tokens_col(query_text_col)).alias("tok"),
+    )
+    qterms = qtoks.groupBy("query_id", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("qtf")
+    )
+    qlen = qtoks.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("qlen")
+    )
+    # query terms meet the vocab-sized cf stats FIRST (<= |Q|*terms rows)
+    qcf = qterms.join(cf_stats, "tok").select("query_id", "tok", "qtf", "cf")
+    term_micro = F.col("qtf") * F.round(
+        F.lit(1_000_000.0)
+        * F.log(
+            F.lit(1.0)
+            + (F.col("tf") * F.lit(float(tt))) / (F.lit(mu) * F.col("cf"))
+        )
+    ).cast("long")
+    pairs = (
+        post.join(F.broadcast(qcf) if small else qcf, "tok")
+        .select("query_id", "id", "dl", term_micro.alias("__t"))
+        .groupBy("query_id", "id")
+        .agg(F.sum("__t").alias("__s"), F.max("dl").alias("dl"))
+    )
+    norm_micro = F.col("qlen") * F.round(
+        F.lit(1_000_000.0) * F.log(F.lit(mu) / (F.col("dl") + F.lit(mu)))
+    ).cast("long")
+    scored = (
+        pairs.join(F.broadcast(qlen) if small else qlen, "query_id")
+        .select(
+            "query_id", "id", (F.col("__s") + norm_micro).alias("score_micro")
+        )
+    )
+    order = (F.col("score_micro").desc(), F.col("id"))
+    salt = (hash_bucket(F.col("id").cast("string"), "swarm-lm") % n_salts).cast("int")
+    w1 = Window.partitionBy("query_id", "salt").orderBy(*order)
+    survivors = (
+        scored.withColumn("salt", salt)
+        .withColumn("rk", F.row_number().over(w1))
+        .where(F.col("rk") <= k)
+        .drop("rk", "salt")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "id", "score_micro", "rank")
+        .orderBy("query_id", "rank")
+    )

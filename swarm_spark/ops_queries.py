@@ -1575,6 +1575,59 @@ def q_bm25_incremental(spark, sf):
     )
 
 
+def q_lm_topk(spark, sf):
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty 2004) over the same inverted index as BM25: every 50th
+    document is a query; top-5 docs per query by the micro-nat-integer
+    score. Collection frequencies (not document frequencies) smooth
+    the per-term contribution; the |q|·ln(µ/(dl+µ)) normalizer
+    reranks candidates by length. Same scale shape as ``bm25_topk``:
+    query terms meet the vocab-sized cf stats before the guarded
+    broadcast, candidates gate on shared terms, salted two-phase
+    top-k."""
+    from .ops.retrieval import lm_topk
+
+    docs = _docs(spark, sf)
+    queries = docs.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return lm_topk(docs, queries, k=5, mu=2000.0)
+
+
+# parenthesization mirrors ops/retrieval.py exactly: qtf * round(1e6 *
+# ln(1 + (tf * tt) / (mu * cf))) and qlen * round(1e6 * ln(mu / (dl + mu)))
+SQL_LM_TOPK = """
+WITH toks AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS ws FROM documents),
+d AS (SELECT doc_id AS id, cast(len(ws) AS bigint) AS dl, ws FROM toks),
+post AS (SELECT id, dl, tok, cast(count(*) AS bigint) AS tf
+         FROM (SELECT id, dl, unnest(ws) AS tok FROM d) GROUP BY 1, 2, 3),
+cf AS (SELECT tok, cast(sum(tf) AS bigint) AS cf FROM post GROUP BY 1),
+tot AS (SELECT cast(sum(dl) AS double) AS tt FROM d),
+q AS (SELECT doc_id AS query_id, unnest(ws) AS tok FROM toks
+      WHERE doc_id % 50 = 0),
+qt AS (SELECT query_id, tok, cast(count(*) AS bigint) AS qtf FROM q GROUP BY 1, 2),
+ql AS (SELECT query_id, cast(count(*) AS bigint) AS qlen FROM q GROUP BY 1),
+terms AS (SELECT qt.query_id, p.id, p.dl,
+                 qt.qtf * cast(round(1000000.0 *
+                      ln(1 + (p.tf * t.tt) / (2000.0 * c.cf))) AS bigint) AS tm
+          FROM post p JOIN qt USING (tok) JOIN cf c ON c.tok = p.tok
+          CROSS JOIN tot t),
+pairs AS (SELECT query_id, id, sum(tm) AS s, max(dl) AS dl
+          FROM terms GROUP BY 1, 2),
+sc AS (SELECT p.query_id, p.id,
+              cast(p.s + ql.qlen * cast(round(1000000.0 *
+                   ln(2000.0 / (p.dl + 2000.0))) AS bigint) AS bigint)
+                  AS score_micro
+       FROM pairs p JOIN ql USING (query_id)),
+r AS (SELECT query_id, id, score_micro,
+             cast(row_number() OVER (PARTITION BY query_id
+                  ORDER BY score_micro DESC, id) AS bigint) AS rank
+      FROM sc)
+SELECT query_id, id, score_micro, rank FROM r WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
 def q_hybrid_rrf(spark, sf):
     """Hybrid retrieval: BM25 lexical top-10 over documents fused with
     exact-cosine semantic top-10 over the aligned embeddings table by
@@ -3740,6 +3793,7 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "ann_ivfpq_residual": (q_ann_ivfpq_residual, SQL_ANN_IVFPQ_RES),
     "bm25_topk": (q_bm25_topk, SQL_BM25),
     "bm25_incremental": (q_bm25_incremental, SQL_BM25),
+    "lm_topk": (q_lm_topk, SQL_LM_TOPK),
     "hybrid_rrf": (q_hybrid_rrf, SQL_HYBRID_RRF),
     "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
     "dedup_semantic_keep": (q_dedup_semantic_keep, SQL_DEDUP_SEMANTIC_KEEP),

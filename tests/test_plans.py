@@ -102,6 +102,8 @@ _SCAN_BUDGET = {
     "knn_classify": 3,  # embeddings as corpus + broadcast queries + label dim
     "text_bigram_surprisal": 3,  # unigram stats + bigram stats + scoring
     "bm25_topk": 3,  # postings + df-stats branch + the query batch
+    "lm_topk": 3,  # same inverted-index shape: postings + cf-stats
+    #   branch + the query batch (qterms/qlen share one exchange)
     "text_decontaminate": 3,
     "text_strip_segments": 3,
     "ann_ivf_assign_wave": 3,  # build (assignment + centroid join) + wave

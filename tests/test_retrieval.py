@@ -222,3 +222,95 @@ class TestRrfFuse:
         a = self._ranks(spark, [(1, 10, 1)])
         with pytest.raises(ValueError, match="rrf_k"):
             rrf_fuse([a], rrf_k=0)
+
+
+class TestLmTopk:
+    def _queries(self, spark, rows):
+        return spark.createDataFrame(rows, "query_id long, text string")
+
+    def test_scores_match_hand_formula(self, spark, corpus):
+        from swarm_spark.ops.retrieval import lm_topk
+
+        q = self._queries(spark, [(100, "spark join")])
+        got = {r["id"]: r["score_micro"] for r in lm_topk(corpus, q, k=5).collect()}
+        # corpus totals: 5 docs, 18 tokens; cf(spark)=4, cf(join)=3
+        tt, mu = 18.0, 2000.0
+        docs = {
+            0: {"spark": 1, "join": 1, "dl": 3},
+            1: {"spark": 2, "join": 1, "dl": 4},
+            2: {"dl": 3},
+            3: {"spark": 1, "join": 1, "dl": 4},
+            4: {"dl": 4},
+        }
+        cf = {"spark": 4, "join": 3}
+        for did in (0, 1, 3):
+            d = docs[did]
+            s = sum(
+                round(1_000_000.0 * math.log(1 + (d[t] * tt) / (mu * cf[t])))
+                for t in ("spark", "join")
+            )
+            s += 2 * round(1_000_000.0 * math.log(mu / (d["dl"] + mu)))
+            assert got[did] == s, (did, got[did], s)
+        # docs 2 and 4 share no query term: not candidates
+        assert set(got) == {0, 1, 3}
+
+    def test_query_multiplicity_counts(self, spark, corpus):
+        from swarm_spark.ops.retrieval import lm_topk
+
+        q1 = self._queries(spark, [(0, "spark")])
+        q2 = self._queries(spark, [(0, "spark spark")])
+        s1 = {r["id"]: r["score_micro"] for r in lm_topk(corpus, q1).collect()}
+        s2 = {r["id"]: r["score_micro"] for r in lm_topk(corpus, q2).collect()}
+        # doubling the term doubles BOTH the term sum and |q| normalizer
+        assert set(s1) == set(s2)
+        for did, s in s1.items():
+            assert s2[did] == 2 * s
+
+    def test_higher_tf_ranks_higher_at_equal_length(self, spark, corpus):
+        from swarm_spark.ops.retrieval import lm_topk
+
+        # docs 1 and 3 both have dl=4 and contain "join"; doc 1 has
+        # spark twice vs doc 3 once
+        q = self._queries(spark, [(7, "spark")])
+        rows = lm_topk(corpus, q, k=5).collect()
+        ranked = [r["id"] for r in rows]
+        assert ranked.index(1) < ranked.index(3)
+
+    def test_persisted_path_equals_adhoc(self, spark, corpus, tmp_path):
+        from swarm_spark.ops.retrieval import lm_topk, save_bm25
+
+        q = self._queries(spark, [(9, "spark join"), (10, "agg window")])
+        adhoc = lm_topk(corpus, q, k=3).collect()
+        post = bm25_postings(corpus)
+        ix = str(tmp_path / "ix")
+        save_bm25(post, bm25_stats(post), bm25_totals(corpus), ix)
+        lpost, _, ltot = load_bm25(spark, ix)
+        probed = lm_topk(None, q, k=3, postings=lpost, totals=ltot).collect()
+        assert sorted(map(tuple, adhoc)) == sorted(map(tuple, probed))
+
+    def test_cf_stats_additive(self, spark, corpus):
+        from swarm_spark.ops.retrieval import lm_cf_stats
+
+        even = corpus.where(F.col("doc_id") % 2 == 0)
+        odd = corpus.where(F.col("doc_id") % 2 == 1)
+        merged = (
+            lm_cf_stats(bm25_postings(even))
+            .unionByName(lm_cf_stats(bm25_postings(odd)))
+            .groupBy("tok")
+            .agg(F.sum("cf").alias("cf"))
+        )
+        full = lm_cf_stats(bm25_postings(corpus))
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, full.collect())
+        )
+
+    def test_bad_args(self, spark, corpus):
+        from swarm_spark.ops.retrieval import lm_topk
+
+        q = self._queries(spark, [(0, "spark")])
+        with pytest.raises(ValueError):
+            lm_topk(corpus, q, k=0)
+        with pytest.raises(ValueError):
+            lm_topk(corpus, q, mu=0.0)
+        with pytest.raises(ValueError):
+            lm_topk(None, q)
