@@ -406,3 +406,78 @@ def lm_topk(
         .select("query_id", "id", "score_micro", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+def positional_postings(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, tok, pos): the POSITIONAL inverted index — one posexplode,
+    no aggregation (each occurrence is its own row, ~dl rows per doc,
+    the standard ~3× postings-size cost of storing positions). Rows
+    are per-doc facts, so disjoint append-only waves fold in by plain
+    union — no merge arithmetic at all (the simplest member of the
+    stored-index family)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens_col(text_col)).alias("pos", "tok"),
+    ).select("id", "tok", F.col("pos").cast("long").alias("pos"))
+
+
+def phrase_match(
+    docs: DataFrame | None,
+    phrases: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    phrase_id_col: str = "phrase_id",
+    phrase_text_col: str = "text",
+    broadcast_max_queries: int | None = 10_000,
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Exact-phrase search over the positional index: (phrase_id, id,
+    n_hits) for every document containing the phrase's token sequence
+    CONTIGUOUSLY, with n_hits its number of starting positions. The
+    classical positional-intersection query (Manning, Raghavan &
+    Schütze, IIR §2.4): a document position p matches phrase offset i
+    iff doc[p] == phrase[i]; anchoring each candidate row to its
+    implied start ``base = pos − i`` turns phrase matching into a pure
+    count — base is a hit iff all len(phrase) offsets matched, a
+    groupBy, never a per-row scan of the document.
+
+    Scale shape: the phrase terms (|P|·len rows — metadata, broadcast
+    under the bounded batch probe) equi-join the positional postings,
+    so candidates are exactly the (doc, position) pairs sharing a
+    phrase token — the inverted-index gate; no doc is ever re-read or
+    re-tokenized per phrase, and every aggregation key (phrase, doc,
+    base) is bounded by the posting lists. Pass a persisted
+    :func:`positional_postings` frame to skip tokenization entirely
+    (build-once/probe-many, ``docs=None``)."""
+    from .similarity import _probe_is_small
+
+    if postings is None:
+        if docs is None:
+            raise ValueError("need docs or a persisted positional postings frame")
+        postings = positional_postings(docs, text_col, id_col)
+    small = _probe_is_small(phrases, broadcast_max_queries)
+    pterms = phrases.select(
+        F.col(phrase_id_col).alias("phrase_id"),
+        F.posexplode(tokens_col(phrase_text_col)).alias("i", "tok"),
+    ).select("phrase_id", F.col("i").cast("long").alias("i"), "tok")
+    plen = pterms.groupBy("phrase_id").agg(
+        F.count(F.lit(1)).cast("long").alias("plen")
+    )
+    # each candidate row is one (phrase offset, doc position) agreement;
+    # a start position is a hit iff ALL plen offsets agreed
+    cand = (
+        postings.join(F.broadcast(pterms) if small else pterms, "tok")
+        .select("phrase_id", "id", (F.col("pos") - F.col("i")).alias("base"))
+    )
+    starts = cand.groupBy("phrase_id", "id", "base").agg(
+        F.count(F.lit(1)).alias("nm")
+    )
+    return (
+        starts.join(F.broadcast(plen) if small else plen, "phrase_id")
+        .where(F.col("nm") == F.col("plen"))
+        .groupBy("phrase_id", "id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        .orderBy("phrase_id", "id")
+    )

@@ -1575,6 +1575,43 @@ def q_bm25_incremental(spark, sf):
     )
 
 
+def q_phrase_match(spark, sf):
+    """Exact-phrase search over the positional inverted index (Manning
+    et al., IIR §2.4): every 100th document's first 3 tokens form a
+    phrase; find all documents containing that token sequence
+    contiguously and count starting positions. Base-anchored
+    positional intersection — phrase matching as a groupBy over the
+    equi-joined postings, no per-row document scans; each phrase's
+    source doc must appear in its own results (a built-in recall
+    check the oracle re-verifies value-exactly)."""
+    from .ops.retrieval import phrase_match
+    from .ops.text import tokens_col
+
+    docs = _docs(spark, sf)
+    phrases = docs.where(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("phrase_id"),
+        F.concat_ws(" ", F.slice(tokens_col("text"), 1, 3)).alias("text"),
+    )
+    return phrase_match(docs, phrases)
+
+
+SQL_PHRASE_MATCH = f"""
+WITH w AS ({_WS}),
+pp AS (SELECT doc_id AS id, unnest(ws) AS tok,
+              unnest(range(len(ws))) AS pos FROM w),
+ph AS (SELECT doc_id AS phrase_id, ws[1:3] AS pw FROM w WHERE doc_id % 100 = 0),
+pt AS (SELECT phrase_id, unnest(pw) AS tok, unnest(range(len(pw))) AS i FROM ph),
+pl AS (SELECT phrase_id, cast(len(pw) AS bigint) AS plen FROM ph),
+cand AS (SELECT pt.phrase_id, pp.id, pp.pos - pt.i AS base
+         FROM pp JOIN pt USING (tok)),
+m AS (SELECT phrase_id, id, base, count(*) AS nm FROM cand GROUP BY 1, 2, 3),
+hits AS (SELECT m.phrase_id, m.id, cast(count(*) AS bigint) AS n_hits
+         FROM m JOIN pl USING (phrase_id)
+         WHERE m.nm = pl.plen GROUP BY 1, 2)
+SELECT phrase_id, id, n_hits FROM hits ORDER BY phrase_id, id
+"""
+
+
 def q_lm_topk(spark, sf):
     """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
     Lafferty 2004) over the same inverted index as BM25: every 50th
@@ -3794,6 +3831,7 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "bm25_topk": (q_bm25_topk, SQL_BM25),
     "bm25_incremental": (q_bm25_incremental, SQL_BM25),
     "lm_topk": (q_lm_topk, SQL_LM_TOPK),
+    "phrase_match": (q_phrase_match, SQL_PHRASE_MATCH),
     "hybrid_rrf": (q_hybrid_rrf, SQL_HYBRID_RRF),
     "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
     "dedup_semantic_keep": (q_dedup_semantic_keep, SQL_DEDUP_SEMANTIC_KEEP),

@@ -104,6 +104,8 @@ _SCAN_BUDGET = {
     "bm25_topk": 3,  # postings + df-stats branch + the query batch
     "lm_topk": 3,  # same inverted-index shape: postings + cf-stats
     #   branch + the query batch (qterms/qlen share one exchange)
+    "phrase_match": 3,  # positional postings + the phrase batch + its
+    #   plen branch; production probes a SAVED positional index at 2
     "text_decontaminate": 3,
     "text_strip_segments": 3,
     "ann_ivf_assign_wave": 3,  # build (assignment + centroid join) + wave

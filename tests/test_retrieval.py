@@ -314,3 +314,69 @@ class TestLmTopk:
             lm_topk(corpus, q, mu=0.0)
         with pytest.raises(ValueError):
             lm_topk(None, q)
+
+
+class TestPhraseMatch:
+    def _phrases(self, spark, rows):
+        return spark.createDataFrame(rows, "phrase_id long, text string")
+
+    def test_contiguous_only_and_hit_counts(self, spark):
+        from swarm_spark.ops.retrieval import phrase_match
+
+        docs = _docs(
+            spark,
+            [
+                (0, "a b c d"),        # one "b c"
+                (1, "b c b c"),        # two "b c"
+                (2, "b x c"),          # b and c but NOT contiguous
+                (3, "c b"),            # wrong order
+                (4, "b"),              # prefix only
+            ],
+        )
+        got = {
+            (r["phrase_id"], r["id"]): r["n_hits"]
+            for r in phrase_match(docs, self._phrases(spark, [(7, "b c")])).collect()
+        }
+        assert got == {(7, 0): 1, (7, 1): 2}
+
+    def test_repeated_token_phrase(self, spark):
+        from swarm_spark.ops.retrieval import phrase_match
+
+        docs = _docs(
+            spark,
+            [
+                (0, "a a a"),    # "a a" starts at 0 and 1
+                (1, "a b a"),    # never contiguous
+            ],
+        )
+        got = {
+            (r["phrase_id"], r["id"]): r["n_hits"]
+            for r in phrase_match(docs, self._phrases(spark, [(1, "a a")])).collect()
+        }
+        assert got == {(1, 0): 2}
+
+    def test_single_token_phrase(self, spark):
+        from swarm_spark.ops.retrieval import phrase_match
+
+        docs = _docs(spark, [(0, "x y x"), (1, "y")])
+        got = {
+            (r["phrase_id"], r["id"]): r["n_hits"]
+            for r in phrase_match(docs, self._phrases(spark, [(5, "x")])).collect()
+        }
+        assert got == {(5, 0): 2}
+
+    def test_persisted_postings_path(self, spark):
+        from swarm_spark.ops.retrieval import phrase_match, positional_postings
+
+        docs = _docs(spark, [(0, "p q r"), (1, "q r p")])
+        ph = self._phrases(spark, [(3, "q r")])
+        adhoc = phrase_match(docs, ph).collect()
+        probed = phrase_match(None, ph, postings=positional_postings(docs)).collect()
+        assert sorted(map(tuple, adhoc)) == sorted(map(tuple, probed))
+        assert {(r["phrase_id"], r["id"]) for r in adhoc} == {(3, 0), (3, 1)}
+
+    def test_needs_docs_or_postings(self, spark):
+        from swarm_spark.ops.retrieval import phrase_match
+
+        with pytest.raises(ValueError):
+            phrase_match(None, self._phrases(spark, [(0, "x")]))
