@@ -209,12 +209,47 @@ def cmd_index(args) -> int:
     cell-gated ADC without ever reading the float vectors; ``--kind
     bm25`` stores the lexical inverted index — postings + df stats +
     additive totals (ops/retrieval.py) — and probes without ever
-    re-tokenizing the corpus."""
+    re-tokenizing the corpus (``--scorer lm`` ranks the same stored
+    index by Dirichlet query likelihood); ``--kind positional`` stores
+    (id, tok, pos) and probes exact phrases."""
     from pyspark.sql import functions as F
 
     spark = _spark(args)
     if args.id_col is None:
-        args.id_col = "doc_id" if args.kind == "bm25" else "vec_id"
+        args.id_col = "doc_id" if args.kind in ("bm25", "positional") else "vec_id"
+    if args.kind == "positional":
+        from .ops.retrieval import (
+            load_positional,
+            phrase_match,
+            positional_postings,
+            save_positional,
+        )
+
+        if args.action == "build":
+            docs = spark.read.parquet(args.input)
+            post = positional_postings(docs, args.text_col, args.id_col)
+            save_positional(post, args.index)
+            print(
+                json.dumps(
+                    {
+                        "index": args.index,
+                        "kind": "positional",
+                        "positions": load_positional(spark, args.index).count(),
+                    }
+                )
+            )
+        else:  # probe: exact-phrase match, corpus never re-tokenized
+            qsrc = spark.read.parquet(args.queries or args.input)
+            phrases = qsrc.select(
+                F.col(args.id_col).alias("phrase_id"),
+                F.col(args.text_col).alias("text"),
+            )
+            out = phrase_match(
+                None, phrases, postings=load_positional(spark, args.index)
+            )
+            for r in (out.limit(args.limit) if args.limit else out).collect():
+                print(json.dumps({k: str(v) for k, v in r.asDict().items()}))
+        return 0
     if args.kind == "bm25":
         from .ops.retrieval import (
             bm25_postings,
@@ -250,10 +285,19 @@ def cmd_index(args) -> int:
                 F.col(args.id_col).alias("query_id"),
                 F.col(args.text_col).alias("text"),
             )
-            out = bm25_topk(
-                None, queries, k=args.k,
-                postings=post, stats=stats, totals=totals,
-            )
+            if args.scorer == "lm":
+                from .ops.retrieval import lm_topk
+
+                # same stored index; cf folds from the postings
+                out = lm_topk(
+                    None, queries, k=args.k, mu=args.mu,
+                    postings=post, totals=totals,
+                )
+            else:
+                out = bm25_topk(
+                    None, queries, k=args.k,
+                    postings=post, stats=stats, totals=totals,
+                )
             for r in (out.limit(args.limit) if args.limit else out).collect():
                 print(json.dumps({k: str(v) for k, v in r.asDict().items()}))
         return 0
@@ -822,10 +866,19 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--nprobe", type=int, default=4)
     sp.add_argument("--limit", type=int, default=0)
     sp.add_argument(
-        "--kind", choices=["ivf", "ivfpq", "bm25"], default="ivf",
+        "--kind", choices=["ivf", "ivfpq", "bm25", "positional"], default="ivf",
         help="ivfpq stores (cell, m codes) per vector and probes by "
         "cell-gated ADC without reading the float vectors; bm25 stores "
-        "postings + df stats + totals and probes without re-tokenizing",
+        "postings + df stats + totals and probes without re-tokenizing; "
+        "positional stores (id, tok, pos) and probes exact phrases",
+    )
+    sp.add_argument(
+        "--scorer", choices=["bm25", "lm"], default="bm25",
+        help="probe ranking function for --kind bm25: Robertson BM25 "
+        "or Dirichlet-smoothed query likelihood (same stored index)",
+    )
+    sp.add_argument(
+        "--mu", type=float, default=2000.0, help="Dirichlet prior (--scorer lm)"
     )
     sp.add_argument("--m", type=int, default=4, help="PQ subspaces (ivfpq)")
     sp.add_argument("--pq-k", type=int, default=16, help="codes per subspace")

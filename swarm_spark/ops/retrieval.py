@@ -481,3 +481,20 @@ def phrase_match(
         .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
         .orderBy("phrase_id", "id")
     )
+
+
+def save_positional(postings: DataFrame, path: str) -> None:
+    """Persist a :func:`positional_postings` index (one corpus-sized
+    parquet table). Disjoint append-only waves fold in by writing with
+    mode=append — rows are per-doc facts, union IS the merge."""
+    import os
+
+    postings.write.mode("overwrite").parquet(os.path.join(path, "postings"))
+
+
+def load_positional(spark, path: str) -> DataFrame:
+    """Read back a :func:`save_positional` index (embedded schema —
+    any id type survives the round trip)."""
+    import os
+
+    return spark.read.parquet(os.path.join(path, "postings"))

@@ -743,6 +743,82 @@ class TestIndexCli:
         want = {tuple(r) for r in bm25_topk(docs, queries, k=5).collect()}
         assert got == want
 
+    def test_probe_bm25_index_with_lm_scorer(self, spark, tmp_path, capsys):
+        """--scorer lm probes the SAME stored bm25 index with
+        Dirichlet query likelihood (cf folds from the postings) and
+        must match the lm_topk registry query exactly at sf0.001."""
+        from pyspark.sql import functions as F
+
+        docs_src = "/root/testdata/sf0.001/documents.parquet"
+        idx = str(tmp_path / "bmidx")
+        _run(
+            capsys,
+            ["--cpus", "4", "index", "build", "--kind", "bm25",
+             "--input", docs_src, "--index", idx],
+        )
+        q_dir = str(tmp_path / "bq")
+        docs = spark.read.parquet(docs_src)
+        docs.where("doc_id % 50 = 0").write.parquet(q_dir)
+        rc = main(
+            ["--cpus", "4", "index", "probe", "--kind", "bm25",
+             "--scorer", "lm", "--mu", "2000.0",
+             "--input", docs_src, "--queries", q_dir, "--index", idx, "--k", "5"]
+        )
+        assert rc == 0
+        lines = capsys.readouterr().out.strip().splitlines()
+        got = {
+            (int(r["query_id"]), int(r["id"]), int(r["score_micro"]), int(r["rank"]))
+            for r in map(json.loads, lines)
+        }
+        from swarm_spark.ops.retrieval import lm_topk
+
+        queries = docs.where(F.col("doc_id") % 50 == 0).select(
+            F.col("doc_id").alias("query_id"), "text"
+        )
+        want = {tuple(r) for r in lm_topk(docs, queries, k=5, mu=2000.0).collect()}
+        assert got == want
+
+    def test_build_then_probe_positional(self, spark, tmp_path, capsys):
+        """--kind positional persists (id, tok, pos); the probe
+        phrase-matches without re-tokenizing the corpus and must match
+        the phrase_match registry query exactly at sf0.001."""
+        from pyspark.sql import functions as F
+
+        from swarm_spark.ops.text import tokens_col
+
+        docs_src = "/root/testdata/sf0.001/documents.parquet"
+        idx = str(tmp_path / "pos")
+        out = _run(
+            capsys,
+            ["--cpus", "4", "index", "build", "--kind", "positional",
+             "--input", docs_src, "--index", idx],
+        )
+        assert out["kind"] == "positional" and out["positions"] > 0
+        docs = spark.read.parquet(docs_src)
+        q_dir = str(tmp_path / "ph")
+        docs.where("doc_id % 100 = 0").select(
+            "doc_id",
+            F.concat_ws(" ", F.slice(tokens_col("text"), 1, 3)).alias("text"),
+        ).write.parquet(q_dir)
+        rc = main(
+            ["--cpus", "4", "index", "probe", "--kind", "positional",
+             "--input", docs_src, "--queries", q_dir, "--index", idx]
+        )
+        assert rc == 0
+        lines = capsys.readouterr().out.strip().splitlines()
+        got = {
+            (int(r["phrase_id"]), int(r["id"]), int(r["n_hits"]))
+            for r in map(json.loads, lines)
+        }
+        from swarm_spark.ops.retrieval import phrase_match
+
+        phrases = docs.where(F.col("doc_id") % 100 == 0).select(
+            F.col("doc_id").alias("phrase_id"),
+            F.concat_ws(" ", F.slice(tokens_col("text"), 1, 3)).alias("text"),
+        )
+        want = {tuple(r) for r in phrase_match(docs, phrases).collect()}
+        assert got == want and got
+
 
 class TestSearchCli:
     def test_hybrid_search_matches_registry_query(self, spark, tmp_path, capsys):
