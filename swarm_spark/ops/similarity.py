@@ -332,3 +332,128 @@ def ann_topk_dot(
     )
     out = topk_per_query(joined, k, n_salts)
     return out.withColumnRenamed("cos", "dot")
+
+
+def mmr_select(
+    corpus: DataFrame,
+    ranked: DataFrame,
+    k: int = 5,
+    lam_permille: int = 700,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    rel_col: str = "cos",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified reranking (public:
+    Carbonell & Goldstein 1998) of a per-query shortlist: greedily pick
+    ``k`` results, each maximizing
+
+        lam·relevance(c) − (1−lam)·max_{s ∈ selected} sim(c, s)
+
+    so near-duplicate hits can't crowd a result page — the standard
+    post-ANN diversity pass. ``ranked`` is a shortlist frame
+    (query_id, id, ``rel_col``) — e.g. :func:`ann_topk_bruteforce` /
+    the PQ rerank output — and ``corpus`` supplies the vectors for the
+    pairwise similarity. Output (query_id, id, rank), rank = pick
+    order; queries with fewer than k shortlist rows yield all of them.
+
+    Determinism contract: relevance and pairwise cosines are rounded
+    ONCE to integer micro-units JVM-side; the greedy loop is then pure
+    64-bit-integer arithmetic (score = lam_permille·rel −
+    (1000−lam_permille)·maxsim, ties by id ascending), so the
+    selection reproduces exactly in an unrolled SQL oracle — no float
+    accumulation ever crosses an engine boundary.
+
+    Scale shape: the shortlist is k-bounded per query (metadata next
+    to the search that produced it), so the pairwise frame is
+    |Q|·shortlist² rows and the greedy loop runs per-query inside ONE
+    ``applyInPandas`` over bounded groups (the per-cell-gram house
+    pattern, dedup.embedding_dup_pairs) — an Arrow-batched integer
+    loop, never a driver collect, never an iterative lineage of k
+    joins."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not 0 <= lam_permille <= 1000:
+        raise ValueError(f"lam_permille must be in [0, 1000], got {lam_permille}")
+    rel = ranked.select(
+        "query_id",
+        "id",
+        F.round(F.lit(1_000_000) * F.col(rel_col)).cast("long").alias("rel"),
+    )
+    mem = rel.join(
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            dot_expr(vec_col, vec_col).alias("n2"),
+        ),
+        "id",
+    )
+    a = mem.select("query_id", F.col("id").alias("a"), F.col("rel").alias("rel_a"),
+                   F.col("v").alias("av"), F.col("n2").alias("an2"))
+    b = mem.select("query_id", F.col("id").alias("b"),
+                   F.col("v").alias("bv"), F.col("n2").alias("bn2"))
+    sim = F.round(
+        F.lit(1_000_000)
+        * F.round(dot_expr("av", "bv") / F.sqrt(F.col("an2") * F.col("bn2")), 9)
+    ).cast("long")
+    # a==b rows ride along (sim never consulted for a selected==cand)
+    # so singleton shortlists still form a group
+    pairs = a.join(b, "query_id").select("query_id", "a", "rel_a", "b", sim.alias("sim"))
+
+    qtype = dict(zip(ranked.columns, (f.dataType.simpleString() for f in ranked.schema)))
+    out_schema = (
+        f"query_id {qtype['query_id']}, id {qtype['id']}, rank long"
+    )
+    lam, one_minus = int(lam_permille), 1000 - int(lam_permille)
+    kk = int(k)
+
+    def _greedy(pdf):
+        import pandas as pd
+
+        qid = pdf["query_id"].iloc[0]
+        rel_of = {}
+        sim_of = {}
+        for row in pdf.itertuples(index=False):
+            rel_of[row.a] = int(row.rel_a)
+            sim_of[(row.a, row.b)] = int(row.sim)
+        remaining = set(rel_of)
+        picked = []
+        while remaining and len(picked) < kk:
+            if not picked:
+                best = max(remaining, key=lambda c: (rel_of[c], _NEG(c)))
+            else:
+                best = max(
+                    remaining,
+                    key=lambda c: (
+                        lam * rel_of[c]
+                        - one_minus * max(sim_of[(c, s)] for s, _ in picked),
+                        _NEG(c),
+                    ),
+                )
+            picked.append((best, len(picked) + 1))
+            remaining.discard(best)
+        return pd.DataFrame(
+            {
+                "query_id": [qid] * len(picked),
+                "id": [p for p, _ in picked],
+                "rank": [r for _, r in picked],
+            }
+        )
+
+    return (
+        pairs.groupBy("query_id")
+        .applyInPandas(_greedy, schema=out_schema)
+        .orderBy("query_id", "rank")
+    )
+
+
+class _NEG:
+    """Order-reversing wrapper: max(..., key=(score, _NEG(id))) breaks
+    score ties by SMALLEST id for any orderable id type."""
+
+    __slots__ = ("v",)
+
+    def __init__(self, v):
+        self.v = v
+
+    def __lt__(self, other):
+        return other.v < self.v

@@ -1495,6 +1495,83 @@ def q_ann_ivfpq_residual(spark, sf):
 SQL_ANN_IVFPQ_RES = _ivfpq_oracle_sql(residual=True)
 
 
+def q_ann_mmr_rerank(spark, sf):
+    """Maximal-marginal-relevance diversified reranking (Carbonell &
+    Goldstein 1998): brute-force cosine top-8 shortlist per query,
+    then 4 greedy MMR picks at λ=0.7 so near-duplicate hits can't
+    crowd the results. Relevance and pairwise sims round ONCE to
+    integer micro-units JVM-side; the greedy loop is pure integer
+    arithmetic inside one ``applyInPandas`` over |Q|·shortlist²-row
+    groups — value-oracled by an unrolled per-pick CTE chain (the
+    k-means-unroll precedent)."""
+    from .ops.similarity import ann_topk_bruteforce, mmr_select
+
+    emb = _emb(spark, sf)
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    short = ann_topk_bruteforce(emb, queries, k=8)
+    return mmr_select(emb, short, k=4, lam_permille=700)
+
+
+def _mmr_oracle_sql(
+    k: int = 4, short_k: int = 8, lam: int = 700, every: int = 100
+) -> str:
+    """Unrolled MMR greedy selection in DuckDB SQL: one CTE pair
+    (pick, cumulative-selected) per step after the pure-relevance
+    seed. Integer arithmetic throughout — scores are
+    lam·rel − (1000−lam)·maxsim over micro-unit longs, ties by id —
+    so the chain reproduces the applyInPandas loop value-exactly."""
+    one_minus = 1000 - lam
+    steps, prev = [], "s1"
+    for t in range(2, k + 1):
+        steps.append(
+            f""",
+p{t} AS (SELECT query_id, a AS id FROM (
+  SELECT g.query_id, g.a,
+         row_number() OVER (PARTITION BY g.query_id
+              ORDER BY g.sc DESC, g.a) AS rn
+  FROM (SELECT p.query_id, p.a,
+               {lam} * min(p.rel_a) - {one_minus} * max(p.sim) AS sc
+        FROM pairs p
+        JOIN {prev} s ON s.query_id = p.query_id AND s.id = p.b
+        WHERE NOT EXISTS (SELECT 1 FROM {prev} x
+                          WHERE x.query_id = p.query_id AND x.id = p.a)
+        GROUP BY 1, 2) g) WHERE rn = 1),
+sel{t} AS (SELECT query_id, id FROM {prev}
+           UNION ALL SELECT query_id, id FROM p{t})"""
+        )
+        prev = f"sel{t}"
+    union = "SELECT query_id, id, cast(1 AS bigint) AS rank FROM s1" + "".join(
+        f"\nUNION ALL SELECT query_id, id, cast({t} AS bigint) AS rank FROM p{t}"
+        for t in range(2, k + 1)
+    )
+    return f"""
+WITH e AS (SELECT vec_id AS id, cast(embedding AS double[]) AS v FROM embeddings),
+q AS (SELECT id AS query_id, v AS qv, list_dot_product(v, v) AS qn2 FROM e
+      WHERE id % {every} = 0),
+c AS (SELECT id, v AS cv, list_dot_product(v, v) AS cn2 FROM e),
+short AS (SELECT query_id, id, cast(round(1000000 * cosr) AS bigint) AS rel,
+                 cv, cn2 FROM (
+    SELECT query_id, id,
+           round(list_dot_product(qv, cv) / sqrt(qn2 * cn2), 9) AS cosr, cv, cn2
+    FROM q CROSS JOIN c WHERE query_id != id
+    QUALIFY row_number() OVER (PARTITION BY query_id
+        ORDER BY cosr DESC, id) <= {short_k})),
+pairs AS (SELECT x.query_id, x.id AS a, x.rel AS rel_a, y.id AS b,
+                 cast(round(1000000 *
+                     round(list_dot_product(x.cv, y.cv)
+                           / sqrt(x.cn2 * y.cn2), 9)) AS bigint) AS sim
+          FROM short x JOIN short y USING (query_id)),
+s1 AS (SELECT query_id, id FROM short
+       QUALIFY row_number() OVER (PARTITION BY query_id
+           ORDER BY rel DESC, id) = 1){''.join(steps)}
+{union}
+ORDER BY query_id, rank
+"""
+
+
+SQL_ANN_MMR = _mmr_oracle_sql()
+
+
 # -------------------------------------------------- lexical retrieval
 def q_bm25_topk(spark, sf):
     """BM25 keyword search over the corpus (Robertson & Zaragoza 2009,
@@ -3832,6 +3909,7 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "bm25_incremental": (q_bm25_incremental, SQL_BM25),
     "lm_topk": (q_lm_topk, SQL_LM_TOPK),
     "phrase_match": (q_phrase_match, SQL_PHRASE_MATCH),
+    "ann_mmr_rerank": (q_ann_mmr_rerank, SQL_ANN_MMR),
     "hybrid_rrf": (q_hybrid_rrf, SQL_HYBRID_RRF),
     "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
     "dedup_semantic_keep": (q_dedup_semantic_keep, SQL_DEDUP_SEMANTIC_KEEP),

@@ -188,3 +188,71 @@ class TestProbeBroadcastGuard:
             (r["query_id"], r["id"], r["cos"], r["rank"]) for r in df.collect()
         )
         assert key(bcast) == key(plain)
+
+
+class TestMmrSelect:
+    def _emb(self, spark):
+        rows = [
+            (0, [1.0, 0.0, 0.0]),   # query
+            (1, [0.99, 0.1, 0.0]),  # near query
+            (2, [0.98, 0.12, 0.0]), # near-duplicate of 1
+            (3, [0.6, 0.0, 0.8]),   # different direction, lower rel
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_diversity_demotes_near_duplicate(self, spark):
+        from swarm_spark.ops.similarity import ann_topk_bruteforce, mmr_select
+
+        emb = self._emb(spark)
+        short = ann_topk_bruteforce(emb, emb.where("vec_id = 0"), k=3)
+        got = [
+            (r["id"], r["rank"])
+            for r in mmr_select(emb, short, k=3, lam_permille=500).collect()
+        ]
+        # pure relevance would give 1, 2, 3; MMR at λ=0.5 demotes the
+        # near-duplicate 2 below the diverse 3
+        assert got == [(1, 1), (3, 2), (2, 3)]
+
+    def test_lambda_1000_is_pure_relevance(self, spark):
+        from swarm_spark.ops.similarity import ann_topk_bruteforce, mmr_select
+
+        emb = self._emb(spark)
+        short = ann_topk_bruteforce(emb, emb.where("vec_id = 0"), k=3)
+        got = [
+            (r["id"], r["rank"])
+            for r in mmr_select(emb, short, k=3, lam_permille=1000).collect()
+        ]
+        assert got == [(1, 1), (2, 2), (3, 3)]
+
+    def test_k_exceeding_shortlist_returns_all(self, spark):
+        from swarm_spark.ops.similarity import ann_topk_bruteforce, mmr_select
+
+        emb = self._emb(spark)
+        short = ann_topk_bruteforce(emb, emb.where("vec_id = 0"), k=2)
+        got = mmr_select(emb, short, k=10).collect()
+        assert len(got) == 2 and [r["rank"] for r in got] == [1, 2]
+
+    def test_multi_query_groups_are_independent(self, spark):
+        from swarm_spark.ops.similarity import ann_topk_bruteforce, mmr_select
+
+        emb = self._emb(spark)
+        q = emb.where("vec_id IN (0, 3)")
+        short = ann_topk_bruteforce(emb, q, k=3)
+        out = mmr_select(emb, short, k=2, lam_permille=500).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["query_id"], []).append((r["id"], r["rank"]))
+        assert set(by_q) == {0, 3} and all(len(v) == 2 for v in by_q.values())
+        assert by_q[0][0] == (1, 1)
+
+    def test_bad_args(self, spark):
+        import pytest as _pytest
+
+        from swarm_spark.ops.similarity import ann_topk_bruteforce, mmr_select
+
+        emb = self._emb(spark)
+        short = ann_topk_bruteforce(emb, emb.where("vec_id = 0"), k=2)
+        with _pytest.raises(ValueError):
+            mmr_select(emb, short, k=0)
+        with _pytest.raises(ValueError):
+            mmr_select(emb, short, lam_permille=1001)

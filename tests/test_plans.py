@@ -61,6 +61,9 @@ BNLJ_ALLOWED = {
     "corpus_distinct_sketch",  # crossJoin(broadcast(1-row exact count))
     "corpus_sketch_incremental",  # crossJoins of three 1-row estimates
     "ann_topk_bruteforce",
+    "ann_mmr_rerank",  # embeds the ann_topk_bruteforce shortlist
+    #   (broadcast query set, |Q| literal); the MMR stages themselves
+    #   are equi-joins over the k-bounded shortlist
     "hybrid_rrf",  # embeds the ann_topk_bruteforce verifier (broadcast
     #   query set, |Q| literal) as its semantic rank list
     "dedup_semantic",
@@ -106,6 +109,8 @@ _SCAN_BUDGET = {
     #   branch + the query batch (qterms/qlen share one exchange)
     "phrase_match": 3,  # positional postings + the phrase batch + its
     #   plen branch; production probes a SAVED positional index at 2
+    "ann_mmr_rerank": 3,  # brute-force shortlist (corpus + query
+    #   branch) + the member-vector fetch for the pairwise sims
     "text_decontaminate": 3,
     "text_strip_segments": 3,
     "ann_ivf_assign_wave": 3,  # build (assignment + centroid join) + wave
