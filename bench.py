@@ -67,6 +67,9 @@ def main() -> None:
         "text_nb_quality",
         "corpus_expectations_approx",
         "bm25_topk",
+        "lm_topk",
+        "phrase_match",
+        "corpus_cms_freq",
         "text_nb_eval",
         # the fused ANN build+probe compositions (ann_topk_ivf,
         # ann_topk_ivfpq) are excluded like the rest of that tier:

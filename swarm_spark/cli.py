@@ -382,9 +382,10 @@ def cmd_search(args) -> int:
     top-k from the stored postings/stats/totals, semantic top-k from
     the stored PQ codes (ADC shortlist -> exact cosine rerank — the
     only stage that touches raw floats, and only for shortlist
-    survivors), fused by reciprocal-rank fusion. The serving shape the
-    retrieval tier implies: corpus text and float vectors stay cold;
-    probes read index tables plus the rerank survivors."""
+    survivors), fused by reciprocal-rank fusion; ``--diversify-k``
+    finishes with an MMR pass over the fused list. The serving shape
+    the retrieval tier implies: corpus text and float vectors stay
+    cold; probes read index tables plus the rerank survivors."""
     from pyspark.sql import functions as F
 
     from .ops.pq import load_ivfpq, pq_topk_rerank
@@ -411,6 +412,17 @@ def cmd_search(args) -> int:
         vec_col=args.vec_col, id_col=args.id_col,
     )
     out = rrf_fuse([lex, sem], k=args.k, rrf_k=args.rrf_k)
+    if args.diversify_k:
+        from .ops.similarity import mmr_select
+
+        # MMR over the fused list: rrf_micro is the relevance (already
+        # integral — any monotone score works), pairwise sims from the
+        # cold vector store, only for the k fused survivors per query
+        out = mmr_select(
+            vectors, out, k=args.diversify_k,
+            lam_permille=args.diversify_lambda,
+            vec_col=args.vec_col, id_col=args.id_col, rel_col="rrf_micro",
+        )
     for r in (out.limit(args.limit) if args.limit else out).collect():
         print(json.dumps({k: str(v) for k, v in r.asDict().items()}))
     return 0
@@ -909,6 +921,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument(
         "--shortlist", type=int, default=50,
         help="ADC shortlist size the exact cosine rerank pays floats for",
+    )
+    sp.add_argument(
+        "--diversify-k", type=int, default=0,
+        help="MMR-diversify the fused list down to this many results "
+        "(0 = off); pairwise sims come from --vectors",
+    )
+    sp.add_argument(
+        "--diversify-lambda", type=int, default=700,
+        help="MMR relevance weight in permille (700 = λ 0.7)",
     )
     sp.add_argument("--limit", type=int, default=0)
     sp.set_defaults(fn=cmd_search)

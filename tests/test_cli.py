@@ -871,3 +871,59 @@ class TestSearchCli:
             tuple(r) for r in OPS["hybrid_rrf"][0](spark, "/root/testdata/sf0.001").collect()
         }
         assert got == want
+
+    def test_diversify_flag_applies_mmr_over_fusion(self, spark, tmp_path, capsys):
+        """--diversify-k finishes serving with the MMR pass: the CLI
+        rows must equal mmr_select over the hybrid_rrf registry output
+        (rrf_micro as relevance, sims from the cold vector store)."""
+        from pyspark.sql import functions as F
+
+        docs_src = "/root/testdata/sf0.001/documents.parquet"
+        emb_src = "/root/testdata/sf0.001/embeddings.parquet"
+        bidx, vidx = str(tmp_path / "bm"), str(tmp_path / "pq")
+        _run(
+            capsys,
+            ["--cpus", "4", "index", "build", "--kind", "bm25",
+             "--input", docs_src, "--index", bidx],
+        )
+        _run(
+            capsys,
+            ["--cpus", "4", "index", "build", "--kind", "ivfpq",
+             "--input", emb_src, "--index", vidx, "--cells", "8",
+             "--iters", "2", "--m", "4", "--pq-k", "8", "--pq-iters", "2"],
+        )
+        q_dir = str(tmp_path / "q")
+        docs = spark.read.parquet(docs_src)
+        emb = spark.read.parquet(emb_src)
+        docs.where("doc_id % 50 = 0").select(
+            F.col("doc_id").alias("query_id"), "text"
+        ).join(
+            emb.where("vec_id % 50 = 0").select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            ),
+            "query_id",
+        ).write.parquet(q_dir)
+        rc = main(
+            ["--cpus", "4", "search", "--bm25", bidx, "--ivfpq", vidx,
+             "--vectors", emb_src, "--queries", q_dir,
+             "--k", "5", "--lex-k", "10", "--sem-k", "10",
+             "--shortlist", "500", "--diversify-k", "3",
+             "--diversify-lambda", "600"]
+        )
+        assert rc == 0
+        lines = capsys.readouterr().out.strip().splitlines()
+        got = {
+            (int(r["query_id"]), int(r["id"]), int(r["rank"]))
+            for r in map(json.loads, lines)
+        }
+        from swarm_spark.ops.similarity import mmr_select
+        from swarm_spark.ops_queries import OPS
+
+        fused = OPS["hybrid_rrf"][0](spark, "/root/testdata/sf0.001")
+        want = {
+            tuple(r)
+            for r in mmr_select(
+                emb, fused, k=3, lam_permille=600, rel_col="rrf_micro"
+            ).collect()
+        }
+        assert got == want and got
