@@ -149,10 +149,11 @@ def probe(
 
     # build-once for the persisted-path phrase probe: the positional
     # index lands on disk untimed; the row times the probe only
-    if only is None or "phrase_match" in only:
+    if only is None or bool({"phrase_match", "phrase_grams"} & (only or set())):
         from swarm_spark.ops.retrieval import (
             load_positional,
             phrase_match,
+            phrase_match_grams,
             positional_postings,
             save_positional,
         )
@@ -257,6 +258,9 @@ def probe(
         "phrase_match": lambda: phrase_match(
             None, qphrases, postings=lpos
         ),
+        # the L-gram equi-join scale path: candidates are exactly the
+        # hits, so the saturated vocab costs one explode + one join
+        "phrase_grams": lambda: phrase_match_grams(docs, qphrases),
         "ann_topk_ivfpq": lambda: ann_topk_ivfpq(
             emb, queries, k=5, n_cells=8 * factor, nprobe=4, cell_iters=3,
             m=4, pq_k=16, pq_iters=2,

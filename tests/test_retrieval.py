@@ -380,3 +380,49 @@ class TestPhraseMatch:
 
         with pytest.raises(ValueError):
             phrase_match(None, self._phrases(spark, [(0, "x")]))
+
+
+class TestPhraseMatchGrams:
+    def _phrases(self, spark, rows):
+        return spark.createDataFrame(rows, "phrase_id long, text string")
+
+    def test_equivalent_to_positional_on_mixed_lengths(self, spark):
+        from swarm_spark.ops.retrieval import phrase_match, phrase_match_grams
+
+        docs = _docs(
+            spark,
+            [
+                (0, "a b c d a b"),
+                (1, "b c b c"),
+                (2, "b x c"),
+                (3, "c b a"),
+                (4, "b"),
+                (5, "a a a a"),
+            ],
+        )
+        ph = self._phrases(
+            spark, [(1, "b c"), (2, "a a"), (3, "c"), (4, "a b c"), (5, "z q")]
+        )
+        pos = sorted(map(tuple, phrase_match(docs, ph).collect()))
+        gram = sorted(map(tuple, phrase_match_grams(docs, ph).collect()))
+        assert pos == gram and pos
+
+    def test_equivalent_on_testdata(self, spark, sf_dir):
+        from swarm_spark.ops.retrieval import phrase_match, phrase_match_grams
+        from swarm_spark.ops.text import tokens_col
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ph = docs.where(F.col("doc_id") % 100 == 0).select(
+            F.col("doc_id").alias("phrase_id"),
+            F.concat_ws(" ", F.slice(tokens_col("text"), 1, 3)).alias("text"),
+        )
+        pos = sorted(map(tuple, phrase_match(docs, ph).collect()))
+        gram = sorted(map(tuple, phrase_match_grams(docs, ph).collect()))
+        assert pos == gram and pos
+
+    def test_empty_phrase_batch(self, spark):
+        from swarm_spark.ops.retrieval import phrase_match_grams
+
+        docs = _docs(spark, [(0, "a b")])
+        ph = self._phrases(spark, [])
+        assert phrase_match_grams(docs, ph).count() == 0
