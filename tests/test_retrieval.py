@@ -426,3 +426,59 @@ class TestPhraseMatchGrams:
         docs = _docs(spark, [(0, "a b")])
         ph = self._phrases(spark, [])
         assert phrase_match_grams(docs, ph).count() == 0
+
+
+class TestPersistedProbePlans:
+    def test_lm_probe_never_reads_text(self, spark, corpus, tmp_path):
+        """Same build-once/probe-many contract as the bm25 test: the
+        lm scorer over a saved index (docs=None) executes with ONLY
+        index-table parquet scans — cf stats fold from the postings,
+        totals from the stored stat, corpus text absent from the
+        plan."""
+        from swarm_spark.ops.retrieval import lm_topk, save_bm25
+
+        post = bm25_postings(corpus)
+        save_bm25(post, bm25_stats(post), bm25_totals(corpus), str(tmp_path / "ix"))
+        lpost, _, ltot = load_bm25(spark, str(tmp_path / "ix"))
+        queries = _docs(spark, [(9, "broadcast window"), (8, "spark agg")]).select(
+            F.col("doc_id").alias("query_id"), "text"
+        )
+        probe = lm_topk(None, queries, k=3, postings=lpost, totals=ltot)
+        got = sorted(map(tuple, probe.collect()))
+        want = sorted(map(tuple, lm_topk(corpus, queries, k=3).collect()))
+        assert got == want
+        final = (
+            probe._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("+- == Initial Plan ==")[0]
+        )
+        # postings (+ its cf fold reuses the scan or adds one) + totals
+        assert final.count("Scan parquet") <= 3
+
+    def test_phrase_probe_never_reads_text(self, spark, corpus, tmp_path):
+        """Phrase probe over a saved positional index: one index scan,
+        zero corpus text reads."""
+        from swarm_spark.ops.retrieval import (
+            load_positional,
+            phrase_match,
+            positional_postings,
+            save_positional,
+        )
+
+        save_positional(positional_postings(corpus), str(tmp_path / "pix"))
+        lpos = load_positional(spark, str(tmp_path / "pix"))
+        phrases = spark.createDataFrame(
+            [(1, "spark spark"), (2, "agg agg")], "phrase_id long, text string"
+        )
+        probe = phrase_match(None, phrases, postings=lpos)
+        got = sorted(map(tuple, probe.collect()))
+        want = sorted(map(tuple, phrase_match(corpus, phrases).collect()))
+        assert got == want and got
+        final = (
+            probe._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("+- == Initial Plan ==")[0]
+        )
+        assert final.count("Scan parquet") <= 1
