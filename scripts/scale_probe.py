@@ -122,6 +122,7 @@ def probe(
     )
     from swarm_spark.ops.sampling import global_shuffle_order
     from swarm_spark.ops.semdedup import semantic_dup_pairs
+    from swarm_spark.ops.sketch import cms_sketch
     from swarm_spark.ops.text import (
         group_value_quantiles,
         nb_score_quality,
@@ -241,6 +242,13 @@ def probe(
             docs.select("doc_id"), "doc_id"
         ),
         "text_nb_quality": _nb,
+        # frequency-sketch build: one explode + one <= depth*width-row
+        # map-side-combined shuffle (grid literal-bounded, like the NB
+        # buckets); the agg forces the full grid to materialize
+        "corpus_cms": lambda: cms_sketch(
+            docs.select(F.explode(tokens_col("text")).alias("tok")), "tok",
+            width=512, depth=3,
+        ).agg(F.sum("cnt").alias("s"), F.count(F.lit(1)).alias("cells")),
         # retrieval tier (r9): the persisted-index BM25 probe (zero
         # corpus text reads — serving cost) and the composed IVF-PQ
         # build+search with n_cells ∝ N, PQ codebook scale-invariant
