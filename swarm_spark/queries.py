@@ -1412,6 +1412,15 @@ def _change_rounds(
     algo bumps must be committed (migrating the ledger) BEFORE any
     query-source edits in the same round.
 
+    Each change also records the PREVIOUS (fp, since) pair. If the
+    fingerprint later flips back to exactly that previous value while
+    still in the round that bumped it (an edit made and reverted, or a
+    mid-edit import glitch during an interactive session), the original
+    ``since`` is restored: an A→B→A flap is not a source change, and
+    must not consume a driver-window slot (the r9 session observed 51
+    such spurious restamps from running tests against half-edited
+    trees).
+
     The ledger write is best-effort; on a read-only checkout the
     in-memory result is still correct for this process.
     """
@@ -1452,7 +1461,33 @@ def _change_rounds(
             ledger[name] = ent
             dirty = True
         elif ent.get("fp") != fp:
-            ent = {"fp": fp, "since": cur_round, "algo": _FP_ALGO_VERSION}
+            prev = ent.get("prev")
+            if (
+                isinstance(prev, dict)
+                and prev.get("fp") == fp
+                and int(ent.get("since", 0)) == cur_round
+            ):
+                # A->B->A flap within the round in progress (an edit
+                # made and reverted, or a mid-edit import glitch): the
+                # source is back to the exact state its last committed
+                # row verified, so restore the original `since` — a
+                # transient must not masquerade as a this-round change
+                # and consume a driver-window slot
+                ent = {
+                    "fp": fp,
+                    "since": int(prev.get("since", cur_round)),
+                    "algo": _FP_ALGO_VERSION,
+                }
+            else:
+                ent = {
+                    "fp": fp,
+                    "since": cur_round,
+                    "algo": _FP_ALGO_VERSION,
+                    "prev": {
+                        "fp": ent.get("fp"),
+                        "since": int(ent.get("since", cur_round)),
+                    },
+                }
             ledger[name] = ent
             dirty = True
         out[name] = int(ent.get("since", cur_round))

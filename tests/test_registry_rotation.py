@@ -389,3 +389,50 @@ def test_fallout_was_green_most_recently():
         assert _row_is_green(files[last[n]][n]), (
             f"{n} overflows the window but was not green in r{last[n]}"
         )
+
+
+def test_fingerprint_flap_within_round_restores_since(tmp_path):
+    """An A→B→A fingerprint flap inside the round in progress (edit
+    made and reverted, or a mid-edit import glitch while tests run
+    against a half-edited tree) must NOT masquerade as a this-round
+    source change: when the fp returns to exactly the value whose
+    `since` was displaced, the original `since` is restored and the
+    query does not consume a driver-window slot (observed in r9: 51
+    spurious restamps)."""
+    import json
+
+    def q_a(spark, sf):
+        return "state-a"
+
+    def q_b(spark, sf):
+        return "state-b-transient"
+
+    sql = "SELECT 1 AS n"
+    reg_a = {"alpha": (q_a, sql)}
+    reg_b = {"alpha": (q_b, sql)}
+
+    assert _change_rounds(reg_a, tmp_path) == {"alpha": 1}
+    # round 1 drives green; round 2 begins
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"alpha": {"rows_match": True, "hash_match": True}})
+    )
+    assert _change_rounds(reg_a, tmp_path) == {"alpha": 1}
+    # mid-edit transient: fp flips to B → restamped to the round in
+    # progress (2), with the displaced state remembered
+    assert _change_rounds(reg_b, tmp_path) == {"alpha": 2}
+    # ...and flips back: the original since is restored, not round 2
+    assert _change_rounds(reg_a, tmp_path) == {"alpha": 1}
+    # stable afterwards, and the healed entry carries no stale `prev`
+    assert _change_rounds(reg_a, tmp_path) == {"alpha": 1}
+    ent = json.loads((tmp_path / "QUERY_HASHES.json").read_text())["alpha"]
+    assert "prev" not in ent and ent["since"] == 1
+
+    # a REAL change that lands and STAYS keeps its new since even
+    # after the round's green row arrives (no false healing later)
+    assert _change_rounds(reg_b, tmp_path) == {"alpha": 2}
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"alpha": {"rows_match": True, "hash_match": True}})
+    )
+    # round 3 in progress now; flapping back to A is NOT a same-round
+    # revert anymore — it is a new change and restamps to 3
+    assert _change_rounds(reg_a, tmp_path) == {"alpha": 3}
