@@ -342,6 +342,7 @@ def mmr_select(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     rel_col: str = "cos",
+    max_shortlist: int | None = 64,
 ) -> DataFrame:
     """Maximal-marginal-relevance diversified reranking (public:
     Carbonell & Goldstein 1998) of a per-query shortlist: greedily pick
@@ -369,7 +370,12 @@ def mmr_select(
     ``applyInPandas`` over bounded groups (the per-cell-gram house
     pattern, dedup.embedding_dup_pairs) — an Arrow-batched integer
     loop, never a driver collect, never an iterative lineage of k
-    joins."""
+    joins. ``max_shortlist`` is the structural guard behind that
+    bound: each query's candidates cap at the top ``max_shortlist`` by
+    relevance (the salted two-phase top-k, no unsplittable window)
+    BEFORE the pairwise frame is built, so an unbounded ranked frame
+    cannot make the squared stage corpus-sized; lower-relevance rows
+    never win an MMR pick in practice. ``None`` disables the cap."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if not 0 <= lam_permille <= 1000:
@@ -379,6 +385,14 @@ def mmr_select(
         "id",
         F.round(F.lit(1_000_000) * F.col(rel_col)).cast("long").alias("rel"),
     )
+    if max_shortlist is not None:
+        if max_shortlist < k:
+            raise ValueError(f"max_shortlist {max_shortlist} < k {k}")
+        rel = topk_per_query(
+            rel.select("query_id", "id", F.col("rel").alias("cos")),
+            max_shortlist,
+            n_salts=16,
+        ).select("query_id", "id", F.col("cos").alias("rel"))
     mem = rel.join(
         corpus.select(
             F.col(id_col).alias("id"),

@@ -256,3 +256,31 @@ class TestMmrSelect:
             mmr_select(emb, short, k=0)
         with _pytest.raises(ValueError):
             mmr_select(emb, short, lam_permille=1001)
+
+
+class TestMmrShortlistGuard:
+    def test_cap_prunes_low_relevance_candidates(self, spark):
+        from swarm_spark.ops.similarity import ann_topk_bruteforce, mmr_select
+
+        rows = [(i, [1.0 - 0.01 * i, 0.01 * i, 0.0]) for i in range(20)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        short = ann_topk_bruteforce(emb, emb.where("vec_id = 0"), k=15)
+        capped = mmr_select(emb, short, k=3, max_shortlist=5).collect()
+        full = mmr_select(emb, short, k=3, max_shortlist=None).collect()
+        # picks must come from the top-5 relevance candidates
+        top5 = {r["id"] for r in short.where("rank <= 5").collect()}
+        assert {r["id"] for r in capped} <= top5
+        assert len(capped) == 3 and len(full) == 3
+
+    def test_cap_below_k_rejected(self, spark):
+        import pytest as _pytest
+
+        from swarm_spark.ops.similarity import ann_topk_bruteforce, mmr_select
+
+        emb = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.8, 0.2])],
+            "vec_id long, embedding array<double>",
+        )
+        short = ann_topk_bruteforce(emb, emb.where("vec_id = 0"), k=2)
+        with _pytest.raises(ValueError):
+            mmr_select(emb, short, k=5, max_shortlist=3)
