@@ -1,7 +1,22 @@
-"""Lexical retrieval over the corpus: BM25 ranking and reciprocal-rank
-fusion — the retrieval tier next to the embedding ANN operators
-(`ops/similarity.py` / `ops/pq.py`), so hybrid (lexical + semantic)
-search composes from the two rank lists.
+"""Lexical retrieval over the corpus — the tier next to the embedding
+ANN operators (`ops/similarity.py` / `ops/pq.py`), so hybrid (lexical
++ semantic) search composes from the rank lists:
+
+- :func:`bm25_topk` — Robertson/Zaragoza BM25 keyword ranking;
+- :func:`lm_topk` — Zhai/Lafferty Dirichlet query likelihood over the
+  SAME persisted index (cf stats fold from the postings);
+- :func:`phrase_match` / :func:`phrase_match_grams` — exact-phrase
+  search (positional intersection over a stored (id, tok, pos) index;
+  L-gram equi-join as the short-phrase scale path);
+- :func:`rrf_fuse` — reciprocal-rank fusion of any rank lists (MMR
+  diversification lives with the vectors:
+  :func:`swarm_spark.ops.similarity.mmr_select`).
+
+All index tables (postings, df/cf stats, totals, positions) are
+mergeable stored statistics: build once (`save_bm25` /
+`save_positional`, CLI ``index --kind bm25|positional``), fold
+append-only waves in with a groupBy-sum or plain union, probe with
+``docs=None`` and ZERO corpus text reads (plan-test-pinned).
 
 BM25 here is the Lucene/Robertson formulation (public: Robertson &
 Zaragoza 2009, "The Probabilistic Relevance Framework: BM25 and
