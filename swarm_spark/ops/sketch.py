@@ -128,6 +128,122 @@ def cms_lookup(
     )
 
 
+# ---------------------------------------------------------------- HyperLogLog
+#
+# Public algorithm: Flajolet, Fusy, Gandouet & Meunier 2007,
+# "HyperLogLog: the analysis of a near-optimal cardinality estimation
+# algorithm". m = 2^p registers; each key hashes to one register
+# (first p bits) and contributes rho = 1 + leading-zero-count of the
+# next 48 bits; the register keeps the MAX rho; the estimate is the
+# bias-corrected harmonic mean alpha_m * m^2 / sum(2^-M[j]), with
+# Flajolet's linear-counting fallback for the small range.
+#
+# Unlike engine-private HLL sketches (Spark's approx_count_distinct,
+# DuckDB's approx_distinct), these registers are md5-derived integer
+# arithmetic, so the sketch AND the estimate reproduce exactly in SQL:
+# rho is pure bit-length arithmetic (`49 - length(bin(v))` — both
+# engines print minimal-width binary), and the harmonic sum is kept as
+# the EXACT integer sum(2^(49-rho)) (order-independent — no float
+# accumulation), so the single final division is deterministic.
+#
+# Registers are a MAX monoid: hll_merge(waves) == full recompute
+# exactly, the same append-only-ledger contract as the other stored
+# statistics in this module's family.
+
+_HLL_RHO_BITS = 48  # hex chars p/4+1 .. p/4+12 of the md5
+
+
+def _hll_check_p(p: int) -> None:
+    if p not in (8, 12, 16):
+        raise ValueError(f"p must be 8, 12 or 16 (whole hex digits), got {p}")
+
+
+def hll_registers(
+    df: DataFrame, key_col: str, p: int = 12, seed: str = "swarm-hll"
+) -> DataFrame:
+    """(bucket, rho): the HyperLogLog register file of ``key_col``'s
+    DISTINCT values — <= 2^p rows, the materializable stored statistic.
+    Duplicate keys are free (max of equal rhos), so the input needn't
+    be de-duplicated. Build is one codegen projection + one
+    map-side-combined shuffle of <= 2^p rows; the corpus is never
+    shuffled by key and the driver never sees a corpus-sized result."""
+    _hll_check_p(p)
+    nb = p // 4
+    h = F.md5(F.concat_ws("|", F.lit(seed), F.col(key_col).cast("string")))
+    bucket = F.conv(F.substring(h, 1, nb), 16, 10).cast("long")
+    v = F.conv(F.substring(h, nb + 1, _HLL_RHO_BITS // 4), 16, 10).cast("long")
+    rho = (
+        F.when(v == 0, F.lit(_HLL_RHO_BITS + 1))
+        .otherwise(F.lit(_HLL_RHO_BITS + 1) - F.length(F.bin(v)))
+        .cast("int")
+    )
+    return (
+        df.select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(stored: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold a wave's register file into a stored one — union + per-
+    bucket MAX over <= 2^(p+1) rows (metadata-sized). Merge == full
+    recompute exactly (the max monoid)."""
+    return (
+        stored.select("bucket", "rho")
+        .unionByName(delta.select("bucket", "rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(regs: DataFrame, p: int = 12) -> DataFrame:
+    """One row (m_regs, nonzero_regs, sum_scaled, estimate) from a
+    register file. ``sum_scaled`` is the EXACT integer
+    sum_j 2^(49 - M[j]) (absent registers count 2^49 — M[j] = 0), so
+    the harmonic mean needs exactly ONE float division; the small-range
+    branch is Flajolet's linear-counting correction m*ln(m/V)."""
+    _hll_check_p(p)
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    big_a = alpha * m * m * float(1 << (_HLL_RHO_BITS + 1))
+    agg = regs.agg(
+        F.count(F.lit(1)).cast("long").alias("nonzero_regs"),
+        F.coalesce(
+            F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_HLL_RHO_BITS + 1} - rho)")),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("present_scaled"),
+    )
+    zero = F.lit(m) - F.col("nonzero_regs")
+    sum_scaled = (
+        F.col("present_scaled") + zero * F.lit(1 << (_HLL_RHO_BITS + 1))
+    ).cast("long")
+    raw = F.lit(big_a) / F.col("sum_scaled")
+    return (
+        agg.select(
+            F.lit(m).cast("long").alias("m_regs"),
+            "nonzero_regs",
+            sum_scaled.alias("sum_scaled"),
+        )
+        .select(
+            "m_regs",
+            "nonzero_regs",
+            "sum_scaled",
+            F.when(
+                (raw <= F.lit(2.5 * m)) & (F.col("nonzero_regs") < m),
+                F.round(
+                    F.lit(float(m))
+                    * F.log(F.lit(float(m)) / (F.lit(m) - F.col("nonzero_regs")))
+                ),
+            )
+            .otherwise(F.round(raw))
+            .cast("long")
+            .alias("estimate"),
+        )
+    )
+
+
 def cms_heavy_hitters(
     df: DataFrame,
     key_col: str,

@@ -3836,7 +3836,106 @@ ORDER BY pcx.cell
 )
 
 
+def q_corpus_hll_distinct(spark, sf):
+    """HyperLogLog distinct-3-gram estimate (Flajolet et al. 2007) vs
+    the exact count, with the merge contract pinned in the same row:
+    unlike engine-private HLLs (approx_count_distinct), these registers
+    are md5-derived integer arithmetic — rho is bit-length arithmetic
+    and the harmonic sum stays an exact integer — so the ESTIMATE
+    itself value-oracles in DuckDB. ``regs_differing`` must be 0: the
+    max-monoid fold of the even/odd doc waves equals the full-corpus
+    register file exactly (the append-only-ledger contract).
+    Complements ``corpus_distinct_sketch``: linear counting is exact-ish
+    at small cardinalities but saturates; HLL's error is a flat
+    ~1.04/sqrt(m) at ANY cardinality — the 100-TB default."""
+    from .ops.dedup import doc_shingles
+    from .ops.sketch import hll_estimate, hll_merge, hll_registers
+
+    sh = doc_shingles(_docs(spark, sf), n=3)
+    full = hll_registers(sh, "sh")
+    merged = hll_merge(
+        hll_registers(sh.where(F.col("doc_id") % 2 == 0), "sh"),
+        hll_registers(sh.where(F.col("doc_id") % 2 == 1), "sh"),
+    )
+    est = hll_estimate(full)
+    exact = sh.agg(F.countDistinct("sh").cast("long").alias("exact_distinct"))
+    diff = (
+        full.select("bucket", F.col("rho").alias("ra"))
+        .join(merged.select("bucket", F.col("rho").alias("rb")), "bucket", "full")
+        .where(F.coalesce(F.col("ra"), F.lit(-1)) != F.coalesce(F.col("rb"), F.lit(-1)))
+        .agg(F.count(F.lit(1)).cast("long").alias("regs_differing"))
+    )
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(diff))
+        .select(
+            "m_regs",
+            "nonzero_regs",
+            "sum_scaled",
+            "estimate",
+            "exact_distinct",
+            F.round(
+                F.abs(F.col("estimate") - F.col("exact_distinct"))
+                * 1_000_000
+                / F.col("exact_distinct")
+            )
+            .cast("long")
+            .alias("err_ppm"),
+            "regs_differing",
+        )
+    )
+
+
+_HLL_M = 4096
+_HLL_A = 0.7213 / (1 + 1.079 / _HLL_M) * _HLL_M * _HLL_M * float(1 << 49)
+
+SQL_HLL_DISTINCT = f"""
+WITH {_shingle_cte(3)},
+rr AS (SELECT doc_id,
+              {_hexval('h', 1, 3)} AS bucket,
+              CASE WHEN {_hexval('h', 4, 12)} = 0 THEN 49
+                   ELSE 49 - length(bin({_hexval('h', 4, 12)})) END AS rho
+       FROM (SELECT doc_id, md5('swarm-hll|' || sh) AS h FROM s)),
+regs AS (SELECT bucket, max(rho) AS rho FROM rr GROUP BY 1),
+rm AS (SELECT bucket, max(rho) AS rho FROM (
+         SELECT bucket, max(rho) AS rho FROM rr WHERE doc_id % 2 = 0 GROUP BY 1
+         UNION ALL
+         SELECT bucket, max(rho) AS rho FROM rr WHERE doc_id % 2 = 1 GROUP BY 1)
+       GROUP BY 1),
+agg AS (SELECT cast(count(*) AS bigint) AS nonzero_regs,
+               cast(coalesce(sum(cast(1 AS bigint) << cast(49 - rho AS int)), 0)
+                    AS bigint) AS present_scaled
+        FROM regs),
+est AS (SELECT cast({_HLL_M} AS bigint) AS m_regs,
+               nonzero_regs,
+               cast(present_scaled
+                    + ({_HLL_M} - nonzero_regs) * (cast(1 AS bigint) << 49)
+                    AS bigint) AS sum_scaled
+        FROM agg),
+fin AS (SELECT m_regs, nonzero_regs, sum_scaled,
+               CASE WHEN {_HLL_A!r} / sum_scaled <= {2.5 * _HLL_M!r}
+                         AND nonzero_regs < {_HLL_M}
+                    THEN cast(round({float(_HLL_M)!r}
+                              * ln({float(_HLL_M)!r} / ({_HLL_M} - nonzero_regs)))
+                              AS bigint)
+                    ELSE cast(round({_HLL_A!r} / sum_scaled) AS bigint)
+               END AS estimate
+        FROM est),
+x AS (SELECT cast(count(DISTINCT sh) AS bigint) AS exact_distinct FROM s),
+dd AS (SELECT cast(count(*) AS bigint) AS regs_differing
+       FROM regs FULL JOIN rm USING (bucket)
+       WHERE coalesce(regs.rho, -1) <> coalesce(rm.rho, -1))
+SELECT fin.m_regs, fin.nonzero_regs, fin.sum_scaled, fin.estimate,
+       x.exact_distinct,
+       cast(round(abs(fin.estimate - x.exact_distinct) * 1000000.0
+                  / x.exact_distinct) AS bigint) AS err_ppm,
+       dd.regs_differing
+FROM fin, x, dd
+"""
+
+
 OPS: dict[str, tuple[Callable, str | None]] = {
+    "corpus_hll_distinct": (q_corpus_hll_distinct, SQL_HLL_DISTINCT),
     "corpus_distinct_sketch": (q_corpus_distinct_sketch, SQL_DISTINCT_SKETCH),
     "corpus_sketch_incremental": (q_corpus_sketch_incremental, SQL_SKETCH_INCR),
     "corpus_cms_freq": (q_corpus_cms_freq, SQL_CMS_FREQ),

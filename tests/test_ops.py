@@ -1810,3 +1810,85 @@ class TestCountMinSketch:
             cms_sketch(toks, "tok", depth=0)
         with _pytest.raises(ValueError):
             cms_heavy_hitters(toks, "tok", threshold=0)
+
+
+class TestHyperLogLog:
+    def _keys(self, spark, n, dup=1):
+        rows = [(f"key-{i:06d}",) for i in range(n) for _ in range(dup)]
+        return spark.createDataFrame(rows, "k string")
+
+    def _estimate(self, spark, n, p=12):
+        from swarm_spark.ops.sketch import hll_estimate, hll_registers
+
+        regs = hll_registers(self._keys(spark, n), "k", p=p)
+        (row,) = hll_estimate(regs, p=p).collect()
+        return row
+
+    def test_large_range_within_flajolet_error(self, spark):
+        # sigma ~ 1.04/sqrt(4096) = 1.6%; 4 sigma = 6.5%
+        row = self._estimate(spark, 10_000)
+        assert abs(row["estimate"] - 10_000) <= 650
+        assert row["m_regs"] == 4096
+
+    def test_small_range_uses_linear_counting(self, spark):
+        # 50 keys in 4096 registers: the linear-counting branch, near-exact
+        row = self._estimate(spark, 50)
+        assert row["nonzero_regs"] <= 50
+        assert abs(row["estimate"] - 50) <= 3
+
+    def test_duplicates_are_free(self, spark):
+        from swarm_spark.ops.sketch import hll_registers
+
+        once = sorted(map(tuple, hll_registers(self._keys(spark, 500), "k").collect()))
+        thrice = sorted(
+            map(tuple, hll_registers(self._keys(spark, 500, dup=3), "k").collect())
+        )
+        assert once == thrice
+
+    def test_merge_equals_recompute(self, spark):
+        from swarm_spark.ops.sketch import hll_merge, hll_registers
+
+        keys = self._keys(spark, 2_000)
+        odd = F.substring("k", 5, 6).cast("int") % 2 == 1
+        merged = hll_merge(
+            hll_registers(keys.where(odd), "k"),
+            hll_registers(keys.where(~odd), "k"),
+        )
+        full = hll_registers(keys, "k")
+        diff = (
+            merged.withColumnRenamed("rho", "ra")
+            .join(full.withColumnRenamed("rho", "rb"), "bucket", "full")
+            .where(F.coalesce("ra", F.lit(-1)) != F.coalesce("rb", F.lit(-1)))
+            .count()
+        )
+        assert diff == 0
+
+    def test_partitioning_invariant(self, spark):
+        from swarm_spark.ops.sketch import hll_registers
+
+        keys = self._keys(spark, 1_000)
+        a = sorted(map(tuple, hll_registers(keys, "k").collect()))
+        b = sorted(map(tuple, hll_registers(keys.repartition(13), "k").collect()))
+        assert a == b
+
+    def test_overlapping_waves_merge_exactly(self, spark):
+        # max monoid: overlapping (non-partitioned) waves still fold exactly
+        from swarm_spark.ops.sketch import hll_estimate, hll_merge, hll_registers
+
+        a = self._keys(spark, 800)                      # key-000000..000799
+        b = self._keys(spark, 1_000).where(F.substring("k", 5, 6).cast("int") >= 400)
+        merged = hll_merge(hll_registers(a, "k"), hll_registers(b, "k"))
+        (got,) = hll_estimate(merged).collect()
+        (want,) = hll_estimate(hll_registers(self._keys(spark, 1_000), "k")).collect()
+        assert tuple(got) == tuple(want)
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from swarm_spark.ops.sketch import hll_estimate, hll_registers
+
+        keys = self._keys(spark, 10)
+        with _pytest.raises(ValueError):
+            hll_registers(keys, "k", p=10)
+        with _pytest.raises(ValueError):
+            hll_estimate(hll_registers(keys, "k"), p=7)
