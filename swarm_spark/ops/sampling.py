@@ -397,3 +397,158 @@ def split_column(
         .when(b < val_cut, F.lit("val"))
         .otherwise(F.lit("train"))
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    key: str,
+    n_target: int,
+    total_weight: int | None = None,
+    seed: str = "swarm-wt",
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sampling: keep each row with
+    probability min(1, n_target * w / W) — expected sample size
+    ~``n_target``, inclusion probability proportional to the row's
+    integer ``weight_col`` (importance weights, token counts, quality
+    scores). Like every sampler here, membership is a pure function of
+    the RECORD: keep iff
+
+        hash_bucket(key) < floor(w * n_target * 2^32 / W)
+
+    so the kept set is stable under partitioning, engine, and cluster
+    size, and reproduces in SQL (the cut is one double multiply +
+    divide of exact integers — IEEE-deterministic on both engines).
+
+    ``total_weight``: pass the stored statistic to skip the sizing
+    aggregation (at 100 TB every redundant action is a full scan);
+    ``None`` computes it in-plan (one map-side-combined scan, a 1-row
+    broadcast — the driver never sees data). Keep
+    ``w * n_target <= ~2^52`` so the scaled cut keeps integer
+    precision; weights must be >= 0.
+
+    Scale shape: a codegen'd filter under a 1-row broadcast join — no
+    shuffle of the corpus, pushes through scans like any filter.
+    """
+    return (
+        weighted_keep_flag(df, weight_col, key, n_target, total_weight, seed)
+        .where(F.col("keep"))
+        .drop("keep")
+    )
+
+
+def weighted_keep_flag(
+    df: DataFrame,
+    weight_col: str,
+    key: str,
+    n_target: int,
+    total_weight: int | None = None,
+    seed: str = "swarm-wt",
+) -> DataFrame:
+    """:func:`weighted_sample`'s membership decision as a boolean
+    ``keep`` column instead of a filter — the audit/report shape: one
+    pass computes per-stratum kept-vs-total aggregates with conditional
+    sums, where filter-then-join-back would re-scan the corpus."""
+    if n_target < 1:
+        raise ValueError(f"n_target must be >= 1, got {n_target}")
+    scale = float(int(n_target) * _SPACE)
+    if total_weight is None:
+        tot = df.agg(F.sum(F.col(weight_col)).cast("long").alias("__w_tot"))
+    else:
+        if total_weight < 1:
+            raise ValueError(f"total_weight must be >= 1, got {total_weight}")
+        tot = df.sparkSession.createDataFrame(
+            [(int(total_weight),)], "__w_tot long"
+        )
+    cut = F.floor(F.col(weight_col).cast("double") * F.lit(scale) / F.col("__w_tot"))
+    return (
+        df.crossJoin(F.broadcast(tot))
+        .withColumn("keep", hash_bucket(key, seed) < cut)
+        .drop("__w_tot")
+    )
+
+
+def temperature_quotas(
+    df: DataFrame, strata: str, budget: int, alpha_half: bool = True
+) -> DataFrame:
+    """(strata, n_docs, quota): per-stratum document quotas for a
+    temperature-flattened mixture — quota_s proportional to
+    n_s^alpha with alpha = 1/2 (the multilingual-pretraining shape:
+    upsample rare strata, damp the head; alpha=1 is proportional,
+    alpha=0 uniform). Fixing alpha at 1/2 keeps the whole plan
+    integer-exact: s_s = floor(sqrt(n_s)) (IEEE sqrt is correctly
+    rounded, so this reproduces bit-for-bit in any engine) and
+    quota_s = (budget * s_s) div (sum_t s_t) in pure bigint
+    arithmetic. Strata-cardinality-sized output; the corpus is scanned
+    once for the counts."""
+    import math
+
+    from pyspark.sql import types as T
+
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    if not alpha_half:
+        raise ValueError("only alpha = 1/2 is supported (integer-exact contract)")
+    # metadata-sized by definition of a mixture: one row per stratum to
+    # the driver (the stratified_cap precedent) — the sqrt scaling and
+    # division then run in exact Python integers, with NO second pass
+    # over the counts subtree (a distributed total would re-scan it).
+    # math.isqrt is exact at any size; a SQL mirror's floor(sqrt(n)) is
+    # guaranteed identical below n = 2^26 per stratum (IEEE sqrt is
+    # correctly rounded; above that the nearest double to sqrt(k^2 - 1)
+    # can be k itself).
+    counts = (
+        df.groupBy(strata).agg(F.count(F.lit(1)).cast("long").alias("n_docs")).collect()
+    )
+    scaled = [(r[strata], r["n_docs"], math.isqrt(r["n_docs"])) for r in counts]
+    st = sum(s for _, _, s in scaled)
+    rows = [(k, n, (int(budget) * s) // st) for k, n, s in scaled]
+    schema = T.StructType(
+        [
+            df.schema[strata],
+            T.StructField("n_docs", T.LongType(), False),
+            T.StructField("quota", T.LongType(), False),
+        ]
+    )
+    return df.sparkSession.createDataFrame(rows, schema)
+
+
+def sample_temperature(
+    df: DataFrame,
+    strata: str,
+    key: str,
+    budget: int,
+    seed: str = "swarm-temp",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Temperature-flattened mixture sample: EXACTLY quota_s rows per
+    stratum (quotas from :func:`temperature_quotas`, alpha = 1/2),
+    chosen in deterministic hash order — the kept set is a pure
+    function of the records, so the mix is stable under growth of
+    other strata, partitioning, and cluster size. Adds ``rk`` (1-based
+    hash-order rank within the stratum).
+
+    Scale shape: same TWO-PHASE salted rank as :func:`stratified_cap`
+    (no hot-stratum single-window task), with the per-stratum quota
+    arriving through a strata-cardinality broadcast join instead of a
+    literal cap.
+    """
+    from pyspark.sql import Window
+
+    quotas = temperature_quotas(df, strata, budget).where(F.col("quota") >= 1)
+    order = (hash_bucket(key, seed).asc(), F.col(key).asc())
+    salt = (hash_bucket(key, seed + "-salt") % n_salts).cast("int")
+    base = df.join(F.broadcast(quotas.select(strata, "quota")), strata)
+    w1 = Window.partitionBy(strata, "__salt").orderBy(*order)
+    survivors = (
+        base.withColumn("__salt", salt)
+        .withColumn("__rk", F.row_number().over(w1))
+        .where(F.col("__rk") <= F.col("quota"))
+        .drop("__rk", "__salt")
+    )
+    w2 = Window.partitionBy(strata).orderBy(*order)
+    return (
+        survivors.withColumn("rk", F.row_number().over(w2).cast("long"))
+        .where(F.col("rk") <= F.col("quota"))
+        .drop("quota")
+    )

@@ -3836,6 +3836,160 @@ ORDER BY pcx.cell
 )
 
 
+def q_similarity_tfidf_pairs(spark, sf):
+    """All-pairs TF-IDF cosine >= 0.5 over the inverted index (Bayardo
+    et al. 2007 candidate generation, df-cap bounded like the jaccard/
+    minhash tiers) — the lexical near-dup detector weighted toward
+    RARE shared vocabulary, where raw-shingle jaccard weights all
+    overlap equally. Integer milli-nat weights keep dot/norms exact;
+    the one float division is IEEE-deterministic, so every pair AND
+    score value-oracles."""
+    from .ops.allpairs import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(
+        _docs(spark, sf), threshold_micro=500_000, max_df=_MAX_DF
+    ).orderBy("a", "b")
+
+
+SQL_TFIDF_PAIRS = f"""
+WITH w AS ({_WS}),
+e AS (SELECT doc_id AS id, unnest(ws) AS tok FROM w),
+tf AS (SELECT id, tok, cast(count(*) AS bigint) AS tf FROM e GROUP BY 1, 2),
+n AS (SELECT cast(count(*) AS bigint) AS n FROM documents),
+dfq AS (SELECT tok, cast(count(*) AS bigint) AS df FROM tf GROUP BY 1),
+kept AS (SELECT tok, idf FROM (
+           SELECT tok, cast(round(ln(n * 1.0 / df) * 1000) AS bigint) AS idf
+           FROM dfq, n WHERE df >= 2 AND df <= {_MAX_DF})
+         WHERE idf > 0),
+p AS (SELECT id, tok, tf * idf AS wt FROM tf JOIN kept USING (tok)),
+norms AS (SELECT id, cast(sum(wt * wt) AS bigint) AS n2 FROM p GROUP BY 1),
+prs AS (SELECT pa.id AS a, pb.id AS b, cast(sum(pa.wt * pb.wt) AS bigint) AS dot
+        FROM p pa JOIN p pb USING (tok) WHERE pa.id < pb.id GROUP BY 1, 2),
+sc AS (SELECT a, b, dot,
+              cast(round(dot * 1000000.0 / (sqrt(na.n2) * sqrt(nb.n2)))
+                   AS bigint) AS cos_micro
+       FROM prs JOIN norms na ON na.id = prs.a JOIN norms nb ON nb.id = prs.b)
+SELECT a, b, dot, cos_micro FROM sc WHERE cos_micro >= 500000 ORDER BY a, b
+"""
+
+
+def q_layout_zorder(spark, sf):
+    """Z-order (Morton) layout report over events bucketized to
+    (user_id, hour-of-day): cut the interleaved key space into aligned
+    buckets and report each bucket's row count and x/y min/max/span.
+    The structural locality claim — every bucket is one 16×16 tile, so
+    EVERY span < 16 on BOTH dimensions — is what makes file-level
+    min/max stats prunable for either predicate; a single-column sort
+    bounds only its own column. Pure codegen bit arithmetic, exact in
+    SQL."""
+    from .ops.layout import zorder_bucket_stats
+    from .sources.tables import load_table
+
+    ev = load_table(spark, sf, "events").select(
+        F.col("user_id").cast("long").alias("xb"),
+        F.hour("ts").cast("long").alias("yb"),
+    )
+    return zorder_bucket_stats(ev, "xb", "yb", bits=8, bucket_bits=4).orderBy(
+        "zbucket"
+    )
+
+
+def _zorder_sql_terms(xe: str, ye: str, bits: int) -> str:
+    terms = [f"(({xe} // {1 << i}) % 2) * {1 << (2 * i)}" for i in range(bits)] + [
+        f"(({ye} // {1 << i}) % 2) * {1 << (2 * i + 1)}" for i in range(bits)
+    ]
+    return " + ".join(terms)
+
+
+SQL_LAYOUT_ZORDER = f"""
+WITH b AS (SELECT cast(user_id AS bigint) AS xb,
+                  cast(date_part('hour', ts) AS bigint) AS yb FROM events),
+z AS (SELECT xb, yb,
+             cast({_zorder_sql_terms('xb', 'yb', 8)} AS bigint) AS zkey FROM b),
+g AS (SELECT cast(zkey // 256 AS bigint) AS zbucket,
+             cast(count(*) AS bigint) AS n,
+             min(xb) AS x_min, max(xb) AS x_max,
+             min(yb) AS y_min, max(yb) AS y_max
+      FROM z GROUP BY 1)
+SELECT zbucket, n, x_min, x_max, y_min, y_max,
+       x_max - x_min AS x_span, y_max - y_min AS y_span
+FROM g ORDER BY zbucket
+"""
+
+
+def q_sample_weighted(spark, sf):
+    """Deterministic weighted Bernoulli sampling (inclusion probability
+    proportional to doc length), summarized per language: longer docs
+    are kept proportionally more often, the whole kept set a pure
+    function of the records. The per-lang (kept, kept_w) pins every
+    membership decision — one flipped row changes the sums. Uses the
+    flag form so kept-vs-total aggregates come from ONE corpus pass
+    (conditional sums), not a filter + join-back re-scan."""
+    from .ops.sampling import weighted_keep_flag
+
+    flagged = weighted_keep_flag(_docs(spark, sf), "n_chars", "doc_id", n_target=100)
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("w_sum"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("kept"),
+            F.coalesce(F.sum(F.when(F.col("keep"), F.col("n_chars"))), F.lit(0))
+            .cast("long")
+            .alias("kept_w"),
+        )
+        .orderBy("lang")
+    )
+
+
+_WT_SCALE = float(100 * (1 << 32))  # n_target=100 at the 2^32 hash space
+
+SQL_SAMPLE_WEIGHTED = f"""
+WITH t AS (SELECT cast(sum(n_chars) AS bigint) AS wt FROM documents),
+f AS (SELECT lang, n_chars,
+             {_md5_bucket_sql('doc_id', 'swarm-wt')}
+                 < floor(n_chars * {_WT_SCALE!r} / wt) AS keep
+      FROM documents, t)
+SELECT lang, cast(count(*) AS bigint) AS n_docs,
+       cast(sum(n_chars) AS bigint) AS w_sum,
+       cast(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS bigint) AS kept,
+       cast(coalesce(sum(CASE WHEN keep THEN n_chars END), 0) AS bigint) AS kept_w
+FROM f GROUP BY lang ORDER BY lang
+"""
+
+
+def q_sample_temperature(spark, sf):
+    """Temperature-flattened (alpha = 1/2) mixture sample over
+    languages: quotas proportional to floor(sqrt(n_lang)) — rare
+    languages upsampled relative to their share, the head damped — and
+    exactly quota rows kept per language in deterministic hash order.
+    Integer-exact end to end (IEEE sqrt is correctly rounded), so the
+    full kept set incl. ranks value-oracles."""
+    from .ops.sampling import sample_temperature
+
+    docs = _docs(spark, sf)
+    return (
+        sample_temperature(docs, "lang", "doc_id", budget=120)
+        .select("lang", "doc_id", "rk")
+        .orderBy("lang", "rk")
+    )
+
+
+SQL_SAMPLE_TEMPERATURE = f"""
+WITH c AS (SELECT lang, cast(count(*) AS bigint) AS n FROM documents GROUP BY 1),
+s AS (SELECT lang, cast(floor(sqrt(n)) AS bigint) AS sc FROM c),
+t AS (SELECT cast(sum(sc) AS bigint) AS st FROM s),
+q AS (SELECT lang, cast((120 * sc) // st AS bigint) AS quota FROM s, t),
+r AS (SELECT lang, doc_id,
+             cast(row_number() OVER (PARTITION BY lang
+                  ORDER BY {_md5_bucket_sql('doc_id', 'swarm-temp')}, doc_id)
+                  AS bigint) AS rk
+      FROM documents)
+SELECT r.lang, r.doc_id, r.rk FROM r JOIN q USING (lang)
+WHERE q.quota >= 1 AND r.rk <= q.quota ORDER BY r.lang, r.rk
+"""
+
+
 def q_corpus_hll_distinct(spark, sf):
     """HyperLogLog distinct-3-gram estimate (Flajolet et al. 2007) vs
     the exact count, with the merge contract pinned in the same row:
@@ -3936,6 +4090,10 @@ FROM fin, x, dd
 
 OPS: dict[str, tuple[Callable, str | None]] = {
     "corpus_hll_distinct": (q_corpus_hll_distinct, SQL_HLL_DISTINCT),
+    "sample_weighted": (q_sample_weighted, SQL_SAMPLE_WEIGHTED),
+    "sample_temperature": (q_sample_temperature, SQL_SAMPLE_TEMPERATURE),
+    "layout_zorder": (q_layout_zorder, SQL_LAYOUT_ZORDER),
+    "similarity_tfidf_pairs": (q_similarity_tfidf_pairs, SQL_TFIDF_PAIRS),
     "corpus_distinct_sketch": (q_corpus_distinct_sketch, SQL_DISTINCT_SKETCH),
     "corpus_sketch_incremental": (q_corpus_sketch_incremental, SQL_SKETCH_INCR),
     "corpus_cms_freq": (q_corpus_cms_freq, SQL_CMS_FREQ),

@@ -1,0 +1,106 @@
+"""Z-order (Morton) layout: key arithmetic, locality bounds, and the
+pruning advantage over a single-column sort."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from swarm_spark.ops.layout import (
+    zorder_bucket_stats,
+    zorder_key2,
+    zorder_repartition,
+)
+
+
+def _morton_ref(x: int, y: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+class TestZorderKey:
+    def test_matches_reference_interleave(self, spark):
+        pts = [(x, y) for x in (0, 1, 5, 170, 255) for y in (0, 2, 128, 255)]
+        df = spark.createDataFrame(pts, "x long, y long")
+        rows = df.select("x", "y", zorder_key2("x", "y", 8).alias("z")).collect()
+        for r in rows:
+            assert r["z"] == _morton_ref(r["x"], r["y"], 8), (r["x"], r["y"])
+
+    def test_z_curve_locality_property(self, spark):
+        # aligned key quadrants ARE value quadrants: keys [0, 64) of an
+        # 8x8 grid (bits=3) cover exactly x<8, y<8 at bits=4... use a
+        # direct check: all 16x16 points, keys < 256 <=> x<16 and y<16
+        pts = [(x, y) for x in range(32) for y in range(32)]
+        df = spark.createDataFrame(pts, "x long, y long")
+        inside = df.where(zorder_key2("x", "y", 5) < 256).collect()
+        assert {(r["x"], r["y"]) for r in inside} == {
+            (x, y) for x in range(16) for y in range(16)
+        }
+
+    def test_out_of_domain_raises(self, spark):
+        df = spark.createDataFrame([(300, 1)], "x long, y long")
+        with pytest.raises(Exception, match="out of"):
+            df.select(zorder_key2("x", "y", 8)).collect()
+        neg = spark.createDataFrame([(1, -1)], "x long, y long")
+        with pytest.raises(Exception, match="out of"):
+            neg.select(zorder_key2("x", "y", 8)).collect()
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, 1)], "x long, y long")
+        with pytest.raises(ValueError):
+            zorder_key2("x", "y", 0)
+        with pytest.raises(ValueError):
+            zorder_bucket_stats(df, "x", "y", bits=8, bucket_bits=9)
+        with pytest.raises(ValueError):
+            zorder_repartition(df, "x", "y", n_files=0)
+
+
+class TestZorderLayout:
+    def _grid(self, spark, n=4096, side=256):
+        # a deterministic scatter over the [0, side)^2 grid
+        return (
+            spark.range(n)
+            .select(
+                ((F.col("id") * 2654435761) % side).alias("x"),
+                ((F.col("id") * 40503) % side).alias("y"),
+            )
+        )
+
+    def test_bucket_spans_bounded_by_tile(self, spark):
+        df = self._grid(spark)
+        stats = zorder_bucket_stats(df, "x", "y", bits=8, bucket_bits=3).collect()
+        tile = 1 << (8 - 3)
+        assert stats
+        for r in stats:
+            assert 0 <= r["x_span"] < tile and 0 <= r["y_span"] < tile, tuple(r)
+
+    def test_beats_single_column_sort_on_second_dim(self, spark):
+        # files from a z-order layout bound BOTH dims; an x-sorted
+        # layout leaves y unbounded -> y-predicates can't prune
+        df = self._grid(spark)
+        z = zorder_repartition(df, "x", "y", bits=8, n_files=16).withColumn(
+            "p", F.spark_partition_id()
+        )
+        zspans = (
+            z.groupBy("p")
+            .agg((F.max("y") - F.min("y")).alias("ys"), (F.max("x") - F.min("x")).alias("xs"))
+            .collect()
+        )
+        xsorted = df.repartitionByRange(16, "x").withColumn("p", F.spark_partition_id())
+        sspans = (
+            xsorted.groupBy("p").agg((F.max("y") - F.min("y")).alias("ys")).collect()
+        )
+        # z-order: average y-span well under the full 0..255 width
+        zavg = sum(r["ys"] for r in zspans) / len(zspans)
+        savg = sum(r["ys"] for r in sspans) / len(sspans)
+        assert zavg < savg / 2, (zavg, savg)
+        # and x stays bounded too (the curve trades a little x for y)
+        assert max(r["xs"] for r in zspans) < 256
+
+    def test_key_survives_for_writer_stats(self, spark):
+        out = zorder_repartition(self._grid(spark), "x", "y", bits=8, n_files=4)
+        assert "zkey" in out.columns
+        assert out.count() == 4096

@@ -83,6 +83,9 @@ BNLJ_ALLOWED = {
     "corpus_vocab_incremental",  # same 1-row total attach as corpus_vocab
     "knn_classify",
     "text_surprisal",
+    "corpus_hll_distinct",  # crossJoins of 1-row exact count + 1-row
+    #   register-diff count onto the 1-row estimate
+    "sample_weighted",  # crossJoin(broadcast(1-row corpus weight total))
 }
 
 # Max "Scan parquet" nodes in the executed final plan. Default 2
@@ -119,6 +122,11 @@ _SCAN_BUDGET = {
     #   join reuses the bitmap exchanges)
     "corpus_quantiles_incremental": 3,  # even + odd wave histograms +
     #   the full-recompute quantiles the merge contract compares against
+    "corpus_hll_distinct": 4,  # even + odd wave registers + the
+    #   full-recompute registers + the exact-distinct branch the
+    #   accuracy contract compares against (production keeps only the
+    #   1-scan register build; the other three scans ARE the oracle's
+    #   merge/accuracy cross-checks)
     "ann_ivf_cells": 4,
     "ann_pq_rerank": 4,  # encode + LUT queries + rerank vector fetch +
     #   rerank query side (production materializes the codes, so the

@@ -510,3 +510,117 @@ class TestGlobalShuffleOrder:
         with _action_counter() as calls:
             global_shuffle_order(df, "id")
         assert calls["count"] == 0 and calls["collect"] == 1, calls
+
+
+class TestWeightedSample:
+    def _docs(self, spark):
+        # weights 1..200: total 20100; n_target 50 keeps ~50
+        rows = [(i, i) for i in range(1, 201)]
+        return spark.createDataFrame(rows, "id long, w long")
+
+    def test_inclusion_tracks_weight(self, spark):
+        from swarm_spark.ops.sampling import weighted_sample
+
+        df = self._docs(spark)
+        kept = weighted_sample(df, "w", "id", n_target=50).collect()
+        assert 25 <= len(kept) <= 80  # ~50 expected, binomial spread
+        # the kept set is weight-biased: its mean weight beats the corpus mean
+        assert sum(r["w"] for r in kept) / len(kept) > 100.5
+
+    def test_partitioning_invariant_and_total_weight_passthrough(self, spark):
+        from swarm_spark.ops.sampling import weighted_sample
+
+        df = self._docs(spark)
+        a = sorted(r["id"] for r in weighted_sample(df, "w", "id", 50).collect())
+        b = sorted(
+            r["id"]
+            for r in weighted_sample(df.repartition(13), "w", "id", 50).collect()
+        )
+        c = sorted(
+            r["id"]
+            for r in weighted_sample(df, "w", "id", 50, total_weight=20100).collect()
+        )
+        assert a == b == c
+
+    def test_zero_weight_never_kept_and_saturated_always_kept(self, spark):
+        from swarm_spark.ops.sampling import weighted_sample
+
+        df = spark.createDataFrame([(1, 0), (2, 5), (3, 5)], "id long, w long")
+        kept = {r["id"] for r in weighted_sample(df, "w", "id", 1000).collect()}
+        assert kept == {2, 3}  # P saturates at 1 for w>0; w=0 is P=0
+
+    def test_validation(self, spark):
+        from swarm_spark.ops.sampling import weighted_sample
+
+        df = self._docs(spark)
+        with pytest.raises(ValueError):
+            weighted_sample(df, "w", "id", 0)
+        with pytest.raises(ValueError):
+            weighted_sample(df, "w", "id", 10, total_weight=0)
+
+
+class TestTemperatureSample:
+    def _docs(self, spark):
+        # strata sizes 400/100/16 -> sqrt scale 20/10/4, sum 34
+        rows = (
+            [(i, "big") for i in range(400)]
+            + [(1000 + i, "mid") for i in range(100)]
+            + [(2000 + i, "rare") for i in range(16)]
+        )
+        return spark.createDataFrame(rows, "id long, lang string")
+
+    def test_quotas_integer_exact(self, spark):
+        from swarm_spark.ops.sampling import temperature_quotas
+
+        q = {
+            r["lang"]: (r["n_docs"], r["quota"])
+            for r in temperature_quotas(self._docs(spark), "lang", 34).collect()
+        }
+        # budget == sum of sqrt scales: quotas are exactly the scales
+        assert q == {"big": (400, 20), "mid": (100, 10), "rare": (16, 4)}
+
+    def test_flattening_vs_proportional(self, spark):
+        from swarm_spark.ops.sampling import temperature_quotas
+
+        q = {
+            r["lang"]: r["quota"]
+            for r in temperature_quotas(self._docs(spark), "lang", 100).collect()
+        }
+        # proportional would give big 400/516=77%; sqrt damps it to ~59%
+        # and lifts rare from 3.1% of the corpus to ~11% of the sample
+        assert q["big"] <= 60 and q["rare"] >= 10
+        assert sum(q.values()) <= 100
+
+    def test_sample_meets_quotas_exactly_and_is_stable(self, spark):
+        from swarm_spark.ops.sampling import sample_temperature, temperature_quotas
+
+        df = self._docs(spark)
+        want = {
+            r["lang"]: r["quota"]
+            for r in temperature_quotas(df, "lang", 100).collect()
+            if r["quota"] >= 1
+        }
+        out = sample_temperature(df, "lang", "id", 100).collect()
+        got: dict[str, int] = {}
+        for r in out:
+            got[r["lang"]] = got.get(r["lang"], 0) + 1
+        assert got == want
+        # ranks are 1..quota within each stratum
+        ranks: dict[str, list[int]] = {}
+        for r in out:
+            ranks.setdefault(r["lang"], []).append(r["rk"])
+        assert all(sorted(v) == list(range(1, len(v) + 1)) for v in ranks.values())
+        # partition-invariant, salt-count-invariant
+        b = sample_temperature(df.repartition(17), "lang", "id", 100, n_salts=5)
+        assert sorted((r["lang"], r["id"], r["rk"]) for r in out) == sorted(
+            (r["lang"], r["id"], r["rk"]) for r in b.collect()
+        )
+
+    def test_validation(self, spark):
+        from swarm_spark.ops.sampling import sample_temperature, temperature_quotas
+
+        df = self._docs(spark)
+        with pytest.raises(ValueError):
+            temperature_quotas(df, "lang", 0)
+        with pytest.raises(ValueError):
+            sample_temperature(df, "lang", "id", 0)
