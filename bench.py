@@ -71,6 +71,10 @@ def main() -> None:
         "phrase_match",
         "corpus_cms_freq",
         "text_nb_eval",
+        "corpus_hll_distinct",
+        "similarity_tfidf_pairs",
+        "sample_temperature",
+        "layout_zorder",
         # the fused ANN build+probe compositions (ann_topk_ivf,
         # ann_topk_ivfpq) are excluded like the rest of that tier:
         # their wall is k-means driver-round fixed overhead, measured

@@ -90,6 +90,33 @@ def generate(out_dir: str, factor: int, seed: int = 42) -> None:
     pq.write_table(emb, os.path.join(out_dir, "embeddings.parquet"))
 
 
+def _gram_docs(docs, n: int):
+    """Re-tokenize the 31-word soup into n-gram units ('a_agg_batch'):
+    token-level tf-idf is degenerate on a 31-token vocabulary (every
+    df ~ N). n=5 gives a 31^5 = 28.6M key space that stays SPARSE at
+    f10 (df ~ 1-2, planted dups share their grams — the Zipf-tail
+    shape real corpora have); n=3 gives a 31^3 = 29.8k space that
+    fully SATURATES at f10 (every key df ~ N/350) — the worst case.
+    (Probe docs always have >= 8 tokens, so sequence() stays valid.)"""
+    from pyspark.sql import functions as F
+
+    # bracket indexing is 0-based while sequence() i is 1-based: the
+    # k-th unit term is ws[i-1+k], rendered ws[i-1], ws[i], ws[i+1], ...
+    parts = ", ".join(
+        "ws[i]" if k == 1 else f"ws[i{k - 1:+d}]" for k in range(n)
+    )
+    return docs.select("doc_id", F.split("text", " +").alias("ws")).select(
+        "doc_id",
+        F.array_join(
+            F.expr(
+                f"transform(sequence(1, size(ws) - {n - 1}),"
+                f" i -> concat_ws('_', {parts}))"
+            ),
+            " ",
+        ).alias("text"),
+    )
+
+
 def probe(
     spark, data_dir: str, factor: int, runs: int, only: set[str] | None = None
 ) -> dict[str, float]:
@@ -120,9 +147,12 @@ def probe(
         load_bm25,
         save_bm25,
     )
+    from swarm_spark.ops.allpairs import tfidf_cosine_pairs
+    from swarm_spark.ops.dedup import doc_shingles
+    from swarm_spark.ops.layout import zorder_bucket_stats
     from swarm_spark.ops.sampling import global_shuffle_order
     from swarm_spark.ops.semdedup import semantic_dup_pairs
-    from swarm_spark.ops.sketch import cms_sketch
+    from swarm_spark.ops.sketch import cms_sketch, hll_registers
     from swarm_spark.ops.text import (
         group_value_quantiles,
         nb_score_quality,
@@ -284,6 +314,41 @@ def probe(
         # not the max_df ∝ N quadratic row above
         "dedup_ngram_auto_cap": lambda: ngram_jaccard_pairs(
             docs, threshold=0.8, max_df=auto_max_df(docs)
+        ),
+        # HLL register build: one codegen projection + one map-side-
+        # combined shuffle whose output is LITERAL-bounded (<= 2^p
+        # registers) — the cardinality member of the mergeable-
+        # statistic family; expect scan-growth-only like corpus_cms
+        "corpus_hll": lambda: hll_registers(doc_shingles(docs, n=3), "sh").agg(
+            F.count(F.lit(1)).alias("regs"), F.sum("rho").alias("s")
+        ),
+        # all-pairs TF-IDF cosine on the SPARSE 5-gram-unit view: df
+        # stays O(dup-cluster size) at both scales, so the inverted-
+        # index gate admits only true-duplicate candidates — the
+        # Zipf-tail shape real corpora have; cap held at 100 (the
+        # recall floor: > any dup cluster), expect ~linear
+        "similarity_tfidf_pairs": lambda: tfidf_cosine_pairs(
+            _gram_docs(docs, 5), threshold_micro=500_000, max_df=100
+        ),
+        # the saturation worst case: at f10 the 31^3 trigram space is
+        # FULLY populated (all 29,791 keys, df ~ Poisson(84), max 124),
+        # so candidates sum(df^2) grow 92x at 10x rows and NO df cap
+        # helps (the cap can't separate rare from common when nothing
+        # is rare) — the auto_max_df dilemma, measured for this op
+        "similarity_tfidf_saturated": lambda: tfidf_cosine_pairs(
+            _gram_docs(docs, 3), threshold_micro=500_000, max_df=100 * factor
+        ),
+        # Z-order layout stats: pure bit-arithmetic projection + a
+        # 256-group aggregation — the write-side layout cost sans IO
+        "layout_zorder": lambda: zorder_bucket_stats(
+            docs.select(
+                (F.col("doc_id") % 256).alias("x"),
+                (F.col("n_chars") % 256).alias("y"),
+            ),
+            "x",
+            "y",
+            bits=8,
+            bucket_bits=4,
         ),
     }
     if only is not None:

@@ -201,6 +201,43 @@ def cmd_vacuum(args) -> int:
     return 0
 
 
+def cmd_layout(args) -> int:
+    """Rewrite a parquet table Z-ordered on two integer columns and
+    report the per-file locality the layout bought: files, rows, and
+    the average per-file span of each column (what parquet min/max
+    stats — and therefore either-column predicate pruning — see).
+    Reference has no layout tier; this serves the repo's own tables."""
+    from pyspark.sql import functions as F
+
+    from .ops.layout import zorder_repartition
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.src)
+    out = zorder_repartition(
+        df, args.x, args.y, bits=args.bits, n_files=args.files
+    )
+    out.write.mode("overwrite").parquet(args.dst)
+    rep = (
+        spark.read.parquet(args.dst)
+        .withColumn("__f", F.input_file_name())
+        .groupBy("__f")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            (F.max(args.x) - F.min(args.x)).alias("xs"),
+            (F.max(args.y) - F.min(args.y)).alias("ys"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("files"),
+            F.sum("rows").cast("long").alias("rows"),
+            F.round(F.avg("xs"), 2).alias("x_span_avg"),
+            F.round(F.avg("ys"), 2).alias("y_span_avg"),
+        )
+        .collect()[0]
+    )
+    print(json.dumps(rep.asDict()))
+    return 0
+
+
 def cmd_index(args) -> int:
     """Build/probe a persisted search index (build-once/probe-many).
     ``--kind ivf`` (default) stores float assignments + centroids
@@ -860,6 +897,18 @@ def build_parser() -> argparse.ArgumentParser:
         help="comma list of partition values to compact ('' = whole table)",
     )
     sp.set_defaults(fn=cmd_compact)
+
+    sp = sub.add_parser(
+        "layout",
+        help="rewrite a parquet table Z-ordered on two columns",
+    )
+    sp.add_argument("--src", required=True, help="input parquet path")
+    sp.add_argument("--dst", required=True, help="output parquet path")
+    sp.add_argument("--x", required=True, help="first integer column (pre-bucketized)")
+    sp.add_argument("--y", required=True, help="second integer column (pre-bucketized)")
+    sp.add_argument("--bits", type=int, default=16, help="bits per column")
+    sp.add_argument("--files", type=int, default=200, help="output file count")
+    sp.set_defaults(fn=cmd_layout)
 
     sp = sub.add_parser("index", help="build/probe a persisted search index")
     sp.add_argument("action", choices=["build", "probe"])

@@ -927,3 +927,29 @@ class TestSearchCli:
             ).collect()
         }
         assert got == want and got
+
+
+class TestLayoutCli:
+    def test_zorder_rewrite_reports_locality(self, spark, tmp_path, capsys):
+        src = str(tmp_path / "src.parquet")
+        (
+            spark.range(4096)
+            .selectExpr(
+                "id", "(id * 2654435761) % 256 AS x", "(id * 40503) % 256 AS y"
+            )
+            .write.parquet(src)
+        )
+        rc = main(
+            ["--cpus", "4", "layout", "--src", src, "--dst",
+             str(tmp_path / "dst.parquet"), "--x", "x", "--y", "y",
+             "--bits", "8", "--files", "16"]
+        )
+        assert rc == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["files"] == 16 and rep["rows"] == 4096
+        # the locality the rewrite exists for: both spans far below the
+        # full 0..255 width, so either-column predicates prune files
+        assert rep["x_span_avg"] < 128 and rep["y_span_avg"] < 128
+        # the key survives for writer-stat auditing
+        out = spark.read.parquet(str(tmp_path / "dst.parquet"))
+        assert "zkey" in out.columns
