@@ -3841,19 +3841,42 @@ def q_similarity_tfidf_pairs(spark, sf):
     et al. 2007 candidate generation, df-cap bounded like the jaccard/
     minhash tiers) — the lexical near-dup detector weighted toward
     RARE shared vocabulary, where raw-shingle jaccard weights all
-    overlap equally. Integer milli-nat weights keep dot/norms exact;
-    the one float division is IEEE-deterministic, so every pair AND
-    score value-oracles."""
+    overlap equally. Units are 3-gram shingles (the jaccard key
+    space): single tokens are degenerate on this corpus as it scales —
+    at sf0.1 every token's df outgrows any recall-safe cap, the
+    saturation dilemma measured in SCALING.md — while shingle df stays
+    O(dup-cluster size) at every sf. Integer milli-nat weights keep
+    dot/norms exact; the one float division is IEEE-deterministic, so
+    every pair AND score value-oracles."""
     from .ops.allpairs import tfidf_cosine_pairs
 
+    grams = (
+        _docs(spark, sf)
+        .select("doc_id", F.split("text", " +").alias("ws"))
+        .select(
+            "doc_id",
+            F.array_join(
+                F.expr(
+                    "CASE WHEN size(ws) >= 3 THEN transform("
+                    "sequence(1, size(ws) - 2),"
+                    " i -> concat_ws('_', ws[i-1], ws[i], ws[i+1]))"
+                    " ELSE array() END"
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )
     return tfidf_cosine_pairs(
-        _docs(spark, sf), threshold_micro=500_000, max_df=_MAX_DF
+        grams, threshold_micro=500_000, max_df=_MAX_DF
     ).orderBy("a", "b")
 
 
 SQL_TFIDF_PAIRS = f"""
 WITH w AS ({_WS}),
-e AS (SELECT doc_id AS id, unnest(ws) AS tok FROM w),
+e AS (SELECT doc_id AS id,
+             unnest(list_transform(range(greatest(len(ws) - 2, 0)),
+                    i -> ws[i+1] || '_' || ws[i+2] || '_' || ws[i+3])) AS tok
+      FROM w),
 tf AS (SELECT id, tok, cast(count(*) AS bigint) AS tf FROM e GROUP BY 1, 2),
 n AS (SELECT cast(count(*) AS bigint) AS n FROM documents),
 dfq AS (SELECT tok, cast(count(*) AS bigint) AS df FROM tf GROUP BY 1),
@@ -3886,7 +3909,7 @@ def q_layout_zorder(spark, sf):
     from .sources.tables import load_table
 
     ev = load_table(spark, sf, "events").select(
-        F.col("user_id").cast("long").alias("xb"),
+        (F.col("user_id") % 256).cast("long").alias("xb"),
         F.hour("ts").cast("long").alias("yb"),
     )
     return zorder_bucket_stats(ev, "xb", "yb", bits=8, bucket_bits=4).orderBy(
@@ -3902,7 +3925,7 @@ def _zorder_sql_terms(xe: str, ye: str, bits: int) -> str:
 
 
 SQL_LAYOUT_ZORDER = f"""
-WITH b AS (SELECT cast(user_id AS bigint) AS xb,
+WITH b AS (SELECT cast(user_id % 256 AS bigint) AS xb,
                   cast(date_part('hour', ts) AS bigint) AS yb FROM events),
 z AS (SELECT xb, yb,
              cast({_zorder_sql_terms('xb', 'yb', 8)} AS bigint) AS zkey FROM b),
