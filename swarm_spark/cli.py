@@ -692,6 +692,15 @@ def cmd_curate(args) -> int:
         kept = stratified_cap(
             kept, "pred_lang", cap=args.cap_per_lang, key=args.id_col
         ).drop("rk")
+    if getattr(args, "temperature_budget", 0):
+        # alpha = 1/2 temperature mix: damp the head language, lift the
+        # tail — exactly quota docs per language in deterministic hash
+        # order (quota proportional to isqrt of the language's count)
+        from .ops.sampling import sample_temperature
+
+        kept = sample_temperature(
+            kept, "pred_lang", args.id_col, budget=args.temperature_budget
+        ).drop("rk")
     if args.token_budget_per_lang:
         # token-denominated mix control: hash-order prefix per language
         # until the budget (what a training mix actually spends)
@@ -1057,6 +1066,13 @@ def build_parser() -> argparse.ArgumentParser:
         type=int,
         default=0,
         help="keep each language's hash-order prefix up to N tokens (0 = off)",
+    )
+    sp.add_argument(
+        "--temperature-budget",
+        type=int,
+        default=0,
+        help="alpha=1/2 temperature mix: keep quota docs per language, "
+        "quota proportional to isqrt(lang count), N total (0 = off)",
     )
     sp.add_argument(
         "--chunk-size",

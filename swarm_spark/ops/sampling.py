@@ -500,9 +500,11 @@ def temperature_quotas(
     counts = (
         df.groupBy(strata).agg(F.count(F.lit(1)).cast("long").alias("n_docs")).collect()
     )
-    scaled = [(r[strata], r["n_docs"], math.isqrt(r["n_docs"])) for r in counts]
-    st = sum(s for _, _, s in scaled)
-    rows = [(k, n, (int(budget) * s) // st) for k, n, s in scaled]
+    ns = [r["n_docs"] for r in counts]
+    rows = [
+        (r[strata], n, q)
+        for r, n, q in zip(counts, ns, temperature_shares(ns, int(budget)))
+    ]
     schema = T.StructType(
         [
             df.schema[strata],
@@ -511,6 +513,22 @@ def temperature_quotas(
         ]
     )
     return df.sparkSession.createDataFrame(rows, schema)
+
+
+def temperature_shares(counts: list[int], budget: int) -> list[int]:
+    """The pure integer core of :func:`temperature_quotas`:
+    quota_i = (budget * isqrt(n_i)) div (sum_j isqrt(n_j)). Exposed for
+    property testing — monotone in n_i, sum(quotas) <= budget, equal
+    counts get equal quotas, and the alpha = 1/2 flattening guarantee:
+    a stratum's quota share never exceeds its count share for strata
+    above the mean, never falls below for strata below it."""
+    import math
+
+    if any(n < 1 for n in counts):
+        raise ValueError("stratum counts must be >= 1")
+    scaled = [math.isqrt(n) for n in counts]
+    st = sum(scaled)
+    return [(budget * s) // st for s in scaled] if st else []
 
 
 def sample_temperature(

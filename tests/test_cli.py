@@ -953,3 +953,51 @@ class TestLayoutCli:
         # the key survives for writer-stat auditing
         out = spark.read.parquet(str(tmp_path / "dst.parquet"))
         assert "zkey" in out.columns
+
+
+class TestCurateTemperature:
+    def test_curate_temperature_budget(self, spark, tmp_path, capsys):
+        from math import isqrt
+
+        out = str(tmp_path / "tempered")
+        res = _run(
+            capsys,
+            ["--cpus", "4",
+             "curate", "/root/testdata/sf0.001/documents.parquet",
+             "-o", out, "--min-quality", "0", "--temperature-budget", "100"],
+        )
+        assert res["docs_kept"] <= 100
+        back = spark.read.parquet(out)
+        got = {
+            r["pred_lang"]: r["n"]
+            for r in back.groupBy("pred_lang").count().withColumnRenamed("count", "n").collect()
+        }
+        # quotas are exactly (100 * isqrt(n_lang)) // sum(isqrt): recompute
+        # from the pre-sample frame the pipeline ranks (post-gates, here
+        # only the quality>=0 no-op), i.e. language counts of the deduped set
+        pre = (
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        )
+        from swarm_spark.ops.dedup import exact_dedup_text
+        from swarm_spark.ops.text import language_pred_expr, quality_expr
+        from pyspark.sql import functions as F
+
+        langs = (
+            exact_dedup_text(pre)
+            .withColumn("quality", quality_expr("text"))
+            .withColumn("pred_lang", language_pred_expr("text"))
+            .where(F.col("quality") >= 0)
+            .groupBy("pred_lang")
+            .count()
+            .collect()
+        )
+        from swarm_spark.ops.sampling import temperature_shares
+
+        ns = [r["count"] for r in langs]
+        # a stratum with fewer docs than its quota keeps them all
+        want = {
+            r["pred_lang"]: min(q, r["count"])
+            for r, q in zip(langs, temperature_shares(ns, 100))
+            if q >= 1
+        }
+        assert got == want

@@ -40,6 +40,16 @@ class TestZorderKey:
             (x, y) for x in range(16) for y in range(16)
         }
 
+    def test_bijective_on_full_grid(self, spark):
+        # every (x, y) of the 32x32 grid -> a distinct key matching the
+        # reference interleave, covering exactly [0, 1024)
+        pts = [(x, y) for x in range(32) for y in range(32)]
+        df = spark.createDataFrame(pts, "x long, y long")
+        rows = df.select("x", "y", zorder_key2("x", "y", 5).alias("z")).collect()
+        zs = {r["z"] for r in rows}
+        assert zs == set(range(1024))
+        assert all(r["z"] == _morton_ref(r["x"], r["y"], 5) for r in rows)
+
     def test_out_of_domain_raises(self, spark):
         df = spark.createDataFrame([(300, 1)], "x long, y long")
         with pytest.raises(Exception, match="out of"):

@@ -239,3 +239,53 @@ class TestDfCapSelection:
         shifted = [(b + k, n) for b, n in bins]
         grown = _select_df_cap(shifted, rows << k, bud, 1, 1 << 30)
         assert grown <= base << ((k + 1) // 2)
+
+
+class TestTemperatureShares:
+    """The pure integer core of the alpha=1/2 mixture quotas."""
+
+    counts = st.lists(st.integers(min_value=1, max_value=10**12), min_size=1, max_size=12)
+    budgets = st.integers(min_value=1, max_value=10**9)
+
+    @given(counts, budgets)
+    def test_bounded_and_within_budget(self, ns, budget):
+        from swarm_spark.ops.sampling import temperature_shares
+
+        qs = temperature_shares(ns, budget)
+        assert len(qs) == len(ns)
+        assert all(0 <= q <= budget for q in qs)
+        assert sum(qs) <= budget
+
+    @given(counts, budgets)
+    def test_monotone_in_count(self, ns, budget):
+        from swarm_spark.ops.sampling import temperature_shares
+
+        qs = temperature_shares(ns, budget)
+        order = sorted(range(len(ns)), key=lambda i: ns[i])
+        ranked = [qs[i] for i in order]
+        assert ranked == sorted(ranked)
+
+    @given(st.integers(min_value=1, max_value=10**12), st.integers(1, 11), budgets)
+    def test_equal_counts_equal_quotas(self, n, k, budget):
+        from swarm_spark.ops.sampling import temperature_shares
+
+        qs = temperature_shares([n] * k, budget)
+        assert len(set(qs)) == 1
+
+    @given(counts, budgets)
+    def test_flattens_the_extremes(self, ns, budget):
+        """alpha = 1/2's load-bearing guarantee, at the extremes where
+        it's provable (a MIDDLE stratum's share may legitimately rise
+        above its count share when the head's freed mass redistributes):
+        the LARGEST stratum's sqrt-scale share never exceeds its count
+        share, the SMALLEST's never falls below — each up to the isqrt
+        flooring slack k/sum(s). Exact Fraction arithmetic."""
+        from fractions import Fraction
+        from math import isqrt
+
+        k = len(ns)
+        tot_n, tot_s = sum(ns), sum(isqrt(n) for n in ns)
+        slack = Fraction(k, tot_s)
+        hi, lo = max(ns), min(ns)
+        assert Fraction(isqrt(hi), tot_s) <= Fraction(hi, tot_n) + slack
+        assert Fraction(isqrt(lo), tot_s) >= Fraction(lo, tot_n) - slack
