@@ -150,7 +150,7 @@ def probe(
     from swarm_spark.ops.allpairs import tfidf_cosine_pairs
     from swarm_spark.ops.dedup import doc_shingles
     from swarm_spark.ops.layout import zorder_bucket_stats
-    from swarm_spark.ops.sampling import global_shuffle_order
+    from swarm_spark.ops.sampling import global_shuffle_order, sample_temperature
     from swarm_spark.ops.semdedup import semantic_dup_pairs
     from swarm_spark.ops.sketch import cms_sketch, hll_registers
     from swarm_spark.ops.text import (
@@ -337,6 +337,13 @@ def probe(
         # is rare) — the auto_max_df dilemma, measured for this op
         "similarity_tfidf_saturated": lambda: tfidf_cosine_pairs(
             _gram_docs(docs, 3), threshold_micro=500_000, max_df=100 * factor
+        ),
+        # temperature mix: metadata-sized quota pass + the two-phase
+        # salted rank (the stratified_cap machinery with per-stratum
+        # caps broadcast in); budget scales with the corpus so the
+        # kept set grows too — expect ~linear in rows
+        "sample_temperature": lambda: sample_temperature(
+            docs, "lang", "doc_id", budget=500 * factor
         ),
         # Z-order layout stats: pure bit-arithmetic projection + a
         # 256-group aggregation — the write-side layout cost sans IO
