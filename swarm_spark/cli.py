@@ -815,6 +815,30 @@ def cmd_report(args) -> int:
             r.asDict()
             for r in vocab_stats(docs, top_k=args.vocab, text_col=args.text_col).collect()
         ]
+    if getattr(args, "distinct", ""):
+        # HLL head-counts: the sizing numbers dedup/bloom/vocab plans
+        # need, in one register build per column (<= 4096-row shuffle
+        # each) instead of an exact distinct's key-space shuffle
+        from .ops.sketch import hll_estimate, hll_registers
+
+        out["distinct"] = {}
+        for col in args.distinct.split(","):
+            (row,) = hll_estimate(hll_registers(docs, col)).collect()
+            out["distinct"][col] = {
+                "estimate": row["estimate"],
+                "nonzero_regs": row["nonzero_regs"],
+                "m_regs": row["m_regs"],
+            }
+    if getattr(args, "heavy_hitters", 0):
+        from .ops.sketch import cms_heavy_hitters
+
+        toks = docs.select(F.explode(tokens_col(args.text_col)).alias("tok"))
+        out["heavy_hitters"] = {
+            r["tok"]: r["est"]
+            for r in cms_heavy_hitters(
+                toks, "tok", threshold=args.heavy_hitters
+            ).collect()
+        }
     if args.expectations:
         # JSON file: a list of checks, e.g.
         # [["not_null", "text"], ["unique", "doc_id"],
@@ -829,7 +853,7 @@ def cmd_report(args) -> int:
     if not out:
         raise SystemExit(
             "nothing to report: pass --ngrams/--quantiles-by/--length-hist/"
-            "--vocab/--expectations"
+            "--vocab/--distinct/--heavy-hitters/--expectations"
         )
     print(json.dumps(out))
     return 0
@@ -1134,6 +1158,16 @@ def build_parser() -> argparse.ArgumentParser:
         "--length-hist", type=int, default=0, help="token-length histogram bucket size (0 = off)"
     )
     sp.add_argument("--vocab", type=int, default=0, help="top-K vocabulary report (0 = off)")
+    sp.add_argument(
+        "--distinct", default="",
+        help="comma list of columns: HyperLogLog distinct-count estimates "
+        "(one register build per column, never a key-space shuffle)",
+    )
+    sp.add_argument(
+        "--heavy-hitters", type=int, default=0,
+        help="tokens with count-min estimated frequency >= N (0 = off; "
+        "one-sided: every truly-frequent token survives)",
+    )
     sp.add_argument(
         "--expectations",
         default="",

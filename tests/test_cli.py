@@ -1001,3 +1001,30 @@ class TestCurateTemperature:
             if q >= 1
         }
         assert got == want
+
+
+class TestReportSketches:
+    def test_distinct_and_heavy_hitters(self, spark, capsys):
+        res = _run(
+            capsys,
+            ["--cpus", "4",
+             "report", "/root/testdata/sf0.001/documents.parquet",
+             "--distinct", "doc_id,lang", "--heavy-hitters", "400"],
+        )
+        # doc_id is unique: HLL estimate within ~5% of 500 (4 sigma at
+        # m=4096 is 6.5%); lang has 5 values: small-range branch exact
+        assert abs(res["distinct"]["doc_id"]["estimate"] - 500) <= 33
+        assert res["distinct"]["lang"]["estimate"] == 5
+        hh = res["heavy_hitters"]
+        assert hh and all(est >= 400 for est in hh.values())
+        # one-sided contract: every token with TRUE count >= 400 is in
+        from pyspark.sql import functions as F
+        from swarm_spark.ops.text import tokens_col
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        truth = {
+            r["tok"]
+            for r in docs.select(F.explode(tokens_col("text")).alias("tok"))
+            .groupBy("tok").count().where(F.col("count") >= 400).collect()
+        }
+        assert truth <= set(hh)
