@@ -423,9 +423,12 @@ def weighted_sample(
     ``total_weight``: pass the stored statistic to skip the sizing
     aggregation (at 100 TB every redundant action is a full scan);
     ``None`` computes it in-plan (one map-side-combined scan, a 1-row
-    broadcast — the driver never sees data). Keep
-    ``w * n_target <= ~2^52`` so the scaled cut keeps integer
-    precision; weights must be >= 0.
+    broadcast — the driver never sees data). Weights must be >= 0.
+    Precision note: past ``w * n_target ~ 2^20`` the scaled cut's
+    double product exceeds the 2^53 mantissa and rounds — still
+    IEEE-deterministic on every engine (the membership contract
+    holds), just a < 2^-32 relative skew of the intended
+    probability.
 
     Scale shape: a codegen'd filter under a 1-row broadcast join — no
     shuffle of the corpus, pushes through scans like any filter.
