@@ -36,11 +36,43 @@ from pyspark.sql import functions as F
 from .text import tokens_col
 
 
+def auto_allpairs_max_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget_pairs_per_row: int = 8,
+    floor: int = 16,
+) -> int:
+    """Token-level df cap from the MEASURED df histogram — the same
+    linear-candidate-budget selection as the jaccard/minhash tiers'
+    :func:`~swarm_spark.ops.dedup.auto_max_df` (a term in d docs
+    contributes min(d, cap)^2 candidate rows, so the budget bounds the
+    join's quadratic term by construction), fed the distinct (doc,
+    token) frame through that function's shingle hook. On Zipfian
+    vocabularies the cap floats up (no recall lost); on a saturated
+    vocabulary it grows only ~sqrt(N), keeping candidates linear —
+    the SCALING.md dilemma, encoded for this tier too. ``floor`` is
+    the recall contract: set it >= the largest true dup-cluster
+    size."""
+    from .dedup import auto_max_df
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_col(text_col)).alias("sh"),
+    ).distinct()
+    return auto_max_df(
+        df,
+        budget_pairs_per_row=budget_pairs_per_row,
+        floor=floor,
+        shingles=toks,
+    )
+
+
 def tfidf_postings(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_df: int = 100,
+    max_df: int | str = 100,
     n_docs: int | None = None,
 ) -> DataFrame:
     """(id, tok, w): integer milli-nat TF-IDF postings, df-capped.
@@ -49,9 +81,15 @@ def tfidf_postings(
     terms — zero weight contributes nothing to any dot or norm, and
     keeping them can leave a doc with an all-zero vector whose cosine
     denominator divides by zero) are pruned. ``n_docs``: pass the
-    stored corpus size to skip the sizing count."""
-    if max_df < 2:
-        raise ValueError(f"max_df must be >= 2, got {max_df}")
+    stored corpus size to skip the sizing count. ``max_df="auto"``
+    derives the cap from the measured df histogram
+    (:func:`auto_allpairs_max_df`) — one extra vocab-sized
+    aggregation buys a linear candidate budget at any vocabulary
+    shape."""
+    if max_df == "auto":
+        max_df = auto_allpairs_max_df(df, text_col, id_col)
+    if not isinstance(max_df, int) or max_df < 2:
+        raise ValueError(f"max_df must be >= 2 or 'auto', got {max_df}")
     n = int(n_docs) if n_docs is not None else df.count()
     toks = df.select(F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("tok"))
     tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).cast("long").alias("tf"))
@@ -75,7 +113,7 @@ def tfidf_cosine_pairs(
     threshold_micro: int = 600_000,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_df: int = 100,
+    max_df: int | str = 100,
     n_docs: int | None = None,
 ) -> DataFrame:
     """(a, b, dot, cos_micro): every doc pair with TF-IDF cosine >=
@@ -86,7 +124,8 @@ def tfidf_cosine_pairs(
 
     Candidates are bounded by the df cap: only pairs sharing a kept
     term are ever materialized — sum(df^2) over kept terms, not
-    |docs|^2."""
+    |docs|^2. ``max_df="auto"`` derives the cap from the measured df
+    histogram under a linear candidate budget."""
     if threshold_micro < 1:
         raise ValueError(f"threshold_micro must be >= 1, got {threshold_micro}")
     post = tfidf_postings(df, text_col, id_col, max_df, n_docs)

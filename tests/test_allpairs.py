@@ -104,3 +104,44 @@ class TestTfidfCosinePairs:
         # pair through real shared vocab
         assert (1, 4) in got and (2, 5) in got and (4, 5) in got
         assert (1, 2) not in got and (1, 3) not in got and (2, 3) not in got
+
+
+class TestAutoMaxDf:
+    def test_floats_up_on_sparse_vocab(self, spark):
+        # 60 docs of doc-unique vocabulary: every df = 1 -> candidate
+        # estimate tiny at ANY cap -> the cap rides the budget up
+        from swarm_spark.ops.allpairs import auto_allpairs_max_df
+
+        rows = [(i, f"u{i}a u{i}b u{i}c u{i}d") for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        assert auto_allpairs_max_df(df, floor=4) >= 64
+
+    def test_held_down_on_saturated_vocab(self, spark):
+        # 200 docs over a 4-token vocabulary: every df ~ N -> the
+        # linear budget admits only a small cap (never ∝ N)
+        from swarm_spark.ops.allpairs import auto_allpairs_max_df
+
+        rows = [(i, "aa bb cc dd") for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        cap = auto_allpairs_max_df(df, floor=4)
+        assert cap <= 64  # sqrt-budget scale, far below N=200
+
+    def test_auto_mode_wires_through(self, spark):
+        from swarm_spark.ops.allpairs import tfidf_cosine_pairs
+
+        docs = _docs(spark)
+        auto = sorted(
+            map(tuple, tfidf_cosine_pairs(docs, 400_000, max_df="auto").collect())
+        )
+        # on this tiny sparse corpus auto floats above every df, so it
+        # matches a generous manual cap exactly
+        manual = sorted(
+            map(tuple, tfidf_cosine_pairs(docs, 400_000, max_df=100).collect())
+        )
+        assert auto == manual and auto
+
+    def test_rejects_bad_cap(self, spark):
+        from swarm_spark.ops.allpairs import tfidf_postings
+
+        with pytest.raises(ValueError):
+            tfidf_postings(_docs(spark), max_df="nope")
