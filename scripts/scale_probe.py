@@ -338,6 +338,14 @@ def probe(
         "similarity_tfidf_saturated": lambda: tfidf_cosine_pairs(
             _gram_docs(docs, 3), threshold_micro=500_000, max_df=100 * factor
         ),
+        # the encoded fix, measured on the same saturated corpus: the
+        # histogram-budget auto cap stays ~sqrt-scale when every df
+        # grows with N, keeping the candidate join linear (recall on a
+        # saturated space is impossible by rarity either way — the
+        # auto_max_df dilemma; the row shows COST stays bounded)
+        "similarity_tfidf_autocap": lambda: tfidf_cosine_pairs(
+            _gram_docs(docs, 3), threshold_micro=500_000, max_df="auto"
+        ),
         # temperature mix: metadata-sized quota pass + the two-phase
         # salted rank (the stratified_cap machinery with per-stratum
         # caps broadcast in); budget scales with the corpus so the
