@@ -73,6 +73,46 @@ def zorder_key2(x: Column | str, y: Column | str, bits: int = 16) -> Column:
     return (reduce(lambda a, b: a.bitwiseOR(b), terms) + guard).cast("long")
 
 
+def zorder_key(
+    cols: list[Column | str], bits: int = 16
+) -> Column:
+    """The k-column Morton interleave (Delta's ``OPTIMIZE ZORDER BY``
+    shape): bit i of column j lands at position k·i + j, so the
+    k·``bits``-bit key's aligned ranges are axis-aligned k-D tiles.
+    Same contract as :func:`zorder_key2` (which it generalizes —
+    identical keys for k = 2): inputs bucketized into [0, 2^bits),
+    guarded; pure shift/and/or arithmetic, whole-stage codegen.
+    k·bits must fit a long (<= 62)."""
+    _check_bits(bits)
+    k = len(cols)
+    if k < 2:
+        raise ValueError(f"need >= 2 columns, got {k}")
+    if k * bits > 62:
+        raise ValueError(f"k*bits must be <= 62, got {k * bits}")
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    lim = 1 << bits
+    guard = F.lit(0).cast("long")
+    for c in cs:
+        guard = (
+            F.when(
+                (c < 0) | (c >= lim),
+                F.raise_error(
+                    F.format_string(
+                        f"zorder_key: value out of [0, {lim}) domain: %s",
+                        c.cast("string"),
+                    )
+                ).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            + guard
+        )
+    terms = [
+        F.shiftleft(F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1)), k * i + j)
+        for j, c in enumerate(cs)
+        for i in range(bits)
+    ]
+    return (reduce(lambda a, b: a.bitwiseOR(b), terms) + guard).cast("long")
+
+
 def zorder_repartition(
     df: DataFrame,
     x: str,

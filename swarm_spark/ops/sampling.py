@@ -573,3 +573,58 @@ def sample_temperature(
         .where(F.col("rk") <= F.col("quota"))
         .drop("quota")
     )
+
+
+def weighted_sample_exact(
+    df: DataFrame,
+    weight_col: str,
+    key: str,
+    n: int,
+    seed: str = "swarm-wtk",
+    n_salts: int = 16,
+) -> DataFrame:
+    """EXACTLY ``n`` rows, weighted WITHOUT replacement (Efraimidis &
+    Spirakis 2006, algorithm A-ES): each row draws the deterministic
+    uniform u = (hash_bucket(key) + 1) / 2^32 and competes with the
+    exponential clock r = -ln(u) / w; the n smallest clocks win, which
+    realizes inclusion odds sequentially proportional to the integer
+    ``weight_col``. Complements :func:`weighted_sample` (Bernoulli,
+    ~n expected) when the sample size must be exact. Zero-weight rows
+    never win (their clock is +inf by convention — they are filtered).
+
+    Still a pure function of the records: the hash is the only
+    randomness, so the kept set survives repartitioning, growth
+    re-runs, and cluster size. NOT value-oracled like the Bernoulli
+    form: the ORDER key is a transcendental double (one ln per row),
+    and a last-ulp ln difference between engines could flip a
+    near-tie; within Spark the ranking is deterministic. Ties broken
+    by ``key``.
+
+    Scale shape: the global top-n is the salted TWO-PHASE rank — phase
+    1 keeps n per (salt) partition, phase 2 ranks only the
+    <= n_salts * n survivors (a literal bound), so no task ever holds
+    the corpus."""
+    from pyspark.sql import Window
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
+    u = (hash_bucket(key, seed) + F.lit(1)).cast("double") / F.lit(float(_SPACE))
+    clock = -F.log(u) / F.col(weight_col).cast("double")
+    base = df.where(F.col(weight_col) > 0).withColumn("__clk", clock)
+    order = (F.col("__clk").asc(), F.col(key).asc())
+    salt = (hash_bucket(key, seed + "-salt") % n_salts).cast("int")
+    w1 = Window.partitionBy("__salt").orderBy(*order)
+    survivors = (
+        base.withColumn("__salt", salt)
+        .withColumn("__rk", F.row_number().over(w1))
+        .where(F.col("__rk") <= n)
+        .drop("__rk", "__salt")
+    )
+    w2 = Window.partitionBy().orderBy(*order)
+    return (
+        survivors.withColumn("__rk", F.row_number().over(w2))
+        .where(F.col("__rk") <= n)
+        .drop("__rk", "__clk")
+    )

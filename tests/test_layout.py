@@ -114,3 +114,56 @@ class TestZorderLayout:
         out = zorder_repartition(self._grid(spark), "x", "y", bits=8, n_files=4)
         assert "zkey" in out.columns
         assert out.count() == 4096
+
+
+class TestZorderKeyN:
+    def test_matches_two_column_form(self, spark):
+        from swarm_spark.ops.layout import zorder_key
+
+        pts = [(x, y) for x in (0, 3, 17, 255) for y in (0, 9, 255)]
+        df = spark.createDataFrame(pts, "x long, y long")
+        rows = df.select(
+            zorder_key2("x", "y", 8).alias("a"),
+            zorder_key(["x", "y"], 8).alias("b"),
+        ).collect()
+        assert all(r["a"] == r["b"] for r in rows)
+
+    def test_three_columns_bijective_on_grid(self, spark):
+        from swarm_spark.ops.layout import zorder_key
+
+        pts = [(x, y, z) for x in range(8) for y in range(8) for z in range(8)]
+        df = spark.createDataFrame(pts, "x long, y long, z long")
+        rows = df.select("x", "y", "z", zorder_key(["x", "y", "z"], 3).alias("k")).collect()
+        assert {r["k"] for r in rows} == set(range(512))
+
+        def ref(x, y, z):
+            out = 0
+            for i in range(3):
+                out |= ((x >> i) & 1) << (3 * i)
+                out |= ((y >> i) & 1) << (3 * i + 1)
+                out |= ((z >> i) & 1) << (3 * i + 2)
+            return out
+
+        assert all(r["k"] == ref(r["x"], r["y"], r["z"]) for r in rows)
+
+    def test_prefix_ranges_are_tiles(self, spark):
+        # the top 3 bits (one per column) split the cube into octants
+        from swarm_spark.ops.layout import zorder_key
+
+        pts = [(x, y, z) for x in range(8) for y in range(8) for z in range(8)]
+        df = spark.createDataFrame(pts, "x long, y long, z long")
+        first = df.where(zorder_key(["x", "y", "z"], 3) < 64).collect()
+        assert {(r["x"], r["y"], r["z"]) for r in first} == {
+            (x, y, z) for x in range(4) for y in range(4) for z in range(4)
+        }
+
+    def test_validation_and_guard(self, spark):
+        from swarm_spark.ops.layout import zorder_key
+
+        df = spark.createDataFrame([(1, 1, 300)], "x long, y long, z long")
+        with pytest.raises(ValueError):
+            zorder_key(["x"], 8)
+        with pytest.raises(ValueError):
+            zorder_key(["x", "y", "z"], 21)  # 63 bits
+        with pytest.raises(Exception, match="out of"):
+            df.select(zorder_key(["x", "y", "z"], 8)).collect()

@@ -624,3 +624,46 @@ class TestTemperatureSample:
             temperature_quotas(df, "lang", 0)
         with pytest.raises(ValueError):
             sample_temperature(df, "lang", "id", 0)
+
+
+class TestWeightedSampleExact:
+    def _docs(self, spark):
+        rows = [(i, 1 if i < 180 else 50) for i in range(200)]
+        return spark.createDataFrame(rows, "id long, w long")
+
+    def test_exact_size_and_weight_bias(self, spark):
+        from swarm_spark.ops.sampling import weighted_sample_exact
+
+        kept = weighted_sample_exact(self._docs(spark), "w", "id", 40).collect()
+        assert len(kept) == 40
+        # 20 heavy rows (w=50) vs 180 light (w=1): heavies dominate
+        heavies = sum(1 for r in kept if r["w"] == 50)
+        assert heavies >= 15
+
+    def test_partition_and_salt_invariant(self, spark):
+        from swarm_spark.ops.sampling import weighted_sample_exact
+
+        df = self._docs(spark)
+        a = sorted(r["id"] for r in weighted_sample_exact(df, "w", "id", 25).collect())
+        b = sorted(
+            r["id"]
+            for r in weighted_sample_exact(
+                df.repartition(13), "w", "id", 25, n_salts=5
+            ).collect()
+        )
+        assert a == b
+
+    def test_zero_weight_excluded_and_n_saturates(self, spark):
+        from swarm_spark.ops.sampling import weighted_sample_exact
+
+        df = spark.createDataFrame([(1, 0), (2, 3), (3, 7)], "id long, w long")
+        kept = {r["id"] for r in weighted_sample_exact(df, "w", "id", 10).collect()}
+        assert kept == {2, 3}
+
+    def test_validation(self, spark):
+        from swarm_spark.ops.sampling import weighted_sample_exact
+
+        with pytest.raises(ValueError):
+            weighted_sample_exact(self._docs(spark), "w", "id", 0)
+        with pytest.raises(ValueError):
+            weighted_sample_exact(self._docs(spark), "w", "id", 5, n_salts=0)
