@@ -56,10 +56,14 @@ def auto_allpairs_max_df(
     size."""
     from .dedup import auto_max_df
 
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(tokens_col(text_col)).alias("sh"),
-    ).distinct()
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens_col(text_col)).alias("sh"),
+        )
+        .where(F.length("sh") > 0)
+        .distinct()
+    )
     return auto_max_df(
         df,
         budget_pairs_per_row=budget_pairs_per_row,
@@ -91,7 +95,12 @@ def tfidf_postings(
     if not isinstance(max_df, int) or max_df < 2:
         raise ValueError(f"max_df must be >= 2 or 'auto', got {max_df}")
     n = int(n_docs) if n_docs is not None else df.count()
-    toks = df.select(F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("tok"))
+    # split("") yields [''] — drop zero-length tokens so empty-gram docs
+    # contribute nothing (>= 2 such docs would otherwise pair at cos 1.0
+    # on the empty-string "term")
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("tok")
+    ).where(F.length("tok") > 0)
     tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).cast("long").alias("tf"))
     dfq = (
         tf.groupBy("tok")

@@ -51,13 +51,16 @@ def zorder_key2(x: Column | str, y: Column | str, bits: int = 16) -> Column:
     xc = F.col(x) if isinstance(x, str) else x
     yc = F.col(y) if isinstance(y, str) else y
     lim = 1 << bits
+    # NULL must be listed explicitly: (NULL < 0) evaluates to NULL, the
+    # WHEN falls through to otherwise(0), and the key would silently be
+    # NULL instead of raising per the domain contract
     guard = F.when(
-        (xc < 0) | (xc >= lim) | (yc < 0) | (yc >= lim),
+        xc.isNull() | yc.isNull() | (xc < 0) | (xc >= lim) | (yc < 0) | (yc >= lim),
         F.raise_error(
             F.format_string(
                 f"zorder_key2: value out of [0, {lim}) domain: x=%s y=%s",
-                xc.cast("string"),
-                yc.cast("string"),
+                F.coalesce(xc.cast("string"), F.lit("NULL")),
+                F.coalesce(yc.cast("string"), F.lit("NULL")),
             )
         ).cast("long"),
     ).otherwise(F.lit(0).cast("long"))
@@ -70,7 +73,10 @@ def zorder_key2(x: Column | str, y: Column | str, bits: int = 16) -> Column:
         F.shiftleft(F.shiftright(yb, i).bitwiseAND(F.lit(1)), 2 * i + 1)
         for i in range(bits)
     ]
-    return (reduce(lambda a, b: a.bitwiseOR(b), terms) + guard).cast("long")
+    # guard on the LEFT of the add: binary-op codegen skips the right
+    # operand when the left is NULL, so terms + guard would never
+    # evaluate (hence never raise) the guard on NULL inputs
+    return (guard + reduce(lambda a, b: a.bitwiseOR(b), terms)).cast("long")
 
 
 def zorder_key(
@@ -95,11 +101,11 @@ def zorder_key(
     for c in cs:
         guard = (
             F.when(
-                (c < 0) | (c >= lim),
+                c.isNull() | (c < 0) | (c >= lim),
                 F.raise_error(
                     F.format_string(
                         f"zorder_key: value out of [0, {lim}) domain: %s",
-                        c.cast("string"),
+                        F.coalesce(c.cast("string"), F.lit("NULL")),
                     )
                 ).cast("long"),
             ).otherwise(F.lit(0).cast("long"))
@@ -110,7 +116,9 @@ def zorder_key(
         for j, c in enumerate(cs)
         for i in range(bits)
     ]
-    return (reduce(lambda a, b: a.bitwiseOR(b), terms) + guard).cast("long")
+    # guard first — see zorder_key2: NULL terms would short-circuit the
+    # add before a right-hand guard is evaluated
+    return (guard + reduce(lambda a, b: a.bitwiseOR(b), terms)).cast("long")
 
 
 def zorder_repartition(

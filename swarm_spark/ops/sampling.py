@@ -610,7 +610,10 @@ def weighted_sample_exact(
         raise ValueError(f"n must be >= 1, got {n}")
     if n_salts < 1:
         raise ValueError(f"n_salts must be >= 1, got {n_salts}")
-    u = (hash_bucket(key, seed) + F.lit(1)).cast("double") / F.lit(float(_SPACE))
+    # denominator is 2^32 + 1 so u < 1.0 strictly even for the max
+    # bucket (u = 1.0 would make the clock 0 for ANY positive weight,
+    # unconditionally outranking every other row)
+    u = (hash_bucket(key, seed) + F.lit(1)).cast("double") / F.lit(float(_SPACE) + 1.0)
     clock = -F.log(u) / F.col(weight_col).cast("double")
     base = df.where(F.col(weight_col) > 0).withColumn("__clk", clock)
     order = (F.col("__clk").asc(), F.col(key).asc())

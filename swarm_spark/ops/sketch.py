@@ -201,7 +201,13 @@ def hll_estimate(regs: DataFrame, p: int = 12) -> DataFrame:
     register file. ``sum_scaled`` is the EXACT integer
     sum_j 2^(49 - M[j]) (absent registers count 2^49 — M[j] = 0), so
     the harmonic mean needs exactly ONE float division; the small-range
-    branch is Flajolet's linear-counting correction m*ln(m/V)."""
+    branch is Flajolet's linear-counting correction m*ln(m/V).
+
+    The harmonic sum is accumulated as decimal(38,0): at p = 16 it
+    reaches 2^65 (65536 registers x 2^49 each), past int64 — a bigint
+    sum would silently wrap under non-ANSI Spark and corrupt the
+    estimate. ``sum_scaled`` is emitted as bigint where it provably
+    fits (p <= 12, max 2^61) and decimal(38,0) at p = 16."""
     _hll_check_p(p)
     m = 1 << p
     alpha = 0.7213 / (1 + 1.079 / m)
@@ -209,16 +215,19 @@ def hll_estimate(regs: DataFrame, p: int = 12) -> DataFrame:
     agg = regs.agg(
         F.count(F.lit(1)).cast("long").alias("nonzero_regs"),
         F.coalesce(
-            F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_HLL_RHO_BITS + 1} - rho)")),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("present_scaled"),
+            F.sum(
+                F.expr(
+                    f"cast(shiftleft(cast(1 as bigint), {_HLL_RHO_BITS + 1} - rho)"
+                    " as decimal(38,0))"
+                )
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("present_scaled"),
     )
-    zero = F.lit(m) - F.col("nonzero_regs")
+    zero = (F.lit(m) - F.col("nonzero_regs")).cast("decimal(38,0)")
     sum_scaled = (
         F.col("present_scaled") + zero * F.lit(1 << (_HLL_RHO_BITS + 1))
-    ).cast("long")
+    ).cast("long" if p <= 12 else "decimal(38,0)")
     raw = F.lit(big_a) / F.col("sum_scaled")
     return (
         agg.select(

@@ -3873,10 +3873,11 @@ def q_similarity_tfidf_pairs(spark, sf):
 
 SQL_TFIDF_PAIRS = f"""
 WITH w AS ({_WS}),
-e AS (SELECT doc_id AS id,
-             unnest(list_transform(range(greatest(len(ws) - 2, 0)),
-                    i -> ws[i+1] || '_' || ws[i+2] || '_' || ws[i+3])) AS tok
-      FROM w),
+e AS (SELECT id, tok FROM (
+        SELECT doc_id AS id,
+               unnest(list_transform(range(greatest(len(ws) - 2, 0)),
+                      i -> ws[i+1] || '_' || ws[i+2] || '_' || ws[i+3])) AS tok
+        FROM w) WHERE len(tok) > 0),
 tf AS (SELECT id, tok, cast(count(*) AS bigint) AS tf FROM e GROUP BY 1, 2),
 n AS (SELECT cast(count(*) AS bigint) AS n FROM documents),
 dfq AS (SELECT tok, cast(count(*) AS bigint) AS df FROM tf GROUP BY 1),

@@ -43,6 +43,20 @@ class TestTfidfPostings:
         assert post[(3, "cheese")] == 2 * idf
         assert post[(4, "cheese")] == 2 * idf
 
+    def test_empty_text_contributes_no_terms(self, spark):
+        # split('') yields [''] — two empty docs must NOT pair at
+        # cosine 1.0 on the empty-string "term" (the gram view of a
+        # <n-token doc is the empty string)
+        rows = [(1, ""), (2, ""), (3, "alpha beta"), (4, "alpha beta")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        post = tfidf_postings(df, max_df=4).collect()
+        assert all(len(r["tok"]) > 0 for r in post)
+        pairs = {
+            (r["a"], r["b"])
+            for r in tfidf_cosine_pairs(df, threshold_micro=500_000, max_df=4).collect()
+        }
+        assert pairs == {(3, 4)}
+
     def test_validation(self, spark):
         with pytest.raises(ValueError):
             tfidf_postings(_docs(spark), max_df=1)

@@ -58,6 +58,19 @@ class TestZorderKey:
         with pytest.raises(Exception, match="out of"):
             neg.select(zorder_key2("x", "y", 8)).collect()
 
+    def test_null_input_raises(self, spark):
+        # NULL is out-of-domain too: (NULL < 0) is NULL, so without the
+        # explicit isNull() term the guard would fall through and the
+        # key would silently be NULL instead of raising
+        df = spark.createDataFrame([(None, 1)], "x long, y long")
+        with pytest.raises(Exception, match="out of"):
+            df.select(zorder_key2("x", "y", 8)).collect()
+        from swarm_spark.ops.layout import zorder_key
+
+        df3 = spark.createDataFrame([(1, None, 2)], "x long, y long, z long")
+        with pytest.raises(Exception, match="out of"):
+            df3.select(zorder_key(["x", "y", "z"], 4)).collect()
+
     def test_validation(self, spark):
         df = spark.createDataFrame([(1, 1)], "x long, y long")
         with pytest.raises(ValueError):

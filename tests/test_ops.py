@@ -1882,6 +1882,16 @@ class TestHyperLogLog:
         (want,) = hll_estimate(hll_registers(self._keys(spark, 1_000), "k")).collect()
         assert tuple(got) == tuple(want)
 
+    def test_p16_harmonic_sum_does_not_overflow(self, spark):
+        # p=16: 65536 registers x 2^49 each puts sum_scaled near 2^65,
+        # past int64 — the decimal(38,0) accumulator must carry it
+        # without wrapping (a bigint sum silently goes negative under
+        # non-ANSI Spark and corrupts the estimate)
+        row = self._estimate(spark, 2_000, p=16)
+        assert row["m_regs"] == 65536
+        assert int(row["sum_scaled"]) > (1 << 63)
+        assert abs(row["estimate"] - 2_000) <= 60  # linear-count branch
+
     def test_validation(self, spark):
         import pytest as _pytest
 
