@@ -140,17 +140,24 @@ def probe(
     from swarm_spark.ops.pq import ann_topk_ivfpq
     from swarm_spark.ops.retrieval import (
         bm25_postings,
+        bm25_pruned,
         bm25_stats,
         bm25_topk,
         bm25_totals,
+        lm_pruned,
         lm_topk,
         load_bm25,
+        phrase_match_rare,
         save_bm25,
     )
     from swarm_spark.ops.allpairs import tfidf_cosine_pairs
     from swarm_spark.ops.dedup import doc_shingles
     from swarm_spark.ops.layout import zorder_bucket_stats
-    from swarm_spark.ops.sampling import global_shuffle_order, sample_temperature
+    from swarm_spark.ops.sampling import (
+        global_shuffle_order,
+        sample_temperature,
+        weighted_sample_exact,
+    )
     from swarm_spark.ops.semdedup import semantic_dup_pairs
     from swarm_spark.ops.sketch import cms_sketch, hll_registers
     from swarm_spark.ops.text import (
@@ -168,19 +175,32 @@ def probe(
     # build-once for the persisted-path BM25 probe: index build is NOT
     # what this row times — the probe-many serving cost is
     bm25_dir = os.path.join(data_dir, "bm25_ix")
-    want_lex = only is None or bool({"bm25_topk", "lm_topk"} & only)
+    want_lex = only is None or bool(
+        {"bm25_topk", "lm_topk", "bm25_pruned", "lm_pruned"} & only
+    )
     if want_lex and not os.path.exists(os.path.join(bm25_dir, "totals")):
         post = bm25_postings(docs)
         save_bm25(post, bm25_stats(post), bm25_totals(docs), bm25_dir)
     if want_lex:
+        from swarm_spark.ops.retrieval import (
+            bm25_term_bounds,
+            load_bm25_bounds,
+            save_bm25_bounds,
+        )
+
         lpost, lstats, ltot = load_bm25(spark, bm25_dir)
+        if not os.path.exists(os.path.join(bm25_dir, "bounds")):
+            save_bm25_bounds(bm25_term_bounds(lpost), bm25_dir)
+        lbounds = load_bm25_bounds(spark, bm25_dir)
     qdocs = docs.where(F.col("doc_id") < 200).select(
         F.col("doc_id").alias("query_id"), "text"
     )
 
     # build-once for the persisted-path phrase probe: the positional
     # index lands on disk untimed; the row times the probe only
-    if only is None or bool({"phrase_match", "phrase_grams"} & (only or set())):
+    if only is None or bool(
+        {"phrase_match", "phrase_grams", "phrase_rare"} & (only or set())
+    ):
         from swarm_spark.ops.retrieval import (
             load_positional,
             phrase_match,
@@ -290,6 +310,18 @@ def probe(
         "lm_topk": lambda: lm_topk(
             None, qdocs, k=5, postings=lpost, totals=ltot
         ),
+        # MaxScore-pruned probes over the same persisted index + the
+        # (tok, max_tf) bounds table: on this SATURATED vocab the
+        # unpruned gate admits |Q|*N pairs (the 3.9x/3.1x rows above);
+        # pruning drops non-essential (high-df, low-impact) terms from
+        # candidate generation — the r9 VERDICT task #2 lever, measured
+        "bm25_pruned": lambda: bm25_pruned(
+            None, qdocs, k=5,
+            postings=lpost, stats=lstats, totals=ltot, bounds=lbounds,
+        ),
+        "lm_pruned": lambda: lm_pruned(
+            None, qdocs, k=5, postings=lpost, totals=ltot, bounds=lbounds
+        ),
         # exact-phrase probe over the persisted positional index —
         # this saturated 31-token vocab is the worst case (every
         # phrase term occurs everywhere, so candidates ∝ positions)
@@ -299,6 +331,10 @@ def probe(
         # the L-gram equi-join scale path: candidates are exactly the
         # hits, so the saturated vocab costs one explode + one join
         "phrase_grams": lambda: phrase_match_grams(docs, qphrases),
+        # rare-term-first gating over the same persisted positional
+        # index — the general-path fix for the 15.9x row: candidates
+        # follow the phrase's MIN-frequency posting list, not the sum
+        "phrase_rare": lambda: phrase_match_rare(None, qphrases, postings=lpos),
         "ann_topk_ivfpq": lambda: ann_topk_ivfpq(
             emb, queries, k=5, n_cells=8 * factor, nprobe=4, cell_iters=3,
             m=4, pq_k=16, pq_iters=2,
@@ -352,6 +388,16 @@ def probe(
         # kept set grows too — expect ~linear in rows
         "sample_temperature": lambda: sample_temperature(
             docs, "lang", "doc_id", budget=500 * factor
+        ),
+        # A-ES exact-n weighted sampling (the one sampler without a
+        # measured row, r9 VERDICT #7): one codegen clock projection +
+        # the salted two-phase global top-n (phase 2 ranks <= n_salts*n
+        # rows, a literal) — expect scan-growth-only, n fixed
+        "sample_weighted_exact": lambda: weighted_sample_exact(
+            docs.select("doc_id", (F.col("n_chars") + 1).alias("w")),
+            "w",
+            "doc_id",
+            n=500,
         ),
         # Z-order layout stats: pure bit-arithmetic projection + a
         # 256-group aggregation — the write-side layout cost sans IO

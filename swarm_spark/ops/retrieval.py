@@ -251,6 +251,235 @@ def bm25_topk(
     )
 
 
+def bm25_term_bounds(postings: DataFrame) -> DataFrame:
+    """(tok, max_tf): the per-term score-bound statistic MaxScore-style
+    pruning needs (:func:`bm25_pruned` / :func:`lm_pruned`). ``max_tf``
+    is a MAX monoid — additive-family mergeable like df/cf (fold waves
+    with a groupBy-max), so it persists next to the postings
+    (:func:`save_bm25_bounds`) and stays valid under append-only
+    growth: a wave can only raise a term's true max, and the folded max
+    tracks it exactly. One vocab-sized map-side-combined shuffle."""
+    return postings.groupBy("tok").agg(F.max("tf").cast("long").alias("max_tf"))
+
+
+def save_bm25_bounds(bounds: DataFrame, path: str) -> None:
+    """Persist a :func:`bm25_term_bounds` frame beside a
+    :func:`save_bm25` index (table ``bounds`` under the same root)."""
+    import os
+
+    bounds.write.mode("overwrite").parquet(os.path.join(path, "bounds"))
+
+
+def load_bm25_bounds(spark, path: str) -> DataFrame:
+    """Read back a :func:`save_bm25_bounds` table."""
+    import os
+
+    return spark.read.schema("tok string, max_tf long").parquet(
+        os.path.join(path, "bounds")
+    )
+
+
+def _kth_score(
+    scored: DataFrame, k: int, n_salts: int, salt_seed: str
+) -> DataFrame:
+    """(query_id, theta): the EXACT k-th highest ``score_micro`` per
+    query (ties by id — the retrieval tier's ranking order), absent
+    when a query has fewer than k scored docs. Salted two-phase rank so
+    no task ever sorts more than ~k rows per (query, salt)."""
+    order = (F.col("score_micro").desc(), F.col("id"))
+    salt = (hash_bucket(F.col("id").cast("string"), salt_seed) % n_salts).cast("int")
+    w1 = Window.partitionBy("query_id", "salt").orderBy(*order)
+    survivors = (
+        scored.withColumn("salt", salt)
+        .withColumn("rk", F.row_number().over(w1))
+        .where(F.col("rk") <= k)
+        .drop("rk", "salt")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        survivors.withColumn("rk", F.row_number().over(w2))
+        .where(F.col("rk") == k)
+        .select("query_id", F.col("score_micro").alias("theta"))
+    )
+
+
+def bm25_pruned(
+    docs: DataFrame | None,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    n_salts: int = 16,
+    broadcast_max_queries: int | None = 10_000,
+    postings: DataFrame | None = None,
+    stats: DataFrame | None = None,
+    totals: DataFrame | None = None,
+    bounds: DataFrame | None = None,
+) -> DataFrame:
+    """:func:`bm25_topk` with MaxScore-style candidate pruning — SAME
+    output, bit for bit (score, rank, ties), but only a fraction of the
+    doc-sharing-a-term candidates ever reach the scoring aggregation.
+    Public technique: the impact-ordered pruning family of Turtle &
+    Flood 1995 ("Query evaluation: strategies and optimizations",
+    MaxScore) / Broder et al. 2003 (WAND), re-expressed as three
+    declarative passes instead of a doc-at-a-time cursor walk:
+
+    1. **Seed θ**: each query's highest-upper-bound term (≈ its rarest
+       term) nominates its posting list as seed docs; those docs are
+       scored EXACTLY, and θ = the k-th seed score — a lower bound on
+       the true k-th score because seed docs are a subset of all
+       candidates.
+    2. **Essential terms**: per term, ub = round(1e6·idf·ub_tfnorm)+1
+       with ub_tfnorm = max_tf·(k1+1)/(max_tf + k1·(1−b)) — the tf-norm
+       at dl → 0, an upper bound on every posting's contribution
+       (tf-norm is increasing in tf, decreasing in dl; round is
+       monotone; +1 absorbs float-rounding headroom). Sorting a query's
+       terms by ub ascending, the maximal prefix whose cumulative ub ≤
+       θ−1 is NON-essential: a doc matching only those terms scores ≤
+       θ−1 < θ, and ≥ k seed docs score ≥ θ, so it can never enter the
+       top k (integer micro-nat scores make the strict bound exact —
+       no epsilon reasoning). High-df terms have low idf hence low ub:
+       exactly the posting lists that made the unpruned probe
+       candidate-bound are the ones pruned.
+    3. **Verify**: candidates = docs holding ≥ 1 ESSENTIAL term; they
+       are scored over ALL their query-term postings (the classical
+       MaxScore non-essential lookup), then the usual salted two-phase
+       top-k. Every true top-k doc holds an essential term (else its
+       score < θ), and every seed doc does too (the top-ub term is
+       always essential: Σ all ub ≥ θ), so pruned == exhaustive.
+
+    ``bounds`` is the (tok, max_tf) statistic (:func:`bm25_term_bounds`
+    — max-monoid mergeable, persistable via :func:`save_bm25_bounds`);
+    derived from the postings when not given. Other inputs and the two
+    entry shapes (ad-hoc ``docs`` / persisted index with ``docs=None``)
+    are exactly :func:`bm25_topk`'s.
+
+    Scale shape: the seed/candidate pair frames are df-bounded (the
+    rare-term posting lists), never |Q|·N; the exact-scoring joins gate
+    the postings on those pair frames first (AQE broadcasts them when
+    they are as small as pruning makes them), so the score aggregation
+    and top-k windows see only surviving candidates."""
+    from .similarity import _probe_is_small
+
+    if k < 1 or k1 <= 0 or not 0.0 <= b <= 1.0:
+        raise ValueError(f"need k >= 1, k1 > 0, 0 <= b <= 1; got {k}, {k1}, {b}")
+    if postings is None:
+        if docs is None:
+            raise ValueError("need docs or a persisted postings frame")
+        post = bm25_postings(docs, text_col, id_col)
+        if totals is None:
+            totals = bm25_totals(docs, text_col, id_col)
+    else:
+        post = postings
+        if totals is None:
+            totals = post.select("id", "dl").distinct().agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.coalesce(F.sum("dl"), F.lit(0)).alias("tot_tokens"),
+            )
+    if stats is None:
+        stats = bm25_stats(post)
+    if bounds is None:
+        bounds = bm25_term_bounds(post)
+    tot = totals.agg(
+        F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n"),
+        F.coalesce(F.sum("tot_tokens"), F.lit(0)).alias("tt"),
+    ).head()
+    n, tt = int(tot["n"]), int(tot["tt"])
+    if n == 0:
+        raise ValueError("corpus is empty")
+    avgdl = float(tt) / float(n)
+
+    small = _probe_is_small(queries, broadcast_max_queries)
+
+    def _b(frame):
+        return F.broadcast(frame) if small else frame
+
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(tokens_col(query_text_col)).alias("tok"),
+        )
+        .distinct()
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    qidf = qterms.join(stats, "tok").select("query_id", "tok", idf.alias("idf"))
+    ub_tfnorm = (F.col("max_tf") * F.lit(k1 + 1.0)) / (
+        F.col("max_tf") + F.lit(k1 * (1.0 - b))
+    )
+    qub = qidf.join(bounds, "tok").select(
+        "query_id",
+        "tok",
+        (F.round(F.lit(1_000_000) * F.col("idf") * ub_tfnorm).cast("long") + 1).alias(
+            "ub"
+        ),
+    )
+    tfnorm = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+    )
+    term_micro = F.round(F.lit(1_000_000) * F.col("idf") * tfnorm).cast("long")
+    qidf_b = _b(qidf)
+
+    def _exact_scores(pairs: DataFrame) -> DataFrame:
+        # candidate docs' postings first (AQE broadcasts the pair frame
+        # when pruning made it small), then only query terms survive
+        return (
+            post.join(pairs, "id")
+            .join(qidf_b, ["query_id", "tok"])
+            .select("query_id", "id", term_micro.alias("__t"))
+            .groupBy("query_id", "id")
+            .agg(F.sum("__t").alias("score_micro"))
+        )
+
+    wseed = Window.partitionBy("query_id").orderBy(F.col("ub").desc(), F.col("tok"))
+    seed_term = (
+        qub.withColumn("__r", F.row_number().over(wseed))
+        .where(F.col("__r") == 1)
+        .select("query_id", "tok")
+    )
+    seed_pairs = post.join(_b(seed_term), "tok").select("query_id", "id").distinct()
+    theta = _kth_score(_exact_scores(seed_pairs), k, n_salts, "swarm-bm25p")
+
+    wcum = (
+        Window.partitionBy("query_id")
+        .orderBy(F.col("ub").asc(), F.col("tok"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ess = (
+        qub.withColumn("cum", F.sum("ub").over(wcum))
+        .join(_b(theta), "query_id", "left")
+        .where(F.col("theta").isNull() | (F.col("cum") >= F.col("theta")))
+        .select("query_id", "tok")
+    )
+    cand = post.join(_b(ess), "tok").select("query_id", "id").distinct()
+    scored = _exact_scores(cand)
+
+    order = (F.col("score_micro").desc(), F.col("id"))
+    salt = (hash_bucket(F.col("id").cast("string"), "swarm-bm25") % n_salts).cast("int")
+    w1 = Window.partitionBy("query_id", "salt").orderBy(*order)
+    survivors = (
+        scored.withColumn("salt", salt)
+        .withColumn("rk", F.row_number().over(w1))
+        .where(F.col("rk") <= k)
+        .drop("rk", "salt")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "id", "score_micro", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 def rrf_fuse(
     rankings: list[DataFrame],
     k: int = 5,
@@ -423,6 +652,169 @@ def lm_topk(
     )
 
 
+def lm_pruned(
+    docs: DataFrame | None,
+    queries: DataFrame,
+    k: int = 5,
+    mu: float = 2000.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    n_salts: int = 16,
+    broadcast_max_queries: int | None = 10_000,
+    postings: DataFrame | None = None,
+    cf_stats: DataFrame | None = None,
+    totals: DataFrame | None = None,
+    bounds: DataFrame | None = None,
+) -> DataFrame:
+    """:func:`lm_topk` with MaxScore-style pruning — same output, bit
+    for bit, via the three passes of :func:`bm25_pruned` (seed θ from
+    the top-upper-bound term's exactly-scored postings, ub-ascending
+    non-essential prefix, verify candidates holding ≥ 1 essential
+    term). Two LM-specific deltas:
+
+    - per-term ub = qtf·round(1e6·ln(1 + max_tf·|C|/(µ·cf))) + 1 — the
+      contribution at the term's max tf (monotone in tf; +1 headroom);
+    - the per-doc length normalizer |q|·ln(µ/(dl+µ)) is NEGATIVE and
+      doc-dependent, so the exclusion bound uses its corpus-wide max:
+      qnorm_ub = qlen·round(1e6·ln(µ/(min_dl+µ))) with min_dl the
+      minimum posting dl — evaluated by the SAME Spark expression as
+      the real normalizer, so the bound is exact, not epsilon-padded.
+      A doc with only non-essential terms scores ≤ cum_NE + qnorm_ub ≤
+      θ−1 < θ; seed θ scores include each seed doc's own normalizer,
+      so θ lower-bounds the true k-th score.
+
+    ``bounds`` is the same (tok, max_tf) max-monoid statistic BM25
+    pruning uses (one bounds table serves both rankers, like the
+    shared postings)."""
+    from .similarity import _probe_is_small
+
+    if k < 1 or mu <= 0:
+        raise ValueError(f"need k >= 1 and mu > 0; got {k}, {mu}")
+    if postings is None:
+        if docs is None:
+            raise ValueError("need docs or a persisted postings frame")
+        post = bm25_postings(docs, text_col, id_col)
+        if totals is None:
+            totals = bm25_totals(docs, text_col, id_col)
+    else:
+        post = postings
+        if totals is None:
+            totals = post.select("id", "dl").distinct().agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.coalesce(F.sum("dl"), F.lit(0)).alias("tot_tokens"),
+            )
+    if cf_stats is None:
+        cf_stats = lm_cf_stats(post)
+    if bounds is None:
+        bounds = bm25_term_bounds(post)
+    tot = totals.agg(
+        F.coalesce(F.sum("tot_tokens"), F.lit(0)).alias("tt")
+    ).head()
+    tt = int(tot["tt"])
+    if tt == 0:
+        raise ValueError("corpus has no tokens")
+    mrow = post.agg(F.coalesce(F.min("dl"), F.lit(0)).alias("m")).head()
+    min_dl = int(mrow["m"])
+
+    small = _probe_is_small(queries, broadcast_max_queries)
+
+    def _b(frame):
+        return F.broadcast(frame) if small else frame
+
+    qtoks = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(tokens_col(query_text_col)).alias("tok"),
+    )
+    qterms = qtoks.groupBy("query_id", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("qtf")
+    )
+    qlen = qtoks.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("qlen")
+    )
+    qcf = qterms.join(cf_stats, "tok").select("query_id", "tok", "qtf", "cf")
+
+    def _ln_micro(tf_col):
+        return F.round(
+            F.lit(1_000_000.0)
+            * F.log(
+                F.lit(1.0) + (tf_col * F.lit(float(tt))) / (F.lit(mu) * F.col("cf"))
+            )
+        ).cast("long")
+
+    qub = qcf.join(bounds, "tok").select(
+        "query_id",
+        "tok",
+        (F.col("qtf") * _ln_micro(F.col("max_tf")) + 1).alias("ub"),
+    )
+    term_micro = F.col("qtf") * _ln_micro(F.col("tf"))
+    norm_of = lambda dl_col: F.round(  # noqa: E731 — shared exact expression
+        F.lit(1_000_000.0) * F.log(F.lit(mu) / (dl_col + F.lit(mu)))
+    ).cast("long")
+    qcf_b, qlen_b = _b(qcf), _b(qlen)
+
+    def _exact_scores(pairs: DataFrame) -> DataFrame:
+        p = (
+            post.join(pairs, "id")
+            .join(qcf_b, ["query_id", "tok"])
+            .select("query_id", "id", "dl", term_micro.alias("__t"))
+            .groupBy("query_id", "id")
+            .agg(F.sum("__t").alias("__s"), F.max("dl").alias("dl"))
+        )
+        return p.join(qlen_b, "query_id").select(
+            "query_id",
+            "id",
+            (F.col("__s") + F.col("qlen") * norm_of(F.col("dl"))).alias(
+                "score_micro"
+            ),
+        )
+
+    wseed = Window.partitionBy("query_id").orderBy(F.col("ub").desc(), F.col("tok"))
+    seed_term = (
+        qub.withColumn("__r", F.row_number().over(wseed))
+        .where(F.col("__r") == 1)
+        .select("query_id", "tok")
+    )
+    seed_pairs = post.join(_b(seed_term), "tok").select("query_id", "id").distinct()
+    theta = _kth_score(_exact_scores(seed_pairs), k, n_salts, "swarm-lmp")
+
+    # the corpus-wide normalizer max, by the same expression the real
+    # normalizer uses at dl = min_dl — bound is exact, no epsilon
+    qnorm_ub = F.col("qlen") * norm_of(F.lit(min_dl))
+    wcum = (
+        Window.partitionBy("query_id")
+        .orderBy(F.col("ub").asc(), F.col("tok"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ess = (
+        qub.withColumn("cum", F.sum("ub").over(wcum))
+        .join(qlen_b, "query_id")
+        .join(_b(theta), "query_id", "left")
+        .where(F.col("theta").isNull() | (F.col("cum") >= F.col("theta") - qnorm_ub))
+        .select("query_id", "tok")
+    )
+    cand = post.join(_b(ess), "tok").select("query_id", "id").distinct()
+    scored = _exact_scores(cand)
+
+    order = (F.col("score_micro").desc(), F.col("id"))
+    salt = (hash_bucket(F.col("id").cast("string"), "swarm-lm") % n_salts).cast("int")
+    w1 = Window.partitionBy("query_id", "salt").orderBy(*order)
+    survivors = (
+        scored.withColumn("salt", salt)
+        .withColumn("rk", F.row_number().over(w1))
+        .where(F.col("rk") <= k)
+        .drop("rk", "salt")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "id", "score_micro", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 def positional_postings(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -491,6 +883,95 @@ def phrase_match(
     )
     return (
         starts.join(F.broadcast(plen) if small else plen, "phrase_id")
+        .where(F.col("nm") == F.col("plen"))
+        .groupBy("phrase_id", "id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        .orderBy("phrase_id", "id")
+    )
+
+
+def phrase_match_rare(
+    docs: DataFrame | None,
+    phrases: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    phrase_id_col: str = "phrase_id",
+    phrase_text_col: str = "text",
+    broadcast_max_queries: int | None = 10_000,
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """:func:`phrase_match` semantics with RARE-TERM-FIRST gating — the
+    scale fix for the general positional path (SCALING.md: unguarded
+    intersection reads 15.9x wall at 10x data on the saturated vocab,
+    because candidates are one row per (phrase term, matching
+    position), i.e. Σ_i positions(term_i)). The classical remedy
+    (Manning et al., IIR §1.3's process-in-increasing-frequency order,
+    applied to positions): anchor candidate start positions on each
+    phrase's MINIMUM-frequency term only — true hits must match that
+    term at its offset, so restricting bases to its posting rows loses
+    nothing — then verify the other offsets against only the candidate
+    docs' postings. Candidates drop from Σ_i positions(term_i) to
+    min_i positions(term_i).
+
+    A phrase term absent from the corpus vocabulary has frequency 0:
+    it becomes the gate, the candidate set is empty, and the phrase
+    correctly reports no hits without touching any posting list.
+
+    Scale shape: one vocab-sized frequency aggregation over the index
+    (a stored statistic in a warehouse), the gate join fans out only
+    the rarest term's postings, and the verify join restricts the
+    postings to candidate DOCS first (AQE broadcasts the candidate
+    frame when gating made it small) before matching the remaining
+    offsets by (id, pos − i == base). Same output contract:
+    (phrase_id, id, n_hits)."""
+    from .similarity import _probe_is_small
+
+    if postings is None:
+        if docs is None:
+            raise ValueError("need docs or a persisted positional postings frame")
+        postings = positional_postings(docs, text_col, id_col)
+    small = _probe_is_small(phrases, broadcast_max_queries)
+
+    def _b(frame):
+        return F.broadcast(frame) if small else frame
+
+    pterms = phrases.select(
+        F.col(phrase_id_col).alias("phrase_id"),
+        F.posexplode(tokens_col(phrase_text_col)).alias("i", "tok"),
+    ).select("phrase_id", F.col("i").cast("long").alias("i"), "tok")
+    plen = pterms.groupBy("phrase_id").agg(
+        F.count(F.lit(1)).cast("long").alias("plen")
+    )
+    # vocab-sized frequency statistic; absent terms count 0 and win the
+    # min, correctly emptying the candidate set
+    freq = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("pf"))
+    wgate = Window.partitionBy("phrase_id").orderBy(
+        F.col("pf").asc(), F.col("i").asc()
+    )
+    gate = (
+        pterms.join(freq, "tok", "left")
+        .withColumn("pf", F.coalesce(F.col("pf"), F.lit(0)))
+        .withColumn("__r", F.row_number().over(wgate))
+        .where(F.col("__r") == 1)
+        .select("phrase_id", "i", "tok")
+    )
+    cand = (
+        postings.join(_b(gate), "tok")
+        .select("phrase_id", "id", (F.col("pos") - F.col("i")).alias("base"))
+    )
+    # verify: candidate docs' postings only, matched to the remaining
+    # offsets by position arithmetic — each offset can agree at most
+    # once per (doc, base), so the agreement count reaches plen exactly
+    # on contiguous hits (the phrase_match invariant)
+    agree = (
+        cand.join(postings, "id")
+        .join(_b(pterms), ["phrase_id", "tok"])
+        .where(F.col("pos") - F.col("i") == F.col("base"))
+        .groupBy("phrase_id", "id", "base")
+        .agg(F.count(F.lit(1)).alias("nm"))
+    )
+    return (
+        agree.join(_b(plen), "phrase_id")
         .where(F.col("nm") == F.col("plen"))
         .groupBy("phrase_id", "id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))

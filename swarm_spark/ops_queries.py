@@ -1689,6 +1689,27 @@ SELECT phrase_id, id, n_hits FROM hits ORDER BY phrase_id, id
 """
 
 
+def q_phrase_match_rare(spark, sf):
+    """Rare-term-first positional phrase search (Manning et al., IIR
+    §1.3's increasing-frequency processing order, applied to
+    positions): candidate start positions anchor on each phrase's
+    minimum-frequency term only, then the other offsets verify against
+    candidate docs' postings. The oracle is the exhaustive positional
+    intersection's SQL, so a green row is a value-exact proof that
+    gating changed the candidate volume (min_i positions vs
+    Σ_i positions — the 15.9x-at-10x row in SCALING.md), not the
+    results."""
+    from .ops.retrieval import phrase_match_rare
+    from .ops.text import tokens_col
+
+    docs = _docs(spark, sf)
+    phrases = docs.where(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("phrase_id"),
+        F.concat_ws(" ", F.slice(tokens_col("text"), 1, 3)).alias("text"),
+    )
+    return phrase_match_rare(docs, phrases)
+
+
 def q_lm_topk(spark, sf):
     """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
     Lafferty 2004) over the same inverted index as BM25: every 50th
@@ -1740,6 +1761,43 @@ r AS (SELECT query_id, id, score_micro,
 SELECT query_id, id, score_micro, rank FROM r WHERE rank <= 5
 ORDER BY query_id, rank
 """
+
+
+def q_bm25_pruned(spark, sf):
+    """MaxScore-pruned BM25 (Turtle & Flood 1995; the WAND family of
+    Broder et al. 2003) over the same corpus/query batch as
+    ``bm25_topk`` — the ORACLE IS THE EXHAUSTIVE RANKER's SQL, so a
+    green row is a value-exact proof that impact-ordered pruning
+    returned the identical top-k (scores, ranks, ties) while admitting
+    only docs holding an essential term into the scoring aggregation.
+    High-df terms (low idf, low upper bound) fall into the
+    non-essential prefix: exactly the posting lists that made the
+    unpruned probe candidate-bound at scale (3.9x wall at 10x on the
+    saturated vocab, SCALING.md) stop generating candidates."""
+    from .ops.retrieval import bm25_pruned
+
+    docs = _docs(spark, sf)
+    queries = docs.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return bm25_pruned(docs, queries, k=5)
+
+
+def q_lm_pruned(spark, sf):
+    """MaxScore-pruned query-likelihood retrieval (Dirichlet smoothing)
+    — same contract as ``bm25_pruned``: the oracle is the exhaustive
+    ``lm_topk`` SQL, so green == pruned is bit-identical. The LM twist
+    the bound machinery must survive: the per-doc length normalizer is
+    negative and doc-dependent, so exclusion adds its corpus-wide max
+    (evaluated at the minimum posting dl by the SAME Spark expression
+    as the real normalizer — exact, not epsilon-padded)."""
+    from .ops.retrieval import lm_pruned
+
+    docs = _docs(spark, sf)
+    queries = docs.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return lm_pruned(docs, queries, k=5, mu=2000.0)
 
 
 def q_hybrid_rrf(spark, sf):
@@ -4189,6 +4247,9 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "bm25_topk": (q_bm25_topk, SQL_BM25),
     "bm25_incremental": (q_bm25_incremental, SQL_BM25),
     "lm_topk": (q_lm_topk, SQL_LM_TOPK),
+    "bm25_pruned": (q_bm25_pruned, SQL_BM25),
+    "lm_pruned": (q_lm_pruned, SQL_LM_TOPK),
+    "phrase_match_rare": (q_phrase_match_rare, SQL_PHRASE_MATCH),
     "phrase_match": (q_phrase_match, SQL_PHRASE_MATCH),
     "ann_mmr_rerank": (q_ann_mmr_rerank, SQL_ANN_MMR),
     "hybrid_rrf": (q_hybrid_rrf, SQL_HYBRID_RRF),

@@ -155,6 +155,20 @@ _SCAN_BUDGET = {
     "streaming_postings_e2e": 4,  # the three appended ledgers
     #   (postings / df stats / totals) + the docs scan that builds the
     #   probe batch; the raw corpus is absent from the probe plan
+    "phrase_match_rare": 6,  # the fused ad-hoc shape re-derives the
+    #   positional postings per pass (vocab frequency stat + gate join
+    #   + the two verify-side posting branches) + the phrase batch;
+    #   production probes the SAVED positional index (postings=...,
+    #   zero text reads — same contract as phrase_match's probe test)
+    "bm25_pruned": 5,  # the MaxScore passes each re-derive postings
+    #   from text in the fused ad-hoc oracle shape: seed pairs + seed
+    #   exact scores + candidate pairs + candidate exact scores + the
+    #   query batch (df stats/bounds branches are exchange-reused);
+    #   production probes the SAVED index (postings/stats/totals/
+    #   bounds) with ZERO text reads — pinned by test_retrieval's
+    #   pruned persisted-probe plan test
+    "lm_pruned": 5,  # same fused shape (min_dl folds into a reused
+    #   postings exchange); production = saved-index probe, zero text
     "bm25_incremental": 5,  # two wave-postings builds + per-wave df
     #   stats/totals branches (AQE reuses two of the exchanges) + the
     #   query batch — the fused build+fold+probe oracle composition;

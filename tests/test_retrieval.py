@@ -482,3 +482,280 @@ class TestPersistedProbePlans:
             .split("+- == Initial Plan ==")[0]
         )
         assert final.count("Scan parquet") <= 1
+
+
+class TestPrunedTopk:
+    """MaxScore pruning contract: bm25_pruned / lm_pruned == the
+    exhaustive rankers, bit for bit, on corpora crafted to exercise
+    every branch (stopword-heavy skew, < k seed docs, ties, persisted
+    index, real testdata)."""
+
+    def _skewed(self, spark, n=120):
+        # 'the' in EVERY doc (df = n, near-zero idf: the term pruning
+        # must discard); each doc also carries a rare-ish topic term
+        # and a mid-frequency one, with repetition for tf variety
+        rows = []
+        for i in range(n):
+            topic = f"topic{i % 17}"
+            mid = f"mid{i % 5}"
+            extra = (" " + topic) * (i % 3)
+            rows.append((i, f"the {topic} {mid} the common{extra}"))
+        return _docs(spark, rows)
+
+    def _queries(self, spark, rows):
+        return _docs(spark, rows).select(
+            F.col("doc_id").alias("query_id"), "text"
+        )
+
+    def test_bm25_pruned_equals_exhaustive_on_skew(self, spark):
+        from swarm_spark.ops.retrieval import bm25_pruned
+
+        docs = self._skewed(spark)
+        qs = self._queries(
+            spark,
+            [
+                (0, "the topic3 mid1"),
+                (1, "the common the"),
+                (2, "topic11 the mid4 common"),
+                (3, "nosuchterm anywhere"),
+                (4, "topic5"),
+            ],
+        )
+        want = sorted(map(tuple, bm25_topk(docs, qs, k=4).collect()))
+        got = sorted(map(tuple, bm25_pruned(docs, qs, k=4).collect()))
+        assert got == want and want
+
+    def test_lm_pruned_equals_exhaustive_on_skew(self, spark):
+        from swarm_spark.ops.retrieval import lm_pruned, lm_topk
+
+        docs = self._skewed(spark)
+        qs = self._queries(
+            spark,
+            [
+                (0, "the topic3 mid1"),
+                (1, "the the common"),  # multiplicity exercises qtf
+                (2, "topic11 the mid4 common"),
+                (4, "topic5"),
+            ],
+        )
+        want = sorted(map(tuple, lm_topk(docs, qs, k=4, mu=500.0).collect()))
+        got = sorted(map(tuple, lm_pruned(docs, qs, k=4, mu=500.0).collect()))
+        assert got == want and want
+
+    def test_fewer_than_k_seed_docs_falls_back_exact(self, spark):
+        # seed term matches 2 docs < k=5: theta is absent, every term
+        # stays essential, output must still equal the exhaustive ranker
+        from swarm_spark.ops.retrieval import bm25_pruned
+
+        docs = _docs(
+            spark,
+            [
+                (0, "rare alpha beta"),
+                (1, "rare gamma"),
+                (2, "alpha beta gamma"),
+                (3, "beta beta gamma"),
+            ],
+        )
+        qs = self._queries(spark, [(0, "rare beta")])
+        want = sorted(map(tuple, bm25_topk(docs, qs, k=5).collect()))
+        got = sorted(map(tuple, bm25_pruned(docs, qs, k=5).collect()))
+        assert got == want and len(want) == 4
+
+    def test_tied_scores_keep_id_tiebreak(self, spark):
+        from swarm_spark.ops.retrieval import bm25_pruned
+
+        # docs 1..4 are identical -> identical scores; ranks must be
+        # id-ascending in both rankers
+        docs = _docs(spark, [(i, "same words here") for i in range(1, 5)] + [(9, "other text")])
+        qs = self._queries(spark, [(0, "same words")])
+        want = [tuple(r) for r in bm25_topk(docs, qs, k=3).collect()]
+        got = [tuple(r) for r in bm25_pruned(docs, qs, k=3).collect()]
+        assert got == want
+        assert [r[1] for r in got] == [1, 2, 3]
+
+    def test_persisted_index_with_bounds(self, spark, corpus, tmp_path):
+        from swarm_spark.ops.retrieval import (
+            bm25_pruned,
+            bm25_term_bounds,
+            load_bm25_bounds,
+            save_bm25_bounds,
+        )
+
+        path = str(tmp_path / "idx")
+        post = bm25_postings(corpus)
+        save_bm25(post, bm25_stats(post), bm25_totals(corpus), path)
+        save_bm25_bounds(bm25_term_bounds(post), path)
+        p, s, t = load_bm25(spark, path)
+        bounds = load_bm25_bounds(spark, path)
+        qs = self._queries(spark, [(0, "spark join"), (1, "agg window")])
+        want = sorted(map(tuple, bm25_topk(corpus, qs, k=3).collect()))
+        got = sorted(
+            map(
+                tuple,
+                bm25_pruned(
+                    None, qs, k=3, postings=p, stats=s, totals=t, bounds=bounds
+                ).collect(),
+            )
+        )
+        assert got == want and want
+
+    def test_bounds_are_max_monoid(self, spark, corpus):
+        from swarm_spark.ops.retrieval import bm25_term_bounds
+
+        p0 = bm25_postings(corpus.where(F.col("doc_id") % 2 == 0))
+        p1 = bm25_postings(corpus.where(F.col("doc_id") % 2 == 1))
+        folded = (
+            bm25_term_bounds(p0)
+            .unionByName(bm25_term_bounds(p1))
+            .groupBy("tok")
+            .agg(F.max("max_tf").alias("max_tf"))
+        )
+        full = bm25_term_bounds(bm25_postings(corpus))
+        assert sorted(map(tuple, folded.collect())) == sorted(
+            map(tuple, full.collect())
+        )
+
+    def test_equivalent_on_testdata(self, spark, sf_dir):
+        from swarm_spark.ops.retrieval import bm25_pruned, lm_pruned, lm_topk
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        qs = docs.where(F.col("doc_id") % 50 == 0).select(
+            F.col("doc_id").alias("query_id"), "text"
+        )
+        assert sorted(map(tuple, bm25_pruned(docs, qs, k=5).collect())) == sorted(
+            map(tuple, bm25_topk(docs, qs, k=5).collect())
+        )
+        assert sorted(
+            map(tuple, lm_pruned(docs, qs, k=5, mu=2000.0).collect())
+        ) == sorted(map(tuple, lm_topk(docs, qs, k=5, mu=2000.0).collect()))
+
+    def test_pruned_persisted_probe_never_reads_text(
+        self, spark, corpus, tmp_path
+    ):
+        """The pruned probe keeps the build-once/probe-many contract:
+        with docs=None every pass (seed, theta, essential gate, verify)
+        runs off the index tables — the corpus text is absent from the
+        executed plan."""
+        from swarm_spark.ops.retrieval import (
+            bm25_pruned,
+            bm25_term_bounds,
+            load_bm25_bounds,
+            save_bm25_bounds,
+        )
+
+        post = bm25_postings(corpus)
+        save_bm25(post, bm25_stats(post), bm25_totals(corpus), str(tmp_path / "ix"))
+        save_bm25_bounds(bm25_term_bounds(post), str(tmp_path / "ix"))
+        lpost, lstats, ltot = load_bm25(spark, str(tmp_path / "ix"))
+        lb = load_bm25_bounds(spark, str(tmp_path / "ix"))
+        queries = _docs(spark, [(9, "broadcast window"), (8, "spark agg")]).select(
+            F.col("doc_id").alias("query_id"), "text"
+        )
+        probe = bm25_pruned(
+            None, queries, k=3, postings=lpost, stats=lstats, totals=ltot, bounds=lb
+        )
+        got = sorted(map(tuple, probe.collect()))
+        want = sorted(map(tuple, bm25_topk(corpus, queries, k=3).collect()))
+        assert got == want
+        final = (
+            probe._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("+- == Initial Plan ==")[0]
+        )
+        # index tables only; the postings table appears once per pass
+        # (seed pairs / seed verify / cand pairs / cand verify) but the
+        # corpus text is not in the plan at all
+        assert "documents" not in final
+        assert final.count("Scan parquet") <= 8
+
+    def test_bad_args(self, spark, corpus):
+        from swarm_spark.ops.retrieval import bm25_pruned, lm_pruned
+
+        qs = self._queries(spark, [(0, "spark")])
+        with pytest.raises(ValueError):
+            bm25_pruned(corpus, qs, k=0)
+        with pytest.raises(ValueError):
+            lm_pruned(corpus, qs, mu=0.0)
+        with pytest.raises(ValueError):
+            bm25_pruned(None, qs)
+        with pytest.raises(ValueError):
+            lm_pruned(None, qs)
+
+
+class TestPhraseMatchRare:
+    """Rare-term-first gating: same results as the unguarded positional
+    intersection on every shape, with candidates anchored on the
+    minimum-frequency term only."""
+
+    def _phrases(self, spark, rows):
+        return spark.createDataFrame(rows, "phrase_id long, text string")
+
+    def test_equivalent_to_positional_on_mixed_lengths(self, spark):
+        from swarm_spark.ops.retrieval import phrase_match, phrase_match_rare
+
+        docs = _docs(
+            spark,
+            [
+                (0, "a b c d a b c"),
+                (1, "b c d"),
+                (2, "a a a a"),
+                (3, "c d a b"),
+                (4, "x y z b c"),
+            ],
+        )
+        ph = self._phrases(
+            spark,
+            [(0, "a b c"), (1, "b c"), (2, "a"), (3, "c d a b"), (4, "a a")],
+        )
+        pos = sorted(map(tuple, phrase_match(docs, ph).collect()))
+        rare = sorted(map(tuple, phrase_match_rare(docs, ph).collect()))
+        assert pos == rare and pos
+
+    def test_absent_term_gates_to_empty(self, spark):
+        from swarm_spark.ops.retrieval import phrase_match_rare
+
+        docs = _docs(spark, [(0, "a b c"), (1, "b c d")])
+        ph = self._phrases(spark, [(0, "b nosuchtoken"), (1, "b c")])
+        out = {(r["phrase_id"], r["id"]) for r in phrase_match_rare(docs, ph).collect()}
+        assert out == {(1, 0), (1, 1)}
+
+    def test_repeated_token_phrase(self, spark):
+        from swarm_spark.ops.retrieval import phrase_match, phrase_match_rare
+
+        docs = _docs(spark, [(0, "go go go stop go go"), (1, "go stop go")])
+        ph = self._phrases(spark, [(0, "go go")])
+        pos = sorted(map(tuple, phrase_match(docs, ph).collect()))
+        rare = sorted(map(tuple, phrase_match_rare(docs, ph).collect()))
+        assert pos == rare
+        # doc 0 = go go go stop go go: starts 0, 1, 4; doc 1 has none
+        assert dict(((r[0], r[1]), r[2]) for r in rare) == {(0, 0): 3}
+
+    def test_persisted_postings_path(self, spark):
+        from swarm_spark.ops.retrieval import (
+            phrase_match_rare,
+            positional_postings,
+        )
+
+        docs = _docs(spark, [(0, "a b c"), (1, "b c a b")])
+        post = positional_postings(docs)
+        ph = self._phrases(spark, [(0, "a b")])
+        out = sorted(
+            map(tuple, phrase_match_rare(None, ph, postings=post).collect())
+        )
+        assert out == [(0, 0, 1), (0, 1, 1)]
+        with pytest.raises(ValueError):
+            phrase_match_rare(None, ph)
+
+    def test_equivalent_on_testdata(self, spark, sf_dir):
+        from swarm_spark.ops.retrieval import phrase_match, phrase_match_rare
+        from swarm_spark.ops.text import tokens_col
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ph = docs.where(F.col("doc_id") % 100 == 0).select(
+            F.col("doc_id").alias("phrase_id"),
+            F.concat_ws(" ", F.slice(tokens_col("text"), 1, 3)).alias("text"),
+        )
+        pos = sorted(map(tuple, phrase_match(docs, ph).collect()))
+        rare = sorted(map(tuple, phrase_match_rare(docs, ph).collect()))
+        assert pos == rare and pos
