@@ -67,8 +67,13 @@ def main() -> None:
         "text_nb_quality",
         "corpus_expectations_approx",
         "bm25_topk",
+        "bm25_pruned",
         "lm_topk",
+        "lm_pruned",
         "phrase_match",
+        "phrase_match_rare",
+        "text_bpe_tokens",
+        "pack_chunks_bpe",
         "corpus_cms_freq",
         "text_nb_eval",
         "corpus_hll_distinct",

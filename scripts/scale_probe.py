@@ -117,6 +117,35 @@ def _gram_docs(docs, n: int):
     )
 
 
+def _mixed_docs(docs):
+    """Token text + the doc's contiguous 5-gram units in one text
+    column — a ZIPFIAN mixed vocabulary (31 stopword-like common terms,
+    df ~ N, plus a rare 5-gram tail, df ~ 1-2). The saturated soup has
+    no selective term at all, so impact-ordered pruning cannot cut
+    candidates there by construction; this is the realistic shape
+    (common + rare) where the MaxScore essential-terms gate has spread
+    to exploit."""
+    from pyspark.sql import functions as F
+
+    return docs.select(
+        "doc_id",
+        F.split("text", " +").alias("ws"),
+    ).select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.array_join(F.col("ws"), " "),
+            F.array_join(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 4),"
+                    " i -> concat_ws('_', ws[i-1], ws[i], ws[i+1], ws[i+2], ws[i+3]))"
+                ),
+                " ",
+            ),
+        ).alias("text"),
+    )
+
+
 def probe(
     spark, data_dir: str, factor: int, runs: int, only: set[str] | None = None
 ) -> dict[str, float]:
@@ -196,8 +225,75 @@ def probe(
         F.col("doc_id").alias("query_id"), "text"
     )
 
+    # build-once for the Zipfian mixed-vocab lexical index (common
+    # tokens + rare 5-gram tail): the corpus shape where MaxScore
+    # pruning has df spread to exploit — on the saturated soup no term
+    # is selective and pruning is measured ~flat by construction
+    want_zipf = only is None or bool({"bm25_zipf", "bm25_pruned_zipf"} & only)
+    if want_zipf:
+        zipf_dir = os.path.join(data_dir, "bm25_zipf_ix")
+        mixed = _mixed_docs(docs)
+        if not os.path.exists(os.path.join(zipf_dir, "totals")):
+            from swarm_spark.ops.retrieval import bm25_term_bounds as _btb
+            from swarm_spark.ops.retrieval import save_bm25_bounds as _sbb
+
+            zpost = bm25_postings(mixed)
+            save_bm25(zpost, bm25_stats(zpost), bm25_totals(mixed), zipf_dir)
+            _sbb(_btb(zpost), zipf_dir)
+        from swarm_spark.ops.retrieval import load_bm25_bounds as _lbb
+
+        zlpost, zlstats, zltot = load_bm25(spark, zipf_dir)
+        zlbounds = _lbb(spark, zipf_dir)
+        qzipf = mixed.where(F.col("doc_id") < 200).select(
+            F.col("doc_id").alias("query_id"), "text"
+        )
+
     # build-once for the persisted-path phrase probe: the positional
     # index lands on disk untimed; the row times the probe only
+    # the Zipfian mixed-vocab phrase pair: 3-token phrases straddling
+    # the common/rare boundary (two df~N words + one df~1-2 gram unit),
+    # over a positional index of the mixed corpus — rare-term gating's
+    # home turf (on the saturated soup min df ≈ max df and NO gate can
+    # cut candidates; grams is the encoded path there)
+    want_pzipf = only is None or bool(
+        {"phrase_zipf", "phrase_rare_zipf"} & (only or set())
+    )
+    if want_pzipf:
+        from swarm_spark.ops.retrieval import (
+            load_positional as _lpos,
+        )
+        from swarm_spark.ops.retrieval import (
+            phrase_match as _pm,
+        )
+        from swarm_spark.ops.retrieval import (
+            positional_postings as _ppost,
+        )
+        from swarm_spark.ops.retrieval import (
+            save_positional as _spos,
+        )
+
+        zpos_dir = os.path.join(data_dir, "pos_zipf_ix")
+        zmixed = _mixed_docs(docs)
+        if not os.path.exists(os.path.join(zpos_dir, "postings")):
+            _spos(_ppost(zmixed), zpos_dir)
+        zlpos = _lpos(spark, zpos_dir)
+        # mixed ws = n words + (n-4) grams; the boundary phrase starts
+        # at word n-1 (1-based): (w_{n-1}, w_n, g_1)
+        zphrases = (
+            zmixed.where(F.col("doc_id") < 200)
+            .select(
+                F.col("doc_id").alias("phrase_id"),
+                F.split("text", " +").alias("ws"),
+            )
+            .select(
+                "phrase_id",
+                F.concat_ws(
+                    " ",
+                    F.expr("slice(ws, cast((size(ws) + 4) / 2 as int) - 1, 3)"),
+                ).alias("text"),
+            )
+        )
+
     if only is None or bool(
         {"phrase_match", "phrase_grams", "phrase_rare"} & (only or set())
     ):
@@ -322,6 +418,17 @@ def probe(
         "lm_pruned": lambda: lm_pruned(
             None, qdocs, k=5, postings=lpost, totals=ltot, bounds=lbounds
         ),
+        # the Zipfian mixed-vocab pair: same persisted-index probe
+        # shape, exhaustive vs MaxScore-pruned — rare-tail idf makes
+        # the common terms non-essential, so the pruned probe's
+        # candidates follow the rare posting lists
+        "bm25_zipf": lambda: bm25_topk(
+            None, qzipf, k=5, postings=zlpost, stats=zlstats, totals=zltot
+        ),
+        "bm25_pruned_zipf": lambda: bm25_pruned(
+            None, qzipf, k=5,
+            postings=zlpost, stats=zlstats, totals=zltot, bounds=zlbounds,
+        ),
         # exact-phrase probe over the persisted positional index —
         # this saturated 31-token vocab is the worst case (every
         # phrase term occurs everywhere, so candidates ∝ positions)
@@ -335,6 +442,10 @@ def probe(
         # index — the general-path fix for the 15.9x row: candidates
         # follow the phrase's MIN-frequency posting list, not the sum
         "phrase_rare": lambda: phrase_match_rare(None, qphrases, postings=lpos),
+        "phrase_zipf": lambda: _pm(None, zphrases, postings=zlpos),
+        "phrase_rare_zipf": lambda: phrase_match_rare(
+            None, zphrases, postings=zlpos
+        ),
         "ann_topk_ivfpq": lambda: ann_topk_ivfpq(
             emb, queries, k=5, n_cells=8 * factor, nprobe=4, cell_iters=3,
             m=4, pq_k=16, pq_iters=2,

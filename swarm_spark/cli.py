@@ -584,6 +584,79 @@ def cmd_quality(args) -> int:
     return 0
 
 
+def cmd_tokenizer(args) -> int:
+    """Train / apply the deterministic BPE subword tokenizer
+    (``ops/bpe.py``): ``train`` learns an n-merge table from the corpus
+    word histogram and writes it as (rank, a, b) parquet — the whole
+    model; ``encode`` loads a merge table and writes per-document
+    (n_ws, n_bpe) counts (or the full subword rendering with
+    ``--segments``), printing corpus totals either way."""
+    from pyspark.sql import functions as F
+
+    from .ops.bpe import (
+        bpe_encode_words,
+        bpe_segment_text,
+        bpe_token_counts,
+        bpe_train,
+        bpe_word_histogram,
+        load_bpe,
+        save_bpe,
+    )
+    from .ops.text import tokens_col
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    if args.action == "train":
+        merges, seg = bpe_train(
+            bpe_word_histogram(docs, args.text_col),
+            n_merges=args.merges,
+            min_count=args.min_count,
+        )
+        save_bpe(spark, merges, args.model)
+        print(
+            json.dumps(
+                {
+                    "model": args.model,
+                    "merges": len(merges),
+                    "vocab_words": seg.count(),
+                }
+            )
+        )
+        return 0
+    # encode
+    merges = load_bpe(spark, args.model)
+    if args.segments:
+        words = (
+            docs.select(F.explode(tokens_col(args.text_col)).alias("word"))
+            .where(F.length("word") > 0)
+            .distinct()
+        )
+        out = bpe_segment_text(
+            docs, bpe_encode_words(words, merges), args.text_col, args.id_col
+        )
+    else:
+        out = bpe_token_counts(docs, merges, args.text_col, args.id_col)
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+    agg = out.agg(
+        F.count(F.lit(1)).cast("long").alias("docs"),
+        F.coalesce(F.sum("n_ws"), F.lit(0)).cast("long").alias("ws_tokens"),
+        F.coalesce(F.sum("n_bpe"), F.lit(0)).cast("long").alias("bpe_tokens"),
+    ).head()
+    print(
+        json.dumps(
+            {
+                "docs": agg["docs"],
+                "ws_tokens": agg["ws_tokens"],
+                "bpe_tokens": agg["bpe_tokens"],
+                "merges": len(merges),
+                "output": args.output or None,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_curate(args) -> int:
     """Training-corpus curation pass over a documents parquet: exact
     dedup -> optional MinHash near-dup removal -> quality gate ->
@@ -1143,6 +1216,20 @@ def build_parser() -> argparse.ArgumentParser:
         help="eval: comma-separated micro-nat score thresholds to sweep",
     )
     sp.set_defaults(fn=cmd_quality)
+
+    sp = sub.add_parser("tokenizer", help="train/apply the deterministic BPE subword tokenizer")
+    sp.add_argument("action", choices=["train", "encode"])
+    sp.add_argument("input", help="documents parquet path")
+    sp.add_argument("--model", required=True, help="merge-table parquet dir")
+    sp.add_argument("--merges", type=int, default=200, help="train: merge rounds")
+    sp.add_argument("--min-count", type=int, default=1,
+                    help="train: stop when no pair reaches this count")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--output", default="", help="encode: write per-doc rows here")
+    sp.add_argument("--segments", action="store_true",
+                    help="encode: emit the full subword rendering, not just counts")
+    sp.set_defaults(fn=cmd_tokenizer)
 
     sp = sub.add_parser("report", help="corpus diagnostics (n-grams/quantiles/histogram/vocab)")
     sp.add_argument("input", help="documents parquet path")

@@ -1,0 +1,246 @@
+"""Deterministic byte-pair-encoding subword tokenizer (train + encode).
+
+Every token-based operator in this repo (``token_stats``, the packing
+tier, BM25 dl) counts WHITESPACE tokens — a proxy. A training-data
+pipeline budgets in subword tokens; this module supplies them with the
+classical BPE of Sennrich, Haddow & Birch 2016 ("Neural Machine
+Translation of Rare Words with Subword Units"), constrained to stay
+integer/string-deterministic so training AND encoding value-oracle in
+SQL (no engine-private tokenizer state):
+
+- **Train** (:func:`bpe_train`): iterate ``n_merges`` rounds over the
+  WORD HISTOGRAM (word, count) — each round one vocab-sized groupBy
+  over adjacent-symbol pairs weighted by word count, pick the most
+  frequent pair (ties: lexicographically smallest (a, b) — the
+  determinism contract), merge it left-to-right in every word's
+  segmentation. The merge table is ≤ n_merges rows — a persistable
+  model like the NB quality scorer.
+- **Encode** (:func:`bpe_encode_words`): apply the merge table in rank
+  order, one left-to-right non-overlapping pass per merge (a merged
+  symbol is strictly longer than its left part, so a pass can never
+  re-trigger its own pair — single pass per rank is exact).
+- **Count** (:func:`bpe_token_counts`): per-document subword totals by
+  encoding each DISTINCT word once and joining back through the
+  per-doc word counts — the corpus is never re-segmented row by row.
+
+Everything is built-in column arithmetic (``aggregate`` folds over
+token arrays — whole-stage codegen'd, no Python UDF); the driver sees
+only the ≤ n_merges best-pair rows (one metadata-sized action per
+round, like the PQ subspace means).
+
+Scale shape at 100 TB: the word histogram is ONE map-side-combined
+shuffle of the corpus (vocab-sized output — the only corpus-sized
+step); each training round then touches the HISTOGRAM only (vocab-
+sized aggregations, ``localCheckpoint`` per round to keep the plan
+flat); encoding joins the corpus's distinct words against the
+vocab-sized segmentation map. No per-row Python, no corpus-sized
+driver traffic.
+
+End-of-word markers are intentionally omitted: segmentations are per
+word (subwords never cross word boundaries), so the marker would only
+rename the last symbol.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens_col
+
+
+def segment_chars(word: Column | str) -> Column:
+    """array<string> of the word's single characters — the round-0
+    segmentation. Callers must filter zero-length words first
+    (sequence(1, 0) would run descending)."""
+    w = F.col(word) if isinstance(word, str) else word
+    return F.transform(
+        F.sequence(F.lit(1), F.length(w)), lambda i: F.substring(w, i, F.lit(1))
+    )
+
+
+def bpe_merge_pass(seg: Column, a: str, b: str) -> Column:
+    """One left-to-right non-overlapping merge of adjacent (a, b) →
+    a||b over a segmentation array — the exact BPE application rule
+    ('a a a' under (a, a) becomes ['aa', 'a']). A codegen'd aggregate
+    fold: the merged symbol a||b is strictly longer than a, so a fold
+    step can never treat its own output as a fresh left operand of the
+    same pair — fold == scan."""
+    if not a or not b:
+        raise ValueError("merge symbols must be non-empty")
+    return F.aggregate(
+        seg,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_word_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt): the corpus word histogram BPE trains on — one
+    map-side-combined shuffle, vocab-sized output (training never
+    rescans the corpus). Zero-length split artifacts are dropped."""
+    return (
+        df.select(F.explode(tokens_col(text_col)).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def bpe_train(
+    words: DataFrame, n_merges: int, min_count: int = 1
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """(merges, seg): train ``n_merges`` BPE merge rounds over a
+    (word, cnt) histogram. Each round: one vocab-sized adjacent-pair
+    aggregation, ONE best-pair row to the driver (max summed count,
+    ties by lexicographic (a, b)), one merge pass over the histogram's
+    segmentations (materialized per round — the plan stays flat at any
+    n_merges). Stops early when no pair reaches ``min_count``.
+
+    Returns the ordered merge list (the model — persist with
+    :func:`save_bpe`) and the trained segmentation frame
+    (word, cnt, seg) — the training corpus's words are already encoded,
+    so counting/packing over the SAME corpus needs no re-encoding."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    seg = words.select(
+        "word", F.col("cnt").cast("long").alias("cnt"),
+        segment_chars("word").alias("seg"),
+    ).localCheckpoint()
+    merges: list[tuple[str, str]] = []
+    pair_structs = F.expr(
+        "transform(sequence(0, size(seg) - 2), i -> struct(seg[i] AS a, seg[i+1] AS b))"
+    )
+    for _ in range(n_merges):
+        pairs = (
+            seg.where(F.size("seg") >= 2)
+            .select("cnt", F.explode(pair_structs).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("n"))
+        )
+        best = pairs.orderBy(F.col("n").desc(), "a", "b").limit(1).collect()
+        if not best or int(best[0]["n"]) < min_count:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((a, b))
+        seg = seg.withColumn("seg", bpe_merge_pass(F.col("seg"), a, b)).localCheckpoint()
+    return merges, seg
+
+
+def bpe_encode_words(words: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """(word, seg): encode a frame of distinct words with a trained
+    merge table — the rank-ordered chain of merge passes, all codegen
+    (the plan nests one aggregate per merge; keep n_merges in the
+    hundreds, the classical small-vocab regime this tier targets).
+    Unseen characters simply never merge — the OOV behavior of
+    character-base BPE."""
+    seg = segment_chars("word")
+    for a, b in merges:
+        seg = bpe_merge_pass(seg, a, b)
+    return words.select("word", seg.alias("seg"))
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_map: DataFrame | None = None,
+) -> DataFrame:
+    """(id_col, n_ws, n_bpe): per-document whitespace-token and BPE
+    subword counts. Each DISTINCT word is encoded once (or looked up
+    in a trained ``seg_map`` — e.g. :func:`bpe_train`'s second return
+    — skipping the encode entirely); documents fold their word
+    multiplicities against that vocab-sized map. Feed ``n_bpe`` to the
+    packing tier via ``count_col`` to budget in real subword units."""
+    if seg_map is None:
+        if merges is None:
+            raise ValueError("need merges or a trained seg_map")
+    toks = (
+        df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("word"))
+        .where(F.length("word") > 0)
+    )
+    wc = toks.groupBy(id_col, "word").agg(
+        F.count(F.lit(1)).cast("long").alias("occ")
+    )
+    if seg_map is None:
+        seg_map = bpe_encode_words(wc.select("word").distinct(), merges)
+    sizes = seg_map.select("word", F.size("seg").cast("long").alias("n_sub"))
+    return (
+        wc.join(sizes, "word")
+        .groupBy(id_col)
+        .agg(
+            F.sum("occ").cast("long").alias("n_ws"),
+            F.sum(F.col("occ") * F.col("n_sub")).cast("long").alias("n_bpe"),
+        )
+    )
+
+
+def bpe_segment_text(
+    df: DataFrame,
+    seg_map: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, n_ws, n_bpe, seg_text): the fully segmented rendering —
+    subwords joined by spaces, words by '|' in original order — the
+    strongest per-document pin a value oracle can check (any wrong
+    merge, order, or boundary changes the string). Word order is
+    reassembled with a sort inside each doc's collected struct array
+    (per-doc arrays — bounded by doc length, never corpus-wide)."""
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(tokens_col(text_col)).alias("pos", "word"),
+        )
+        .where(F.length("word") > 0)
+    )
+    sub = seg_map.select(
+        "word",
+        F.array_join("seg", " ").alias("sub"),
+        F.size("seg").cast("long").alias("n_sub"),
+    )
+    return (
+        toks.join(sub, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ws"),
+            F.sum("n_sub").cast("long").alias("n_bpe"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "sub"))),
+                    lambda s: s["sub"],
+                ),
+                "|",
+            ).alias("seg_text"),
+        )
+    )
+
+
+def save_bpe(spark, merges: list[tuple[str, str]], path: str) -> None:
+    """Persist a merge table as (rank, a, b) parquet — the whole model,
+    like the NB quality scorer's bucket table."""
+    rows = [(i, a, b) for i, (a, b) in enumerate(merges)]
+    spark.createDataFrame(rows, "rank long, a string, b string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_bpe(spark, path: str) -> list[tuple[str, str]]:
+    """Read back a :func:`save_bpe` merge table in rank order."""
+    return [
+        (r["a"], r["b"])
+        for r in spark.read.schema("rank long, a string, b string")
+        .parquet(path)
+        .orderBy("rank")
+        .collect()
+    ]

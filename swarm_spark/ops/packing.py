@@ -56,6 +56,7 @@ def pack_concat_chunks(
     id_col: str = "doc_id",
     num_partitions: int | None = None,
     approx_rows: int | None = None,
+    count_col: str | None = None,
 ) -> DataFrame:
     """Concat-and-chunk packing: global order by ``id_col``, windows of
     ``capacity`` tokens, documents split across boundaries.
@@ -78,7 +79,9 @@ def pack_concat_chunks(
     """
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
-    base, _total = token_prefix(df, text_col, id_col, num_partitions, approx_rows)
+    base, _total = token_prefix(
+        df, text_col, id_col, num_partitions, approx_rows, count_col
+    )
     spanned = base.select(
         "doc_id",
         "n_tok",
@@ -109,6 +112,7 @@ def token_prefix(
     id_col: str = "doc_id",
     num_partitions: int | None = None,
     approx_rows: int | None = None,
+    count_col: str | None = None,
 ) -> tuple[DataFrame, int]:
     """(frame, total_tokens): the global token-interval frame
     (doc_id, n_tok, start, end) in ``id_col`` order, built with the
@@ -120,7 +124,14 @@ def token_prefix(
 
     ``approx_rows`` sizes ``num_partitions`` and the boundary-sample
     rate without the sizing ``count()`` action (a rough estimate is
-    fine — it only balances range sizes); omitted, one count runs."""
+    fine — it only balances range sizes); omitted, one count runs.
+
+    ``count_col`` swaps the whitespace token count for a precomputed
+    per-doc length (e.g. BPE subword counts from
+    :func:`swarm_spark.ops.bpe.bpe_token_counts`) — the packing
+    arithmetic is length-agnostic, so a training pipeline budgets in
+    REAL tokenizer units by passing the column instead of re-counting
+    text."""
     spark = df.sparkSession
     ids = df.select(F.col(id_col).alias("doc_id"))
     n_docs = approx_rows if approx_rows is not None else ids.count()
@@ -141,9 +152,13 @@ def token_prefix(
     part = F.lit(0)
     for b in bounds:  # monotone in doc_id: range index = #boundaries passed
         part = part + (F.col("doc_id") > F.lit(b)).cast("int")
+    n_tok = (
+        F.col(count_col).cast("long")
+        if count_col is not None
+        else F.size(tokens_col(text_col)).cast("long")
+    )
     counted = (
-        df.select(F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("ws"))
-        .select("doc_id", F.size("ws").cast("long").alias("n_tok"))
+        df.select(F.col(id_col).alias("doc_id"), n_tok.alias("n_tok"))
         .where(F.col("n_tok") > 0)
         .withColumn("part", part)
     )

@@ -919,10 +919,14 @@ def phrase_match_rare(
 
     Scale shape: one vocab-sized frequency aggregation over the index
     (a stored statistic in a warehouse), the gate join fans out only
-    the rarest term's postings, and the verify join restricts the
-    postings to candidate DOCS first (AQE broadcasts the candidate
-    frame when gating made it small) before matching the remaining
-    offsets by (id, pos − i == base). Same output contract:
+    the rarest term's postings, and verification keeps the unguarded
+    path's map-side broadcast join (the posting scan is the floor cost
+    either way) while the candidate-base inner join cuts the SHUFFLE +
+    AGGREGATION volume — the super-linear component of the measured
+    15.9x row — to ~min-frequency·plen rows. On a fully SATURATED
+    vocabulary (min df ≈ max df) no gate can cut candidates by
+    construction; the L-gram path (:func:`phrase_match_grams`) is the
+    encoded answer there. Same output contract:
     (phrase_id, id, n_hits)."""
     from .similarity import _probe_is_small
 
@@ -959,14 +963,20 @@ def phrase_match_rare(
         postings.join(_b(gate), "tok")
         .select("phrase_id", "id", (F.col("pos") - F.col("i")).alias("base"))
     )
-    # verify: candidate docs' postings only, matched to the remaining
-    # offsets by position arithmetic — each offset can agree at most
-    # once per (doc, base), so the agreement count reaches plen exactly
-    # on contiguous hits (the phrase_match invariant)
+    # verify: the SAME tok-gated posting stream the unguarded path
+    # aggregates (map-side broadcast join — never a corpus shuffle, and
+    # never a join back on bare id, which would multiply candidates by
+    # doc length), but inner-joined against the gate-anchored bases
+    # BEFORE the groupBy: the aggregation volume follows the rarest
+    # term's posting list (~min-frequency·plen rows), not Σ_i
+    # positions(term_i). AQE broadcasts the candidate frame when gating
+    # made it small. Each offset agrees at most once per (doc, base),
+    # so the agreement count reaches plen exactly on contiguous hits
+    # (the phrase_match invariant).
     agree = (
-        cand.join(postings, "id")
-        .join(_b(pterms), ["phrase_id", "tok"])
-        .where(F.col("pos") - F.col("i") == F.col("base"))
+        postings.join(_b(pterms), "tok")
+        .select("phrase_id", "id", (F.col("pos") - F.col("i")).alias("base"))
+        .join(cand, ["phrase_id", "id", "base"])
         .groupBy("phrase_id", "id", "base")
         .agg(F.count(F.lit(1)).alias("nm"))
     )

@@ -4170,6 +4170,117 @@ FROM fin, x, dd
 """
 
 
+def _bpe_rounds_cte(n_merges: int) -> str:
+    """The shared unrolled-BPE CTE chain: word histogram -> char
+    segmentation -> ``n_merges`` (pair-count, argmax, merge-pass)
+    rounds. Each round's best pair is a 1-row CTE whose columns feed
+    the next round's list_reduce lambda — fully data-driven SQL, no
+    Python-side training leaks into the oracle. The merge pass is the
+    same left-to-right fold as ops/bpe.py's bpe_merge_pass, encoded on
+    a chr(1)-delimited accumulator string (elements never contain the
+    delimiter)."""
+    # every s{r} is referenced twice (by p{r+1} and s{r+1}): the CTEs
+    # MUST be materialized or DuckDB inlines the chain exponentially
+    # (2^n_merges scans of the base table)
+    rounds = []
+    for r in range(1, n_merges + 1):
+        rounds.append(
+            f""",
+p{r} AS MATERIALIZED (SELECT a, b, sum(cnt) AS n FROM (
+       SELECT cnt, seg[i+1] AS a, seg[i+2] AS b
+       FROM (SELECT cnt, seg, unnest(range(len(seg) - 1)) AS i FROM s{r - 1})
+     ) GROUP BY 1, 2),
+b{r} AS MATERIALIZED (SELECT a, b FROM p{r} ORDER BY n DESC, a, b LIMIT 1),
+s{r} AS MATERIALIZED (SELECT word, cnt,
+       string_split(list_reduce(list_prepend('', seg), (acc, x) ->
+         CASE WHEN ends_with(acc, chr(1) || b{r}.a) AND x = b{r}.b
+              THEN left(acc, length(acc) - length(b{r}.a) - 1)
+                   || chr(1) || b{r}.a || b{r}.b
+              ELSE acc || chr(1) || x END), chr(1))[2:] AS seg
+     FROM s{r - 1} CROSS JOIN b{r})"""
+        )
+    return f"""w AS MATERIALIZED ({_WS}),
+wx AS MATERIALIZED (SELECT doc_id, word, pos FROM (
+        SELECT doc_id, unnest(ws) AS word, unnest(range(len(ws))) AS pos FROM w)
+       WHERE length(word) > 0),
+wh AS MATERIALIZED (SELECT word, cast(count(*) AS bigint) AS cnt FROM wx GROUP BY 1),
+s0 AS MATERIALIZED (SELECT word, cnt,
+              list_transform(range(length(word)), i -> word[i+1:i+1]) AS seg
+       FROM wh){''.join(rounds)}"""
+
+
+_BPE_MERGES = 24
+
+
+def q_text_bpe_tokens(spark, sf):
+    """Deterministic BPE subword tokenizer, trained AND applied on the
+    corpus (Sennrich, Haddow & Birch 2016): 24 most-frequent-pair merge
+    rounds over the word histogram (ties lexicographic — the
+    determinism contract), then every document rendered as its full
+    subword segmentation ('sub sub|sub' — words by '|', subwords by
+    spaces) plus whitespace/subword counts. The oracle re-trains the
+    SAME 24 rounds in DuckDB (each round one pair-count CTE + a 1-row
+    argmax CTE feeding a list_reduce merge pass), so a green row
+    value-pins training order, merge application, and per-doc
+    reassembly end to end. Upgrades the token-budget tier from
+    whitespace proxies to real subword units (``pack_chunks_bpe``)."""
+    from .ops.bpe import bpe_segment_text, bpe_train, bpe_word_histogram
+
+    docs = _docs(spark, sf)
+    merges, seg = bpe_train(bpe_word_histogram(docs), n_merges=_BPE_MERGES)
+    return bpe_segment_text(docs, seg).orderBy("doc_id")
+
+
+SQL_BPE_TOKENS = f"""
+WITH {_bpe_rounds_cte(_BPE_MERGES)}
+SELECT wx.doc_id,
+       cast(count(*) AS bigint) AS n_ws,
+       cast(sum(len(e.seg)) AS bigint) AS n_bpe,
+       string_agg(array_to_string(e.seg, ' '), '|' ORDER BY wx.pos) AS seg_text
+FROM wx JOIN s{_BPE_MERGES} e USING (word)
+GROUP BY 1 ORDER BY doc_id
+"""
+
+
+def q_pack_chunks_bpe(spark, sf):
+    """Concat-and-chunk packing budgeted in TRAINED BPE subword units
+    instead of whitespace tokens — the ``count_col`` hookup a real
+    pretraining pipeline needs (window capacity is a tokenizer-unit
+    contract, not a whitespace one). Same two-phase distributed prefix
+    sum as ``pack_chunks``; the per-doc lengths flow from the
+    vocab-sized trained segmentation map, never a per-row re-encode."""
+    from .ops.bpe import bpe_token_counts, bpe_train, bpe_word_histogram
+    from .ops.packing import pack_concat_chunks
+
+    docs = _docs(spark, sf)
+    _, seg = bpe_train(bpe_word_histogram(docs), n_merges=_BPE_MERGES)
+    counts = bpe_token_counts(docs, seg_map=seg)
+    return pack_concat_chunks(
+        docs.join(counts.select("doc_id", "n_bpe"), "doc_id"),
+        capacity=512,
+        count_col="n_bpe",
+    ).orderBy("doc_id", "window_id")
+
+
+SQL_PACK_CHUNKS_BPE = f"""
+WITH {_bpe_rounds_cte(_BPE_MERGES)},
+c AS (SELECT wx.doc_id, cast(sum(len(e.seg)) AS bigint) AS n_tok
+      FROM wx JOIN s{_BPE_MERGES} e USING (word) GROUP BY 1),
+s AS (SELECT doc_id, n_tok,
+             cast(sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                  AS bigint) AS e
+      FROM c),
+x AS (SELECT doc_id, n_tok, e - n_tok AS st, e,
+             unnest(range((e - n_tok) // 512, (e - 1) // 512 + 1)) AS window_id
+      FROM s)
+SELECT doc_id, n_tok, window_id,
+       cast(greatest(st, window_id * 512) - window_id * 512 AS bigint) AS off,
+       cast(least(e, (window_id + 1) * 512)
+            - greatest(st, window_id * 512) AS bigint) AS take
+FROM x ORDER BY doc_id, window_id
+"""
+
+
 OPS: dict[str, tuple[Callable, str | None]] = {
     "corpus_hll_distinct": (q_corpus_hll_distinct, SQL_HLL_DISTINCT),
     "sample_weighted": (q_sample_weighted, SQL_SAMPLE_WEIGHTED),
@@ -4250,6 +4361,8 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "bm25_pruned": (q_bm25_pruned, SQL_BM25),
     "lm_pruned": (q_lm_pruned, SQL_LM_TOPK),
     "phrase_match_rare": (q_phrase_match_rare, SQL_PHRASE_MATCH),
+    "text_bpe_tokens": (q_text_bpe_tokens, SQL_BPE_TOKENS),
+    "pack_chunks_bpe": (q_pack_chunks_bpe, SQL_PACK_CHUNKS_BPE),
     "phrase_match": (q_phrase_match, SQL_PHRASE_MATCH),
     "ann_mmr_rerank": (q_ann_mmr_rerank, SQL_ANN_MMR),
     "hybrid_rrf": (q_hybrid_rrf, SQL_HYBRID_RRF),

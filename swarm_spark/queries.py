@@ -925,6 +925,85 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_streaming_hll_e2e(spark, sf):
+    """Streaming cardinality-sketch maintenance end-to-end: documents
+    arrive as hash-sliced micro-batches; each batch APPENDS its
+    HyperLogLog register file to an append-only ledger (registers are a
+    MAX monoid, so append + max-at-read equals the one-shot build
+    REGISTER-EXACTLY — no read-modify-write, crash-safe replay; the r9
+    VERDICT's one missing streaming statistic). The merged register
+    file itself is the result: <= 2^p rows the oracle recomputes
+    one-shot with the same md5 bit arithmetic. Completes the
+    streaming-statistics family alongside the CMS frequency ledger
+    (``streaming_cms_e2e``) and the linear-count bitmap
+    (``streaming_sketch_e2e``)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .ops.dedup import doc_shingles
+    from .ops.sampling import hash_bucket
+    from .ops.sketch import hll_registers
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="swarm_hll_stream_")
+    src = os.path.join(tmp, "incoming")
+    os.makedirs(src)
+    slice_id = hash_bucket("doc_id", "swarm-hll-slice") % 4
+    for k in range(4):
+        rows = (
+            docs.where(slice_id == k)
+            .select(F.to_json(F.struct("doc_id", "text")).alias("v"))
+            .collect()
+        )
+        with open(os.path.join(src, f"b{k}.ndjson"), "w") as f:
+            for r in rows:
+                f.write(r["v"] + "\n")
+
+    ledger = os.path.join(tmp, "regs")
+    os.makedirs(ledger)
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+
+    def land(batch_df, _epoch):
+        sh = doc_shingles(batch_df, n=3)
+        hll_registers(sh, "sh").write.mode("append").parquet(ledger)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")  # one slice per micro-batch
+        .json(src)
+        .writeStream.foreachBatch(land)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return (
+        spark.read.schema("bucket long, rho int")
+        .parquet(ledger)
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+        .orderBy("bucket")
+    )
+
+
+from .ops_queries import _hexval as _hexval_sql  # noqa: E402
+from .ops_queries import _shingle_cte as _shingle_sql  # noqa: E402
+
+SQL_STREAMING_HLL = f"""
+WITH {_shingle_sql(3)},
+rr AS (SELECT {_hexval_sql('h', 1, 3)} AS bucket,
+              CASE WHEN {_hexval_sql('h', 4, 12)} = 0 THEN 49
+                   ELSE 49 - length(bin({_hexval_sql('h', 4, 12)})) END AS rho
+       FROM (SELECT md5('swarm-hll|' || sh) AS h FROM s))
+SELECT cast(bucket AS bigint) AS bucket, cast(max(rho) AS int) AS rho
+FROM rr GROUP BY 1 ORDER BY 1
+"""
+
+
 def _time_sliced_src(df, cols_json, tmp, slices=3, sentinel_rows=()):
     """Write ``df`` as ``slices`` contiguous event-time NDJSON files
     (plus sentinel files) under ``tmp``/incoming — deterministic
@@ -1160,6 +1239,7 @@ CORE: dict[str, tuple[Callable, str | None]] = {
     "streaming_quantiles_e2e": (q_streaming_quantiles_e2e, SQL_STREAMING_QUANTILES),
     "streaming_postings_e2e": (q_streaming_postings_e2e, SQL_STREAMING_POSTINGS),
     "streaming_cms_e2e": (q_streaming_cms_e2e, SQL_STREAMING_CMS),
+    "streaming_hll_e2e": (q_streaming_hll_e2e, SQL_STREAMING_HLL),
     "streaming_sessionize_e2e": (q_streaming_sessionize_e2e, SQL_STREAMING_SESSIONIZE),
     "streaming_window_e2e": (q_streaming_window_e2e, SQL_WINDOW_STREAM),
     "s1_scan_count": (q_s1_scan_count, SQL_S1),

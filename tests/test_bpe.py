@@ -1,0 +1,172 @@
+"""BPE subword tokenizer: hand-derivable merges on tiny corpora, the
+left-to-right merge-pass semantics, encode == trained segmentation,
+per-doc counts, model persistence, and the packing-tier hookup.
+Full-value DuckDB parity of train+segment is pinned by test_oracle
+(text_bpe_tokens)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from swarm_spark.ops.bpe import (
+    bpe_encode_words,
+    bpe_merge_pass,
+    bpe_segment_text,
+    bpe_token_counts,
+    bpe_train,
+    bpe_word_histogram,
+    load_bpe,
+    save_bpe,
+    segment_chars,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _hist(spark, pairs):
+    return spark.createDataFrame(pairs, "word string, cnt long")
+
+
+class TestMergePass:
+    def _apply(self, spark, seq, a, b):
+        df = spark.createDataFrame([(seq,)], "seg array<string>")
+        return df.select(bpe_merge_pass(F.col("seg"), a, b).alias("m")).head()["m"]
+
+    def test_left_to_right_non_overlapping(self, spark):
+        # the classical overlap rule: 'a a a' under (a, a) -> ['aa', 'a']
+        assert self._apply(spark, ["a", "a", "a"], "a", "a") == ["aa", "a"]
+        assert self._apply(spark, ["a", "a", "a", "a"], "a", "a") == ["aa", "aa"]
+
+    def test_merged_output_is_not_a_fresh_left_operand(self, spark):
+        # (a, b) over [a, b, b]: the merged 'ab' must not re-match as 'a'
+        assert self._apply(spark, ["a", "b", "b"], "a", "b") == ["ab", "b"]
+        assert self._apply(spark, ["a", "b", "a", "b"], "a", "b") == ["ab", "ab"]
+
+    def test_no_match_is_identity(self, spark):
+        assert self._apply(spark, ["x", "y"], "a", "b") == ["x", "y"]
+
+    def test_validation(self, spark):
+        with pytest.raises(ValueError):
+            bpe_merge_pass(F.col("seg"), "", "b")
+
+
+class TestTrain:
+    def test_hand_derived_merges(self, spark):
+        # histogram: low*10, lower*5, newest*3
+        # round 1 pair counts: (l,o) 15, (o,w) 15, (w,e) 8, (e,r) 5, ...
+        # tie (l,o) vs (o,w): lexicographic -> ('l','o')
+        hist = _hist(spark, [("low", 10), ("lower", 5), ("newest", 3)])
+        merges, seg = bpe_train(hist, n_merges=3)
+        assert merges[0] == ("l", "o")
+        # round 2: (lo, w) 15 wins
+        assert merges[1] == ("lo", "w")
+        # round 3: (e,s)=3,(s,t)=3,(n,e)=3,(e,w)=3,(w,e)=8? 'newest' has
+        # w,e and 'lower' ended as [low,e,r]: (low,e) 5, (e,r) 5, (w,e) 3
+        # -> counts: (e,s)3 (s,t)3 (n,e)3 (e,w)3 (w,e)3 (low,e)5 (e,r)5
+        # tie (e,r) vs (low,e) at 5 -> lexicographic ('e','r')
+        assert merges[2] == ("e", "r")
+        got = {r["word"]: r["seg"] for r in seg.collect()}
+        assert got["low"] == ["low"]
+        assert got["lower"] == ["low", "er"]
+
+    def test_early_stop_when_fully_merged(self, spark):
+        hist = _hist(spark, [("ab", 2)])
+        merges, seg = bpe_train(hist, n_merges=10)
+        assert merges == [("a", "b")]
+        assert seg.head()["seg"] == ["ab"]
+
+    def test_min_count_stops(self, spark):
+        hist = _hist(spark, [("ab", 1), ("cd", 1)])
+        merges, _ = bpe_train(hist, n_merges=5, min_count=2)
+        assert merges == []
+
+    def test_validation(self, spark):
+        hist = _hist(spark, [("ab", 1)])
+        with pytest.raises(ValueError):
+            bpe_train(hist, n_merges=0)
+        with pytest.raises(ValueError):
+            bpe_train(hist, n_merges=1, min_count=0)
+
+
+class TestEncode:
+    def test_encode_matches_trained_segmentation(self, spark):
+        docs = _docs(
+            spark,
+            [(0, "spark spark join"), (1, "join the spark stream"), (2, "the the")],
+        )
+        merges, seg = bpe_train(bpe_word_histogram(docs), n_merges=6)
+        vocab = seg.select("word")
+        enc = {r["word"]: r["seg"] for r in bpe_encode_words(vocab, merges).collect()}
+        trained = {r["word"]: r["seg"] for r in seg.collect()}
+        assert enc == trained
+
+    def test_unseen_characters_stay_single(self, spark):
+        hist = _hist(spark, [("aa", 5)])
+        merges, _ = bpe_train(hist, n_merges=1)
+        novel = spark.createDataFrame([("aaz",), ("zz",)], "word string")
+        got = {r["word"]: r["seg"] for r in bpe_encode_words(novel, merges).collect()}
+        assert got == {"aaz": ["aa", "z"], "zz": ["z", "z"]}
+
+    def test_segment_chars(self, spark):
+        df = spark.createDataFrame([("abc",)], "word string")
+        assert df.select(segment_chars("word").alias("s")).head()["s"] == [
+            "a",
+            "b",
+            "c",
+        ]
+
+
+class TestCountsAndText:
+    def test_token_counts_fold_word_multiplicities(self, spark):
+        docs = _docs(spark, [(0, "ab ab c"), (1, "c c c")])
+        merges = [("a", "b")]
+        got = {
+            r["doc_id"]: (r["n_ws"], r["n_bpe"])
+            for r in bpe_token_counts(docs, merges).collect()
+        }
+        # doc 0: ab(1 subword) x2 + c(1) = 3 ws, 3 bpe; without the
+        # merge ab would be 2 subwords
+        assert got == {0: (3, 3), 1: (3, 3)}
+        nomerge = {
+            r["doc_id"]: r["n_bpe"]
+            for r in bpe_token_counts(docs, [("x", "y")]).collect()
+        }
+        assert nomerge[0] == 5  # a|b twice + c
+
+    def test_counts_via_trained_seg_map_skip_encode(self, spark):
+        docs = _docs(spark, [(0, "low lower"), (1, "low newest")])
+        merges, seg = bpe_train(bpe_word_histogram(docs), n_merges=2)
+        a = sorted(map(tuple, bpe_token_counts(docs, merges).collect()))
+        b = sorted(map(tuple, bpe_token_counts(docs, seg_map=seg).collect()))
+        assert a == b
+        with pytest.raises(ValueError):
+            bpe_token_counts(docs)
+
+    def test_segment_text_preserves_word_order(self, spark):
+        docs = _docs(spark, [(0, "low lower low")])
+        merges, seg = bpe_train(bpe_word_histogram(docs), n_merges=2)
+        row = bpe_segment_text(docs, seg).head()
+        # merges: (l,o) then tie ('lo','w') -> 'low'=[low], 'lower'=[low,e,r]
+        assert row["seg_text"] == "low|low e r|low"
+        assert (row["n_ws"], row["n_bpe"]) == (3, 5)
+
+    def test_save_load_roundtrip(self, spark, tmp_path):
+        merges = [("a", "b"), ("ab", "c")]
+        save_bpe(spark, merges, str(tmp_path / "bpe"))
+        assert load_bpe(spark, str(tmp_path / "bpe")) == merges
+
+    def test_packing_consumes_bpe_counts(self, spark):
+        from swarm_spark.ops.packing import pack_concat_chunks
+
+        docs = _docs(spark, [(0, "ab ab"), (1, "ab c"), (2, "c")])
+        counts = bpe_token_counts(docs, [("x", "y")])  # no merges apply
+        packed = pack_concat_chunks(
+            docs.join(counts, "doc_id"), capacity=4, count_col="n_bpe"
+        )
+        rows = {(r["doc_id"], r["window_id"]): r["take"] for r in packed.collect()}
+        # char counts: doc0=4, doc1=3, doc2=1 -> windows [0:4)=doc0,
+        # [4:8)=doc1+doc2
+        assert rows == {(0, 0): 4, (1, 1): 3, (2, 1): 1}

@@ -1028,3 +1028,47 @@ class TestReportSketches:
             .groupBy("tok").count().where(F.col("count") >= 400).collect()
         }
         assert truth <= set(hh)
+
+
+class TestTokenizerCli:
+    def test_train_then_encode_matches_library(self, spark, tmp_path, capsys):
+        """`tokenizer train` writes the (rank, a, b) merge-table
+        parquet; `tokenizer encode` round-trips it and reproduces the
+        library counts exactly; --segments emits the full rendering."""
+        model = str(tmp_path / "bpe")
+        res = _run(
+            capsys,
+            ["--cpus", "4", "tokenizer", "train",
+             "/root/testdata/sf0.001/documents.parquet",
+             "--model", model, "--merges", "12"],
+        )
+        assert res["merges"] == 12 and res["vocab_words"] > 0
+        out_dir = str(tmp_path / "counts")
+        res_e = _run(
+            capsys,
+            ["--cpus", "4", "tokenizer", "encode",
+             "/root/testdata/sf0.001/documents.parquet",
+             "--model", model, "--output", out_dir],
+        )
+        assert res_e["docs"] == 500 and res_e["merges"] == 12
+        # BPE merges can only shrink the char-level count toward the
+        # word count: n_ws <= n_bpe always (a word is >= 1 subword)
+        assert res_e["bpe_tokens"] >= res_e["ws_tokens"] > 0
+        back = spark.read.parquet(out_dir)
+        from swarm_spark.ops.bpe import bpe_token_counts, load_bpe
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        want = sorted(
+            map(tuple, bpe_token_counts(docs, load_bpe(spark, model)).collect())
+        )
+        assert sorted(map(tuple, back.collect())) == want
+        seg_dir = str(tmp_path / "segs")
+        res_g = _run(
+            capsys,
+            ["--cpus", "4", "tokenizer", "encode",
+             "/root/testdata/sf0.001/documents.parquet",
+             "--model", model, "--output", seg_dir, "--segments"],
+        )
+        assert res_g["bpe_tokens"] == res_e["bpe_tokens"]
+        segs = spark.read.parquet(seg_dir)
+        assert "seg_text" in segs.columns and segs.count() == 500

@@ -128,6 +128,33 @@ class TestZorderLayout:
         assert "zkey" in out.columns
         assert out.count() == 4096
 
+    def test_file_skipping_on_written_parquet(self, spark, tmp_path):
+        """The user-facing payoff, measured on REAL written files (r9
+        VERDICT task #6): write the same table z-ordered vs
+        single-column-sorted, read back each parquet FILE's y min/max
+        (what footer stats hold), and count the files a 16-wide
+        y-predicate could skip. Z-order must skip a majority; the
+        x-sort leaves y full-width in every file so it skips ~none."""
+        df = self._grid(spark, n=16384)
+        zdir, sdir = str(tmp_path / "z"), str(tmp_path / "s")
+        zorder_repartition(df, "x", "y", bits=8, n_files=32).write.parquet(zdir)
+        df.repartitionByRange(32, "x").write.parquet(sdir)
+
+        def skip_fraction(path):
+            per_file = (
+                spark.read.parquet(path)
+                .groupBy(F.input_file_name().alias("f"))
+                .agg(F.min("y").alias("lo"), F.max("y").alias("hi"))
+                .collect()
+            )
+            assert len(per_file) >= 16  # one file per non-empty partition
+            skipped = sum(1 for r in per_file if r["hi"] < 100 or r["lo"] > 115)
+            return skipped / len(per_file)
+
+        z_skip, s_skip = skip_fraction(zdir), skip_fraction(sdir)
+        assert z_skip >= 0.5, (z_skip, s_skip)
+        assert s_skip <= 0.1, (z_skip, s_skip)
+
 
 class TestZorderKeyN:
     def test_matches_two_column_form(self, spark):
