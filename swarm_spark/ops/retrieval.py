@@ -279,6 +279,31 @@ def load_bm25_bounds(spark, path: str) -> DataFrame:
     )
 
 
+def _two_phase_topk(
+    scored: DataFrame, k: int, n_salts: int, salt_seed: str
+) -> DataFrame:
+    """(query_id, id, score_micro, rank): the retrieval tier's salted
+    two-phase top-k over a (query_id, id, score_micro) frame — rank by
+    score descending, ties by id; no task sorts more than ~k rows per
+    (query, salt)."""
+    order = (F.col("score_micro").desc(), F.col("id"))
+    salt = (hash_bucket(F.col("id").cast("string"), salt_seed) % n_salts).cast("int")
+    w1 = Window.partitionBy("query_id", "salt").orderBy(*order)
+    survivors = (
+        scored.withColumn("salt", salt)
+        .withColumn("rk", F.row_number().over(w1))
+        .where(F.col("rk") <= k)
+        .drop("rk", "salt")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "id", "score_micro", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 def _kth_score(
     scored: DataFrame, k: int, n_salts: int, salt_seed: str
 ) -> DataFrame:
@@ -319,6 +344,7 @@ def bm25_pruned(
     stats: DataFrame | None = None,
     totals: DataFrame | None = None,
     bounds: DataFrame | None = None,
+    seed_terms: int = 8,
 ) -> DataFrame:
     """:func:`bm25_topk` with MaxScore-style candidate pruning — SAME
     output, bit for bit (score, rank, ties), but only a fraction of the
@@ -328,11 +354,14 @@ def bm25_pruned(
     MaxScore) / Broder et al. 2003 (WAND), re-expressed as three
     declarative passes instead of a doc-at-a-time cursor walk:
 
-    1. **Seed θ**: each query's highest-upper-bound term (≈ its rarest
-       term) nominates its posting list as seed docs; those docs are
-       scored EXACTLY, and θ = the k-th seed score — a lower bound on
-       the true k-th score because seed docs are a subset of all
-       candidates.
+    1. **Seed θ**: each query's ``seed_terms`` highest-upper-bound
+       terms (≈ its rarest terms — several, because one rare term's
+       posting list can hold fewer than k docs) nominate their posting
+       lists as seed docs; those docs are scored EXACTLY, and θ = the
+       k-th seed score — a lower bound on the true k-th score because
+       seed docs are a subset of all candidates. Fewer than k seed
+       docs → θ is absent → every term stays essential (graceful
+       fallback to the exhaustive plan, plus overhead).
     2. **Essential terms**: per term, ub = round(1e6·idf·ub_tfnorm)+1
        with ub_tfnorm = max_tf·(k1+1)/(max_tf + k1·(1−b)) — the tf-norm
        at dl → 0, an upper bound on every posting's contribution
@@ -362,11 +391,23 @@ def bm25_pruned(
     rare-term posting lists), never |Q|·N; the exact-scoring joins gate
     the postings on those pair frames first (AQE broadcasts them when
     they are as small as pruning makes them), so the score aggregation
-    and top-k windows see only surviving candidates."""
+    and top-k windows see only surviving candidates.
+
+    Pruning is also SELF-DISABLING where it cannot help: two
+    metadata-priced volume checks against the df statistic (one before
+    any postings work, one after θ) detect a vocabulary with no
+    rarity spread — the saturated case, where every "rare" term is
+    dense and the candidate set cannot shrink — and return the plain
+    exhaustive plan instead of paying seed/verify joins for nothing
+    (measured: unguarded pruning on a fully saturated vocab ran slower
+    than the exhaustive ranker; see SCALING.md). Results are identical
+    on every path — that is the theorem the oracle checks."""
     from .similarity import _probe_is_small
 
     if k < 1 or k1 <= 0 or not 0.0 <= b <= 1.0:
         raise ValueError(f"need k >= 1, k1 > 0, 0 <= b <= 1; got {k}, {k1}, {b}")
+    if seed_terms < 1:
+        raise ValueError(f"seed_terms must be >= 1, got {seed_terms}")
     if postings is None:
         if docs is None:
             raise ValueError("need docs or a persisted postings frame")
@@ -413,12 +454,24 @@ def bm25_pruned(
     ub_tfnorm = (F.col("max_tf") * F.lit(k1 + 1.0)) / (
         F.col("max_tf") + F.lit(k1 * (1.0 - b))
     )
-    qub = qidf.join(bounds, "tok").select(
+    # LEFT join: a query term missing from the bounds table (a partial
+    # bounds build) gets an infinite upper bound — always essential, so
+    # incomplete bounds degrade pruning, never correctness. (A PRESENT
+    # but stale max_tf that underestimates a newer wave's true max
+    # would break the bound — fold bounds with the same groupBy-max as
+    # the other statistics when appending.)
+    qub = qidf.join(bounds, "tok", "left").select(
         "query_id",
         "tok",
-        (F.round(F.lit(1_000_000) * F.col("idf") * ub_tfnorm).cast("long") + 1).alias(
-            "ub"
-        ),
+        F.when(
+            # 2^52: unreachable by any real theta (scores are ~2^31)
+            # yet safe in the cumulative sum (10^3 terms x 2^52 < 2^63)
+            F.col("max_tf").isNull(), F.lit(1 << 52)
+        )
+        .otherwise(
+            F.round(F.lit(1_000_000) * F.col("idf") * ub_tfnorm).cast("long") + 1
+        )
+        .alias("ub"),
     )
     tfnorm = (F.col("tf") * F.lit(k1 + 1.0)) / (
         F.col("tf")
@@ -427,6 +480,15 @@ def bm25_pruned(
     )
     term_micro = F.round(F.lit(1_000_000) * F.col("idf") * tfnorm).cast("long")
     qidf_b = _b(qidf)
+
+    def _exhaustive():
+        joined = (
+            post.join(qidf_b, "tok")
+            .select("query_id", "id", term_micro.alias("__t"))
+            .groupBy("query_id", "id")
+            .agg(F.sum("__t").alias("score_micro"))
+        )
+        return _two_phase_topk(joined, k, n_salts, "swarm-bm25")
 
     def _exact_scores(pairs: DataFrame) -> DataFrame:
         # candidate docs' postings first (AQE broadcasts the pair frame
@@ -439,12 +501,45 @@ def bm25_pruned(
             .agg(F.sum("__t").alias("score_micro"))
         )
 
+    # seed from the top-`seed_terms` upper-bound terms, not just one:
+    # on rare-tail vocabularies the single top term's posting list can
+    # hold fewer than k docs, leaving theta undefined and pruning
+    # disabled; a handful of rare lists still seeds cheaply, and theta
+    # stays a LOWER bound whatever the seed subset is (any doc scoring
+    # >= theta is in the candidate set by the exclusion bound, so the
+    # proof never needs seed membership)
     wseed = Window.partitionBy("query_id").orderBy(F.col("ub").desc(), F.col("tok"))
     seed_term = (
         qub.withColumn("__r", F.row_number().over(wseed))
-        .where(F.col("__r") == 1)
+        .where(F.col("__r") <= seed_terms)
         .select("query_id", "tok")
     )
+
+    # -------- adaptive effectiveness gate #1 (metadata-priced: one
+    # aggregation over the |Q|*terms-row stats join, NO postings scan).
+    # Pruning exists to make candidates follow rare posting lists; when
+    # the top-ub "rare" seed terms already carry > 1/3 of the batch's
+    # total posting volume, the vocabulary has no rarity to exploit
+    # (the saturated case: min df ≈ max df) and the seed/verify passes
+    # would pay joins for ~zero cut — measured slower than exhaustive
+    # at 10x. Results are identical either way (the pruning proof), so
+    # fall back to the exhaustive plan shape.
+    vol = (
+        qterms.join(stats, "tok")
+        .join(seed_term.withColumn("__s", F.lit(1)), ["query_id", "tok"], "left")
+        .agg(
+            F.coalesce(F.sum("df"), F.lit(0)).alias("v_all"),
+            F.coalesce(
+                F.sum(F.when(F.col("__s").isNotNull(), F.col("df")).otherwise(0)),
+                F.lit(0),
+            ).alias("v_seed"),
+        )
+        .head()
+    )
+    v_all = int(vol["v_all"])
+    if v_all == 0 or int(vol["v_seed"]) * 3 > v_all:
+        return _exhaustive()
+
     seed_pairs = post.join(_b(seed_term), "tok").select("query_id", "id").distinct()
     theta = _kth_score(_exact_scores(seed_pairs), k, n_salts, "swarm-bm25p")
 
@@ -459,25 +554,21 @@ def bm25_pruned(
         .where(F.col("theta").isNull() | (F.col("cum") >= F.col("theta")))
         .select("query_id", "tok")
     )
-    cand = post.join(_b(ess), "tok").select("query_id", "id").distinct()
-    scored = _exact_scores(cand)
+    # -------- adaptive gate #2: theta may still leave most of the
+    # volume essential (flat upper bounds). Same metadata-priced check
+    # (executing it runs the seed scoring — bounded by gate #1); if the
+    # essential volume isn't a real cut, verify would join candidate
+    # pairs that are ~all pairs: take the exhaustive shape instead.
+    ev = (
+        ess.join(stats, "tok")
+        .agg(F.coalesce(F.sum("df"), F.lit(0)).alias("v_ess"))
+        .head()
+    )
+    if int(ev["v_ess"]) * 3 > 2 * v_all:
+        return _exhaustive()
 
-    order = (F.col("score_micro").desc(), F.col("id"))
-    salt = (hash_bucket(F.col("id").cast("string"), "swarm-bm25") % n_salts).cast("int")
-    w1 = Window.partitionBy("query_id", "salt").orderBy(*order)
-    survivors = (
-        scored.withColumn("salt", salt)
-        .withColumn("rk", F.row_number().over(w1))
-        .where(F.col("rk") <= k)
-        .drop("rk", "salt")
-    )
-    w2 = Window.partitionBy("query_id").orderBy(*order)
-    return (
-        survivors.withColumn("rank", F.row_number().over(w2).cast("long"))
-        .where(F.col("rank") <= k)
-        .select("query_id", "id", "score_micro", "rank")
-        .orderBy("query_id", "rank")
-    )
+    cand = post.join(_b(ess), "tok").select("query_id", "id").distinct()
+    return _two_phase_topk(_exact_scores(cand), k, n_salts, "swarm-bm25")
 
 
 def rrf_fuse(
@@ -667,6 +758,7 @@ def lm_pruned(
     cf_stats: DataFrame | None = None,
     totals: DataFrame | None = None,
     bounds: DataFrame | None = None,
+    seed_terms: int = 8,
 ) -> DataFrame:
     """:func:`lm_topk` with MaxScore-style pruning — same output, bit
     for bit, via the three passes of :func:`bm25_pruned` (seed θ from
@@ -687,11 +779,15 @@ def lm_pruned(
 
     ``bounds`` is the same (tok, max_tf) max-monoid statistic BM25
     pruning uses (one bounds table serves both rankers, like the
-    shared postings)."""
+    shared postings). The two adaptive effectiveness gates (see
+    :func:`bm25_pruned`) apply here too, with ``cf`` as the volume
+    statistic — identical results on every path."""
     from .similarity import _probe_is_small
 
     if k < 1 or mu <= 0:
         raise ValueError(f"need k >= 1 and mu > 0; got {k}, {mu}")
+    if seed_terms < 1:
+        raise ValueError(f"seed_terms must be >= 1, got {seed_terms}")
     if postings is None:
         if docs is None:
             raise ValueError("need docs or a persisted postings frame")
@@ -743,10 +839,15 @@ def lm_pruned(
             )
         ).cast("long")
 
-    qub = qcf.join(bounds, "tok").select(
+    # LEFT join with an infinite-ub fallback for terms missing from a
+    # partial bounds table — see bm25_pruned: incomplete bounds degrade
+    # pruning, never correctness
+    qub = qcf.join(bounds, "tok", "left").select(
         "query_id",
         "tok",
-        (F.col("qtf") * _ln_micro(F.col("max_tf")) + 1).alias("ub"),
+        F.when(F.col("max_tf").isNull(), F.lit(1 << 52))
+        .otherwise(F.col("qtf") * _ln_micro(F.col("max_tf")) + 1)
+        .alias("ub"),
     )
     term_micro = F.col("qtf") * _ln_micro(F.col("tf"))
     norm_of = lambda dl_col: F.round(  # noqa: E731 — shared exact expression
@@ -770,12 +871,51 @@ def lm_pruned(
             ),
         )
 
+    def _exhaustive():
+        p = (
+            post.join(qcf_b, "tok")
+            .select("query_id", "id", "dl", term_micro.alias("__t"))
+            .groupBy("query_id", "id")
+            .agg(F.sum("__t").alias("__s"), F.max("dl").alias("dl"))
+        )
+        scored = p.join(qlen_b, "query_id").select(
+            "query_id",
+            "id",
+            (F.col("__s") + F.col("qlen") * norm_of(F.col("dl"))).alias(
+                "score_micro"
+            ),
+        )
+        return _two_phase_topk(scored, k, n_salts, "swarm-lm")
+
+    # top-`seed_terms` seeding — see bm25_pruned: single-term seeds
+    # starve theta on rare-tail vocabularies; correctness is seeding-
+    # independent (exclusion bound, not seed membership)
     wseed = Window.partitionBy("query_id").orderBy(F.col("ub").desc(), F.col("tok"))
     seed_term = (
         qub.withColumn("__r", F.row_number().over(wseed))
-        .where(F.col("__r") == 1)
+        .where(F.col("__r") <= seed_terms)
         .select("query_id", "tok")
     )
+
+    # adaptive effectiveness gate #1 — see bm25_pruned (cf is the
+    # posting-volume statistic this index shape stores; relative shares
+    # are what the gate compares, so cf vs df makes no difference)
+    vol = (
+        qterms.join(cf_stats, "tok")
+        .join(seed_term.withColumn("__s", F.lit(1)), ["query_id", "tok"], "left")
+        .agg(
+            F.coalesce(F.sum("cf"), F.lit(0)).alias("v_all"),
+            F.coalesce(
+                F.sum(F.when(F.col("__s").isNotNull(), F.col("cf")).otherwise(0)),
+                F.lit(0),
+            ).alias("v_seed"),
+        )
+        .head()
+    )
+    v_all = int(vol["v_all"])
+    if v_all == 0 or int(vol["v_seed"]) * 3 > v_all:
+        return _exhaustive()
+
     seed_pairs = post.join(_b(seed_term), "tok").select("query_id", "id").distinct()
     theta = _kth_score(_exact_scores(seed_pairs), k, n_salts, "swarm-lmp")
 
@@ -794,25 +934,17 @@ def lm_pruned(
         .where(F.col("theta").isNull() | (F.col("cum") >= F.col("theta") - qnorm_ub))
         .select("query_id", "tok")
     )
-    cand = post.join(_b(ess), "tok").select("query_id", "id").distinct()
-    scored = _exact_scores(cand)
+    # adaptive gate #2 — see bm25_pruned
+    ev = (
+        ess.join(cf_stats, "tok")
+        .agg(F.coalesce(F.sum("cf"), F.lit(0)).alias("v_ess"))
+        .head()
+    )
+    if int(ev["v_ess"]) * 3 > 2 * v_all:
+        return _exhaustive()
 
-    order = (F.col("score_micro").desc(), F.col("id"))
-    salt = (hash_bucket(F.col("id").cast("string"), "swarm-lm") % n_salts).cast("int")
-    w1 = Window.partitionBy("query_id", "salt").orderBy(*order)
-    survivors = (
-        scored.withColumn("salt", salt)
-        .withColumn("rk", F.row_number().over(w1))
-        .where(F.col("rk") <= k)
-        .drop("rk", "salt")
-    )
-    w2 = Window.partitionBy("query_id").orderBy(*order)
-    return (
-        survivors.withColumn("rank", F.row_number().over(w2).cast("long"))
-        .where(F.col("rank") <= k)
-        .select("query_id", "id", "score_micro", "rank")
-        .orderBy("query_id", "rank")
-    )
+    cand = post.join(_b(ess), "tok").select("query_id", "id").distinct()
+    return _two_phase_topk(_exact_scores(cand), k, n_salts, "swarm-lm")
 
 
 def positional_postings(

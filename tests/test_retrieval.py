@@ -759,3 +759,39 @@ class TestPhraseMatchRare:
         pos = sorted(map(tuple, phrase_match(docs, ph).collect()))
         rare = sorted(map(tuple, phrase_match_rare(docs, ph).collect()))
         assert pos == rare and pos
+
+
+class TestPrunedSeedTerms:
+    def test_rare_tail_multi_term_seed_still_exact(self, spark):
+        # every query term is df=1 (rare tail): a 1-term seed yields
+        # < k docs (theta absent -> exhaustive fallback), the default
+        # 8-term seed reaches theta — both must equal the exhaustive
+        # ranker exactly
+        from swarm_spark.ops.retrieval import bm25_pruned
+
+        docs = _docs(
+            spark,
+            [(i, f"u{i} common filler words here") for i in range(30)],
+        )
+        qs = _docs(
+            spark,
+            [(0, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 common")],
+        ).select(F.col("doc_id").alias("query_id"), "text")
+        want = sorted(map(tuple, bm25_topk(docs, qs, k=5).collect()))
+        for s in (1, 8, 64):
+            got = sorted(
+                map(tuple, bm25_pruned(docs, qs, k=5, seed_terms=s).collect())
+            )
+            assert got == want, s
+
+    def test_validation(self, spark):
+        from swarm_spark.ops.retrieval import bm25_pruned, lm_pruned
+
+        docs = _docs(spark, [(0, "a b")])
+        qs = _docs(spark, [(0, "a")]).select(
+            F.col("doc_id").alias("query_id"), "text"
+        )
+        with pytest.raises(ValueError):
+            bm25_pruned(docs, qs, seed_terms=0)
+        with pytest.raises(ValueError):
+            lm_pruned(docs, qs, seed_terms=0)
