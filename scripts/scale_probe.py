@@ -244,7 +244,11 @@ def probe(
 
         zlpost, zlstats, zltot = load_bm25(spark, zipf_dir)
         zlbounds = _lbb(spark, zipf_dir)
-        qzipf = mixed.where(F.col("doc_id") < 200).select(
+        # 2,000-query batch (10x the other lexical probes): pruning
+        # trades a few extra index scans (flat in |Q|) for a candidate
+        # aggregation that shrinks from |Q|-proportional to ~rare-df —
+        # the win regime is query-heavy serving, so measure it there
+        qzipf = mixed.where(F.col("doc_id") < 2000).select(
             F.col("doc_id").alias("query_id"), "text"
         )
 
@@ -272,11 +276,17 @@ def probe(
             save_positional as _spos,
         )
 
+        from swarm_spark.ops.retrieval import prune_tok_buckets as _ptb
+
         zpos_dir = os.path.join(data_dir, "pos_zipf_ix")
+        zposb_dir = os.path.join(data_dir, "pos_zipf_bkt_ix")
         zmixed = _mixed_docs(docs)
         if not os.path.exists(os.path.join(zpos_dir, "postings")):
             _spos(_ppost(zmixed), zpos_dir)
+        if not os.path.exists(os.path.join(zposb_dir, "postings")):
+            _spos(_ppost(zmixed), zposb_dir, tok_buckets=64)
         zlpos = _lpos(spark, zpos_dir)
+        zlposb = _lpos(spark, zposb_dir)
         # mixed ws = n words + (n-4) grams; the boundary phrase starts
         # at word n-1 (1-based): (w_{n-1}, w_n, g_1)
         zphrases = (
@@ -445,6 +455,19 @@ def probe(
         "phrase_zipf": lambda: _pm(None, zphrases, postings=zlpos),
         "phrase_rare_zipf": lambda: phrase_match_rare(
             None, zphrases, postings=zlpos
+        ),
+        # tok-bucketed layout: the probe partition-prunes the postings
+        # scan to its query terms' buckets BEFORE anything joins — the
+        # layout lever for the scan-emission floor the unbucketed rare
+        # row keeps paying (the bucket collect is timed: probe cost)
+        "phrase_rare_zipf_bkt": lambda: phrase_match_rare(
+            None,
+            zphrases,
+            postings=_ptb(
+                zlposb,
+                zphrases.select(F.explode(F.split("text", " +")).alias("tok")),
+                64,
+            ),
         ),
         "ann_topk_ivfpq": lambda: ann_topk_ivfpq(
             emb, queries, k=5, n_cells=8 * factor, nprobe=4, cell_iters=3,

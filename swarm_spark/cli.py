@@ -265,7 +265,7 @@ def cmd_index(args) -> int:
         if args.action == "build":
             docs = spark.read.parquet(args.input)
             post = positional_postings(docs, args.text_col, args.id_col)
-            save_positional(post, args.index)
+            save_positional(post, args.index, tok_buckets=args.tok_buckets or None)
             print(
                 json.dumps(
                     {
@@ -281,9 +281,18 @@ def cmd_index(args) -> int:
                 F.col(args.id_col).alias("phrase_id"),
                 F.col(args.text_col).alias("text"),
             )
-            out = phrase_match(
-                None, phrases, postings=load_positional(spark, args.index)
-            )
+            post = load_positional(spark, args.index)
+            if args.tok_buckets and "tbkt" in post.columns:
+                # partition-prune the scan to the batch's term buckets
+                from .ops.retrieval import prune_tok_buckets
+                from .ops.text import tokens_col
+
+                post = prune_tok_buckets(
+                    post,
+                    phrases.select(F.explode(tokens_col("text")).alias("tok")),
+                    args.tok_buckets,
+                )
+            out = phrase_match(None, phrases, postings=post)
             for r in (out.limit(args.limit) if args.limit else out).collect():
                 print(json.dumps({k: str(v) for k, v in r.asDict().items()}))
         return 0
@@ -302,7 +311,7 @@ def cmd_index(args) -> int:
             post = bm25_postings(docs, args.text_col, args.id_col)
             save_bm25(
                 post, bm25_stats(post), bm25_totals(docs, args.text_col, args.id_col),
-                args.index,
+                args.index, tok_buckets=args.tok_buckets or None,
             )
             trow = load_bm25(spark, args.index)[2].head()
             print(
@@ -322,6 +331,15 @@ def cmd_index(args) -> int:
                 F.col(args.id_col).alias("query_id"),
                 F.col(args.text_col).alias("text"),
             )
+            if args.tok_buckets and "tbkt" in post.columns:
+                from .ops.retrieval import prune_tok_buckets
+                from .ops.text import tokens_col
+
+                post = prune_tok_buckets(
+                    post,
+                    queries.select(F.explode(tokens_col("text")).alias("tok")),
+                    args.tok_buckets,
+                )
             if args.scorer == "lm":
                 from .ops.retrieval import lm_topk
 
@@ -1032,6 +1050,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--k", type=int, default=5)
     sp.add_argument("--nprobe", type=int, default=4)
     sp.add_argument("--limit", type=int, default=0)
+    sp.add_argument(
+        "--tok-buckets", type=int, default=0,
+        help="bm25/positional: hash-partition the postings files by a "
+        "token bucket at build; pass the SAME value at probe to "
+        "partition-prune the scan to the batch's term buckets",
+    )
     sp.add_argument(
         "--kind", choices=["ivf", "ivfpq", "bm25", "positional"], default="ivf",
         help="ivfpq stores (cell, m codes) per vector and probes by "

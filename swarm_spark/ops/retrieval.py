@@ -104,15 +104,33 @@ def save_bm25(
     stats: DataFrame,
     totals: DataFrame,
     path: str,
+    tok_buckets: int | None = None,
 ) -> None:
     """Persist a BM25 lexical index: postings (corpus-sized — the only
     table that scales with the corpus), df stats (vocab-sized) and the
     grand totals (1+ rows; additive). All three are mergeable, so
     append-only waves fold in without rebuilding — mirror of
-    :func:`swarm_spark.ops.pq.save_ivfpq`."""
+    :func:`swarm_spark.ops.pq.save_ivfpq`.
+
+    ``tok_buckets``: hash-partition the postings files by a bucket of
+    ``tok`` (see :func:`save_positional`) so probes can partition-prune
+    the scan to their query terms' buckets via
+    :func:`prune_tok_buckets`. Prune only the PROBE's postings input —
+    the derived-totals fallback (``totals=None``) needs the full
+    frame."""
     import os
 
-    postings.write.mode("overwrite").parquet(os.path.join(path, "postings"))
+    if tok_buckets is None:
+        postings.write.mode("overwrite").parquet(os.path.join(path, "postings"))
+    else:
+        (
+            postings.withColumn(
+                _TOK_BUCKET_COL, tok_bucket_col(F.col("tok"), tok_buckets)
+            )
+            .write.mode("overwrite")
+            .partitionBy(_TOK_BUCKET_COL)
+            .parquet(os.path.join(path, "postings"))
+        )
     stats.write.mode("overwrite").parquet(os.path.join(path, "stats"))
     totals.write.mode("overwrite").parquet(os.path.join(path, "totals"))
 
@@ -1121,21 +1139,87 @@ def phrase_match_rare(
     )
 
 
-def save_positional(postings: DataFrame, path: str) -> None:
+_TOK_BUCKET_COL = "tbkt"
+
+
+def tok_bucket_col(tok, n_buckets: int, seed: str = "swarm-tokbkt"):
+    """int bucket id of a token — the hash-partitioning key for
+    tok-bucketed index layouts (:func:`save_positional` with
+    ``tok_buckets``, :func:`prune_tok_buckets`). Deterministic md5
+    arithmetic, so build-time and probe-time bucketing always agree."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    c = F.col(tok) if isinstance(tok, str) else tok
+    return (hash_bucket(c, seed) % n_buckets).cast("int")
+
+
+def save_positional(
+    postings: DataFrame, path: str, tok_buckets: int | None = None
+) -> None:
     """Persist a :func:`positional_postings` index (one corpus-sized
     parquet table). Disjoint append-only waves fold in by writing with
-    mode=append — rows are per-doc facts, union IS the merge."""
+    mode=append — rows are per-doc facts, union IS the merge.
+
+    ``tok_buckets``: ALSO hash-partition the files by a bucket of
+    ``tok`` (one directory per bucket). A probe then touches only its
+    query terms' buckets (:func:`prune_tok_buckets` — Spark partition
+    pruning at the file scan), so the scan cost of a lexical probe
+    follows the query's vocabulary slice instead of the whole index —
+    the layout lever for the scan-emission floor the SCALING.md
+    phrase rows document. Appended waves must use the SAME bucket
+    count/seed (the bucket of a token is layout identity, like the
+    z-order key)."""
     import os
 
-    postings.write.mode("overwrite").parquet(os.path.join(path, "postings"))
+    if tok_buckets is None:
+        postings.write.mode("overwrite").parquet(os.path.join(path, "postings"))
+        return
+    (
+        postings.withColumn(
+            _TOK_BUCKET_COL, tok_bucket_col(F.col("tok"), tok_buckets)
+        )
+        .write.mode("overwrite")
+        .partitionBy(_TOK_BUCKET_COL)
+        .parquet(os.path.join(path, "postings"))
+    )
 
 
 def load_positional(spark, path: str) -> DataFrame:
     """Read back a :func:`save_positional` index (embedded schema —
-    any id type survives the round trip)."""
+    any id type survives the round trip; a tok-bucketed layout's
+    ``tbkt`` partition column rides along and is ignored by the
+    probe joins)."""
     import os
 
     return spark.read.parquet(os.path.join(path, "postings"))
+
+
+def prune_tok_buckets(
+    postings: DataFrame,
+    terms: DataFrame,
+    n_buckets: int,
+    term_col: str = "tok",
+    seed: str = "swarm-tokbkt",
+) -> DataFrame:
+    """Restrict a tok-bucketed postings frame to the buckets the
+    probe's terms hash into. The distinct bucket-id collect is bounded
+    by ``n_buckets`` ints (metadata however large the batch), and the
+    resulting IN-filter is a PARTITION filter at the parquet scan —
+    whole bucket directories are never opened. Exact for any
+    downstream equi-join on ``tok``: every row a term can match lives
+    in that term's bucket. Returns the frame unchanged when the batch
+    covers every bucket."""
+    bkts = sorted(
+        r["b"]
+        for r in terms.select(
+            tok_bucket_col(F.col(term_col), n_buckets, seed).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    if len(bkts) >= n_buckets:
+        return postings
+    return postings.where(F.col(_TOK_BUCKET_COL).isin(bkts))
 
 
 def phrase_match_grams(

@@ -1072,3 +1072,32 @@ class TestTokenizerCli:
         assert res_g["bpe_tokens"] == res_e["bpe_tokens"]
         segs = spark.read.parquet(seg_dir)
         assert "seg_text" in segs.columns and segs.count() == 500
+
+
+class TestTokBucketedIndexCli:
+    def test_bucketed_build_probe_matches_unbucketed(self, spark, tmp_path, capsys):
+        import json as _json
+
+        docs = "/root/testdata/sf0.001/documents.parquet"
+        flat, bkt = str(tmp_path / "flat"), str(tmp_path / "bkt")
+        _run(capsys, ["--cpus", "4", "index", "build", "--kind", "bm25",
+                      "--input", docs, "--index", flat])
+        _run(capsys, ["--cpus", "4", "index", "build", "--kind", "bm25",
+                      "--input", docs, "--index", bkt, "--tok-buckets", "16"])
+
+        def probe(ix, extra=()):
+            rc = main(["--cpus", "4", "index", "probe", "--kind", "bm25",
+                       "--input", docs, "--index", ix, "--queries", docs,
+                       "--k", "3", "--limit", "0", *extra])
+            assert rc == 0
+            return sorted(capsys.readouterr().out.strip().splitlines())
+
+        a = probe(flat)
+        b = probe(bkt, ("--tok-buckets", "16"))
+        assert a == b and len(a) > 0
+        # the bucketed layout actually partitioned the files
+        import os
+
+        assert any(
+            d.startswith("tbkt=") for d in os.listdir(os.path.join(bkt, "postings"))
+        )

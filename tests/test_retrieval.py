@@ -795,3 +795,82 @@ class TestPrunedSeedTerms:
             bm25_pruned(docs, qs, seed_terms=0)
         with pytest.raises(ValueError):
             lm_pruned(docs, qs, seed_terms=0)
+
+
+class TestTokBucketedIndex:
+    """Hash-bucketed index layout: probes partition-prune the postings
+    scan to their query terms' buckets — same results, fewer files."""
+
+    def test_phrase_probe_prunes_partitions(self, spark, tmp_path):
+        from swarm_spark.ops.retrieval import (
+            load_positional,
+            phrase_match,
+            positional_postings,
+            prune_tok_buckets,
+            save_positional,
+        )
+
+        docs = _docs(
+            spark,
+            [(i, f"w{i % 40} common t{i} end") for i in range(120)],
+        )
+        path = str(tmp_path / "posix")
+        save_positional(positional_postings(docs), path, tok_buckets=16)
+        lpos = load_positional(spark, path)
+        ph = spark.createDataFrame(
+            [(0, "w1 common"), (1, "t7 end")], "phrase_id long, text string"
+        )
+        pterms = ph.select(F.explode(F.split("text", " +")).alias("tok"))
+        pruned = prune_tok_buckets(lpos, pterms, 16)
+        got = phrase_match(None, ph, postings=pruned)
+        rows = sorted(map(tuple, got.collect()))
+        want = sorted(map(tuple, phrase_match(docs, ph).collect()))
+        assert rows == want and rows
+        final = (
+            got._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("+- == Initial Plan ==")[0]
+        )
+        # the IN-filter must reach the scan as a PARTITION filter
+        assert "PartitionFilters" in final and "tbkt" in final
+
+    def test_prune_is_identity_when_batch_covers_all_buckets(self, spark, tmp_path):
+        from swarm_spark.ops.retrieval import prune_tok_buckets
+
+        post = spark.createDataFrame(
+            [(1, f"t{i}", 0) for i in range(64)], "id long, tok string, pos long"
+        ).withColumn("tbkt", F.lit(0))
+        terms = spark.createDataFrame(
+            [(f"t{i}",) for i in range(64)], "tok string"
+        )
+        assert prune_tok_buckets(post, terms, 2) is post
+
+    def test_bm25_probe_over_pruned_bucketed_postings(self, spark, corpus, tmp_path):
+        from swarm_spark.ops.retrieval import prune_tok_buckets
+
+        path = str(tmp_path / "ix")
+        post = bm25_postings(corpus)
+        save_bm25(post, bm25_stats(post), bm25_totals(corpus), path, tok_buckets=8)
+        lpost, lstats, ltot = load_bm25(spark, path)
+        queries = _docs(spark, [(9, "broadcast window")]).select(
+            F.col("doc_id").alias("query_id"), "text"
+        )
+        qterms = queries.select(F.explode(F.split("text", " +")).alias("tok"))
+        pruned = prune_tok_buckets(lpost, qterms, 8)
+        got = sorted(
+            map(
+                tuple,
+                bm25_topk(
+                    None, queries, k=3, postings=pruned, stats=lstats, totals=ltot
+                ).collect(),
+            )
+        )
+        want = sorted(map(tuple, bm25_topk(corpus, queries, k=3).collect()))
+        assert got == want and got
+
+    def test_validation(self, spark):
+        from swarm_spark.ops.retrieval import tok_bucket_col
+
+        with pytest.raises(ValueError):
+            tok_bucket_col("tok", 0)
