@@ -74,6 +74,7 @@ def main() -> None:
         "phrase_match_rare",
         "text_bpe_tokens",
         "pack_chunks_bpe",
+        "text_lm_perplexity",
         "corpus_cms_freq",
         "text_nb_eval",
         "corpus_hll_distinct",

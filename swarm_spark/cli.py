@@ -534,13 +534,65 @@ def cmd_quality(args) -> int:
     (``ops/text.py::nb_train_quality``/``nb_score_quality``): train
     labels the known-good slice by a column value and writes the
     self-describing model parquet (≤ buckets+3 rows); score reads any
-    model file and writes or summarizes per-doc scores."""
+    model file and writes or summarizes per-doc scores. ``lm-train`` /
+    ``lm-score`` are the CCNet-shape perplexity filter over the same
+    flags (``ops/lm.py``): train counts the Stupid-Backoff bigram
+    tables on the known-good slice; score ranks any corpus by average
+    per-token micro-nats under that model."""
     from pyspark.sql import functions as F
 
     from .ops.text import nb_score_quality, nb_train_quality
 
     spark = _spark(args)
     docs = spark.read.parquet(args.input)
+    if args.action == "lm-train":
+        from .ops.lm import lm_train, save_lm
+
+        ref = docs.where(F.col(args.label_col) == args.label_value)
+        model = lm_train(ref, text_col=args.text_col, id_col=args.id_col)
+        save_lm(model, args.model)
+        counts = model.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("ctx").isNull(), F.lit(1))), F.lit(0)
+            ).alias("unigrams"),
+            F.coalesce(
+                F.sum(F.when(F.col("ctx").isNotNull(), F.lit(1))), F.lit(0)
+            ).alias("bigrams"),
+        ).head()
+        print(
+            json.dumps(
+                {
+                    "model": args.model,
+                    "unigrams": int(counts["unigrams"]),
+                    "bigrams": int(counts["bigrams"]),
+                    "ref_docs": ref.count(),
+                }
+            )
+        )
+        return 0
+    if args.action == "lm-score":
+        from .ops.lm import lm_perplexity, load_lm
+
+        model = load_lm(spark, args.model)
+        out = lm_perplexity(
+            docs, model, text_col=args.text_col, id_col=args.id_col
+        )
+        if args.output:
+            out.write.mode("overwrite").parquet(args.output)
+        agg = out.agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.round(F.avg("avg_micro")).cast("long").alias("mean_avg_micro"),
+        ).head()
+        print(
+            json.dumps(
+                {
+                    "docs": agg["docs"],
+                    "mean_avg_micro": agg["mean_avg_micro"],
+                    "output": args.output or None,
+                }
+            )
+        )
+        return 0
     if args.action == "train":
         label = F.col(args.label_col) == args.label_value
         model = nb_train_quality(
@@ -1224,8 +1276,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--nb-min-score", type=int, default=0)
     sp.set_defaults(fn=cmd_curate)
 
-    sp = sub.add_parser("quality", help="train/apply/evaluate the NB corpus-quality model")
-    sp.add_argument("action", choices=["train", "score", "eval"])
+    sp = sub.add_parser(
+        "quality",
+        help="train/apply/evaluate the NB corpus-quality model, or the "
+        "LM perplexity filter (lm-train/lm-score)",
+    )
+    sp.add_argument(
+        "action", choices=["train", "score", "eval", "lm-train", "lm-score"]
+    )
     sp.add_argument("input", help="documents parquet path")
     sp.add_argument("--model", required=True, help="model parquet dir")
     sp.add_argument("--label-col", default="lang")

@@ -4281,7 +4281,128 @@ FROM x ORDER BY doc_id, window_id
 """
 
 
+def q_text_lm_perplexity(spark, sf):
+    """CCNet-shape corpus quality signal (Wenzek et al. 2020): per-doc
+    cross-entropy under a Stupid-Backoff bigram LM (Brants et al.
+    2007) trained on the trusted lang=='en' slice — counts-only
+    training (two map-side-combined aggregations), scoring is the
+    token stream against three vocab-sized equi-joins, all log-space
+    arithmetic in integer micro-nats rounded once per token."""
+    from .ops.lm import lm_perplexity, lm_train
+
+    docs = _docs(spark, sf)
+    model = lm_train(docs.where(F.col("lang") == "en"))
+    return lm_perplexity(docs, model).orderBy("doc_id")
+
+
+def q_text_lm_merge(spark, sf):
+    """Incremental LM maintenance: the count tables are a SUM monoid,
+    so two independently trained waves folded with ``lm_merge`` must
+    score documents EXACTLY like one model trained on the union corpus
+    — the oracle is the full-train SQL, pinning wave-fold == retrain
+    end-to-end (the additive contract shared with the BM25 index and
+    every sketch in the repo)."""
+    from .ops.lm import lm_merge, lm_perplexity, lm_train
+
+    docs = _docs(spark, sf)
+    en = docs.where(F.col("lang") == "en")
+    merged = lm_merge(
+        lm_train(en.where(F.col("doc_id") % 2 == 0)),
+        lm_train(en.where(F.col("doc_id") % 2 == 1)),
+    )
+    return lm_perplexity(docs, merged).orderBy("doc_id")
+
+
+def q_text_lm_gate(spark, sf):
+    """The CCNet head cut as a curation gate: keep documents whose
+    average per-token cost under the reference LM is at most the
+    corpus mean — an adaptive threshold (one metadata-sized
+    aggregation over the scored frame), so the gate is meaningful at
+    every scale factor without a hand-tuned constant."""
+    from .ops.lm import lm_gate, lm_perplexity, lm_train
+
+    docs = _docs(spark, sf)
+    model = lm_train(docs.where(F.col("lang") == "en"))
+    thr = int(
+        lm_perplexity(docs, model)
+        .agg(F.round(F.avg("avg_micro")).cast("long").alias("t"))
+        .head()["t"]
+    )
+    return (
+        lm_gate(docs, model, thr)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+# the LM training/scoring CTE chain, shared by all three LM oracles:
+# counts from the en slice, T/V totals, per-position contexts, and the
+# three-branch Stupid-Backoff cost (association mirrors the Spark
+# expressions exactly — see ops/lm.py)
+_LM_SCORED_CTE = """
+w AS (SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(text, ' +'),
+                         t -> length(t) > 0) AS ws
+      FROM documents),
+uni AS (SELECT tok, cast(count(*) AS bigint) AS cnt
+        FROM (SELECT unnest(ws) AS tok FROM w WHERE lang = 'en')
+        GROUP BY tok),
+pairsrc AS (SELECT ws, unnest(range(len(ws) - 1)) AS i
+            FROM w WHERE lang = 'en'),
+bi AS (SELECT ws[i + 1] AS ctx, ws[i + 2] AS tok,
+              cast(count(*) AS bigint) AS cnt
+       FROM pairsrc GROUP BY 1, 2),
+tv AS (SELECT cast(sum(cnt) AS bigint) AS t,
+              cast(count(*) AS bigint) AS v
+       FROM uni),
+ent AS (SELECT doc_id, ws, unnest(ws) AS tok,
+               unnest(range(len(ws))) AS i
+        FROM w),
+ent2 AS (SELECT doc_id, tok,
+                CASE WHEN i = 0 THEN NULL ELSE ws[i] END AS ctx
+         FROM ent),
+scored AS (
+  SELECT e.doc_id,
+         cast(CASE
+           WHEN e.ctx IS NULL THEN
+             round(-1000000 * ln((coalesce(u.cnt, 0) + 1)
+                                 / (tv.t + tv.v + 1)))
+           WHEN b.cnt IS NOT NULL THEN
+             round(-1000000 * ln(b.cnt / uc.cnt))
+           ELSE
+             round(-1000000 * ln(0.4 * ((coalesce(u.cnt, 0) + 1)
+                                        / (tv.t + tv.v + 1))))
+         END AS bigint) AS c
+  FROM ent2 e
+  CROSS JOIN tv
+  LEFT JOIN bi b ON b.ctx = e.ctx AND b.tok = e.tok
+  LEFT JOIN uni u ON u.tok = e.tok
+  LEFT JOIN uni uc ON uc.tok = e.ctx),
+ppl AS (SELECT doc_id, cast(count(*) AS bigint) AS n_toks,
+               cast(sum(c) AS bigint) AS cost_micro,
+               cast(round(sum(c) / count(*)) AS bigint) AS avg_micro
+        FROM scored GROUP BY doc_id)
+"""
+
+SQL_LM_PPL = f"""
+WITH {_LM_SCORED_CTE}
+SELECT doc_id, n_toks, cost_micro, avg_micro FROM ppl ORDER BY doc_id
+"""
+
+SQL_LM_GATE = f"""
+WITH {_LM_SCORED_CTE},
+thr AS (SELECT cast(round(avg(avg_micro)) AS bigint) AS t FROM ppl)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN ppl USING (doc_id) CROSS JOIN thr
+WHERE ppl.avg_micro <= thr.t
+ORDER BY d.doc_id
+"""
+
+
 OPS: dict[str, tuple[Callable, str | None]] = {
+    "text_lm_perplexity": (q_text_lm_perplexity, SQL_LM_PPL),
+    "text_lm_merge": (q_text_lm_merge, SQL_LM_PPL),
+    "text_lm_gate": (q_text_lm_gate, SQL_LM_GATE),
     "corpus_hll_distinct": (q_corpus_hll_distinct, SQL_HLL_DISTINCT),
     "sample_weighted": (q_sample_weighted, SQL_SAMPLE_WEIGHTED),
     "sample_temperature": (q_sample_temperature, SQL_SAMPLE_TEMPERATURE),

@@ -280,6 +280,42 @@ class TestCurate:
         n_above = sum(1 for _, s in got if s > -7_000_000)
         assert 0 < res_c["docs_kept"] <= n_above < 500
 
+    def test_quality_lm_train_score_round_trip(self, spark, tmp_path, capsys):
+        """`quality lm-train` writes the Stupid-Backoff count tables;
+        `quality lm-score` reproduces the registry perplexity scorer
+        exactly after the parquet round-trip."""
+        model_dir = str(tmp_path / "lm")
+        res = _run(
+            capsys,
+            ["--cpus", "4", "quality", "lm-train",
+             "/root/testdata/sf0.001/documents.parquet",
+             "--model", model_dir, "--label-col", "lang",
+             "--label-value", "en"],
+        )
+        assert res["unigrams"] > 0 and res["bigrams"] > 0
+        assert 0 < res["ref_docs"] < 500
+        scores_dir = str(tmp_path / "ppl")
+        res_s = _run(
+            capsys,
+            ["--cpus", "4", "quality", "lm-score",
+             "/root/testdata/sf0.001/documents.parquet",
+             "--model", model_dir, "--output", scores_dir],
+        )
+        assert res_s["docs"] == 500 and res_s["mean_avg_micro"] > 0
+        back = spark.read.parquet(scores_dir)
+        assert set(back.columns) == {
+            "doc_id", "n_toks", "cost_micro", "avg_micro"
+        }
+        from swarm_spark.ops_queries import q_text_lm_perplexity
+
+        want = {
+            tuple(r)
+            for r in q_text_lm_perplexity(
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        }
+        assert {tuple(r) for r in back.collect()} == want
+
     def test_quality_eval_matches_registry_curve(self, spark, tmp_path, capsys):
         """`quality eval` sweeps thresholds on a labeled holdout and
         must reproduce the text_nb_eval registry operating curve: train

@@ -1,0 +1,165 @@
+"""Stupid-Backoff bigram LM perplexity filter (ops/lm.py): hand-
+derivable counts on tiny corpora, the three-branch per-token cost,
+wave-fold == retrain (the SUM-monoid contract), the gate semantics,
+and model persistence. Full-value DuckDB parity of train+score is
+pinned by test_oracle (text_lm_perplexity / text_lm_merge /
+text_lm_gate)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from swarm_spark.ops.lm import (
+    lm_gate,
+    lm_merge,
+    lm_perplexity,
+    lm_train,
+    load_lm,
+    save_lm,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _counts(model):
+    return {
+        (r["ctx"], r["tok"]): r["cnt"] for r in model.collect()
+    }
+
+
+def _micro(x: float) -> int:
+    v = x * 1_000_000
+    return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+
+class TestTrain:
+    def test_unigram_and_bigram_counts(self, spark):
+        m = _counts(lm_train(_docs(spark, [(1, "a b a"), (2, "b a")])))
+        assert m[(None, "a")] == 3 and m[(None, "b")] == 2
+        assert m[("a", "b")] == 1 and m[("b", "a")] == 2
+        assert ("a", "a") not in m
+
+    def test_empty_tokens_dropped(self, spark):
+        # leading/double spaces never mint the '' token (the TF-IDF
+        # all-pairs latent-divergence guard, applied here from day one)
+        m = _counts(lm_train(_docs(spark, [(1, "  a  b ")])))
+        assert m == {(None, "a"): 1, (None, "b"): 1, ("a", "b"): 1}
+
+    def test_single_token_doc_has_no_bigrams(self, spark):
+        m = _counts(lm_train(_docs(spark, [(1, "a")])))
+        assert m == {(None, "a"): 1}
+
+
+class TestScore:
+    def test_three_branch_costs(self, spark):
+        # corpus: "a b" x2, "a c" -> T=6, V=3
+        train = _docs(spark, [(1, "a b"), (2, "a b"), (3, "a c")])
+        model = lm_train(train)
+        t, v = 6, 3
+        out = {
+            r["doc_id"]: r
+            for r in lm_perplexity(
+                _docs(spark, [(10, "a b"), (11, "a z")]), model
+            ).collect()
+        }
+        # doc 10: first tok 'a' unigram (cnt 3), then seen bigram
+        # (a,b): cnt 2 over ctx cnt 3
+        c_first = _micro(-math.log((3 + 1) / (t + v + 1)))
+        c_seen = _micro(-math.log(2 / 3))
+        assert out[10]["n_toks"] == 2
+        assert out[10]["cost_micro"] == c_first + c_seen
+        # doc 11: 'z' is OOV -> backoff alpha * (0+1)/(T+V+1)
+        c_oov = _micro(-math.log(0.4 * ((0 + 1) / (t + v + 1))))
+        assert out[11]["cost_micro"] == c_first + c_oov
+        assert out[11]["avg_micro"] == round((c_first + c_oov) / 2)
+
+    def test_unseen_bigram_of_seen_words_backs_off(self, spark):
+        model = lm_train(_docs(spark, [(1, "a b"), (2, "b a")]))
+        t, v = 4, 2
+        out = lm_perplexity(_docs(spark, [(10, "a a")]), model).head()
+        c_first = _micro(-math.log((2 + 1) / (t + v + 1)))
+        c_backoff = _micro(-math.log(0.4 * ((2 + 1) / (t + v + 1))))
+        assert out["cost_micro"] == c_first + c_backoff
+
+    def test_empty_doc_absent(self, spark):
+        model = lm_train(_docs(spark, [(1, "a b")]))
+        got = lm_perplexity(
+            _docs(spark, [(10, "a"), (11, "")]), model
+        ).collect()
+        assert [r["doc_id"] for r in got] == [10]
+
+    def test_alpha_validated(self, spark):
+        model = lm_train(_docs(spark, [(1, "a b")]))
+        with pytest.raises(ValueError):
+            lm_perplexity(_docs(spark, [(1, "a")]), model, alpha=0.0)
+
+    def test_empty_model_rejected(self, spark):
+        model = lm_train(_docs(spark, [(1, "a")])).where(F.lit(False))
+        with pytest.raises(ValueError):
+            lm_perplexity(_docs(spark, [(1, "a")]), model)
+
+
+class TestMergeMonoid:
+    def test_wave_fold_equals_retrain(self, spark):
+        rows = [(i, f"tok{i % 3} tok{(i + 1) % 4} tok{i % 2}") for i in range(20)]
+        full = _docs(spark, rows)
+        merged = lm_merge(
+            lm_train(full.where(F.col("doc_id") % 2 == 0)),
+            lm_train(full.where(F.col("doc_id") % 2 == 1)),
+        )
+        assert _counts(merged) == _counts(lm_train(full))
+
+    def test_scores_identical_after_fold(self, spark):
+        rows = [(i, f"w{i % 5} w{(i * 7) % 5} w{i % 3}") for i in range(30)]
+        full = _docs(spark, rows)
+        merged = lm_merge(
+            lm_train(full.where(F.col("doc_id") < 10)),
+            lm_train(full.where(F.col("doc_id") >= 10)),
+        )
+        a = sorted(map(tuple, lm_perplexity(full, lm_train(full)).collect()))
+        b = sorted(map(tuple, lm_perplexity(full, merged).collect()))
+        assert a == b
+
+    def test_merge_requires_input(self):
+        with pytest.raises(ValueError):
+            lm_merge()
+
+
+class TestGate:
+    def test_keeps_low_perplexity_docs(self, spark):
+        # in-domain text scores low; OOV soup scores high
+        train = _docs(spark, [(i, "the cat sat on the mat") for i in range(5)])
+        model = lm_train(train)
+        docs = _docs(
+            spark, [(1, "the cat sat"), (2, "zz qq xx vv"), (3, "on the mat")]
+        )
+        scored = {
+            r["doc_id"]: r["avg_micro"]
+            for r in lm_perplexity(docs, model).collect()
+        }
+        thr = scored[1]
+        kept = sorted(
+            r["doc_id"] for r in lm_gate(docs, model, max(thr, scored[3])).collect()
+        )
+        assert 2 not in kept and 1 in kept and 3 in kept
+
+    def test_gate_preserves_doc_columns(self, spark):
+        model = lm_train(_docs(spark, [(1, "a b")]))
+        out = lm_gate(_docs(spark, [(5, "a b")]), model, 10**9)
+        assert out.columns == ["doc_id", "text"]
+        assert out.head()["text"] == "a b"
+
+
+class TestPersistence:
+    def test_save_load_round_trip(self, spark, tmp_path):
+        model = lm_train(_docs(spark, [(1, "a b a"), (2, "c a")]))
+        save_lm(model, str(tmp_path / "lm"))
+        loaded = load_lm(spark, str(tmp_path / "lm"))
+        assert _counts(loaded) == _counts(model)
+        out = lm_perplexity(_docs(spark, [(9, "a b c")]), loaded)
+        assert out.head()["n_toks"] == 3
