@@ -117,6 +117,65 @@ def _gram_docs(docs, n: int):
     )
 
 
+def _kw_docs(docs):
+    """Words + contiguous 3-gram + 5-gram units in one text column — a
+    THREE-tier df spectrum (words df ~ N; 3-grams over a 29.8k key
+    space, df mid; 5-grams over 28.6M keys, df ~ 1-2): the Zipf-like
+    df SPREAD a real vocabulary has, which `_mixed_docs` lacks a
+    middle band for."""
+    from pyspark.sql import functions as F
+
+    return docs.select("doc_id", F.split("text", " +").alias("ws")).select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.array_join(F.col("ws"), " "),
+            F.array_join(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 2),"
+                    " i -> concat_ws('_', ws[i-1], ws[i], ws[i+1]))"
+                ),
+                " ",
+            ),
+            F.array_join(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 4),"
+                    " i -> concat_ws('_', ws[i-1], ws[i], ws[i+1], ws[i+2], ws[i+3]))"
+                ),
+                " ",
+            ),
+        ).alias("text"),
+    )
+
+
+def _kw_queries(docs, n: int = 2000):
+    """Short keyword queries over the `_kw_docs` vocabulary: one
+    stopword-tier word + one mid-df 3-gram + one rare 5-gram from the
+    doc's middle — the classical MaxScore serving shape (Broder et
+    al.'s motivating case: a high-df term in the query must not drag
+    the whole corpus into candidate scoring). Probe docs always have
+    >= 8 tokens, so the middle-anchored indices stay in range."""
+    from pyspark.sql import functions as F
+
+    m = "cast(size(ws) / 2 as int)"
+    return (
+        docs.where(F.col("doc_id") < n)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.split("text", " +").alias("ws"),
+        )
+        .select(
+            "query_id",
+            F.expr(
+                "concat_ws(' ', ws[0],"
+                f" concat_ws('_', ws[{m}-1], ws[{m}], ws[{m}+1]),"
+                f" concat_ws('_', ws[{m}-1], ws[{m}], ws[{m}+1],"
+                f" ws[{m}+2], ws[{m}+3]))"
+            ).alias("text"),
+        )
+    )
+
+
 def _mixed_docs(docs):
     """Token text + the doc's contiguous 5-gram units in one text
     column — a ZIPFIAN mixed vocabulary (31 stopword-like common terms,
@@ -252,6 +311,29 @@ def probe(
             F.col("doc_id").alias("query_id"), "text"
         )
 
+    # build-once for the three-tier keyword-query lexical pair: the df
+    # SPECTRUM corpus (words + 3-grams + 5-grams) with SHORT queries —
+    # MaxScore's design point, where the stopword tier is non-essential
+    # and candidates follow the mid/rare posting lists
+    want_kw = only is None or bool(
+        {"bm25_kw", "bm25_pruned_kw", "lm_kw", "lm_pruned_kw"} & only
+    )
+    if want_kw:
+        kw_dir = os.path.join(data_dir, "bm25_kw_ix")
+        kwdocs = _kw_docs(docs)
+        if not os.path.exists(os.path.join(kw_dir, "totals")):
+            from swarm_spark.ops.retrieval import bm25_term_bounds as _btbk
+            from swarm_spark.ops.retrieval import save_bm25_bounds as _sbbk
+
+            kpost = bm25_postings(kwdocs)
+            save_bm25(kpost, bm25_stats(kpost), bm25_totals(kwdocs), kw_dir)
+            _sbbk(_btbk(kpost), kw_dir)
+        from swarm_spark.ops.retrieval import load_bm25_bounds as _lbbk
+
+        klpost, klstats, kltot = load_bm25(spark, kw_dir)
+        klbounds = _lbbk(spark, kw_dir)
+        qkw = _kw_queries(docs, 2000)
+
     # build-once for the persisted-path phrase probe: the positional
     # index lands on disk untimed; the row times the probe only
     # the Zipfian mixed-vocab phrase pair: 3-token phrases straddling
@@ -366,6 +448,32 @@ def probe(
             F.sum("score_micro").alias("s")
         )
 
+    def _bpe():
+        # train is vocab-histogram bounded (this 31-token soup saturates
+        # the word vocab, so merge rounds cost the same at any N); the
+        # corpus-sized stages are the histogram build and the counts
+        # fold against the vocab-sized segmentation map
+        from swarm_spark.ops.bpe import (
+            bpe_token_counts,
+            bpe_train,
+            bpe_word_histogram,
+        )
+
+        _, seg = bpe_train(bpe_word_histogram(docs), n_merges=24)
+        return bpe_token_counts(docs, seg_map=seg).agg(
+            F.sum("n_bpe").alias("s"), F.count(F.lit(1)).alias("n")
+        )
+
+    def _lm():
+        # counts-only train on the en slice + token-stream scoring
+        # against three vocab-sized equi-joins — both stages scan-bound
+        from swarm_spark.ops.lm import lm_perplexity, lm_train
+
+        model = lm_train(docs.where(F.col("lang") == "en"))
+        return lm_perplexity(docs, model).agg(
+            F.sum("cost_micro").alias("s"), F.count(F.lit(1)).alias("n")
+        )
+
     ops = {
         "dedup_ngram_jaccard": lambda: ngram_jaccard_pairs(
             docs, threshold=0.8, max_df=100 * factor
@@ -394,6 +502,10 @@ def probe(
             "n_tok",
         ),
         "dedup_bloom_gate": _bloom,
+        # BPE train+counts and LM perplexity train+score (r10): the two
+        # newest text tiers, probed end-to-end at production shape
+        "text_bpe_counts": _bpe,
+        "text_lm_ppl": _lm,
         "sample_shuffle_order": lambda: global_shuffle_order(
             docs.select("doc_id"), "doc_id"
         ),
@@ -438,6 +550,25 @@ def probe(
         "bm25_pruned_zipf": lambda: bm25_pruned(
             None, qzipf, k=5,
             postings=zlpost, stats=zlstats, totals=zltot, bounds=zlbounds,
+        ),
+        # the three-tier keyword pair: short queries (stopword + mid-df
+        # 3-gram + rare 5-gram) over the df-spectrum corpus — exhaustive
+        # admits df(stopword) ~ N candidates per query; MaxScore seeds
+        # theta from the two selective terms (seed_terms=2), the
+        # stopword goes non-essential, candidates follow the mid tier
+        "bm25_kw": lambda: bm25_topk(
+            None, qkw, k=5, postings=klpost, stats=klstats, totals=kltot
+        ),
+        "bm25_pruned_kw": lambda: bm25_pruned(
+            None, qkw, k=5, seed_terms=2,
+            postings=klpost, stats=klstats, totals=kltot, bounds=klbounds,
+        ),
+        "lm_kw": lambda: lm_topk(
+            None, qkw, k=5, postings=klpost, totals=kltot
+        ),
+        "lm_pruned_kw": lambda: lm_pruned(
+            None, qkw, k=5, seed_terms=2,
+            postings=klpost, totals=kltot, bounds=klbounds,
         ),
         # exact-phrase probe over the persisted positional index —
         # this saturated 31-token vocab is the worst case (every

@@ -816,6 +816,19 @@ def cmd_curate(args) -> int:
             .select(F.col("doc_id").alias(args.id_col))
         )
         kept = kept.join(good, args.id_col)
+    if args.lm_model:
+        # perplexity gate: keep docs whose average per-token cost under
+        # the persisted reference LM stays at/below the micro-nat cap —
+        # the CCNet head cut, applied after the heuristic/NB gates
+        from .ops.lm import lm_gate, load_lm
+
+        kept = lm_gate(
+            kept,
+            load_lm(spark, args.lm_model),
+            args.lm_max_avg,
+            text_col=args.text_col,
+            id_col=args.id_col,
+        )
     if args.quality_quantile:
         # ADAPTIVE per-language gate: keep docs at/above their language's
         # q-th quality quantile (histogram form — the threshold adapts
@@ -1274,6 +1287,12 @@ def build_parser() -> argparse.ArgumentParser:
         "docs scoring above --nb-min-score micro-nats",
     )
     sp.add_argument("--nb-min-score", type=int, default=0)
+    sp.add_argument(
+        "--lm-model", default="",
+        help="persisted LM count tables (quality lm-train): keep docs "
+        "whose avg per-token cost is <= --lm-max-avg micro-nats",
+    )
+    sp.add_argument("--lm-max-avg", type=int, default=10_000_000)
     sp.set_defaults(fn=cmd_curate)
 
     sp = sub.add_parser(

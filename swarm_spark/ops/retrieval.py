@@ -378,8 +378,11 @@ def bm25_pruned(
        lists as seed docs; those docs are scored EXACTLY, and θ = the
        k-th seed score — a lower bound on the true k-th score because
        seed docs are a subset of all candidates. Fewer than k seed
-       docs → θ is absent → every term stays essential (graceful
-       fallback to the exhaustive plan, plus overhead).
+       docs → θ is absent for THAT query → it is routed to the
+       exhaustive plan shape on its slice (per-query routing: a
+       seed-starved minority — or majority — never drags the rest of
+       the batch out of the pruned path, and pays nothing beyond the
+       shared seed scoring).
     2. **Essential terms**: per term, ub = round(1e6·idf·ub_tfnorm)+1
        with ub_tfnorm = max_tf·(k1+1)/(max_tf + k1·(1−b)) — the tf-norm
        at dl → 0, an upper bound on every posting's contribution
@@ -498,6 +501,13 @@ def bm25_pruned(
     )
     term_micro = F.round(F.lit(1_000_000) * F.col("idf") * tfnorm).cast("long")
     qidf_b = _b(qidf)
+    # batch-vocabulary scan restriction for the exact-scoring joins:
+    # one semi-join on tok emits Σ df over the batch's DISTINCT tokens
+    # (each posting row once), where joining candidates by bare id
+    # would fan every candidate out by its doc's FULL posting list
+    # (~dl rows) before the query-term filter — measured 1.6x SLOWER
+    # than exhaustive at 10x data before this cut
+    qtok_b = _b(qidf.select("tok").distinct())
 
     def _exhaustive():
         joined = (
@@ -509,10 +519,11 @@ def bm25_pruned(
         return _two_phase_topk(joined, k, n_salts, "swarm-bm25")
 
     def _exact_scores(pairs: DataFrame) -> DataFrame:
-        # candidate docs' postings first (AQE broadcasts the pair frame
-        # when pruning made it small), then only query terms survive
+        # batch-vocab postings → candidate docs (AQE broadcasts the
+        # pair frame when pruning made it small) → per-query terms
         return (
-            post.join(pairs, "id")
+            post.join(qtok_b, "tok")
+            .join(pairs, "id")
             .join(qidf_b, ["query_id", "tok"])
             .select("query_id", "id", term_micro.alias("__t"))
             .groupBy("query_id", "id")
@@ -559,8 +570,22 @@ def bm25_pruned(
         return _exhaustive()
 
     seed_pairs = post.join(_b(seed_term), "tok").select("query_id", "id").distinct()
-    theta = _kth_score(_exact_scores(seed_pairs), k, n_salts, "swarm-bm25p")
+    # theta is <= |Q| rows; localCheckpoint materializes it ONCE so the
+    # seed scoring does not re-execute under gate #2's action and again
+    # under the final plan (it is the priciest subplan of the pruned
+    # path — three executions showed up directly in probe wall time)
+    theta = _kth_score(
+        _exact_scores(seed_pairs), k, n_salts, "swarm-bm25p"
+    ).localCheckpoint()
 
+    # -------- per-query routing: theta-DEFINED queries take the
+    # candidate-verify path; theta-null queries (fewer than k seed
+    # docs — e.g. every seed term's posting list points at the same
+    # near-dup cluster) take the exhaustive plan SHAPE on their slice.
+    # Before this split, a starved majority forced the all-or-nothing
+    # gate and the whole batch paid seed overhead for zero cut; now a
+    # mixed batch prunes where theta exists and pays nothing extra
+    # where it doesn't (the null branch IS the exhaustive join).
     wcum = (
         Window.partitionBy("query_id")
         .orderBy(F.col("ub").asc(), F.col("tok"))
@@ -568,25 +593,45 @@ def bm25_pruned(
     )
     ess = (
         qub.withColumn("cum", F.sum("ub").over(wcum))
-        .join(_b(theta), "query_id", "left")
-        .where(F.col("theta").isNull() | (F.col("cum") >= F.col("theta")))
+        .join(_b(theta), "query_id")
+        .where(F.col("cum") >= F.col("theta"))
         .select("query_id", "tok")
     )
     # -------- adaptive gate #2: theta may still leave most of the
-    # volume essential (flat upper bounds). Same metadata-priced check
-    # (executing it runs the seed scoring — bounded by gate #1); if the
-    # essential volume isn't a real cut, verify would join candidate
-    # pairs that are ~all pairs: take the exhaustive shape instead.
+    # theta-DEFINED queries' volume essential (flat upper bounds).
+    # Same metadata-priced check (executing it runs the seed scoring —
+    # bounded by gate #1); if the essential volume isn't a real cut of
+    # the defined slice, verify would join candidate pairs that are
+    # ~all pairs: take the exhaustive shape for everything instead.
+    theta_q = theta.select("query_id")
     ev = (
-        ess.join(stats, "tok")
-        .agg(F.coalesce(F.sum("df"), F.lit(0)).alias("v_ess"))
+        qterms.join(theta_q, "query_id")
+        .join(stats, "tok")
+        .join(ess.withColumn("__e", F.lit(1)), ["query_id", "tok"], "left")
+        .agg(
+            F.coalesce(F.sum("df"), F.lit(0)).alias("v_def"),
+            F.coalesce(
+                F.sum(F.when(F.col("__e").isNotNull(), F.col("df")).otherwise(0)),
+                F.lit(0),
+            ).alias("v_ess"),
+        )
         .head()
     )
-    if int(ev["v_ess"]) * 3 > 2 * v_all:
+    v_def = int(ev["v_def"])
+    if v_def == 0 or int(ev["v_ess"]) * 3 > 2 * v_def:
         return _exhaustive()
 
     cand = post.join(_b(ess), "tok").select("query_id", "id").distinct()
-    return _two_phase_topk(_exact_scores(cand), k, n_salts, "swarm-bm25")
+    pruned = _exact_scores(cand)
+    exhaustive_slice = (
+        post.join(_b(qidf.join(theta_q, "query_id", "left_anti")), "tok")
+        .select("query_id", "id", term_micro.alias("__t"))
+        .groupBy("query_id", "id")
+        .agg(F.sum("__t").alias("score_micro"))
+    )
+    return _two_phase_topk(
+        pruned.unionByName(exhaustive_slice), k, n_salts, "swarm-bm25"
+    )
 
 
 def rrf_fuse(
@@ -872,10 +917,14 @@ def lm_pruned(
         F.lit(1_000_000.0) * F.log(F.lit(mu) / (dl_col + F.lit(mu)))
     ).cast("long")
     qcf_b, qlen_b = _b(qcf), _b(qlen)
+    # batch-vocab scan restriction — see bm25_pruned: the by-id join
+    # must never fan candidates out by full doc posting lists
+    qtok_b = _b(qcf.select("tok").distinct())
 
     def _exact_scores(pairs: DataFrame) -> DataFrame:
         p = (
-            post.join(pairs, "id")
+            post.join(qtok_b, "tok")
+            .join(pairs, "id")
             .join(qcf_b, ["query_id", "tok"])
             .select("query_id", "id", "dl", term_micro.alias("__t"))
             .groupBy("query_id", "id")
@@ -935,10 +984,17 @@ def lm_pruned(
         return _exhaustive()
 
     seed_pairs = post.join(_b(seed_term), "tok").select("query_id", "id").distinct()
-    theta = _kth_score(_exact_scores(seed_pairs), k, n_salts, "swarm-lmp")
+    # materialized once — see bm25_pruned
+    theta = _kth_score(
+        _exact_scores(seed_pairs), k, n_salts, "swarm-lmp"
+    ).localCheckpoint()
 
     # the corpus-wide normalizer max, by the same expression the real
-    # normalizer uses at dl = min_dl — bound is exact, no epsilon
+    # normalizer uses at dl = min_dl — bound is exact, no epsilon.
+    # Per-query routing as in bm25_pruned: theta-null queries take the
+    # exhaustive plan shape on their slice instead of forcing every
+    # term essential (which would push all-pairs volume through the
+    # candidate-verify join).
     qnorm_ub = F.col("qlen") * norm_of(F.lit(min_dl))
     wcum = (
         Window.partitionBy("query_id")
@@ -948,21 +1004,45 @@ def lm_pruned(
     ess = (
         qub.withColumn("cum", F.sum("ub").over(wcum))
         .join(qlen_b, "query_id")
-        .join(_b(theta), "query_id", "left")
-        .where(F.col("theta").isNull() | (F.col("cum") >= F.col("theta") - qnorm_ub))
+        .join(_b(theta), "query_id")
+        .where(F.col("cum") >= F.col("theta") - qnorm_ub)
         .select("query_id", "tok")
     )
-    # adaptive gate #2 — see bm25_pruned
+    # adaptive gate #2 over the theta-DEFINED slice — see bm25_pruned
+    theta_q = theta.select("query_id")
     ev = (
-        ess.join(cf_stats, "tok")
-        .agg(F.coalesce(F.sum("cf"), F.lit(0)).alias("v_ess"))
+        qterms.join(theta_q, "query_id")
+        .join(cf_stats, "tok")
+        .join(ess.withColumn("__e", F.lit(1)), ["query_id", "tok"], "left")
+        .agg(
+            F.coalesce(F.sum("cf"), F.lit(0)).alias("v_def"),
+            F.coalesce(
+                F.sum(F.when(F.col("__e").isNotNull(), F.col("cf")).otherwise(0)),
+                F.lit(0),
+            ).alias("v_ess"),
+        )
         .head()
     )
-    if int(ev["v_ess"]) * 3 > 2 * v_all:
+    v_def = int(ev["v_def"])
+    if v_def == 0 or int(ev["v_ess"]) * 3 > 2 * v_def:
         return _exhaustive()
 
     cand = post.join(_b(ess), "tok").select("query_id", "id").distinct()
-    return _two_phase_topk(_exact_scores(cand), k, n_salts, "swarm-lm")
+    pruned = _exact_scores(cand)
+    exh_pairs = (
+        post.join(_b(qcf.join(theta_q, "query_id", "left_anti")), "tok")
+        .select("query_id", "id", "dl", term_micro.alias("__t"))
+        .groupBy("query_id", "id")
+        .agg(F.sum("__t").alias("__s"), F.max("dl").alias("dl"))
+    )
+    exhaustive_slice = exh_pairs.join(qlen_b, "query_id").select(
+        "query_id",
+        "id",
+        (F.col("__s") + F.col("qlen") * norm_of(F.col("dl"))).alias("score_micro"),
+    )
+    return _two_phase_topk(
+        pruned.unionByName(exhaustive_slice), k, n_salts, "swarm-lm"
+    )
 
 
 def positional_postings(

@@ -990,6 +990,93 @@ def q_streaming_hll_e2e(spark, sf):
     )
 
 
+def q_streaming_lm_e2e(spark, sf):
+    """Streaming language-model maintenance end-to-end: the trusted
+    (lang=='en') documents arrive as hash-sliced micro-batches; each
+    batch APPENDS its Stupid-Backoff count tables (``ops/lm.py``) to an
+    append-only ledger (counts are a SUM monoid, so append +
+    sum-at-read equals one-shot training COUNT-EXACTLY — no
+    read-modify-write, crash-safe replay). The merged count table
+    itself is the result; the oracle retrains one-shot. Extends the
+    streaming-statistics family (digests, bitmaps, histograms,
+    postings, frequencies, cardinality) with its first MODEL: the
+    reference LM a perplexity-filter deployment keeps warm as waves of
+    trusted text land."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .ops.lm import lm_train
+    from .ops.sampling import hash_bucket
+
+    docs = (
+        load_table(spark, sf, "documents")
+        .where(F.col("lang") == "en")
+        .select("doc_id", "text")
+    )
+    tmp = tempfile.mkdtemp(prefix="swarm_lm_stream_")
+    src = os.path.join(tmp, "incoming")
+    os.makedirs(src)
+    slice_id = hash_bucket("doc_id", "swarm-lm-slice") % 4
+    for k in range(4):
+        rows = (
+            docs.where(slice_id == k)
+            .select(F.to_json(F.struct("doc_id", "text")).alias("v"))
+            .collect()
+        )
+        with open(os.path.join(src, f"b{k}.ndjson"), "w") as f:
+            for r in rows:
+                f.write(r["v"] + "\n")
+
+    ledger = os.path.join(tmp, "counts")
+    os.makedirs(ledger)
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+
+    def land(batch_df, _epoch):
+        lm_train(batch_df).write.mode("append").parquet(ledger)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")  # one slice per micro-batch
+        .json(src)
+        .writeStream.foreachBatch(land)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return (
+        spark.read.schema("ctx string, tok string, cnt long")
+        .parquet(ledger)
+        .groupBy("ctx", "tok")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .orderBy(F.col("ctx").asc_nulls_first(), "tok")
+    )
+
+
+# one-shot retrain on the same trusted slice — sum-at-read over the
+# ledger must reproduce it count-exactly (ORDER BY pins NULLS FIRST:
+# Spark's asc default, not DuckDB's)
+SQL_STREAMING_LM = """
+WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, ' +'),
+                                      t -> length(t) > 0) AS ws
+           FROM documents WHERE lang = 'en'),
+uni AS (SELECT cast(NULL AS varchar) AS ctx, tok,
+               cast(count(*) AS bigint) AS cnt
+        FROM (SELECT unnest(ws) AS tok FROM w) GROUP BY tok),
+pairsrc AS (SELECT ws, unnest(range(len(ws) - 1)) AS i FROM w),
+bi AS (SELECT ws[i + 1] AS ctx, ws[i + 2] AS tok,
+              cast(count(*) AS bigint) AS cnt
+       FROM pairsrc GROUP BY 1, 2)
+SELECT ctx, tok, cnt
+FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+ORDER BY ctx NULLS FIRST, tok
+"""
+
+
 from .ops_queries import _hexval as _hexval_sql  # noqa: E402
 from .ops_queries import _shingle_cte as _shingle_sql  # noqa: E402
 
@@ -1240,6 +1327,7 @@ CORE: dict[str, tuple[Callable, str | None]] = {
     "streaming_postings_e2e": (q_streaming_postings_e2e, SQL_STREAMING_POSTINGS),
     "streaming_cms_e2e": (q_streaming_cms_e2e, SQL_STREAMING_CMS),
     "streaming_hll_e2e": (q_streaming_hll_e2e, SQL_STREAMING_HLL),
+    "streaming_lm_e2e": (q_streaming_lm_e2e, SQL_STREAMING_LM),
     "streaming_sessionize_e2e": (q_streaming_sessionize_e2e, SQL_STREAMING_SESSIONIZE),
     "streaming_window_e2e": (q_streaming_window_e2e, SQL_WINDOW_STREAM),
     "s1_scan_count": (q_s1_scan_count, SQL_S1),

@@ -314,7 +314,22 @@ class TestCurate:
                 spark, "/root/testdata/sf0.001"
             ).collect()
         }
-        assert {tuple(r) for r in back.collect()} == want
+        got = {tuple(r) for r in back.collect()}
+        assert got == want
+        # curate --lm-model applies the perplexity head cut: a cap at
+        # the corpus median keeps roughly half, never everything
+        avgs = sorted(a for *_, a in got)
+        cap = avgs[len(avgs) // 2]
+        out = str(tmp_path / "cur_lm")
+        res_c = _run(
+            capsys,
+            ["--cpus", "4", "curate",
+             "/root/testdata/sf0.001/documents.parquet", "-o", out,
+             "--min-quality", "0", "--lm-model", model_dir,
+             "--lm-max-avg", str(cap)],
+        )
+        n_under = sum(1 for a in avgs if a <= cap)
+        assert 0 < res_c["docs_kept"] <= n_under < 500
 
     def test_quality_eval_matches_registry_curve(self, spark, tmp_path, capsys):
         """`quality eval` sweeps thresholds on a labeled holdout and

@@ -542,9 +542,35 @@ class TestPrunedTopk:
         got = sorted(map(tuple, lm_pruned(docs, qs, k=4, mu=500.0).collect()))
         assert got == want and want
 
+    def test_mixed_batch_routes_per_query(self, spark):
+        # one query has >= k docs behind its seed terms (theta defined,
+        # pruned path) while the other is seed-starved (theta absent,
+        # exhaustive-slice path) — IN THE SAME BATCH; both must match
+        # the exhaustive ranker exactly
+        from swarm_spark.ops.retrieval import bm25_pruned, lm_pruned, lm_topk
+
+        docs = _docs(
+            spark,
+            [(i, "selective common filler") for i in range(4)]
+            + [(10, "unique common filler")]
+            + [(i, "common filler noise") for i in range(20, 40)],
+        )
+        qs = self._queries(
+            spark, [(0, "selective common"), (1, "unique common")]
+        )
+        want = sorted(map(tuple, bm25_topk(docs, qs, k=3).collect()))
+        got = sorted(map(tuple, bm25_pruned(docs, qs, k=3, seed_terms=1).collect()))
+        assert got == want
+        want_lm = sorted(map(tuple, lm_topk(docs, qs, k=3).collect()))
+        got_lm = sorted(
+            map(tuple, lm_pruned(docs, qs, k=3, seed_terms=1).collect())
+        )
+        assert got_lm == want_lm
+
     def test_fewer_than_k_seed_docs_falls_back_exact(self, spark):
-        # seed term matches 2 docs < k=5: theta is absent, every term
-        # stays essential, output must still equal the exhaustive ranker
+        # seed term matches 2 docs < k=5: theta is absent, the query is
+        # routed to the exhaustive slice, output must still equal the
+        # exhaustive ranker
         from swarm_spark.ops.retrieval import bm25_pruned
 
         docs = _docs(
