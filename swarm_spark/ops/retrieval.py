@@ -551,8 +551,14 @@ def bm25_pruned(
     # total posting volume, the vocabulary has no rarity to exploit
     # (the saturated case: min df ≈ max df) and the seed/verify passes
     # would pay joins for ~zero cut — measured slower than exhaustive
-    # at 10x. Results are identical either way (the pruning proof), so
-    # fall back to the exhaustive plan shape.
+    # at 10x. The second condition prices the seed VERIFY fan-out:
+    # each seed pair is exactly scored against its doc's batch-vocab
+    # posting rows, so the seed cost is ~v_seed·(slice_rows/N), and on
+    # doc-length query batches (batch vocab ≈ corpus vocab) that alone
+    # reaches exhaustive volume even when v_seed looks tiny — measured
+    # before this term: seed scoring ≈ 0.9× the exhaustive aggregation
+    # on the full-doc Zipf batch. Results are identical either way
+    # (the pruning proof), so fall back to the exhaustive plan shape.
     vol = (
         qterms.join(stats, "tok")
         .join(seed_term.withColumn("__s", F.lit(1)), ["query_id", "tok"], "left")
@@ -566,7 +572,19 @@ def bm25_pruned(
         .head()
     )
     v_all = int(vol["v_all"])
-    if v_all == 0 or int(vol["v_seed"]) * 3 > v_all:
+    slice_rows = int(
+        qterms.select("tok")
+        .distinct()
+        .join(stats, "tok")
+        .agg(F.coalesce(F.sum("df"), F.lit(0)).alias("s"))
+        .head()["s"]
+    )
+    v_seed = int(vol["v_seed"])
+    if (
+        v_all == 0
+        or v_seed * 3 > v_all
+        or v_seed * (float(slice_rows) / float(n)) * 3.0 > float(v_all)
+    ):
         return _exhaustive()
 
     seed_pairs = post.join(_b(seed_term), "tok").select("query_id", "id").distinct()
@@ -869,9 +887,10 @@ def lm_pruned(
     if bounds is None:
         bounds = bm25_term_bounds(post)
     tot = totals.agg(
-        F.coalesce(F.sum("tot_tokens"), F.lit(0)).alias("tt")
+        F.coalesce(F.sum("tot_tokens"), F.lit(0)).alias("tt"),
+        F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n"),
     ).head()
-    tt = int(tot["tt"])
+    tt, n_docs = int(tot["tt"]), int(tot["n"])
     if tt == 0:
         raise ValueError("corpus has no tokens")
     mrow = post.agg(F.coalesce(F.min("dl"), F.lit(0)).alias("m")).head()
@@ -965,8 +984,8 @@ def lm_pruned(
     )
 
     # adaptive effectiveness gate #1 — see bm25_pruned (cf is the
-    # posting-volume statistic this index shape stores; relative shares
-    # are what the gate compares, so cf vs df makes no difference)
+    # posting-volume statistic this index shape stores; cf >= df, so
+    # the fan-out term overestimates and falls back conservatively)
     vol = (
         qterms.join(cf_stats, "tok")
         .join(seed_term.withColumn("__s", F.lit(1)), ["query_id", "tok"], "left")
@@ -980,7 +999,20 @@ def lm_pruned(
         .head()
     )
     v_all = int(vol["v_all"])
-    if v_all == 0 or int(vol["v_seed"]) * 3 > v_all:
+    slice_rows = int(
+        qterms.select("tok")
+        .distinct()
+        .join(cf_stats, "tok")
+        .agg(F.coalesce(F.sum("cf"), F.lit(0)).alias("s"))
+        .head()["s"]
+    )
+    v_seed = int(vol["v_seed"])
+    if (
+        v_all == 0
+        or n_docs == 0
+        or v_seed * 3 > v_all
+        or v_seed * (float(slice_rows) / float(n_docs)) * 3.0 > float(v_all)
+    ):
         return _exhaustive()
 
     seed_pairs = post.join(_b(seed_term), "tok").select("query_id", "id").distinct()
