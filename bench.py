@@ -75,6 +75,7 @@ def main() -> None:
         "text_bpe_tokens",
         "pack_chunks_bpe",
         "text_lm_perplexity",
+        "text_lm_eval",
         "corpus_cms_freq",
         "text_nb_eval",
         "corpus_hll_distinct",

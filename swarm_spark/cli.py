@@ -570,6 +570,23 @@ def cmd_quality(args) -> int:
             )
         )
         return 0
+    if args.action == "lm-eval":
+        # perplexity-gate operating curve: one JSON line per threshold
+        from .ops.lm import lm_eval, load_lm
+
+        model = load_lm(spark, args.model)
+        thresholds = [int(t) for t in str(args.thresholds).split(",") if t != ""]
+        out = lm_eval(
+            docs,
+            model,
+            F.col(args.label_col) == args.label_value,
+            thresholds=thresholds,
+            text_col=args.text_col,
+            id_col=args.id_col,
+        )
+        for r in out.collect():
+            print(json.dumps(r.asDict()))
+        return 0
     if args.action == "lm-score":
         from .ops.lm import lm_perplexity, load_lm
 
@@ -1301,7 +1318,8 @@ def build_parser() -> argparse.ArgumentParser:
         "LM perplexity filter (lm-train/lm-score)",
     )
     sp.add_argument(
-        "action", choices=["train", "score", "eval", "lm-train", "lm-score"]
+        "action",
+        choices=["train", "score", "eval", "lm-train", "lm-score", "lm-eval"],
     )
     sp.add_argument("input", help="documents parquet path")
     sp.add_argument("--model", required=True, help="model parquet dir")

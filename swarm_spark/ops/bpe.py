@@ -132,8 +132,17 @@ def bpe_train(
             break
         a, b = best[0]["a"], best[0]["b"]
         merges.append((a, b))
-        seg = seg.withColumn("seg", bpe_merge_pass(F.col("seg"), a, b)).localCheckpoint()
-    return merges, seg
+        seg = seg.withColumn("seg", bpe_merge_pass(F.col("seg"), a, b))
+        # checkpoint on a stride, not per round: each checkpoint is a
+        # full materialization job, while a short lazy chain of merge
+        # folds recomputes from the last checkpoint for ~free inside
+        # the next round's pair scan (3 nested aggregate folds stay
+        # well under codegen limits; the plan never grows past the
+        # stride). Measured: per-round checkpoints dominated training
+        # wall at bench scale.
+        if len(merges) % 3 == 0:
+            seg = seg.localCheckpoint()
+    return merges, seg.localCheckpoint()
 
 
 def bpe_encode_words(words: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:

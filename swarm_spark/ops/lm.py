@@ -66,6 +66,7 @@ __all__ = [
     "lm_merge",
     "lm_perplexity",
     "lm_gate",
+    "lm_eval",
     "save_lm",
     "load_lm",
 ]
@@ -229,6 +230,72 @@ def lm_perplexity(
             .alias("avg_micro"),
         )
     )
+
+
+def lm_eval(
+    docs: DataFrame,
+    model: DataFrame,
+    label: Column,
+    thresholds: list[int] = (8_000_000,),
+    alpha: float = LM_ALPHA,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Evaluate the perplexity gate on a labeled holdout: score
+    ``docs``, predict GOOD where ``avg_micro <= t`` (low perplexity =
+    in-domain) for each threshold in the sweep, and compare against
+    ``label`` (ground truth, NULL = bad). One row PER THRESHOLD with
+    exact integer confusion counts plus precision/recall/accuracy/F1
+    in integer micro-units rounded once (NULL on a zero denominator) —
+    the same value-oracle-able operating curve as the NB gate
+    (`text.py::nb_eval_quality`), so a ``curate --lm-max-avg`` cap
+    comes from a measured operating point. Docs with zero tokens are
+    not scored and therefore not counted (the scorer's contract).
+
+    Scale shape: one scoring pass joined to the label projection on
+    the id, fanned out |thresholds|× (a literal), collapsing map-side
+    into 4·|thresholds| grand counters."""
+    if not thresholds:
+        raise ValueError("need at least one threshold")
+    scored = lm_perplexity(docs, model, alpha, text_col, id_col)
+    labs = docs.select(
+        F.col(id_col),
+        F.coalesce(label.cast("boolean"), F.lit(False)).alias("y"),
+    )
+    pred = F.col("avg_micro") <= F.col("threshold_micro")
+    cnt = lambda c: F.coalesce(F.sum(c.cast("long")), F.lit(0)).cast("long")
+    conf = (
+        scored.join(labs, id_col)
+        .select(
+            "avg_micro",
+            "y",
+            F.explode(
+                F.array(*[F.lit(int(t)).cast("long") for t in thresholds])
+            ).alias("threshold_micro"),
+        )
+        .groupBy("threshold_micro")
+        .agg(
+            cnt(pred & F.col("y")).alias("tp"),
+            cnt(pred & ~F.col("y")).alias("fp"),
+            cnt(~pred & F.col("y")).alias("fn"),
+            cnt(~pred & ~F.col("y")).alias("tn"),
+        )
+    )
+    micro = lambda num, den: F.when(
+        den > 0, F.round(F.lit(1_000_000.0) * num / den).cast("long")
+    )
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    return conf.select(
+        "threshold_micro",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        micro(tp, tp + fp).alias("precision_micro"),
+        micro(tp, tp + fn).alias("recall_micro"),
+        micro(tp + tn, tp + fp + fn + tn).alias("accuracy_micro"),
+        micro(2 * tp, 2 * tp + fp + fn).alias("f1_micro"),
+    ).orderBy("threshold_micro")
 
 
 def lm_gate(

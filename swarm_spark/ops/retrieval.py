@@ -471,7 +471,9 @@ def bm25_pruned(
         F.lit(1.0)
         + (F.lit(float(n)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
     )
-    qidf = qterms.join(stats, "tok").select("query_id", "tok", idf.alias("idf"))
+    qidf = qterms.join(stats, "tok").select(
+        "query_id", "tok", idf.alias("idf"), "df"
+    )
     ub_tfnorm = (F.col("max_tf") * F.lit(k1 + 1.0)) / (
         F.col("max_tf") + F.lit(k1 * (1.0 - b))
     )
@@ -484,6 +486,7 @@ def bm25_pruned(
     qub = qidf.join(bounds, "tok", "left").select(
         "query_id",
         "tok",
+        "df",
         F.when(
             # 2^52: unreachable by any real theta (scores are ~2^31)
             # yet safe in the cumulative sum (10^3 terms x 2^52 < 2^63)
@@ -536,10 +539,17 @@ def bm25_pruned(
     # disabled; a handful of rare lists still seeds cheaply, and theta
     # stays a LOWER bound whatever the seed subset is (any doc scoring
     # >= theta is in the candidate set by the exclusion bound, so the
-    # proof never needs seed membership)
+    # proof never needs seed membership). Terms with df > max(k, N/8)
+    # never seed: a term matching an eighth of the corpus cannot give
+    # a selective theta, and exactly scoring its posting list costs a
+    # large fraction of the exhaustive plan (measured: short queries
+    # whose rare terms ran out pulled stopword posting lists into
+    # seeding — 2.9x the exhaustive wall on the doc-length Zipf batch).
+    seed_df_cap = max(k, n // 8)
     wseed = Window.partitionBy("query_id").orderBy(F.col("ub").desc(), F.col("tok"))
     seed_term = (
-        qub.withColumn("__r", F.row_number().over(wseed))
+        qub.where(F.col("df") <= F.lit(seed_df_cap))
+        .withColumn("__r", F.row_number().over(wseed))
         .where(F.col("__r") <= seed_terms)
         .select("query_id", "tok")
     )
@@ -588,6 +598,18 @@ def bm25_pruned(
         return _exhaustive()
 
     seed_pairs = post.join(_b(seed_term), "tok").select("query_id", "id").distinct()
+    # pre-route BEFORE exact seed scoring: a query with fewer than k
+    # seed docs can never get a theta, so its pairs are dropped here —
+    # exact scoring (the fan-out join) runs only over queries that can
+    # prune; the k-th-score set is unchanged (theta exists iff >= k
+    # seed docs), hence results are identical
+    elig_q = (
+        seed_pairs.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__nsd"))
+        .where(F.col("__nsd") >= k)
+        .select("query_id")
+    )
+    seed_pairs = seed_pairs.join(_b(elig_q), "query_id")
     # theta is <= |Q| rows; localCheckpoint materializes it ONCE so the
     # seed scoring does not re-execute under gate #2's action and again
     # under the final plan (it is the priciest subplan of the pruned
@@ -927,6 +949,7 @@ def lm_pruned(
     qub = qcf.join(bounds, "tok", "left").select(
         "query_id",
         "tok",
+        "cf",
         F.when(F.col("max_tf").isNull(), F.lit(1 << 52))
         .otherwise(F.col("qtf") * _ln_micro(F.col("max_tf")) + 1)
         .alias("ub"),
@@ -975,10 +998,15 @@ def lm_pruned(
 
     # top-`seed_terms` seeding — see bm25_pruned: single-term seeds
     # starve theta on rare-tail vocabularies; correctness is seeding-
-    # independent (exclusion bound, not seed membership)
+    # independent (exclusion bound, not seed membership). The seed
+    # eligibility cap uses cf (this index shape's stored statistic);
+    # cf >= df, so it errs toward the exhaustive route — never toward
+    # an expensive seed.
+    seed_cf_cap = max(k, n_docs // 8)
     wseed = Window.partitionBy("query_id").orderBy(F.col("ub").desc(), F.col("tok"))
     seed_term = (
-        qub.withColumn("__r", F.row_number().over(wseed))
+        qub.where(F.col("cf") <= F.lit(seed_cf_cap))
+        .withColumn("__r", F.row_number().over(wseed))
         .where(F.col("__r") <= seed_terms)
         .select("query_id", "tok")
     )
@@ -1016,6 +1044,16 @@ def lm_pruned(
         return _exhaustive()
 
     seed_pairs = post.join(_b(seed_term), "tok").select("query_id", "id").distinct()
+    # pre-route before exact seed scoring — see bm25_pruned: theta
+    # exists iff >= k seed docs, so dropping under-k queries' pairs
+    # here changes nothing but the scoring volume
+    elig_q = (
+        seed_pairs.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__nsd"))
+        .where(F.col("__nsd") >= k)
+        .select("query_id")
+    )
+    seed_pairs = seed_pairs.join(_b(elig_q), "query_id")
     # materialized once — see bm25_pruned
     theta = _kth_score(
         _exact_scores(seed_pairs), k, n_salts, "swarm-lmp"

@@ -4335,20 +4335,23 @@ def q_text_lm_gate(spark, sf):
     )
 
 
-# the LM training/scoring CTE chain, shared by all three LM oracles:
-# counts from the en slice, T/V totals, per-position contexts, and the
+# the LM training/scoring CTE chain, shared by the LM oracles: counts
+# from the training slice, T/V totals, per-position contexts, and the
 # three-branch Stupid-Backoff cost (association mirrors the Spark
 # expressions exactly — see ops/lm.py)
-_LM_SCORED_CTE = """
+def _lm_scored_cte(
+    train_where: str = "lang = 'en'", score_where: str = "TRUE"
+) -> str:
+    return f"""
 w AS (SELECT doc_id, lang,
              list_filter(regexp_split_to_array(text, ' +'),
                          t -> length(t) > 0) AS ws
       FROM documents),
 uni AS (SELECT tok, cast(count(*) AS bigint) AS cnt
-        FROM (SELECT unnest(ws) AS tok FROM w WHERE lang = 'en')
+        FROM (SELECT unnest(ws) AS tok FROM w WHERE {train_where})
         GROUP BY tok),
 pairsrc AS (SELECT ws, unnest(range(len(ws) - 1)) AS i
-            FROM w WHERE lang = 'en'),
+            FROM w WHERE {train_where}),
 bi AS (SELECT ws[i + 1] AS ctx, ws[i + 2] AS tok,
               cast(count(*) AS bigint) AS cnt
        FROM pairsrc GROUP BY 1, 2),
@@ -4357,7 +4360,7 @@ tv AS (SELECT cast(sum(cnt) AS bigint) AS t,
        FROM uni),
 ent AS (SELECT doc_id, ws, unnest(ws) AS tok,
                unnest(range(len(ws))) AS i
-        FROM w),
+        FROM w WHERE {score_where}),
 ent2 AS (SELECT doc_id, tok,
                 CASE WHEN i = 0 THEN NULL ELSE ws[i] END AS ctx
          FROM ent),
@@ -4384,6 +4387,9 @@ ppl AS (SELECT doc_id, cast(count(*) AS bigint) AS n_toks,
         FROM scored GROUP BY doc_id)
 """
 
+
+_LM_SCORED_CTE = _lm_scored_cte()
+
 SQL_LM_PPL = f"""
 WITH {_LM_SCORED_CTE}
 SELECT doc_id, n_toks, cost_micro, avg_micro FROM ppl ORDER BY doc_id
@@ -4398,11 +4404,73 @@ WHERE ppl.avg_micro <= thr.t
 ORDER BY d.doc_id
 """
 
+_LM_EVAL_THRESHOLDS = (
+    5_000_000, 6_000_000, 7_000_000, 8_000_000, 9_000_000, 10_000_000
+)
+
+
+def q_text_lm_eval(spark, sf):
+    """Operating curve for the perplexity gate: train the reference LM
+    on the even-doc_id en slice, sweep avg-cost caps on the odd-doc_id
+    holdout against the lang=='en' ground truth — exact integer
+    confusion counts + micro-unit precision/recall/accuracy/F1 per
+    threshold, so `curate --lm-max-avg` comes from a measured point
+    (the NB gate's `text_nb_eval` contract, for the LM tier)."""
+    from .ops.lm import lm_eval, lm_train
+
+    docs = _docs(spark, sf)
+    model = lm_train(
+        docs.where((F.col("lang") == "en") & (F.col("doc_id") % 2 == 0))
+    )
+    return lm_eval(
+        docs.where(F.col("doc_id") % 2 == 1),
+        model,
+        F.col("lang") == "en",
+        thresholds=list(_LM_EVAL_THRESHOLDS),
+    )
+
+
+SQL_LM_EVAL = f"""
+WITH {_lm_scored_cte("lang = 'en' AND doc_id % 2 = 0", "doc_id % 2 = 1")},
+labs AS (SELECT doc_id, lang = 'en' AS y FROM documents
+         WHERE doc_id % 2 = 1),
+th AS (SELECT unnest([{", ".join(str(t) for t in _LM_EVAL_THRESHOLDS)}])
+              AS threshold_micro),
+conf AS (SELECT th.threshold_micro,
+                cast(sum(CASE WHEN p.avg_micro <= th.threshold_micro
+                              AND l.y THEN 1 ELSE 0 END) AS bigint) AS tp,
+                cast(sum(CASE WHEN p.avg_micro <= th.threshold_micro
+                              AND NOT l.y THEN 1 ELSE 0 END) AS bigint) AS fp,
+                cast(sum(CASE WHEN p.avg_micro > th.threshold_micro
+                              AND l.y THEN 1 ELSE 0 END) AS bigint) AS fn,
+                cast(sum(CASE WHEN p.avg_micro > th.threshold_micro
+                              AND NOT l.y THEN 1 ELSE 0 END) AS bigint) AS tn
+         FROM ppl p JOIN labs l USING (doc_id) CROSS JOIN th
+         GROUP BY 1)
+SELECT cast(threshold_micro AS bigint) AS threshold_micro, tp, fp, fn, tn,
+       CASE WHEN tp + fp > 0
+            THEN cast(round(1000000.0 * tp / (tp + fp)) AS bigint) END
+         AS precision_micro,
+       CASE WHEN tp + fn > 0
+            THEN cast(round(1000000.0 * tp / (tp + fn)) AS bigint) END
+         AS recall_micro,
+       CASE WHEN tp + fp + fn + tn > 0
+            THEN cast(round(1000000.0 * (tp + tn) / (tp + fp + fn + tn))
+                      AS bigint) END
+         AS accuracy_micro,
+       CASE WHEN 2 * tp + fp + fn > 0
+            THEN cast(round(1000000.0 * 2 * tp / (2 * tp + fp + fn))
+                      AS bigint) END
+         AS f1_micro
+FROM conf ORDER BY threshold_micro
+"""
+
 
 OPS: dict[str, tuple[Callable, str | None]] = {
     "text_lm_perplexity": (q_text_lm_perplexity, SQL_LM_PPL),
     "text_lm_merge": (q_text_lm_merge, SQL_LM_PPL),
     "text_lm_gate": (q_text_lm_gate, SQL_LM_GATE),
+    "text_lm_eval": (q_text_lm_eval, SQL_LM_EVAL),
     "corpus_hll_distinct": (q_corpus_hll_distinct, SQL_HLL_DISTINCT),
     "sample_weighted": (q_sample_weighted, SQL_SAMPLE_WEIGHTED),
     "sample_temperature": (q_sample_temperature, SQL_SAMPLE_TEMPERATURE),

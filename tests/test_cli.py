@@ -330,6 +330,19 @@ class TestCurate:
         )
         n_under = sum(1 for a in avgs if a <= cap)
         assert 0 < res_c["docs_kept"] <= n_under < 500
+        # `quality lm-eval` sweeps caps on a labeled holdout: the
+        # confusion row at the median cap must match the scored set
+        rc = main(
+            ["--cpus", "4", "quality", "lm-eval",
+             "/root/testdata/sf0.001/documents.parquet",
+             "--model", model_dir, "--label-col", "lang",
+             "--label-value", "en", "--thresholds", str(cap)],
+        )
+        assert rc == 0
+        line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert line["threshold_micro"] == cap
+        assert line["tp"] + line["fp"] == n_under
+        assert line["tp"] + line["fp"] + line["fn"] + line["tn"] == 500
 
     def test_quality_eval_matches_registry_curve(self, spark, tmp_path, capsys):
         """`quality eval` sweeps thresholds on a labeled holdout and

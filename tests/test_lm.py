@@ -155,6 +155,69 @@ class TestGate:
         assert out.head()["text"] == "a b"
 
 
+class TestEval:
+    def test_confusion_counts_exact(self, spark):
+        from swarm_spark.ops.lm import lm_eval
+
+        train = _docs(spark, [(i, "good text here") for i in range(4)])
+        model = lm_train(train)
+        docs = spark.createDataFrame(
+            [
+                (1, "good text here", True),   # low cost -> pred good
+                (2, "zz qq ww vv", True),      # OOV soup -> pred bad
+                (3, "good text here", False),  # low cost, labeled bad
+                (4, "mm nn oo pp", False),     # high cost, labeled bad
+            ],
+            "doc_id long, text string, y boolean",
+        )
+        scored = {
+            r["doc_id"]: r["avg_micro"]
+            for r in lm_perplexity(docs, model).collect()
+        }
+        thr = scored[1]  # docs 1 and 3 at/below, 2 and 4 above
+        assert scored[2] > thr and scored[4] > thr and scored[3] == thr
+        rows = lm_eval(docs, model, F.col("y"), thresholds=[thr]).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (1, 1, 1, 1)
+        assert r["precision_micro"] == 500_000
+        assert r["recall_micro"] == 500_000
+        assert r["accuracy_micro"] == 500_000
+        assert r["f1_micro"] == 500_000
+
+    def test_null_label_counts_bad_and_zero_denominator_is_null(self, spark):
+        from swarm_spark.ops.lm import lm_eval
+
+        model = lm_train(_docs(spark, [(1, "a b")]))
+        docs = spark.createDataFrame(
+            [(1, "zz yy", None)], "doc_id long, text string, y boolean"
+        )
+        r = lm_eval(docs, model, F.col("y"), thresholds=[0]).head()
+        # pred bad (cost > 0), label bad -> one tn; no positives at all
+        assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (0, 0, 0, 1)
+        assert r["precision_micro"] is None and r["recall_micro"] is None
+        assert r["f1_micro"] is None and r["accuracy_micro"] == 1_000_000
+
+    def test_threshold_sweep_orders_rows(self, spark):
+        from swarm_spark.ops.lm import lm_eval
+
+        model = lm_train(_docs(spark, [(1, "a b c")]))
+        docs = spark.createDataFrame(
+            [(1, "a b", True)], "doc_id long, text string, y boolean"
+        )
+        rows = lm_eval(
+            docs, model, F.col("y"), thresholds=[10**9, 0, 500]
+        ).collect()
+        assert [r["threshold_micro"] for r in rows] == [0, 500, 10**9]
+
+    def test_empty_thresholds_rejected(self, spark):
+        from swarm_spark.ops.lm import lm_eval
+
+        model = lm_train(_docs(spark, [(1, "a")]))
+        with pytest.raises(ValueError):
+            lm_eval(_docs(spark, [(1, "a")]), model, F.lit(True), thresholds=[])
+
+
 class TestPersistence:
     def test_save_load_round_trip(self, spark, tmp_path):
         model = lm_train(_docs(spark, [(1, "a b a"), (2, "c a")]))

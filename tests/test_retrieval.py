@@ -549,11 +549,13 @@ class TestPrunedTopk:
         # the exhaustive ranker exactly
         from swarm_spark.ops.retrieval import bm25_pruned, lm_pruned, lm_topk
 
+        # 70 docs: the seed df cap is N//8 = 8 >= df(selective) = 4, so
+        # the selective term seeds; "common" (df = 70) never does
         docs = _docs(
             spark,
             [(i, "selective common filler") for i in range(4)]
             + [(10, "unique common filler")]
-            + [(i, "common filler noise") for i in range(20, 40)],
+            + [(i, "common filler noise") for i in range(20, 85)],
         )
         qs = self._queries(
             spark, [(0, "selective common"), (1, "unique common")]
