@@ -316,7 +316,11 @@ def probe(
     # MaxScore's design point, where the stopword tier is non-essential
     # and candidates follow the mid/rare posting lists
     want_kw = only is None or bool(
-        {"bm25_kw", "bm25_pruned_kw", "lm_kw", "lm_pruned_kw"} & only
+        {
+            "bm25_kw", "bm25_pruned_kw", "lm_kw", "lm_pruned_kw",
+            "bm25_kw_qheavy", "bm25_pruned_kw_qheavy",
+        }
+        & only
     )
     if want_kw:
         kw_dir = os.path.join(data_dir, "bm25_kw_ix")
@@ -333,6 +337,10 @@ def probe(
         klpost, klstats, kltot = load_bm25(spark, kw_dir)
         klbounds = _lbbk(spark, kw_dir)
         qkw = _kw_queries(docs, 2000)
+        # query-heavy serving batch: exhaustive volume is |Q|*N while
+        # the pruned path's index scans are FLAT in |Q| — the MaxScore
+        # win regime (capped by the corpus size at f1)
+        qkw_heavy = _kw_queries(docs, 20_000)
 
     # build-once for the persisted-path phrase probe: the positional
     # index lands on disk untimed; the row times the probe only
@@ -569,6 +577,17 @@ def probe(
         "lm_pruned_kw": lambda: lm_pruned(
             None, qkw, k=5, seed_terms=2,
             postings=klpost, totals=kltot, bounds=klbounds,
+        ),
+        # the serving-regime pair: 10x the query batch on the same
+        # corpus/index — exhaustive aggregation volume is |Q|-linear,
+        # pruned candidates follow the selective terms' posting lists
+        "bm25_kw_qheavy": lambda: bm25_topk(
+            None, qkw_heavy, k=5, broadcast_max_queries=25_000,
+            postings=klpost, stats=klstats, totals=kltot,
+        ),
+        "bm25_pruned_kw_qheavy": lambda: bm25_pruned(
+            None, qkw_heavy, k=5, seed_terms=2, broadcast_max_queries=25_000,
+            postings=klpost, stats=klstats, totals=kltot, bounds=klbounds,
         ),
         # exact-phrase probe over the persisted positional index —
         # this saturated 31-token vocab is the worst case (every

@@ -578,9 +578,18 @@ def bm25_pruned(
                 F.sum(F.when(F.col("__s").isNotNull(), F.col("df")).otherwise(0)),
                 F.lit(0),
             ).alias("v_seed"),
+            F.coalesce(
+                F.sum(F.when(F.col("__s").isNotNull(), F.lit(1)).otherwise(0)),
+                F.lit(0),
+            ).alias("n_seed"),
         )
         .head()
     )
+    # no seed term passed the df cap (fully saturated vocabulary):
+    # theta is impossible, so skip the empty seed/verify machinery —
+    # this ride-along count makes the skip metadata-priced
+    if int(vol["n_seed"]) == 0:
+        return _exhaustive()
     v_all = int(vol["v_all"])
     slice_rows = int(
         qterms.select("tok")
@@ -657,8 +666,13 @@ def bm25_pruned(
         )
         .head()
     )
+    # routing-efficiency check: the split plan pays a second aggregated
+    # branch + union before top-k, a cost ~O(batch volume) — worth it
+    # only when the theta-defined slice carries a real share of that
+    # volume (measured: with ~1.5% of queries eligible, the split plan
+    # ran 1.8x the plain exhaustive on the doc-length Zipf batch)
     v_def = int(ev["v_def"])
-    if v_def == 0 or int(ev["v_ess"]) * 3 > 2 * v_def:
+    if v_def == 0 or int(ev["v_ess"]) * 3 > 2 * v_def or v_def * 8 < v_all:
         return _exhaustive()
 
     cand = post.join(_b(ess), "tok").select("query_id", "id").distinct()
@@ -1023,9 +1037,16 @@ def lm_pruned(
                 F.sum(F.when(F.col("__s").isNotNull(), F.col("cf")).otherwise(0)),
                 F.lit(0),
             ).alias("v_seed"),
+            F.coalesce(
+                F.sum(F.when(F.col("__s").isNotNull(), F.lit(1)).otherwise(0)),
+                F.lit(0),
+            ).alias("n_seed"),
         )
         .head()
     )
+    # empty seed set (every term over the cf cap) — see bm25_pruned
+    if int(vol["n_seed"]) == 0:
+        return _exhaustive()
     v_all = int(vol["v_all"])
     slice_rows = int(
         qterms.select("tok")
@@ -1093,8 +1114,9 @@ def lm_pruned(
         )
         .head()
     )
+    # routing-efficiency check — see bm25_pruned
     v_def = int(ev["v_def"])
-    if v_def == 0 or int(ev["v_ess"]) * 3 > 2 * v_def:
+    if v_def == 0 or int(ev["v_ess"]) * 3 > 2 * v_def or v_def * 8 < v_all:
         return _exhaustive()
 
     cand = post.join(_b(ess), "tok").select("query_id", "id").distinct()
