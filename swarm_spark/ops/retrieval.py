@@ -929,8 +929,6 @@ def lm_pruned(
     tt, n_docs = int(tot["tt"]), int(tot["n"])
     if tt == 0:
         raise ValueError("corpus has no tokens")
-    mrow = post.agg(F.coalesce(F.min("dl"), F.lit(0)).alias("m")).head()
-    min_dl = int(mrow["m"])
 
     small = _probe_is_small(queries, broadcast_max_queries)
 
@@ -1082,10 +1080,16 @@ def lm_pruned(
 
     # the corpus-wide normalizer max, by the same expression the real
     # normalizer uses at dl = min_dl — bound is exact, no epsilon.
+    # (min_dl is one postings aggregation; computed HERE, after the
+    # early exits, so the saturated/starved fallbacks never pay the
+    # scan — it showed up as pure overhead on the saturated probe.)
     # Per-query routing as in bm25_pruned: theta-null queries take the
     # exhaustive plan shape on their slice instead of forcing every
     # term essential (which would push all-pairs volume through the
     # candidate-verify join).
+    min_dl = int(
+        post.agg(F.coalesce(F.min("dl"), F.lit(0)).alias("m")).head()["m"]
+    )
     qnorm_ub = F.col("qlen") * norm_of(F.lit(min_dl))
     wcum = (
         Window.partitionBy("query_id")
