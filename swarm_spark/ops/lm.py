@@ -91,12 +91,6 @@ def lm_train(
     additive across waves (:func:`lm_merge`), persistable
     (:func:`save_lm`)."""
     base = docs.select(_ws_col(text_col).alias("ws"))
-    uni = (
-        base.select(F.explode("ws").alias("tok"))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .select(F.lit(None).cast("string").alias("ctx"), "tok", "cnt")
-    )
     # adjacent pairs are built ARRAY-side (transform over the token
     # list), so no per-doc window and no corpus-order shuffle ever runs
     pair_arr = F.when(
@@ -108,13 +102,23 @@ def lm_train(
             " (x, i) -> struct(x as ctx, element_at(ws, i + 2) as tok))"
         )
     )
-    bi = (
-        base.select(F.explode(pair_arr).alias("p"))
-        .select("p.ctx", "p.tok")
+    # unigram entries (ctx NULL) ride the SAME explode as the bigram
+    # entries, so training is ONE corpus scan feeding ONE map-side-
+    # combined aggregation — and every consumer of the model (uni
+    # filter twice, bi filter once) references one aggregation subtree
+    # Spark's exchange reuse materializes once
+    uni_arr = F.transform(
+        "ws",
+        lambda t: F.struct(
+            F.lit(None).cast("string").alias("ctx"), t.alias("tok")
+        ),
+    )
+    return (
+        base.select(F.explode(F.concat(uni_arr, pair_arr)).alias("e"))
+        .select("e.ctx", "e.tok")
         .groupBy("ctx", "tok")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
-    return uni.unionByName(bi)
 
 
 def lm_merge(*models: DataFrame) -> DataFrame:

@@ -103,6 +103,20 @@ BNLJ_ALLOWED = {
 # - ann_ivf_recall (6): IVF path + embedded brute-force ground truth
 _SCAN_BUDGET_DEFAULT = 2
 _SCAN_BUDGET = {
+    "text_lm_perplexity": 3,  # the in-plan trained model is consumed
+    #   under two group-key filters (uni / bi) that Catalyst pushes
+    #   BELOW the fused training aggregation — two narrower scans
+    #   instead of one reused exchange (a net win: each reads less) —
+    #   plus the scoring token stream; production probes a SAVED model
+    #   (`save_lm`) at 1 scan
+    "text_lm_merge": 5,  # the same pushed-filter train shape × two
+    #   waves + the scoring stream — the wave-fold == retrain oracle
+    #   composition; production folds persisted count tables at 0
+    #   corpus scans
+    "text_lm_gate": 4,  # pushed-filter train (2) + scoring stream +
+    #   the docs passthrough the semi-join preserves
+    "text_lm_eval": 4,  # pushed-filter train (2, even slice) + the
+    #   odd-slice scoring stream + the label projection
     "dedup_semantic_keep": 3,  # pair graph (cells + cosine) + the
     #   corpus frame the anti-join preserves
     "knn_classify": 3,  # embeddings as corpus + broadcast queries + label dim
