@@ -68,6 +68,8 @@ def main() -> None:
         "corpus_expectations_approx",
         "bm25_topk",
         "bm25_pruned",
+        "bm25_topk_kw",
+        "bm25_pruned_kw",
         "lm_topk",
         "lm_pruned",
         "phrase_match",

@@ -58,17 +58,33 @@ from .text import tokens_col
 
 
 def bm25_postings(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """(id, dl, tok, tf): the inverted-index postings with per-doc
     token length — ONE explode + map-side-combined aggregation. This
     is the materialized search index; ``tf`` is additive per (id, tok)
-    so append-only waves fold in with a groupBy-sum."""
+    so append-only waves fold in with a groupBy-sum.
+
+    ``vocab`` (a 1-column ``tok`` frame, e.g. a query batch's distinct
+    terms) restricts the exploded tokens BEFORE the aggregation — the
+    ad-hoc probe optimization: every value the ranking path reads
+    (per-(id, tok) tf, per-tok df/max_tf, the dl carried on each row)
+    is computed per token, so restricting to the batch vocabulary
+    leaves all of them bit-identical for the tokens that survive while
+    the postings shuffle shrinks from corpus volume to the batch's
+    relevant postings (Σ occurrences of batch terms). Only valid when
+    every consumer is batch-scoped — an index BUILD must pass None."""
     toks = df.select(
         F.col(id_col).alias("id"), tokens_col(text_col).alias("__ws")
     ).withColumn("dl", F.size("__ws").cast("long"))
+    exploded = toks.select("id", "dl", F.explode("__ws").alias("tok"))
+    if vocab is not None:
+        exploded = exploded.join(F.broadcast(vocab), "tok")
     return (
-        toks.select("id", "dl", F.explode("__ws").alias("tok"))
+        exploded
         .groupBy("id", "dl", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -198,10 +214,23 @@ def bm25_topk(
 
     if k < 1 or k1 <= 0 or not 0.0 <= b <= 1.0:
         raise ValueError(f"need k >= 1, k1 > 0, 0 <= b <= 1; got {k}, {k1}, {b}")
+    small = _probe_is_small(queries, broadcast_max_queries)
     if postings is None:
         if docs is None:
             raise ValueError("need docs or a persisted postings frame")
-        post = bm25_postings(docs, text_col, id_col)
+        # batch-vocabulary restriction BEFORE the postings aggregation
+        # (broadcast-guarded like every query-side frame): the ranking
+        # path only ever reads batch-term rows, and tf/df/dl are
+        # per-token values, so results are bit-identical while the
+        # postings shuffle shrinks from corpus volume to the batch's
+        # relevant postings. Totals still come from the raw docs (N
+        # and avgdl are corpus facts, not batch facts).
+        qvocab = queries.select(
+            F.explode(tokens_col(query_text_col)).alias("tok")
+        ).distinct()
+        post = bm25_postings(
+            docs, text_col, id_col, vocab=qvocab if small else None
+        )
         if totals is None:
             totals = bm25_totals(docs, text_col, id_col)
     else:
@@ -223,8 +252,6 @@ def bm25_topk(
     if n == 0:
         raise ValueError("corpus is empty")
     avgdl = float(tt) / float(n)
-
-    small = _probe_is_small(queries, broadcast_max_queries)
     qterms = (
         queries.select(
             F.col(query_id_col).alias("query_id"),
@@ -346,6 +373,19 @@ def _kth_score(
     )
 
 
+def _materialize_small(df: DataFrame) -> DataFrame:
+    """Execute a metadata-sized frame ONCE and rebuild it as a
+    driver-local DataFrame — the run-once shape ``localCheckpoint``
+    gave the pruned rankers' θ, without its executor-stored blocks
+    (those are unrecoverable under executor loss / dynamic
+    deallocation: the whole query would fail instead of recomputing).
+    θ is ≤ |Q| rows of (query_id, long), so holding it on the driver
+    and re-parallelizing is strictly cheaper AND cluster-safe; the
+    local frame also broadcasts trivially into the downstream joins."""
+    rows = df.collect()
+    return df.sparkSession.createDataFrame(rows, df.schema)
+
+
 def bm25_pruned(
     docs: DataFrame | None,
     queries: DataFrame,
@@ -432,10 +472,27 @@ def bm25_pruned(
     if postings is None:
         if docs is None:
             raise ValueError("need docs or a persisted postings frame")
-        post = bm25_postings(docs, text_col, id_col)
+        # ad-hoc entry: the gate aggregations below are separate driver
+        # actions, and WITHOUT caching each one re-derives the postings
+        # (explode + aggregation over the raw corpus) from scratch —
+        # measured as the bulk of this entry shape's 1.5x-over-
+        # exhaustive bench overhead. persist() keeps lineage (executor
+        # loss recomputes, unlike localCheckpoint), and the vocab-sized
+        # stats/bounds derivations below reuse the cached frame.
+        # ... and the batch-vocabulary restriction shrinks what gets
+        # cached AND every downstream scan to the batch's relevant
+        # postings (see bm25_postings: per-token values are identical)
+        qvocab = queries.select(
+            F.explode(tokens_col(query_text_col)).alias("tok")
+        ).distinct()
+        small = _probe_is_small(queries, broadcast_max_queries)
+        post = bm25_postings(
+            docs, text_col, id_col, vocab=qvocab if small else None
+        ).persist()
         if totals is None:
             totals = bm25_totals(docs, text_col, id_col)
     else:
+        small = _probe_is_small(queries, broadcast_max_queries)
         post = postings
         if totals is None:
             totals = post.select("id", "dl").distinct().agg(
@@ -446,16 +503,23 @@ def bm25_pruned(
         stats = bm25_stats(post)
     if bounds is None:
         bounds = bm25_term_bounds(post)
-    tot = totals.agg(
-        F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n"),
-        F.coalesce(F.sum("tot_tokens"), F.lit(0)).alias("tt"),
-    ).head()
-    n, tt = int(tot["n"]), int(tot["tt"])
+    if postings is None:
+        # ad-hoc entry: n (idf's only corpus input needed BEFORE the
+        # gate decision) is a column-pruned count — no tokenize scan;
+        # tt (avgdl's input, used only by the scoring expressions that
+        # run after the gates) rides the gate action below, so the
+        # totals tokenize and the postings materialization run as
+        # parallel stages of ONE job instead of two serial actions
+        n = int(docs.count())
+        tt = None
+    else:
+        tot = totals.agg(
+            F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n"),
+            F.coalesce(F.sum("tot_tokens"), F.lit(0)).alias("tt"),
+        ).head()
+        n, tt = int(tot["n"]), int(tot["tt"])
     if n == 0:
         raise ValueError("corpus is empty")
-    avgdl = float(tt) / float(n)
-
-    small = _probe_is_small(queries, broadcast_max_queries)
 
     def _b(frame):
         return F.broadcast(frame) if small else frame
@@ -497,41 +561,6 @@ def bm25_pruned(
         )
         .alias("ub"),
     )
-    tfnorm = (F.col("tf") * F.lit(k1 + 1.0)) / (
-        F.col("tf")
-        + F.lit(k1)
-        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
-    )
-    term_micro = F.round(F.lit(1_000_000) * F.col("idf") * tfnorm).cast("long")
-    qidf_b = _b(qidf)
-    # batch-vocabulary scan restriction for the exact-scoring joins:
-    # one semi-join on tok emits Σ df over the batch's DISTINCT tokens
-    # (each posting row once), where joining candidates by bare id
-    # would fan every candidate out by its doc's FULL posting list
-    # (~dl rows) before the query-term filter — measured 1.6x SLOWER
-    # than exhaustive at 10x data before this cut
-    qtok_b = _b(qidf.select("tok").distinct())
-
-    def _exhaustive():
-        joined = (
-            post.join(qidf_b, "tok")
-            .select("query_id", "id", term_micro.alias("__t"))
-            .groupBy("query_id", "id")
-            .agg(F.sum("__t").alias("score_micro"))
-        )
-        return _two_phase_topk(joined, k, n_salts, "swarm-bm25")
-
-    def _exact_scores(pairs: DataFrame) -> DataFrame:
-        # batch-vocab postings → candidate docs (AQE broadcasts the
-        # pair frame when pruning made it small) → per-query terms
-        return (
-            post.join(qtok_b, "tok")
-            .join(pairs, "id")
-            .join(qidf_b, ["query_id", "tok"])
-            .select("query_id", "id", term_micro.alias("__t"))
-            .groupBy("query_id", "id")
-            .agg(F.sum("__t").alias("score_micro"))
-        )
 
     # seed from the top-`seed_terms` upper-bound terms, not just one:
     # on rare-tail vocabularies the single top term's posting list can
@@ -569,6 +598,16 @@ def bm25_pruned(
     # before this term: seed scoring ≈ 0.9× the exhaustive aggregation
     # on the full-doc Zipf batch. Results are identical either way
     # (the pruning proof), so fall back to the exhaustive plan shape.
+    # slice_rows (Σ df over the batch's DISTINCT tokens — the seed
+    # verify's scan width) rides the SAME action as the vol gate: both
+    # are 1-row aggregates, so a crossJoin folds them into one job —
+    # the second driver action was pure fixed overhead at bench scale
+    slice_agg = (
+        qterms.select("tok")
+        .distinct()
+        .join(stats, "tok")
+        .agg(F.coalesce(F.sum("df"), F.lit(0)).alias("slice_rows"))
+    )
     vol = (
         qterms.join(stats, "tok")
         .join(seed_term.withColumn("__s", F.lit(1)), ["query_id", "tok"], "left")
@@ -583,21 +622,58 @@ def bm25_pruned(
                 F.lit(0),
             ).alias("n_seed"),
         )
+        .crossJoin(slice_agg)
+        .crossJoin(
+            totals.agg(F.coalesce(F.sum("tot_tokens"), F.lit(0)).alias("__tt"))
+        )
         .head()
     )
+    if tt is None:
+        tt = int(vol["__tt"])
+    avgdl = float(tt) / float(n)
+    tfnorm = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+    )
+    term_micro = F.round(F.lit(1_000_000) * F.col("idf") * tfnorm).cast("long")
+    qidf_b = _b(qidf)
+    # batch-vocabulary scan restriction for the exact-scoring joins:
+    # one semi-join on tok emits Σ df over the batch's DISTINCT tokens
+    # (each posting row once), where joining candidates by bare id
+    # would fan every candidate out by its doc's FULL posting list
+    # (~dl rows) before the query-term filter — measured 1.6x SLOWER
+    # than exhaustive at 10x data before this cut
+    qtok_b = _b(qidf.select("tok").distinct())
+
+    def _exhaustive():
+        joined = (
+            post.join(qidf_b, "tok")
+            .select("query_id", "id", term_micro.alias("__t"))
+            .groupBy("query_id", "id")
+            .agg(F.sum("__t").alias("score_micro"))
+        )
+        return _two_phase_topk(joined, k, n_salts, "swarm-bm25")
+
+    def _exact_scores(pairs: DataFrame) -> DataFrame:
+        # batch-vocab postings → candidate docs (AQE broadcasts the
+        # pair frame when pruning made it small) → per-query terms
+        return (
+            post.join(qtok_b, "tok")
+            .join(pairs, "id")
+            .join(qidf_b, ["query_id", "tok"])
+            .select("query_id", "id", term_micro.alias("__t"))
+            .groupBy("query_id", "id")
+            .agg(F.sum("__t").alias("score_micro"))
+        )
+
     # no seed term passed the df cap (fully saturated vocabulary):
     # theta is impossible, so skip the empty seed/verify machinery —
     # this ride-along count makes the skip metadata-priced
     if int(vol["n_seed"]) == 0:
         return _exhaustive()
     v_all = int(vol["v_all"])
-    slice_rows = int(
-        qterms.select("tok")
-        .distinct()
-        .join(stats, "tok")
-        .agg(F.coalesce(F.sum("df"), F.lit(0)).alias("s"))
-        .head()["s"]
-    )
+    slice_rows = int(vol["slice_rows"])
     v_seed = int(vol["v_seed"])
     if (
         v_all == 0
@@ -618,14 +694,43 @@ def bm25_pruned(
         .where(F.col("__nsd") >= k)
         .select("query_id")
     )
-    seed_pairs = seed_pairs.join(_b(elig_q), "query_id")
-    # theta is <= |Q| rows; localCheckpoint materializes it ONCE so the
-    # seed scoring does not re-execute under gate #2's action and again
-    # under the final plan (it is the priciest subplan of the pruned
-    # path — three executions showed up directly in probe wall time)
-    theta = _kth_score(
-        _exact_scores(seed_pairs), k, n_salts, "swarm-bm25p"
-    ).localCheckpoint()
+    # -------- routing-volume gate, evaluated BEFORE seed scoring:
+    # theta exists iff a query has >= k seed docs (every seed pair gets
+    # an exact score), so the theta-defined set IS elig_q and its
+    # volume share is known without scoring anything. The split plan
+    # pays a second aggregated branch + union before top-k, a cost
+    # ~O(batch volume) — worth it only when the defined slice carries a
+    # real share of that volume (measured: with ~1.5% of queries
+    # eligible, the split plan ran 1.8x the plain exhaustive on the
+    # doc-length Zipf batch; and paying seed scoring BEFORE this check
+    # was the bulk of the pruned ranker's 1.5x-over-exhaustive bench
+    # overhead on exactly that batch shape). The <= |Q|-row per-query
+    # volume frame comes back to the driver in ONE action and doubles
+    # as the local eligible set, so the theta job never recomputes the
+    # seed-doc counting subtree.
+    elig_vol = (
+        qterms.join(stats, "tok")
+        .join(_b(elig_q), "query_id")
+        .groupBy("query_id")
+        .agg(F.coalesce(F.sum("df"), F.lit(0)).alias("v_q"))
+    )
+    elig_rows = elig_vol.collect()
+    v_def = sum(int(r["v_q"]) for r in elig_rows)
+    if v_def == 0 or v_def * 8 < v_all:
+        return _exhaustive()
+    elig_loc = queries.sparkSession.createDataFrame(
+        elig_rows, elig_vol.schema
+    ).select("query_id")
+    seed_pairs = seed_pairs.join(F.broadcast(elig_loc), "query_id")
+    # theta is <= |Q| rows; materialized ONCE as a driver-local frame
+    # so the seed scoring does not re-execute under gate #2's action
+    # and again under the final plan (it is the priciest subplan of
+    # the pruned path — three executions showed up directly in probe
+    # wall time), and so executor loss cannot strand it the way
+    # localCheckpoint blocks would
+    theta = _materialize_small(
+        _kth_score(_exact_scores(seed_pairs), k, n_salts, "swarm-bm25p")
+    )
 
     # -------- per-query routing: theta-DEFINED queries take the
     # candidate-verify path; theta-null queries (fewer than k seed
@@ -648,9 +753,9 @@ def bm25_pruned(
     )
     # -------- adaptive gate #2: theta may still leave most of the
     # theta-DEFINED queries' volume essential (flat upper bounds).
-    # Same metadata-priced check (executing it runs the seed scoring —
-    # bounded by gate #1); if the essential volume isn't a real cut of
-    # the defined slice, verify would join candidate pairs that are
+    # Metadata-priced: v_def is already on the driver, so this action
+    # prices only the essential share of the defined slice; if that
+    # isn't a real cut, verify would join candidate pairs that are
     # ~all pairs: take the exhaustive shape for everything instead.
     theta_q = theta.select("query_id")
     ev = (
@@ -658,7 +763,6 @@ def bm25_pruned(
         .join(stats, "tok")
         .join(ess.withColumn("__e", F.lit(1)), ["query_id", "tok"], "left")
         .agg(
-            F.coalesce(F.sum("df"), F.lit(0)).alias("v_def"),
             F.coalesce(
                 F.sum(F.when(F.col("__e").isNotNull(), F.col("df")).otherwise(0)),
                 F.lit(0),
@@ -666,13 +770,7 @@ def bm25_pruned(
         )
         .head()
     )
-    # routing-efficiency check: the split plan pays a second aggregated
-    # branch + union before top-k, a cost ~O(batch volume) — worth it
-    # only when the theta-defined slice carries a real share of that
-    # volume (measured: with ~1.5% of queries eligible, the split plan
-    # ran 1.8x the plain exhaustive on the doc-length Zipf batch)
-    v_def = int(ev["v_def"])
-    if v_def == 0 or int(ev["v_ess"]) * 3 > 2 * v_def or v_def * 8 < v_all:
+    if int(ev["v_ess"]) * 3 > 2 * v_def:
         return _exhaustive()
 
     cand = post.join(_b(ess), "tok").select("query_id", "id").distinct()
@@ -785,10 +883,20 @@ def lm_topk(
 
     if k < 1 or mu <= 0:
         raise ValueError(f"need k >= 1 and mu > 0; got {k}, {mu}")
+    small = _probe_is_small(queries, broadcast_max_queries)
     if postings is None:
         if docs is None:
             raise ValueError("need docs or a persisted postings frame")
-        post = bm25_postings(docs, text_col, id_col)
+        # batch-vocabulary restriction — see bm25_topk: cf/tf/dl are
+        # per-token values, identical for the batch's terms; totals
+        # (tt is the corpus fact Dirichlet smoothing divides by) still
+        # come from the raw docs
+        qvocab = queries.select(
+            F.explode(tokens_col(query_text_col)).alias("tok")
+        ).distinct()
+        post = bm25_postings(
+            docs, text_col, id_col, vocab=qvocab if small else None
+        )
         if totals is None:
             totals = bm25_totals(docs, text_col, id_col)
     else:
@@ -806,8 +914,6 @@ def lm_topk(
     tt = int(tot["tt"])
     if tt == 0:
         raise ValueError("corpus has no tokens")
-
-    small = _probe_is_small(queries, broadcast_max_queries)
     qtoks = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.explode(tokens_col(query_text_col)).alias("tok"),
@@ -905,10 +1011,22 @@ def lm_pruned(
         raise ValueError(f"need k >= 1 and mu > 0; got {k}, {mu}")
     if seed_terms < 1:
         raise ValueError(f"seed_terms must be >= 1, got {seed_terms}")
+    small = _probe_is_small(queries, broadcast_max_queries)
     if postings is None:
         if docs is None:
             raise ValueError("need docs or a persisted postings frame")
-        post = bm25_postings(docs, text_col, id_col)
+        # ad-hoc entry: cache the postings so the gate actions + min_dl
+        # scan + final plan materialize them once, and restrict them to
+        # the batch vocabulary first — see bm25_pruned. The restricted
+        # min_dl below is min dl over docs holding >= 1 batch term — a
+        # TIGHTER normalizer bound that still covers every candidate
+        # (candidates hold a batch term by construction).
+        qvocab = queries.select(
+            F.explode(tokens_col(query_text_col)).alias("tok")
+        ).distinct()
+        post = bm25_postings(
+            docs, text_col, id_col, vocab=qvocab if small else None
+        ).persist()
         if totals is None:
             totals = bm25_totals(docs, text_col, id_col)
     else:
@@ -929,8 +1047,6 @@ def lm_pruned(
     tt, n_docs = int(tot["tt"]), int(tot["n"])
     if tt == 0:
         raise ValueError("corpus has no tokens")
-
-    small = _probe_is_small(queries, broadcast_max_queries)
 
     def _b(frame):
         return F.broadcast(frame) if small else frame
@@ -1026,6 +1142,13 @@ def lm_pruned(
     # adaptive effectiveness gate #1 — see bm25_pruned (cf is the
     # posting-volume statistic this index shape stores; cf >= df, so
     # the fan-out term overestimates and falls back conservatively)
+    # slice_rows rides the vol gate's action — see bm25_pruned
+    slice_agg = (
+        qterms.select("tok")
+        .distinct()
+        .join(cf_stats, "tok")
+        .agg(F.coalesce(F.sum("cf"), F.lit(0)).alias("slice_rows"))
+    )
     vol = (
         qterms.join(cf_stats, "tok")
         .join(seed_term.withColumn("__s", F.lit(1)), ["query_id", "tok"], "left")
@@ -1040,19 +1163,14 @@ def lm_pruned(
                 F.lit(0),
             ).alias("n_seed"),
         )
+        .crossJoin(slice_agg)
         .head()
     )
     # empty seed set (every term over the cf cap) — see bm25_pruned
     if int(vol["n_seed"]) == 0:
         return _exhaustive()
     v_all = int(vol["v_all"])
-    slice_rows = int(
-        qterms.select("tok")
-        .distinct()
-        .join(cf_stats, "tok")
-        .agg(F.coalesce(F.sum("cf"), F.lit(0)).alias("s"))
-        .head()["s"]
-    )
+    slice_rows = int(vol["slice_rows"])
     v_seed = int(vol["v_seed"])
     if (
         v_all == 0
@@ -1072,11 +1190,28 @@ def lm_pruned(
         .where(F.col("__nsd") >= k)
         .select("query_id")
     )
-    seed_pairs = seed_pairs.join(_b(elig_q), "query_id")
-    # materialized once — see bm25_pruned
-    theta = _kth_score(
-        _exact_scores(seed_pairs), k, n_salts, "swarm-lmp"
-    ).localCheckpoint()
+    # routing-volume gate BEFORE seed scoring — see bm25_pruned: the
+    # theta-defined set IS elig_q, so its volume share routes the whole
+    # batch exhaustive without paying the seed-scoring job; the
+    # <= |Q|-row frame doubles as the local eligible set
+    elig_vol = (
+        qterms.join(cf_stats, "tok")
+        .join(_b(elig_q), "query_id")
+        .groupBy("query_id")
+        .agg(F.coalesce(F.sum("cf"), F.lit(0)).alias("v_q"))
+    )
+    elig_rows = elig_vol.collect()
+    v_def = sum(int(r["v_q"]) for r in elig_rows)
+    if v_def == 0 or v_def * 8 < v_all:
+        return _exhaustive()
+    elig_loc = queries.sparkSession.createDataFrame(
+        elig_rows, elig_vol.schema
+    ).select("query_id")
+    seed_pairs = seed_pairs.join(F.broadcast(elig_loc), "query_id")
+    # materialized once, driver-local — see bm25_pruned
+    theta = _materialize_small(
+        _kth_score(_exact_scores(seed_pairs), k, n_salts, "swarm-lmp")
+    )
 
     # the corpus-wide normalizer max, by the same expression the real
     # normalizer uses at dl = min_dl — bound is exact, no epsilon.
@@ -1104,13 +1239,13 @@ def lm_pruned(
         .select("query_id", "tok")
     )
     # adaptive gate #2 over the theta-DEFINED slice — see bm25_pruned
+    # (v_def is already on the driver from the pre-theta routing gate)
     theta_q = theta.select("query_id")
     ev = (
         qterms.join(theta_q, "query_id")
         .join(cf_stats, "tok")
         .join(ess.withColumn("__e", F.lit(1)), ["query_id", "tok"], "left")
         .agg(
-            F.coalesce(F.sum("cf"), F.lit(0)).alias("v_def"),
             F.coalesce(
                 F.sum(F.when(F.col("__e").isNotNull(), F.col("cf")).otherwise(0)),
                 F.lit(0),
@@ -1118,9 +1253,7 @@ def lm_pruned(
         )
         .head()
     )
-    # routing-efficiency check — see bm25_pruned
-    v_def = int(ev["v_def"])
-    if v_def == 0 or int(ev["v_ess"]) * 3 > 2 * v_def or v_def * 8 < v_all:
+    if int(ev["v_ess"]) * 3 > 2 * v_def:
         return _exhaustive()
 
     cand = post.join(_b(ess), "tok").select("query_id", "id").distinct()

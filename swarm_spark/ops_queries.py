@@ -1800,6 +1800,197 @@ def q_lm_pruned(spark, sf):
     return lm_pruned(docs, queries, k=5, mu=2000.0)
 
 
+def _kw_corpus(docs):
+    """Words + contiguous 3-gram + 5-gram units in one text column —
+    the Zipf-like THREE-tier df spectrum of a realistic search
+    vocabulary (words df ~ N; 3-grams mid-df; 5-grams df ~ 1-2),
+    mirroring ``scripts/scale_probe.py::_kw_docs`` so the registry pins
+    the exact serving shape the SCALING.md keyword rows measure. Short
+    docs are guarded (Spark's sequence(1, 0) runs DESCENDING; DuckDB's
+    generate_series(1, 0) is naturally empty)."""
+    empty = F.expr("cast(array() as array<string>)")
+    tri = F.when(F.size("ws") < 3, empty).otherwise(
+        F.expr(
+            "transform(sequence(1, size(ws) - 2),"
+            " i -> concat_ws('_', ws[i-1], ws[i], ws[i+1]))"
+        )
+    )
+    five = F.when(F.size("ws") < 5, empty).otherwise(
+        F.expr(
+            "transform(sequence(1, size(ws) - 4),"
+            " i -> concat_ws('_', ws[i-1], ws[i], ws[i+1], ws[i+2], ws[i+3]))"
+        )
+    )
+    return docs.select("doc_id", F.split("text", " +").alias("ws")).select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.array_join(F.col("ws"), " "),
+            F.array_join(tri, " "),
+            F.array_join(five, " "),
+        ).alias("text"),
+    )
+
+
+def _kw_queries(docs, mod: int = 1):
+    """Short keyword queries over the ``_kw_corpus`` vocabulary: one
+    stopword-tier word + one mid-df 3-gram + one rare 5-gram anchored
+    at the doc's middle — the classical MaxScore serving shape (Broder
+    et al. 2003's motivating case: a high-df term in the query must
+    not drag the whole corpus into candidate scoring). Every doc is a
+    query source (``mod=1``): the batch must be large enough that the
+    measured pair is compute-bound, not action-overhead-bound — at 500
+    kw queries the pruned ranker's extra driver actions dominate its
+    356x candidate cut, at 5000 the cut wins 2.4x (sf0.1, local[32])."""
+    m = "cast(size(ws) / 2 as int)"
+    return (
+        docs.where(F.col("doc_id") % mod == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.split("text", " +").alias("ws"),
+        )
+        .where(F.size("ws") >= 8)
+        .select(
+            "query_id",
+            F.expr(
+                "concat_ws(' ', ws[0],"
+                f" concat_ws('_', ws[{m}-1], ws[{m}], ws[{m}+1]),"
+                f" concat_ws('_', ws[{m}-1], ws[{m}], ws[{m}+1],"
+                f" ws[{m}+2], ws[{m}+3]))"
+            ).alias("text"),
+        )
+    )
+
+
+def q_bm25_topk_kw(spark, sf):
+    """Exhaustive BM25 over the KEYWORD serving shape (see
+    ``_kw_corpus``/``_kw_queries``): the twin of ``bm25_pruned_kw`` —
+    same corpus, same batch, same oracle SQL. The registry's original
+    bm25 pair uses doc-length queries (batch vocab ≈ corpus vocab),
+    where the volume gates correctly route every query exhaustive and
+    the bench difference is pure decision cost; THIS pair is the shape
+    impact-ordered pruning exists for, so the two bench rows measure
+    what MaxScore buys in the serving regime at sf scale."""
+    from .ops.retrieval import bm25_topk
+
+    raw = _docs(spark, sf)
+    return bm25_topk(_kw_corpus(raw), _kw_queries(raw), k=5)
+
+
+def q_bm25_pruned_kw(spark, sf):
+    """MaxScore-pruned BM25 on the keyword serving shape — the oracle
+    is the exhaustive ranker's SQL over the same corpus/batch
+    (`q_bm25_topk_kw`), so a green row is a value-exact proof that the
+    seed-θ / essential-prefix / verify passes returned the identical
+    top-k while the high-df word terms fell into the non-essential
+    prefix. Measured at sf0.1/local[32]: candidates cut 1,934,221 →
+    5,432 (query, doc) pairs (356x) and the 5,000-query pair runs
+    13.5 s pruned vs 32.9 s exhaustive (2.4x faster) — the candidate
+    cut the doc-length pair's gates can never reach."""
+    from .ops.retrieval import bm25_pruned
+
+    raw = _docs(spark, sf)
+    return bm25_pruned(_kw_corpus(raw), _kw_queries(raw), k=5)
+
+
+def q_lm_topk_kw(spark, sf):
+    """Dirichlet query-likelihood over the keyword serving shape — the
+    exhaustive twin of ``lm_pruned_kw`` (same contract as the BM25 kw
+    pair)."""
+    from .ops.retrieval import lm_topk
+
+    raw = _docs(spark, sf)
+    return lm_topk(_kw_corpus(raw), _kw_queries(raw), k=5, mu=2000.0)
+
+
+def q_lm_pruned_kw(spark, sf):
+    """MaxScore-pruned query likelihood on the keyword serving shape —
+    oracle = the exhaustive LM SQL over the same corpus/batch; the
+    dl-dependent negative normalizer enters the exclusion bound at the
+    batch-vocabulary min dl (tighter than the corpus-wide bound and
+    still exact: every candidate holds a batch term)."""
+    from .ops.retrieval import lm_pruned
+
+    raw = _docs(spark, sf)
+    return lm_pruned(_kw_corpus(raw), _kw_queries(raw), k=5, mu=2000.0)
+
+
+# shared prelude: the kw corpus/queries in DuckDB (1-based lists; the
+# Spark builders are 0-based — indices shift by one, values identical)
+_SQL_KW_PRELUDE = """
+WITH base AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS w0
+              FROM documents),
+toks AS (SELECT doc_id,
+  w0
+  || list_transform(generate_series(1, len(w0) - 2),
+       i -> concat_ws('_', w0[i], w0[i+1], w0[i+2]))
+  || list_transform(generate_series(1, len(w0) - 4),
+       i -> concat_ws('_', w0[i], w0[i+1], w0[i+2], w0[i+3], w0[i+4]))
+  AS ws FROM base),
+d AS (SELECT doc_id AS id, cast(len(ws) AS bigint) AS dl, ws FROM toks),
+post AS (SELECT id, dl, tok, cast(count(*) AS bigint) AS tf
+         FROM (SELECT id, dl, unnest(ws) AS tok FROM d) GROUP BY 1, 2, 3),
+qsrc AS (SELECT doc_id AS query_id, w0,
+                cast(floor(len(w0) / 2) AS int) AS m
+         FROM base WHERE len(w0) >= 8),
+qu AS (SELECT query_id, unnest([w0[1],
+         concat_ws('_', w0[m], w0[m+1], w0[m+2]),
+         concat_ws('_', w0[m], w0[m+1], w0[m+2], w0[m+3], w0[m+4])]) AS tok
+       FROM qsrc)
+"""
+
+SQL_BM25_KW = _SQL_KW_PRELUDE + """,
+stats AS (SELECT tok, cast(count(*) AS bigint) AS df FROM post GROUP BY 1),
+tot AS (SELECT cast(count(*) AS double) AS n, cast(sum(dl) AS double) AS tt
+        FROM d),
+q AS (SELECT DISTINCT query_id, tok FROM qu),
+qidf AS (SELECT q.query_id, q.tok,
+                ln(1 + (t.n - s.df + 0.5) / (s.df + 0.5)) AS idf
+         FROM q JOIN stats s USING (tok) CROSS JOIN tot t),
+terms AS (SELECT qi.query_id, p.id,
+                 cast(round((1000000 * qi.idf) *
+                      ((p.tf * 2.2) /
+                       (p.tf + 1.2 * (0.25 + 0.75 * p.dl / (t.tt / t.n)))))
+                      AS bigint) AS tm
+          FROM post p JOIN qidf qi USING (tok) CROSS JOIN tot t),
+sc AS (SELECT query_id, id, cast(sum(tm) AS bigint) AS score_micro
+       FROM terms GROUP BY 1, 2),
+r AS (SELECT query_id, id, score_micro,
+             cast(row_number() OVER (PARTITION BY query_id
+                  ORDER BY score_micro DESC, id) AS bigint) AS rank
+      FROM sc)
+SELECT query_id, id, score_micro, rank FROM r WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+SQL_LM_TOPK_KW = _SQL_KW_PRELUDE + """,
+cf AS (SELECT tok, cast(sum(tf) AS bigint) AS cf FROM post GROUP BY 1),
+tot AS (SELECT cast(sum(dl) AS double) AS tt FROM d),
+qt AS (SELECT query_id, tok, cast(count(*) AS bigint) AS qtf
+       FROM qu GROUP BY 1, 2),
+ql AS (SELECT query_id, cast(count(*) AS bigint) AS qlen
+       FROM qu GROUP BY 1),
+terms AS (SELECT qt.query_id, p.id, p.dl,
+                 qt.qtf * cast(round(1000000.0 *
+                      ln(1 + (p.tf * t.tt) / (2000.0 * c.cf))) AS bigint) AS tm
+          FROM post p JOIN qt USING (tok) JOIN cf c ON c.tok = p.tok
+          CROSS JOIN tot t),
+pairs AS (SELECT query_id, id, sum(tm) AS s, max(dl) AS dl
+          FROM terms GROUP BY 1, 2),
+sc AS (SELECT p.query_id, p.id,
+              cast(p.s + ql.qlen * cast(round(1000000.0 *
+                   ln(2000.0 / (p.dl + 2000.0))) AS bigint) AS bigint)
+                  AS score_micro
+       FROM pairs p JOIN ql USING (query_id)),
+r AS (SELECT query_id, id, score_micro,
+             cast(row_number() OVER (PARTITION BY query_id
+                  ORDER BY score_micro DESC, id) AS bigint) AS rank
+      FROM sc)
+SELECT query_id, id, score_micro, rank FROM r WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
 def q_hybrid_rrf(spark, sf):
     """Hybrid retrieval: BM25 lexical top-10 over documents fused with
     exact-cosine semantic top-10 over the aligned embeddings table by
@@ -4549,6 +4740,10 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "lm_topk": (q_lm_topk, SQL_LM_TOPK),
     "bm25_pruned": (q_bm25_pruned, SQL_BM25),
     "lm_pruned": (q_lm_pruned, SQL_LM_TOPK),
+    "bm25_topk_kw": (q_bm25_topk_kw, SQL_BM25_KW),
+    "bm25_pruned_kw": (q_bm25_pruned_kw, SQL_BM25_KW),
+    "lm_topk_kw": (q_lm_topk_kw, SQL_LM_TOPK_KW),
+    "lm_pruned_kw": (q_lm_pruned_kw, SQL_LM_TOPK_KW),
     "phrase_match_rare": (q_phrase_match_rare, SQL_PHRASE_MATCH),
     "text_bpe_tokens": (q_text_bpe_tokens, SQL_BPE_TOKENS),
     "pack_chunks_bpe": (q_pack_chunks_bpe, SQL_PACK_CHUNKS_BPE),
