@@ -94,15 +94,162 @@ def bpe_word_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _train_histogram_py(
+    words: list[str],
+    cnts: list[int],
+    n_merges: int,
+    min_count: int,
+) -> tuple[list[tuple[str, str]], list[list[str]]]:
+    """The whole merge loop over an in-memory (word, cnt) histogram —
+    the classical incremental BPE trainer (Sennrich et al. 2016's
+    released reference keeps exactly these structures): a pair→count
+    table, a pair→{word index} occurrence index, and a lazy-deletion
+    heap. Each merge touches ONLY the words containing the winning
+    pair; a stale heap head is re-pushed with its current count, so
+    the first VALID pop is the true maximum. Ordering on the heap is
+    (-count, (a, b)): count descending, ties by lexicographically
+    smallest pair — bit-for-bit the distributed rounds' argmax rule,
+    which the equivalence test pins.
+
+    Pure function of the multiset of (word, cnt) rows: counts are
+    summed and ties broken on pair values only, so partition order
+    cannot leak into the result."""
+    import heapq
+    from collections import defaultdict
+
+    segs = [list(w) for w in words]
+    stats: dict[tuple[str, str], int] = defaultdict(int)
+    where: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for idx, (seg, c) in enumerate(zip(segs, cnts)):
+        for p in zip(seg, seg[1:]):
+            stats[p] += c
+            where[p].add(idx)
+    heap = [(-n, p) for p, n in stats.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges and heap:
+        neg, pair = heapq.heappop(heap)
+        cur = stats.get(pair, 0)
+        if cur != -neg:
+            # stale entry: re-enter at the current count and retry
+            if cur > 0:
+                heapq.heappush(heap, (-cur, pair))
+            continue
+        if cur < min_count:
+            break
+        a, b = pair
+        merges.append(pair)
+        ab = a + b
+        touched: set[tuple[str, str]] = set()
+        for idx in where[pair].copy():
+            seg, c = segs[idx], cnts[idx]
+            for p in zip(seg, seg[1:]):
+                stats[p] -= c
+                where[p].discard(idx)
+                touched.add(p)
+            # one left-to-right non-overlapping pass — the exact
+            # semantics of bpe_merge_pass's fold
+            out: list[str] = []
+            i = 0
+            while i < len(seg):
+                if i + 1 < len(seg) and seg[i] == a and seg[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(seg[i])
+                    i += 1
+            segs[idx] = out
+            for p in zip(out, out[1:]):
+                stats[p] += c
+                where[p].add(idx)
+                touched.add(p)
+        for p in touched:
+            if stats.get(p, 0) > 0:
+                heapq.heappush(heap, (-stats[p], p))
+    return merges, segs
+
+
+def _bpe_train_local_frame(
+    words: DataFrame, n_merges: int, min_count: int
+) -> DataFrame:
+    """Run :func:`_train_histogram_py` in ONE executor-side
+    ``applyInPandas`` group over the vocab-sized histogram, returning a
+    tagged union frame: model rows (rank, a, b — ``word IS NULL``) +
+    trained segmentation rows (word, cnt, seg — ``rank IS NULL``).
+    The histogram never visits the driver; only the ≤ n_merges model
+    rows do (the same metadata contract as the distributed rounds'
+    per-round argmax)."""
+
+    def _fn(pdf):
+        import pandas as pd
+
+        ws = pdf["word"].tolist()
+        cs = [int(c) for c in pdf["cnt"].tolist()]
+        merges, segs = _train_histogram_py(ws, cs, n_merges, min_count)
+        model = pd.DataFrame(
+            {
+                "word": pd.Series([None] * len(merges), dtype="object"),
+                "cnt": pd.Series([None] * len(merges), dtype="object"),
+                "seg": pd.Series([None] * len(merges), dtype="object"),
+                "rank": pd.Series(range(len(merges)), dtype="int64"),
+                "a": [a for a, _ in merges],
+                "b": [b for _, b in merges],
+            }
+        )
+        seg = pd.DataFrame(
+            {
+                "word": ws,
+                "cnt": pd.Series(cs, dtype="int64"),
+                "seg": segs,
+                "rank": pd.Series([None] * len(ws), dtype="object"),
+                "a": pd.Series([None] * len(ws), dtype="object"),
+                "b": pd.Series([None] * len(ws), dtype="object"),
+            }
+        )
+        return pd.concat([model, seg], ignore_index=True)
+
+    return (
+        words.select("word", F.col("cnt").cast("long").alias("cnt"))
+        .groupBy(F.lit(1).alias("__g"))
+        .applyInPandas(
+            _fn,
+            "word string, cnt long, seg array<string>, "
+            "rank long, a string, b string",
+        )
+    )
+
+
+# One Arrow group holds the whole histogram on the local path: ~2M
+# distinct words x ~20 chars stays well under both executor memory and
+# Arrow's per-batch limits (the pack_greedy_bins auto-sizing bound).
+BPE_LOCAL_MAX_WORDS = 2_000_000
+
+
 def bpe_train(
-    words: DataFrame, n_merges: int, min_count: int = 1
+    words: DataFrame,
+    n_merges: int,
+    min_count: int = 1,
+    local_max_words: int | None = BPE_LOCAL_MAX_WORDS,
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """(merges, seg): train ``n_merges`` BPE merge rounds over a
-    (word, cnt) histogram. Each round: one vocab-sized adjacent-pair
-    aggregation, ONE best-pair row to the driver (max summed count,
-    ties by lexicographic (a, b)), one merge pass over the histogram's
-    segmentations (materialized per round — the plan stays flat at any
-    n_merges). Stops early when no pair reaches ``min_count``.
+    (word, cnt) histogram. Stops early when no pair reaches
+    ``min_count``.
+
+    Two equivalent paths (equivalence-pinned by
+    ``tests/test_bpe.py::test_local_trainer_equals_distributed``):
+
+    - **histogram-local** (the default whenever the histogram holds at
+      most ``local_max_words`` rows — one cheap vocab-sized count): the
+      ENTIRE merge loop runs in one executor-side ``applyInPandas``
+      group with the classical incremental pair index, so a
+      production-sized vocab (10k-50k merges) costs ONE Spark job
+      instead of 10k+ sequential driver rounds — the driver round-trip
+      was the scale ceiling, each round being cheap but serial.
+    - **distributed rounds** (above the bound, or
+      ``local_max_words=None``): one vocab-sized adjacent-pair
+      aggregation + ONE best-pair row to the driver per round (max
+      summed count, ties by lexicographic (a, b)), one merge pass over
+      the histogram's segmentations.
 
     Returns the ordered merge list (the model — persist with
     :func:`save_bpe`) and the trained segmentation frame
@@ -112,6 +259,19 @@ def bpe_train(
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if local_max_words is not None and words.count() <= local_max_words:
+        frame = _bpe_train_local_frame(
+            words, n_merges, min_count
+        ).localCheckpoint()
+        merges = [
+            (r["a"], r["b"])
+            for r in frame.where(F.col("rank").isNotNull())
+            .orderBy("rank")
+            .select("a", "b")
+            .collect()
+        ]
+        seg = frame.where(F.col("rank").isNull()).select("word", "cnt", "seg")
+        return merges, seg
     seg = words.select(
         "word", F.col("cnt").cast("long").alias("cnt"),
         segment_chars("word").alias("seg"),

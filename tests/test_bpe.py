@@ -90,6 +90,37 @@ class TestTrain:
         with pytest.raises(ValueError):
             bpe_train(hist, n_merges=1, min_count=0)
 
+    def test_local_trainer_equals_distributed(self, spark, sf_dir):
+        # The equivalence pin for the production-merge-count path: the
+        # single-applyInPandas incremental trainer must reproduce the
+        # distributed rounds' merges AND final segmentations bit for
+        # bit — same argmax (max count, ties by lexicographic pair),
+        # same left-to-right merge application, same min_count stop —
+        # on a real mixed-Zipf histogram (testdata corpus: repeated
+        # stopwords, mid-frequency words, rare tails, tie clusters).
+        from swarm_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        hist = bpe_word_histogram(docs)
+        m_loc, s_loc = bpe_train(hist, n_merges=40, min_count=2)
+        m_dist, s_dist = bpe_train(
+            hist, n_merges=40, min_count=2, local_max_words=None
+        )
+        assert m_loc == m_dist
+        loc = {r["word"]: (r["cnt"], r["seg"]) for r in s_loc.collect()}
+        dist = {r["word"]: (r["cnt"], r["seg"]) for r in s_dist.collect()}
+        assert loc == dist
+
+    def test_local_trainer_tie_and_overlap_rules(self, spark):
+        # 'a a a' overlap + an exact tie the heap must break by pair:
+        # counts (a,a)=2 via 'aaa', (b,c)=2 via 'bc'*2 -> ('a','a') wins
+        hist = _hist(spark, [("aaa", 1), ("bc", 2)])
+        m_loc, s_loc = bpe_train(hist, n_merges=1)
+        m_dist, _ = bpe_train(hist, n_merges=1, local_max_words=None)
+        assert m_loc == m_dist == [("a", "a")]
+        got = {r["word"]: r["seg"] for r in s_loc.collect()}
+        assert got["aaa"] == ["aa", "a"]
+
 
 class TestEncode:
     def test_encode_matches_trained_segmentation(self, spark):
