@@ -109,8 +109,9 @@ def _gram_docs(docs, n: int):
         "doc_id",
         F.array_join(
             F.expr(
-                f"transform(sequence(1, size(ws) - {n - 1}),"
-                f" i -> concat_ws('_', {parts}))"
+                f"CASE WHEN size(ws) < {n} THEN array()"
+                f" ELSE transform(sequence(1, size(ws) - {n - 1}),"
+                f" i -> concat_ws('_', {parts})) END"
             ),
             " ",
         ).alias("text"),
@@ -125,6 +126,9 @@ def _kw_docs(docs):
     middle band for."""
     from pyspark.sql import functions as F
 
+    # size guards (as lm_train's): sequence(1, n) with n < 1 yields a
+    # DESCENDING sequence, which would mint bogus units via
+    # null-skipping concat_ws on docs shorter than the window
     return docs.select("doc_id", F.split("text", " +").alias("ws")).select(
         "doc_id",
         F.concat_ws(
@@ -132,15 +136,17 @@ def _kw_docs(docs):
             F.array_join(F.col("ws"), " "),
             F.array_join(
                 F.expr(
-                    "transform(sequence(1, size(ws) - 2),"
-                    " i -> concat_ws('_', ws[i-1], ws[i], ws[i+1]))"
+                    "CASE WHEN size(ws) < 3 THEN array()"
+                    " ELSE transform(sequence(1, size(ws) - 2),"
+                    " i -> concat_ws('_', ws[i-1], ws[i], ws[i+1])) END"
                 ),
                 " ",
             ),
             F.array_join(
                 F.expr(
-                    "transform(sequence(1, size(ws) - 4),"
-                    " i -> concat_ws('_', ws[i-1], ws[i], ws[i+1], ws[i+2], ws[i+3]))"
+                    "CASE WHEN size(ws) < 5 THEN array()"
+                    " ELSE transform(sequence(1, size(ws) - 4),"
+                    " i -> concat_ws('_', ws[i-1], ws[i], ws[i+1], ws[i+2], ws[i+3])) END"
                 ),
                 " ",
             ),
@@ -196,8 +202,9 @@ def _mixed_docs(docs):
             F.array_join(F.col("ws"), " "),
             F.array_join(
                 F.expr(
-                    "transform(sequence(1, size(ws) - 4),"
-                    " i -> concat_ws('_', ws[i-1], ws[i], ws[i+1], ws[i+2], ws[i+3]))"
+                    "CASE WHEN size(ws) < 5 THEN array()"
+                    " ELSE transform(sequence(1, size(ws) - 4),"
+                    " i -> concat_ws('_', ws[i-1], ws[i], ws[i+1], ws[i+2], ws[i+3])) END"
                 ),
                 " ",
             ),

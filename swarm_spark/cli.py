@@ -549,7 +549,7 @@ def cmd_quality(args) -> int:
         from .ops.lm import lm_train, save_lm
 
         ref = docs.where(F.col(args.label_col) == args.label_value)
-        model = lm_train(ref, text_col=args.text_col, id_col=args.id_col)
+        model = lm_train(ref, text_col=args.text_col, order=args.order)
         save_lm(model, args.model)
         counts = model.agg(
             F.coalesce(
@@ -557,14 +557,15 @@ def cmd_quality(args) -> int:
             ).alias("unigrams"),
             F.coalesce(
                 F.sum(F.when(F.col("ctx").isNotNull(), F.lit(1))), F.lit(0)
-            ).alias("bigrams"),
+            ).alias("ngrams"),
         ).head()
         print(
             json.dumps(
                 {
                     "model": args.model,
+                    "order": args.order,
                     "unigrams": int(counts["unigrams"]),
-                    "bigrams": int(counts["bigrams"]),
+                    "ngrams": int(counts["ngrams"]),
                     "ref_docs": ref.count(),
                 }
             )
@@ -583,6 +584,7 @@ def cmd_quality(args) -> int:
             thresholds=thresholds,
             text_col=args.text_col,
             id_col=args.id_col,
+            order=args.order,
         )
         for r in out.collect():
             print(json.dumps(r.asDict()))
@@ -592,7 +594,8 @@ def cmd_quality(args) -> int:
 
         model = load_lm(spark, args.model)
         out = lm_perplexity(
-            docs, model, text_col=args.text_col, id_col=args.id_col
+            docs, model, text_col=args.text_col, id_col=args.id_col,
+            order=args.order,
         )
         if args.output:
             out.write.mode("overwrite").parquet(args.output)
@@ -1315,7 +1318,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser(
         "quality",
         help="train/apply/evaluate the NB corpus-quality model, or the "
-        "LM perplexity filter (lm-train/lm-score)",
+        "LM perplexity filter (lm-train/lm-score/lm-eval)",
     )
     sp.add_argument(
         "action",
@@ -1333,6 +1336,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument(
         "--thresholds", default="0",
         help="eval: comma-separated micro-nat score thresholds to sweep",
+    )
+    sp.add_argument(
+        "--order", type=int, default=2,
+        help="lm-train/lm-score/lm-eval: n-gram order of the Stupid-"
+        "Backoff LM (CCNet's operating point is 5); scoring order must "
+        "not exceed the model's trained order",
     )
     sp.set_defaults(fn=cmd_quality)
 

@@ -18,7 +18,12 @@ corpus and then scores any wave against it.
 Model = one persistable frame of (ctx, tok, cnt):
 
 - ``ctx IS NULL``  → unigram rows (tok, cnt)
-- ``ctx NOT NULL`` → bigram rows (ctx, tok, cnt)
+- ``ctx NOT NULL`` → k-gram rows for k = 2..order: ctx is the
+  space-joined (k−1)-token context (tokens are whitespace-split, so
+  the join is unambiguous) and cnt is the k-gram's TRUE corpus
+  frequency — including document-final occurrences, exactly Brants et
+  al.'s f(·), not a continuation sum. The order of a row is implied
+  by its ctx arity, so ONE frame holds the whole backoff chain.
 
 Grand totals are NOT stored: scoring derives T (total tokens) and V
 (vocabulary size) from the unigram rows in one vocab-sized
@@ -29,27 +34,38 @@ additive contract as the BM25 index statistics,
 `retrieval.py::save_bm25`).
 
 Scoring (per token, integer micro-nats, rounded ONCE like every other
-log-space operator in the repo):
+log-space operator in the repo): at 0-based position i the highest
+usable order is m = min(order, i+1); Stupid Backoff starts there and
+multiplies α per step down:
 
-- first token of a doc:   cost = −ln P_uni(w)
-- seen bigram (ctx, w):   cost = −ln( cnt(ctx,w) / cnt(ctx) )
-- unseen bigram:          cost = −ln( α · P_uni(w) ),  α = 0.4
+- S = α^(m−k) · cnt(k-gram) / cnt(its (k−1)-gram context), for the
+  LARGEST k ≤ m whose k-gram was seen in training (the context count
+  is structurally present: the prefix of an observed k-gram is an
+  observed (k−1)-gram);
+- no higher-order hit at all: S = α^(m−1) · P_uni(w).
 
 with P_uni(w) = (cnt(w)+1)/(T+V+1) — add-one smoothing over the vocab
 plus ONE out-of-vocabulary slot, so probabilities sum to exactly 1
-over V ∪ {OOV} and unseen words score finitely. The bigram MLE
-denominator is the context's unigram count (cnt(ctx,·) ≤ cnt(ctx)
-structurally, so S ≤ 1), exactly Brants et al.'s f(w_{i−1} w_i) /
-f(w_{i−1}). α = 0.4 is their published constant.
+over V ∪ {OOV} and unseen words score finitely. At order=2 this is
+exactly the classical bigram chain: first token → P_uni, seen bigram
+→ f(w_{i−1} w_i)/f(w_{i−1}), unseen → α·P_uni. α = 0.4 is Brants et
+al.'s published constant; CCNet's operating point is order 5 and the
+same count tables serve any order ≤ the trained one. α-powers are
+injected as exact Python-computed double literals (never a runtime
+``pow``), so the engine and the DuckDB oracle multiply bit-identical
+constants.
 
-Scale shape: training is one corpus scan feeding two map-side-combined
-aggregations whose outputs are vocab-sized (unigrams) and
-bigram-vocab-sized; scoring is the token stream against three
-vocab-sized equi-joins (bigram on (ctx, tok), unigram on tok, unigram
-on ctx) and one per-doc aggregation — no window over the corpus, no
-Python UDF, no driver loop. Reference parity: the reference engine
-(m-mizutani/swarm) has no quality tier at all; this extends the
-training-data-pipeline surface the brief asks for.
+Scale shape: training is one corpus scan feeding ONE map-side-combined
+aggregation whose output is Σ_k (k-gram-vocab)-sized; scoring is the
+token stream against 2·order−1 vocab-sized equi-joins (per order k:
+the k-gram numerator on (ctx_k, tok) and its (k−1)-gram denominator,
+which is the numerator's context looked up as a model row; plus the
+unigram on tok) and one per-doc aggregation — no window over the
+corpus, no Python UDF, no driver loop. At order=2 that is exactly the
+classical 3-join shape (bigram on (ctx, tok), unigram on tok, unigram
+on ctx). Reference parity: the reference engine (m-mizutani/swarm)
+has no quality tier at all; this extends the training-data-pipeline
+surface the brief asks for.
 """
 
 from __future__ import annotations
@@ -83,38 +99,49 @@ def _ws_col(text_col: str) -> Column:
 
 
 def lm_train(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame, text_col: str = "text", order: int = 2
 ) -> DataFrame:
-    """Count tables of the Stupid-Backoff bigram LM over ``docs`` —
-    one frame of (ctx, tok, cnt) with unigram rows at ``ctx IS NULL``
-    (see the module docstring for the model contract). Pure counts:
-    additive across waves (:func:`lm_merge`), persistable
-    (:func:`save_lm`)."""
+    """Count tables of the Stupid-Backoff order-``order`` LM over
+    ``docs`` — one frame of (ctx, tok, cnt) holding every k-gram count
+    for k = 1..order, unigram rows at ``ctx IS NULL`` (see the module
+    docstring for the model contract). Pure counts: additive across
+    waves (:func:`lm_merge`), persistable (:func:`save_lm`). A model
+    trained at order n scores at any order ≤ n (the lower-order tables
+    are embedded)."""
+    if order < 1:
+        raise ValueError(f"order must be >= 1, got {order}")
     base = docs.select(_ws_col(text_col).alias("ws"))
-    # adjacent pairs are built ARRAY-side (transform over the token
-    # list), so no per-doc window and no corpus-order shuffle ever runs
-    pair_arr = F.when(
-        F.size("ws") < 2,
-        F.expr("cast(array() as array<struct<ctx:string,tok:string>>)"),
-    ).otherwise(
-        F.expr(
-            "transform(slice(ws, 1, size(ws) - 1),"
-            " (x, i) -> struct(x as ctx, element_at(ws, i + 2) as tok))"
+    # every k-gram tier is built ARRAY-side (transform over the token
+    # list), so no per-doc window and no corpus-order shuffle ever
+    # runs; all tiers ride ONE explode, so training is ONE corpus scan
+    # feeding ONE map-side-combined aggregation — and every consumer
+    # of the model references one aggregation subtree Spark's exchange
+    # reuse materializes once
+    arrs = [
+        F.transform(
+            "ws",
+            lambda t: F.struct(
+                F.lit(None).cast("string").alias("ctx"), t.alias("tok")
+            ),
         )
-    )
-    # unigram entries (ctx NULL) ride the SAME explode as the bigram
-    # entries, so training is ONE corpus scan feeding ONE map-side-
-    # combined aggregation — and every consumer of the model (uni
-    # filter twice, bi filter once) references one aggregation subtree
-    # Spark's exchange reuse materializes once
-    uni_arr = F.transform(
-        "ws",
-        lambda t: F.struct(
-            F.lit(None).cast("string").alias("ctx"), t.alias("tok")
-        ),
-    )
+    ]
+    for k in range(2, order + 1):
+        # 1-based start s walks the k-gram windows: ctx = the joined
+        # (k−1)-token prefix, tok = the window's last token
+        arrs.append(
+            F.when(
+                F.size("ws") < k,
+                F.expr("cast(array() as array<struct<ctx:string,tok:string>>)"),
+            ).otherwise(
+                F.expr(
+                    f"transform(sequence(1, size(ws) - {k - 1}),"
+                    f" s -> struct(array_join(slice(ws, s, {k - 1}), ' ') as ctx,"
+                    f" element_at(ws, s + {k - 1}) as tok))"
+                )
+            )
+        )
     return (
-        base.select(F.explode(F.concat(uni_arr, pair_arr)).alias("e"))
+        base.select(F.explode(F.concat(*arrs)).alias("e"))
         .select("e.ctx", "e.tok")
         .groupBy("ctx", "tok")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
@@ -145,31 +172,50 @@ def load_lm(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _alpha_pow(alpha: float, exponent: Column, max_exp: int) -> Column:
+    """α^exponent as a chained-when over exact Python-computed double
+    LITERALS (exponent ∈ 0..max_exp, a column). Never a runtime pow:
+    the DuckDB oracles inject the repr of the SAME doubles, so both
+    engines multiply bit-identical constants — runtime pow could
+    differ from libm by an ulp and flip a micro-nat rounding."""
+    out = F.lit(float(alpha**max_exp))
+    for e in range(max_exp - 1, -1, -1):
+        out = F.when(exponent == e, F.lit(float(alpha**e))).otherwise(out)
+    return out
+
+
 def lm_perplexity(
     docs: DataFrame,
     model: DataFrame,
     alpha: float = LM_ALPHA,
     text_col: str = "text",
     id_col: str = "doc_id",
+    order: int = 2,
 ) -> DataFrame:
-    """Per-document cross-entropy under the Stupid-Backoff bigram LM:
+    """Per-document cross-entropy under the Stupid-Backoff order-n LM:
     (id, n_toks, cost_micro, avg_micro) where cost_micro is the summed
     per-token −ln S in integer micro-nats (each token rounded ONCE)
     and avg_micro = round(cost_micro / n_toks) — the CCNet ranking
     key; perplexity itself is exp(avg nats), monotone in avg_micro, so
     thresholds and quantile gates work on the integer column directly.
     Documents with zero tokens have no likelihood and are absent, the
-    same contract as the retrieval scorers.
+    same contract as the retrieval scorers. ``order`` must not exceed
+    the model's trained order (a higher-order lookup against a
+    lower-order model never matches, so every token would pay one
+    backoff α too many).
 
-    Scale shape: token stream → three vocab-sized equi-joins → one
-    per-doc sum. The model frame is joined, never collected (only the
-    two grand totals T and V come back to the driver — metadata)."""
+    Scale shape: token stream → 2·order−1 vocab-sized equi-joins (the
+    order-k numerator on (ctx_k, tok), its (k−1)-gram denominator —
+    the numerator's context looked up as a model row — and the
+    unigram on tok) → one per-doc sum. The model frame is joined,
+    never collected (only the two grand totals T and V come back to
+    the driver — metadata)."""
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if order < 1:
+        raise ValueError(f"order must be >= 1, got {order}")
     uni = model.where(F.col("ctx").isNull()).select("tok", "cnt")
-    bi = model.where(F.col("ctx").isNotNull()).select(
-        "ctx", "tok", F.col("cnt").alias("cnt_pair")
-    )
+    grams = model.where(F.col("ctx").isNotNull())
     tv = uni.agg(
         F.coalesce(F.sum("cnt"), F.lit(0)).alias("t"),
         F.count(F.lit(1)).alias("v"),
@@ -179,6 +225,33 @@ def lm_perplexity(
         raise ValueError("model has no unigram counts")
     denom = float(t + v + 1)
 
+    # per-token join keys: for each k in 2..order the k-gram context
+    # ending just before position i (ctx_k, a joined (k−1)-token
+    # string, NULL when i < k−1 — a NULL key simply never matches) and
+    # for k >= 3 the denominator context (the (k−1)-gram ending at
+    # i−1, keyed as model row (den-ctx, prev)). element_at/slice are
+    # 1-based; i from posexplode is 0-based.
+    cols = [
+        F.col("id"),
+        F.col("i"),
+        F.col("tok"),
+        F.when(F.col("i") == 0, F.lit(None).cast("string"))
+        .otherwise(F.element_at("ws", F.col("i")))
+        .alias("prev"),
+    ]
+    for k in range(3, order + 1):
+        cols.append(
+            F.when(
+                F.col("i") >= k - 1,
+                F.expr(f"array_join(slice(ws, i - {k - 2}, {k - 1}), ' ')"),
+            ).alias(f"nctx{k}")
+        )
+        cols.append(
+            F.when(
+                F.col("i") >= k - 1,
+                F.expr(f"array_join(slice(ws, i - {k - 2}, {k - 2}), ' ')"),
+            ).alias(f"dctx{k}")
+        )
     ent = docs.select(
         F.col(id_col).alias("id"),
         _ws_col(text_col).alias("ws"),
@@ -186,38 +259,75 @@ def lm_perplexity(
         "id",
         F.posexplode("ws").alias("i", "tok"),
         F.col("ws"),
-    ).select(
-        "id",
-        "tok",
-        # previous token: element_at is 1-based, so ws[i] at 0-based i
-        F.when(F.col("i") == 0, F.lit(None).cast("string"))
-        .otherwise(F.element_at("ws", F.col("i")))
-        .alias("ctx"),
-    )
-    scored = (
-        ent.join(bi, ["ctx", "tok"], "left")
-        .join(uni.select(F.col("tok"), F.col("cnt").alias("cnt_tok")), "tok", "left")
-        .join(
-            uni.select(F.col("tok").alias("ctx"), F.col("cnt").alias("cnt_ctx")),
-            "ctx",
+    ).select(*cols)
+
+    scored = ent
+    for k in range(2, order + 1):
+        nctx = F.col("prev") if k == 2 else F.col(f"nctx{k}")
+        num = grams.select(
+            F.col("ctx").alias(f"_n{k}c"),
+            F.col("tok").alias(f"_n{k}t"),
+            F.col("cnt").alias(f"cnt_num_{k}"),
+        )
+        scored = scored.join(
+            num,
+            (nctx == F.col(f"_n{k}c")) & (F.col("tok") == F.col(f"_n{k}t")),
             "left",
-        )
+        ).drop(f"_n{k}c", f"_n{k}t")
+        if k == 2:
+            # the bigram denominator is the unigram count of prev
+            den = uni.select(
+                F.col("tok").alias("_d2t"), F.col("cnt").alias("cnt_den_2")
+            )
+            scored = scored.join(
+                den, F.col("prev") == F.col("_d2t"), "left"
+            ).drop("_d2t")
+        else:
+            den = grams.select(
+                F.col("ctx").alias(f"_d{k}c"),
+                F.col("tok").alias(f"_d{k}t"),
+                F.col("cnt").alias(f"cnt_den_{k}"),
+            )
+            scored = scored.join(
+                den,
+                (F.col(f"dctx{k}") == F.col(f"_d{k}c"))
+                & (F.col("prev") == F.col(f"_d{k}t")),
+                "left",
+            ).drop(f"_d{k}c", f"_d{k}t")
+    scored = scored.join(
+        uni.select(F.col("tok"), F.col("cnt").alias("cnt_tok")), "tok", "left"
     )
+
     p_uni = (F.coalesce(F.col("cnt_tok"), F.lit(0)) + 1) / F.lit(denom)
-    cost = (
-        F.when(
-            F.col("ctx").isNull(),
-            F.round(F.lit(-1_000_000) * F.log(p_uni)),
-        )
-        .when(
-            F.col("cnt_pair").isNotNull(),
-            F.round(F.lit(-1_000_000) * F.log(F.col("cnt_pair") / F.col("cnt_ctx"))),
-        )
-        .otherwise(
-            F.round(F.lit(-1_000_000) * F.log(F.lit(alpha) * p_uni))
-        )
-        .cast("long")
+    m = F.least(F.lit(order), F.col("i") + 1)
+    # backoff chain, highest order first: the first seen k-gram wins
+    # with α^(m−k); nothing seen above the unigram → α^(m−1)·P_uni
+    cost = F.round(
+        F.lit(-1_000_000) * F.log(_alpha_pow(alpha, m - 1, order - 1) * p_uni)
     )
+    for k in range(2, order + 1):
+        hit = (
+            F.col(f"cnt_num_{k}").isNotNull()
+            & F.col(f"cnt_den_{k}").isNotNull()
+        )
+        ratio = F.col(f"cnt_num_{k}") / F.col(f"cnt_den_{k}")
+        if k == order:
+            # m ≥ k is implied by the hit (the key needs i ≥ k−1), and
+            # k = order forces m = order: exponent 0, no α factor —
+            # at order 2 this reproduces the classical seen-bigram
+            # branch bit for bit
+            cost = F.when(hit, F.round(F.lit(-1_000_000) * F.log(ratio))).otherwise(
+                cost
+            )
+        else:
+            cost = F.when(
+                hit,
+                F.round(
+                    F.lit(-1_000_000)
+                    * F.log(_alpha_pow(alpha, m - k, order - k) * ratio)
+                ),
+            ).otherwise(cost)
+    cost = cost.cast("long")
     return (
         scored.select("id", cost.alias("c"))
         .groupBy("id")
@@ -244,6 +354,7 @@ def lm_eval(
     alpha: float = LM_ALPHA,
     text_col: str = "text",
     id_col: str = "doc_id",
+    order: int = 2,
 ) -> DataFrame:
     """Evaluate the perplexity gate on a labeled holdout: score
     ``docs``, predict GOOD where ``avg_micro <= t`` (low perplexity =
@@ -253,23 +364,29 @@ def lm_eval(
     in integer micro-units rounded once (NULL on a zero denominator) —
     the same value-oracle-able operating curve as the NB gate
     (`text.py::nb_eval_quality`), so a ``curate --lm-max-avg`` cap
-    comes from a measured operating point. Docs with zero tokens are
-    not scored and therefore not counted (the scorer's contract).
+    comes from a measured operating point. Docs with zero tokens have
+    no score and are counted as predicted-BAD (fn when labeled good,
+    tn otherwise) — exactly what :func:`lm_gate` does to them in
+    deployment (its semi-join drops unscored docs), so the measured
+    curve IS the gate's real operating curve on corpora with empty
+    docs.
 
     Scale shape: one scoring pass joined to the label projection on
     the id, fanned out |thresholds|× (a literal), collapsing map-side
     into 4·|thresholds| grand counters."""
     if not thresholds:
         raise ValueError("need at least one threshold")
-    scored = lm_perplexity(docs, model, alpha, text_col, id_col)
+    scored = lm_perplexity(docs, model, alpha, text_col, id_col, order)
     labs = docs.select(
         F.col(id_col),
         F.coalesce(label.cast("boolean"), F.lit(False)).alias("y"),
     )
-    pred = F.col("avg_micro") <= F.col("threshold_micro")
+    pred = F.col("avg_micro").isNotNull() & (
+        F.col("avg_micro") <= F.col("threshold_micro")
+    )
     cnt = lambda c: F.coalesce(F.sum(c.cast("long")), F.lit(0)).cast("long")
     conf = (
-        scored.join(labs, id_col)
+        labs.join(scored, id_col, "left")
         .select(
             "avg_micro",
             "y",
@@ -309,13 +426,16 @@ def lm_gate(
     alpha: float = LM_ALPHA,
     text_col: str = "text",
     id_col: str = "doc_id",
+    order: int = 2,
 ) -> DataFrame:
     """Keep documents whose average per-token cost under the model is
     ≤ ``max_avg_micro`` micro-nats — the CCNet head/middle cut as a
     curation gate. Returns ``docs``' columns unchanged (semi-join
     against the scored frame, so the corpus is scanned once for
-    scoring and survivors pass through by id)."""
-    keep = lm_perplexity(docs, model, alpha, text_col, id_col).where(
+    scoring and survivors pass through by id). Zero-token docs have no
+    score and are DROPPED — :func:`lm_eval` counts them as
+    predicted-bad, so its curve matches this behavior."""
+    keep = lm_perplexity(docs, model, alpha, text_col, id_col, order).where(
         F.col("avg_micro") <= F.lit(int(max_avg_micro))
     )
     return docs.join(

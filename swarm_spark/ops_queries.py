@@ -4621,23 +4621,35 @@ def q_text_lm_eval(spark, sf):
     )
 
 
+def _lm_eval_conf_sql(thresholds) -> str:
+    """The eval confusion CTE over a ``ppl`` + ``labs`` pair: labs
+    drives a LEFT join so zero-token (unscored) docs are counted as
+    predicted-bad — the lm_gate deployment semantics (`ops/lm.py`)."""
+    return f"""
+th AS (SELECT unnest([{", ".join(str(t) for t in thresholds)}])
+              AS threshold_micro),
+conf AS (SELECT th.threshold_micro,
+                cast(sum(CASE WHEN p.avg_micro IS NOT NULL
+                              AND p.avg_micro <= th.threshold_micro
+                              AND l.y THEN 1 ELSE 0 END) AS bigint) AS tp,
+                cast(sum(CASE WHEN p.avg_micro IS NOT NULL
+                              AND p.avg_micro <= th.threshold_micro
+                              AND NOT l.y THEN 1 ELSE 0 END) AS bigint) AS fp,
+                cast(sum(CASE WHEN (p.avg_micro IS NULL
+                              OR p.avg_micro > th.threshold_micro)
+                              AND l.y THEN 1 ELSE 0 END) AS bigint) AS fn,
+                cast(sum(CASE WHEN (p.avg_micro IS NULL
+                              OR p.avg_micro > th.threshold_micro)
+                              AND NOT l.y THEN 1 ELSE 0 END) AS bigint) AS tn
+         FROM labs l LEFT JOIN ppl p USING (doc_id) CROSS JOIN th
+         GROUP BY 1)"""
+
+
 SQL_LM_EVAL = f"""
 WITH {_lm_scored_cte("lang = 'en' AND doc_id % 2 = 0", "doc_id % 2 = 1")},
 labs AS (SELECT doc_id, lang = 'en' AS y FROM documents
          WHERE doc_id % 2 = 1),
-th AS (SELECT unnest([{", ".join(str(t) for t in _LM_EVAL_THRESHOLDS)}])
-              AS threshold_micro),
-conf AS (SELECT th.threshold_micro,
-                cast(sum(CASE WHEN p.avg_micro <= th.threshold_micro
-                              AND l.y THEN 1 ELSE 0 END) AS bigint) AS tp,
-                cast(sum(CASE WHEN p.avg_micro <= th.threshold_micro
-                              AND NOT l.y THEN 1 ELSE 0 END) AS bigint) AS fp,
-                cast(sum(CASE WHEN p.avg_micro > th.threshold_micro
-                              AND l.y THEN 1 ELSE 0 END) AS bigint) AS fn,
-                cast(sum(CASE WHEN p.avg_micro > th.threshold_micro
-                              AND NOT l.y THEN 1 ELSE 0 END) AS bigint) AS tn
-         FROM ppl p JOIN labs l USING (doc_id) CROSS JOIN th
-         GROUP BY 1)
+{_lm_eval_conf_sql(_LM_EVAL_THRESHOLDS)}
 SELECT cast(threshold_micro AS bigint) AS threshold_micro, tp, fp, fn, tn,
        CASE WHEN tp + fp > 0
             THEN cast(round(1000000.0 * tp / (tp + fp)) AS bigint) END
@@ -4656,8 +4668,131 @@ SELECT cast(threshold_micro AS bigint) AS threshold_micro, tp, fp, fn, tn,
 FROM conf ORDER BY threshold_micro
 """
 
+_LM_EVAL_TAIL = SQL_LM_EVAL[SQL_LM_EVAL.index("SELECT cast(threshold_micro"):]
+
+
+def q_text_lm_trigram(spark, sf):
+    """Order-3 Stupid-Backoff perplexity — CCNet's published operating
+    point is a 5-gram KenLM and the bigram filter is its weakest
+    approximation; order n is the SAME (ctx, tok, cnt) SUM-monoid
+    model with ctx = the joined (n−1)-gram, so train stays one corpus
+    scan and scoring becomes 2n−1 vocab-sized equi-joins. The backoff
+    chain multiplies α per step down (trigram → bigram → smoothed
+    unigram), with α-powers injected as exact shared double literals
+    in BOTH engines (`ops/lm.py::_alpha_pow`)."""
+    from .ops.lm import lm_perplexity, lm_train
+
+    docs = _docs(spark, sf)
+    model = lm_train(docs.where(F.col("lang") == "en"), order=3)
+    return lm_perplexity(docs, model, order=3).orderBy("doc_id")
+
+
+def _lm3_scored_cte(
+    train_where: str = "lang = 'en'", score_where: str = "TRUE"
+) -> str:
+    """DuckDB re-derivation of the ORDER-3 train+score chain: uni/bi/
+    tri count tables, per-position (prev, trigram-ctx, trigram-den)
+    keys, and the three-branch backoff cost. α-power literals are the
+    repr of the SAME Python doubles the Spark side injects
+    (`ops/lm.py::_alpha_pow`), so the product arithmetic is
+    bit-identical."""
+    a1, a2 = repr(0.4**1), repr(0.4**2)
+    return f"""
+w AS (SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(text, ' +'),
+                         t -> length(t) > 0) AS ws
+      FROM documents),
+uni AS (SELECT tok, cast(count(*) AS bigint) AS cnt
+        FROM (SELECT unnest(ws) AS tok FROM w WHERE {train_where})
+        GROUP BY tok),
+pairsrc AS (SELECT ws, unnest(range(len(ws) - 1)) AS i
+            FROM w WHERE {train_where}),
+bi AS (SELECT ws[i + 1] AS ctx, ws[i + 2] AS tok,
+              cast(count(*) AS bigint) AS cnt
+       FROM pairsrc GROUP BY 1, 2),
+trisrc AS (SELECT ws, unnest(range(len(ws) - 2)) AS i
+           FROM w WHERE {train_where}),
+tri AS (SELECT ws[i + 1] || ' ' || ws[i + 2] AS ctx, ws[i + 3] AS tok,
+               cast(count(*) AS bigint) AS cnt
+        FROM trisrc GROUP BY 1, 2),
+tv AS (SELECT cast(sum(cnt) AS bigint) AS t,
+              cast(count(*) AS bigint) AS v
+       FROM uni),
+ent AS (SELECT doc_id, ws, unnest(ws) AS tok,
+               unnest(range(len(ws))) AS i
+        FROM w WHERE {score_where}),
+ent2 AS (SELECT doc_id, tok, i,
+                CASE WHEN i >= 1 THEN ws[i] END AS prev,
+                CASE WHEN i >= 2 THEN ws[i - 1] || ' ' || ws[i] END AS nctx3,
+                CASE WHEN i >= 2 THEN ws[i - 1] END AS dctx3
+         FROM ent),
+scored AS (
+  SELECT e.doc_id,
+         cast(CASE
+           WHEN t3.cnt IS NOT NULL AND d3.cnt IS NOT NULL THEN
+             round(-1000000 * ln(t3.cnt / d3.cnt))
+           WHEN b.cnt IS NOT NULL AND uc.cnt IS NOT NULL THEN
+             round(-1000000 * ln(
+               (CASE WHEN least(3, e.i + 1) - 2 = 0 THEN 1.0 ELSE {a1} END)
+               * (b.cnt / uc.cnt)))
+           ELSE
+             round(-1000000 * ln(
+               (CASE least(3, e.i + 1) - 1
+                     WHEN 0 THEN 1.0 WHEN 1 THEN {a1} ELSE {a2} END)
+               * ((coalesce(u.cnt, 0) + 1) / (tv.t + tv.v + 1))))
+         END AS bigint) AS c
+  FROM ent2 e
+  CROSS JOIN tv
+  LEFT JOIN tri t3 ON t3.ctx = e.nctx3 AND t3.tok = e.tok
+  LEFT JOIN bi d3 ON d3.ctx = e.dctx3 AND d3.tok = e.prev
+  LEFT JOIN bi b ON b.ctx = e.prev AND b.tok = e.tok
+  LEFT JOIN uni u ON u.tok = e.tok
+  LEFT JOIN uni uc ON uc.tok = e.prev),
+ppl AS (SELECT doc_id, cast(count(*) AS bigint) AS n_toks,
+               cast(sum(c) AS bigint) AS cost_micro,
+               cast(round(sum(c) / count(*)) AS bigint) AS avg_micro
+        FROM scored GROUP BY doc_id)
+"""
+
+
+SQL_LM_TRIGRAM = f"""
+WITH {_lm3_scored_cte()}
+SELECT doc_id, n_toks, cost_micro, avg_micro FROM ppl ORDER BY doc_id
+"""
+
+
+def q_text_lm_eval3(spark, sf):
+    """The lm_eval operating curve over the ORDER-3 model (same holdout
+    split and threshold sweep as `text_lm_eval`): the trigram chain is
+    strictly more selective on in-domain text, so the measured curve is
+    the one a `curate --lm-order 3` cap should come from."""
+    from .ops.lm import lm_eval, lm_train
+
+    docs = _docs(spark, sf)
+    model = lm_train(
+        docs.where((F.col("lang") == "en") & (F.col("doc_id") % 2 == 0)),
+        order=3,
+    )
+    return lm_eval(
+        docs.where(F.col("doc_id") % 2 == 1),
+        model,
+        F.col("lang") == "en",
+        thresholds=list(_LM_EVAL_THRESHOLDS),
+        order=3,
+    )
+
+
+SQL_LM_EVAL3 = f"""
+WITH {_lm3_scored_cte("lang = 'en' AND doc_id % 2 = 0", "doc_id % 2 = 1")},
+labs AS (SELECT doc_id, lang = 'en' AS y FROM documents
+         WHERE doc_id % 2 = 1),
+{_lm_eval_conf_sql(_LM_EVAL_THRESHOLDS)}
+{_LM_EVAL_TAIL}"""
+
 
 OPS: dict[str, tuple[Callable, str | None]] = {
+    "text_lm_trigram": (q_text_lm_trigram, SQL_LM_TRIGRAM),
+    "text_lm_eval3": (q_text_lm_eval3, SQL_LM_EVAL3),
     "text_lm_perplexity": (q_text_lm_perplexity, SQL_LM_PPL),
     "text_lm_merge": (q_text_lm_merge, SQL_LM_PPL),
     "text_lm_gate": (q_text_lm_gate, SQL_LM_GATE),

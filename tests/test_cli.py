@@ -280,6 +280,36 @@ class TestCurate:
         n_above = sum(1 for _, s in got if s > -7_000_000)
         assert 0 < res_c["docs_kept"] <= n_above < 500
 
+    def test_quality_lm_order3_round_trip(self, spark, tmp_path, capsys):
+        """`quality --order 3` trains/scores the trigram chain and
+        reproduces the registry `text_lm_trigram` scorer exactly after
+        the parquet round-trip."""
+        model_dir = str(tmp_path / "lm3")
+        res = _run(
+            capsys,
+            ["--cpus", "4", "quality", "lm-train",
+             "/root/testdata/sf0.001/documents.parquet",
+             "--model", model_dir, "--label-col", "lang",
+             "--label-value", "en", "--order", "3"],
+        )
+        assert res["order"] == 3 and res["ngrams"] > res["unigrams"]
+        scores_dir = str(tmp_path / "ppl3")
+        _run(
+            capsys,
+            ["--cpus", "4", "quality", "lm-score",
+             "/root/testdata/sf0.001/documents.parquet",
+             "--model", model_dir, "--output", scores_dir,
+             "--order", "3"],
+        )
+        from swarm_spark.ops_queries import q_text_lm_trigram
+
+        want = {
+            tuple(r)
+            for r in q_text_lm_trigram(spark, "/root/testdata/sf0.001").collect()
+        }
+        got = {tuple(r) for r in spark.read.parquet(scores_dir).collect()}
+        assert got == want
+
     def test_quality_lm_train_score_round_trip(self, spark, tmp_path, capsys):
         """`quality lm-train` writes the Stupid-Backoff count tables;
         `quality lm-score` reproduces the registry perplexity scorer
@@ -292,7 +322,8 @@ class TestCurate:
              "--model", model_dir, "--label-col", "lang",
              "--label-value", "en"],
         )
-        assert res["unigrams"] > 0 and res["bigrams"] > 0
+        assert res["unigrams"] > 0 and res["ngrams"] > 0
+        assert res["order"] == 2
         assert 0 < res["ref_docs"] < 500
         scores_dir = str(tmp_path / "ppl")
         res_s = _run(

@@ -130,6 +130,101 @@ class TestMergeMonoid:
             lm_merge()
 
 
+class TestOrderN:
+    def test_train_order3_counts(self, spark):
+        m = _counts(lm_train(_docs(spark, [(1, "a b c a b")]), order=3))
+        assert m[(None, "a")] == 2 and m[(None, "b")] == 2
+        assert m[("a", "b")] == 2 and m[("b", "c")] == 1
+        assert m[("a b", "c")] == 1 and m[("b c", "a")] == 1
+        assert m[("c a", "b")] == 1
+        assert ("a b", "a") not in m
+
+    def test_train_short_doc_has_no_trigrams(self, spark):
+        m = _counts(lm_train(_docs(spark, [(1, "a b")]), order=3))
+        assert m == {(None, "a"): 1, (None, "b"): 1, ("a", "b"): 1}
+
+    def test_order_validated(self, spark):
+        d = _docs(spark, [(1, "a b")])
+        with pytest.raises(ValueError):
+            lm_train(d, order=0)
+        with pytest.raises(ValueError):
+            lm_perplexity(d, lm_train(d), order=0)
+
+    def test_trigram_three_branch_costs(self, spark):
+        # corpus "a b c" x2 + "a b d": tri (a b, c)=2, (a b, d)=1;
+        # bi (a,b)=3, (b,c)=2, (b,d)=1; uni a=3 b=3 c=2 d=1 -> T=9 V=4
+        train = _docs(spark, [(1, "a b c"), (2, "a b c"), (3, "a b d")])
+        model = lm_train(train, order=3)
+        t, v = 9, 4
+
+        def puni(cnt):
+            return (cnt + 1) / (t + v + 1)
+
+        out = {
+            r["doc_id"]: r["cost_micro"]
+            for r in lm_perplexity(
+                _docs(
+                    spark,
+                    [(10, "a b c"), (11, "b b c"), (12, "a b z")],
+                ),
+                model,
+                order=3,
+            ).collect()
+        }
+        # doc 10: P(a) uni; (a,b) seen bigram at m=2 (no alpha);
+        # (a b, c) seen trigram: 2/3
+        c10 = (
+            _micro(-math.log(puni(3)))
+            + _micro(-math.log(3 / 3))
+            + _micro(-math.log(2 / 3))
+        )
+        assert out[10] == c10
+        # doc 11: P(b) uni; (b,b) unseen bigram at m=2 -> alpha*P(b);
+        # (b b, c) unseen tri, (b, c) seen bi -> alpha * 2/3
+        c11 = (
+            _micro(-math.log(puni(3)))
+            + _micro(-math.log(0.4 * puni(3)))
+            + _micro(-math.log(0.4 * (2 / 3)))
+        )
+        assert out[11] == c11
+        # doc 12: last token z: tri and bi and uni all unseen at m=3
+        # -> alpha^2 * P_oov
+        c12 = (
+            _micro(-math.log(puni(3)))
+            + _micro(-math.log(3 / 3))
+            + _micro(-math.log(0.4 * 0.4 * puni(0)))
+        )
+        assert out[12] == c12
+
+    def test_trigram_fold_equals_retrain(self, spark):
+        rows = [
+            (i, f"w{i % 4} w{(i * 3) % 5} w{i % 3} w{(i * 7) % 4}")
+            for i in range(40)
+        ]
+        full = _docs(spark, rows)
+        merged = lm_merge(
+            lm_train(full.where(F.col("doc_id") % 2 == 0), order=3),
+            lm_train(full.where(F.col("doc_id") % 2 == 1), order=3),
+        )
+        assert _counts(merged) == _counts(lm_train(full, order=3))
+        a = sorted(
+            map(tuple, lm_perplexity(full, lm_train(full, order=3), order=3).collect())
+        )
+        b = sorted(map(tuple, lm_perplexity(full, merged, order=3).collect()))
+        assert a == b
+
+    def test_order3_model_scores_at_order2_like_bigram_model(self, spark):
+        # lower-order tables are embedded: scoring an order-3 model at
+        # order=2 must equal scoring a pure bigram model
+        train = _docs(spark, [(1, "a b c a"), (2, "b c a b")])
+        docs = _docs(spark, [(10, "a b c"), (11, "c c a")])
+        a = sorted(
+            map(tuple, lm_perplexity(docs, lm_train(train, order=3)).collect())
+        )
+        b = sorted(map(tuple, lm_perplexity(docs, lm_train(train)).collect()))
+        assert a == b
+
+
 class TestGate:
     def test_keeps_low_perplexity_docs(self, spark):
         # in-domain text scores low; OOV soup scores high
@@ -197,6 +292,24 @@ class TestEval:
         assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (0, 0, 0, 1)
         assert r["precision_micro"] is None and r["recall_micro"] is None
         assert r["f1_micro"] is None and r["accuracy_micro"] == 1_000_000
+
+    def test_zero_token_doc_counts_as_predicted_bad(self, spark):
+        # ADVICE r10: lm_gate DROPS unscored (zero-token) docs, so the
+        # measured curve must count them as predicted-bad — fn when
+        # labeled good, tn otherwise — not silently exclude them
+        from swarm_spark.ops.lm import lm_eval
+
+        model = lm_train(_docs(spark, [(1, "a b")]))
+        docs = spark.createDataFrame(
+            [
+                (1, "a b", True),   # scored low -> tp
+                (2, "", True),      # unscored, labeled good -> fn
+                (3, "   ", False),  # unscored (whitespace only) -> tn
+            ],
+            "doc_id long, text string, y boolean",
+        )
+        r = lm_eval(docs, model, F.col("y"), thresholds=[10**9]).head()
+        assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (1, 0, 1, 1)
 
     def test_threshold_sweep_orders_rows(self, spark):
         from swarm_spark.ops.lm import lm_eval

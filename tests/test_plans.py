@@ -117,6 +117,12 @@ _SCAN_BUDGET = {
     #   the docs passthrough the semi-join preserves
     "text_lm_eval": 4,  # pushed-filter train (2, even slice) + the
     #   odd-slice scoring stream + the label projection
+    "text_lm_trigram": 3,  # the order-3 twin of text_lm_perplexity:
+    #   identical scan shape (the extra trigram num/den joins all
+    #   reuse the one fused-train exchange — only the pushed uni/gram
+    #   filter split and the scoring stream read the table)
+    "text_lm_eval3": 4,  # the order-3 twin of text_lm_eval — same
+    #   pushed-filter train (2) + scoring stream + label projection
     "dedup_semantic_keep": 3,  # pair graph (cells + cosine) + the
     #   corpus frame the anti-join preserves
     "knn_classify": 3,  # embeddings as corpus + broadcast queries + label dim
