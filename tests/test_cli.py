@@ -804,9 +804,12 @@ class TestIndexCli:
         assert got == want
 
     def test_build_then_probe_bm25(self, spark, tmp_path, capsys):
-        """--kind bm25 persists postings + df stats + totals; the probe
-        reads ONLY the index tables (docs=None in bm25_topk) and must
-        match the bm25_topk registry query exactly at sf0.001."""
+        """--kind bm25 persists postings + df stats + totals + the
+        MaxScore bounds table; the probe ROUTES THROUGH bm25_pruned
+        (bounds present, the serving default), reads ONLY the index
+        tables, and must match the exhaustive bm25_topk ranker exactly
+        at sf0.001 — the pruned==exhaustive identity pin on the CLI
+        serving path."""
         from pyspark.sql import functions as F
 
         docs_src = "/root/testdata/sf0.001/documents.parquet"
@@ -817,6 +820,10 @@ class TestIndexCli:
              "--input", docs_src, "--index", idx],
         )
         assert out["kind"] == "bm25" and out["docs"] == 500 and out["tokens"] > 0
+        assert out["bounds"] is True
+        import os
+
+        assert os.path.exists(os.path.join(idx, "bounds"))
         q_dir = str(tmp_path / "bq")
         docs = spark.read.parquet(docs_src)
         docs.where("doc_id % 50 = 0").write.parquet(q_dir)
@@ -838,10 +845,33 @@ class TestIndexCli:
         want = {tuple(r) for r in bm25_topk(docs, queries, k=5).collect()}
         assert got == want
 
+    def test_probe_exhaustive_flag_identical_output(self, spark, tmp_path, capsys):
+        """--exhaustive forces the plain ranker past the bounds table;
+        its rows must equal the default (pruned) probe's bit for bit —
+        the flag changes the plan, never the answer."""
+        docs_src = "/root/testdata/sf0.001/documents.parquet"
+        idx = str(tmp_path / "bmidx")
+        _run(
+            capsys,
+            ["--cpus", "4", "index", "build", "--kind", "bm25",
+             "--input", docs_src, "--index", idx],
+        )
+        q_dir = str(tmp_path / "bq")
+        spark.read.parquet(docs_src).where("doc_id % 50 = 0").write.parquet(q_dir)
+        base = ["--cpus", "4", "index", "probe", "--kind", "bm25",
+                "--input", docs_src, "--queries", q_dir, "--index", idx,
+                "--k", "5"]
+        rows = {}
+        for label, extra in (("pruned", []), ("exhaustive", ["--exhaustive"])):
+            assert main(base + extra) == 0
+            rows[label] = sorted(capsys.readouterr().out.strip().splitlines())
+        assert rows["pruned"] == rows["exhaustive"] and rows["pruned"]
+
     def test_probe_bm25_index_with_lm_scorer(self, spark, tmp_path, capsys):
         """--scorer lm probes the SAME stored bm25 index with
-        Dirichlet query likelihood (cf folds from the postings) and
-        must match the lm_topk registry query exactly at sf0.001."""
+        Dirichlet query likelihood routed through lm_pruned (bounds
+        present — one bounds table serves both rankers) and must match
+        the exhaustive lm_topk ranker exactly at sf0.001."""
         from pyspark.sql import functions as F
 
         docs_src = "/root/testdata/sf0.001/documents.parquet"
