@@ -849,6 +849,107 @@ def q_streaming_postings_e2e(spark, sf):
 from .ops_queries import SQL_BM25 as SQL_STREAMING_POSTINGS  # noqa: E402
 
 
+def q_streaming_bounds_e2e(spark, sf):
+    """Streaming maintenance of the MaxScore BOUNDS statistic: each
+    micro-batch appends its (tok, max_tf) frame to a fourth append-only
+    ledger next to the postings/stats/totals ledgers; max_tf is a MAX
+    monoid, so fold-at-read (groupBy-max) equals the one-shot build —
+    the invariant PRUNING CORRECTNESS depends on under append-only
+    growth (a stale-LOW bound would wrongly exclude a true top-k doc;
+    the fold can only track the true max upward, never lag it). The
+    result is the MaxScore-pruned probe over ALL FOUR folded ledgers,
+    and the oracle is the exhaustive BM25 SQL: one green row pins the
+    whole chain — ledger fold == rebuilt index AND pruned ==
+    exhaustive on the folded statistics. Completes the streaming
+    index-maintenance family: postings (r9), LM counts (r10), bounds."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .ops.retrieval import (
+        bm25_postings,
+        bm25_pruned,
+        bm25_stats,
+        bm25_term_bounds,
+        bm25_totals,
+    )
+    from .ops.sampling import hash_bucket
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="swarm_bounds_stream_")
+    src = os.path.join(tmp, "incoming")
+    os.makedirs(src)
+    slice_id = hash_bucket("doc_id", "swarm-bounds-slice") % 4
+    for k in range(4):
+        rows = (
+            docs.where(slice_id == k)
+            .select(F.to_json(F.struct("doc_id", "text")).alias("v"))
+            .collect()
+        )
+        with open(os.path.join(src, f"b{k}.ndjson"), "w") as f:
+            for r in rows:
+                f.write(r["v"] + "\n")
+
+    led_post = os.path.join(tmp, "postings")
+    led_stats = os.path.join(tmp, "stats")
+    led_tot = os.path.join(tmp, "totals")
+    led_bounds = os.path.join(tmp, "bounds")
+    for d in (led_post, led_stats, led_tot, led_bounds):
+        os.makedirs(d)
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+
+    def land(batch_df, _epoch):
+        p = bm25_postings(batch_df).persist()
+        p.write.mode("append").parquet(led_post)
+        bm25_stats(p).write.mode("append").parquet(led_stats)
+        bm25_term_bounds(p).write.mode("append").parquet(led_bounds)
+        p.unpersist()
+        bm25_totals(batch_df).write.mode("append").parquet(led_tot)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")  # one slice per micro-batch
+        .json(src)
+        .writeStream.foreachBatch(land)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    post = (
+        spark.read.schema("id long, dl long, tok string, tf long")
+        .parquet(led_post)
+        .groupBy("id", "dl", "tok")
+        .agg(F.sum("tf").cast("long").alias("tf"))
+    )
+    stats = (
+        spark.read.schema("tok string, df long")
+        .parquet(led_stats)
+        .groupBy("tok")
+        .agg(F.sum("df").cast("long").alias("df"))
+    )
+    totals = spark.read.schema("n_docs long, tot_tokens long").parquet(led_tot)
+    bounds = (
+        spark.read.schema("tok string, max_tf long")
+        .parquet(led_bounds)
+        .groupBy("tok")
+        .agg(F.max("max_tf").cast("long").alias("max_tf"))
+    )
+    queries = docs.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return bm25_pruned(
+        None, queries, k=5,
+        postings=post, stats=stats, totals=totals, bounds=bounds,
+    )
+
+
+SQL_STREAMING_BOUNDS = SQL_STREAMING_POSTINGS
+
+
 def q_streaming_cms_e2e(spark, sf):
     """Streaming frequency-sketch maintenance end-to-end: documents
     arrive as hash-sliced micro-batches; each batch APPENDS its token
@@ -1325,6 +1426,7 @@ CORE: dict[str, tuple[Callable, str | None]] = {
     "streaming_sketch_e2e": (q_streaming_sketch_e2e, SQL_STREAMING_SKETCH),
     "streaming_quantiles_e2e": (q_streaming_quantiles_e2e, SQL_STREAMING_QUANTILES),
     "streaming_postings_e2e": (q_streaming_postings_e2e, SQL_STREAMING_POSTINGS),
+    "streaming_bounds_e2e": (q_streaming_bounds_e2e, SQL_STREAMING_BOUNDS),
     "streaming_cms_e2e": (q_streaming_cms_e2e, SQL_STREAMING_CMS),
     "streaming_hll_e2e": (q_streaming_hll_e2e, SQL_STREAMING_HLL),
     "streaming_lm_e2e": (q_streaming_lm_e2e, SQL_STREAMING_LM),

@@ -175,6 +175,12 @@ _SCAN_BUDGET = {
     "streaming_postings_e2e": 4,  # the three appended ledgers
     #   (postings / df stats / totals) + the docs scan that builds the
     #   probe batch; the raw corpus is absent from the probe plan
+    "streaming_bounds_e2e": 5,  # the four appended ledgers (postings /
+    #   stats / totals / bounds) + the docs scan for the probe batch —
+    #   observed 3 at sf0.001 (the routing gates consume totals/bounds
+    #   in their own metadata actions and AQE reuses the postings
+    #   exchange), but the split between gate actions and the final
+    #   plan is routing-dependent, so the pin is the full-ledger shape
     "phrase_match_rare": 6,  # the fused ad-hoc shape re-derives the
     #   positional postings per pass (vocab frequency stat + gate join
     #   + the two verify-side posting branches) + the phrase batch;
