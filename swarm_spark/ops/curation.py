@@ -1,0 +1,255 @@
+"""Published-recipe corpus curation gates.
+
+- Gopher rule filter (Rae et al. 2021, arXiv:2112.11446 §A1.1): the
+  document-level quality rules large LM corpora are cut with — word
+  count bounds, mean word length band, symbol-to-word ratio, bullet /
+  ellipsis line shares, alphabetic-word share, and the required
+  English stop-word hits. Every rule is integer-exact arithmetic over
+  one projection, so the gate is a zero-shuffle corpus scan and the
+  flags value-oracle bit-for-bit.
+- ExactSubstr duplicated-span removal (Lee et al. 2021,
+  arXiv:2107.06499): corpus-wide, any token span of >= ``min_len``
+  tokens that occurs more than once keeps its FIRST occurrence
+  (ordered by (doc_id, position)) and is cut everywhere else, then
+  documents are re-assembled without the cut tokens. The reference
+  implementation builds a suffix array; the Spark-first shape below
+  gets identical keep-one coverage from a windowed group-by, because
+  a duplicated run of length M >= L duplicates every one of its
+  L-windows, and the union of non-canonical window footprints is
+  exactly the run minus its kept copy.
+
+Reference parity: the swarm reference (m-mizutani/swarm) has no text
+curation tier; these extend the engine's LLM-data-pipeline surface
+alongside ops/text.py's quality heuristics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens_col
+
+# Rae et al. 2021 Table A1 — the required-stop-word list ("contains at
+# least two of ..."). Document-level presence, not frequency.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _count_occurrences(text: Column, needle: str) -> Column:
+    """Exact substring occurrence count via length arithmetic (no
+    regex, so multi-char needles like ``...`` cost one replace)."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("long")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Per-document Gopher rule flags + the combined keep decision.
+
+    Rules (Rae et al. 2021 §A1.1, each a TRUE-means-keep flag):
+
+    - ``flag_words``: ``min_words <= n_words <= max_words`` (paper:
+      50..100,000).
+    - ``flag_mean_len``: mean word length in [3, 10] characters —
+      compared as ``3·n_words <= total_chars <= 10·n_words`` so the
+      band is exact integer arithmetic, no float division.
+    - ``flag_symbol``: symbol-to-word ratio (``#`` and ``...``)
+      <= 0.1, i.e. ``10·n_symbols <= n_words``.
+    - ``flag_bullet``: <= 90% of lines start with a bullet
+      (``-`` or ``•``): ``10·n_bullet_lines <= 9·n_lines``.
+    - ``flag_ellipsis``: <= 30% of lines end with ``...``:
+      ``10·n_ellipsis_lines <= 3·n_lines``.
+    - ``flag_alpha``: >= 80% of words contain at least one
+      [A-Za-z] character: ``10·n_alpha_words >= 8·n_words``.
+    - ``flag_stop``: at least 2 DISTINCT words from
+      ``GOPHER_STOPWORDS`` appear.
+    - ``keep`` = AND of all seven.
+
+    Scale shape: ONE projection over the corpus scan — every rule is
+    a codegen expression over the token array / line array, no
+    shuffle, no UDF. At 100 TB this is a map-only pass that AQE
+    coalesces behind whatever scan is already running; the flags
+    value-oracle exactly because every comparison is integer-side.
+    """
+    text = F.col(text_col)
+    ws = tokens_col(text_col)
+    lines = F.split(text, "\n")
+    n_words = F.size(ws).cast("long")
+    total_chars = F.aggregate(
+        ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_symbols = _count_occurrences(text, "#") + _count_occurrences(text, "...")
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda ln: ln.startswith("- ")
+            | ln.startswith("•")
+            | ln.startswith("* "),
+        )
+    ).cast("long")
+    n_ell = F.size(F.filter(lines, lambda ln: ln.endswith("..."))).cast("long")
+    n_alpha = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]"))).cast("long")
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(ws),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    ).cast("long")
+
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        total_chars.alias("total_chars"),
+        n_symbols.alias("n_symbols"),
+        n_alpha.alias("n_alpha_words"),
+        n_stop.alias("n_stopwords"),
+        ((n_words >= min_words) & (n_words <= max_words)).alias("flag_words"),
+        ((F.lit(3) * n_words <= total_chars) & (total_chars <= F.lit(10) * n_words)).alias(
+            "flag_mean_len"
+        ),
+        (F.lit(10) * n_symbols <= n_words).alias("flag_symbol"),
+        (F.lit(10) * n_bullet <= F.lit(9) * n_lines).alias("flag_bullet"),
+        (F.lit(10) * n_ell <= F.lit(3) * n_lines).alias("flag_ellipsis"),
+        (F.lit(10) * n_alpha >= F.lit(8) * n_words).alias("flag_alpha"),
+        (n_stop >= 2).alias("flag_stop"),
+    )
+    return out.withColumn(
+        "keep",
+        F.col("flag_words")
+        & F.col("flag_mean_len")
+        & F.col("flag_symbol")
+        & F.col("flag_bullet")
+        & F.col("flag_ellipsis")
+        & F.col("flag_alpha")
+        & F.col("flag_stop"),
+    )
+
+
+def gopher_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Apply the Gopher rule gate: the input rows whose doc passes
+    every rule (left-semi against the flag frame, so the caller's
+    columns pass through untouched)."""
+    keep = gopher_rules(df, text_col, id_col, min_words, max_words).where(
+        F.col("keep")
+    )
+    return df.join(keep.select(id_col), id_col, "left_semi")
+
+
+def exactsubstr_cut(
+    df: DataFrame,
+    min_len: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr keep-one duplicated-span removal (Lee et al. 2021,
+    arXiv:2107.06499 §4.1): every token span of >= ``min_len`` tokens
+    occurring more than once in the corpus survives only at its first
+    occurrence (min (doc_id, position)); all other occurrences are cut
+    from their documents, and the cleaned text is re-assembled from
+    the surviving tokens in order.
+
+    Window semantics: an L-token sliding window (L = ``min_len``) is
+    "marked" when its gram occurs > 1 time corpus-wide and this
+    occurrence is not the canonical (minimum (doc_id, pos)) one. A
+    token is removed iff some marked window covers it. A duplicated
+    run of M >= L tokens duplicates all of its M-L+1 windows, whose
+    canonical copies all live at the first occurrence — so the run
+    survives exactly once, and partial overlaps shorter than L are
+    never touched (the paper's guarantee).
+
+    Scale shape: positions explode to Σ tokens rows; the gram group-by
+    keys on md5(gram) and needs only count + min(struct(doc,pos)) —
+    both monoids, so boilerplate hot keys partial-aggregate map-side.
+    The mark join is gram-keyed (shuffle volume Σ windows), coverage
+    explodes marked windows × L (bounded by the DUPLICATED volume,
+    not the corpus), and re-assembly is a per-doc sort_array fold —
+    per-doc bounded like winnowing. No suffix array, no driver state;
+    the reference implementation's single-machine suffix automaton is
+    replaced by three shuffles whose keys are all content-derived.
+
+    Returns (id, n_tokens, n_removed, text_clean) — docs with nothing
+    removed pass through with their original token stream re-joined on
+    single spaces (tokenizer-canonical form).
+    """
+    ln = int(min_len)
+    if ln < 2:
+        raise ValueError("min_len must be >= 2")
+    ws = tokens_col(text_col)
+    toks = df.select(F.col(id_col).alias("id"), ws.alias("ws"))
+    # (id, i, tok) token stream with 1-based positions
+    stream = toks.select(
+        "id",
+        F.posexplode("ws").alias("i0", "tok"),
+    ).select("id", (F.col("i0") + 1).alias("i"), "tok")
+
+    # L-windows: (id, pos, md5(gram))
+    wins = (
+        toks.where(F.size("ws") >= ln)
+        .select(
+            "id",
+            "ws",
+            F.explode(F.sequence(F.lit(1), F.size("ws") - (ln - 1))).alias("p"),
+        )
+        .select(
+            "id",
+            "p",
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice("ws", F.col("p"), F.lit(ln))
+                )
+            ).alias("g"),
+        )
+    )
+    # canonical occurrence per duplicated gram: min (doc, pos)
+    canon = (
+        wins.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(F.struct("id", "p")).alias("first"),
+        )
+        .where(F.col("cnt") > 1)
+        .select("g", F.col("first.id").alias("cid"), F.col("first.p").alias("cp"))
+    )
+    marked = wins.join(canon, "g").where(
+        (F.col("id") != F.col("cid")) | (F.col("p") != F.col("cp"))
+    )
+    covered = (
+        marked.select(
+            "id", F.explode(F.sequence(F.col("p"), F.col("p") + (ln - 1))).alias("i")
+        )
+        .distinct()
+        .withColumn("cov", F.lit(True))
+    )
+    # one aggregation produces sizes, removal counts, AND the rebuilt
+    # text — no separate size scan, no final per-doc join
+    flagged = stream.join(covered, ["id", "i"], "left")
+    return flagged.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("cov"), 1).otherwise(0)).cast("long").alias("n_removed"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.filter(
+                    F.array_sort(F.collect_list(F.struct("i", "cov", "tok"))),
+                    lambda s: s["cov"].isNull(),
+                ),
+                lambda s: s["tok"],
+            ),
+        ).alias("text_clean"),
+    ).select(
+        F.col("id").alias(id_col), "n_tokens", "n_removed", "text_clean"
+    )

@@ -4790,7 +4790,104 @@ labs AS (SELECT doc_id, lang = 'en' AS y FROM documents
 {_LM_EVAL_TAIL}"""
 
 
+def q_text_gopher_rules(spark, sf):
+    """Gopher rule gate (Rae et al. 2021 §A1.1): per-doc integer-exact
+    rule flags + the combined keep decision — the published recipe's
+    word-count band, mean-word-length band, symbol ratio, bullet /
+    ellipsis line shares, alphabetic-word share, and stop-word hits,
+    all in ONE zero-shuffle projection over the corpus scan.
+    ``min_words=30`` sits inside this corpus's 10–99-token spread so
+    the word-count rule actually splits the population."""
+    from .ops.curation import gopher_rules
+
+    return gopher_rules(_docs(spark, sf), min_words=30).orderBy("doc_id")
+
+
+SQL_GOPHER_RULES = """
+WITH w AS (SELECT doc_id, text, regexp_split_to_array(text, ' +') AS ws
+           FROM documents),
+c AS (SELECT doc_id,
+             cast(len(ws) AS bigint) AS n_words,
+             cast(list_sum(list_transform(ws, t -> strlen(t))) AS bigint)
+                 AS total_chars,
+             cast((strlen(text) - strlen(replace(text, '#', '')))
+                  + (strlen(text) - strlen(replace(text, '...', ''))) / 3
+                  AS bigint) AS n_symbols,
+             cast(len(string_split(text, chr(10))) AS bigint) AS n_lines,
+             cast(len(list_filter(string_split(text, chr(10)),
+                  l -> l LIKE '- %' OR l LIKE chr(8226) || '%'
+                       OR l LIKE '* %')) AS bigint) AS n_bullet,
+             cast(len(list_filter(string_split(text, chr(10)),
+                  l -> l LIKE '%...')) AS bigint) AS n_ell,
+             cast(len(list_filter(ws, t -> regexp_matches(t, '[A-Za-z]')))
+                  AS bigint) AS n_alpha_words,
+             cast(len(list_intersect(list_distinct(ws),
+                  ['the','be','to','of','and','that','have','with']))
+                  AS bigint) AS n_stopwords
+      FROM w),
+f AS (SELECT doc_id, n_words, total_chars, n_symbols, n_alpha_words,
+             n_stopwords,
+             (n_words >= 30 AND n_words <= 100000) AS flag_words,
+             (3 * n_words <= total_chars AND total_chars <= 10 * n_words)
+                 AS flag_mean_len,
+             (10 * n_symbols <= n_words) AS flag_symbol,
+             (10 * n_bullet <= 9 * n_lines) AS flag_bullet,
+             (10 * n_ell <= 3 * n_lines) AS flag_ellipsis,
+             (10 * n_alpha_words >= 8 * n_words) AS flag_alpha,
+             (n_stopwords >= 2) AS flag_stop
+      FROM c)
+SELECT doc_id, n_words, total_chars, n_symbols, n_alpha_words, n_stopwords,
+       flag_words, flag_mean_len, flag_symbol, flag_bullet, flag_ellipsis,
+       flag_alpha, flag_stop,
+       (flag_words AND flag_mean_len AND flag_symbol AND flag_bullet
+        AND flag_ellipsis AND flag_alpha AND flag_stop) AS keep
+FROM f ORDER BY doc_id
+"""
+
+
+def q_dedup_exactsubstr_cut(spark, sf):
+    """ExactSubstr keep-one span removal (Lee et al. 2021 §4.1): every
+    >= 8-token span occurring more than once survives only at its
+    minimum-(doc_id, pos) occurrence; cut docs are re-assembled from
+    the surviving tokens. The windowed group-by shape replaces the
+    paper's suffix array — identical keep-one coverage, but every
+    stage is a content-keyed shuffle whose volume follows the
+    DUPLICATED span mass, never the corpus."""
+    from .ops.curation import exactsubstr_cut
+
+    return exactsubstr_cut(_docs(spark, sf), min_len=8).orderBy("doc_id")
+
+
+SQL_EXACTSUBSTR_CUT = """
+WITH w AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS ws
+           FROM documents),
+tok AS (SELECT doc_id, i, ws[i] AS tok
+        FROM w, unnest(generate_series(1, len(ws))) t(i)),
+win AS (SELECT doc_id, i AS p, md5(array_to_string(ws[i:i+7], ' ')) AS g
+        FROM w, unnest(generate_series(1, len(ws) - 7)) t(i)
+        WHERE len(ws) >= 8),
+mk AS (SELECT doc_id, p,
+              row_number() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn
+       FROM win),
+cov AS (SELECT DISTINCT doc_id, j AS i
+        FROM mk, unnest(generate_series(p, p + 7)) t(j) WHERE rn > 1),
+kept AS (SELECT tok.doc_id, tok.i, tok.tok
+         FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.i = cov.i
+         WHERE cov.doc_id IS NULL),
+reb AS (SELECT doc_id, cast(count(*) AS bigint) AS n_kept,
+               string_agg(tok, ' ' ORDER BY i) AS text_clean
+        FROM kept GROUP BY 1),
+sz AS (SELECT doc_id, cast(len(ws) AS bigint) AS n_tokens FROM w)
+SELECT sz.doc_id, sz.n_tokens,
+       sz.n_tokens - coalesce(reb.n_kept, 0) AS n_removed,
+       coalesce(reb.text_clean, '') AS text_clean
+FROM sz LEFT JOIN reb USING (doc_id) ORDER BY doc_id
+"""
+
+
 OPS: dict[str, tuple[Callable, str | None]] = {
+    "text_gopher_rules": (q_text_gopher_rules, SQL_GOPHER_RULES),
+    "dedup_exactsubstr_cut": (q_dedup_exactsubstr_cut, SQL_EXACTSUBSTR_CUT),
     "text_lm_trigram": (q_text_lm_trigram, SQL_LM_TRIGRAM),
     "text_lm_eval3": (q_text_lm_eval3, SQL_LM_EVAL3),
     "text_lm_perplexity": (q_text_lm_perplexity, SQL_LM_PPL),

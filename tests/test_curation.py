@@ -1,0 +1,117 @@
+"""Gopher rule gate + ExactSubstr duplicated-span removal semantics."""
+
+from __future__ import annotations
+
+from swarm_spark.ops.curation import exactsubstr_cut, gopher_gate, gopher_rules
+
+
+def _rows(df):
+    return {r["doc_id"]: r.asDict() for r in df.collect()}
+
+
+def test_gopher_rule_flags(spark):
+    good = "the cat sat with all of that tea and more " * 6  # 60 words
+    docs = spark.createDataFrame(
+        [
+            (0, good.strip()),
+            # too few words
+            (1, "the of and that have with be to"),
+            # mean word length < 3 (words of 1-2 chars)
+            (2, " ".join(["a", "to", "of", "an"] * 15) + " the of"),
+            # symbol-heavy: > 1 '#' per 10 words
+            (3, ("the of w " * 20).strip() + " " + "# " * 10),
+            # no stop words
+            (4, ("lorem ipsum dolor sit amet " * 12).strip()),
+            # > 20% non-alphabetic words
+            (5, ("the of 123 456 789 " * 12).strip()),
+        ],
+        "doc_id long, text string",
+    )
+    got = _rows(gopher_rules(docs, min_words=50))
+    assert got[0]["keep"] is True
+    assert got[1]["flag_words"] is False and got[1]["keep"] is False
+    assert got[2]["flag_mean_len"] is False
+    assert got[3]["flag_symbol"] is False
+    assert got[4]["flag_stop"] is False
+    assert got[5]["flag_alpha"] is False
+    kept = [r["doc_id"] for r in gopher_gate(docs, min_words=50).collect()]
+    assert kept == [0]
+
+
+def test_gopher_line_rules(spark):
+    base = ("the of and that have with be to good words here now " * 5).strip()
+    bullets = "\n".join(["- item of the list"] * 10)
+    ells = "\n".join([base[:40] + "..."] * 10)
+    docs = spark.createDataFrame(
+        [(0, base + "\n" + bullets), (1, base + "\n" + ells), (2, base)],
+        "doc_id long, text string",
+    )
+    got = _rows(gopher_rules(docs, min_words=10))
+    # 10/11 lines bulleted > 90%
+    assert got[0]["flag_bullet"] is False
+    # 10/11 lines ellipsis-terminated > 30%
+    assert got[1]["flag_ellipsis"] is False
+    assert got[2]["flag_bullet"] is True and got[2]["flag_ellipsis"] is True
+
+
+def test_exactsubstr_keeps_first_occurrence(spark):
+    run = "alpha beta gamma delta epsilon"  # 5-token duplicated run
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro one {run} tail one"),
+            (2, f"entry two {run} close six"),
+            (3, "unrelated text with no duplicate span here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = _rows(exactsubstr_cut(docs, min_len=5))
+    # doc 1 is the canonical (min doc_id) occurrence: untouched
+    assert got[1]["n_removed"] == 0
+    assert got[1]["text_clean"] == f"intro one {run} tail one"
+    # doc 2 loses exactly the 5-token run
+    assert got[2]["n_removed"] == 5
+    assert got[2]["text_clean"] == "entry two close six"
+    assert got[3]["n_removed"] == 0
+
+
+def test_exactsubstr_within_doc_repeat(spark):
+    run = "a b c d e"
+    docs = spark.createDataFrame(
+        [(7, f"{run} mid {run}")], "doc_id long, text string"
+    )
+    got = _rows(exactsubstr_cut(docs, min_len=5))
+    # second in-doc occurrence cut, first kept
+    assert got[7]["n_removed"] == 5
+    assert got[7]["text_clean"] == f"{run} mid"
+
+
+def test_exactsubstr_short_overlap_untouched(spark):
+    # shared span of 4 < min_len=5 tokens: nothing removed
+    docs = spark.createDataFrame(
+        [(1, "p q r s xx yy"), (2, "p q r s zz ww")],
+        "doc_id long, text string",
+    )
+    got = _rows(exactsubstr_cut(docs, min_len=5))
+    assert got[1]["n_removed"] == 0 and got[2]["n_removed"] == 0
+
+
+def test_exactsubstr_long_run_cut_whole(spark):
+    # run of 8 tokens, L=5: all windows duplicated, doc 2 loses all 8
+    run = "t1 t2 t3 t4 t5 t6 t7 t8"
+    docs = spark.createDataFrame(
+        [(1, f"{run} end"), (2, f"start {run}")],
+        "doc_id long, text string",
+    )
+    got = _rows(exactsubstr_cut(docs, min_len=5))
+    assert got[1]["n_removed"] == 0
+    assert got[2]["n_removed"] == 8
+    assert got[2]["text_clean"] == "start"
+
+
+def test_exactsubstr_doc_shorter_than_window(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b")], "doc_id long, text string"
+    )
+    got = _rows(exactsubstr_cut(docs, min_len=5))
+    assert got[1]["n_removed"] == 0 and got[2]["n_removed"] == 0
+    assert got[2]["text_clean"] == "a b"

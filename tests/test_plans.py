@@ -123,6 +123,12 @@ _SCAN_BUDGET = {
     #   filter split and the scoring stream read the table)
     "text_lm_eval3": 4,  # the order-3 twin of text_lm_eval — same
     #   pushed-filter train (2) + scoring stream + label projection
+    "dedup_exactsubstr_cut": 3,  # token-position stream + the L-window
+    #   subtree consumed TWICE (the canonical-min group-by and the
+    #   occurrence probe it joins back to): partial aggregation below
+    #   the group-by exchange keeps hot boilerplate grams skew-safe,
+    #   which forgoes exchange reuse between the two consumers —
+    #   production cuts over a persisted positional index at 1 scan
     "dedup_semantic_keep": 3,  # pair graph (cells + cosine) + the
     #   corpus frame the anti-join preserves
     "knn_classify": 3,  # embeddings as corpus + broadcast queries + label dim
