@@ -206,6 +206,9 @@ def cmd_layout(args) -> int:
     report the per-file locality the layout bought: files, rows, and
     the average per-file span of each column (what parquet min/max
     stats — and therefore either-column predicate pruning — see).
+    ``--mode bucket`` instead writes a hash-bucketed catalog table on
+    ``--key`` so every later by-key join against a same-bucketed table
+    runs exchange-free (ops/layout.py::write_bucketed).
     Reference has no layout tier; this serves the repo's own tables."""
     from pyspark.sql import functions as F
 
@@ -213,6 +216,22 @@ def cmd_layout(args) -> int:
 
     spark = _spark(args)
     df = spark.read.parquet(args.src)
+    if args.mode == "bucket":
+        from .ops.layout import write_bucketed
+
+        write_bucketed(df, args.table, args.dst, args.buckets, key=args.key)
+        back = spark.table(args.table)
+        rep = {
+            "table": args.table,
+            "buckets": args.buckets,
+            "key": args.key,
+            "rows": back.count(),
+            "files": back.select(F.input_file_name()).distinct().count(),
+        }
+        print(json.dumps(rep))
+        return 0
+    if not args.x or not args.y:
+        raise SystemExit("--mode zorder requires --x and --y")
     out = zorder_repartition(
         df, args.x, args.y, bits=args.bits, n_files=args.files
     )
@@ -1168,10 +1187,20 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sp.add_argument("--src", required=True, help="input parquet path")
     sp.add_argument("--dst", required=True, help="output parquet path")
-    sp.add_argument("--x", required=True, help="first integer column (pre-bucketized)")
-    sp.add_argument("--y", required=True, help="second integer column (pre-bucketized)")
+    sp.add_argument("--x", help="first integer column (pre-bucketized; zorder mode)")
+    sp.add_argument("--y", help="second integer column (pre-bucketized; zorder mode)")
     sp.add_argument("--bits", type=int, default=16, help="bits per column")
     sp.add_argument("--files", type=int, default=200, help="output file count")
+    sp.add_argument(
+        "--mode", choices=["zorder", "bucket"], default="zorder",
+        help="zorder = Morton rewrite; bucket = hash-bucketed catalog table",
+    )
+    sp.add_argument("--key", default="doc_id", help="bucket key (--mode bucket)")
+    sp.add_argument("--buckets", type=int, default=32, help="bucket count")
+    sp.add_argument(
+        "--table", default="swarm_bucketed",
+        help="catalog table name for the bucketed write (--mode bucket)",
+    )
     sp.set_defaults(fn=cmd_layout)
 
     sp = sub.add_parser("index", help="build/probe a persisted search index")

@@ -182,3 +182,60 @@ def zorder_bucket_stats(
             (F.col("y_max") - F.col("y_min")).alias("y_span"),
         )
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    n_buckets: int,
+    key: str = "doc_id",
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` as a hash-BUCKETED parquet table: rows land in
+    ``n_buckets`` files per write-task group by murmur3(key), and the
+    catalog records the bucket spec (public Spark bucketing — SPARK-
+    12394; the Hive-bucketing idea applied to datasource tables).
+
+    Why at 100 TB: every by-id join the pipeline repeats — gate
+    application semi-joins, dedup keep-one, decontamination,
+    incremental wave folds — shuffles BOTH sides on the id each time.
+    Two tables bucketed the same way already satisfy the join's
+    distribution requirement, so the exchange disappears from the
+    plan (pinned in ``tests/test_layout.py``): the join runs scan →
+    sort → merge with ZERO network movement, every run, forever. The
+    one-time cost is the bucketed write's own shuffle — the same
+    price as any partitioned write — amortized across every
+    subsequent join. ``sort=True`` additionally records the sort
+    order; with one file per bucket Spark elides the sort too.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    # one shuffle by the bucket hash so each bucket is ONE file: the
+    # sorted-bucket metadata then lets the join skip its sort as well
+    w = (
+        df.repartition(n_buckets, F.col(key))
+        .write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(n_buckets, key)
+    )
+    if sort:
+        w = w.sortBy(key)
+    w.option("path", path).saveAsTable(table)
+
+
+def bucketed_join(
+    spark,  # SparkSession
+    left_table: str,
+    right_table: str,
+    key: str = "doc_id",
+    how: str = "inner",
+) -> DataFrame:
+    """Join two same-bucketed catalog tables on their bucket key with
+    the shuffle-free plan shape: sort-merge (hinted, so a small side
+    is never broadcast back into an exchange-bearing plan when the
+    POINT is exchange elimination), bucket distribution satisfied on
+    both sides."""
+    lt = spark.table(left_table)
+    rt = spark.table(right_table)
+    return lt.hint("merge").join(rt.hint("merge"), key, how)

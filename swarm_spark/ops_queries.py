@@ -4885,8 +4885,42 @@ FROM sz LEFT JOIN reb USING (doc_id) ORDER BY doc_id
 """
 
 
+def q_layout_bucketed_join(spark, sf):
+    """Co-bucketed storage join: documents and their token stats are
+    written as SAME-bucketed catalog tables (murmur3(doc_id) % 8), so
+    the by-id join — the shape every gate application / keep-one /
+    decontamination pass repeats — satisfies its distribution
+    requirement from the LAYOUT and runs with zero exchanges
+    (plan-pinned in tests/test_layout.py; the oracle checks the join
+    VALUES, which are bucketing-invariant)."""
+    import tempfile
+
+    from .ops.layout import bucketed_join, write_bucketed
+    from .ops.text import token_stats
+
+    docs = _docs(spark, sf).select("doc_id", "lang", "text")
+    tmp = tempfile.mkdtemp(prefix="swarm_bucketed_")
+    write_bucketed(docs, "swarm_bkt_docs", f"{tmp}/docs", 8)
+    write_bucketed(token_stats(docs), "swarm_bkt_stats", f"{tmp}/stats", 8)
+    return (
+        bucketed_join(spark, "swarm_bkt_docs", "swarm_bkt_stats")
+        .select("doc_id", "lang", "n_tokens", "n_distinct_tokens")
+        .orderBy("doc_id")
+    )
+
+
+SQL_BUCKETED_JOIN = """
+WITH w AS (SELECT doc_id, lang, regexp_split_to_array(text, ' +') AS ws
+           FROM documents)
+SELECT doc_id, lang, cast(len(ws) AS bigint) AS n_tokens,
+       cast(len(list_distinct(ws)) AS bigint) AS n_distinct_tokens
+FROM w ORDER BY doc_id
+"""
+
+
 OPS: dict[str, tuple[Callable, str | None]] = {
     "text_gopher_rules": (q_text_gopher_rules, SQL_GOPHER_RULES),
+    "layout_bucketed_join": (q_layout_bucketed_join, SQL_BUCKETED_JOIN),
     "dedup_exactsubstr_cut": (q_dedup_exactsubstr_cut, SQL_EXACTSUBSTR_CUT),
     "text_lm_trigram": (q_text_lm_trigram, SQL_LM_TRIGRAM),
     "text_lm_eval3": (q_text_lm_eval3, SQL_LM_EVAL3),

@@ -1079,6 +1079,20 @@ class TestLayoutCli:
         out = spark.read.parquet(str(tmp_path / "dst.parquet"))
         assert "zkey" in out.columns
 
+    def test_bucket_mode_writes_joinable_table(self, spark, tmp_path, capsys):
+        src = str(tmp_path / "bsrc.parquet")
+        spark.range(512).selectExpr("id AS doc_id", "id % 5 AS v").write.parquet(src)
+        rep = _run(
+            capsys,
+            ["--cpus", "4", "layout", "--mode", "bucket", "--src", src,
+             "--dst", str(tmp_path / "bdst"), "--key", "doc_id",
+             "--buckets", "8", "--table", "cli_bkt_t"],
+        )
+        assert rep["rows"] == 512 and rep["buckets"] == 8
+        # one file per bucket: the repartition-by-bucket-hash write
+        assert rep["files"] == 8
+        assert spark.table("cli_bkt_t").count() == 512
+
 
 class TestCurateTemperature:
     def test_curate_temperature_budget(self, spark, tmp_path, capsys):

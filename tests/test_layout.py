@@ -207,3 +207,55 @@ class TestZorderKeyN:
             zorder_key(["x", "y", "z"], 21)  # 63 bits
         with pytest.raises(Exception, match="out of"):
             df.select(zorder_key(["x", "y", "z"], 8)).collect()
+
+
+class TestBucketedLayout:
+    def _final_plan(self, df):
+        df.collect()
+        return (
+            df._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("+- == Initial Plan ==")[0]
+        )
+
+    def test_bucketed_join_has_no_exchange(self, spark, tmp_path):
+        from swarm_spark.ops.layout import bucketed_join, write_bucketed
+
+        docs = spark.createDataFrame(
+            [(i, f"w{i % 7} body {i}", i % 3) for i in range(400)],
+            "doc_id long, text string, grp long",
+        )
+        stats = docs.selectExpr(
+            "doc_id", "size(split(text, ' +')) as n_tokens"
+        )
+        write_bucketed(docs, "bkt_docs_t", str(tmp_path / "d"), 8)
+        write_bucketed(stats, "bkt_stats_t", str(tmp_path / "s"), 8)
+        joined = bucketed_join(spark, "bkt_docs_t", "bkt_stats_t").select(
+            "doc_id", "grp", "n_tokens"
+        )
+        plan = self._final_plan(joined)
+        assert "SortMergeJoin" in plan
+        # the whole point: co-bucketed sides satisfy the join's
+        # distribution requirement, so NO shuffle anywhere in the plan
+        assert "Exchange" not in plan, plan
+        # correctness: identical to the plain join
+        want = sorted(
+            map(tuple, docs.join(stats, "doc_id").select(
+                "doc_id", "grp", "n_tokens").collect())
+        )
+        assert sorted(map(tuple, joined.collect())) == want
+
+    def test_mismatched_buckets_fall_back_to_shuffle(self, spark, tmp_path):
+        from swarm_spark.ops.layout import bucketed_join, write_bucketed
+
+        a = spark.createDataFrame([(i, i) for i in range(50)], "doc_id long, v long")
+        b = spark.createDataFrame([(i, -i) for i in range(50)], "doc_id long, w long")
+        write_bucketed(a, "bkt_a_t", str(tmp_path / "a"), 8)
+        write_bucketed(b, "bkt_b_t", str(tmp_path / "b"), 4)
+        joined = bucketed_join(spark, "bkt_a_t", "bkt_b_t")
+        plan = self._final_plan(joined)
+        # differing bucket counts can't align; Spark must exchange at
+        # least one side — the guard documents the contract boundary
+        assert "Exchange" in plan
+        assert joined.count() == 50
