@@ -74,6 +74,8 @@ def main() -> None:
         "lm_pruned",
         "phrase_match",
         "phrase_match_rare",
+        "text_gopher_rules",
+        "dedup_exactsubstr_cut",
         "text_bpe_tokens",
         "pack_chunks_bpe",
         "text_lm_perplexity",

@@ -489,6 +489,52 @@ def probe(
             F.sum("cost_micro").alias("s"), F.count(F.lit(1)).alias("n")
         )
 
+    def _lm5():
+        # order-5 CCNet operating point: same one-scan fused train,
+        # 2n-1 = 9 vocab-sized scoring joins — the cost of order is
+        # join COUNT (flat in corpus), so expect the bigram row's slope
+        from swarm_spark.ops.lm import lm_perplexity, lm_train
+
+        model = lm_train(docs.where(F.col("lang") == "en"), order=5)
+        return lm_perplexity(docs, model, order=5).agg(
+            F.sum("cost_micro").alias("s"), F.count(F.lit(1)).alias("n")
+        )
+
+    def _exactsubstr():
+        # ExactSubstr keep-one span removal: position explode + the
+        # md5(window) group-by (count/min monoids) + coverage explode
+        # bounded by the DUPLICATED mass + per-doc rebuild; the agg
+        # forces the rebuilt text to materialize (column pruning would
+        # otherwise drop the concat and undertime the op)
+        from swarm_spark.ops.curation import exactsubstr_cut
+
+        return exactsubstr_cut(docs, min_len=8).agg(
+            F.sum("n_removed").alias("rm"),
+            F.sum(F.length("text_clean")).alias("chars"),
+        )
+
+    # co-bucketed vs flat by-id join: the SAME two datasets stored
+    # twice — flat parquet pair vs same-bucketed catalog tables — so
+    # the pair isolates the exchange (both sides hint merge). Writes
+    # are untimed build-once; catalog tables re-register per session.
+    want_bkt = only is None or bool(
+        {"join_by_id_flat", "join_by_id_bucketed"} & (only or set())
+    )
+    if want_bkt:
+        from swarm_spark.ops.layout import bucketed_join, write_bucketed
+        from swarm_spark.ops.text import token_stats
+
+        bdir = os.path.join(data_dir, "bucketed")
+        stats = token_stats(docs)
+        tdocs, tstats = f"bkt_docs_f{factor}", f"bkt_stats_f{factor}"
+        write_bucketed(docs, tdocs, os.path.join(bdir, "docs"), 32)
+        write_bucketed(stats, tstats, os.path.join(bdir, "stats"), 32)
+        if not os.path.exists(os.path.join(bdir, "docs_flat")):
+            docs.write.mode("overwrite").parquet(os.path.join(bdir, "docs_flat"))
+            stats.write.mode("overwrite").parquet(os.path.join(bdir, "stats_flat"))
+        fd = spark.read.parquet(os.path.join(bdir, "docs_flat"))
+        fs = spark.read.parquet(os.path.join(bdir, "stats_flat"))
+
     ops = {
         "dedup_ngram_jaccard": lambda: ngram_jaccard_pairs(
             docs, threshold=0.8, max_df=100 * factor
@@ -521,6 +567,13 @@ def probe(
         # newest text tiers, probed end-to-end at production shape
         "text_bpe_counts": _bpe,
         "text_lm_ppl": _lm,
+        "text_lm_ppl5": _lm5,
+        "dedup_exactsubstr": _exactsubstr,
+        "join_by_id_flat": lambda: fd.hint("merge")
+        .join(fs.hint("merge"), "doc_id")
+        .agg(F.sum("n_tokens").alias("s"), F.count(F.lit(1)).alias("n")),
+        "join_by_id_bucketed": lambda: bucketed_join(spark, tdocs, tstats)
+        .agg(F.sum("n_tokens").alias("s"), F.count(F.lit(1)).alias("n")),
         "sample_shuffle_order": lambda: global_shuffle_order(
             docs.select("doc_id"), "doc_id"
         ),

@@ -861,6 +861,40 @@ def cmd_curate(args) -> int:
             return 2
     n_in = docs.count()
     kept = exact_dedup_text(docs, text_col=args.text_col, id_col=args.id_col)
+    if getattr(args, "gopher", False):
+        # hard rule pre-gate FIRST: a zero-shuffle projection that
+        # shrinks everything the near-dup / span stages pay for
+        from .ops.curation import GOPHER_STOPWORDS, gopher_gate
+
+        stops = (
+            tuple(args.gopher_stopwords.split(","))
+            if getattr(args, "gopher_stopwords", "")
+            else GOPHER_STOPWORDS
+        )
+        kept = gopher_gate(
+            kept,
+            text_col=args.text_col,
+            id_col=args.id_col,
+            min_words=args.gopher_min_words,
+            stopwords=stops,
+        )
+    if getattr(args, "exactsubstr", 0):
+        # corpus-duplicated span removal (keep-first); docs whose
+        # every token sat in a cut span drop out entirely
+        from .ops.curation import exactsubstr_cut
+
+        cut = exactsubstr_cut(
+            kept,
+            min_len=args.exactsubstr,
+            text_col=args.text_col,
+            id_col=args.id_col,
+        )
+        kept = kept.drop(args.text_col).join(
+            cut.where(F.col("n_removed") < F.col("n_tokens")).select(
+                args.id_col, F.col("text_clean").alias(args.text_col)
+            ),
+            args.id_col,
+        )
     if args.near_dup:
         # MinHash/LSH candidates -> connected components -> keep the
         # lowest-id member per cluster; DF-pruned so a boilerplate-heavy
@@ -1354,6 +1388,31 @@ def build_parser() -> argparse.ArgumentParser:
         type=float,
         default=0.0,
         help="also drop MinHash near-dups at this est-jaccard (0 = off)",
+    )
+    sp.add_argument(
+        "--gopher",
+        action="store_true",
+        help="apply the Gopher document-quality rules (Rae et al. 2021) "
+        "as a hard pre-gate",
+    )
+    sp.add_argument(
+        "--gopher-min-words",
+        type=int,
+        default=50,
+        help="Gopher word-count lower bound (paper: 50)",
+    )
+    sp.add_argument(
+        "--gopher-stopwords",
+        default="",
+        help="comma list overriding the paper's English stop-word "
+        "rule list (multilingual corpora swap it per language)",
+    )
+    sp.add_argument(
+        "--exactsubstr",
+        type=int,
+        default=0,
+        help="cut corpus-duplicated token spans of >= this length, "
+        "keeping the first occurrence (Lee et al. 2021; 0 = off)",
     )
     sp.add_argument("--max-df", type=int, default=1000, help="DF-prune cap for near-dup")
     sp.add_argument(

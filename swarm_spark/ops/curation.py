@@ -50,6 +50,8 @@ def gopher_rules(
     id_col: str = "doc_id",
     min_words: int = 50,
     max_words: int = 100_000,
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+    min_stop_hits: int = 2,
 ) -> DataFrame:
     """Per-document Gopher rule flags + the combined keep decision.
 
@@ -68,8 +70,9 @@ def gopher_rules(
       ``10·n_ellipsis_lines <= 3·n_lines``.
     - ``flag_alpha``: >= 80% of words contain at least one
       [A-Za-z] character: ``10·n_alpha_words >= 8·n_words``.
-    - ``flag_stop``: at least 2 DISTINCT words from
-      ``GOPHER_STOPWORDS`` appear.
+    - ``flag_stop``: at least ``min_stop_hits`` DISTINCT words from
+      ``stopwords`` appear (paper: 2 of the English list; swap the
+      list per language for multilingual corpora).
     - ``keep`` = AND of all seven.
 
     Scale shape: ONE projection over the corpus scan — every rule is
@@ -100,7 +103,7 @@ def gopher_rules(
     n_stop = F.size(
         F.array_intersect(
             F.array_distinct(ws),
-            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            F.array(*[F.lit(s) for s in stopwords]),
         )
     ).cast("long")
 
@@ -119,7 +122,7 @@ def gopher_rules(
         (F.lit(10) * n_bullet <= F.lit(9) * n_lines).alias("flag_bullet"),
         (F.lit(10) * n_ell <= F.lit(3) * n_lines).alias("flag_ellipsis"),
         (F.lit(10) * n_alpha >= F.lit(8) * n_words).alias("flag_alpha"),
-        (n_stop >= 2).alias("flag_stop"),
+        (n_stop >= int(min_stop_hits)).alias("flag_stop"),
     )
     return out.withColumn(
         "keep",
@@ -139,13 +142,17 @@ def gopher_gate(
     id_col: str = "doc_id",
     min_words: int = 50,
     max_words: int = 100_000,
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+    min_stop_hits: int = 2,
 ) -> DataFrame:
     """Apply the Gopher rule gate: the input rows whose doc passes
     every rule (left-semi against the flag frame, so the caller's
-    columns pass through untouched)."""
-    keep = gopher_rules(df, text_col, id_col, min_words, max_words).where(
-        F.col("keep")
-    )
+    columns pass through untouched). ``stopwords`` defaults to the
+    paper's English list — swap it per language the way CCNet swaps
+    its reference corpora; the rule arithmetic is language-blind."""
+    keep = gopher_rules(
+        df, text_col, id_col, min_words, max_words, stopwords, min_stop_hits
+    ).where(F.col("keep"))
     return df.join(keep.select(id_col), id_col, "left_semi")
 
 

@@ -4797,10 +4797,15 @@ def q_text_gopher_rules(spark, sf):
     ellipsis line shares, alphabetic-word share, and stop-word hits,
     all in ONE zero-shuffle projection over the corpus scan.
     ``min_words=30`` sits inside this corpus's 10–99-token spread so
-    the word-count rule actually splits the population."""
+    the word-count rule actually splits the population, and the
+    stop-word list is the corpus-language swap the operator exists
+    for (the paper's English list hits one word of this vocabulary)."""
     from .ops.curation import gopher_rules
 
-    return gopher_rules(_docs(spark, sf), min_words=30).orderBy("doc_id")
+    return gopher_rules(
+        _docs(spark, sf), min_words=30,
+        stopwords=("the", "a", "table", "value"),
+    ).orderBy("doc_id")
 
 
 SQL_GOPHER_RULES = """
@@ -4822,7 +4827,7 @@ c AS (SELECT doc_id,
              cast(len(list_filter(ws, t -> regexp_matches(t, '[A-Za-z]')))
                   AS bigint) AS n_alpha_words,
              cast(len(list_intersect(list_distinct(ws),
-                  ['the','be','to','of','and','that','have','with']))
+                  ['the','a','table','value']))
                   AS bigint) AS n_stopwords
       FROM w),
 f AS (SELECT doc_id, n_words, total_chars, n_symbols, n_alpha_words,

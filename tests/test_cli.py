@@ -201,6 +201,43 @@ class TestCurate:
         got = {r["doc_id"] for r in back.collect()}
         assert got == expected
 
+    def test_curate_gopher_and_exactsubstr(self, spark, tmp_path, capsys):
+        """--gopher applies the rule gate, --exactsubstr rewrites texts
+        with corpus-duplicated spans cut — both match the library ops
+        applied in the same order."""
+        out = str(tmp_path / "curated_g")
+        res = _run(
+            capsys,
+            [
+                "--cpus", "4",
+                "curate", "/root/testdata/sf0.001/documents.parquet",
+                "-o", out,
+                "--min-quality", "0",
+                "--gopher", "--gopher-min-words", "30",
+                "--gopher-stopwords", "the,a,table,value",
+                "--exactsubstr", "8",
+            ],
+        )
+        from pyspark.sql import functions as F
+
+        from swarm_spark.ops.curation import exactsubstr_cut, gopher_gate
+        from swarm_spark.ops.dedup import exact_dedup_text
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        gated = gopher_gate(
+            exact_dedup_text(docs), min_words=30,
+            stopwords=("the", "a", "table", "value"),
+        )
+        cut = exactsubstr_cut(gated, min_len=8)
+        want = {
+            (r["doc_id"], r["text_clean"])
+            for r in cut.where(F.col("n_removed") < F.col("n_tokens")).collect()
+        }
+        back = spark.read.parquet(out)
+        got = {(r["doc_id"], r["text"]) for r in back.collect()}
+        assert got == want
+        assert res["docs_kept"] == len(want) > 0
+
     def test_curate_expect_gate_passes_and_fails(self, spark, tmp_path, capsys):
         """--expect runs the expectation report as a fail-fast
         PRE-gate: a passing spec curates normally; a failing one
