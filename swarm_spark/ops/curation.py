@@ -156,6 +156,69 @@ def gopher_gate(
     return df.join(keep.select(id_col), id_col, "left_semi")
 
 
+def _tok_stream(toks: DataFrame) -> DataFrame:
+    """(id, i, tok) 1-based token positions from a (id, ws) frame."""
+    return toks.select("id", F.posexplode("ws").alias("i0", "tok")).select(
+        "id", (F.col("i0") + 1).alias("i"), "tok"
+    )
+
+
+def _windows(toks: DataFrame, ln: int) -> DataFrame:
+    """(id, p, g) md5'd L-token sliding windows from a (id, ws) frame."""
+    return (
+        toks.where(F.size("ws") >= ln)
+        .select(
+            "id",
+            "ws",
+            F.explode(F.sequence(F.lit(1), F.size("ws") - (ln - 1))).alias("p"),
+        )
+        .select(
+            "id",
+            "p",
+            F.md5(F.concat_ws(" ", F.slice("ws", F.col("p"), F.lit(ln)))).alias(
+                "g"
+            ),
+        )
+    )
+
+
+def _rebuild_without(
+    stream: DataFrame, marked: DataFrame, ln: int, id_col: str
+) -> DataFrame:
+    """Cut every token covered by a marked window and re-assemble:
+    one aggregation produces sizes, removal counts, AND the rebuilt
+    text — no separate size scan, no final per-doc join."""
+    covered = (
+        marked.select(
+            "id",
+            F.explode(F.sequence(F.col("p"), F.col("p") + (ln - 1))).alias("i"),
+        )
+        .distinct()
+        .withColumn("cov", F.lit(True))
+    )
+    flagged = stream.join(covered, ["id", "i"], "left")
+    return (
+        flagged.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("cov"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.filter(
+                        F.array_sort(F.collect_list(F.struct("i", "cov", "tok"))),
+                        lambda st: st["cov"].isNull(),
+                    ),
+                    lambda st: st["tok"],
+                ),
+            ).alias("text_clean"),
+        )
+        .select(F.col("id").alias(id_col), "n_tokens", "n_removed", "text_clean")
+    )
+
+
 def exactsubstr_cut(
     df: DataFrame,
     min_len: int = 50,
@@ -195,32 +258,9 @@ def exactsubstr_cut(
     ln = int(min_len)
     if ln < 2:
         raise ValueError("min_len must be >= 2")
-    ws = tokens_col(text_col)
-    toks = df.select(F.col(id_col).alias("id"), ws.alias("ws"))
-    # (id, i, tok) token stream with 1-based positions
-    stream = toks.select(
-        "id",
-        F.posexplode("ws").alias("i0", "tok"),
-    ).select("id", (F.col("i0") + 1).alias("i"), "tok")
-
-    # L-windows: (id, pos, md5(gram))
-    wins = (
-        toks.where(F.size("ws") >= ln)
-        .select(
-            "id",
-            "ws",
-            F.explode(F.sequence(F.lit(1), F.size("ws") - (ln - 1))).alias("p"),
-        )
-        .select(
-            "id",
-            "p",
-            F.md5(
-                F.concat_ws(
-                    " ", F.slice("ws", F.col("p"), F.lit(ln))
-                )
-            ).alias("g"),
-        )
-    )
+    toks = df.select(F.col(id_col).alias("id"), tokens_col(text_col).alias("ws"))
+    stream = _tok_stream(toks)
+    wins = _windows(toks, ln)
     # canonical occurrence per duplicated gram: min (doc, pos)
     canon = (
         wins.groupBy("g")
@@ -234,29 +274,96 @@ def exactsubstr_cut(
     marked = wins.join(canon, "g").where(
         (F.col("id") != F.col("cid")) | (F.col("p") != F.col("cp"))
     )
-    covered = (
-        marked.select(
-            "id", F.explode(F.sequence(F.col("p"), F.col("p") + (ln - 1))).alias("i")
+    return _rebuild_without(stream, marked, ln, id_col)
+
+
+def exactsubstr_window_stats(
+    df: DataFrame,
+    min_len: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ExactSubstr ledger statistic: per window gram, the earliest
+    (doc_id, pos) occurrence and the occurrence count — a (MIN, SUM)
+    monoid pair, so per-wave frames fold with :func:`exactsubstr_merge`
+    into exactly the one-shot statistic (the same append-only ledger
+    contract as the BM25 postings / bounds / LM count tables)."""
+    ln = int(min_len)
+    if ln < 2:
+        raise ValueError("min_len must be >= 2")
+    toks = df.select(F.col(id_col).alias("id"), tokens_col(text_col).alias("ws"))
+    return (
+        _windows(toks, ln)
+        .groupBy("g")
+        .agg(
+            F.min(F.struct("id", "p")).alias("first"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
         )
-        .distinct()
-        .withColumn("cov", F.lit(True))
+        .select("g", F.col("first.id").alias("first_id"),
+                F.col("first.p").alias("first_p"), "cnt")
     )
-    # one aggregation produces sizes, removal counts, AND the rebuilt
-    # text — no separate size scan, no final per-doc join
-    flagged = stream.join(covered, ["id", "i"], "left")
-    return flagged.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.sum(F.when(F.col("cov"), 1).otherwise(0)).cast("long").alias("n_removed"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.filter(
-                    F.array_sort(F.collect_list(F.struct("i", "cov", "tok"))),
-                    lambda s: s["cov"].isNull(),
-                ),
-                lambda s: s["tok"],
-            ),
-        ).alias("text_clean"),
-    ).select(
-        F.col("id").alias(id_col), "n_tokens", "n_removed", "text_clean"
+
+
+def exactsubstr_merge(stored: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold a wave's window stats into the stored ledger: MIN on the
+    first occurrence, SUM on the count — merge == one-shot recompute,
+    the monoid contract every incremental tier here pins."""
+    return (
+        stored.unionByName(delta)
+        .groupBy("g")
+        .agg(
+            F.min(F.struct(F.col("first_id").alias("id"),
+                           F.col("first_p").alias("p"))).alias("first"),
+            F.sum("cnt").cast("long").alias("cnt"),
+        )
+        .select("g", F.col("first.id").alias("first_id"),
+                F.col("first.p").alias("first_p"), "cnt")
     )
+
+
+def exactsubstr_cut_wave(
+    wave: DataFrame,
+    stored: DataFrame,
+    min_len: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental ExactSubstr over an arriving wave: cut every wave
+    span already present in the STORED ledger (its first occurrence
+    lives in an earlier wave and was kept there), plus within-wave
+    duplicates keep-first — WITHOUT rescanning the stored corpus.
+
+    Arrival-order keep-first equals the one-shot
+    :func:`exactsubstr_cut` whenever doc ids ascend across waves (the
+    append-only corpus case; the registry row's oracle IS the one-shot
+    SQL, so green == the equivalence holds). The wave's own
+    :func:`exactsubstr_window_stats` folds into the ledger afterwards
+    via :func:`exactsubstr_merge`; only the wave is ever re-read.
+    """
+    ln = int(min_len)
+    if ln < 2:
+        raise ValueError("min_len must be >= 2")
+    toks = wave.select(F.col(id_col).alias("id"), tokens_col(text_col).alias("ws"))
+    stream = _tok_stream(toks)
+    wins = _windows(toks, ln)
+    wave_canon = wins.groupBy("g").agg(
+        F.count(F.lit(1)).alias("wcnt"),
+        F.min(F.struct("id", "p")).alias("wfirst"),
+    )
+    hist = stored.select("g").withColumn("seen", F.lit(True))
+    marked = (
+        wins.join(wave_canon, "g")
+        .join(hist, "g", "left")
+        .where(
+            F.col("seen")  # earlier wave holds the kept copy
+            | (
+                (F.col("wcnt") > 1)
+                & (
+                    (F.col("id") != F.col("wfirst.id"))
+                    | (F.col("p") != F.col("wfirst.p"))
+                )
+            )
+        )
+    )
+    return _rebuild_without(stream, marked, ln, id_col)
+

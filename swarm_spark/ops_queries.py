@@ -4923,8 +4923,37 @@ FROM w ORDER BY doc_id
 """
 
 
+def q_dedup_exactsubstr_incremental(spark, sf):
+    """Incremental ExactSubstr: wave 1 (doc_id < 250) is cut
+    self-contained and its window stats land in the ledger; wave 2
+    is cut against that ledger WITHOUT rescanning wave 1 — the
+    (MIN first-occurrence, SUM count) monoid contract. Doc ids ascend
+    across waves, so arrival-order keep-first equals the one-shot
+    cut: the oracle IS the one-shot SQL, green == the equivalence
+    theorem holds on real data."""
+    from .ops.curation import (
+        exactsubstr_cut,
+        exactsubstr_cut_wave,
+        exactsubstr_window_stats,
+    )
+
+    docs = _docs(spark, sf)
+    w1 = docs.where(F.col("doc_id") < 250)
+    w2 = docs.where(F.col("doc_id") >= 250)
+    led = exactsubstr_window_stats(w1, min_len=8)
+    return (
+        exactsubstr_cut(w1, min_len=8)
+        .unionByName(exactsubstr_cut_wave(w2, led, min_len=8))
+        .orderBy("doc_id")
+    )
+
+
 OPS: dict[str, tuple[Callable, str | None]] = {
     "text_gopher_rules": (q_text_gopher_rules, SQL_GOPHER_RULES),
+    "dedup_exactsubstr_incremental": (
+        q_dedup_exactsubstr_incremental,
+        SQL_EXACTSUBSTR_CUT,
+    ),
     "layout_bucketed_join": (q_layout_bucketed_join, SQL_BUCKETED_JOIN),
     "dedup_exactsubstr_cut": (q_dedup_exactsubstr_cut, SQL_EXACTSUBSTR_CUT),
     "text_lm_trigram": (q_text_lm_trigram, SQL_LM_TRIGRAM),

@@ -115,3 +115,64 @@ def test_exactsubstr_doc_shorter_than_window(spark):
     got = _rows(exactsubstr_cut(docs, min_len=5))
     assert got[1]["n_removed"] == 0 and got[2]["n_removed"] == 0
     assert got[2]["text_clean"] == "a b"
+
+
+class TestExactSubstrIncremental:
+    def _mk(self, spark):
+        run = "alpha beta gamma delta epsilon zeta"
+        return spark.createDataFrame(
+            [
+                (1, f"one lead {run} one tail"),
+                (2, "plain body with its own words"),
+                # wave 2 (ids ascend across waves)
+                (3, f"three lead {run} three tail"),
+                (4, f"{run} four tail"),
+                (5, "five body repeat five body repeat x y z"),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_wave_cut_equals_one_shot(self, spark):
+        from swarm_spark.ops.curation import (
+            exactsubstr_cut,
+            exactsubstr_cut_wave,
+            exactsubstr_window_stats,
+        )
+
+        docs = self._mk(spark)
+        w1 = docs.where("doc_id < 3")
+        w2 = docs.where("doc_id >= 3")
+        led = exactsubstr_window_stats(w1, min_len=6)
+        got = {
+            r["doc_id"]: (r["n_removed"], r["text_clean"])
+            for r in exactsubstr_cut(w1, min_len=6)
+            .unionByName(exactsubstr_cut_wave(w2, led, min_len=6))
+            .collect()
+        }
+        want = {
+            r["doc_id"]: (r["n_removed"], r["text_clean"])
+            for r in exactsubstr_cut(docs, min_len=6).collect()
+        }
+        assert got == want
+        # the duplicated run survives exactly once, at doc 1 (doc 3
+        # also shares the preceding "lead" token, extending its run)
+        assert got[1][0] == 0 and got[3][0] == 7 and got[4][0] == 6
+
+    def test_merge_equals_one_shot_stats(self, spark):
+        from swarm_spark.ops.curation import (
+            exactsubstr_merge,
+            exactsubstr_window_stats,
+        )
+
+        docs = self._mk(spark)
+        s1 = exactsubstr_window_stats(docs.where("doc_id < 3"), min_len=6)
+        s2 = exactsubstr_window_stats(docs.where("doc_id >= 3"), min_len=6)
+        merged = {
+            r["g"]: (r["first_id"], r["first_p"], r["cnt"])
+            for r in exactsubstr_merge(s1, s2).collect()
+        }
+        full = {
+            r["g"]: (r["first_id"], r["first_p"], r["cnt"])
+            for r in exactsubstr_window_stats(docs, min_len=6).collect()
+        }
+        assert merged == full

@@ -129,6 +129,12 @@ _SCAN_BUDGET = {
     #   the group-by exchange keeps hot boilerplate grams skew-safe,
     #   which forgoes exchange reuse between the two consumers —
     #   production cuts over a persisted positional index at 1 scan
+    "dedup_exactsubstr_incremental": 7,  # the equivalence-pin
+    #   composition runs BOTH eras in one plan: wave-1 one-shot cut
+    #   (3, see dedup_exactsubstr_cut) + the wave-1 ledger build (1)
+    #   + wave-2 stream (1) + wave-2 windows consumed twice (2).
+    #   Production never pays the first four: the ledger is persisted
+    #   and only the arriving wave is scanned (3 wave-sized scans)
     "dedup_semantic_keep": 3,  # pair graph (cells + cosine) + the
     #   corpus frame the anti-join preserves
     "knn_classify": 3,  # embeddings as corpus + broadcast queries + label dim
