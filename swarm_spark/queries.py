@@ -1421,7 +1421,104 @@ FROM s GROUP BY user_id, sess ORDER BY user_id, session_start
 """
 
 
+def q_streaming_exactsubstr_e2e(spark, sf):
+    """Streaming ExactSubstr-ledger maintenance end-to-end: documents
+    arrive as hash-sliced micro-batches; each batch APPENDS its
+    per-gram window stats (earliest (doc_id, pos) + count,
+    ``ops/curation.py::exactsubstr_window_stats``) to an append-only
+    ledger. First-occurrence is a MIN monoid and count a SUM monoid,
+    so append + fold-at-read equals the one-shot statistic EXACTLY —
+    the table :func:`exactsubstr_cut_wave` cuts each arriving wave
+    against without rescanning the stored corpus. The folded ledger
+    itself is the result; the oracle recomputes it one-shot."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .ops.curation import exactsubstr_window_stats
+    from .ops.sampling import hash_bucket
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="swarm_xs_stream_")
+    src = os.path.join(tmp, "incoming")
+    os.makedirs(src)
+    slice_id = hash_bucket("doc_id", "swarm-xs-slice") % 4
+    for k in range(4):
+        rows = (
+            docs.where(slice_id == k)
+            .select(F.to_json(F.struct("doc_id", "text")).alias("v"))
+            .collect()
+        )
+        with open(os.path.join(src, f"b{k}.ndjson"), "w") as f:
+            for r in rows:
+                f.write(r["v"] + "\n")
+
+    ledger = os.path.join(tmp, "winstats")
+    os.makedirs(ledger)
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+
+    def land(batch_df, _epoch):
+        exactsubstr_window_stats(batch_df, min_len=8).write.mode("append").parquet(
+            ledger
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")  # one slice per micro-batch
+        .json(src)
+        .writeStream.foreachBatch(land)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return (
+        spark.read.schema("g string, first_id long, first_p long, cnt long")
+        .parquet(ledger)
+        .groupBy("g")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("first_id").alias("id"), F.col("first_p").alias("p")
+                )
+            ).alias("first"),
+            F.sum("cnt").cast("long").alias("cnt"),
+        )
+        .select(
+            "g",
+            F.col("first.id").alias("first_id"),
+            F.col("first.p").alias("first_p"),
+            "cnt",
+        )
+        .orderBy("g")
+    )
+
+
+# one-shot window stats over the same corpus — min/sum-at-read over
+# the per-batch ledger must reproduce them exactly
+SQL_STREAMING_EXACTSUBSTR = """
+WITH w AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS ws
+           FROM documents),
+win AS (SELECT doc_id, i AS p, md5(array_to_string(ws[i:i+7], ' ')) AS g
+        FROM w, unnest(generate_series(1, len(ws) - 7)) t(i)
+        WHERE len(ws) >= 8),
+r AS (SELECT g, doc_id, p,
+             row_number() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn,
+             count(*) OVER (PARTITION BY g) AS c
+      FROM win)
+SELECT g, doc_id AS first_id, p AS first_p, cast(c AS bigint) AS cnt
+FROM r WHERE rn = 1 ORDER BY g
+"""
+
+
 CORE: dict[str, tuple[Callable, str | None]] = {
+    "streaming_exactsubstr_e2e": (
+        q_streaming_exactsubstr_e2e,
+        SQL_STREAMING_EXACTSUBSTR,
+    ),
     "streaming_dedup_e2e": (q_streaming_dedup_e2e, SQL_STREAMING_DEDUP),
     "streaming_sketch_e2e": (q_streaming_sketch_e2e, SQL_STREAMING_SKETCH),
     "streaming_quantiles_e2e": (q_streaming_quantiles_e2e, SQL_STREAMING_QUANTILES),
