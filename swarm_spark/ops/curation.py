@@ -367,3 +367,166 @@ def exactsubstr_cut_wave(
     )
     return _rebuild_without(stream, marked, ln, id_col)
 
+
+
+# Rae et al. 2021 Table A1 — repetition thresholds as (signal, max
+# permitted fraction in micro-units). top-n = fraction of characters
+# in the most frequent word n-gram; dup-n = fraction of characters
+# covered by word n-grams occurring more than once within the doc.
+GOPHER_REPETITION_MAX_MICRO = {
+    ("top", 2): 200_000,
+    ("top", 3): 180_000,
+    ("top", 4): 160_000,
+    ("dup", 5): 150_000,
+    ("dup", 6): 140_000,
+    ("dup", 7): 130_000,
+    ("dup", 8): 120_000,
+    ("dup", 9): 110_000,
+    ("dup", 10): 100_000,
+}
+
+
+def gopher_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """The repetition half of the Gopher filter (Rae et al. 2021
+    §A1.1): per document, the fraction of characters contained in the
+    most frequent word n-gram (``top_ns``) and the fraction of
+    characters covered by word n-grams occurring more than once
+    within the document (``dup_ns``) — the signals that catch
+    boilerplate, keyword stuffing, and generation loops that
+    document-level rules miss.
+
+    Character accounting is token characters (separator spaces
+    excluded) so every fraction is exact integer micro-units:
+    ``frac_micro = floor(covered_chars * 1e6 / total_chars)``. The
+    most-frequent n-gram ties break to the lexicographically greatest
+    gram (deterministic, oracle-reproducible).
+
+    Scale shape: ALL tiers ride ONE gram explode — each doc emits its
+    (n, pos, gram) windows for every requested n in a single
+    projection, one (id, n, gram) count aggregation serves the top-
+    fraction argmax AND the duplicate gate, and duplicate coverage
+    explodes only the windows with count > 1 (bounded by the
+    repeated mass, like ExactSubstr). Output columns are a static
+    pivot over the literal n lists, one row per doc.
+    """
+    ns = sorted(set(top_ns) | set(dup_ns))
+    if not ns or min(ns) < 2:
+        raise ValueError("n-gram orders must be >= 2")
+    toks = df.select(F.col(id_col).alias("id"), tokens_col(text_col).alias("ws"))
+    sizes = toks.select(
+        "id",
+        F.aggregate(
+            "ws", F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        ).alias("total_chars"),
+    )
+    # one explode: (id, n, p, g) for every requested order. NB: the
+    # transform lambda must take ONE argument — a second parameter
+    # would receive the element INDEX, not the captured order
+    def _tier(n: int):
+        def mk(p):
+            return F.struct(
+                F.lit(n).cast("int").alias("n"),
+                p.cast("int").alias("p"),
+                F.concat_ws(" ", F.slice("ws", p, F.lit(n))).alias("g"),
+            )
+
+        return F.when(
+            F.size("ws") >= n,
+            F.transform(F.sequence(F.lit(1), F.size("ws") - (n - 1)), mk),
+        ).otherwise(F.array().cast("array<struct<n:int,p:int,g:string>>"))
+
+    tiers = [_tier(n) for n in ns]
+    wins = toks.select(
+        "id", F.explode(F.flatten(F.array(*tiers))).alias("w")
+    ).select("id", "w.n", "w.p", "w.g")
+    counts = wins.groupBy("id", "n", "g").agg(F.count(F.lit(1)).alias("c"))
+
+    # top-fraction tier: argmax by (count, gram) per (id, n); covered
+    # chars = c * gram token chars (len minus the n-1 separator spaces)
+    top = (
+        counts.where(F.col("n").isin(list(top_ns)))
+        .groupBy("id", "n")
+        .agg(F.max(F.struct("c", "g")).alias("t"))
+        .select(
+            "id",
+            "n",
+            (
+                F.col("t.c")
+                * (F.length(F.col("t.g")) - (F.col("n") - 1))
+            ).cast("long").alias("cov"),
+        )
+    )
+    # duplicate-coverage tier: token positions covered by any within-
+    # doc duplicated n-gram, chars summed once per (n, position)
+    dup_wins = (
+        wins.where(F.col("n").isin(list(dup_ns)))
+        .join(
+            counts.where(F.col("c") > 1).select("id", "n", "g"),
+            ["id", "n", "g"],
+        )
+    )
+    covered = dup_wins.select(
+        "id",
+        "n",
+        F.explode(F.sequence(F.col("p"), F.col("p") + F.col("n") - 1)).alias("i"),
+    ).distinct()
+    stream = toks.select(
+        "id", F.posexplode("ws").alias("i0", "tok")
+    ).select("id", (F.col("i0") + 1).alias("i"), F.length("tok").alias("len"))
+    dup = covered.join(stream, ["id", "i"]).groupBy("id", "n").agg(
+        F.sum("len").cast("long").alias("cov")
+    )
+
+    def _frac(src: DataFrame, kind: str, orders: tuple[int, ...]) -> DataFrame:
+        return src.groupBy("id").agg(
+            *[
+                F.sum(F.when(F.col("n") == n, F.col("cov")).otherwise(0))
+                .cast("long")
+                .alias(f"{kind}{n}_cov")
+                for n in orders
+            ]
+        )
+
+    out = sizes.join(_frac(top, "top", tuple(top_ns)), "id", "left").join(
+        _frac(dup, "dup", tuple(dup_ns)), "id", "left"
+    )
+    cols = [F.col("id").alias(id_col), "total_chars"]
+    for kind, orders in (("top", top_ns), ("dup", dup_ns)):
+        for n in orders:
+            # integer `div`, not floor(double /): the micro fraction
+            # stays exact long arithmetic end to end (oracle-safe)
+            cols.append(
+                F.expr(
+                    f"coalesce({kind}{n}_cov, 0) * 1000000 div total_chars"
+                )
+                .cast("long")
+                .alias(f"{kind}{n}_frac_micro")
+            )
+    return out.select(*cols)
+
+
+def gopher_repetition_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """Keep rows whose repetition signals all sit at/below the
+    paper's thresholds (``GOPHER_REPETITION_MAX_MICRO``); composes
+    with :func:`gopher_gate` for the full Gopher filter."""
+    rep = gopher_repetition(df, text_col, id_col, top_ns, dup_ns)
+    cond = F.lit(True)
+    for kind, orders in (("top", top_ns), ("dup", dup_ns)):
+        for n in orders:
+            cond = cond & (
+                F.col(f"{kind}{n}_frac_micro")
+                <= GOPHER_REPETITION_MAX_MICRO[(kind, n)]
+            )
+    return df.join(rep.where(cond).select(id_col), id_col, "left_semi")

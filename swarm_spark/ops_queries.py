@@ -4923,6 +4923,67 @@ FROM w ORDER BY doc_id
 """
 
 
+def q_text_gopher_repetition(spark, sf):
+    """The repetition half of the Gopher filter (Rae et al. 2021
+    §A1.1): per doc, the character fraction of the most frequent
+    word n-gram (n=2,3) and the character fraction covered by
+    within-doc duplicated n-grams (n=5,8), all exact integer
+    micro-units off ONE gram explode; ties break to the
+    lexicographically greatest gram in both engines."""
+    from .ops.curation import gopher_repetition
+
+    return gopher_repetition(
+        _docs(spark, sf), top_ns=(2, 3), dup_ns=(5, 8)
+    ).orderBy("doc_id")
+
+
+def _gr_top_cte(n: int) -> str:
+    return f"""
+c{n} AS (SELECT doc_id, array_to_string(ws[i:i+{n - 1}], ' ') AS g,
+                cast(count(*) AS bigint) AS c
+         FROM w, unnest(generate_series(1, len(ws) - {n - 1})) t(i)
+         WHERE len(ws) >= {n} GROUP BY 1, 2),
+t{n} AS (SELECT doc_id, c * (strlen(g) - {n - 1}) AS cov,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY c DESC, g DESC) AS rn
+         FROM c{n})"""
+
+
+def _gr_dup_cte(n: int) -> str:
+    return f"""
+p{n} AS (SELECT doc_id, i AS p, array_to_string(ws[i:i+{n - 1}], ' ') AS g
+         FROM w, unnest(generate_series(1, len(ws) - {n - 1})) t(i)
+         WHERE len(ws) >= {n}),
+m{n} AS (SELECT doc_id, p FROM (
+           SELECT doc_id, p, count(*) OVER (PARTITION BY doc_id, g) AS c
+           FROM p{n}) x WHERE c > 1),
+v{n} AS (SELECT DISTINCT doc_id, j AS i
+         FROM m{n}, unnest(generate_series(p, p + {n - 1})) t(j)),
+d{n} AS (SELECT w.doc_id,
+                cast(sum(strlen(w.ws[v{n}.i])) AS bigint) AS cov
+         FROM v{n} JOIN w ON v{n}.doc_id = w.doc_id GROUP BY 1)"""
+
+
+SQL_GOPHER_REPETITION = f"""
+WITH w AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS ws
+           FROM documents),
+sz AS (SELECT doc_id,
+              cast(list_sum(list_transform(ws, t -> strlen(t))) AS bigint)
+                  AS total_chars
+       FROM w),{_gr_top_cte(2)},{_gr_top_cte(3)},{_gr_dup_cte(5)},{_gr_dup_cte(8)}
+SELECT sz.doc_id, sz.total_chars,
+       coalesce((SELECT cov FROM t2 WHERE t2.doc_id = sz.doc_id AND rn = 1), 0)
+           * 1000000 // sz.total_chars AS top2_frac_micro,
+       coalesce((SELECT cov FROM t3 WHERE t3.doc_id = sz.doc_id AND rn = 1), 0)
+           * 1000000 // sz.total_chars AS top3_frac_micro,
+       coalesce((SELECT cov FROM d5 WHERE d5.doc_id = sz.doc_id), 0)
+           * 1000000 // sz.total_chars AS dup5_frac_micro,
+       coalesce((SELECT cov FROM d8 WHERE d8.doc_id = sz.doc_id), 0)
+           * 1000000 // sz.total_chars AS dup8_frac_micro
+FROM sz ORDER BY sz.doc_id
+"""
+
+
 def q_dedup_exactsubstr_incremental(spark, sf):
     """Incremental ExactSubstr: wave 1 (doc_id < 250) is cut
     self-contained and its window stats land in the ledger; wave 2
@@ -4950,6 +5011,7 @@ def q_dedup_exactsubstr_incremental(spark, sf):
 
 OPS: dict[str, tuple[Callable, str | None]] = {
     "text_gopher_rules": (q_text_gopher_rules, SQL_GOPHER_RULES),
+    "text_gopher_repetition": (q_text_gopher_repetition, SQL_GOPHER_REPETITION),
     "dedup_exactsubstr_incremental": (
         q_dedup_exactsubstr_incremental,
         SQL_EXACTSUBSTR_CUT,

@@ -176,3 +176,54 @@ class TestExactSubstrIncremental:
             for r in exactsubstr_window_stats(docs, min_len=6).collect()
         }
         assert merged == full
+
+
+class TestGopherRepetition:
+    def test_signals_and_gate(self, spark):
+        from swarm_spark.ops.curation import (
+            gopher_repetition,
+            gopher_repetition_gate,
+        )
+
+        loop = " ".join(["bad loop"] * 12)  # top-2-gram dominates
+        run = "v w x y z"
+        dup5 = f"{run} a1 b1 c1 {run} d1 e1 f1 g1 h1 i1 j1 k1 l1 m1"
+        clean = "q0 q1 q2 q3 q4 q5 q6 q7 q8 q9 r0 r1 r2 r3 r4 r5"
+        docs = spark.createDataFrame(
+            [(0, loop), (1, dup5), (2, clean)], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: r.asDict()
+            for r in gopher_repetition(
+                docs, top_ns=(2,), dup_ns=(5,)
+            ).collect()
+        }
+        # doc 0: "bad loop" occurs 12x of 23 bigrams; chars = 12*8=96
+        # of 84 total... capped? no cap — overlapping occurrences can
+        # exceed total chars by construction (the paper's signal too)
+        assert got[0]["top2_frac_micro"] > 500_000
+        assert got[1]["dup5_frac_micro"] > 0
+        # clean doc: every bigram unique -> top cov = one bigram's 4
+        # chars of 32 total = 125,000 micro exactly
+        assert got[2]["dup5_frac_micro"] == 0
+        assert got[2]["top2_frac_micro"] == 125_000
+        kept = {
+            r["doc_id"]
+            for r in gopher_repetition_gate(
+                docs, top_ns=(2,), dup_ns=(5,)
+            ).collect()
+        }
+        assert kept == {2}
+
+    def test_short_docs_emit_zero_signals(self, spark):
+        from swarm_spark.ops.curation import gopher_repetition
+
+        docs = spark.createDataFrame(
+            [(0, "one two"), (1, "single")], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: r.asDict()
+            for r in gopher_repetition(docs, top_ns=(3,), dup_ns=(5,)).collect()
+        }
+        assert got[0]["top3_frac_micro"] == 0 and got[0]["dup5_frac_micro"] == 0
+        assert got[1]["top3_frac_micro"] == 0
