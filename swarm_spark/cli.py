@@ -878,6 +878,12 @@ def cmd_curate(args) -> int:
             min_words=args.gopher_min_words,
             stopwords=stops,
         )
+    if getattr(args, "gopher_repetition", False):
+        from .ops.curation import gopher_repetition_gate
+
+        kept = gopher_repetition_gate(
+            kept, text_col=args.text_col, id_col=args.id_col
+        )
     if getattr(args, "exactsubstr", 0):
         # corpus-duplicated span removal (keep-first); docs whose
         # every token sat in a cut span drop out entirely
@@ -1406,6 +1412,12 @@ def build_parser() -> argparse.ArgumentParser:
         default="",
         help="comma list overriding the paper's English stop-word "
         "rule list (multilingual corpora swap it per language)",
+    )
+    sp.add_argument(
+        "--gopher-repetition",
+        action="store_true",
+        help="also apply the Gopher repetition thresholds (top-n-gram "
+        "and duplicated-n-gram character fractions)",
     )
     sp.add_argument(
         "--exactsubstr",

@@ -4984,6 +4984,93 @@ FROM sz ORDER BY sz.doc_id
 """
 
 
+def q_corpus_curate_modern(spark, sf):
+    """The modern published-recipe curation pipeline END TO END:
+    exact text dedup -> Gopher document rules -> Gopher repetition
+    thresholds -> ExactSubstr duplicated-span cut (drop docs fully
+    consumed) — the FineWeb/Gopher/Lee-et-al. composition a real
+    pretraining corpus pass runs, pinned as ONE oracled query so the
+    gates are proven to compose, not just to work in isolation."""
+    from .ops.curation import (
+        exactsubstr_cut,
+        gopher_gate,
+        gopher_repetition_gate,
+    )
+    from .ops.dedup import exact_dedup_text
+
+    docs = _docs(spark, sf).select("doc_id", "text")
+    kept = exact_dedup_text(docs)
+    kept = gopher_gate(
+        kept, min_words=30, stopwords=("the", "a", "table", "value")
+    )
+    kept = gopher_repetition_gate(kept, top_ns=(2, 3), dup_ns=(5, 8))
+    cut = exactsubstr_cut(kept, min_len=8)
+    return (
+        cut.where(F.col("n_removed") < F.col("n_tokens"))
+        .select("doc_id", F.col("text_clean").alias("text"))
+        .orderBy("doc_id")
+    )
+
+
+_CURATE_MODERN_REP_KEEP = """
+SELECT sz.doc_id
+FROM sz
+WHERE coalesce((SELECT cov FROM t2 WHERE t2.doc_id = sz.doc_id AND rn = 1), 0)
+          * 1000000 // sz.total_chars <= 200000
+  AND coalesce((SELECT cov FROM t3 WHERE t3.doc_id = sz.doc_id AND rn = 1), 0)
+          * 1000000 // sz.total_chars <= 180000
+  AND coalesce((SELECT cov FROM d5 WHERE d5.doc_id = sz.doc_id), 0)
+          * 1000000 // sz.total_chars <= 150000
+  AND coalesce((SELECT cov FROM d8 WHERE d8.doc_id = sz.doc_id), 0)
+          * 1000000 // sz.total_chars <= 120000
+"""
+
+SQL_CURATE_MODERN = f"""
+WITH ed AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+d0 AS (SELECT d.doc_id, d.text FROM documents d JOIN ed USING (doc_id)),
+w0 AS (SELECT doc_id, text, regexp_split_to_array(text, ' +') AS ws FROM d0),
+d1 AS (SELECT doc_id, text, ws FROM w0 WHERE
+    len(ws) BETWEEN 30 AND 100000
+    AND 3 * len(ws) <= list_sum(list_transform(ws, t -> strlen(t)))
+    AND list_sum(list_transform(ws, t -> strlen(t))) <= 10 * len(ws)
+    AND 10 * cast((strlen(text) - strlen(replace(text, '#', '')))
+        + (strlen(text) - strlen(replace(text, '...', ''))) / 3 AS bigint)
+        <= len(ws)
+    AND 10 * len(list_filter(string_split(text, chr(10)),
+        l -> l LIKE '- %' OR l LIKE chr(8226) || '%' OR l LIKE '* %'))
+        <= 9 * len(string_split(text, chr(10)))
+    AND 10 * len(list_filter(string_split(text, chr(10)), l -> l LIKE '%...'))
+        <= 3 * len(string_split(text, chr(10)))
+    AND 10 * len(list_filter(ws, t -> regexp_matches(t, '[A-Za-z]')))
+        >= 8 * len(ws)
+    AND len(list_intersect(list_distinct(ws), ['the','a','table','value']))
+        >= 2),
+w AS (SELECT doc_id, ws FROM d1),
+sz AS (SELECT doc_id,
+              cast(list_sum(list_transform(ws, t -> strlen(t))) AS bigint)
+                  AS total_chars
+       FROM w),{_gr_top_cte(2)},{_gr_top_cte(3)},{_gr_dup_cte(5)},{_gr_dup_cte(8)},
+d2 AS (SELECT w.doc_id, w.ws FROM w
+       JOIN ({_CURATE_MODERN_REP_KEEP}) rk USING (doc_id)),
+xtok AS (SELECT doc_id, i, ws[i] AS tok
+         FROM d2, unnest(generate_series(1, len(ws))) t(i)),
+xwin AS (SELECT doc_id, i AS p, md5(array_to_string(ws[i:i+7], ' ')) AS g
+         FROM d2, unnest(generate_series(1, len(ws) - 7)) t(i)
+         WHERE len(ws) >= 8),
+xmk AS (SELECT doc_id, p,
+               row_number() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn
+        FROM xwin),
+xcov AS (SELECT DISTINCT doc_id, j AS i
+         FROM xmk, unnest(generate_series(p, p + 7)) t(j) WHERE rn > 1),
+xkept AS (SELECT xtok.doc_id, xtok.i, xtok.tok
+          FROM xtok LEFT JOIN xcov
+            ON xtok.doc_id = xcov.doc_id AND xtok.i = xcov.i
+          WHERE xcov.doc_id IS NULL)
+SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text
+FROM xkept GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_dedup_exactsubstr_incremental(spark, sf):
     """Incremental ExactSubstr: wave 1 (doc_id < 250) is cut
     self-contained and its window stats land in the ledger; wave 2
@@ -5012,6 +5099,7 @@ def q_dedup_exactsubstr_incremental(spark, sf):
 OPS: dict[str, tuple[Callable, str | None]] = {
     "text_gopher_rules": (q_text_gopher_rules, SQL_GOPHER_RULES),
     "text_gopher_repetition": (q_text_gopher_repetition, SQL_GOPHER_REPETITION),
+    "corpus_curate_modern": (q_corpus_curate_modern, SQL_CURATE_MODERN),
     "dedup_exactsubstr_incremental": (
         q_dedup_exactsubstr_incremental,
         SQL_EXACTSUBSTR_CUT,

@@ -238,6 +238,28 @@ class TestCurate:
         assert got == want
         assert res["docs_kept"] == len(want) > 0
 
+    def test_curate_gopher_repetition_flag(self, spark, tmp_path, capsys):
+        out = str(tmp_path / "curated_rep")
+        res = _run(
+            capsys,
+            [
+                "--cpus", "4",
+                "curate", "/root/testdata/sf0.001/documents.parquet",
+                "-o", out, "--min-quality", "0",
+                "--gopher-repetition",
+            ],
+        )
+        from swarm_spark.ops.curation import gopher_repetition_gate
+        from swarm_spark.ops.dedup import exact_dedup_text
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        want = {
+            r["doc_id"]
+            for r in gopher_repetition_gate(exact_dedup_text(docs)).collect()
+        }
+        got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+        assert got == want and res["docs_kept"] == len(want) > 0
+
     def test_curate_expect_gate_passes_and_fails(self, spark, tmp_path, capsys):
         """--expect runs the expectation report as a fail-fast
         PRE-gate: a passing spec curates normally; a failing one
