@@ -580,6 +580,16 @@ def cmd_query(args) -> int:
         from .metrics import scan_summary
 
         print(json.dumps({"metrics": scan_summary(shown)}))
+    if getattr(args, "explain", False):
+        # the AQE FINAL plan (post-execution), not the initial guess —
+        # what actually ran, for eyeballing exchanges/scans/codegen
+        final = (
+            shown._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("+- == Initial Plan ==")[0]
+        )
+        print(json.dumps({"executed_plan": final}))
     return 0
 
 
@@ -1343,6 +1353,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--metrics",
         action="store_true",
         help="append executed-plan scan/row metrics as a JSON line",
+    )
+    sp.add_argument(
+        "--explain",
+        action="store_true",
+        help="append the executed (AQE-final) physical plan as a JSON line",
     )
     sp.set_defaults(fn=cmd_query)
 

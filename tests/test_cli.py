@@ -624,6 +624,20 @@ class TestQueryCommand:
         with pytest.raises(SystemExit):
             main(["query", "nope_nope"])
 
+    def test_explain_prints_executed_plan(self, spark, capsys):
+        rc = main(["--cpus", "4", "query", "layout_bucketed_join",
+                   "--sf-dir", "/root/testdata/sf0.001", "--explain"])
+        assert rc == 0
+        plan = json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1]
+        )["executed_plan"]
+        # the bucketed join's headline property, visible from the CLI:
+        # no hash-partitioning exchange feeds the join (the only
+        # Exchange left is the registry row's final ORDER BY range
+        # partitioning, which exists for oracle determinism)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+
 
 class TestSnapshotCli:
     def test_snapshot_lifecycle(self, spark, workdir, capsys):
