@@ -921,7 +921,22 @@ def cmd_curate(args) -> int:
         pairs = minhash_lsh_pairs(
             kept, text_col=args.text_col, id_col=args.id_col, max_df=args.max_df
         ).where(F.col("est_jaccard") >= args.near_dup)
-        kept = keep_one_per_cluster(kept, pairs, id_col=args.id_col)
+        if getattr(args, "keep_best", False):
+            # quality-aware survivor policy: the cluster keeps its
+            # highest-heuristic-quality member, not its lowest id
+            from .ops.components import keep_best_per_cluster
+
+            kept = keep_best_per_cluster(
+                kept.withColumn(
+                    "__kb_q",
+                    F.round(quality_expr(args.text_col) * 1000).cast("long"),
+                ),
+                pairs,
+                "__kb_q",
+                id_col=args.id_col,
+            ).drop("__kb_q")
+        else:
+            kept = keep_one_per_cluster(kept, pairs, id_col=args.id_col)
     if args.semantic:
         # model-free semantic pass: hashed-trick vectors -> k-means
         # cells -> within-cell cosine -> keep one per semantic group
@@ -1409,6 +1424,12 @@ def build_parser() -> argparse.ArgumentParser:
         type=float,
         default=0.0,
         help="also drop MinHash near-dups at this est-jaccard (0 = off)",
+    )
+    sp.add_argument(
+        "--keep-best",
+        action="store_true",
+        help="near-dup clusters keep their highest-quality member "
+        "instead of the lowest id (requires --near-dup)",
     )
     sp.add_argument(
         "--gopher",

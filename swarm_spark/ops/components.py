@@ -141,3 +141,52 @@ def keep_one_per_cluster(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def keep_best_per_cluster(
+    df: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Drop all but the HIGHEST-``score_col`` member of every duplicate
+    cluster (ties resolve to the lowest id) — the quality-aware
+    survivor policy production dedup passes actually want: when a
+    boilerplate page and its well-formed original collide, the
+    better document survives, not the one with the smaller id.
+    Docs in no pair pass through untouched.
+
+    Shape: the same large-star/small-star component labels as
+    :func:`keep_one_per_cluster`, then a per-component (max score,
+    min id) resolution — two monoid aggregations over the CLUSTERED
+    rows only (a vanishing fraction of the corpus), and the final
+    anti-join streams the corpus once. Score ties join back on the
+    stored value itself, so the policy is type-generic (no numeric-id
+    encoding tricks).
+    """
+    comp = dup_components(pairs, a_col, b_col)
+    # cluster members are a vanishing corpus fraction, but three
+    # passes (best / winner / loser) consume this frame — truncate
+    # lineage once so the pair pipeline and the score scan don't
+    # re-run per consumer (the dup_components edge-frame precedent;
+    # executor loss recomputes from the checkpoint blocks' lineage
+    # root, the documented localCheckpoint trade)
+    scored = comp.join(
+        df.select(F.col(id_col).alias("id"), F.col(score_col).alias("__s")),
+        "id",
+    ).localCheckpoint(eager=True)
+    best = scored.groupBy("component").agg(F.max("__s").alias("__best"))
+    winners = (
+        scored.join(best, "component")
+        .where(F.col("__s") == F.col("__best"))
+        .groupBy("component")
+        .agg(F.min("id").alias("wid"))
+    )
+    losers = (
+        scored.join(winners, "component")
+        .where(F.col("id") != F.col("wid"))
+        .select(F.col("id").alias(id_col))
+    )
+    return df.join(losers, id_col, "left_anti")

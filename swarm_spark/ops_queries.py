@@ -364,6 +364,59 @@ def q_dedup_keep_one(spark, sf):
     return keep_one_per_cluster(docs, pairs).select("doc_id").orderBy("doc_id")
 
 
+def q_dedup_keep_best(spark, sf):
+    """Quality-aware near-dup resolution: the same jaccard clusters as
+    ``dedup_keep_one``, but every cluster keeps its HIGHEST-quality
+    member (heuristic permille score; ties -> lowest id) — the
+    survivor policy a production pass wants when boilerplate collides
+    with its well-formed original."""
+    from .ops.components import keep_best_per_cluster
+    from .ops.text import quality_expr
+
+    docs = _docs(spark, sf).withColumn(
+        "q_perm", F.round(quality_expr("text") * 1000).cast("long")
+    )
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8, max_df=_MAX_DF)
+    return (
+        keep_best_per_cluster(docs, pairs, "q_perm")
+        .select("doc_id", "q_perm")
+        .orderBy("doc_id")
+    )
+
+
+# the SQL_DEDUP_CLUSTERS chain, resolved to (max quality, min id)
+# survivors; quality is the SQL_QUALITY_GATE permille arithmetic
+SQL_DEDUP_KEEP_BEST = SQL_DEDUP_CLUSTERS.replace(
+    "SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY 1 ORDER BY 1",
+    """, comp AS (SELECT id, min(r) AS component FROM reach GROUP BY 1),
+qw AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS ws FROM documents),
+qc AS (SELECT doc_id,
+              cast(len(ws) AS bigint) AS n_tokens,
+              cast(len(list_distinct(ws)) AS bigint) AS n_distinct,
+              cast(len(list_filter(ws,
+                   t -> list_contains(['the','a','of','and','to','in'], t)))
+                   AS bigint) AS n_stop
+       FROM qw),
+qs AS (SELECT doc_id,
+              cast(round(round(0.4 * least(n_tokens/100.0, 1.0)
+                  + 0.3 * (n_distinct * 1.0 / n_tokens)
+                  + 0.3 * least(n_stop * 5.0 / n_tokens, 1.0), 6) * 1000)
+                   AS bigint) AS q
+       FROM qc),
+sc AS (SELECT comp.id, comp.component, qs.q FROM comp
+       JOIN qs ON comp.id = qs.doc_id),
+bestq AS (SELECT component, max(q) AS bq FROM sc GROUP BY 1),
+win AS (SELECT sc.component, min(sc.id) AS wid FROM sc
+        JOIN bestq USING (component) WHERE sc.q = bestq.bq GROUP BY 1),
+losers AS (SELECT sc.id FROM sc JOIN win USING (component)
+           WHERE sc.id != win.wid)
+SELECT d.doc_id, qs.q AS q_perm
+FROM documents d JOIN qs ON d.doc_id = qs.doc_id
+LEFT JOIN losers l ON d.doc_id = l.id
+WHERE l.id IS NULL ORDER BY d.doc_id""",
+)
+
+
 # same recursive-CC chain as SQL_DEDUP_CLUSTERS, resolved to survivors
 SQL_DEDUP_KEEP_ONE = SQL_DEDUP_CLUSTERS.replace(
     "SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY 1 ORDER BY 1",
@@ -5170,6 +5223,7 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_keep_one": (q_dedup_keep_one, SQL_DEDUP_KEEP_ONE),
+    "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_MINHASH_LSH),
     "dedup_minhash_recall": (q_dedup_minhash_recall, SQL_MINHASH_RECALL),
     "dedup_simhash": (q_dedup_simhash, SQL_SIMHASH),

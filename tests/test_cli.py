@@ -238,6 +238,42 @@ class TestCurate:
         assert got == want
         assert res["docs_kept"] == len(want) > 0
 
+    def test_curate_keep_best_survivors(self, spark, tmp_path, capsys):
+        out = str(tmp_path / "curated_kb")
+        res = _run(
+            capsys,
+            [
+                "--cpus", "4",
+                "curate", "/root/testdata/sf0.001/documents.parquet",
+                "-o", out, "--min-quality", "0",
+                "--near-dup", "0.7", "--keep-best", "--max-df", "100",
+            ],
+        )
+        from pyspark.sql import functions as F
+
+        from swarm_spark.ops.components import keep_best_per_cluster
+        from swarm_spark.ops.dedup import exact_dedup_text, minhash_lsh_pairs
+        from swarm_spark.ops.text import quality_expr
+
+        docs = exact_dedup_text(
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        )
+        pairs = minhash_lsh_pairs(docs, max_df=100).where(
+            F.col("est_jaccard") >= 0.7
+        )
+        want = {
+            r["doc_id"]
+            for r in keep_best_per_cluster(
+                docs.withColumn(
+                    "q", F.round(quality_expr("text") * 1000).cast("long")
+                ),
+                pairs,
+                "q",
+            ).collect()
+        }
+        got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+        assert got == want and res["docs_kept"] == len(want) > 0
+
     def test_curate_gopher_repetition_flag(self, spark, tmp_path, capsys):
         out = str(tmp_path / "curated_rep")
         res = _run(

@@ -227,3 +227,23 @@ class TestGopherRepetition:
         }
         assert got[0]["top3_frac_micro"] == 0 and got[0]["dup5_frac_micro"] == 0
         assert got[1]["top3_frac_micro"] == 0
+
+
+class TestKeepBest:
+    def test_highest_score_survives_ties_to_lowest_id(self, spark):
+        from swarm_spark.ops.components import keep_best_per_cluster
+
+        docs = spark.createDataFrame(
+            [(1, 10), (2, 30), (3, 30), (4, 5), (9, 99)],
+            "doc_id long, score long",
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4)], "doc_a long, doc_b long"
+        )
+        kept = sorted(
+            r["doc_id"]
+            for r in keep_best_per_cluster(docs, pairs, "score").collect()
+        )
+        # cluster {1,2,3,4}: best score 30 held by 2 and 3 -> 2 wins;
+        # doc 9 is unclustered and passes through
+        assert kept == [2, 9]
