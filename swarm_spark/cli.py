@@ -918,8 +918,18 @@ def cmd_curate(args) -> int:
         from .ops.components import keep_one_per_cluster
         from .ops.dedup import minhash_lsh_pairs
 
+        lsh_kw = {}
+        if getattr(args, "lsh_perms", 0):
+            # S-curve-tuned (bands, rows) at the requested threshold —
+            # the permutation budget buys precision exactly where the
+            # threshold sits instead of a fixed 12x4 grid
+            from .ops.dedup import lsh_tune
+
+            b, r = lsh_tune(args.near_dup, args.lsh_perms)
+            lsh_kw = {"num_perm": b * r, "bands": b}
         pairs = minhash_lsh_pairs(
-            kept, text_col=args.text_col, id_col=args.id_col, max_df=args.max_df
+            kept, text_col=args.text_col, id_col=args.id_col,
+            max_df=args.max_df, **lsh_kw,
         ).where(F.col("est_jaccard") >= args.near_dup)
         if getattr(args, "keep_best", False):
             # quality-aware survivor policy: the cluster keeps its
@@ -1424,6 +1434,13 @@ def build_parser() -> argparse.ArgumentParser:
         type=float,
         default=0.0,
         help="also drop MinHash near-dups at this est-jaccard (0 = off)",
+    )
+    sp.add_argument(
+        "--lsh-perms",
+        type=int,
+        default=0,
+        help="MinHash permutation budget: S-curve-tune (bands, rows) "
+        "at the --near-dup threshold (0 = fixed 12x4 grid)",
     )
     sp.add_argument(
         "--keep-best",

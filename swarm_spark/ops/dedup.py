@@ -1525,3 +1525,55 @@ def simhash_incremental_pairs(
         .distinct()
         .orderBy("inc_id", "corpus_id")
     )
+
+
+def lsh_tune(
+    threshold: float,
+    num_perm: int,
+    fn_weight: float = 0.5,
+    grid: int = 200,
+) -> tuple[int, int]:
+    """Pick (bands, rows_per_band) for MinHash-LSH at a target Jaccard
+    ``threshold`` — the standard S-curve optimization (public
+    technique; Leskovec–Rajaraman–Ullman, *Mining of Massive
+    Datasets* §3.4): candidate probability at similarity s is
+    P(s) = 1 − (1 − s^r)^b, and the best (b, r) with b·r ≤ num_perm
+    minimizes the weighted false-positive area below the threshold
+    plus the false-negative area above it (midpoint rule on a fixed
+    ``grid`` — deterministic, no RNG).
+
+    ``fn_weight`` > 0.5 biases toward recall (costlier to MISS a
+    duplicate than to verify a candidate — the usual dedup economics
+    since candidates get verified exactly anyway).
+
+    Returns (bands, rows_per_band) with bands · rows == a divisor-
+    aligned budget ≤ num_perm, ready for :func:`minhash_lsh_pairs`
+    (pass ``num_perm=bands*rows``).
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if num_perm < 2:
+        raise ValueError(f"num_perm must be >= 2, got {num_perm}")
+    if not 0.0 <= fn_weight <= 1.0:
+        raise ValueError(f"fn_weight must be in [0, 1], got {fn_weight}")
+    fp_w = 1.0 - fn_weight
+    best: tuple[float, int, int] | None = None
+    for r in range(1, num_perm + 1):
+        b = num_perm // r
+        if b < 1:
+            break
+        step = 1.0 / grid
+        fp = fn = 0.0
+        for i in range(grid):
+            s = (i + 0.5) * step
+            p = 1.0 - (1.0 - s**r) ** b
+            if s < threshold:
+                fp += p * step
+            else:
+                fn += (1.0 - p) * step
+        cost = fp_w * fp + fn_weight * fn
+        # strict < keeps the first (smallest r) optimum: deterministic
+        if best is None or cost < best[0] - 1e-12:
+            best = (cost, b, r)
+    assert best is not None
+    return best[1], best[2]

@@ -247,3 +247,35 @@ class TestKeepBest:
         # cluster {1,2,3,4}: best score 30 held by 2 and 3 -> 2 wins;
         # doc 9 is unclustered and passes through
         assert kept == [2, 9]
+
+
+class TestLshTune:
+    def test_curve_properties(self):
+        from swarm_spark.ops.dedup import lsh_tune
+
+        rows = []
+        for t in (0.3, 0.5, 0.7, 0.9):
+            b, r = lsh_tune(t, 128)
+            assert 1 <= b and 1 <= r and b * r <= 128
+            rows.append(r)
+        # steeper thresholds need steeper curves: r rises with t
+        assert rows == sorted(rows) and rows[0] < rows[-1]
+
+    def test_recall_bias_widens_bands(self):
+        from swarm_spark.ops.dedup import lsh_tune
+
+        b_bal, r_bal = lsh_tune(0.8, 128, fn_weight=0.5)
+        b_rec, r_rec = lsh_tune(0.8, 128, fn_weight=0.9)
+        # recall bias -> catch more below-threshold pairs: more bands
+        # per row (curve shifts left), never fewer
+        assert (b_rec, -r_rec) >= (b_bal, -r_bal)
+
+    def test_validation(self):
+        import pytest as _pytest
+
+        from swarm_spark.ops.dedup import lsh_tune
+
+        with _pytest.raises(ValueError):
+            lsh_tune(0.0, 128)
+        with _pytest.raises(ValueError):
+            lsh_tune(0.5, 1)
