@@ -441,3 +441,53 @@ def lm_gate(
     return docs.join(
         keep.select(F.col(id_col)), id_col, "left_semi"
     )
+
+
+def lm_buckets(
+    docs: DataFrame,
+    model: DataFrame,
+    alpha: float = LM_ALPHA,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    order: int = 2,
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): per
+    ``group_col`` (language), documents are bucketed by reference-LM
+    perplexity TERCILES — head = the lowest-perplexity third, the
+    slice CCNet keeps outright; middle kept for diversity; tail the
+    usual discard. Terciles adapt per language exactly like the
+    quality-quantile gate, so a low-resource language is never judged
+    against a high-resource language's perplexity scale.
+
+    Boundaries are the repo's nearest-rank histogram quantiles over
+    the integer ``avg_micro`` score (rank = (q·n + 999) div 1000), so
+    bucket edges are engine-exact; docs with zero tokens are absent
+    (the scorer's contract).
+
+    Scale shape: one scoring pass + one histogram-sized quantile walk
+    + a broadcast threshold join — the group_value_quantiles
+    composition, with perplexity as the value.
+    """
+    from .text import group_value_quantiles
+
+    scored = lm_perplexity(docs, model, alpha, text_col, id_col, order)
+    labeled = docs.select(F.col(id_col), F.col(group_col)).join(scored, id_col)
+    thr = group_value_quantiles(labeled, group_col, "avg_micro", (333, 667))
+    t = thr.groupBy(group_col).agg(
+        F.min(F.when(F.col("q_permille") == 333, F.col("value"))).alias("__t1"),
+        F.min(F.when(F.col("q_permille") == 667, F.col("value"))).alias("__t2"),
+    )
+    return (
+        labeled.join(F.broadcast(t), group_col)
+        .select(
+            id_col,
+            group_col,
+            "n_toks",
+            "avg_micro",
+            F.when(F.col("avg_micro") <= F.col("__t1"), F.lit("head"))
+            .when(F.col("avg_micro") <= F.col("__t2"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )

@@ -4648,6 +4648,41 @@ WHERE ppl.avg_micro <= thr.t
 ORDER BY d.doc_id
 """
 
+def q_text_lm_buckets(spark, sf):
+    """CCNet head/middle/tail perplexity terciles per language
+    (Wenzek et al. 2020 §4.3): the bigram reference LM trained on the
+    en slice scores every doc, and each language buckets its docs by
+    its OWN nearest-rank terciles of avg micro-nat cost — head is the
+    keep-outright slice, tail the usual discard."""
+    from .ops.lm import lm_buckets, lm_train
+
+    docs = _docs(spark, sf)
+    model = lm_train(docs.where(F.col("lang") == "en"))
+    return lm_buckets(docs, model).orderBy("doc_id")
+
+
+SQL_LM_BUCKETS = f"""
+WITH {_LM_SCORED_CTE},
+lp AS (SELECT d.doc_id, d.lang, p.n_toks, p.avg_micro
+       FROM documents d JOIN ppl p USING (doc_id)),
+h AS (SELECT lang, avg_micro AS v, cast(count(*) AS bigint) AS c
+      FROM lp GROUP BY 1, 2),
+t AS (SELECT lang, cast(sum(c) AS bigint) AS n FROM h GROUP BY 1),
+cu AS (SELECT lang, v, sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum
+       FROM h),
+t1 AS (SELECT cu.lang, min(v) AS thr FROM cu JOIN t USING (lang)
+       WHERE cum >= (333 * n + 999) // 1000 GROUP BY 1),
+t2 AS (SELECT cu.lang, min(v) AS thr FROM cu JOIN t USING (lang)
+       WHERE cum >= (667 * n + 999) // 1000 GROUP BY 1)
+SELECT lp.doc_id, lp.lang, lp.n_toks, lp.avg_micro,
+       CASE WHEN lp.avg_micro <= t1.thr THEN 'head'
+            WHEN lp.avg_micro <= t2.thr THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM lp JOIN t1 USING (lang) JOIN t2 USING (lang)
+ORDER BY lp.doc_id
+"""
+
+
 _LM_EVAL_THRESHOLDS = (
     5_000_000, 6_000_000, 7_000_000, 8_000_000, 9_000_000, 10_000_000
 )
@@ -5164,6 +5199,7 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "text_lm_perplexity": (q_text_lm_perplexity, SQL_LM_PPL),
     "text_lm_merge": (q_text_lm_merge, SQL_LM_PPL),
     "text_lm_gate": (q_text_lm_gate, SQL_LM_GATE),
+    "text_lm_buckets": (q_text_lm_buckets, SQL_LM_BUCKETS),
     "text_lm_eval": (q_text_lm_eval, SQL_LM_EVAL),
     "corpus_hll_distinct": (q_corpus_hll_distinct, SQL_HLL_DISTINCT),
     "sample_weighted": (q_sample_weighted, SQL_SAMPLE_WEIGHTED),

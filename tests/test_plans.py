@@ -123,6 +123,11 @@ _SCAN_BUDGET = {
     #   filter split and the scoring stream read the table)
     "text_lm_eval3": 4,  # the order-3 twin of text_lm_eval — same
     #   pushed-filter train (2) + scoring stream + label projection
+    "text_lm_buckets": 5,  # the tercile pass consumes the scored
+    #   subtree TWICE (per-language histogram, then the bucket
+    #   labeling the broadcast thresholds join back into) — each pass
+    #   is the text_lm_perplexity shape with partial exchange reuse;
+    #   production scores once into a saved frame and buckets at 1
     "dedup_exactsubstr_cut": 3,  # token-position stream + the L-window
     #   subtree consumed TWICE (the canonical-min group-by and the
     #   occurrence probe it joins back to): partial aggregation below
