@@ -279,3 +279,73 @@ class TestLshTune:
             lsh_tune(0.0, 128)
         with _pytest.raises(ValueError):
             lsh_tune(0.5, 1)
+
+
+def _exactsubstr_reference(texts: dict[int, str], ln: int):
+    """Brute-force driver-side ExactSubstr: the independent referee
+    both Spark paths are property-checked against."""
+    wins: dict[tuple[str, ...], list[tuple[int, int]]] = {}
+    toks = {d: t.split() for d, t in texts.items()}
+    for d in sorted(toks):
+        ws = toks[d]
+        for p in range(len(ws) - ln + 1):
+            wins.setdefault(tuple(ws[p : p + ln]), []).append((d, p))
+    cut = {d: set() for d in toks}
+    for occs in wins.values():
+        if len(occs) > 1:
+            for d, p in sorted(occs)[1:]:
+                cut[d].update(range(p, p + ln))
+    out = {}
+    for d, ws in toks.items():
+        kept = [w for i, w in enumerate(ws) if i not in cut[d]]
+        out[d] = (len(ws), len(ws) - len(kept), " ".join(kept))
+    return out
+
+
+class TestExactSubstrProperties:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    corpus = st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=14
+        ),
+        min_size=2,
+        max_size=8,
+    )
+
+    @given(docs=corpus, ln=st.integers(min_value=2, max_value=4))
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_one_shot_and_incremental_match_reference(self, spark, docs, ln):
+        from swarm_spark.ops.curation import (
+            exactsubstr_cut,
+            exactsubstr_cut_wave,
+            exactsubstr_window_stats,
+        )
+
+        texts = {i: " ".join(ws) for i, ws in enumerate(docs)}
+        ref = _exactsubstr_reference(texts, ln)
+        df = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_removed"], r["text_clean"])
+            for r in exactsubstr_cut(df, min_len=ln).collect()
+        }
+        assert got == ref
+        # waves split at the id midpoint: ids ascend, so incremental
+        # keep-first must equal the one-shot reference too
+        mid = len(docs) // 2
+        w1, w2 = df.where(f"doc_id < {mid}"), df.where(f"doc_id >= {mid}")
+        led = exactsubstr_window_stats(w1, min_len=ln)
+        inc = {
+            r["doc_id"]: (r["n_tokens"], r["n_removed"], r["text_clean"])
+            for r in exactsubstr_cut(w1, min_len=ln)
+            .unionByName(exactsubstr_cut_wave(w2, led, min_len=ln))
+            .collect()
+        }
+        assert inc == ref
