@@ -894,17 +894,44 @@ def cmd_curate(args) -> int:
         kept = gopher_repetition_gate(
             kept, text_col=args.text_col, id_col=args.id_col
         )
+    pending_ledger_swap = None
     if getattr(args, "exactsubstr", 0):
         # corpus-duplicated span removal (keep-first); docs whose
-        # every token sat in a cut span drop out entirely
-        from .ops.curation import exactsubstr_cut
-
-        cut = exactsubstr_cut(
-            kept,
-            min_len=args.exactsubstr,
-            text_col=args.text_col,
-            id_col=args.id_col,
+        # every token sat in a cut span drop out entirely. With
+        # --exactsubstr-ledger the batch is a WAVE: spans already in
+        # the persisted ledger cut without rescanning earlier waves,
+        # and this wave's window stats fold back in (min/sum monoid)
+        from .ops.curation import (
+            exactsubstr_cut,
+            exactsubstr_cut_wave,
+            exactsubstr_merge,
+            exactsubstr_window_stats,
+            load_exactsubstr_ledger,
+            save_exactsubstr_ledger,
         )
+
+        led_dir = getattr(args, "exactsubstr_ledger", "")
+        xs_kw = {
+            "min_len": args.exactsubstr,
+            "text_col": args.text_col,
+            "id_col": args.id_col,
+        }
+        if led_dir and os.path.exists(led_dir):
+            stored = load_exactsubstr_ledger(spark, led_dir)
+            cut = exactsubstr_cut_wave(kept, stored, **xs_kw)
+            folded = exactsubstr_merge(
+                stored, exactsubstr_window_stats(kept, **xs_kw)
+            )
+        else:
+            cut = exactsubstr_cut(kept, **xs_kw)
+            folded = exactsubstr_window_stats(kept, **xs_kw) if led_dir else None
+        if led_dir:
+            # fold into a sibling dir now (reads the CURRENT ledger),
+            # but swap it in only after the curated output lands —
+            # the lazy cut plan still reads the old dir until then
+            tmp_led = led_dir.rstrip("/") + ".next"
+            save_exactsubstr_ledger(folded, tmp_led)
+            pending_ledger_swap = (tmp_led, led_dir)
         kept = kept.drop(args.text_col).join(
             cut.where(F.col("n_removed") < F.col("n_tokens")).select(
                 args.id_col, F.col("text_clean").alias(args.text_col)
@@ -1068,6 +1095,13 @@ def cmd_curate(args) -> int:
         )
     part_cols = ["split"] + (["shard"] if args.shards else [])
     kept.write.mode("overwrite").partitionBy(*part_cols).parquet(args.output)
+    if pending_ledger_swap is not None:
+        import shutil as _sh
+
+        _tmp, _dst = pending_ledger_swap
+        if os.path.exists(_dst):
+            _sh.rmtree(_dst)
+        os.rename(_tmp, _dst)
     out = spark.read.parquet(args.output)
     by_split = {
         r["split"]: r["n"]
@@ -1478,6 +1512,13 @@ def build_parser() -> argparse.ArgumentParser:
         default=0,
         help="cut corpus-duplicated token spans of >= this length, "
         "keeping the first occurrence (Lee et al. 2021; 0 = off)",
+    )
+    sp.add_argument(
+        "--exactsubstr-ledger",
+        default="",
+        help="persisted window-stat ledger dir: treat this batch as a "
+        "WAVE (cut spans already in the ledger without rescanning "
+        "earlier waves, then fold this wave's stats back in)",
     )
     sp.add_argument("--max-df", type=int, default=1000, help="DF-prune cap for near-dup")
     sp.add_argument(

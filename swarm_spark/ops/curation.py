@@ -530,3 +530,16 @@ def gopher_repetition_gate(
                 <= GOPHER_REPETITION_MAX_MICRO[(kind, n)]
             )
     return df.join(rep.where(cond).select(id_col), id_col, "left_semi")
+
+
+def save_exactsubstr_ledger(stats: DataFrame, path: str) -> None:
+    """Persist an :func:`exactsubstr_window_stats` frame (overwrite:
+    callers fold first with :func:`exactsubstr_merge`)."""
+    stats.write.mode("overwrite").parquet(path)
+
+
+def load_exactsubstr_ledger(spark, path: str) -> DataFrame:
+    """Read a persisted window-stat ledger with the pinned schema."""
+    return spark.read.schema("g string, first_id long, first_p long, cnt long").parquet(
+        path
+    )

@@ -274,6 +274,38 @@ class TestCurate:
         got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
         assert got == want and res["docs_kept"] == len(want) > 0
 
+    def test_curate_exactsubstr_ledger_waves(self, spark, tmp_path, capsys):
+        """Two curate runs over id-ascending waves with a persisted
+        ledger reproduce the one-shot span cut over the full corpus —
+        the incremental contract, driven through the CLI."""
+        from pyspark.sql import functions as F
+
+        from swarm_spark.ops.curation import exactsubstr_cut
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        w1p, w2p = str(tmp_path / "w1.parquet"), str(tmp_path / "w2.parquet")
+        docs.where("doc_id < 250").write.parquet(w1p)
+        docs.where("doc_id >= 250").write.parquet(w2p)
+        led = str(tmp_path / "xs_ledger")
+        got = {}
+        for i, src in enumerate((w1p, w2p)):
+            out = str(tmp_path / f"wave{i}")
+            _run(
+                capsys,
+                ["--cpus", "4", "curate", src, "-o", out,
+                 "--min-quality", "0", "--exactsubstr", "8",
+                 "--exactsubstr-ledger", led],
+            )
+            for r in spark.read.parquet(out).collect():
+                got[r["doc_id"]] = r["text"]
+        want = {
+            r["doc_id"]: r["text_clean"]
+            for r in exactsubstr_cut(docs, min_len=8)
+            .where(F.col("n_removed") < F.col("n_tokens"))
+            .collect()
+        }
+        assert got == want
+
     def test_curate_gopher_repetition_flag(self, spark, tmp_path, capsys):
         out = str(tmp_path / "curated_rep")
         res = _run(
