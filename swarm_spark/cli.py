@@ -1198,6 +1198,29 @@ def cmd_report(args) -> int:
                 toks, "tok", threshold=args.heavy_hitters
             ).collect()
         }
+    if getattr(args, "gopher", False):
+        # per-rule failure counts: which Gopher rules would bite this
+        # corpus, BEFORE committing to the gate (one zero-shuffle pass
+        # + a flag-sum aggregate)
+        from .ops.curation import GOPHER_STOPWORDS, gopher_rules
+
+        stops = (
+            tuple(args.gopher_stopwords.split(","))
+            if getattr(args, "gopher_stopwords", "")
+            else GOPHER_STOPWORDS
+        )
+        flags = gopher_rules(
+            docs, text_col=args.text_col, id_col=args.id_col, stopwords=stops
+        )
+        fcols = [c for c in flags.columns if c.startswith("flag_")] + ["keep"]
+        row = flags.agg(
+            F.count(F.lit(1)).alias("docs"),
+            *[
+                F.sum(F.when(F.col(c), 0).otherwise(1)).alias(f"fail_{c}")
+                for c in fcols
+            ],
+        ).collect()[0]
+        out["gopher"] = row.asDict()
     if args.expectations:
         # JSON file: a list of checks, e.g.
         # [["not_null", "text"], ["unique", "doc_id"],
@@ -1212,7 +1235,7 @@ def cmd_report(args) -> int:
     if not out:
         raise SystemExit(
             "nothing to report: pass --ngrams/--quantiles-by/--length-hist/"
-            "--vocab/--distinct/--heavy-hitters/--expectations"
+            "--vocab/--distinct/--heavy-hitters/--expectations/--gopher"
         )
     print(json.dumps(out))
     return 0
@@ -1643,6 +1666,16 @@ def build_parser() -> argparse.ArgumentParser:
         "--heavy-hitters", type=int, default=0,
         help="tokens with count-min estimated frequency >= N (0 = off; "
         "one-sided: every truly-frequent token survives)",
+    )
+    sp.add_argument(
+        "--gopher",
+        action="store_true",
+        help="per-rule Gopher failure counts (which rules would bite)",
+    )
+    sp.add_argument(
+        "--gopher-stopwords",
+        default="",
+        help="comma list overriding the Gopher stop-word rule list",
     )
     sp.add_argument(
         "--expectations",

@@ -169,6 +169,26 @@ class TestReport:
         }
         assert all(r["passed"] and r["n_rows"] == 500 for r in rows.values())
 
+    def test_report_gopher_failure_counts(self, spark, capsys):
+        res = _run(
+            capsys,
+            ["--cpus", "4", "report", "/root/testdata/sf0.001/documents.parquet",
+             "--gopher", "--gopher-stopwords", "the,a,table,value"],
+        )
+        g = res["gopher"]
+        assert g["docs"] == 500
+        # failing ANY rule implies failing keep; keep-failures bound
+        # each rule's count and at least one rule actually bites here
+        assert all(g[k] <= g["fail_keep"] for k in g if k.startswith("fail_flag"))
+        assert g["fail_keep"] > 0
+        from swarm_spark.ops.curation import gopher_rules
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        want = gopher_rules(
+            docs, stopwords=("the", "a", "table", "value")
+        ).where("NOT keep").count()
+        assert g["fail_keep"] == want
+
     def test_report_requires_a_section(self, capsys):
         import pytest as _pytest
 
