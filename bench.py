@@ -76,6 +76,7 @@ def main() -> None:
         "phrase_match_rare",
         "text_gopher_rules",
         "dedup_exactsubstr_cut",
+        "corpus_curate_modern",
         "text_bpe_tokens",
         "pack_chunks_bpe",
         "text_lm_perplexity",

@@ -673,6 +673,25 @@ def cmd_quality(args) -> int:
         for r in out.collect():
             print(json.dumps(r.asDict()))
         return 0
+    if args.action == "lm-bucket":
+        # CCNet head/middle/tail terciles per group under the model
+        from .ops.lm import lm_buckets, load_lm
+
+        model = load_lm(spark, args.model)
+        out = lm_buckets(
+            docs, model, text_col=args.text_col, id_col=args.id_col,
+            group_col=args.label_col, order=args.order,
+        )
+        if args.output:
+            out.write.mode("overwrite").parquet(args.output)
+        counts = {
+            r["bucket"]: r["n"]
+            for r in out.groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .collect()
+        }
+        print(json.dumps({"buckets": counts, "output": args.output or None}))
+        return 0
     if args.action == "lm-score":
         from .ops.lm import lm_perplexity, load_lm
 
@@ -1602,11 +1621,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser(
         "quality",
         help="train/apply/evaluate the NB corpus-quality model, or the "
-        "LM perplexity filter (lm-train/lm-score/lm-eval)",
+        "LM perplexity filter (lm-train/lm-score/lm-eval/lm-bucket)",
     )
     sp.add_argument(
         "action",
-        choices=["train", "score", "eval", "lm-train", "lm-score", "lm-eval"],
+        choices=["train", "score", "eval", "lm-train", "lm-score",
+                 "lm-eval", "lm-bucket"],
     )
     sp.add_argument("input", help="documents parquet path")
     sp.add_argument("--model", required=True, help="model parquet dir")

@@ -294,6 +294,36 @@ class TestCurate:
         got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
         assert got == want and res["docs_kept"] == len(want) > 0
 
+    def test_quality_lm_bucket(self, spark, tmp_path, capsys):
+        model = str(tmp_path / "lmq")
+        _run(
+            capsys,
+            ["--cpus", "4", "quality", "lm-train",
+             "/root/testdata/sf0.001/documents.parquet",
+             "--model", model, "--label-col", "lang", "--label-value", "en"],
+        )
+        res = _run(
+            capsys,
+            ["--cpus", "4", "quality", "lm-bucket",
+             "/root/testdata/sf0.001/documents.parquet",
+             "--model", model, "--label-col", "lang",
+             "--output", str(tmp_path / "bkts")],
+        )
+        assert set(res["buckets"]) == {"head", "middle", "tail"}
+        assert sum(res["buckets"].values()) == 500
+        # matches the registry row's bucket assignment exactly
+        from swarm_spark.ops_queries import q_text_lm_buckets
+
+        want = {
+            r["doc_id"]: r["bucket"]
+            for r in q_text_lm_buckets(spark, "/root/testdata/sf0.001").collect()
+        }
+        got = {
+            r["doc_id"]: r["bucket"]
+            for r in spark.read.parquet(str(tmp_path / "bkts")).collect()
+        }
+        assert got == want
+
     def test_curate_exactsubstr_ledger_waves(self, spark, tmp_path, capsys):
         """Two curate runs over id-ascending waves with a persisted
         ledger reproduce the one-shot span cut over the full corpus —
