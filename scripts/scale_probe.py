@@ -326,6 +326,7 @@ def probe(
         {
             "bm25_kw", "bm25_pruned_kw", "lm_kw", "lm_pruned_kw",
             "bm25_kw_qheavy", "bm25_pruned_kw_qheavy",
+            "bm25_pruned_kw_hot", "bm25_pruned_kw_hot_bkt",
         }
         & only
     )
@@ -348,6 +349,36 @@ def probe(
         # the pruned path's index scans are FLAT in |Q| — the MaxScore
         # win regime (capped by the corpus size at f1)
         qkw_heavy = _kw_queries(docs, 20_000)
+        # tok-bucketed twin of the kw index, for the HOT-distribution
+        # serving pair: a 20k-query batch drawn from a 200-query
+        # working set (real keyword serving is head-heavy) touches a
+        # fixed term set however large the batch, so the bucket filter
+        # prunes the postings scan; the qheavy batch above, with 20k
+        # DISTINCT rare grams, covers every bucket by construction
+        # (identity fallback — the documented boundary)
+        kwb_dir = os.path.join(data_dir, "bm25_kw_bkt_ix")
+        if not os.path.exists(os.path.join(kwb_dir, "totals")):
+            from swarm_spark.ops.retrieval import bm25_term_bounds as _btbb
+            from swarm_spark.ops.retrieval import save_bm25_bounds as _sbbb
+
+            kpostb = bm25_postings(kwdocs)
+            save_bm25(
+                kpostb, bm25_stats(kpostb), bm25_totals(kwdocs), kwb_dir,
+                tok_buckets=64,
+            )
+            _sbbb(_btbb(kpostb), kwb_dir)
+        from swarm_spark.ops.retrieval import prune_tok_buckets as _ptbk
+
+        klpostb, klstatsb, kltotb = load_bm25(spark, kwb_dir)
+        klboundsb = _lbbk(spark, kwb_dir)
+        qkw_hot = (
+            _kw_queries(docs, 200)
+            .crossJoin(spark.range(100).select(F.col("id").alias("rep")))
+            .select(
+                (F.col("query_id") * 100 + F.col("rep")).alias("query_id"),
+                "text",
+            )
+        )
 
     # build-once for the persisted-path phrase probe: the positional
     # index lands on disk untimed; the row times the probe only
@@ -648,6 +679,25 @@ def probe(
         "bm25_pruned_kw_qheavy": lambda: bm25_pruned(
             None, qkw_heavy, k=5, seed_terms=2, broadcast_max_queries=25_000,
             postings=klpost, stats=klstats, totals=kltot, bounds=klbounds,
+        ),
+        # the hot-distribution serving pair: same 20k-row batch drawn
+        # from a 200-query working set, flat index vs tok-bucketed
+        # index with the probe's bucket filter (the prune collect is
+        # timed — probe cost, like the phrase bkt row)
+        "bm25_pruned_kw_hot": lambda: bm25_pruned(
+            None, qkw_hot, k=5, seed_terms=2, broadcast_max_queries=25_000,
+            postings=klpost, stats=klstats, totals=kltot, bounds=klbounds,
+        ),
+        "bm25_pruned_kw_hot_bkt": lambda: bm25_pruned(
+            None, qkw_hot, k=5, seed_terms=2, broadcast_max_queries=25_000,
+            postings=_ptbk(
+                klpostb,
+                qkw_hot.select(
+                    F.explode(F.split("text", " +")).alias("tok")
+                ).distinct(),
+                64,
+            ),
+            stats=klstatsb, totals=kltotb, bounds=klboundsb,
         ),
         # exact-phrase probe over the persisted positional index —
         # this saturated 31-token vocab is the worst case (every

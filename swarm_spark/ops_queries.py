@@ -4901,10 +4901,10 @@ WITH w AS (SELECT doc_id, text, regexp_split_to_array(text, ' +') AS ws
            FROM documents),
 c AS (SELECT doc_id,
              cast(len(ws) AS bigint) AS n_words,
-             cast(list_sum(list_transform(ws, t -> strlen(t))) AS bigint)
+             cast(list_sum(list_transform(ws, t -> length(t))) AS bigint)
                  AS total_chars,
-             cast((strlen(text) - strlen(replace(text, '#', '')))
-                  + (strlen(text) - strlen(replace(text, '...', ''))) / 3
+             cast((length(text) - length(replace(text, '#', '')))
+                  + (length(text) - length(replace(text, '...', ''))) / 3
                   AS bigint) AS n_symbols,
              cast(len(string_split(text, chr(10))) AS bigint) AS n_lines,
              cast(len(list_filter(string_split(text, chr(10)),
@@ -5031,7 +5031,7 @@ c{n} AS (SELECT doc_id, array_to_string(ws[i:i+{n - 1}], ' ') AS g,
                 cast(count(*) AS bigint) AS c
          FROM w, unnest(generate_series(1, len(ws) - {n - 1})) t(i)
          WHERE len(ws) >= {n} GROUP BY 1, 2),
-t{n} AS (SELECT doc_id, c * (strlen(g) - {n - 1}) AS cov,
+t{n} AS (SELECT doc_id, c * (length(g) - {n - 1}) AS cov,
                 row_number() OVER (PARTITION BY doc_id
                                    ORDER BY c DESC, g DESC) AS rn
          FROM c{n})"""
@@ -5048,7 +5048,7 @@ m{n} AS (SELECT doc_id, p FROM (
 v{n} AS (SELECT DISTINCT doc_id, j AS i
          FROM m{n}, unnest(generate_series(p, p + {n - 1})) t(j)),
 d{n} AS (SELECT w.doc_id,
-                cast(sum(strlen(w.ws[v{n}.i])) AS bigint) AS cov
+                cast(sum(length(w.ws[v{n}.i])) AS bigint) AS cov
          FROM v{n} JOIN w ON v{n}.doc_id = w.doc_id GROUP BY 1)"""
 
 
@@ -5056,7 +5056,7 @@ SQL_GOPHER_REPETITION = f"""
 WITH w AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS ws
            FROM documents),
 sz AS (SELECT doc_id,
-              cast(list_sum(list_transform(ws, t -> strlen(t))) AS bigint)
+              cast(list_sum(list_transform(ws, t -> length(t))) AS bigint)
                   AS total_chars
        FROM w),{_gr_top_cte(2)},{_gr_top_cte(3)},{_gr_dup_cte(5)},{_gr_dup_cte(8)}
 SELECT sz.doc_id, sz.total_chars,
@@ -5119,10 +5119,10 @@ d0 AS (SELECT d.doc_id, d.text FROM documents d JOIN ed USING (doc_id)),
 w0 AS (SELECT doc_id, text, regexp_split_to_array(text, ' +') AS ws FROM d0),
 d1 AS (SELECT doc_id, text, ws FROM w0 WHERE
     len(ws) BETWEEN 30 AND 100000
-    AND 3 * len(ws) <= list_sum(list_transform(ws, t -> strlen(t)))
-    AND list_sum(list_transform(ws, t -> strlen(t))) <= 10 * len(ws)
-    AND 10 * cast((strlen(text) - strlen(replace(text, '#', '')))
-        + (strlen(text) - strlen(replace(text, '...', ''))) / 3 AS bigint)
+    AND 3 * len(ws) <= list_sum(list_transform(ws, t -> length(t)))
+    AND list_sum(list_transform(ws, t -> length(t))) <= 10 * len(ws)
+    AND 10 * cast((length(text) - length(replace(text, '#', '')))
+        + (length(text) - length(replace(text, '...', ''))) / 3 AS bigint)
         <= len(ws)
     AND 10 * len(list_filter(string_split(text, chr(10)),
         l -> l LIKE '- %' OR l LIKE chr(8226) || '%' OR l LIKE '* %'))
@@ -5135,7 +5135,7 @@ d1 AS (SELECT doc_id, text, ws FROM w0 WHERE
         >= 2),
 w AS (SELECT doc_id, ws FROM d1),
 sz AS (SELECT doc_id,
-              cast(list_sum(list_transform(ws, t -> strlen(t))) AS bigint)
+              cast(list_sum(list_transform(ws, t -> length(t))) AS bigint)
                   AS total_chars
        FROM w),{_gr_top_cte(2)},{_gr_top_cte(3)},{_gr_dup_cte(5)},{_gr_dup_cte(8)},
 d2 AS (SELECT w.doc_id, w.ws FROM w

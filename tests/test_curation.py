@@ -349,3 +349,54 @@ class TestExactSubstrProperties:
             .collect()
         }
         assert inc == ref
+
+
+class TestGopherOracleParity:
+    """Cross-engine fuzz: the Gopher rule arithmetic must agree with
+    the DuckDB oracle SQL on adversarial text (bullets, ellipses,
+    newlines, runs of spaces, digits, short/empty-ish tokens) — the
+    same comparison the driver runs, on inputs testdata never hits."""
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.sampled_from(
+        ["the", "of", "a", "x", "123", "#tag", "...", "word", "-", "•item"]
+    )
+    line = st.lists(word, min_size=1, max_size=8).map(" ".join)
+    text = st.lists(line, min_size=1, max_size=4).map("\n".join)
+
+    @given(texts=st.lists(text, min_size=1, max_size=6))
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_rules_match_duckdb(self, spark, texts):
+        import duckdb
+
+        from swarm_spark.ops.curation import gopher_rules
+        from swarm_spark.ops_queries import SQL_GOPHER_RULES
+
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = [
+            tuple(r)
+            for r in gopher_rules(docs, min_words=30).orderBy("doc_id").collect()
+        ]
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            __import__("pandas").DataFrame(
+                {"doc_id": range(len(texts)), "text": texts}
+            ),
+        )
+        # the registry oracle, minus its corpus-specific stop list:
+        # the fuzz uses the paper's list, so swap it back in
+        sql = SQL_GOPHER_RULES.replace(
+            "['the','a','table','value']",
+            "['the','be','to','of','and','that','have','with']",
+        )
+        want = con.execute(sql).fetchall()
+        assert got == want
