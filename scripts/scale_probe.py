@@ -371,11 +371,18 @@ def probe(
 
         klpostb, klstatsb, kltotb = load_bm25(spark, kwb_dir)
         klboundsb = _lbbk(spark, kwb_dir)
+        # 16-query head set x 1250 reps = 20k rows: ~48 live terms
+        # hash into ~half the 64 buckets, so the bucket filter has
+        # something to cut. (A 200-query set was measured first: its
+        # 600 terms cover ~every bucket — identity fallback plus
+        # collect overhead, 43.6 s vs 36.8 s unbucketed at f10 — the
+        # working-set-vs-bucket-count boundary, recorded in
+        # SCALING.md.)
         qkw_hot = (
-            _kw_queries(docs, 200)
-            .crossJoin(spark.range(100).select(F.col("id").alias("rep")))
+            _kw_queries(docs, 16)
+            .crossJoin(spark.range(1250).select(F.col("id").alias("rep")))
             .select(
-                (F.col("query_id") * 100 + F.col("rep")).alias("query_id"),
+                (F.col("query_id") * 1250 + F.col("rep")).alias("query_id"),
                 "text",
             )
         )
