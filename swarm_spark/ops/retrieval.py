@@ -1517,7 +1517,18 @@ def prune_tok_buckets(
     whole bucket directories are never opened. Exact for any
     downstream equi-join on ``tok``: every row a term can match lives
     in that term's bucket. Returns the frame unchanged when the batch
-    covers every bucket."""
+    covers every bucket.
+
+    Where it pays (SCALING.md r10/r11, measured both ways): the filter
+    cuts the SCAN floor, so it wins where scans dominate — phrase
+    probes (positions are the cost: 4.7× at 10×) and latency-path
+    probes whose live vocabulary is small against ``n_buckets``. It
+    does NOT help bulk keyword top-k batches: their wall is the
+    candidate aggregation, and a batch whose union vocabulary covers
+    every bucket degenerates to the identity fallback while still
+    paying the collect and the n_buckets-way file layout (measured
+    slower). Bucket-prune single queries, small bursts, and phrase
+    verification; leave bulk ranking batches on the flat index."""
     bkts = sorted(
         r["b"]
         for r in terms.select(
