@@ -538,6 +538,59 @@ def probe(
             F.sum("cost_micro").alias("s"), F.count(F.lit(1)).alias("n")
         )
 
+    def _gopher_rep():
+        # the FULL paper set (top 2-4 + dup 5-10): nine gram tiers on
+        # ONE (n, pos, gram) explode — growth should track the token
+        # stream, not tiers x corpus
+        from swarm_spark.ops.curation import gopher_repetition
+
+        return gopher_repetition(docs).agg(
+            F.sum("top2_frac_micro").alias("a"),
+            F.sum("dup10_frac_micro").alias("b"),
+        )
+
+    def _curate_modern():
+        # the composed published-recipe pipeline (exact dedup ->
+        # Gopher rules -> repetition gate -> ExactSubstr cut): the
+        # end-to-end pass a pretraining corpus pays per refresh
+        from swarm_spark.ops.curation import (
+            exactsubstr_cut,
+            gopher_gate,
+            gopher_repetition_gate,
+        )
+        from swarm_spark.ops.dedup import exact_dedup_text
+
+        kept = gopher_repetition_gate(
+            gopher_gate(
+                exact_dedup_text(docs.select("doc_id", "text")),
+                min_words=30,
+                stopwords=("the", "a", "table", "value"),
+            ),
+            top_ns=(2, 3),
+            dup_ns=(5, 8),
+        )
+        return exactsubstr_cut(kept, min_len=8).agg(
+            F.sum("n_removed").alias("rm"),
+            F.sum(F.length("text_clean")).alias("chars"),
+        )
+
+    def _exactsubstr_wave():
+        # incremental serving shape: a FIXED 5k-doc wave cut against
+        # this corpus's full ledger — the wave cost must track the
+        # wave + the ledger probe, never the stored corpus rescan
+        from swarm_spark.ops.curation import (
+            exactsubstr_cut_wave,
+            exactsubstr_window_stats,
+        )
+
+        stored = exactsubstr_window_stats(docs, min_len=8)
+        wave = docs.where(F.col("doc_id") < 5000).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+        )
+        return exactsubstr_cut_wave(wave, stored, min_len=8).agg(
+            F.sum("n_removed").alias("rm"), F.count(F.lit(1)).alias("n")
+        )
+
     def _exactsubstr():
         # ExactSubstr keep-one span removal: position explode + the
         # md5(window) group-by (count/min monoids) + coverage explode
@@ -607,6 +660,9 @@ def probe(
         "text_lm_ppl": _lm,
         "text_lm_ppl5": _lm5,
         "dedup_exactsubstr": _exactsubstr,
+        "text_gopher_repetition": _gopher_rep,
+        "corpus_curate_modern": _curate_modern,
+        "dedup_exactsubstr_wave": _exactsubstr_wave,
         "join_by_id_flat": lambda: fd.hint("merge")
         .join(fs.hint("merge"), "doc_id")
         .agg(F.sum("n_tokens").alias("s"), F.count(F.lit(1)).alias("n")),
