@@ -400,3 +400,72 @@ class TestGopherOracleParity:
         )
         want = con.execute(sql).fetchall()
         assert got == want
+
+
+class TestRepetitionOracleParity:
+    """Cross-engine fuzz for the repetition tiers: multibyte words
+    (char-vs-byte length), heavy ties (max-struct vs ORDER BY ... g
+    DESC collation), and short docs, against the registry oracle."""
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.sampled_from(["aa", "bb", "ccc", "é", "日本", "zz", "aa"])
+    text = st.lists(word, min_size=1, max_size=16).map(" ".join)
+
+    @given(texts=st.lists(text, min_size=1, max_size=5))
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_repetition_matches_duckdb(self, spark, texts):
+        import duckdb
+        import pandas as pd
+
+        from swarm_spark.ops.curation import gopher_repetition
+        from swarm_spark.ops_queries import SQL_GOPHER_REPETITION
+
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = [
+            tuple(r)
+            for r in gopher_repetition(docs, top_ns=(2, 3), dup_ns=(5, 8))
+            .orderBy("doc_id")
+            .collect()
+        ]
+        con = duckdb.connect()
+        con.register(
+            "documents", pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        )
+        want = con.execute(SQL_GOPHER_REPETITION).fetchall()
+        assert got == want
+
+    @given(texts=st.lists(text, min_size=2, max_size=5))
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_exactsubstr_matches_duckdb(self, spark, texts):
+        import duckdb
+        import pandas as pd
+
+        from swarm_spark.ops.curation import exactsubstr_cut
+        from swarm_spark.ops_queries import SQL_EXACTSUBSTR_CUT
+
+        # L=8 matches the registry SQL's hard-coded window
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = [
+            tuple(r)
+            for r in exactsubstr_cut(docs, min_len=8).orderBy("doc_id").collect()
+        ]
+        con = duckdb.connect()
+        con.register(
+            "documents", pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        )
+        want = con.execute(SQL_EXACTSUBSTR_CUT).fetchall()
+        assert got == want
