@@ -929,6 +929,11 @@ def cmd_curate(args) -> int:
             save_exactsubstr_ledger,
         )
 
+        # the span cut consumes `kept` three times; stage whatever
+        # gate chain preceded it once instead of re-running it per
+        # consumer (parquet staging is the durable production form;
+        # localCheckpoint is its in-session equivalent)
+        kept = kept.localCheckpoint(eager=True)
         led_dir = getattr(args, "exactsubstr_ledger", "")
         xs_kw = {
             "min_len": args.exactsubstr,
