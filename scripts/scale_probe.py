@@ -568,7 +568,7 @@ def probe(
             ),
             top_ns=(2, 3),
             dup_ns=(5, 8),
-        )
+        ).localCheckpoint(eager=True)  # the registry/CLI staging
         return exactsubstr_cut(kept, min_len=8).agg(
             F.sum("n_removed").alias("rm"),
             F.sum(F.length("text_clean")).alias("chars"),
