@@ -469,3 +469,45 @@ class TestRepetitionOracleParity:
         )
         want = con.execute(SQL_EXACTSUBSTR_CUT).fetchall()
         assert got == want
+
+
+class TestNormalizeOracleParity:
+    """Cross-engine fuzz for canonical-form normalization: lower +
+    strip-non-alnum + whitespace collapse + trim + md5 must agree on
+    unicode letters, mixed case, tabs/newlines, and digit runs —
+    the regex semantics both engines must read identically."""
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    piece = st.sampled_from(
+        ["Hello", "WORLD", "a1b2", "...", "#x", "é", "日本", "-", "_",
+         "  ", "\t", "\n", "0", "mix3d"]
+    )
+    text = st.lists(piece, min_size=1, max_size=12).map(" ".join)
+
+    @given(texts=st.lists(text, min_size=1, max_size=6))
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_normalize_matches_duckdb(self, spark, texts):
+        import duckdb
+        import pandas as pd
+
+        from swarm_spark.ops.text import normalize_text
+        from swarm_spark.ops_queries import SQL_NORMALIZE
+
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = [
+            tuple(r) for r in normalize_text(docs).orderBy("doc_id").collect()
+        ]
+        con = duckdb.connect()
+        con.register(
+            "documents", pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        )
+        want = con.execute(SQL_NORMALIZE).fetchall()
+        assert got == want
