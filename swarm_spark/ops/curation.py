@@ -35,6 +35,19 @@ from .text import tokens_col
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
+def gopher_words_col(text: Column) -> Column:
+    """Rae et al.'s word projection: split on ANY whitespace run
+    (space/tab/newline), empties dropped. Deliberately NOT
+    ``ops.text.tokens_col`` (the engine's single-space canonical
+    form): on multi-line documents a space-only split merges
+    ``end\\nStart`` into one "word", undercounting ``n_words`` and
+    skewing the mean-word-length / alpha-share / stop-word rules
+    relative to the published recipe (ADVICE r11). Empties are
+    filtered so leading/trailing whitespace cannot mint zero-length
+    words."""
+    return F.filter(F.split(text, r"\s+"), lambda w: w != F.lit(""))
+
+
 def _count_occurrences(text: Column, needle: str) -> Column:
     """Exact substring occurrence count via length arithmetic (no
     regex, so multi-char needles like ``...`` cost one replace)."""
@@ -75,6 +88,10 @@ def gopher_rules(
       list per language for multilingual corpora).
     - ``keep`` = AND of all seven.
 
+    Words are :func:`gopher_words_col` — full-whitespace split, the
+    paper's projection — not the engine's space-only canonical
+    tokenizer (ADVICE r11: newline-joined words must count as two).
+
     Scale shape: ONE projection over the corpus scan — every rule is
     a codegen expression over the token array / line array, no
     shuffle, no UDF. At 100 TB this is a map-only pass that AQE
@@ -82,7 +99,7 @@ def gopher_rules(
     value-oracle exactly because every comparison is integer-side.
     """
     text = F.col(text_col)
-    ws = tokens_col(text_col)
+    ws = gopher_words_col(text)
     lines = F.split(text, "\n")
     n_words = F.size(ws).cast("long")
     total_chars = F.aggregate(
@@ -405,7 +422,9 @@ def gopher_repetition(
     excluded) so every fraction is exact integer micro-units:
     ``frac_micro = floor(covered_chars * 1e6 / total_chars)``. The
     most-frequent n-gram ties break to the lexicographically greatest
-    gram (deterministic, oracle-reproducible).
+    gram (deterministic, oracle-reproducible). Words are
+    :func:`gopher_words_col` (full-whitespace split, the paper's
+    projection — ADVICE r11), matching :func:`gopher_rules`.
 
     Scale shape: ALL tiers ride ONE gram explode — each doc emits its
     (n, pos, gram) windows for every requested n in a single
@@ -418,7 +437,9 @@ def gopher_repetition(
     ns = sorted(set(top_ns) | set(dup_ns))
     if not ns or min(ns) < 2:
         raise ValueError("n-gram orders must be >= 2")
-    toks = df.select(F.col(id_col).alias("id"), tokens_col(text_col).alias("ws"))
+    toks = df.select(
+        F.col(id_col).alias("id"), gopher_words_col(F.col(text_col)).alias("ws")
+    )
     sizes = toks.select(
         "id",
         F.aggregate(

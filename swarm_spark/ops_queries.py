@@ -4897,12 +4897,14 @@ def q_text_gopher_rules(spark, sf):
 
 
 SQL_GOPHER_RULES = """
-WITH w AS (SELECT doc_id, text, regexp_split_to_array(text, ' +') AS ws
+WITH w AS (SELECT doc_id, text,
+                  list_filter(regexp_split_to_array(text, '\\s+'),
+                              t -> t != '') AS ws
            FROM documents),
 c AS (SELECT doc_id,
              cast(len(ws) AS bigint) AS n_words,
-             cast(list_sum(list_transform(ws, t -> length(t))) AS bigint)
-                 AS total_chars,
+             cast(coalesce(list_sum(list_transform(ws, t -> length(t))), 0)
+                  AS bigint) AS total_chars,
              cast((length(text) - length(replace(text, '#', '')))
                   + (length(text) - length(replace(text, '...', ''))) / 3
                   AS bigint) AS n_symbols,
@@ -5053,11 +5055,13 @@ d{n} AS (SELECT w.doc_id,
 
 
 SQL_GOPHER_REPETITION = f"""
-WITH w AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS ws
+WITH w AS (SELECT doc_id,
+                  list_filter(regexp_split_to_array(text, '\\s+'),
+                              t -> t != '') AS ws
            FROM documents),
 sz AS (SELECT doc_id,
-              cast(list_sum(list_transform(ws, t -> length(t))) AS bigint)
-                  AS total_chars
+              cast(coalesce(list_sum(list_transform(ws, t -> length(t))), 0)
+                  AS bigint) AS total_chars
        FROM w),{_gr_top_cte(2)},{_gr_top_cte(3)},{_gr_dup_cte(5)},{_gr_dup_cte(8)}
 SELECT sz.doc_id, sz.total_chars,
        coalesce((SELECT cov FROM t2 WHERE t2.doc_id = sz.doc_id AND rn = 1), 0)
@@ -5123,7 +5127,10 @@ WHERE coalesce((SELECT cov FROM t2 WHERE t2.doc_id = sz.doc_id AND rn = 1), 0)
 SQL_CURATE_MODERN = f"""
 WITH ed AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
 d0 AS (SELECT d.doc_id, d.text FROM documents d JOIN ed USING (doc_id)),
-w0 AS (SELECT doc_id, text, regexp_split_to_array(text, ' +') AS ws FROM d0),
+w0 AS (SELECT doc_id, text,
+              list_filter(regexp_split_to_array(text, '\\s+'),
+                          t -> t != '') AS ws
+       FROM d0),
 d1 AS (SELECT doc_id, text, ws FROM w0 WHERE
     len(ws) BETWEEN 30 AND 100000
     AND 3 * len(ws) <= list_sum(list_transform(ws, t -> length(t)))
@@ -5145,7 +5152,7 @@ sz AS (SELECT doc_id,
               cast(list_sum(list_transform(ws, t -> length(t))) AS bigint)
                   AS total_chars
        FROM w),{_gr_top_cte(2)},{_gr_top_cte(3)},{_gr_dup_cte(5)},{_gr_dup_cte(8)},
-d2 AS (SELECT w.doc_id, w.ws FROM w
+d2 AS (SELECT d1.doc_id, regexp_split_to_array(d1.text, ' +') AS ws FROM d1
        JOIN ({_CURATE_MODERN_REP_KEEP}) rk USING (doc_id)),
 xtok AS (SELECT doc_id, i, ws[i] AS tok
          FROM d2, unnest(generate_series(1, len(ws))) t(i)),

@@ -38,6 +38,23 @@ def test_gopher_rule_flags(spark):
     assert kept == [0]
 
 
+def test_gopher_words_split_on_any_whitespace(spark):
+    # ADVICE r11: 'end\nStart' must count as TWO words (Rae et al.
+    # whitespace split), and tabs/leading/trailing whitespace must not
+    # mint merged or empty words
+    docs = spark.createDataFrame(
+        [
+            (0, "end\nStart tab\there  double  space\n"),
+            (1, " lead"),
+        ],
+        "doc_id long, text string",
+    )
+    got = _rows(gopher_rules(docs, min_words=1))
+    assert got[0]["n_words"] == 6
+    assert got[0]["total_chars"] == len("endStarttabheredoublespace")
+    assert got[1]["n_words"] == 1
+
+
 def test_gopher_line_rules(spark):
     base = ("the of and that have with be to good words here now " * 5).strip()
     bullets = "\n".join(["- item of the list"] * 10)
