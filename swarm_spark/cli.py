@@ -850,6 +850,29 @@ def cmd_tokenizer(args) -> int:
     return 0
 
 
+_LEDGER_MAX_ID_FILE = "_max_doc_id.json"
+
+
+def _read_ledger_max_id(led_dir: str):
+    """High-water doc id folded into an ExactSubstr ledger, or None on
+    ledgers written before the marker existed (then the ascending-id
+    contract is unverifiable and the wave proceeds as before)."""
+    p = os.path.join(led_dir, _LEDGER_MAX_ID_FILE)
+    try:
+        with open(p) as f:
+            v = json.load(f).get("max_doc_id")
+        return int(v) if v is not None else None
+    except (OSError, ValueError, TypeError):
+        return None
+
+
+def _write_ledger_max_id(led_dir: str, max_id) -> None:
+    if max_id is None:
+        return
+    with open(os.path.join(led_dir, _LEDGER_MAX_ID_FILE), "w") as f:
+        json.dump({"max_doc_id": int(max_id)}, f)
+
+
 def cmd_curate(args) -> int:
     """Training-corpus curation pass over a documents parquet: exact
     dedup -> optional MinHash near-dup removal -> quality gate ->
@@ -940,8 +963,38 @@ def cmd_curate(args) -> int:
             "text_col": args.text_col,
             "id_col": args.id_col,
         }
+        if led_dir and not os.path.exists(led_dir):
+            # crash recovery: a die between "rename aside" and "rename
+            # .next in" leaves only the .old copy — restore it rather
+            # than silently treating history as empty
+            _old = led_dir.rstrip("/") + ".old"
+            if os.path.exists(_old):
+                os.rename(_old, led_dir)
+        wave_max_id = None
         if led_dir and os.path.exists(led_dir):
             stored = load_exactsubstr_ledger(spark, led_dir)
+            # the incremental cut is keep-first only when ids ascend
+            # across waves (exactsubstr_cut_wave contract); a wave
+            # dipping below the ledger's high-water id would silently
+            # produce non-keep-first cuts
+            led_max = _read_ledger_max_id(led_dir)
+            bounds = kept.agg(
+                F.min(args.id_col).alias("lo"), F.max(args.id_col).alias("hi")
+            ).first()
+            # an empty wave must carry the high-water mark forward,
+            # not erase it
+            wave_max_id = bounds["hi"] if bounds["hi"] is not None else led_max
+            if led_max is not None and bounds["lo"] is not None and bounds["lo"] <= led_max:
+                print(
+                    json.dumps(
+                        {
+                            "error": "exactsubstr ledger requires ascending doc ids",
+                            "ledger_max_id": led_max,
+                            "wave_min_id": bounds["lo"],
+                        }
+                    )
+                )
+                return 2
             cut = exactsubstr_cut_wave(kept, stored, **xs_kw)
             folded = exactsubstr_merge(
                 stored, exactsubstr_window_stats(kept, **xs_kw)
@@ -949,19 +1002,31 @@ def cmd_curate(args) -> int:
         else:
             cut = exactsubstr_cut(kept, **xs_kw)
             folded = exactsubstr_window_stats(kept, **xs_kw) if led_dir else None
+            if led_dir:
+                wave_max_id = kept.agg(F.max(args.id_col)).first()[0]
         if led_dir:
             # fold into a sibling dir now (reads the CURRENT ledger),
             # but swap it in only after the curated output lands —
             # the lazy cut plan still reads the old dir until then
             tmp_led = led_dir.rstrip("/") + ".next"
             save_exactsubstr_ledger(folded, tmp_led)
+            _write_ledger_max_id(tmp_led, wave_max_id)
             pending_ledger_swap = (tmp_led, led_dir)
-        kept = kept.drop(args.text_col).join(
+        # docs with nothing removed keep their ORIGINAL text — the
+        # rebuilt stream is space-joined canonical form, and a doc the
+        # cut never touched must not lose its newlines/indentation
+        # (ADVICE r11); only touched docs take text_clean
+        kept = kept.join(
             cut.where(F.col("n_removed") < F.col("n_tokens")).select(
-                args.id_col, F.col("text_clean").alias(args.text_col)
+                args.id_col, "n_removed", "text_clean"
             ),
             args.id_col,
-        )
+        ).withColumn(
+            args.text_col,
+            F.when(F.col("n_removed") == 0, F.col(args.text_col)).otherwise(
+                F.col("text_clean")
+            ),
+        ).drop("n_removed", "text_clean")
     if args.near_dup:
         # MinHash/LSH candidates -> connected components -> keep the
         # lowest-id member per cluster; DF-pruned so a boilerplate-heavy
@@ -1122,15 +1187,32 @@ def cmd_curate(args) -> int:
     if pending_ledger_swap is not None:
         import shutil as _sh
 
+        # crash-safe swap (ADVICE r11): rename the live ledger ASIDE
+        # first, then rename .next into place, then drop the .old copy
+        # — at no instant is the ledger dir missing without a .old
+        # sibling holding the full previous state (recovered on the
+        # next run's load path)
         _tmp, _dst = pending_ledger_swap
+        _old = _dst.rstrip("/") + ".old"
+        if os.path.exists(_old):
+            _sh.rmtree(_old)
         if os.path.exists(_dst):
-            _sh.rmtree(_dst)
+            os.rename(_dst, _old)
         os.rename(_tmp, _dst)
-    out = spark.read.parquet(args.output)
-    by_split = {
-        r["split"]: r["n"]
-        for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
+        if os.path.exists(_old):
+            _sh.rmtree(_old)
+    from pyspark.errors import AnalysisException as _AnalysisException
+
+    try:
+        out = spark.read.parquet(args.output)
+        by_split = {
+            r["split"]: r["n"]
+            for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+    except _AnalysisException:
+        # every doc was filtered (or the wave was empty): the write
+        # leaves no schema to read back — report zero, not a crash
+        by_split = {}
     print(
         json.dumps(
             {

@@ -4987,18 +4987,28 @@ def q_layout_bucketed_join(spark, sf):
     decontamination pass repeats — satisfies its distribution
     requirement from the LAYOUT and runs with zero exchanges
     (plan-pinned in tests/test_layout.py; the oracle checks the join
-    VALUES, which are bucketing-invariant)."""
+    VALUES, which are bucketing-invariant). The bucketed pair is built
+    ONCE per (sf corpus, session): a deterministic sf-keyed location +
+    table name, reused when already cataloged — no per-invocation
+    mkdtemp leak, no fixed-name races between sessions sharing a
+    metastore (ADVICE r11) — mirroring production, where the layout
+    write is a one-time cost amortized over every later join."""
+    import hashlib
+    import os
     import tempfile
 
     from .ops.layout import bucketed_join, write_bucketed
     from .ops.text import token_stats
 
-    docs = _docs(spark, sf).select("doc_id", "lang", "text")
-    tmp = tempfile.mkdtemp(prefix="swarm_bucketed_")
-    write_bucketed(docs, "swarm_bkt_docs", f"{tmp}/docs", 8)
-    write_bucketed(token_stats(docs), "swarm_bkt_stats", f"{tmp}/stats", 8)
+    key = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8]
+    dt, st = f"swarm_bkt_docs_{key}", f"swarm_bkt_stats_{key}"
+    if not (spark.catalog.tableExists(dt) and spark.catalog.tableExists(st)):
+        base = os.path.join(tempfile.gettempdir(), f"swarm_bkt_{key}")
+        docs = _docs(spark, sf).select("doc_id", "lang", "text")
+        write_bucketed(docs, dt, os.path.join(base, "docs"), 8)
+        write_bucketed(token_stats(docs), st, os.path.join(base, "stats"), 8)
     return (
-        bucketed_join(spark, "swarm_bkt_docs", "swarm_bkt_stats")
+        bucketed_join(spark, dt, st)
         .select("doc_id", "lang", "n_tokens", "n_distinct_tokens")
         .orderBy("doc_id")
     )

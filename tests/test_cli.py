@@ -249,8 +249,11 @@ class TestCurate:
             stopwords=("the", "a", "table", "value"),
         )
         cut = exactsubstr_cut(gated, min_len=8)
+        # untouched docs keep their ORIGINAL text (ADVICE r11); only
+        # docs with spans removed take the rebuilt space-joined form
+        orig = {r["doc_id"]: r["text"] for r in gated.collect()}
         want = {
-            (r["doc_id"], r["text_clean"])
+            (r["doc_id"], r["text_clean"] if r["n_removed"] else orig[r["doc_id"]])
             for r in cut.where(F.col("n_removed") < F.col("n_tokens")).collect()
         }
         back = spark.read.parquet(out)
@@ -348,13 +351,108 @@ class TestCurate:
             )
             for r in spark.read.parquet(out).collect():
                 got[r["doc_id"]] = r["text"]
+        orig = {r["doc_id"]: r["text"] for r in docs.collect()}
         want = {
-            r["doc_id"]: r["text_clean"]
+            r["doc_id"]: r["text_clean"] if r["n_removed"] else orig[r["doc_id"]]
             for r in exactsubstr_cut(docs, min_len=8)
             .where(F.col("n_removed") < F.col("n_tokens"))
             .collect()
         }
         assert got == want
+
+    def test_curate_exactsubstr_preserves_untouched_text(
+        self, spark, tmp_path, capsys
+    ):
+        """A doc the span cut never touched keeps its original
+        newlines/indentation verbatim (ADVICE r11) — only touched docs
+        are rewritten to the space-joined rebuilt stream."""
+        run = " ".join(f"tok{i}" for i in range(8))
+        src = str(tmp_path / "xs_docs.parquet")
+        spark.createDataFrame(
+            [
+                (0, f"first {run} copy"),
+                (1, f"second {run} copy"),
+                (2, "untouched\n  indented line\tkeeps\nits form with many words"),
+            ],
+            "doc_id long, text string",
+        ).write.parquet(src)
+        out = str(tmp_path / "xs_out")
+        _run(
+            capsys,
+            ["--cpus", "4", "curate", src, "-o", out,
+             "--min-quality", "0", "--exactsubstr", "8"],
+        )
+        got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+        assert got[2] == "untouched\n  indented line\tkeeps\nits form with many words"
+        assert got[0] == f"first {run} copy"  # canonical copy untouched
+        assert "tok0" not in got[1]  # duplicate span cut from doc 1
+
+    def test_curate_ledger_rejects_descending_ids(self, spark, tmp_path, capsys):
+        """A wave whose ids dip at/below the ledger's high-water id
+        breaks the keep-first equivalence — the CLI must fail fast
+        (exit 2) instead of silently producing non-keep-first cuts."""
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        hi, lo = str(tmp_path / "hi.parquet"), str(tmp_path / "lo.parquet")
+        docs.where("doc_id >= 250").write.parquet(hi)
+        docs.where("doc_id < 250").write.parquet(lo)
+        led = str(tmp_path / "xs_led2")
+        _run(
+            capsys,
+            ["--cpus", "4", "curate", hi, "-o", str(tmp_path / "o1"),
+             "--min-quality", "0", "--exactsubstr", "8",
+             "--exactsubstr-ledger", led],
+        )
+        rc = main(
+            ["--cpus", "4", "curate", lo, "-o", str(tmp_path / "o2"),
+             "--min-quality", "0", "--exactsubstr", "8",
+             "--exactsubstr-ledger", led]
+        )
+        err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 2
+        assert "ascending" in err["error"]
+
+    def test_curate_ledger_swap_recovers_from_old(self, spark, tmp_path, capsys):
+        """Crash recovery: if only the .old sibling exists (a die
+        between the two renames), the next run restores it and the
+        incremental result still equals the one-shot cut."""
+        import os as _os
+
+        from swarm_spark.ops.curation import exactsubstr_cut
+        from pyspark.sql import functions as F
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        w1p, w2p = str(tmp_path / "rw1.parquet"), str(tmp_path / "rw2.parquet")
+        docs.where("doc_id < 250").write.parquet(w1p)
+        docs.where("doc_id >= 250").write.parquet(w2p)
+        led = str(tmp_path / "xs_led3")
+        _run(
+            capsys,
+            ["--cpus", "4", "curate", w1p, "-o", str(tmp_path / "r1"),
+             "--min-quality", "0", "--exactsubstr", "8",
+             "--exactsubstr-ledger", led],
+        )
+        # simulate the crash window: ledger renamed aside, .next never
+        # swapped in
+        _os.rename(led, led + ".old")
+        got = {}
+        _run(
+            capsys,
+            ["--cpus", "4", "curate", w2p, "-o", str(tmp_path / "r2"),
+             "--min-quality", "0", "--exactsubstr", "8",
+             "--exactsubstr-ledger", led],
+        )
+        for out in ("r1", "r2"):
+            for r in spark.read.parquet(str(tmp_path / out)).collect():
+                got[r["doc_id"]] = r["text"]
+        orig = {r["doc_id"]: r["text"] for r in docs.collect()}
+        want = {
+            r["doc_id"]: r["text_clean"] if r["n_removed"] else orig[r["doc_id"]]
+            for r in exactsubstr_cut(docs, min_len=8)
+            .where(F.col("n_removed") < F.col("n_tokens"))
+            .collect()
+        }
+        assert got == want
+        assert not _os.path.exists(led + ".old")
 
     def test_curate_gopher_repetition_flag(self, spark, tmp_path, capsys):
         out = str(tmp_path / "curated_rep")
