@@ -403,6 +403,7 @@ def bm25_pruned(
     totals: DataFrame | None = None,
     bounds: DataFrame | None = None,
     seed_terms: int = 8,
+    min_prune_queries: int | None = 2000,
 ) -> DataFrame:
     """:func:`bm25_topk` with MaxScore-style candidate pruning — SAME
     output, bit for bit (score, rank, ties), but only a fraction of the
@@ -462,13 +463,47 @@ def bm25_pruned(
     exhaustive plan instead of paying seed/verify joins for nothing
     (measured: unguarded pruning on a fully saturated vocab ran slower
     than the exhaustive ranker; see SCALING.md). Results are identical
-    on every path — that is the theorem the oracle checks."""
+    on every path — that is the theorem the oracle checks.
+
+    ``min_prune_queries`` is the AD-HOC batch-size pre-gate (r11
+    VERDICT #1): on the ad-hoc entry the gate machinery's extra driver
+    actions are fixed overhead while pruning's savings scale with the
+    batch, and the crossover was MEASURED at sf0.1/local[32] on the
+    keyword serving shape — 500 queries: decision cost dominates;
+    5,000: pruning wins 2.4x. Batches below the threshold route
+    straight to :func:`bm25_topk` before ANY postings/gate action runs
+    (one bounded ``limit(cap+1).count()`` probe, which also settles
+    the broadcast guard — no extra action vs the old path). Persisted-
+    index entries (``postings`` given) are NEVER pre-gated: against a
+    big stored index a single stopword-bearing query is exactly where
+    MaxScore earns its keep, and the index-side gate actions are
+    metadata-priced there. ``None`` disables the pre-gate."""
     from .similarity import _probe_is_small
 
     if k < 1 or k1 <= 0 or not 0.0 <= b <= 1.0:
         raise ValueError(f"need k >= 1, k1 > 0, 0 <= b <= 1; got {k}, {k1}, {b}")
     if seed_terms < 1:
         raise ValueError(f"seed_terms must be >= 1, got {seed_terms}")
+    pre_qn = None
+    if postings is None and min_prune_queries is not None and min_prune_queries > 0:
+        cap = max(min_prune_queries, broadcast_max_queries or 0)
+        pre_qn = queries.limit(cap + 1).count()
+        if pre_qn < min_prune_queries:
+            return bm25_topk(
+                docs,
+                queries,
+                k=k,
+                k1=k1,
+                b=b,
+                text_col=text_col,
+                id_col=id_col,
+                query_id_col=query_id_col,
+                query_text_col=query_text_col,
+                n_salts=n_salts,
+                broadcast_max_queries=broadcast_max_queries,
+                stats=stats,
+                totals=totals,
+            )
     if postings is None:
         if docs is None:
             raise ValueError("need docs or a persisted postings frame")
@@ -485,7 +520,13 @@ def bm25_pruned(
         qvocab = queries.select(
             F.explode(tokens_col(query_text_col)).alias("tok")
         ).distinct()
-        small = _probe_is_small(queries, broadcast_max_queries)
+        # the pre-gate probe already counted past the broadcast cap, so
+        # its result settles the broadcast guard without a second action
+        small = (
+            broadcast_max_queries is not None and pre_qn <= broadcast_max_queries
+            if pre_qn is not None
+            else _probe_is_small(queries, broadcast_max_queries)
+        )
         post = bm25_postings(
             docs, text_col, id_col, vocab=qvocab if small else None
         ).persist()
@@ -982,6 +1023,7 @@ def lm_pruned(
     totals: DataFrame | None = None,
     bounds: DataFrame | None = None,
     seed_terms: int = 8,
+    min_prune_queries: int | None = 2000,
 ) -> DataFrame:
     """:func:`lm_topk` with MaxScore-style pruning — same output, bit
     for bit, via the three passes of :func:`bm25_pruned` (seed θ from
@@ -1004,14 +1046,41 @@ def lm_pruned(
     pruning uses (one bounds table serves both rankers, like the
     shared postings). The two adaptive effectiveness gates (see
     :func:`bm25_pruned`) apply here too, with ``cf`` as the volume
-    statistic — identical results on every path."""
+    statistic — identical results on every path. ``min_prune_queries``
+    is the same ad-hoc batch-size pre-gate as :func:`bm25_pruned`'s
+    (measured crossover; persisted-index entries never pre-gated),
+    routing small ad-hoc batches to :func:`lm_topk` before any gate
+    action runs."""
     from .similarity import _probe_is_small
 
     if k < 1 or mu <= 0:
         raise ValueError(f"need k >= 1 and mu > 0; got {k}, {mu}")
     if seed_terms < 1:
         raise ValueError(f"seed_terms must be >= 1, got {seed_terms}")
-    small = _probe_is_small(queries, broadcast_max_queries)
+    pre_qn = None
+    if postings is None and min_prune_queries is not None and min_prune_queries > 0:
+        cap = max(min_prune_queries, broadcast_max_queries or 0)
+        pre_qn = queries.limit(cap + 1).count()
+        if pre_qn < min_prune_queries:
+            return lm_topk(
+                docs,
+                queries,
+                k=k,
+                mu=mu,
+                text_col=text_col,
+                id_col=id_col,
+                query_id_col=query_id_col,
+                query_text_col=query_text_col,
+                n_salts=n_salts,
+                broadcast_max_queries=broadcast_max_queries,
+                cf_stats=cf_stats,
+                totals=totals,
+            )
+    small = (
+        broadcast_max_queries is not None and pre_qn <= broadcast_max_queries
+        if pre_qn is not None
+        else _probe_is_small(queries, broadcast_max_queries)
+    )
     if postings is None:
         if docs is None:
             raise ValueError("need docs or a persisted postings frame")

@@ -1826,7 +1826,15 @@ def q_bm25_pruned(spark, sf):
     High-df terms (low idf, low upper bound) fall into the
     non-essential prefix: exactly the posting lists that made the
     unpruned probe candidate-bound at scale (3.9x wall at 10x on the
-    saturated vocab, SCALING.md) stop generating candidates."""
+    saturated vocab, SCALING.md) stop generating candidates.
+
+    This doc-length batch sits BELOW the measured ad-hoc crossover
+    (~2k queries), so the default ``min_prune_queries`` pre-gate
+    routes it straight to the exhaustive ranker before any gate
+    action runs (r11 VERDICT #1: the residual 1.79x twin ratio was
+    pure decision cost at a shape that routed exhaustive anyway) —
+    the row now ALSO pins that the pre-gated entry is value-exact;
+    the kw pair below pins the pruning machinery itself."""
     from .ops.retrieval import bm25_pruned
 
     docs = _docs(spark, sf)
@@ -1943,7 +1951,13 @@ def q_bm25_pruned_kw(spark, sf):
     from .ops.retrieval import bm25_pruned
 
     raw = _docs(spark, sf)
-    return bm25_pruned(_kw_corpus(raw), _kw_queries(raw), k=5)
+    # min_prune_queries=None: this row pins the PRUNING MACHINERY's
+    # value-exactness at every sf (the driver's sf0.01 kw batch is 500
+    # queries — below the ad-hoc crossover the default pre-gate
+    # routes on; the doc-length pair pins the pre-gated entry instead)
+    return bm25_pruned(
+        _kw_corpus(raw), _kw_queries(raw), k=5, min_prune_queries=None
+    )
 
 
 def q_lm_topk_kw(spark, sf):
@@ -1965,7 +1979,11 @@ def q_lm_pruned_kw(spark, sf):
     from .ops.retrieval import lm_pruned
 
     raw = _docs(spark, sf)
-    return lm_pruned(_kw_corpus(raw), _kw_queries(raw), k=5, mu=2000.0)
+    # min_prune_queries=None: pin the pruned path (see bm25_pruned_kw)
+    return lm_pruned(
+        _kw_corpus(raw), _kw_queries(raw), k=5, mu=2000.0,
+        min_prune_queries=None,
+    )
 
 
 # shared prelude: the kw corpus/queries in DuckDB (1-based lists; the

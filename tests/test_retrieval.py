@@ -522,7 +522,7 @@ class TestPrunedTopk:
             ],
         )
         want = sorted(map(tuple, bm25_topk(docs, qs, k=4).collect()))
-        got = sorted(map(tuple, bm25_pruned(docs, qs, k=4).collect()))
+        got = sorted(map(tuple, bm25_pruned(docs, qs, k=4, min_prune_queries=None).collect()))
         assert got == want and want
 
     def test_lm_pruned_equals_exhaustive_on_skew(self, spark):
@@ -539,7 +539,7 @@ class TestPrunedTopk:
             ],
         )
         want = sorted(map(tuple, lm_topk(docs, qs, k=4, mu=500.0).collect()))
-        got = sorted(map(tuple, lm_pruned(docs, qs, k=4, mu=500.0).collect()))
+        got = sorted(map(tuple, lm_pruned(docs, qs, k=4, mu=500.0, min_prune_queries=None).collect()))
         assert got == want and want
 
     def test_mixed_batch_routes_per_query(self, spark):
@@ -561,13 +561,58 @@ class TestPrunedTopk:
             spark, [(0, "selective common"), (1, "unique common")]
         )
         want = sorted(map(tuple, bm25_topk(docs, qs, k=3).collect()))
-        got = sorted(map(tuple, bm25_pruned(docs, qs, k=3, seed_terms=1).collect()))
+        got = sorted(map(tuple, bm25_pruned(docs, qs, k=3, seed_terms=1, min_prune_queries=None).collect()))
         assert got == want
         want_lm = sorted(map(tuple, lm_topk(docs, qs, k=3).collect()))
         got_lm = sorted(
-            map(tuple, lm_pruned(docs, qs, k=3, seed_terms=1).collect())
+            map(tuple, lm_pruned(docs, qs, k=3, seed_terms=1, min_prune_queries=None).collect())
         )
         assert got_lm == want_lm
+
+    @staticmethod
+    def _norm_plan(df):
+        import re as _re
+
+        return _re.sub(
+            r"#\d+L?", "#x", df._jdf.queryExecution().optimizedPlan().toString()
+        )
+
+    def test_small_adhoc_batch_pre_gates_to_exhaustive(self, spark):
+        """r11 VERDICT #1: an ad-hoc batch below min_prune_queries
+        routes straight to the exhaustive ranker — the returned plan
+        IS bm25_topk's/lm_topk's (no seed/theta/verify machinery), and
+        values are identical by the pruning theorem either way."""
+        from swarm_spark.ops.retrieval import bm25_pruned, lm_pruned, lm_topk
+
+        docs = self._skewed(spark)
+        qs = self._queries(
+            spark, [(0, "the topic3 mid1"), (1, "topic11 the mid4 common")]
+        )
+        gated = bm25_pruned(docs, qs, k=4)  # default gate, |Q| = 2
+        exh = bm25_topk(docs, qs, k=4)
+        assert self._norm_plan(gated) == self._norm_plan(exh)
+        assert sorted(map(tuple, gated.collect())) == sorted(
+            map(tuple, exh.collect())
+        )
+        gated_lm = lm_pruned(docs, qs, k=4, mu=500.0)
+        exh_lm = lm_topk(docs, qs, k=4, mu=500.0)
+        assert self._norm_plan(gated_lm) == self._norm_plan(exh_lm)
+
+    def test_pre_gate_boundary_keeps_pruned_path(self, spark):
+        """|Q| == min_prune_queries proceeds to the pruning machinery
+        (strictly-below routes), and the result still matches the
+        exhaustive ranker bit for bit."""
+        from swarm_spark.ops.retrieval import bm25_pruned
+
+        docs = self._skewed(spark)
+        qs = self._queries(
+            spark, [(0, "the topic3 mid1"), (1, "topic11 the mid4 common")]
+        )
+        at = bm25_pruned(docs, qs, k=4, min_prune_queries=2)
+        assert self._norm_plan(at) != self._norm_plan(bm25_topk(docs, qs, k=4))
+        assert sorted(map(tuple, at.collect())) == sorted(
+            map(tuple, bm25_topk(docs, qs, k=4).collect())
+        )
 
     def test_fewer_than_k_seed_docs_falls_back_exact(self, spark):
         # seed term matches 2 docs < k=5: theta is absent, the query is
@@ -586,7 +631,7 @@ class TestPrunedTopk:
         )
         qs = self._queries(spark, [(0, "rare beta")])
         want = sorted(map(tuple, bm25_topk(docs, qs, k=5).collect()))
-        got = sorted(map(tuple, bm25_pruned(docs, qs, k=5).collect()))
+        got = sorted(map(tuple, bm25_pruned(docs, qs, k=5, min_prune_queries=None).collect()))
         assert got == want and len(want) == 4
 
     def test_tied_scores_keep_id_tiebreak(self, spark):
@@ -597,7 +642,7 @@ class TestPrunedTopk:
         docs = _docs(spark, [(i, "same words here") for i in range(1, 5)] + [(9, "other text")])
         qs = self._queries(spark, [(0, "same words")])
         want = [tuple(r) for r in bm25_topk(docs, qs, k=3).collect()]
-        got = [tuple(r) for r in bm25_pruned(docs, qs, k=3).collect()]
+        got = [tuple(r) for r in bm25_pruned(docs, qs, k=3, min_prune_queries=None).collect()]
         assert got == want
         assert [r[1] for r in got] == [1, 2, 3]
 
@@ -650,11 +695,11 @@ class TestPrunedTopk:
         qs = docs.where(F.col("doc_id") % 50 == 0).select(
             F.col("doc_id").alias("query_id"), "text"
         )
-        assert sorted(map(tuple, bm25_pruned(docs, qs, k=5).collect())) == sorted(
+        assert sorted(map(tuple, bm25_pruned(docs, qs, k=5, min_prune_queries=None).collect())) == sorted(
             map(tuple, bm25_topk(docs, qs, k=5).collect())
         )
         assert sorted(
-            map(tuple, lm_pruned(docs, qs, k=5, mu=2000.0).collect())
+            map(tuple, lm_pruned(docs, qs, k=5, mu=2000.0, min_prune_queries=None).collect())
         ) == sorted(map(tuple, lm_topk(docs, qs, k=5, mu=2000.0).collect()))
 
     def test_pruned_persisted_probe_never_reads_text(
@@ -808,7 +853,7 @@ class TestPrunedSeedTerms:
         want = sorted(map(tuple, bm25_topk(docs, qs, k=5).collect()))
         for s in (1, 8, 64):
             got = sorted(
-                map(tuple, bm25_pruned(docs, qs, k=5, seed_terms=s).collect())
+                map(tuple, bm25_pruned(docs, qs, k=5, seed_terms=s, min_prune_queries=None).collect())
             )
             assert got == want, s
 
