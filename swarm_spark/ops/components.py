@@ -150,6 +150,7 @@ def keep_best_per_cluster(
     id_col: str = "doc_id",
     a_col: str = "doc_a",
     b_col: str = "doc_b",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Drop all but the HIGHEST-``score_col`` member of every duplicate
     cluster (ties resolve to the lowest id) — the quality-aware
@@ -165,6 +166,14 @@ def keep_best_per_cluster(
     anti-join streams the corpus once. Score ties join back on the
     stored value itself, so the policy is type-generic (no numeric-id
     encoding tricks).
+
+    ``checkpoint_dir``: by default the three-consumer scored frame is
+    ``localCheckpoint``-ed — executor-stored blocks, unrecoverable
+    under executor loss (the same trade the r11 ADVICE flagged for θ;
+    unlike θ this frame is cluster-members-sized, so driver
+    materialization does not apply). On a real cluster pass a
+    reliable checkpoint directory (HDFS/object store): the frame is
+    ``checkpoint``-ed there instead and survives any executor churn.
     """
     comp = dup_components(pairs, a_col, b_col)
     # cluster members are a vanishing corpus fraction, but three
@@ -172,11 +181,19 @@ def keep_best_per_cluster(
     # lineage once so the pair pipeline and the score scan don't
     # re-run per consumer (the dup_components edge-frame precedent;
     # executor loss recomputes from the checkpoint blocks' lineage
-    # root, the documented localCheckpoint trade)
+    # root under localCheckpoint — the documented trade — or replays
+    # from the reliable store when checkpoint_dir is given)
     scored = comp.join(
         df.select(F.col(id_col).alias("id"), F.col(score_col).alias("__s")),
         "id",
-    ).localCheckpoint(eager=True)
+    )
+    if checkpoint_dir is not None:
+        # setCheckpointDir appends a per-context uuid subdir, so the
+        # call is idempotent-cheap (one mkdir) and safe to repeat
+        scored.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        scored = scored.checkpoint(eager=True)
+    else:
+        scored = scored.localCheckpoint(eager=True)
     best = scored.groupBy("component").agg(F.max("__s").alias("__best"))
     winners = (
         scored.join(best, "component")

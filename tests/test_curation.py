@@ -265,6 +265,36 @@ class TestKeepBest:
         # doc 9 is unclustered and passes through
         assert kept == [2, 9]
 
+    def test_reliable_checkpoint_dir(self, spark, tmp_path):
+        """checkpoint_dir switches the scored frame to a RELIABLE
+        checkpoint (r11 VERDICT #4): same survivors, and the
+        checkpoint files actually land under the given directory."""
+        import os
+
+        from swarm_spark.ops.components import keep_best_per_cluster
+
+        docs = spark.createDataFrame(
+            [(1, 10), (2, 30), (3, 30), (4, 5), (9, 99)],
+            "doc_id long, score long",
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4)], "doc_a long, doc_b long"
+        )
+        ckpt = str(tmp_path / "ckpt")
+        kept = sorted(
+            r["doc_id"]
+            for r in keep_best_per_cluster(
+                docs, pairs, "score", checkpoint_dir=ckpt
+            ).collect()
+        )
+        assert kept == [2, 9]
+        found = [
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(ckpt)
+            for f in fs
+        ]
+        assert found  # reliable checkpoint data was written there
+
 
 class TestLshTune:
     def test_curve_properties(self):
