@@ -1087,6 +1087,28 @@ def cmd_curate(args) -> int:
     )
     if args.langs:
         kept = kept.where(F.col("pred_lang").isin(args.langs.split(",")))
+    if getattr(args, "ccnet", False):
+        # the CCNet composition (Wenzek et al. 2020): per-PREDICTED-
+        # language reference LMs trained as ONE grouped count frame,
+        # one grouped scoring pass, per-language perplexity terciles,
+        # tail discarded — the corpus_curate_ccnet registry row's
+        # stages, applied to whatever survived the gates above
+        from .ops.lm import lm_buckets_scored, lm_perplexity_by, lm_train_by
+
+        order = getattr(args, "ccnet_order", 3)
+        model = lm_train_by(
+            kept, group_col="pred_lang", text_col=args.text_col, order=order
+        )
+        scored = lm_perplexity_by(
+            kept, model, group_col="pred_lang", text_col=args.text_col,
+            id_col=args.id_col, order=order,
+        )
+        keep_ids = (
+            lm_buckets_scored(scored, group_col="pred_lang", id_col=args.id_col)
+            .where(F.col("bucket") != "tail")
+            .select(args.id_col)
+        )
+        kept = kept.join(keep_ids, args.id_col, "left_semi")
     if getattr(args, "nb_model", ""):
         # learned quality gate: score against a persisted NB model
         # (broadcast model join) and keep docs above the micro-nat
@@ -1634,6 +1656,20 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="also apply the Gopher repetition thresholds (top-n-gram "
         "and duplicated-n-gram character fractions)",
+    )
+    sp.add_argument(
+        "--ccnet",
+        action="store_true",
+        help="CCNet composition: per-predicted-language reference LMs "
+        "(one grouped count frame), per-language perplexity terciles, "
+        "tail bucket discarded",
+    )
+    sp.add_argument(
+        "--ccnet-order",
+        type=int,
+        default=3,
+        help="backoff order of the per-language CCNet LMs (default 3; "
+        "CCNet's production point is 5)",
     )
     sp.add_argument(
         "--exactsubstr",

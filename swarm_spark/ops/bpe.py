@@ -82,6 +82,104 @@ def bpe_merge_pass(seg: Column, a: str, b: str) -> Column:
     )
 
 
+def bpe_merge_pass_multi(seg: Column, pairs: list[tuple[str, str]]) -> Column:
+    """One left-to-right pass applying a BATCH of symbol-disjoint
+    merges simultaneously — constant expression depth however large
+    the batch (two literal maps + one fold), where chaining
+    :func:`bpe_merge_pass` per merge would nest one aggregate per
+    pair. Correctness needs the :func:`_select_merge_batch`
+    disjointness contract: no symbol (nor any merged symbol a||b)
+    appears in two batch pairs, so each fold step can consult the
+    left-symbol map unambiguously and a merge output can never
+    trigger another batch pair."""
+    if not pairs:
+        raise ValueError("empty merge batch")
+    for a, b in pairs:
+        if not a or not b:
+            raise ValueError("merge symbols must be non-empty")
+    mb = F.create_map(*[x for a, b in pairs for x in (F.lit(a), F.lit(b))])
+    mab = F.create_map(*[x for a, b in pairs for x in (F.lit(a), F.lit(a + b))])
+    return F.aggregate(
+        seg,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(mb, F.element_at(acc, -1)) == x),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.element_at(mab, F.element_at(acc, -1))),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def _select_merge_batch(
+    top: list, limit: int, min_count: int, window_truncated: bool = False
+) -> list[tuple[str, str]]:
+    """Pick the maximal batch of merges provably IDENTICAL to serial
+    rounds, from this round's pair table sorted by (count desc, a, b)
+    — the classical non-interacting-merge speedup, made exact:
+
+    - Walk the sorted prefix, selecting pairs while every selected
+      pair is symbol-DISJOINT from all earlier selections — including
+      their merged symbols a||b (a new ``ab`` colliding with an
+      existing ``ab`` symbol would let one batch merge mint
+      occurrences of another).
+    - Stop at the first interacting (or sub-``min_count``) pair; its
+      count is the STOP COUNT. A selected SELF-pair (a, a) also
+      terminates the batch (its minted pairs are bounded by its own
+      count, not the stop count — see the inline note), with the next
+      sorted pair as the stop. Running off a TRUNCATED scan window
+      uses the window tail's count (unseen pairs tie it at worst);
+      off the full table, every selection stands. Truncate the
+      selection to pairs with count STRICTLY above the stop count,
+      then slice to ``limit`` (a prefix cut — still serial-equal).
+
+    Why this equals serial: batch pairs are a sorted prefix, so at
+    step i every unselected original pair orders after p_i and its
+    count can only have decreased. Disjointness keeps each batch
+    pair's own count unchanged while earlier batch merges apply. Any
+    NEW pair minted by a batch merge borrows an adjacency from a
+    context pair sharing a symbol with the batch — a pair that sorts
+    at/after the stop pair, so its count <= stop count < c(p_i):
+    serial's argmax at step i is exactly p_i. Ties inside the batch
+    keep the sorted order; a tie WITH the stop pair is truncated away
+    (strictness is what shuts out the lex-order edge cases). When
+    truncation empties the batch, the round degenerates to the plain
+    serial step [p_1] — always valid.
+    """
+    sel: list[tuple[str, str, int]] = []
+    blocked: set[str] = set()
+    stop = None
+    for i, (a, b, c) in enumerate(top):
+        if c < min_count or {a, b, a + b} & blocked:
+            stop = c
+            break
+        sel.append((a, b, c))
+        blocked.update((a, b, a + b))
+        if a == b:
+            # a SELF-pair (a,a) mints pairs around its own merged
+            # symbol ((a,aa)/(aa,a)/(aa,aa)) whose counts are bounded
+            # by ITS OWN count, not by the stop pair's — they can beat
+            # any later batch element (serial would pick them next).
+            # Terminate the batch here; the next sorted pair supplies
+            # the stop count for the ordinary strict truncation.
+            if i + 1 < len(top):
+                stop = top[i + 1][2]
+            break
+    if stop is None:
+        # ran off the scanned window: if the window held the WHOLE
+        # pair table nothing is left to interact (stop below every
+        # count); otherwise unseen pairs tie the window tail at worst
+        stop = (min_count - 1) if not window_truncated else (
+            top[-1][2] if top else min_count - 1
+        )
+    batch = [(a, b) for a, b, c in sel if c > stop]
+    if not batch and top and top[0][2] >= min_count:
+        batch = [(top[0][0], top[0][1])]  # serial fallback on a head tie
+    return batch[:limit] if limit > 0 else batch
+
+
 def bpe_word_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, cnt): the corpus word histogram BPE trains on — one
     map-side-combined shuffle, vocab-sized output (training never
@@ -230,6 +328,8 @@ def bpe_train(
     n_merges: int,
     min_count: int = 1,
     local_max_words: int | None = BPE_LOCAL_MAX_WORDS,
+    max_batch_merges: int = 256,
+    stats_out: dict | None = None,
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """(merges, seg): train ``n_merges`` BPE merge rounds over a
     (word, cnt) histogram. Stops early when no pair reaches
@@ -245,20 +345,32 @@ def bpe_train(
       production-sized vocab (10k-50k merges) costs ONE Spark job
       instead of 10k+ sequential driver rounds — the driver round-trip
       was the scale ceiling, each round being cheap but serial.
-    - **distributed rounds** (above the bound, or
-      ``local_max_words=None``): one vocab-sized adjacent-pair
-      aggregation + ONE best-pair row to the driver per round (max
-      summed count, ties by lexicographic (a, b)), one merge pass over
-      the histogram's segmentations.
+    - **batched distributed rounds** (above the bound, or
+      ``local_max_words=None`` — the 100-TB vocabulary path, r11
+      VERDICT #2): one vocab-sized adjacent-pair aggregation per
+      round, then up to ``max_batch_merges`` NON-INTERACTING merges
+      selected from the sorted head and applied in ONE constant-depth
+      fold pass (:func:`_select_merge_batch` /
+      :func:`bpe_merge_pass_multi` — provably bit-identical to serial
+      rounds, the classical batching speedup made exact). A Zipf pair
+      spectrum batches tens-to-hundreds of merges per round, so 10k
+      merges cost ~dozens of distributed rounds instead of 10k serial
+      driver round-trips. ``max_batch_merges=1`` recovers the plain
+      serial rounds (the equivalence tests' referee).
 
     Returns the ordered merge list (the model — persist with
     :func:`save_bpe`) and the trained segmentation frame
     (word, cnt, seg) — the training corpus's words are already encoded,
-    so counting/packing over the SAME corpus needs no re-encoding."""
+    so counting/packing over the SAME corpus needs no re-encoding.
+    ``stats_out`` (a dict, mutated in place) records ``rounds`` — the
+    number of distributed rounds actually run (1 on the local path) —
+    for scale probes reporting the batching rounds-reduction."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if max_batch_merges < 1:
+        raise ValueError(f"max_batch_merges must be >= 1, got {max_batch_merges}")
     if local_max_words is not None and words.count() <= local_max_words:
         frame = _bpe_train_local_frame(
             words, n_merges, min_count
@@ -271,6 +383,8 @@ def bpe_train(
             .collect()
         ]
         seg = frame.where(F.col("rank").isNull()).select("word", "cnt", "seg")
+        if stats_out is not None:
+            stats_out["rounds"] = 1
         return merges, seg
     seg = words.select(
         "word", F.col("cnt").cast("long").alias("cnt"),
@@ -280,29 +394,46 @@ def bpe_train(
     pair_structs = F.expr(
         "transform(sequence(0, size(seg) - 2), i -> struct(seg[i] AS a, seg[i+1] AS b))"
     )
-    for _ in range(n_merges):
+    # scan window: a few times the batch cap so disjoint pairs behind
+    # an early interactor still batch; the collect stays metadata-sized
+    scan = max(4 * max_batch_merges, 64)
+    rounds = 0
+    while len(merges) < n_merges:
         pairs = (
             seg.where(F.size("seg") >= 2)
             .select("cnt", F.explode(pair_structs).alias("p"))
             .groupBy("p.a", "p.b")
             .agg(F.sum("cnt").alias("n"))
         )
-        best = pairs.orderBy(F.col("n").desc(), "a", "b").limit(1).collect()
-        if not best or int(best[0]["n"]) < min_count:
+        top = [
+            (r["a"], r["b"], int(r["n"]))
+            for r in pairs.orderBy(F.col("n").desc(), "a", "b")
+            .limit(scan)
+            .collect()
+        ]
+        if not top or top[0][2] < min_count:
             break
-        a, b = best[0]["a"], best[0]["b"]
-        merges.append((a, b))
-        seg = seg.withColumn("seg", bpe_merge_pass(F.col("seg"), a, b))
-        # checkpoint on a stride, not per round: each checkpoint is a
-        # full materialization job, while a short lazy chain of merge
-        # folds recomputes from the last checkpoint for ~free inside
-        # the next round's pair scan (3 nested aggregate folds stay
-        # well under codegen limits; the plan never grows past the
-        # stride). Measured: per-round checkpoints dominated training
-        # wall at bench scale.
-        if len(merges) % 3 == 0:
-            seg = seg.localCheckpoint()
-    return merges, seg.localCheckpoint()
+        rounds += 1
+        batch = _select_merge_batch(
+            top,
+            min(max_batch_merges, n_merges - len(merges)),
+            min_count,
+            window_truncated=len(top) == scan,
+        )
+        merges.extend(batch)
+        if len(batch) == 1:
+            seg = seg.withColumn("seg", bpe_merge_pass(F.col("seg"), *batch[0]))
+        else:
+            seg = seg.withColumn("seg", bpe_merge_pass_multi(F.col("seg"), batch))
+        # one checkpoint per batched round: the round applies up to
+        # max_batch_merges merges in a single fold, so the plan never
+        # grows past one pass and the next round's pair scan reads a
+        # materialized frame (the old serial path checkpointed on a
+        # 3-round stride for the same reason)
+        seg = seg.localCheckpoint()
+    if stats_out is not None:
+        stats_out["rounds"] = rounds
+    return merges, seg
 
 
 def bpe_encode_words(words: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:

@@ -148,6 +148,251 @@ def lm_train(
     )
 
 
+def lm_train_by(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    order: int = 2,
+) -> DataFrame:
+    """PER-GROUP count tables: (grp, ctx, tok, cnt) holding every
+    k-gram count for k = 1..order within each ``group_col`` slice —
+    one corpus scan and ONE map-side-combined aggregation train EVERY
+    language's model simultaneously (the CCNet per-language reference
+    LMs as one grouped frame, instead of |languages| filtered scans).
+    Same additive-count contract as :func:`lm_train`; fold waves with
+    a (grp, ctx, tok) SUM."""
+    if order < 1:
+        raise ValueError(f"order must be >= 1, got {order}")
+    base = docs.select(
+        F.col(group_col).alias("grp"), _ws_col(text_col).alias("ws")
+    )
+    arrs = [
+        F.transform(
+            "ws",
+            lambda t: F.struct(
+                F.lit(None).cast("string").alias("ctx"), t.alias("tok")
+            ),
+        )
+    ]
+    for k in range(2, order + 1):
+        arrs.append(
+            F.when(
+                F.size("ws") < k,
+                F.expr("cast(array() as array<struct<ctx:string,tok:string>>)"),
+            ).otherwise(
+                F.expr(
+                    f"transform(sequence(1, size(ws) - {k - 1}),"
+                    f" s -> struct(array_join(slice(ws, s, {k - 1}), ' ') as ctx,"
+                    f" element_at(ws, s + {k - 1}) as tok))"
+                )
+            )
+        )
+    return (
+        base.select("grp", F.explode(F.concat(*arrs)).alias("e"))
+        .select("grp", "e.ctx", "e.tok")
+        .groupBy("grp", "ctx", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def lm_perplexity_by(
+    docs: DataFrame,
+    model: DataFrame,
+    group_col: str = "lang",
+    alpha: float = LM_ALPHA,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    order: int = 2,
+) -> DataFrame:
+    """:func:`lm_perplexity` against a GROUPED model
+    (:func:`lm_train_by`): every doc is scored under the model of ITS
+    OWN ``group_col`` value — (id, grp, n_toks, cost_micro,
+    avg_micro). All count lookups add the group key to their join;
+    the per-group totals (T, V) stay a vocab-sized joined frame
+    instead of driver literals, so one scoring pass serves every
+    language. Docs whose group has no unigram mass (or with zero
+    tokens) have no likelihood and are absent — the scorer contract.
+
+    Scale shape: identical to the ungrouped scorer — token stream →
+    2·order−1 model equi-joins (now (grp, ...)-keyed) → one per-doc
+    sum; nothing corpus-sized reaches the driver."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if order < 1:
+        raise ValueError(f"order must be >= 1, got {order}")
+    uni = model.where(F.col("ctx").isNull()).select("grp", "tok", "cnt")
+    grams = model.where(F.col("ctx").isNotNull())
+    tv = uni.groupBy("grp").agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("__t"),
+        F.count(F.lit(1)).alias("__v"),
+    )
+
+    cols = [
+        F.col("id"),
+        F.col("grp"),
+        F.col("i"),
+        F.col("tok"),
+        F.when(F.col("i") == 0, F.lit(None).cast("string"))
+        .otherwise(F.element_at("ws", F.col("i")))
+        .alias("prev"),
+    ]
+    for k in range(3, order + 1):
+        cols.append(
+            F.when(
+                F.col("i") >= k - 1,
+                F.expr(f"array_join(slice(ws, i - {k - 2}, {k - 1}), ' ')"),
+            ).alias(f"nctx{k}")
+        )
+        cols.append(
+            F.when(
+                F.col("i") >= k - 1,
+                F.expr(f"array_join(slice(ws, i - {k - 2}, {k - 2}), ' ')"),
+            ).alias(f"dctx{k}")
+        )
+    ent = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        _ws_col(text_col).alias("ws"),
+    ).select(
+        "id",
+        "grp",
+        F.posexplode("ws").alias("i", "tok"),
+        F.col("ws"),
+    ).select(*cols)
+
+    scored = ent
+    for k in range(2, order + 1):
+        nctx = F.col("prev") if k == 2 else F.col(f"nctx{k}")
+        num = grams.select(
+            F.col("grp").alias(f"_n{k}g"),
+            F.col("ctx").alias(f"_n{k}c"),
+            F.col("tok").alias(f"_n{k}t"),
+            F.col("cnt").alias(f"cnt_num_{k}"),
+        )
+        scored = scored.join(
+            num,
+            (F.col("grp") == F.col(f"_n{k}g"))
+            & (nctx == F.col(f"_n{k}c"))
+            & (F.col("tok") == F.col(f"_n{k}t")),
+            "left",
+        ).drop(f"_n{k}g", f"_n{k}c", f"_n{k}t")
+        if k == 2:
+            den = uni.select(
+                F.col("grp").alias("_d2g"),
+                F.col("tok").alias("_d2t"),
+                F.col("cnt").alias("cnt_den_2"),
+            )
+            scored = scored.join(
+                den,
+                (F.col("grp") == F.col("_d2g"))
+                & (F.col("prev") == F.col("_d2t")),
+                "left",
+            ).drop("_d2g", "_d2t")
+        else:
+            den = grams.select(
+                F.col("grp").alias(f"_d{k}g"),
+                F.col("ctx").alias(f"_d{k}c"),
+                F.col("tok").alias(f"_d{k}t"),
+                F.col("cnt").alias(f"cnt_den_{k}"),
+            )
+            scored = scored.join(
+                den,
+                (F.col("grp") == F.col(f"_d{k}g"))
+                & (F.col(f"dctx{k}") == F.col(f"_d{k}c"))
+                & (F.col("prev") == F.col(f"_d{k}t")),
+                "left",
+            ).drop(f"_d{k}g", f"_d{k}c", f"_d{k}t")
+    scored = scored.join(
+        uni.select(
+            F.col("grp").alias("_ug"),
+            F.col("tok").alias("_ut"),
+            F.col("cnt").alias("cnt_tok"),
+        ),
+        (F.col("grp") == F.col("_ug")) & (F.col("tok") == F.col("_ut")),
+        "left",
+    ).drop("_ug", "_ut")
+    # per-group totals: an inner join, so groups with no unigram mass
+    # drop out (the ungrouped scorer raises instead — there the model
+    # IS the group)
+    scored = scored.join(tv, "grp")
+
+    denom = (F.col("__t") + F.col("__v") + F.lit(1)).cast("double")
+    p_uni = (F.coalesce(F.col("cnt_tok"), F.lit(0)) + 1) / denom
+    m = F.least(F.lit(order), F.col("i") + 1)
+    cost = F.round(
+        F.lit(-1_000_000) * F.log(_alpha_pow(alpha, m - 1, order - 1) * p_uni)
+    )
+    for k in range(2, order + 1):
+        hit = (
+            F.col(f"cnt_num_{k}").isNotNull()
+            & F.col(f"cnt_den_{k}").isNotNull()
+        )
+        ratio = F.col(f"cnt_num_{k}") / F.col(f"cnt_den_{k}")
+        if k == order:
+            cost = F.when(hit, F.round(F.lit(-1_000_000) * F.log(ratio))).otherwise(
+                cost
+            )
+        else:
+            cost = F.when(
+                hit,
+                F.round(
+                    F.lit(-1_000_000)
+                    * F.log(_alpha_pow(alpha, m - k, order - k) * ratio)
+                ),
+            ).otherwise(cost)
+    cost = cost.cast("long")
+    return (
+        scored.select("id", "grp", cost.alias("c"))
+        .groupBy("id", "grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            F.sum("c").alias("cost_micro"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("grp").alias(group_col),
+            "n_toks",
+            "cost_micro",
+            F.round(F.col("cost_micro") / F.col("n_toks"))
+            .cast("long")
+            .alias("avg_micro"),
+        )
+    )
+
+
+def lm_buckets_scored(
+    labeled: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tercile-bucket an ALREADY-SCORED frame (``id_col``,
+    ``group_col``, n_toks, avg_micro) into CCNet's head/middle/tail
+    per group — the bucket-assignment half of :func:`lm_buckets`,
+    reusable when the scores came from a grouped scorer
+    (:func:`lm_perplexity_by`) or a persisted scored table. Nearest-
+    rank histogram terciles, engine-exact on the integer score."""
+    from .text import group_value_quantiles
+
+    thr = group_value_quantiles(labeled, group_col, "avg_micro", (333, 667))
+    t = thr.groupBy(group_col).agg(
+        F.min(F.when(F.col("q_permille") == 333, F.col("value"))).alias("__t1"),
+        F.min(F.when(F.col("q_permille") == 667, F.col("value"))).alias("__t2"),
+    )
+    return (
+        labeled.join(F.broadcast(t), group_col)
+        .select(
+            id_col,
+            group_col,
+            "n_toks",
+            "avg_micro",
+            F.when(F.col("avg_micro") <= F.col("__t1"), F.lit("head"))
+            .when(F.col("avg_micro") <= F.col("__t2"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
+
+
 def lm_merge(*models: DataFrame) -> DataFrame:
     """Fold count tables from independent waves into one model —
     counts are a SUM monoid, so merge == retrain on the union corpus
@@ -469,25 +714,6 @@ def lm_buckets(
     + a broadcast threshold join — the group_value_quantiles
     composition, with perplexity as the value.
     """
-    from .text import group_value_quantiles
-
     scored = lm_perplexity(docs, model, alpha, text_col, id_col, order)
     labeled = docs.select(F.col(id_col), F.col(group_col)).join(scored, id_col)
-    thr = group_value_quantiles(labeled, group_col, "avg_micro", (333, 667))
-    t = thr.groupBy(group_col).agg(
-        F.min(F.when(F.col("q_permille") == 333, F.col("value"))).alias("__t1"),
-        F.min(F.when(F.col("q_permille") == 667, F.col("value"))).alias("__t2"),
-    )
-    return (
-        labeled.join(F.broadcast(t), group_col)
-        .select(
-            id_col,
-            group_col,
-            "n_toks",
-            "avg_micro",
-            F.when(F.col("avg_micro") <= F.col("__t1"), F.lit("head"))
-            .when(F.col("avg_micro") <= F.col("__t2"), F.lit("middle"))
-            .otherwise(F.lit("tail"))
-            .alias("bucket"),
-        )
-    )
+    return lm_buckets_scored(labeled, group_col, id_col)

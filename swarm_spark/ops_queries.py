@@ -5201,6 +5201,131 @@ FROM xkept GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_corpus_curate_ccnet(spark, sf):
+    """The CCNet pipeline END TO END (Wenzek et al. 2020): language
+    id -> per-language reference LM -> per-language perplexity
+    terciles -> keep head+middle — composed as ONE oracled row the
+    way ``corpus_curate_modern`` composes the Gopher/ExactSubstr
+    recipe (r11 VERDICT #5). The per-language models are ONE grouped
+    count frame (``lm_train_by``: a single corpus scan trains every
+    language simultaneously) and scoring is one grouped pass
+    (``lm_perplexity_by``) — not |languages| filtered scans — so the
+    composition holds its one-train-scan/one-score-scan shape at any
+    language count. Order-3 backoff chain (the multi-tier operating
+    shape; CCNet's production point n=5 is the same code path —
+    ``order`` is a knob, and the order-5 tiers are pinned by
+    ``text_lm_trigram``/``text_lm_eval3``'s chain oracles). Trusted
+    per-language training data is proxied by the corpus's own
+    predicted-language slices (CCNet trains on external Wikipedia;
+    the composition contract is identical)."""
+    from .ops.lm import lm_buckets_scored, lm_perplexity_by, lm_train_by
+    from .ops.text import language_pred_expr
+
+    docs = _docs(spark, sf).select(
+        "doc_id", "text", language_pred_expr("text").alias("pred_lang")
+    )
+    model = lm_train_by(docs, group_col="pred_lang", order=3)
+    scored = lm_perplexity_by(docs, model, group_col="pred_lang", order=3)
+    buckets = lm_buckets_scored(scored, group_col="pred_lang")
+    return buckets.where(F.col("bucket") != "tail").orderBy("doc_id")
+
+
+def _ccnet_sql() -> str:
+    """The CCNet chain re-derived in DuckDB: the language-id argmax,
+    GROUPED order-3 train/score tables (every count table and join
+    keyed by grp), per-group T/V, the three-branch backoff cost with
+    the SAME α-power double literals as ops/lm.py::_alpha_pow, then
+    nearest-rank terciles per group and the head+middle keep."""
+    a1, a2 = repr(0.4**1), repr(0.4**2)
+    return f"""
+WITH w0 AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS ws
+            FROM documents),
+sc AS (SELECT doc_id, {_SCORES} FROM w0),
+mx AS (SELECT *, greatest(score_en, score_de, score_fr, score_es,
+                          score_zh) AS best FROM sc),
+lid AS (SELECT doc_id,
+               CASE WHEN best = 0 THEN 'und'
+                    WHEN score_en = best THEN 'en'
+                    WHEN score_de = best THEN 'de'
+                    WHEN score_fr = best THEN 'fr'
+                    WHEN score_es = best THEN 'es'
+                    ELSE 'zh' END AS grp
+        FROM mx),
+w AS (SELECT d.doc_id, lid.grp,
+             list_filter(regexp_split_to_array(d.text, ' +'),
+                         t -> length(t) > 0) AS ws
+      FROM documents d JOIN lid USING (doc_id)),
+uni AS (SELECT grp, tok, cast(count(*) AS bigint) AS cnt
+        FROM (SELECT grp, unnest(ws) AS tok FROM w) GROUP BY 1, 2),
+bisrc AS (SELECT grp, ws, unnest(range(len(ws) - 1)) AS i FROM w),
+bi AS (SELECT grp, ws[i + 1] AS ctx, ws[i + 2] AS tok,
+              cast(count(*) AS bigint) AS cnt
+       FROM bisrc GROUP BY 1, 2, 3),
+trisrc AS (SELECT grp, ws, unnest(range(len(ws) - 2)) AS i FROM w),
+tri AS (SELECT grp, ws[i + 1] || ' ' || ws[i + 2] AS ctx, ws[i + 3] AS tok,
+               cast(count(*) AS bigint) AS cnt
+        FROM trisrc GROUP BY 1, 2, 3),
+tv AS (SELECT grp, cast(sum(cnt) AS bigint) AS t,
+              cast(count(*) AS bigint) AS v
+       FROM uni GROUP BY 1),
+ent AS (SELECT doc_id, grp, ws, unnest(ws) AS tok,
+               unnest(range(len(ws))) AS i
+        FROM w),
+ent2 AS (SELECT doc_id, grp, tok, i,
+                CASE WHEN i >= 1 THEN ws[i] END AS prev,
+                CASE WHEN i >= 2 THEN ws[i - 1] || ' ' || ws[i] END AS nctx3,
+                CASE WHEN i >= 2 THEN ws[i - 1] END AS dctx3
+         FROM ent),
+scored AS (
+  SELECT e.doc_id, e.grp,
+         cast(CASE
+           WHEN t3.cnt IS NOT NULL AND d3.cnt IS NOT NULL THEN
+             round(-1000000 * ln(t3.cnt / d3.cnt))
+           WHEN b.cnt IS NOT NULL AND uc.cnt IS NOT NULL THEN
+             round(-1000000 * ln(
+               (CASE WHEN least(3, e.i + 1) - 2 = 0 THEN 1.0 ELSE {a1} END)
+               * (b.cnt / uc.cnt)))
+           ELSE
+             round(-1000000 * ln(
+               (CASE least(3, e.i + 1) - 1
+                     WHEN 0 THEN 1.0 WHEN 1 THEN {a1} ELSE {a2} END)
+               * ((coalesce(u.cnt, 0) + 1) / (tv.t + tv.v + 1))))
+         END AS bigint) AS c
+  FROM ent2 e
+  JOIN tv USING (grp)
+  LEFT JOIN tri t3 ON t3.grp = e.grp AND t3.ctx = e.nctx3 AND t3.tok = e.tok
+  LEFT JOIN bi d3 ON d3.grp = e.grp AND d3.ctx = e.dctx3 AND d3.tok = e.prev
+  LEFT JOIN bi b ON b.grp = e.grp AND b.ctx = e.prev AND b.tok = e.tok
+  LEFT JOIN uni u ON u.grp = e.grp AND u.tok = e.tok
+  LEFT JOIN uni uc ON uc.grp = e.grp AND uc.tok = e.prev),
+ppl AS (SELECT doc_id, grp, cast(count(*) AS bigint) AS n_toks,
+               cast(sum(c) AS bigint) AS cost_micro,
+               cast(round(sum(c) / count(*)) AS bigint) AS avg_micro
+        FROM scored GROUP BY 1, 2),
+h AS (SELECT grp, avg_micro AS v, cast(count(*) AS bigint) AS c
+      FROM ppl GROUP BY 1, 2),
+tq AS (SELECT grp, cast(sum(c) AS bigint) AS n FROM h GROUP BY 1),
+cu AS (SELECT grp, v, sum(c) OVER (PARTITION BY grp ORDER BY v) AS cum
+       FROM h),
+t1 AS (SELECT cu.grp, min(v) AS thr FROM cu JOIN tq USING (grp)
+       WHERE cum >= (333 * n + 999) // 1000 GROUP BY 1),
+t2 AS (SELECT cu.grp, min(v) AS thr FROM cu JOIN tq USING (grp)
+       WHERE cum >= (667 * n + 999) // 1000 GROUP BY 1)
+SELECT ppl.doc_id, ppl.grp AS pred_lang, ppl.n_toks, ppl.avg_micro,
+       CASE WHEN ppl.avg_micro <= t1.thr THEN 'head'
+            WHEN ppl.avg_micro <= t2.thr THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ppl JOIN t1 ON t1.grp = ppl.grp JOIN t2 ON t2.grp = ppl.grp
+WHERE CASE WHEN ppl.avg_micro <= t1.thr THEN 'head'
+           WHEN ppl.avg_micro <= t2.thr THEN 'middle'
+           ELSE 'tail' END != 'tail'
+ORDER BY ppl.doc_id
+"""
+
+
+SQL_CURATE_CCNET = _ccnet_sql()
+
+
 def q_dedup_exactsubstr_incremental(spark, sf):
     """Incremental ExactSubstr: wave 1 (doc_id < 250) is cut
     self-contained and its window stats land in the ledger; wave 2
@@ -5230,6 +5355,7 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "text_gopher_rules": (q_text_gopher_rules, SQL_GOPHER_RULES),
     "text_gopher_repetition": (q_text_gopher_repetition, SQL_GOPHER_REPETITION),
     "corpus_curate_modern": (q_corpus_curate_modern, SQL_CURATE_MODERN),
+    "corpus_curate_ccnet": (q_corpus_curate_ccnet, SQL_CURATE_CCNET),
     "dedup_exactsubstr_incremental": (
         q_dedup_exactsubstr_incremental,
         SQL_EXACTSUBSTR_CUT,

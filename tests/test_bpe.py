@@ -111,6 +111,25 @@ class TestTrain:
         dist = {r["word"]: (r["cnt"], r["seg"]) for r in s_dist.collect()}
         assert loc == dist
 
+    def test_batched_rounds_equal_serial_rounds(self, spark, sf_dir):
+        # r11 VERDICT #2: the batched non-interacting-merge rounds
+        # (the above-2M-types path) must reproduce the SERIAL
+        # distributed rounds bit for bit on the real mixed-Zipf
+        # histogram — merges, order, and final segmentations
+        from swarm_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        hist = bpe_word_histogram(docs)
+        m_b, s_b = bpe_train(hist, n_merges=40, min_count=2, local_max_words=None)
+        m_s, s_s = bpe_train(
+            hist, n_merges=40, min_count=2, local_max_words=None,
+            max_batch_merges=1,
+        )
+        assert m_b == m_s
+        got = {r["word"]: (r["cnt"], r["seg"]) for r in s_b.collect()}
+        want = {r["word"]: (r["cnt"], r["seg"]) for r in s_s.collect()}
+        assert got == want
+
     def test_local_trainer_tie_and_overlap_rules(self, spark):
         # 'a a a' overlap + an exact tie the heap must break by pair:
         # counts (a,a)=2 via 'aaa', (b,c)=2 via 'bc'*2 -> ('a','a') wins
@@ -120,6 +139,140 @@ class TestTrain:
         assert m_loc == m_dist == [("a", "a")]
         got = {r["word"]: r["seg"] for r in s_loc.collect()}
         assert got["aaa"] == ["aa", "a"]
+
+
+def _batched_reference(words, cnts, n_merges, min_count, max_batch, scan):
+    """Driver-side simulator of bpe_train's batched distributed loop:
+    full pair recount per round, _select_merge_batch on the sorted
+    head, one simultaneous left-to-right pass per batch — the exact
+    semantics bpe_merge_pass_multi's fold implements."""
+    from collections import defaultdict
+
+    from swarm_spark.ops.bpe import _select_merge_batch
+
+    segs = [list(w) for w in words]
+    merges = []
+    while len(merges) < n_merges:
+        stats = defaultdict(int)
+        for seg, c in zip(segs, cnts):
+            for p in zip(seg, seg[1:]):
+                stats[p] += c
+        ordered = sorted(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        top = [(a, b, c) for (a, b), c in ordered[:scan]]
+        if not top or top[0][2] < min_count:
+            break
+        batch = _select_merge_batch(
+            top,
+            min(max_batch, n_merges - len(merges)),
+            min_count,
+            # mirror bpe_train's conservative policy: a full window is
+            # treated as possibly truncated
+            window_truncated=len(top) == scan,
+        )
+        merges.extend(batch)
+        mb = {a: b for a, b in batch}
+        mab = {a: a + b for a, b in batch}
+        for i, seg in enumerate(segs):
+            out = []
+            for x in seg:
+                if out and mb.get(out[-1]) == x:
+                    out[-1] = mab[out[-1]]
+                else:
+                    out.append(x)
+            segs[i] = out
+    return merges, segs
+
+
+class TestBatchedSelection:
+    """The non-interacting batch MUST equal serial rounds on any
+    histogram — fuzzed against the classical incremental trainer
+    (_train_histogram_py, itself pinned to the distributed serial
+    rounds) on tiny alphabets where ties, overlaps (aa), merged-symbol
+    collisions (ab vs 'ab'), and window truncation all fire."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="ab", min_size=1, max_size=6)
+    hist = st.dictionaries(word, st.integers(1, 3), min_size=1, max_size=8)
+
+    @given(hist=hist, max_batch=st.sampled_from([1, 2, 4, 64]),
+           scan=st.sampled_from([2, 4, 64]))
+    @settings(max_examples=300, deadline=None)
+    def test_batched_equals_classical(self, hist, max_batch, scan):
+        from swarm_spark.ops.bpe import _train_histogram_py
+
+        words, cnts = list(hist.keys()), list(hist.values())
+        want_m, want_s = _train_histogram_py(words, cnts, 10, 1)
+        got_m, got_s = _batched_reference(words, cnts, 10, 1, max_batch, scan)
+        assert got_m == want_m
+        assert got_s == want_s
+
+    @given(hist=hist)
+    @settings(max_examples=100, deadline=None)
+    def test_batched_equals_classical_min_count(self, hist):
+        from swarm_spark.ops.bpe import _train_histogram_py
+
+        words, cnts = list(hist.keys()), list(hist.values())
+        want_m, want_s = _train_histogram_py(words, cnts, 8, 2)
+        got_m, got_s = _batched_reference(words, cnts, 8, 2, 16, 8)
+        assert got_m == want_m
+        assert got_s == want_s
+
+    def test_merged_symbol_collision_blocks_batching(self):
+        # 'ab' exists as a SYMBOL while (a,b) merges: batching both
+        # (a,b) and a pair involving the literal 'ab' symbol would let
+        # one merge mint occurrences of the other — the selector must
+        # stop at the collision, and results must still equal serial
+        from swarm_spark.ops.bpe import _train_histogram_py
+
+        hist = {"aab": 5, "ab": 4, "ba": 3, "aa": 2}
+        ws, cs = list(hist.keys()), list(hist.values())
+        want = _train_histogram_py(ws, cs, 6, 1)
+        got = _batched_reference(ws, cs, 6, 1, 64, 64)
+        assert got == want
+
+    def test_multi_pass_fold_matches_reference(self, spark):
+        # the Spark fold applies a disjoint batch exactly like the
+        # driver-side simulator's simultaneous pass
+        from swarm_spark.ops.bpe import bpe_merge_pass_multi
+
+        batch = [("a", "b"), ("c", "d")]
+        rows = [
+            (["a", "b", "c", "d", "a", "b"],),
+            (["b", "a", "b", "b", "c"],),
+            (["c", "d", "c", "d"],),
+            (["x",],),
+        ]
+        df = spark.createDataFrame(rows, "seg array<string>")
+        got = [
+            r["m"]
+            for r in df.select(
+                bpe_merge_pass_multi(F.col("seg"), batch).alias("m")
+            ).collect()
+        ]
+        mb = {a: b for a, b in batch}
+        mab = {a: a + b for a, b in batch}
+        want = []
+        for (seg,) in rows:
+            out = []
+            for x in seg:
+                if out and mb.get(out[-1]) == x:
+                    out[-1] = mab[out[-1]]
+                else:
+                    out.append(x)
+            want.append(out)
+        assert got == want
+
+    def test_validation(self, spark):
+        from swarm_spark.ops.bpe import bpe_merge_pass_multi
+
+        with pytest.raises(ValueError):
+            bpe_merge_pass_multi(F.col("seg"), [])
+        with pytest.raises(ValueError):
+            bpe_merge_pass_multi(F.col("seg"), [("a", "")])
+        with pytest.raises(ValueError):
+            bpe_train(_hist(spark, [("ab", 1)]), 1, max_batch_merges=0)
 
 
 class TestEncode:

@@ -454,6 +454,42 @@ class TestCurate:
         assert got == want
         assert not _os.path.exists(led + ".old")
 
+    def test_curate_ccnet_flag(self, spark, tmp_path, capsys):
+        """--ccnet applies the per-predicted-language tercile gate:
+        survivors match the library composition (grouped LM train +
+        grouped scoring + per-language terciles, tail dropped) applied
+        after exact dedup, in CLI order."""
+        from pyspark.sql import functions as F
+
+        from swarm_spark.ops.dedup import exact_dedup_text
+        from swarm_spark.ops.lm import (
+            lm_buckets_scored,
+            lm_perplexity_by,
+            lm_train_by,
+        )
+        from swarm_spark.ops.text import language_pred_expr
+
+        out = str(tmp_path / "curated_ccnet")
+        res = _run(
+            capsys,
+            ["--cpus", "4", "curate",
+             "/root/testdata/sf0.001/documents.parquet",
+             "-o", out, "--min-quality", "0", "--ccnet"],
+        )
+        docs = exact_dedup_text(
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        ).withColumn("pred_lang", language_pred_expr("text"))
+        model = lm_train_by(docs, group_col="pred_lang", order=3)
+        scored = lm_perplexity_by(docs, model, group_col="pred_lang", order=3)
+        want = {
+            r["doc_id"]
+            for r in lm_buckets_scored(scored, group_col="pred_lang")
+            .where(F.col("bucket") != "tail")
+            .collect()
+        }
+        got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+        assert got == want and res["docs_kept"] == len(want) > 0
+
     def test_curate_gopher_repetition_flag(self, spark, tmp_path, capsys):
         out = str(tmp_path / "curated_rep")
         res = _run(

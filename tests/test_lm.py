@@ -339,3 +339,86 @@ class TestPersistence:
         assert _counts(loaded) == _counts(model)
         out = lm_perplexity(_docs(spark, [(9, "a b c")]), loaded)
         assert out.head()["n_toks"] == 3
+
+
+class TestGroupedLM:
+    """Per-group trainer/scorer (lm_train_by / lm_perplexity_by): one
+    grouped frame must equal per-slice ungrouped training+scoring —
+    the equivalence that makes the CCNet per-language composition one
+    corpus scan instead of |languages| filtered scans."""
+
+    def _ldocs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    ROWS = [
+        (0, "en", "the cat sat on the mat"),
+        (1, "en", "the cat ran to the cat"),
+        (2, "en", "a dog sat"),
+        (3, "de", "der hund sitzt auf der matte"),
+        (4, "de", "der hund rennt der hund"),
+        (5, "fr", "le chat"),
+    ]
+
+    @pytest.mark.parametrize("order", [1, 2, 3])
+    def test_grouped_equals_per_slice(self, spark, order):
+        from swarm_spark.ops.lm import lm_perplexity_by, lm_train_by
+
+        docs = self._ldocs(spark, self.ROWS)
+        model = lm_train_by(docs, order=order)
+        got = {
+            (r["doc_id"], r["lang"]): (r["n_toks"], r["cost_micro"], r["avg_micro"])
+            for r in lm_perplexity_by(docs, model, order=order).collect()
+        }
+        want = {}
+        for lang in ("en", "de", "fr"):
+            sl = docs.where(F.col("lang") == lang)
+            m = lm_train(sl, order=order)
+            for r in lm_perplexity(sl, m, order=order).collect():
+                want[(r["doc_id"], lang)] = (
+                    r["n_toks"], r["cost_micro"], r["avg_micro"]
+                )
+        assert got == want and len(got) == len(self.ROWS)
+
+    def test_grouped_counts_are_per_group(self, spark):
+        from swarm_spark.ops.lm import lm_train_by
+
+        docs = self._ldocs(spark, self.ROWS)
+        model = lm_train_by(docs)
+        uni = {
+            (r["grp"], r["tok"]): r["cnt"]
+            for r in model.where(F.col("ctx").isNull()).collect()
+        }
+        assert uni[("en", "the")] == 4
+        assert uni[("de", "der")] == 4
+        assert ("fr", "the") not in uni
+
+    def test_groups_without_mass_are_absent(self, spark):
+        from swarm_spark.ops.lm import lm_perplexity_by, lm_train_by
+
+        docs = self._ldocs(spark, self.ROWS)
+        model = lm_train_by(docs.where(F.col("lang") != "fr"))
+        scored = lm_perplexity_by(docs, model)
+        assert sorted(r["doc_id"] for r in scored.collect()) == [0, 1, 2, 3, 4]
+
+    def test_buckets_scored_matches_lm_buckets(self, spark, sf_dir):
+        from swarm_spark.ops.lm import (
+            lm_buckets,
+            lm_buckets_scored,
+            lm_perplexity,
+            lm_train,
+        )
+        from swarm_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        model = lm_train(docs.where(F.col("lang") == "en"))
+        want = {
+            (r["doc_id"], r["bucket"]) for r in lm_buckets(docs, model).collect()
+        }
+        labeled = docs.select("doc_id", "lang").join(
+            lm_perplexity(docs, model), "doc_id"
+        )
+        got = {
+            (r["doc_id"], r["bucket"])
+            for r in lm_buckets_scored(labeled).collect()
+        }
+        assert got == want and got
