@@ -549,30 +549,37 @@ def probe(
             F.sum("dup10_frac_micro").alias("b"),
         )
 
-    def _curate_modern():
-        # the composed published-recipe pipeline (exact dedup ->
-        # Gopher rules -> repetition gate -> ExactSubstr cut): the
-        # end-to-end pass a pretraining corpus pays per refresh
-        from swarm_spark.ops.curation import (
-            exactsubstr_cut,
-            gopher_gate,
-            gopher_repetition_gate,
-        )
+    def _curate_gates_on(src):
+        # the gate chain (exact dedup -> Gopher rules -> repetition) —
+        # split out so the bucketed A/B can count ITS exchanges (the
+        # by-id gate joins live here, before the staging checkpoint)
+        from swarm_spark.ops.curation import gopher_gate, gopher_repetition_gate
         from swarm_spark.ops.dedup import exact_dedup_text
 
-        kept = gopher_repetition_gate(
+        return gopher_repetition_gate(
             gopher_gate(
-                exact_dedup_text(docs.select("doc_id", "text")),
+                exact_dedup_text(src.select("doc_id", "text")),
                 min_words=30,
                 stopwords=("the", "a", "table", "value"),
             ),
             top_ns=(2, 3),
             dup_ns=(5, 8),
-        ).localCheckpoint(eager=True)  # the registry/CLI staging
+        )
+
+    def _curate_modern_on(src):
+        # the composed published-recipe pipeline (exact dedup ->
+        # Gopher rules -> repetition gate -> ExactSubstr cut): the
+        # end-to-end pass a pretraining corpus pays per refresh
+        from swarm_spark.ops.curation import exactsubstr_cut
+
+        kept = _curate_gates_on(src).localCheckpoint(eager=True)
         return exactsubstr_cut(kept, min_len=8).agg(
             F.sum("n_removed").alias("rm"),
             F.sum(F.length("text_clean")).alias("chars"),
         )
+
+    def _curate_modern():
+        return _curate_modern_on(docs)
 
     def _exactsubstr_wave():
         # incremental serving shape: a FIXED 5k-doc wave cut against
@@ -609,7 +616,8 @@ def probe(
     # the pair isolates the exchange (both sides hint merge). Writes
     # are untimed build-once; catalog tables re-register per session.
     want_bkt = only is None or bool(
-        {"join_by_id_flat", "join_by_id_bucketed"} & (only or set())
+        {"join_by_id_flat", "join_by_id_bucketed", "corpus_curate_modern_bkt"}
+        & (only or set())
     )
     if want_bkt:
         from swarm_spark.ops.layout import bucketed_join, write_bucketed
@@ -662,6 +670,15 @@ def probe(
         "dedup_exactsubstr": _exactsubstr,
         "text_gopher_repetition": _gopher_rep,
         "corpus_curate_modern": _curate_modern,
+        # the same composition over the co-bucketed doc store (r11
+        # VERDICT #6): the by-id gate semi-joins satisfy their
+        # distribution from the LAYOUT; the pair isolates what the
+        # one-time bucketed write buys every curation refresh
+        "corpus_curate_modern_bkt": (
+            (lambda: _curate_modern_on(spark.table(tdocs)))
+            if want_bkt
+            else _curate_modern
+        ),
         "dedup_exactsubstr_wave": _exactsubstr_wave,
         "join_by_id_flat": lambda: fd.hint("merge")
         .join(fs.hint("merge"), "doc_id")
@@ -881,6 +898,28 @@ def probe(
             samples.append(time.perf_counter() - t0)
         out[name] = round(sorted(samples)[len(samples) // 2], 2)
         print(f"  f{factor} {name}: {out[name]} s ({n} rows)", flush=True)
+    if want_bkt and {"corpus_curate_modern", "corpus_curate_modern_bkt"} <= set(
+        ops
+    ):
+        # exchange-count evidence for the curate A/B: the by-id gate
+        # joins live in the PRE-staging chain, so count there
+        for nm, src in (
+            ("corpus_curate_modern", docs),
+            ("corpus_curate_modern_bkt", spark.table(tdocs)),
+        ):
+            gf = _curate_gates_on(src).agg(F.count(F.lit(1)).alias("n"))
+            gf.collect()
+            plan = (
+                gf._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+                .split("+- == Initial Plan ==")[0]
+            )
+            print(
+                f"  f{factor} {nm} gate-chain exchanges: "
+                f"{plan.count('Exchange')}",
+                flush=True,
+            )
     return out
 
 

@@ -123,6 +123,13 @@ _SCAN_BUDGET = {
     #   filter split and the scoring stream read the table)
     "text_lm_eval3": 4,  # the order-3 twin of text_lm_eval — same
     #   pushed-filter train (2) + scoring stream + label projection
+    "corpus_curate_ccnet": 5,  # the fused lang-id + grouped-train +
+    #   grouped-score + tercile composition: the in-plan grouped model
+    #   is consumed under pushed group-key filters (uni / grams tiers,
+    #   the text_lm_trigram shape) and the tercile pass re-consumes the
+    #   scored subtree (the text_lm_buckets shape); production persists
+    #   the per-language models (save_lm of the grouped frame) and the
+    #   scored table, paying 1 scoring scan per refresh
     "text_lm_buckets": 5,  # the tercile pass consumes the scored
     #   subtree TWICE (per-language histogram, then the bucket
     #   labeling the broadcast thresholds join back into) — each pass
