@@ -77,6 +77,7 @@ def main() -> None:
         "text_gopher_rules",
         "dedup_exactsubstr_cut",
         "corpus_curate_modern",
+        "corpus_curate_ccnet",
         "text_bpe_tokens",
         "pack_chunks_bpe",
         "text_lm_perplexity",
