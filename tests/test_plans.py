@@ -151,9 +151,16 @@ _SCAN_BUDGET = {
     #   corpus frame the anti-join preserves
     "knn_classify": 3,  # embeddings as corpus + broadcast queries + label dim
     "text_bigram_surprisal": 3,  # unigram stats + bigram stats + scoring
-    "bm25_topk": 3,  # postings + df-stats branch + the query batch
-    "lm_topk": 3,  # same inverted-index shape: postings + cf-stats
-    #   branch + the query batch (qterms/qlen share one exchange)
+    "bm25_topk": 4,  # the fused ad-hoc shape, cache-free: postings
+    #   docs scan + totals docs scan + the TWO query-side projections
+    #   (batch vocab for the postings restriction, per-query terms) —
+    #   production probes a SAVED index (postings/stats/totals) at 1
+    #   query-side scan and zero text reads. (The old budget of 3 was
+    #   cross-test cache pollution — see the clearCache note below.)
+    "bm25_topk_kw": 4,  # same fused shape over the kw-derived corpus
+    "lm_topk": 4,  # same inverted-index shape: postings + totals +
+    #   batch-vocab + per-query-term scans; production = saved index
+    "lm_topk_kw": 4,  # the kw twin of lm_topk
     "phrase_match": 3,  # positional postings + the phrase batch + its
     #   plen branch; production probes a SAVED positional index at 2
     "ann_mmr_rerank": 3,  # brute-force shortlist (corpus + query
@@ -191,8 +198,8 @@ _SCAN_BUDGET = {
     #   purchase) + the view-stage aggregate feeding both the click
     #   chain and the stage-count join
     "set_ops": 4,
-    "hybrid_rrf": 5,  # the bm25 3-scan shape + embeddings corpus +
-    #   embeddings query batch for the semantic list
+    "hybrid_rrf": 6,  # the bm25 4-scan fused shape + embeddings corpus
+    #   + embeddings query batch for the semantic list
     "text_nb_eval": 3,  # train scan (even half) + holdout scoring scan
     #   + the (doc_id, lang)-pruned label projection the confusion join
     #   re-reads (ReadSchema is two columns — metadata-cheap)
@@ -248,6 +255,13 @@ def _single_partition_violations(plan: str) -> list[str]:
 
 @pytest.mark.parametrize("name", sorted(ALL))
 def test_plan_is_scale_safe(name, spark, sf_dir):
+    # each query's budget pins ITS OWN plan shape: drop any frames a
+    # previously-tested query persisted, or Spark's CacheManager
+    # silently substitutes them into this plan and the budget verifies
+    # cross-test cache pollution instead (r12 finding: bm25_topk's old
+    # budget of 3 held only because bm25_pruned's session-cached
+    # postings hid one docs scan)
+    spark.catalog.clearCache()
     df = ALL[name][0](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
