@@ -330,6 +330,7 @@ def bpe_train(
     local_max_words: int | None = BPE_LOCAL_MAX_WORDS,
     max_batch_merges: int = 256,
     stats_out: dict | None = None,
+    pair_maintenance: str = "incremental",
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """(merges, seg): train ``n_merges`` BPE merge rounds over a
     (word, cnt) histogram. Stops early when no pair reaches
@@ -364,13 +365,26 @@ def bpe_train(
     so counting/packing over the SAME corpus needs no re-encoding.
     ``stats_out`` (a dict, mutated in place) records ``rounds`` — the
     number of distributed rounds actually run (1 on the local path) —
-    for scale probes reporting the batching rounds-reduction."""
+    for scale probes reporting the batching rounds-reduction.
+
+    ``pair_maintenance``: ``"incremental"`` (default) keeps the pair
+    table as a maintained frame — built once from the full adjacent-
+    pair explode, then per round updated with the DELTA of the touched
+    words only (old multiset negative, post-pass multiset positive; a
+    word is touched iff it holds a batch-pair adjacency, the identity
+    of the pass everywhere else makes the delta exact). The per-round
+    shuffle then follows the touched words + the pair table instead of
+    re-exploding every segmentation. ``"recount"`` re-aggregates from
+    scratch each round — the referee the equivalence test pins the
+    incremental ledger against."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
     if max_batch_merges < 1:
         raise ValueError(f"max_batch_merges must be >= 1, got {max_batch_merges}")
+    if pair_maintenance not in ("incremental", "recount"):
+        raise ValueError(f"unknown pair_maintenance: {pair_maintenance!r}")
     if local_max_words is not None and words.count() <= local_max_words:
         frame = _bpe_train_local_frame(
             words, n_merges, min_count
@@ -394,17 +408,23 @@ def bpe_train(
     pair_structs = F.expr(
         "transform(sequence(0, size(seg) - 2), i -> struct(seg[i] AS a, seg[i+1] AS b))"
     )
+
+    def _pairs_of(frame):
+        return (
+            frame.where(F.size("seg") >= 2)
+            .select("cnt", F.explode(pair_structs).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").cast("long").alias("n"))
+        )
+
+    incremental = pair_maintenance == "incremental"
+    pairs_f = _pairs_of(seg).localCheckpoint() if incremental else None
     # scan window: a few times the batch cap so disjoint pairs behind
     # an early interactor still batch; the collect stays metadata-sized
     scan = max(4 * max_batch_merges, 64)
     rounds = 0
     while len(merges) < n_merges:
-        pairs = (
-            seg.where(F.size("seg") >= 2)
-            .select("cnt", F.explode(pair_structs).alias("p"))
-            .groupBy("p.a", "p.b")
-            .agg(F.sum("cnt").alias("n"))
-        )
+        pairs = pairs_f if incremental else _pairs_of(seg)
         top = [
             (r["a"], r["b"], int(r["n"]))
             for r in pairs.orderBy(F.col("n").desc(), "a", "b")
@@ -421,16 +441,47 @@ def bpe_train(
             window_truncated=len(top) == scan,
         )
         merges.extend(batch)
-        if len(batch) == 1:
-            seg = seg.withColumn("seg", bpe_merge_pass(F.col("seg"), *batch[0]))
+        napply = bpe_merge_pass_multi(F.col("seg"), batch)
+        if incremental:
+            # ONLY words holding a batch-pair adjacency change this
+            # round (the pass is the identity everywhere else), so the
+            # pair table updates from their delta alone: old pair
+            # multiset negative, post-pass multiset positive — exact
+            # integer arithmetic, and the per-round shuffle follows the
+            # TOUCHED words + the pair table itself instead of the full
+            # corpus-wide adjacent-pair explode (the classical
+            # incremental pair index, distributed)
+            mb = F.create_map(
+                *[x for a, b in batch for x in (F.lit(a), F.lit(b))]
+            )
+            touched = F.when(
+                F.size("seg") >= 2,
+                F.exists(
+                    F.sequence(F.lit(1), F.size("seg") - 1),
+                    lambda s: F.element_at(mb, F.element_at("seg", s))
+                    == F.element_at("seg", s + 1),
+                ),
+            ).otherwise(F.lit(False))
+            tw = seg.where(touched)
+            old_p = tw.select((-F.col("cnt")).alias("cnt"), F.col("seg"))
+            new_p = tw.select("cnt", napply.alias("seg"))
+            delta = _pairs_of(old_p.unionByName(new_p))
+            pairs_f = (
+                pairs_f.unionByName(delta)
+                .groupBy("a", "b")
+                .agg(F.sum("n").cast("long").alias("n"))
+                .where(F.col("n") > 0)
+                .localCheckpoint()
+            )
+            seg = seg.withColumn(
+                "seg", F.when(touched, napply).otherwise(F.col("seg"))
+            ).localCheckpoint()
         else:
-            seg = seg.withColumn("seg", bpe_merge_pass_multi(F.col("seg"), batch))
-        # one checkpoint per batched round: the round applies up to
-        # max_batch_merges merges in a single fold, so the plan never
-        # grows past one pass and the next round's pair scan reads a
-        # materialized frame (the old serial path checkpointed on a
-        # 3-round stride for the same reason)
-        seg = seg.localCheckpoint()
+            # one checkpoint per batched round: the round applies up to
+            # max_batch_merges merges in a single fold, so the plan
+            # never grows past one pass and the next round's pair scan
+            # reads a materialized frame
+            seg = seg.withColumn("seg", napply).localCheckpoint()
     if stats_out is not None:
         stats_out["rounds"] = rounds
     return merges, seg

@@ -130,6 +130,43 @@ class TestTrain:
         want = {r["word"]: (r["cnt"], r["seg"]) for r in s_s.collect()}
         assert got == want
 
+    def test_incremental_pairs_equal_recount(self, spark, sf_dir):
+        # the maintained pair ledger (delta-counting touched words per
+        # round) must reproduce the full per-round recount bit for bit
+        # — merges, order, and final segmentations — on the real
+        # mixed-Zipf histogram
+        from swarm_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        hist = bpe_word_histogram(docs)
+        m_i, s_i = bpe_train(hist, n_merges=40, min_count=2, local_max_words=None)
+        m_r, s_r = bpe_train(
+            hist, n_merges=40, min_count=2, local_max_words=None,
+            pair_maintenance="recount",
+        )
+        assert m_i == m_r
+        got = {r["word"]: (r["cnt"], r["seg"]) for r in s_i.collect()}
+        want = {r["word"]: (r["cnt"], r["seg"]) for r in s_r.collect()}
+        assert got == want
+
+    def test_incremental_pairs_multi_round_overlaps(self, spark):
+        # crafted to exercise the delta ledger across rounds where
+        # merged symbols keep re-pairing (aa runs, ab vs 'ab' symbol
+        # collisions, count decay to zero must DROP ledger rows)
+        hist = _hist(
+            spark,
+            [("aaaa", 3), ("aab", 2), ("ab", 4), ("bba", 2), ("abab", 1)],
+        )
+        m_i, s_i = bpe_train(hist, n_merges=6, local_max_words=None)
+        m_r, s_r = bpe_train(
+            hist, n_merges=6, local_max_words=None, pair_maintenance="recount"
+        )
+        m_l, s_l = bpe_train(hist, n_merges=6)
+        assert m_i == m_r == m_l
+        seg_i = {r["word"]: r["seg"] for r in s_i.collect()}
+        assert seg_i == {r["word"]: r["seg"] for r in s_r.collect()}
+        assert seg_i == {r["word"]: r["seg"] for r in s_l.collect()}
+
     def test_local_trainer_tie_and_overlap_rules(self, spark):
         # 'a a a' overlap + an exact tie the heap must break by pair:
         # counts (a,a)=2 via 'aaa', (b,c)=2 via 'bc'*2 -> ('a','a') wins
