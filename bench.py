@@ -145,6 +145,15 @@ def main() -> None:
         load_samples.append(os.getloadavg()[0])
         for name in names:
             fn = CORE[name][0]
+            # each sample measures THE QUERY'S OWN cost: queries that
+            # persist frames (the pruned rankers' postings) otherwise
+            # leave them in the session CacheManager and LATER queries'
+            # identical subtrees silently read the cache instead of
+            # doing their work (r12 finding: bm25_topk_kw sampled 8.8 s
+            # in-session vs 33 s fresh — a 3.5x flattery with zero code
+            # change; the same pollution class as the plan-budget fix
+            # in tests/test_plans.py)
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             samples[name].append(time.perf_counter() - t0)
