@@ -84,15 +84,17 @@ def main() -> int:
     )
     wall_b = time.time() - t0
 
-    t0 = time.time()
-    merges_s, _ = bpe_train(
-        hist, args.serial_sample, local_max_words=None, max_batch_merges=1
-    )
-    wall_s = time.time() - t0
+    wall_s = 0.0
+    if args.serial_sample > 0:
+        t0 = time.time()
+        merges_s, _ = bpe_train(
+            hist, args.serial_sample, local_max_words=None, max_batch_merges=1
+        )
+        wall_s = time.time() - t0
+        assert merges_b[: len(merges_s)] == merges_s, (
+            "batched prefix != serial merges — equivalence violated"
+        )
     per_round_serial = wall_s / max(1, args.serial_sample)
-    assert merges_b[: len(merges_s)] == merges_s, (
-        "batched prefix != serial merges — equivalence violated"
-    )
 
     out = {
         "types": n,
