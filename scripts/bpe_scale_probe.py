@@ -64,6 +64,12 @@ def main() -> int:
     ap.add_argument("--types", type=int, default=5_000_000)
     ap.add_argument("--merges", type=int, default=1_000)
     ap.add_argument("--serial-sample", type=int, default=30)
+    ap.add_argument(
+        "--pair-maintenance", default="incremental",
+        choices=("incremental", "recount"),
+        help="pair-table mode for the batched run (the SCALING.md "
+        "r12 A/B rows compare the two)",
+    )
     args = ap.parse_args()
 
     from swarm_spark import get_spark
@@ -80,7 +86,8 @@ def main() -> int:
     st: dict = {}
     t0 = time.time()
     merges_b, _seg = bpe_train(
-        hist, args.merges, local_max_words=None, stats_out=st
+        hist, args.merges, local_max_words=None, stats_out=st,
+        pair_maintenance=args.pair_maintenance,
     )
     wall_b = time.time() - t0
 
