@@ -331,6 +331,8 @@ def bpe_train(
     max_batch_merges: int = 256,
     stats_out: dict | None = None,
     pair_maintenance: str = "incremental",
+    seg_maintenance: str = "overlay",
+    overlay_compact_rows: int = 1_000_000,
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """(merges, seg): train ``n_merges`` BPE merge rounds over a
     (word, cnt) histogram. Stops early when no pair reaches
@@ -376,7 +378,26 @@ def bpe_train(
     shuffle then follows the touched words + the pair table instead of
     re-exploding every segmentation. ``"recount"`` re-aggregates from
     scratch each round — the referee the equivalence test pins the
-    incremental ledger against."""
+    incremental ledger against.
+
+    ``seg_maintenance``: ``"overlay"`` (default) applies the
+    incremental-ledger idea to the SEGMENTATION FRAME itself (r12
+    VERDICT #1 — the per-round floor was the full-frame rewrite):
+    the base frame is checkpointed ONCE and stays immutable; words
+    whose segmentation has ever changed live in a small OVERLAY frame
+    (latest seg wins), and each round rewrites only the overlay —
+    the current view is ``base ANTI-JOIN overlay-words ∪ overlay``,
+    with the overlay word set BROADCAST so the view costs one base
+    scan and zero shuffles. The per-round materialization is then
+    the touched-word frame + the overlay (both bounded by the words
+    merges have actually reached) instead of every row of a 5M-type
+    histogram. When the overlay outgrows ``overlay_compact_rows``
+    (the broadcast-safety bound — size it to executor memory at
+    cluster scale), it is COMPACTED into a fresh base checkpoint and
+    reset, so the full-frame write is paid once per
+    ``overlay_compact_rows / touched-per-round`` rounds instead of
+    every round. ``"rewrite"`` is the old full-frame-per-round
+    behavior — kept as the equivalence referee."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     if min_count < 1:
@@ -385,6 +406,12 @@ def bpe_train(
         raise ValueError(f"max_batch_merges must be >= 1, got {max_batch_merges}")
     if pair_maintenance not in ("incremental", "recount"):
         raise ValueError(f"unknown pair_maintenance: {pair_maintenance!r}")
+    if seg_maintenance not in ("overlay", "rewrite"):
+        raise ValueError(f"unknown seg_maintenance: {seg_maintenance!r}")
+    if overlay_compact_rows < 1:
+        raise ValueError(
+            f"overlay_compact_rows must be >= 1, got {overlay_compact_rows}"
+        )
     if local_max_words is not None and words.count() <= local_max_words:
         frame = _bpe_train_local_frame(
             words, n_merges, min_count
@@ -400,7 +427,7 @@ def bpe_train(
         if stats_out is not None:
             stats_out["rounds"] = 1
         return merges, seg
-    seg = words.select(
+    base = words.select(
         "word", F.col("cnt").cast("long").alias("cnt"),
         segment_chars("word").alias("seg"),
     ).localCheckpoint()
@@ -418,13 +445,33 @@ def bpe_train(
         )
 
     incremental = pair_maintenance == "incremental"
-    pairs_f = _pairs_of(seg).localCheckpoint() if incremental else None
+    overlay = seg_maintenance == "overlay"
+    # overlay state: `base` is an immutable checkpoint; `ovl` holds the
+    # CURRENT segmentation of every word a merge has ever touched
+    # (latest wins, disjoint from the anti-joined base by construction).
+    # Every overlay checkpoint is COALESCED to a bounded partition
+    # count first: the union shapes otherwise ADD partition counts each
+    # round (ovl' = ovl ⊎ tw, tw = base ⊎ ovl) — exponential task
+    # explosion by round ~10 (8k empty tasks per stage, measured)
+    ovl: DataFrame | None = None
+    n_small = words.sparkSession.sparkContext.defaultParallelism
+    n_base = max(base.rdd.getNumPartitions(), n_small)
+
+    def _view() -> DataFrame:
+        if ovl is None:
+            return base
+        return base.join(
+            F.broadcast(ovl.select("word")), "word", "left_anti"
+        ).unionByName(ovl)
+
+    pairs_f = _pairs_of(base).localCheckpoint() if incremental else None
     # scan window: a few times the batch cap so disjoint pairs behind
     # an early interactor still batch; the collect stays metadata-sized
     scan = max(4 * max_batch_merges, 64)
     rounds = 0
+    compactions = 0
     while len(merges) < n_merges:
-        pairs = pairs_f if incremental else _pairs_of(seg)
+        pairs = pairs_f if incremental else _pairs_of(_view())
         top = [
             (r["a"], r["b"], int(r["n"]))
             for r in pairs.orderBy(F.col("n").desc(), "a", "b")
@@ -442,27 +489,34 @@ def bpe_train(
         )
         merges.extend(batch)
         napply = bpe_merge_pass_multi(F.col("seg"), batch)
+        # ONLY words holding a batch-pair adjacency change this round
+        # (the pass is the identity everywhere else): `touched` routes
+        # both the pair-table delta and the overlay update
+        mb = F.create_map(
+            *[x for a, b in batch for x in (F.lit(a), F.lit(b))]
+        )
+        touched = F.when(
+            F.size("seg") >= 2,
+            F.exists(
+                F.sequence(F.lit(1), F.size("seg") - 1),
+                lambda s: F.element_at(mb, F.element_at("seg", s))
+                == F.element_at("seg", s + 1),
+            ),
+        ).otherwise(F.lit(False))
+        if overlay:
+            # ONE full view scan per round: the touched slice is
+            # materialized small, and the delta + overlay update read
+            # it instead of re-scanning the histogram
+            tw = _view().where(touched).coalesce(n_small).localCheckpoint()
+        else:
+            tw = _view().where(touched)
         if incremental:
-            # ONLY words holding a batch-pair adjacency change this
-            # round (the pass is the identity everywhere else), so the
-            # pair table updates from their delta alone: old pair
+            # pair-table delta of the touched words alone: old pair
             # multiset negative, post-pass multiset positive — exact
-            # integer arithmetic, and the per-round shuffle follows the
-            # TOUCHED words + the pair table itself instead of the full
+            # integer arithmetic, and the per-round shuffle follows
+            # the TOUCHED words + the pair table itself instead of the
             # corpus-wide adjacent-pair explode (the classical
             # incremental pair index, distributed)
-            mb = F.create_map(
-                *[x for a, b in batch for x in (F.lit(a), F.lit(b))]
-            )
-            touched = F.when(
-                F.size("seg") >= 2,
-                F.exists(
-                    F.sequence(F.lit(1), F.size("seg") - 1),
-                    lambda s: F.element_at(mb, F.element_at("seg", s))
-                    == F.element_at("seg", s + 1),
-                ),
-            ).otherwise(F.lit(False))
-            tw = seg.where(touched)
             old_p = tw.select((-F.col("cnt")).alias("cnt"), F.col("seg"))
             new_p = tw.select("cnt", napply.alias("seg"))
             delta = _pairs_of(old_p.unionByName(new_p))
@@ -473,17 +527,42 @@ def bpe_train(
                 .where(F.col("n") > 0)
                 .localCheckpoint()
             )
-            seg = seg.withColumn(
+        if overlay:
+            # rewrite ONLY the overlay: prior overlay rows not touched
+            # this round stay; touched rows (base- or overlay-origin)
+            # enter with their new segmentation
+            new_rows = tw.withColumn("seg", napply)
+            ovl = (
+                new_rows
+                if ovl is None
+                else ovl.join(
+                    F.broadcast(tw.select("word")), "word", "left_anti"
+                ).unionByName(new_rows)
+            ).coalesce(n_small).localCheckpoint()
+            if ovl.count() >= overlay_compact_rows:
+                # the overlay word set has outgrown the broadcast
+                # budget: fold it into a fresh immutable base (the one
+                # full-frame write, amortized over the rounds since
+                # the last compaction) and start a new overlay
+                compacted = _view().coalesce(n_base).localCheckpoint()
+                ovl = None
+                base = compacted
+                compactions += 1
+        else:
+            # referee path (pre-r13 behavior): rewrite + checkpoint
+            # the full frame every round — the 6 s/round floor the
+            # overlay exists to cut; kept for the equivalence pin
+            base = base.withColumn(
                 "seg", F.when(touched, napply).otherwise(F.col("seg"))
             ).localCheckpoint()
-        else:
-            # one checkpoint per batched round: the round applies up to
-            # max_batch_merges merges in a single fold, so the plan
-            # never grows past one pass and the next round's pair scan
-            # reads a materialized frame
-            seg = seg.withColumn("seg", napply).localCheckpoint()
     if stats_out is not None:
         stats_out["rounds"] = rounds
+        stats_out["compactions"] = compactions
+    seg = _view()
+    if overlay and ovl is not None:
+        # hand back a materialized frame (same contract as the old
+        # per-round checkpointed segmentation)
+        seg = seg.localCheckpoint()
     return merges, seg
 
 

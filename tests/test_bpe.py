@@ -149,6 +149,56 @@ class TestTrain:
         want = {r["word"]: (r["cnt"], r["seg"]) for r in s_r.collect()}
         assert got == want
 
+    def test_overlay_equals_rewrite(self, spark, sf_dir):
+        # r12 VERDICT #1: the segmentation OVERLAY (immutable base +
+        # touched-word overlay, broadcast anti-join view, stride
+        # compaction) must reproduce the full-frame-rewrite referee
+        # bit for bit — merges, order, and final segmentations — on
+        # the real mixed-Zipf histogram. overlay_compact_rows=8 (the
+        # sf0.001 histogram holds ~31 distinct words) forces several
+        # COMPACTIONS inside the run, so the fold-into-fresh-base path
+        # is pinned too, not just the pure overlay growth path.
+        from swarm_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        hist = bpe_word_histogram(docs)
+        st_o: dict = {}
+        m_o, s_o = bpe_train(
+            hist, n_merges=40, min_count=2, local_max_words=None,
+            overlay_compact_rows=8, stats_out=st_o,
+        )
+        m_r, s_r = bpe_train(
+            hist, n_merges=40, min_count=2, local_max_words=None,
+            seg_maintenance="rewrite",
+        )
+        assert m_o == m_r
+        assert st_o["compactions"] >= 1
+        got = {r["word"]: (r["cnt"], r["seg"]) for r in s_o.collect()}
+        want = {r["word"]: (r["cnt"], r["seg"]) for r in s_r.collect()}
+        assert got == want
+
+    def test_overlay_equals_rewrite_recount_mode(self, spark):
+        # the overlay view must also serve the RECOUNT pair mode (the
+        # pair table re-aggregates from base⊎overlay each round) — a
+        # crafted overlap-heavy histogram with a forced mid-run
+        # compaction
+        hist = _hist(
+            spark,
+            [("aaaa", 3), ("aab", 2), ("ab", 4), ("bba", 2), ("abab", 1)],
+        )
+        m_o, s_o = bpe_train(
+            hist, n_merges=6, local_max_words=None,
+            pair_maintenance="recount", overlay_compact_rows=2,
+        )
+        m_r, s_r = bpe_train(
+            hist, n_merges=6, local_max_words=None,
+            pair_maintenance="recount", seg_maintenance="rewrite",
+        )
+        assert m_o == m_r
+        assert {r["word"]: r["seg"] for r in s_o.collect()} == {
+            r["word"]: r["seg"] for r in s_r.collect()
+        }
+
     def test_incremental_pairs_multi_round_overlaps(self, spark):
         # crafted to exercise the delta ledger across rounds where
         # merged symbols keep re-pairing (aa runs, ab vs 'ab' symbol
@@ -230,12 +280,19 @@ class TestBatchedSelection:
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
-    word = st.text(alphabet="ab", min_size=1, max_size=6)
-    hist = st.dictionaries(word, st.integers(1, 3), min_size=1, max_size=8)
+    # ADVICE r12: the strategy must reach the merged-symbol-collision
+    # and tie arithmetic near the stop-count boundary, not just the
+    # hand-picked case — alphabet up to "abcd", 12-char words, and
+    # SKEWED counts (a heavy head over a tie-prone tail) so a batch
+    # merge minting occurrences of a pre-existing vocab symbol, and
+    # equal-count truncation edges, fire organically
+    word = st.text(alphabet="abcd", min_size=1, max_size=12)
+    cnt = st.one_of(st.integers(1, 3), st.integers(1, 50))
+    hist = st.dictionaries(word, cnt, min_size=1, max_size=12)
 
     @given(hist=hist, max_batch=st.sampled_from([1, 2, 4, 64]),
            scan=st.sampled_from([2, 4, 64]))
-    @settings(max_examples=300, deadline=None)
+    @settings(max_examples=400, deadline=None)
     def test_batched_equals_classical(self, hist, max_batch, scan):
         from swarm_spark.ops.bpe import _train_histogram_py
 
