@@ -632,6 +632,37 @@ def cmd_quality(args) -> int:
     if args.action == "lm-train":
         from .ops.lm import lm_train, save_lm
 
+        if getattr(args, "by", ""):
+            # grouped training (CCNet production shape): ONE corpus
+            # scan trains every group's reference LM simultaneously;
+            # the saved (grp, ctx, tok, cnt) tables feed
+            # `curate --ccnet --ccnet-lm-model` and fold across waves
+            # with lm_merge_by (counts are a SUM monoid)
+            from .ops.lm import lm_train_by
+
+            model = lm_train_by(
+                docs, group_col=args.by, text_col=args.text_col,
+                order=args.order,
+            )
+            save_lm(model, args.model)
+            by_grp = {
+                r["grp"]: r["n"]
+                for r in model.groupBy("grp")
+                .agg(F.count(F.lit(1)).cast("long").alias("n"))
+                .collect()
+            }
+            print(
+                json.dumps(
+                    {
+                        "model": args.model,
+                        "order": args.order,
+                        "by": args.by,
+                        "groups": len(by_grp),
+                        "rows_per_group": by_grp,
+                    }
+                )
+            )
+            return 0
         ref = docs.where(F.col(args.label_col) == args.label_value)
         model = lm_train(ref, text_col=args.text_col, order=args.order)
         save_lm(model, args.model)
@@ -856,21 +887,30 @@ _LEDGER_MAX_ID_FILE = "_max_doc_id.json"
 def _read_ledger_max_id(led_dir: str):
     """High-water doc id folded into an ExactSubstr ledger, or None on
     ledgers written before the marker existed (then the ascending-id
-    contract is unverifiable and the wave proceeds as before)."""
+    contract is unverifiable and the wave proceeds as before). The
+    marker is stored RAW (int or string, whatever the id column
+    yields): the ascending contract is ORDER-based, not int-based, so
+    a string-id corpus compares with the column's native ordering
+    (ADVICE r12: `int(...)` here crashed string-id ledger waves)."""
     p = os.path.join(led_dir, _LEDGER_MAX_ID_FILE)
     try:
         with open(p) as f:
             v = json.load(f).get("max_doc_id")
-        return int(v) if v is not None else None
     except (OSError, ValueError, TypeError):
         return None
+    return v if isinstance(v, (int, str)) else None
 
 
 def _write_ledger_max_id(led_dir: str, max_id) -> None:
     if max_id is None:
         return
+    if not isinstance(max_id, (int, str)):
+        # non-JSON-representable id types are rejected up front in
+        # cmd_curate (fail fast with a clear error, before any work);
+        # reaching here with one is a programming error
+        raise TypeError(f"ledger id marker must be int or str, got {type(max_id)}")
     with open(os.path.join(led_dir, _LEDGER_MAX_ID_FILE), "w") as f:
-        json.dump({"max_doc_id": int(max_id)}, f)
+        json.dump({"max_doc_id": max_id}, f)
 
 
 def cmd_curate(args) -> int:
@@ -981,6 +1021,40 @@ def cmd_curate(args) -> int:
             bounds = kept.agg(
                 F.min(args.id_col).alias("lo"), F.max(args.id_col).alias("hi")
             ).first()
+            # the marker is stored raw and compared in the id column's
+            # native ordering (int OR string ids — ADVICE r12); ids
+            # whose Python value is neither fail fast with a clear
+            # error instead of crashing the wave at ledger-write time
+            if bounds["hi"] is not None and not isinstance(bounds["hi"], (int, str)):
+                print(
+                    json.dumps(
+                        {
+                            "error": "exactsubstr ledger needs int or string doc ids",
+                            "id_col": args.id_col,
+                            "id_type": type(bounds["hi"]).__name__,
+                        }
+                    )
+                )
+                return 2
+            if (
+                led_max is not None
+                and bounds["lo"] is not None
+                and type(led_max) is not type(bounds["lo"])
+                and not (
+                    isinstance(led_max, int) and isinstance(bounds["lo"], int)
+                )
+            ):
+                print(
+                    json.dumps(
+                        {
+                            "error": "exactsubstr ledger id type mismatch",
+                            "ledger_max_id": led_max,
+                            "ledger_id_type": type(led_max).__name__,
+                            "wave_id_type": type(bounds["lo"]).__name__,
+                        }
+                    )
+                )
+                return 2
             # an empty wave must carry the high-water mark forward,
             # not erase it
             wave_max_id = bounds["hi"] if bounds["hi"] is not None else led_max
@@ -1004,6 +1078,19 @@ def cmd_curate(args) -> int:
             folded = exactsubstr_window_stats(kept, **xs_kw) if led_dir else None
             if led_dir:
                 wave_max_id = kept.agg(F.max(args.id_col)).first()[0]
+                if wave_max_id is not None and not isinstance(
+                    wave_max_id, (int, str)
+                ):
+                    print(
+                        json.dumps(
+                            {
+                                "error": "exactsubstr ledger needs int or string doc ids",
+                                "id_col": args.id_col,
+                                "id_type": type(wave_max_id).__name__,
+                            }
+                        )
+                    )
+                    return 2
         if led_dir:
             # fold into a sibling dir now (reads the CURRENT ledger),
             # but swap it in only after the curated output lands —
@@ -1093,12 +1180,28 @@ def cmd_curate(args) -> int:
         # one grouped scoring pass, per-language perplexity terciles,
         # tail discarded — the corpus_curate_ccnet registry row's
         # stages, applied to whatever survived the gates above
-        from .ops.lm import lm_buckets_scored, lm_perplexity_by, lm_train_by
+        from .ops.lm import lm_buckets_scored, lm_perplexity_by, lm_train_by, load_lm
 
+        # the ccnet stages consume `kept` several times (grouped
+        # train, scoring joins, the final left_semi) on top of the
+        # gate chain above — stage the gated lineage ONCE instead of
+        # re-executing the whole chain per consumer (ADVICE r12; the
+        # same multi-consumer staging as the exactsubstr block)
+        kept = kept.localCheckpoint(eager=True)
         order = getattr(args, "ccnet_order", 3)
-        model = lm_train_by(
-            kept, group_col="pred_lang", text_col=args.text_col, order=order
-        )
+        if getattr(args, "ccnet_lm_model", ""):
+            # production shape: per-language reference LMs trained
+            # once (`quality lm-train --by`) and probed per wave —
+            # the grouped count tables are the persisted model
+            model = load_lm(spark, args.ccnet_lm_model)
+        else:
+            model = lm_train_by(
+                kept, group_col="pred_lang", text_col=args.text_col, order=order
+            )
+        # the scorer joins the model frame 2*order-1 times; without
+        # staging, each join re-runs the grouped-count aggregation
+        # (and, on the in-plan branch, the whole gate chain under it)
+        model = model.localCheckpoint(eager=True)
         scored = lm_perplexity_by(
             kept, model, group_col="pred_lang", text_col=args.text_col,
             id_col=args.id_col, order=order,
@@ -1672,6 +1775,14 @@ def build_parser() -> argparse.ArgumentParser:
         "CCNet's production point is 5)",
     )
     sp.add_argument(
+        "--ccnet-lm-model",
+        default="",
+        help="persisted GROUPED count tables (quality lm-train --by): "
+        "score this wave under the stored per-language reference LMs "
+        "instead of retraining in-plan; --ccnet-order must not exceed "
+        "the trained order",
+    )
+    sp.add_argument(
         "--exactsubstr",
         type=int,
         default=0,
@@ -1769,6 +1880,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="lm-train/lm-score/lm-eval: n-gram order of the Stupid-"
         "Backoff LM (CCNet's operating point is 5); scoring order must "
         "not exceed the model's trained order",
+    )
+    sp.add_argument(
+        "--by", default="",
+        help="lm-train: train one reference LM PER VALUE of this "
+        "column in a single grouped pass (the whole input is the "
+        "reference corpus — no --label filter) and save the grouped "
+        "(grp, ctx, tok, cnt) tables for `curate --ccnet-lm-model`",
     )
     sp.set_defaults(fn=cmd_quality)
 

@@ -407,6 +407,26 @@ def lm_merge(*models: DataFrame) -> DataFrame:
     )
 
 
+def lm_merge_by(*models: DataFrame) -> DataFrame:
+    """Fold GROUPED count tables (:func:`lm_train_by` frames) from
+    independent waves into one grouped model — the same SUM-monoid
+    contract as :func:`lm_merge`, keyed by (grp, ctx, tok), so
+    merge == retrain on the union corpus for every group at once.
+    This is the production CCNet maintenance shape: each wave trains
+    its per-language counts in one grouped pass, the stored model is
+    the running fold (persist with :func:`save_lm`), and scoring
+    (:func:`lm_perplexity_by`) probes the fold without rescanning
+    earlier waves."""
+    if not models:
+        raise ValueError("need at least one model frame")
+    out = models[0]
+    for m in models[1:]:
+        out = out.unionByName(m)
+    return out.groupBy("grp", "ctx", "tok").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
 def save_lm(model: DataFrame, path: str) -> None:
     """Persist the count tables (one parquet dir — self-contained: T
     and V derive from the unigram rows at load/score time)."""

@@ -811,6 +811,145 @@ class TestCurate:
         assert 0 in ids and 100 not in ids and 101 not in ids
         assert res["docs_kept"] == 40
 
+    def test_curate_exactsubstr_ledger_string_ids(self, spark, tmp_path, capsys):
+        """STRING doc ids flow through the ledger waves end-to-end:
+        the high-water marker is stored raw and the ascending check
+        compares in the column's native ordering (ADVICE r12 —
+        ``int(...)`` used to crash a string-id wave that previously
+        completed). Zero-padded ids make string order == numeric
+        order, so the two-wave result must equal the one-shot cut."""
+        from pyspark.sql import functions as F
+
+        from swarm_spark.ops.curation import exactsubstr_cut
+
+        docs = (
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .withColumn("doc_id", F.format_string("id%06d", F.col("doc_id")))
+        )
+        w1p, w2p = str(tmp_path / "s1.parquet"), str(tmp_path / "s2.parquet")
+        docs.where(F.col("doc_id") < "id000250").write.parquet(w1p)
+        docs.where(F.col("doc_id") >= "id000250").write.parquet(w2p)
+        led = str(tmp_path / "xs_ledger_str")
+        got = {}
+        for i, src in enumerate((w1p, w2p)):
+            out = str(tmp_path / f"swave{i}")
+            _run(
+                capsys,
+                ["--cpus", "4", "curate", src, "-o", out,
+                 "--min-quality", "0", "--exactsubstr", "8",
+                 "--exactsubstr-ledger", led],
+            )
+            for r in spark.read.parquet(out).collect():
+                got[r["doc_id"]] = r["text"]
+        orig = {r["doc_id"]: r["text"] for r in docs.collect()}
+        want = {
+            r["doc_id"]: r["text_clean"] if r["n_removed"] else orig[r["doc_id"]]
+            for r in exactsubstr_cut(docs, min_len=8)
+            .where(F.col("n_removed") < F.col("n_tokens"))
+            .collect()
+        }
+        assert got == want
+        # the stored marker is the raw string
+        marker = json.loads(
+            (tmp_path / "xs_ledger_str" / "_max_doc_id.json").read_text()
+        )
+        assert marker["max_doc_id"] == max(orig)
+
+    def test_curate_exactsubstr_ledger_id_type_mismatch(
+        self, spark, tmp_path, capsys
+    ):
+        """A ledger written by an int-id wave fails FAST (exit 2, clear
+        JSON error) when a later wave arrives with string ids, instead
+        of raising a TypeError mid-comparison."""
+        from pyspark.sql import functions as F
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        w1p = str(tmp_path / "m1.parquet")
+        docs.where("doc_id < 100").write.parquet(w1p)
+        led = str(tmp_path / "xs_ledger_mix")
+        _run(
+            capsys,
+            ["--cpus", "4", "curate", w1p, "-o", str(tmp_path / "m_out1"),
+             "--min-quality", "0", "--exactsubstr", "8",
+             "--exactsubstr-ledger", led],
+        )
+        w2p = str(tmp_path / "m2.parquet")
+        docs.where("doc_id >= 100").withColumn(
+            "doc_id", F.format_string("z%06d", F.col("doc_id"))
+        ).write.parquet(w2p)
+        rc = main(
+            ["--cpus", "4", "curate", w2p, "-o", str(tmp_path / "m_out2"),
+             "--min-quality", "0", "--exactsubstr", "8",
+             "--exactsubstr-ledger", led]
+        )
+        assert rc == 2
+        err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert err["error"] == "exactsubstr ledger id type mismatch"
+        assert err["wave_id_type"] == "str"
+
+    def test_quality_lm_train_by_matches_registry_fold(
+        self, spark, tmp_path, capsys
+    ):
+        """`quality lm-train --by lang` persists the GROUPED count
+        tables in one pass; the parquet round-trip must equal the
+        `text_lm_merge_by` registry row (two-wave fold == one grouped
+        train — the SUM-monoid contract, pinned through the CLI)."""
+        from swarm_spark.ops.lm import load_lm
+
+        model_dir = str(tmp_path / "lm_by")
+        res = _run(
+            capsys,
+            ["--cpus", "4", "quality", "lm-train",
+             "/root/testdata/sf0.001/documents.parquet",
+             "--model", model_dir, "--by", "lang", "--order", "2"],
+        )
+        assert res["by"] == "lang" and res["groups"] >= 2
+        from swarm_spark.ops_queries import q_text_lm_merge_by
+
+        want = {
+            tuple(r)
+            for r in q_text_lm_merge_by(spark, "/root/testdata/sf0.001").collect()
+        }
+        got = {tuple(r) for r in load_lm(spark, model_dir).collect()}
+        assert got == want and len(got) > 0
+
+    def test_curate_ccnet_lm_model(self, spark, tmp_path, capsys):
+        """`curate --ccnet --ccnet-lm-model DIR` scores the wave under
+        a PERSISTED grouped model instead of retraining in-plan; with
+        the model trained on the same gated frame, the survivors are
+        identical to the in-plan `--ccnet` run (the production
+        train-once / probe-per-wave shape)."""
+        from pyspark.sql import functions as F
+
+        from swarm_spark.ops.dedup import exact_dedup_text
+        from swarm_spark.ops.lm import lm_train_by, save_lm
+        from swarm_spark.ops.text import language_pred_expr
+
+        src = "/root/testdata/sf0.001/documents.parquet"
+        out_inplan = str(tmp_path / "ccnet_inplan")
+        _run(
+            capsys,
+            ["--cpus", "4", "curate", src, "-o", out_inplan,
+             "--min-quality", "0", "--ccnet"],
+        )
+        # the in-plan model trains on the gated frame: exact dedup +
+        # pred_lang, min-quality 0 — rebuild it and persist
+        kept = exact_dedup_text(spark.read.parquet(src)).withColumn(
+            "pred_lang", language_pred_expr("text")
+        )
+        model_dir = str(tmp_path / "ccnet_model")
+        save_lm(lm_train_by(kept, group_col="pred_lang", order=3), model_dir)
+        out_stored = str(tmp_path / "ccnet_stored")
+        _run(
+            capsys,
+            ["--cpus", "4", "curate", src, "-o", out_stored,
+             "--min-quality", "0", "--ccnet",
+             "--ccnet-lm-model", model_dir],
+        )
+        want = {r["doc_id"] for r in spark.read.parquet(out_inplan).collect()}
+        got = {r["doc_id"] for r in spark.read.parquet(out_stored).collect()}
+        assert got == want and len(got) > 0
+
 
 class TestMergeIngest:
     def test_reingest_with_merge_does_not_duplicate(self, spark, workdir, capsys):
