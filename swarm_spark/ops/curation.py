@@ -37,15 +37,21 @@ GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 def gopher_words_col(text: Column) -> Column:
     """Rae et al.'s word projection: split on ANY whitespace run
-    (space/tab/newline), empties dropped. Deliberately NOT
-    ``ops.text.tokens_col`` (the engine's single-space canonical
-    form): on multi-line documents a space-only split merges
-    ``end\\nStart`` into one "word", undercounting ``n_words`` and
-    skewing the mean-word-length / alpha-share / stop-word rules
-    relative to the published recipe (ADVICE r11). Empties are
-    filtered so leading/trailing whitespace cannot mint zero-length
-    words."""
-    return F.filter(F.split(text, r"\s+"), lambda w: w != F.lit(""))
+    (space/tab/newline/vtab/formfeed/CR), empties dropped.
+    Deliberately NOT ``ops.text.tokens_col`` (the engine's
+    single-space canonical form): on multi-line documents a
+    space-only split merges ``end\\nStart`` into one "word",
+    undercounting ``n_words`` and skewing the mean-word-length /
+    alpha-share / stop-word rules relative to the published recipe
+    (ADVICE r11). The class is pinned EXPLICITLY instead of ``\\s``
+    because Java's ``\\s`` includes ``\\x0B`` while DuckDB/RE2's does
+    not — a vertical-tab document would count words differently in
+    engine vs oracle (ADVICE r12); the same explicit class appears in
+    all three Gopher oracle SQLs. Empties are filtered so
+    leading/trailing whitespace cannot mint zero-length words."""
+    return F.filter(
+        F.split(text, "[ \\t\\n\\x0B\\f\\r]+"), lambda w: w != F.lit("")
+    )
 
 
 def _count_occurrences(text: Column, needle: str) -> Column:
@@ -560,7 +566,21 @@ def save_exactsubstr_ledger(stats: DataFrame, path: str) -> None:
 
 
 def load_exactsubstr_ledger(spark, path: str) -> DataFrame:
-    """Read a persisted window-stat ledger with the pinned schema."""
-    return spark.read.schema("g string, first_id long, first_p long, cnt long").parquet(
-        path
+    """Read a persisted window-stat ledger with the pinned schema.
+    ``first_id`` keeps its STORED type (int or string doc ids — the
+    keep-first contract is order-based, not int-based; ADVICE r12);
+    the other columns are pinned, and a column-set drift fails fast
+    instead of silently misreading."""
+    df = spark.read.parquet(path)
+    expected = {"g", "first_id", "first_p", "cnt"}
+    if set(df.columns) != expected:
+        raise ValueError(
+            f"ledger at {path} has columns {sorted(df.columns)}, "
+            f"expected {sorted(expected)}"
+        )
+    return df.select(
+        F.col("g").cast("string").alias("g"),
+        F.col("first_id"),
+        F.col("first_p").cast("long").alias("first_p"),
+        F.col("cnt").cast("long").alias("cnt"),
     )

@@ -1923,6 +1923,99 @@ def _kw_queries(docs, mod: int = 1):
     )
 
 
+def _bm25_kw_index(spark, sf) -> str:
+    """Build-once sf-keyed PERSISTED keyword index (the
+    ``save_bm25`` layout + the ``bounds`` table): postings / df stats
+    / totals / max-tf bounds over the ``_kw_corpus`` text, written
+    under a deterministic temp location and reused by every later
+    probe in the session or on disk — mirroring production, where the
+    index build is a one-time cost amortized over every query batch
+    (the ``layout_bucketed_join`` fixture precedent). The build lands
+    in a pid-suffixed staging dir and is renamed into place, so two
+    sessions racing the same sf build at worst twice and never read a
+    half-written index."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .ops.retrieval import (
+        bm25_postings,
+        bm25_stats,
+        bm25_term_bounds,
+        bm25_totals,
+        save_bm25,
+        save_bm25_bounds,
+    )
+
+    key = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"swarm_bm25kw_{key}")
+    if not os.path.exists(os.path.join(base, "bounds")):
+        stage = f"{base}.building-{os.getpid()}"
+        docs = _kw_corpus(_docs(spark, sf))
+        post = bm25_postings(docs).persist()
+        save_bm25(post, bm25_stats(post), bm25_totals(docs), stage)
+        save_bm25_bounds(bm25_term_bounds(post), stage)
+        post.unpersist()
+        try:
+            os.rename(stage, base)
+        except OSError:
+            # a concurrent session renamed its build in first — use it
+            shutil.rmtree(stage, ignore_errors=True)
+    return base
+
+
+def q_bm25_pruned_idx(spark, sf):
+    """MaxScore-pruned BM25 probing a PERSISTED index (the
+    ``docs=None`` entry shape — never pre-gated, r12 VERDICT #2): the
+    serving path a production search tier actually runs, where the
+    index build is amortized and a query batch's cost is gate checks
+    + seed/essential/verify passes against stored postings. Same
+    corpus/batch/oracle as ``bm25_pruned_kw`` (the exhaustive SQL —
+    green == the pruned path returned the identical top-k), but the
+    timed work is the PROBE alone, so the bench pair
+    (``bm25_topk_kw`` vs this row) measures what pruning buys in the
+    serving regime. The plan verifiably takes the pruned path — the
+    final plan unions the pruned slice with the theta-null exhaustive
+    slice — pinned in tests/test_plans.py."""
+    from .ops.retrieval import bm25_pruned, load_bm25, load_bm25_bounds
+
+    idx = _bm25_kw_index(spark, sf)
+    post, stats, totals = load_bm25(spark, idx)
+    return bm25_pruned(
+        None,
+        _kw_queries(_docs(spark, sf)),
+        k=5,
+        postings=post,
+        stats=stats,
+        totals=totals,
+        bounds=load_bm25_bounds(spark, idx),
+    )
+
+
+def q_lm_pruned_idx(spark, sf):
+    """MaxScore-pruned query-likelihood retrieval probing the SAME
+    persisted index (`_bm25_kw_index` — one stored index serves both
+    rankers: cf derives from the postings' tf sums, the bounds table
+    is shared). ``docs=None`` entry: never pre-gated, the pruned
+    machinery runs at every batch size, and the oracle is the
+    exhaustive ``lm_topk`` SQL over the same corpus/batch — a green
+    row is a value-exact proof on the serving shape."""
+    from .ops.retrieval import lm_pruned, load_bm25, load_bm25_bounds
+
+    idx = _bm25_kw_index(spark, sf)
+    post, _stats, totals = load_bm25(spark, idx)
+    return lm_pruned(
+        None,
+        _kw_queries(_docs(spark, sf)),
+        k=5,
+        mu=2000.0,
+        postings=post,
+        totals=totals,
+        bounds=load_bm25_bounds(spark, idx),
+    )
+
+
 def q_bm25_topk_kw(spark, sf):
     """Exhaustive BM25 over the KEYWORD serving shape (see
     ``_kw_corpus``/``_kw_queries``): the twin of ``bm25_pruned_kw`` —
@@ -4575,6 +4668,46 @@ def q_text_lm_merge(spark, sf):
     return lm_perplexity(docs, merged).orderBy("doc_id")
 
 
+def q_text_lm_merge_by(spark, sf):
+    """Incremental GROUPED LM maintenance (the CCNet production
+    shape): two independently trained per-language count frames
+    (``lm_train_by`` — every language in one grouped pass per wave)
+    folded with ``lm_merge_by`` must equal the grouped counts of the
+    union corpus, for every (grp, ctx, tok) at once — the SUM-monoid
+    contract ``text_lm_merge`` pins for one model, extended to the
+    whole per-language family. The folded frame is exactly what
+    ``quality lm-train --by`` persists and ``curate --ccnet
+    --ccnet-lm-model`` probes (CLI-identity-pinned in
+    tests/test_cli.py)."""
+    from .ops.lm import lm_merge_by, lm_train_by
+
+    docs = _docs(spark, sf)
+    merged = lm_merge_by(
+        lm_train_by(docs.where(F.col("doc_id") % 2 == 0), group_col="lang"),
+        lm_train_by(docs.where(F.col("doc_id") % 2 == 1), group_col="lang"),
+    )
+    return merged.select("grp", "ctx", "tok", "cnt").orderBy(
+        "grp", F.col("ctx").asc_nulls_first(), "tok"
+    )
+
+
+SQL_LM_MERGE_BY = """
+WITH w AS (SELECT lang AS grp,
+                  list_filter(regexp_split_to_array(text, ' +'),
+                              t -> length(t) > 0) AS ws
+           FROM documents),
+uni AS (SELECT grp, cast(NULL AS varchar) AS ctx, tok,
+               cast(count(*) AS bigint) AS cnt
+        FROM (SELECT grp, unnest(ws) AS tok FROM w) GROUP BY 1, 2, 3),
+bi AS (SELECT grp, ws[i + 1] AS ctx, ws[i + 2] AS tok,
+              cast(count(*) AS bigint) AS cnt
+       FROM (SELECT grp, ws, unnest(range(len(ws) - 1)) AS i FROM w)
+       GROUP BY 1, 2, 3)
+SELECT grp, ctx, tok, cnt FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+ORDER BY grp, ctx ASC NULLS FIRST, tok
+"""
+
+
 def q_text_lm_gate(spark, sf):
     """The CCNet head cut as a curation gate: keep documents whose
     average per-token cost under the reference LM is at most the
@@ -4916,7 +5049,7 @@ def q_text_gopher_rules(spark, sf):
 
 SQL_GOPHER_RULES = """
 WITH w AS (SELECT doc_id, text,
-                  list_filter(regexp_split_to_array(text, '\\s+'),
+                  list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
                               t -> t != '') AS ws
            FROM documents),
 c AS (SELECT doc_id,
@@ -5084,7 +5217,7 @@ d{n} AS (SELECT w.doc_id,
 
 SQL_GOPHER_REPETITION = f"""
 WITH w AS (SELECT doc_id,
-                  list_filter(regexp_split_to_array(text, '\\s+'),
+                  list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
                               t -> t != '') AS ws
            FROM documents),
 sz AS (SELECT doc_id,
@@ -5156,7 +5289,7 @@ SQL_CURATE_MODERN = f"""
 WITH ed AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
 d0 AS (SELECT d.doc_id, d.text FROM documents d JOIN ed USING (doc_id)),
 w0 AS (SELECT doc_id, text,
-              list_filter(regexp_split_to_array(text, '\\s+'),
+              list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
                           t -> t != '') AS ws
        FROM d0),
 d1 AS (SELECT doc_id, text, ws FROM w0 WHERE
@@ -5366,6 +5499,7 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "text_lm_eval3": (q_text_lm_eval3, SQL_LM_EVAL3),
     "text_lm_perplexity": (q_text_lm_perplexity, SQL_LM_PPL),
     "text_lm_merge": (q_text_lm_merge, SQL_LM_PPL),
+    "text_lm_merge_by": (q_text_lm_merge_by, SQL_LM_MERGE_BY),
     "text_lm_gate": (q_text_lm_gate, SQL_LM_GATE),
     "text_lm_buckets": (q_text_lm_buckets, SQL_LM_BUCKETS),
     "text_lm_eval": (q_text_lm_eval, SQL_LM_EVAL),
@@ -5450,6 +5584,8 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "lm_pruned": (q_lm_pruned, SQL_LM_TOPK),
     "bm25_topk_kw": (q_bm25_topk_kw, SQL_BM25_KW),
     "bm25_pruned_kw": (q_bm25_pruned_kw, SQL_BM25_KW),
+    "bm25_pruned_idx": (q_bm25_pruned_idx, SQL_BM25_KW),
+    "lm_pruned_idx": (q_lm_pruned_idx, SQL_LM_TOPK_KW),
     "lm_topk_kw": (q_lm_topk_kw, SQL_LM_TOPK_KW),
     "lm_pruned_kw": (q_lm_pruned_kw, SQL_LM_TOPK_KW),
     "phrase_match_rare": (q_phrase_match_rare, SQL_PHRASE_MATCH),

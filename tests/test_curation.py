@@ -41,11 +41,14 @@ def test_gopher_rule_flags(spark):
 def test_gopher_words_split_on_any_whitespace(spark):
     # ADVICE r11: 'end\nStart' must count as TWO words (Rae et al.
     # whitespace split), and tabs/leading/trailing whitespace must not
-    # mint merged or empty words
+    # mint merged or empty words. ADVICE r12: vertical tab / formfeed
+    # / CR are separators in BOTH engines (the class is pinned
+    # explicitly because Java's \\s includes \\x0B and RE2's does not)
     docs = spark.createDataFrame(
         [
             (0, "end\nStart tab\there  double  space\n"),
             (1, " lead"),
+            (2, "v\x0btab form\ffeed carriage\rreturn"),
         ],
         "doc_id long, text string",
     )
@@ -53,6 +56,8 @@ def test_gopher_words_split_on_any_whitespace(spark):
     assert got[0]["n_words"] == 6
     assert got[0]["total_chars"] == len("endStarttabheredoublespace")
     assert got[1]["n_words"] == 1
+    assert got[2]["n_words"] == 6
+    assert got[2]["total_chars"] == len("vtabformfeedcarriagereturn")
 
 
 def test_gopher_line_rules(spark):
@@ -408,7 +413,11 @@ class TestGopherOracleParity:
     from hypothesis import strategies as st
 
     word = st.sampled_from(
-        ["the", "of", "a", "x", "123", "#tag", "...", "word", "-", "•item"]
+        # the \x0B / \f / \r entries pin the explicit whitespace class
+        # (ADVICE r12: Java \s includes \x0B, RE2 \s does not — both
+        # engines must split these into two words)
+        ["the", "of", "a", "x", "123", "#tag", "...", "word", "-", "•item",
+         "v\x0btab", "f\ffeed", "c\rret"]
     )
     line = st.lists(word, min_size=1, max_size=8).map(" ".join)
     text = st.lists(line, min_size=1, max_size=4).map("\n".join)
