@@ -70,6 +70,21 @@ def main() -> int:
         help="pair-table mode for the batched run (the SCALING.md "
         "r12 A/B rows compare the two)",
     )
+    ap.add_argument(
+        "--seg-maintenance", default="overlay",
+        choices=("overlay", "rewrite"),
+        help="segmentation mode for the batched run (the SCALING.md "
+        "r13 A/B rows compare the overlay against the r12 "
+        "full-rewrite floor)",
+    )
+    ap.add_argument(
+        "--compact-rows", type=int, default=1_000_000,
+        help="overlay compaction threshold (rows)",
+    )
+    ap.add_argument(
+        "--compact-depth", type=int, default=16,
+        help="overlay compaction threshold (stale-predicate depth)",
+    )
     args = ap.parse_args()
 
     from swarm_spark import get_spark
@@ -88,6 +103,9 @@ def main() -> int:
     merges_b, _seg = bpe_train(
         hist, args.merges, local_max_words=None, stats_out=st,
         pair_maintenance=args.pair_maintenance,
+        seg_maintenance=args.seg_maintenance,
+        overlay_compact_rows=args.compact_rows,
+        overlay_compact_depth=args.compact_depth,
     )
     wall_b = time.time() - t0
 
@@ -105,6 +123,9 @@ def main() -> int:
 
     out = {
         "types": n,
+        "pair_maintenance": args.pair_maintenance,
+        "seg_maintenance": args.seg_maintenance,
+        "compactions": st.get("compactions"),
         "merges": len(merges_b),
         "batched_rounds": st.get("rounds"),
         "batched_wall_s": round(wall_b, 2),

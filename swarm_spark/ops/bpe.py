@@ -333,6 +333,7 @@ def bpe_train(
     pair_maintenance: str = "incremental",
     seg_maintenance: str = "overlay",
     overlay_compact_rows: int = 1_000_000,
+    overlay_compact_depth: int = 16,
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """(merges, seg): train ``n_merges`` BPE merge rounds over a
     (word, cnt) histogram. Stops early when no pair reaches
@@ -383,19 +384,22 @@ def bpe_train(
     ``seg_maintenance``: ``"overlay"`` (default) applies the
     incremental-ledger idea to the SEGMENTATION FRAME itself (r12
     VERDICT #1 — the per-round floor was the full-frame rewrite):
-    the base frame is checkpointed ONCE and stays immutable; words
-    whose segmentation has ever changed live in a small OVERLAY frame
-    (latest seg wins), and each round rewrites only the overlay —
-    the current view is ``base ANTI-JOIN overlay-words ∪ overlay``,
-    with the overlay word set BROADCAST so the view costs one base
-    scan and zero shuffles. The per-round materialization is then
-    the touched-word frame + the overlay (both bounded by the words
-    merges have actually reached) instead of every row of a 5M-type
-    histogram. When the overlay outgrows ``overlay_compact_rows``
-    (the broadcast-safety bound — size it to executor memory at
-    cluster scale), it is COMPACTED into a fresh base checkpoint and
-    reset, so the full-frame write is paid once per
-    ``overlay_compact_rows / touched-per-round`` rounds instead of
+    the base frame is checkpointed ONCE and stays immutable; words a
+    merge has touched since the last compaction live in a small
+    OVERLAY frame (latest seg wins), and each round rewrites only the
+    overlay. The view is ``base.where(NOT stale) ∪ overlay`` where
+    staleness is a PREDICATE over the immutable base seg (a word's
+    first touch happens while current seg == base seg, so "some
+    batch-since-compaction's adjacency map matches the base seg" is
+    exact) — zero joins, zero broadcasts, one map-side base scan per
+    round. The per-round materialization is the touched-word frame +
+    the overlay instead of every row of a 5M-type histogram. The
+    overlay COMPACTS into a fresh base checkpoint when it outgrows
+    ``overlay_compact_rows`` (bounds the per-round overlay rewrite)
+    or when ``overlay_compact_depth`` batches have stacked onto the
+    stale predicate (each base scan evaluates the whole stack, so
+    unbounded depth would turn the view scan quadratic across
+    rounds); the full-frame write is then paid once per stride, not
     every round. ``"rewrite"`` is the old full-frame-per-round
     behavior — kept as the equivalence referee."""
     if n_merges < 1:
@@ -411,6 +415,10 @@ def bpe_train(
     if overlay_compact_rows < 1:
         raise ValueError(
             f"overlay_compact_rows must be >= 1, got {overlay_compact_rows}"
+        )
+    if overlay_compact_depth < 1:
+        raise ValueError(
+            f"overlay_compact_depth must be >= 1, got {overlay_compact_depth}"
         )
     if local_max_words is not None and words.count() <= local_max_words:
         frame = _bpe_train_local_frame(
@@ -446,23 +454,51 @@ def bpe_train(
 
     incremental = pair_maintenance == "incremental"
     overlay = seg_maintenance == "overlay"
+
+    def _adj_any(maps: list) -> Column:
+        """TRUE iff the segmentation holds an adjacency of ANY of the
+        given batch maps — one pass over the array however many maps
+        (each position ORs the per-batch lookups). Null-SAFE compare:
+        element_at misses yield NULL, and a NULL verdict under ``~``
+        would silently DROP fresh rows from the filtered view."""
+
+        def hit(s):
+            c = None
+            for m in maps:
+                e = F.element_at(m, F.element_at("seg", s)).eqNullSafe(
+                    F.element_at("seg", s + 1)
+                )
+                c = e if c is None else (c | e)
+            return c
+
+        return F.when(
+            F.size("seg") >= 2,
+            F.exists(F.sequence(F.lit(1), F.size("seg") - 1), hit),
+        ).otherwise(F.lit(False))
+
     # overlay state: `base` is an immutable checkpoint; `ovl` holds the
-    # CURRENT segmentation of every word a merge has ever touched
-    # (latest wins, disjoint from the anti-joined base by construction).
+    # CURRENT segmentation of every word a merge has ever touched since
+    # the last compaction (latest wins). A base row is served only
+    # while FRESH, and freshness is a PREDICATE, not a join: a word's
+    # first touch happens while its current seg still equals its base
+    # seg, so "stale" == "some batch-since-compaction's adjacency map
+    # matches the base seg" — exact, and evaluated map-side with zero
+    # shuffles/broadcasts (the r13 first cut anti-joined a broadcast
+    # overlay word set: collecting+shipping ~1M words per round cost
+    # more than the full rewrite it replaced, measured 13.8 s/round).
     # Every overlay checkpoint is COALESCED to a bounded partition
-    # count first: the union shapes otherwise ADD partition counts each
-    # round (ovl' = ovl ⊎ tw, tw = base ⊎ ovl) — exponential task
-    # explosion by round ~10 (8k empty tasks per stage, measured)
+    # count: the union shapes otherwise ADD partition counts each
+    # round — exponential task explosion by round ~10 (8k empty tasks
+    # per stage, measured).
     ovl: DataFrame | None = None
+    stale_maps: list = []
     n_small = words.sparkSession.sparkContext.defaultParallelism
     n_base = max(base.rdd.getNumPartitions(), n_small)
 
     def _view() -> DataFrame:
         if ovl is None:
             return base
-        return base.join(
-            F.broadcast(ovl.select("word")), "word", "left_anti"
-        ).unionByName(ovl)
+        return base.where(~_adj_any(stale_maps)).unionByName(ovl)
 
     pairs_f = _pairs_of(base).localCheckpoint() if incremental else None
     # scan window: a few times the batch cap so disjoint pairs behind
@@ -495,14 +531,7 @@ def bpe_train(
         mb = F.create_map(
             *[x for a, b in batch for x in (F.lit(a), F.lit(b))]
         )
-        touched = F.when(
-            F.size("seg") >= 2,
-            F.exists(
-                F.sequence(F.lit(1), F.size("seg") - 1),
-                lambda s: F.element_at(mb, F.element_at("seg", s))
-                == F.element_at("seg", s + 1),
-            ),
-        ).otherwise(F.lit(False))
+        touched = _adj_any([mb])
         if overlay:
             # ONE full view scan per round: the touched slice is
             # materialized small, and the delta + overlay update read
@@ -529,23 +558,32 @@ def bpe_train(
             )
         if overlay:
             # rewrite ONLY the overlay: prior overlay rows not touched
-            # this round stay; touched rows (base- or overlay-origin)
-            # enter with their new segmentation
+            # this round stay (`~touched` on the overlay's own current
+            # segs — exact, no join); touched rows (base- or
+            # overlay-origin, both inside tw) enter with their new
+            # segmentation, and the batch map joins the base frame's
+            # stale-predicate stack
             new_rows = tw.withColumn("seg", napply)
             ovl = (
                 new_rows
                 if ovl is None
-                else ovl.join(
-                    F.broadcast(tw.select("word")), "word", "left_anti"
-                ).unionByName(new_rows)
+                else ovl.where(~touched).unionByName(new_rows)
             ).coalesce(n_small).localCheckpoint()
-            if ovl.count() >= overlay_compact_rows:
-                # the overlay word set has outgrown the broadcast
-                # budget: fold it into a fresh immutable base (the one
-                # full-frame write, amortized over the rounds since
-                # the last compaction) and start a new overlay
+            stale_maps.append(mb)
+            if (
+                ovl.count() >= overlay_compact_rows
+                or len(stale_maps) >= overlay_compact_depth
+            ):
+                # fold the overlay into a fresh immutable base — the
+                # one full-frame write, amortized over the rounds
+                # since the last compaction. Triggered by overlay SIZE
+                # (per-round overlay rewrite cost) or stale-stack
+                # DEPTH (each base scan evaluates every stacked batch
+                # map; unbounded depth would make the view scan
+                # quadratic across rounds).
                 compacted = _view().coalesce(n_base).localCheckpoint()
                 ovl = None
+                stale_maps = []
                 base = compacted
                 compactions += 1
         else:
