@@ -1948,7 +1948,12 @@ def _bm25_kw_index(spark, sf) -> str:
         save_bm25_bounds,
     )
 
-    key = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8]
+    # key on the source parquet's identity (path + mtime + size), not
+    # the path alone: a regenerated corpus must never be served by a
+    # stale stored index
+    src = os.path.join(os.path.abspath(sf), "documents.parquet")
+    ident = f"{src}:{int(os.path.getmtime(src))}:{os.path.getsize(src)}"
+    key = hashlib.md5(ident.encode()).hexdigest()[:8]
     base = os.path.join(tempfile.gettempdir(), f"swarm_bm25kw_{key}")
     if not os.path.exists(os.path.join(base, "bounds")):
         stage = f"{base}.building-{os.getpid()}"
