@@ -263,8 +263,27 @@ def probe(
         top_ngrams,
     )
 
-    docs = spark.read.parquet(os.path.join(data_dir, "documents.parquet"))
-    emb = spark.read.parquet(os.path.join(data_dir, "embeddings.parquet"))
+    # the generated corpus is ONE small parquet file, which Spark maps
+    # to ONE input partition however many rows it holds — at f30 every
+    # tokenize/explode stage ran as a single 6-minute task (measured:
+    # one RUNNABLE executor thread in String.split while 31 cores sat
+    # idle). Real deployments read many splits; spread the source once
+    # so the probe measures operator scaling, not a test-harness file
+    # layout. (r13 change: f1/f10/f30 rows from r13 on are measured
+    # under this layout; earlier rounds' absolute numbers carried the
+    # single-partition scan in BOTH probe points, so their RATIOS
+    # remain comparable.)
+    par = spark.sparkContext.defaultParallelism
+    docs = (
+        spark.read.parquet(os.path.join(data_dir, "documents.parquet"))
+        .repartition(par)
+        .localCheckpoint()
+    )
+    emb = (
+        spark.read.parquet(os.path.join(data_dir, "embeddings.parquet"))
+        .repartition(par)
+        .localCheckpoint()
+    )
     queries = emb.where(F.col("vec_id") < 200)  # fixed batch at every scale
 
     # build-once for the persisted-path BM25 probe: index build is NOT
