@@ -80,6 +80,12 @@ def main() -> None:
         "bm25_topk_kw",
         "bm25_pruned_kw",
         "lm_topk",
+        # r13 VERDICT #2 (presentational): lm_topk_kw is the
+        # exhaustive twin of lm_pruned_idx on the SAME kw corpus —
+        # without it the lm pruning A/B could not be read pairwise
+        # from the bench JSON (the adjacent lm_topk is the non-kw
+        # corpus). Mirrors the bm25_topk_kw / bm25_pruned_idx pair.
+        "lm_topk_kw",
         "lm_pruned_idx",
         "phrase_match",
         "phrase_match_rare",

@@ -27,8 +27,23 @@ clustering operator — this is part of the LLM-data-pipeline tier.
 
 from __future__ import annotations
 
+import os
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _same_checkpoint_root(existing: str, requested: str) -> bool:
+    """True when the session's checkpoint dir already points at (a
+    per-context uuid subdir of) ``requested`` — the repeat-call case,
+    which must stay silent. ``getCheckpointDir`` returns the resolved
+    uuid subdir (possibly URI-prefixed), so compare on the parent."""
+    norm = existing.removeprefix("file:")
+    req = os.path.abspath(requested)
+    return os.path.abspath(norm) == req or os.path.dirname(
+        os.path.abspath(norm)
+    ) == req
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -188,9 +203,25 @@ def keep_best_per_cluster(
         "id",
     )
     if checkpoint_dir is not None:
-        # setCheckpointDir appends a per-context uuid subdir, so the
-        # call is idempotent-cheap (one mkdir) and safe to repeat
-        scored.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        # r12 ADVICE: setCheckpointDir mutates SESSION-GLOBAL state —
+        # never silently redirect a checkpoint dir the caller (or a
+        # concurrent job) already configured. Set only when unset;
+        # on a conflicting pre-set dir, keep the session's choice and
+        # warn (the caller's dir is still a reliable store, which is
+        # what the parameter asks for). setCheckpointDir appends a
+        # per-context uuid subdir, so the set-when-unset call is
+        # idempotent-cheap (one mkdir).
+        sc = scored.sparkSession.sparkContext
+        existing = sc.getCheckpointDir()
+        if existing is None:
+            sc.setCheckpointDir(checkpoint_dir)
+        elif not _same_checkpoint_root(existing, checkpoint_dir):
+            warnings.warn(
+                "keep_best_per_cluster: session checkpoint dir already "
+                f"set to {existing!r}; keeping it instead of "
+                f"{checkpoint_dir!r} (reliable checkpoint still applies)",
+                stacklevel=2,
+            )
         scored = scored.checkpoint(eager=True)
     else:
         scored = scored.localCheckpoint(eager=True)

@@ -151,7 +151,9 @@ class TestTrain:
 
     def test_overlay_equals_rewrite(self, spark, sf_dir):
         # r12 VERDICT #1: the segmentation OVERLAY (immutable base +
-        # touched-word overlay, broadcast anti-join view, stride
+        # touched-word overlay, stale-PREDICATE stack over the base
+        # seg — the broadcast anti-join first cut was measured at
+        # 13.8 s/round and replaced, see ops/bpe.py — plus stride
         # compaction) must reproduce the full-frame-rewrite referee
         # bit for bit — merges, order, and final segmentations — on
         # the real mixed-Zipf histogram. overlay_compact_rows=8 (the

@@ -300,6 +300,72 @@ class TestKeepBest:
         ]
         assert found  # reliable checkpoint data was written there
 
+    def test_preset_session_checkpoint_dir_survives(self, spark, tmp_path):
+        """r12 ADVICE (deferred to r14): a checkpoint dir the SESSION
+        already configured must survive ``keep_best_per_cluster`` — the
+        function may set the dir only when unset, and must warn (not
+        silently redirect) on conflict. Checkpoint data lands under the
+        pre-set dir; survivors are unchanged."""
+        import os
+        import warnings as _warnings
+
+        from swarm_spark.ops.components import keep_best_per_cluster
+
+        sc = spark.sparkContext
+        original = sc.getCheckpointDir()
+        preset = str(tmp_path / "preset")
+        conflicting = str(tmp_path / "conflicting")
+        docs = spark.createDataFrame(
+            [(1, 10), (2, 30), (3, 30), (4, 5), (9, 99)],
+            "doc_id long, score long",
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4)], "doc_a long, doc_b long"
+        )
+        try:
+            sc.setCheckpointDir(preset)
+            preset_resolved = sc.getCheckpointDir()
+            with _warnings.catch_warnings(record=True) as caught:
+                _warnings.simplefilter("always")
+                kept = sorted(
+                    r["doc_id"]
+                    for r in keep_best_per_cluster(
+                        docs, pairs, "score", checkpoint_dir=conflicting
+                    ).collect()
+                )
+            assert kept == [2, 9]
+            # the session's dir was NOT redirected
+            assert sc.getCheckpointDir() == preset_resolved
+            assert not os.path.exists(conflicting) or not any(
+                fs for _, _, fs in os.walk(conflicting)
+            )
+            assert any(fs for _, _, fs in os.walk(preset))
+            assert any(
+                "checkpoint dir already" in str(w.message) for w in caught
+            ), [str(w.message) for w in caught]
+            # repeat-call with the SAME dir stays silent (the uuid
+            # subdir getCheckpointDir returns must compare equal to
+            # its requested parent)
+            with _warnings.catch_warnings(record=True) as caught2:
+                _warnings.simplefilter("always")
+                keep_best_per_cluster(
+                    docs, pairs, "score", checkpoint_dir=preset
+                ).collect()
+            assert not [
+                w for w in caught2
+                if "checkpoint dir" in str(w.message)
+            ], [str(w.message) for w in caught2]
+        finally:
+            # restore the session-global state for later tests
+            if original is None:
+                getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+                    sc._jvm.scala.Option.empty()
+                )
+            else:
+                getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+                    sc._jvm.scala.Option.apply(original)
+                )
+
 
 class TestLshTune:
     def test_curve_properties(self):
