@@ -952,6 +952,7 @@ def cmd_curate(args) -> int:
             )
             return 2
     n_in = docs.count()
+    ccnet_unmodeled: dict[str, int] | None = None
     kept = exact_dedup_text(docs, text_col=args.text_col, id_col=args.id_col)
     if getattr(args, "gopher", False):
         # hard rule pre-gate FIRST: a zero-shuffle projection that
@@ -1189,11 +1190,61 @@ def cmd_curate(args) -> int:
         # same multi-consumer staging as the exactsubstr block)
         kept = kept.localCheckpoint(eager=True)
         order = getattr(args, "ccnet_order", 3)
+        ccnet_bypass_langs: list[str] = []
         if getattr(args, "ccnet_lm_model", ""):
             # production shape: per-language reference LMs trained
             # once (`quality lm-train --by`) and probed per wave —
             # the grouped count tables are the persisted model
             model = load_lm(spark, args.ccnet_lm_model)
+            # ADVICE r13 (low): a --ccnet-order above the TRAINED
+            # order can never match a higher-order row — every token
+            # silently pays extra backoff and the terciles shift.
+            # The trained order is structural: 1 + the max ctx arity
+            # of any stored k-gram row (vocab-sized aggregation).
+            trained_order = 1 + (
+                model.agg(
+                    F.max(
+                        F.when(
+                            F.col("ctx").isNotNull(),
+                            F.size(F.split(F.col("ctx"), " ")),
+                        )
+                    ).alias("m")
+                ).collect()[0]["m"]
+                or 0
+            )
+            if order > trained_order:
+                raise SystemExit(
+                    f"--ccnet-order {order} exceeds the persisted "
+                    f"model's trained order {trained_order} "
+                    f"({args.ccnet_lm_model}): higher-order lookups "
+                    "would never match and every token would pay "
+                    "silent extra backoff; retrain with --order "
+                    f">= {order} or pass --ccnet-order "
+                    f"{trained_order}"
+                )
+            # ADVICE r13 (medium): a wave language ABSENT from the
+            # stored model has no unigram mass — the scorer emits no
+            # rows for it, so the tercile cut would silently drop the
+            # language wholesale. Those docs cannot be RANKED without
+            # a model, so route them around the tercile cut (kept,
+            # counted in the JSON summary + a stderr warning) instead
+            # of losing them. Both frames are metadata-sized: one row
+            # per language.
+            model_langs = {
+                r["grp"]
+                for r in model.select("grp").distinct().collect()
+            }
+            wave_langs = {
+                r["pred_lang"]
+                for r in kept.select("pred_lang").distinct().collect()
+            }
+            ccnet_bypass_langs = sorted(wave_langs - model_langs)
+            if ccnet_bypass_langs:
+                print(
+                    "ccnet: languages absent from the persisted model "
+                    f"bypass the tercile cut: {ccnet_bypass_langs}",
+                    file=sys.stderr,
+                )
         else:
             model = lm_train_by(
                 kept, group_col="pred_lang", text_col=args.text_col, order=order
@@ -1211,7 +1262,20 @@ def cmd_curate(args) -> int:
             .where(F.col("bucket") != "tail")
             .select(args.id_col)
         )
-        kept = kept.join(keep_ids, args.id_col, "left_semi")
+        modeled_kept = kept.join(keep_ids, args.id_col, "left_semi")
+        if ccnet_bypass_langs:
+            # unrankable languages pass through whole; summary carries
+            # their doc count so the bypass is never silent
+            bypass = kept.where(F.col("pred_lang").isin(ccnet_bypass_langs))
+            ccnet_unmodeled = {
+                r["pred_lang"]: r["n"]
+                for r in bypass.groupBy("pred_lang")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            kept = modeled_kept.unionByName(bypass)
+        else:
+            kept = modeled_kept
     if getattr(args, "nb_model", ""):
         # learned quality gate: score against a persisted NB model
         # (broadcast model join) and keep docs above the micro-nat
@@ -1338,16 +1402,17 @@ def cmd_curate(args) -> int:
         # every doc was filtered (or the wave was empty): the write
         # leaves no schema to read back — report zero, not a crash
         by_split = {}
-    print(
-        json.dumps(
-            {
-                "docs_in": n_in,
-                "docs_kept": sum(by_split.values()),
-                "splits": by_split,
-                "output": args.output,
-            }
-        )
-    )
+    summary = {
+        "docs_in": n_in,
+        "docs_kept": sum(by_split.values()),
+        "splits": by_split,
+        "output": args.output,
+    }
+    if ccnet_unmodeled is not None:
+        # languages that bypassed the ccnet tercile cut because the
+        # persisted model holds no rows for them (ADVICE r13)
+        summary["ccnet_unmodeled"] = ccnet_unmodeled
+    print(json.dumps(summary))
     return 0
 
 
@@ -1779,8 +1844,10 @@ def build_parser() -> argparse.ArgumentParser:
         default="",
         help="persisted GROUPED count tables (quality lm-train --by): "
         "score this wave under the stored per-language reference LMs "
-        "instead of retraining in-plan; --ccnet-order must not exceed "
-        "the trained order",
+        "instead of retraining in-plan; --ccnet-order above the "
+        "trained order (derived from the stored frame) is an error, "
+        "and wave languages absent from the model bypass the tercile "
+        "cut (counted in the summary) instead of being dropped",
     )
     sp.add_argument(
         "--exactsubstr",

@@ -1934,6 +1934,7 @@ def _bm25_kw_index(spark, sf) -> str:
     in a pid-suffixed staging dir and is renamed into place, so two
     sessions racing the same sf build at worst twice and never read a
     half-written index."""
+    import glob as _glob
     import hashlib
     import os
     import shutil
@@ -1948,13 +1949,38 @@ def _bm25_kw_index(spark, sf) -> str:
         save_bm25_bounds,
     )
 
-    # key on the source parquet's identity (path + mtime + size), not
-    # the path alone: a regenerated corpus must never be served by a
-    # stale stored index
+    # key on a CONTENT fingerprint of the source parquet, not the
+    # path alone: a regenerated corpus must never be served by a
+    # stale stored index. ADVICE r13 (low): the first cut keyed on
+    # (dir mtime truncated to seconds, dirent size), both of which
+    # are content-independent for a parquet DIRECTORY — fingerprint
+    # the part files themselves (sorted relative names + sizes +
+    # ns-resolution mtimes; a plain file is its own one-entry list)
+    # and prune old-content index dirs for the same source path so
+    # regenerations don't accumulate stale trees in the tmp dir.
     src = os.path.join(os.path.abspath(sf), "documents.parquet")
-    ident = f"{src}:{int(os.path.getmtime(src))}:{os.path.getsize(src)}"
-    key = hashlib.md5(ident.encode()).hexdigest()[:8]
-    base = os.path.join(tempfile.gettempdir(), f"swarm_bm25kw_{key}")
+    if os.path.isdir(src):
+        entries = sorted(
+            (
+                os.path.relpath(os.path.join(dp, f), src),
+                os.path.getsize(os.path.join(dp, f)),
+                os.stat(os.path.join(dp, f)).st_mtime_ns,
+            )
+            for dp, _dns, fs in os.walk(src)
+            for f in fs
+        )
+    else:
+        entries = [("", os.path.getsize(src), os.stat(src).st_mtime_ns)]
+    pathkey = hashlib.md5(src.encode()).hexdigest()[:8]
+    content = hashlib.md5(repr(entries).encode()).hexdigest()[:8]
+    tmp = tempfile.gettempdir()
+    base = os.path.join(tmp, f"swarm_bm25kw_{pathkey}_{content}")
+    for stale in _glob.glob(os.path.join(tmp, f"swarm_bm25kw_{pathkey}_*")):
+        # same source path, different content fingerprint -> the
+        # corpus was regenerated; drop the superseded index (staging
+        # dirs carry a .building suffix and are left to their owner)
+        if stale != base and not os.path.basename(stale).count(".building"):
+            shutil.rmtree(stale, ignore_errors=True)
     if not os.path.exists(os.path.join(base, "bounds")):
         stage = f"{base}.building-{os.getpid()}"
         docs = _kw_corpus(_docs(spark, sf))

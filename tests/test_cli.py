@@ -950,6 +950,107 @@ class TestCurate:
         got = {r["doc_id"] for r in spark.read.parquet(out_stored).collect()}
         assert got == want and len(got) > 0
 
+    def test_ccnet_unmodeled_language_bypasses_tercile_cut(
+        self, spark, tmp_path, capsys
+    ):
+        """ADVICE r13 (medium): a wave language with no rows in the
+        persisted model must NOT be silently dropped — its docs cannot
+        be ranked, so they bypass the tercile cut and the summary
+        counts them under ``ccnet_unmodeled``."""
+        from pyspark.sql import functions as F
+
+        from swarm_spark.ops.dedup import exact_dedup_text
+        from swarm_spark.ops.lm import lm_train_by, save_lm
+        from swarm_spark.ops.text import language_pred_expr
+
+        src = "/root/testdata/sf0.001/documents.parquet"
+        kept = exact_dedup_text(spark.read.parquet(src)).withColumn(
+            "pred_lang", language_pred_expr("text")
+        )
+        langs = sorted(
+            r["pred_lang"] for r in kept.select("pred_lang").distinct().collect()
+        )
+        assert len(langs) >= 2, "fixture needs >= 2 predicted languages"
+        trained_lang = langs[0]
+        other_langs = set(langs[1:])
+        model_dir = str(tmp_path / "one_lang_model")
+        save_lm(
+            lm_train_by(
+                kept.where(F.col("pred_lang") == trained_lang),
+                group_col="pred_lang",
+                order=3,
+            ),
+            model_dir,
+        )
+        out = str(tmp_path / "ccnet_bypass")
+        res = _run(
+            capsys,
+            ["--cpus", "4", "curate", src, "-o", out,
+             "--min-quality", "0", "--ccnet",
+             "--ccnet-lm-model", model_dir],
+        )
+        unmodeled_want = {
+            r["pred_lang"]: r["n"]
+            for r in kept.where(F.col("pred_lang") != trained_lang)
+            .groupBy("pred_lang")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert res["ccnet_unmodeled"] == unmodeled_want
+        # every unmodeled-language doc survived (bypass, not drop)
+        got = spark.read.parquet(out)
+        got_ids = {r["doc_id"] for r in got.collect()}
+        bypass_ids = {
+            r["doc_id"]
+            for r in kept.where(
+                F.col("pred_lang").isin(sorted(other_langs))
+            ).collect()
+        }
+        assert bypass_ids and bypass_ids <= got_ids
+        # the modeled language still gets its tail tercile cut
+        n_trained_in = kept.where(
+            F.col("pred_lang") == trained_lang
+        ).count()
+        n_trained_out = len(got_ids - bypass_ids)
+        assert n_trained_out < n_trained_in
+
+    def test_ccnet_order_above_trained_order_fails_fast(
+        self, spark, tmp_path, capsys
+    ):
+        """ADVICE r13 (low): --ccnet-order above the persisted model's
+        trained order (derived from the stored frame's max ctx arity)
+        raises instead of silently paying full backoff on every
+        token."""
+        import pytest
+
+        from swarm_spark.ops.dedup import exact_dedup_text
+        from swarm_spark.ops.lm import lm_train_by, save_lm
+        from swarm_spark.ops.text import language_pred_expr
+
+        src = "/root/testdata/sf0.001/documents.parquet"
+        kept = exact_dedup_text(spark.read.parquet(src)).withColumn(
+            "pred_lang", language_pred_expr("text")
+        )
+        model_dir = str(tmp_path / "order2_model")
+        save_lm(
+            lm_train_by(kept, group_col="pred_lang", order=2), model_dir
+        )
+        out = str(tmp_path / "ccnet_order_fail")
+        with pytest.raises(SystemExit, match="trained order 2"):
+            main(
+                ["--cpus", "4", "curate", src, "-o", out,
+                 "--min-quality", "0", "--ccnet", "--ccnet-order", "3",
+                 "--ccnet-lm-model", model_dir]
+            )
+        # at the trained order it runs clean
+        res = _run(
+            capsys,
+            ["--cpus", "4", "curate", src, "-o", out,
+             "--min-quality", "0", "--ccnet", "--ccnet-order", "2",
+             "--ccnet-lm-model", model_dir],
+        )
+        assert res["docs_kept"] > 0
+
 
 class TestMergeIngest:
     def test_reingest_with_merge_does_not_duplicate(self, spark, workdir, capsys):

@@ -329,6 +329,43 @@ class TestPrunedPathEngages:
         )
 
 
+class TestKwIndexCacheKey:
+    """ADVICE r13 (low): the persisted kw-index cache key must be a
+    CONTENT fingerprint of the source parquet (part files + sizes +
+    ns mtimes), not (dir mtime in seconds, dirent size) — a corpus
+    regenerated within the same second with the same byte size must
+    get a fresh index, and the superseded index dir for the same
+    source path must be pruned, not accumulate."""
+
+    def test_same_second_regeneration_rekeys_and_prunes(
+        self, spark, tmp_path
+    ):
+        import os
+        import shutil
+
+        from swarm_spark.ops_queries import _bm25_kw_index
+
+        src = "/root/testdata/sf0.001/documents.parquet"
+        d = tmp_path / "corpus"
+        d.mkdir()
+        dst = str(d / "documents.parquet")
+        shutil.copy(src, dst)
+        base1 = _bm25_kw_index(spark, str(d))
+        assert os.path.isdir(os.path.join(base1, "bounds"))
+        # unchanged corpus -> same key, no rebuild
+        assert _bm25_kw_index(spark, str(d)) == base1
+        # regenerate "in the same second with the same size": bump
+        # the mtime by ONE NANOSECOND — second-truncated mtime and
+        # getsize are both unchanged, so the old key would collide
+        st = os.stat(dst)
+        os.utime(dst, ns=(st.st_atime_ns, st.st_mtime_ns + 1))
+        base2 = _bm25_kw_index(spark, str(d))
+        assert base2 != base1
+        assert os.path.isdir(os.path.join(base2, "bounds"))
+        # the superseded index for this source path was pruned
+        assert not os.path.exists(base1)
+
+
 class TestExecutedMetrics:
     def test_scan_summary_reports_filter_cut(self, spark, sf_dir):
         """The observability contract, measured from the executed plan:
