@@ -48,6 +48,15 @@ from pyspark.sql import functions as F
 
 from .text import tokens_col
 
+# 61-bit symbol bloom over a segmentation: one OR'd crc32 bit per
+# symbol, folded in codegen (no Python). 61 keeps every bit strictly
+# inside a positive long; zlib.crc32 computes the identical bit
+# driver-side (both are CRC-32/ADCCP), so batch masks need no action.
+_MSK_EXPR = (
+    "aggregate(seg, 0L, (acc, x) -> "
+    "acc | shiftleft(1L, int(crc32(encode(x, 'utf-8')) % 61)))"
+)
+
 
 def segment_chars(word: Column | str) -> Column:
     """array<string> of the word's single characters — the round-0
@@ -438,7 +447,10 @@ def bpe_train(
     base = words.select(
         "word", F.col("cnt").cast("long").alias("cnt"),
         segment_chars("word").alias("seg"),
-    ).localCheckpoint()
+    )
+    if seg_maintenance == "overlay":
+        base = base.withColumn("msk", F.expr(_MSK_EXPR))
+    base = base.localCheckpoint()
     merges: list[tuple[str, str]] = []
     pair_structs = F.expr(
         "transform(sequence(0, size(seg) - 2), i -> struct(seg[i] AS a, seg[i+1] AS b))"
@@ -490,15 +502,87 @@ def bpe_train(
     # count: the union shapes otherwise ADD partition counts each
     # round — exponential task explosion by round ~10 (8k empty tasks
     # per stage, measured).
+    #
+    # r13 VERDICT #1 (the remaining per-round floor): the one base
+    # scan evaluated the full stale-predicate stack on EVERY row —
+    # 5M seg-array folds per round even when a tail batch could only
+    # ever touch a handful of words. Two sound prunes cut that work:
+    #
+    # - **eligibility**: base segs are FROZEN at compaction, so a
+    #   batch pair whose symbol was created by a post-compaction
+    #   merge can NEVER match a base seg — those pairs are dropped
+    #   from the base-side predicate stack entirely (driver-side set
+    #   test: a symbol can be in the base iff it is a single char or
+    #   a merged symbol minted before the last compaction). Tail
+    #   batches merge mostly freshly-minted symbols, so their
+    #   base-side maps often empty out.
+    # - **per-row symbol bloom**: base rows carry `msk`, a 61-bit
+    #   OR-fold of crc32(symbol) bits computed once per compaction
+    #   (codegen'd SQL fold — no Python). A pair (a, b) can match a
+    #   row only if BOTH symbols' bits are present, so the expensive
+    #   adjacency fold runs under a `when(bloom_hit, ...)` guard:
+    #   rows without the bits short-circuit to two long-compares.
+    #   Python's zlib.crc32 == Spark's crc32 (both CRC-32/ADCCP), so
+    #   the driver computes batch masks with no extra action. False
+    #   positives only cost the fold they would have run anyway;
+    #   false negatives are impossible (exact OR of exact bits).
     ovl: DataFrame | None = None
-    stale_maps: list = []
+    # base-side stale stack: per stacked batch, the base-ELIGIBLE
+    # pairs (see above); empty entries stack nothing
+    stale_pairs: list[list[tuple[str, str]]] = []
+    base_minted: set[str] = set()  # merged symbols minted pre-compaction
     n_small = words.sparkSession.sparkContext.defaultParallelism
     n_base = max(base.rdd.getNumPartitions(), n_small)
 
+    def _bit(sym: str) -> int:
+        import zlib
+
+        return 1 << (zlib.crc32(sym.encode("utf-8")) % 61)
+
+    def _eligible(sym: str) -> bool:
+        return len(sym) == 1 or sym in base_minted
+
+    def _bloom_pre(pairs: list[tuple[str, str]]) -> Column:
+        """Necessary condition for a base row to hold ANY of the
+        pairs' adjacencies, from `msk` alone. Small pair sets get the
+        exact per-pair both-bits test (literal long array, one scan);
+        large sets (merge-head batches, where most rows match anyway)
+        collapse to the two-mask coarse test."""
+        masks = sorted({_bit(a) | _bit(b) for a, b in pairs})
+        if len(masks) > 64:
+            am = 0
+            bm = 0
+            for a, b in pairs:
+                am |= _bit(a)
+                bm |= _bit(b)
+            return (F.col("msk").bitwiseAND(F.lit(am)) != 0) & (
+                F.col("msk").bitwiseAND(F.lit(bm)) != 0
+            )
+        arr = ",".join(f"{m}L" for m in masks)
+        return F.expr(f"exists(array({arr}), m -> (msk & m) = m)")
+
+    def _map_of(pairs: list[tuple[str, str]]) -> Column:
+        return F.create_map(
+            *[x for a, b in pairs for x in (F.lit(a), F.lit(b))]
+        )
+
+    def _base_fresh() -> Column:
+        """TRUE while the base row's seg is still current: no stacked
+        batch's base-eligible adjacency matches it. Bloom-guarded —
+        rows lacking the pair bits never run the fold."""
+        live = [p for p in stale_pairs if p]
+        if not live:
+            return F.lit(True)
+        stale = F.when(
+            _bloom_pre([pr for p in live for pr in p]),
+            _adj_any([_map_of(p) for p in live]),
+        ).otherwise(F.lit(False))
+        return ~stale
+
     def _view() -> DataFrame:
         if ovl is None:
-            return base
-        return base.where(~_adj_any(stale_maps)).unionByName(ovl)
+            return base.drop("msk")
+        return base.where(_base_fresh()).drop("msk").unionByName(ovl)
 
     pairs_f = _pairs_of(base).localCheckpoint() if incremental else None
     # scan window: a few times the batch cap so disjoint pairs behind
@@ -535,8 +619,29 @@ def bpe_train(
         if overlay:
             # ONE full view scan per round: the touched slice is
             # materialized small, and the delta + overlay update read
-            # it instead of re-scanning the histogram
-            tw = _view().where(touched).coalesce(n_small).localCheckpoint()
+            # it instead of re-scanning the histogram. The base
+            # branch runs under the eligibility + bloom prunes: only
+            # base-eligible batch pairs can match frozen base segs,
+            # and only rows carrying both symbols' bloom bits run the
+            # adjacency fold.
+            bf = [p for p in batch if _eligible(p[0]) and _eligible(p[1])]
+            if bf:
+                touched_base = F.when(
+                    _bloom_pre(bf), _adj_any([_map_of(bf)])
+                ).otherwise(F.lit(False))
+                tb = base.where(_base_fresh() & touched_base).drop("msk")
+                tw = (
+                    tb if ovl is None
+                    else tb.unionByName(ovl.where(touched))
+                )
+            else:
+                # no batch pair can exist in a frozen base seg: every
+                # touched word is already in the overlay
+                tw = (
+                    ovl.where(touched) if ovl is not None
+                    else base.drop("msk").where(F.lit(False))
+                )
+            tw = tw.coalesce(n_small).localCheckpoint()
         else:
             tw = _view().where(touched)
         if incremental:
@@ -569,22 +674,33 @@ def bpe_train(
                 if ovl is None
                 else ovl.where(~touched).unionByName(new_rows)
             ).coalesce(n_small).localCheckpoint()
-            stale_maps.append(mb)
+            stale_pairs.append(bf)
             if (
                 ovl.count() >= overlay_compact_rows
-                or len(stale_maps) >= overlay_compact_depth
+                or sum(1 for p in stale_pairs if p) >= overlay_compact_depth
             ):
                 # fold the overlay into a fresh immutable base — the
                 # one full-frame write, amortized over the rounds
                 # since the last compaction. Triggered by overlay SIZE
-                # (per-round overlay rewrite cost) or stale-stack
-                # DEPTH (each base scan evaluates every stacked batch
-                # map; unbounded depth would make the view scan
-                # quadratic across rounds).
-                compacted = _view().coalesce(n_base).localCheckpoint()
+                # (per-round overlay rewrite cost) or LIVE stale-stack
+                # DEPTH (each base scan evaluates every stacked
+                # non-empty batch map; unbounded depth would make the
+                # view scan quadratic across rounds — batches whose
+                # base-eligible pair set is empty stack no predicate
+                # and don't count). The fresh base recomputes `msk`
+                # (one codegen fold, paid once per stride) and resets
+                # the minted-symbol ledger: every merge so far is now
+                # frozen into the base.
+                compacted = (
+                    _view()
+                    .withColumn("msk", F.expr(_MSK_EXPR))
+                    .coalesce(n_base)
+                    .localCheckpoint()
+                )
                 ovl = None
-                stale_maps = []
+                stale_pairs = []
                 base = compacted
+                base_minted = {a + b for a, b in merges}
                 compactions += 1
         else:
             # referee path (pre-r13 behavior): rewrite + checkpoint

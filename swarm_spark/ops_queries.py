@@ -1923,6 +1923,50 @@ def _kw_queries(docs, mod: int = 1):
     )
 
 
+def _stored_fixture_base(sf, prefix: str) -> str:
+    """Content-keyed temp location for a build-once stored fixture
+    over ``sf``'s documents parquet. Key on a CONTENT fingerprint of
+    the source, not the path alone: a regenerated corpus must never
+    be served by a stale stored artifact. ADVICE r13 (low): the first
+    cut keyed on (dir mtime truncated to seconds, dirent size), both
+    content-independent for a parquet DIRECTORY — fingerprint the
+    part files themselves (sorted relative names + sizes +
+    ns-resolution mtimes; a plain file is its own one-entry list) and
+    prune old-content dirs for the same source path so regenerations
+    don't accumulate stale trees in the tmp dir."""
+    import glob as _glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    src = os.path.join(os.path.abspath(sf), "documents.parquet")
+    if os.path.isdir(src):
+        entries = sorted(
+            (
+                os.path.relpath(os.path.join(dp, f), src),
+                os.path.getsize(os.path.join(dp, f)),
+                os.stat(os.path.join(dp, f)).st_mtime_ns,
+            )
+            for dp, _dns, fs in os.walk(src)
+            for f in fs
+        )
+    else:
+        entries = [("", os.path.getsize(src), os.stat(src).st_mtime_ns)]
+    pathkey = hashlib.md5(src.encode()).hexdigest()[:8]
+    content = hashlib.md5(repr(entries).encode()).hexdigest()[:8]
+    tmp = tempfile.gettempdir()
+    base = os.path.join(tmp, f"{prefix}_{pathkey}_{content}")
+    for stale in _glob.glob(os.path.join(tmp, f"{prefix}_{pathkey}_*")):
+        # same source path, different content fingerprint -> the
+        # corpus was regenerated; drop the superseded artifact
+        # (staging dirs carry a .building suffix and are left to
+        # their owner)
+        if stale != base and not os.path.basename(stale).count(".building"):
+            shutil.rmtree(stale, ignore_errors=True)
+    return base
+
+
 def _bm25_kw_index(spark, sf) -> str:
     """Build-once sf-keyed PERSISTED keyword index (the
     ``save_bm25`` layout + the ``bounds`` table): postings / df stats
@@ -1949,38 +1993,7 @@ def _bm25_kw_index(spark, sf) -> str:
         save_bm25_bounds,
     )
 
-    # key on a CONTENT fingerprint of the source parquet, not the
-    # path alone: a regenerated corpus must never be served by a
-    # stale stored index. ADVICE r13 (low): the first cut keyed on
-    # (dir mtime truncated to seconds, dirent size), both of which
-    # are content-independent for a parquet DIRECTORY — fingerprint
-    # the part files themselves (sorted relative names + sizes +
-    # ns-resolution mtimes; a plain file is its own one-entry list)
-    # and prune old-content index dirs for the same source path so
-    # regenerations don't accumulate stale trees in the tmp dir.
-    src = os.path.join(os.path.abspath(sf), "documents.parquet")
-    if os.path.isdir(src):
-        entries = sorted(
-            (
-                os.path.relpath(os.path.join(dp, f), src),
-                os.path.getsize(os.path.join(dp, f)),
-                os.stat(os.path.join(dp, f)).st_mtime_ns,
-            )
-            for dp, _dns, fs in os.walk(src)
-            for f in fs
-        )
-    else:
-        entries = [("", os.path.getsize(src), os.stat(src).st_mtime_ns)]
-    pathkey = hashlib.md5(src.encode()).hexdigest()[:8]
-    content = hashlib.md5(repr(entries).encode()).hexdigest()[:8]
-    tmp = tempfile.gettempdir()
-    base = os.path.join(tmp, f"swarm_bm25kw_{pathkey}_{content}")
-    for stale in _glob.glob(os.path.join(tmp, f"swarm_bm25kw_{pathkey}_*")):
-        # same source path, different content fingerprint -> the
-        # corpus was regenerated; drop the superseded index (staging
-        # dirs carry a .building suffix and are left to their owner)
-        if stale != base and not os.path.basename(stale).count(".building"):
-            shutil.rmtree(stale, ignore_errors=True)
+    base = _stored_fixture_base(sf, "swarm_bm25kw")
     if not os.path.exists(os.path.join(base, "bounds")):
         stage = f"{base}.building-{os.getpid()}"
         docs = _kw_corpus(_docs(spark, sf))
@@ -5490,6 +5503,60 @@ ORDER BY ppl.doc_id
 SQL_CURATE_CCNET = _ccnet_sql()
 
 
+def _ccnet_lm_index(spark, sf) -> str:
+    """Build-once PERSISTED grouped CCNet reference model (the
+    ``quality lm-train --by`` artifact): order-3 per-predicted-
+    language count tables over the documents corpus, written under a
+    content-fingerprint-keyed temp location and probed by every later
+    scoring pass — the train-once / probe-per-wave production shape,
+    mirroring the ``_bm25_kw_index`` precedent (same staging-dir +
+    rename-into-place discipline against concurrent sessions)."""
+    import os
+    import shutil
+
+    from .ops.lm import lm_train_by, save_lm
+    from .ops.text import language_pred_expr
+
+    base = _stored_fixture_base(sf, "swarm_ccnetlm")
+    if not os.path.exists(os.path.join(base, "_SUCCESS")):
+        stage = f"{base}.building-{os.getpid()}"
+        docs = _docs(spark, sf).select(
+            "doc_id", "text", language_pred_expr("text").alias("pred_lang")
+        )
+        save_lm(
+            lm_train_by(docs, group_col="pred_lang", order=3), stage
+        )
+        try:
+            os.rename(stage, base)
+        except OSError:
+            # a concurrent session renamed its build in first — use it
+            shutil.rmtree(stage, ignore_errors=True)
+    return base
+
+
+def q_corpus_curate_ccnet_idx(spark, sf):
+    """The CCNet tercile gate probing a PERSISTED grouped model
+    (r13 VERDICT #7): the serving shape `curate --ccnet
+    --ccnet-lm-model` runs in production — reference LMs trained
+    once, each wave pays ONE grouped scoring pass + the per-language
+    tercile cut against the stored count tables. The oracle is the
+    full-chain retrain SQL (``SQL_CURATE_CCNET``), so a green row is
+    a value-exact proof that probing the stored model equals training
+    in-plan — the ``bm25_pruned_idx`` precedent applied to the LM
+    tier. The plan verifiably scores against the stored parquet, not
+    a retrain subtree — pinned in tests/test_plans.py."""
+    from .ops.lm import lm_buckets_scored, lm_perplexity_by, load_lm
+    from .ops.text import language_pred_expr
+
+    docs = _docs(spark, sf).select(
+        "doc_id", "text", language_pred_expr("text").alias("pred_lang")
+    )
+    model = load_lm(spark, _ccnet_lm_index(spark, sf))
+    scored = lm_perplexity_by(docs, model, group_col="pred_lang", order=3)
+    buckets = lm_buckets_scored(scored, group_col="pred_lang")
+    return buckets.where(F.col("bucket") != "tail").orderBy("doc_id")
+
+
 def q_dedup_exactsubstr_incremental(spark, sf):
     """Incremental ExactSubstr: wave 1 (doc_id < 250) is cut
     self-contained and its window stats land in the ledger; wave 2
@@ -5520,6 +5587,7 @@ OPS: dict[str, tuple[Callable, str | None]] = {
     "text_gopher_repetition": (q_text_gopher_repetition, SQL_GOPHER_REPETITION),
     "corpus_curate_modern": (q_corpus_curate_modern, SQL_CURATE_MODERN),
     "corpus_curate_ccnet": (q_corpus_curate_ccnet, SQL_CURATE_CCNET),
+    "corpus_curate_ccnet_idx": (q_corpus_curate_ccnet_idx, SQL_CURATE_CCNET),
     "dedup_exactsubstr_incremental": (
         q_dedup_exactsubstr_incremental,
         SQL_EXACTSUBSTR_CUT,

@@ -242,6 +242,13 @@ _SCAN_BUDGET = {
     #   reads (pinned by test_retrieval's persisted-index plan test)
     "serve_pubsub_e2e": 5,
     "ann_ivf_recall": 6,
+    "corpus_curate_ccnet_idx": 21,  # the persisted-model serving
+    #   shape: 18 of the scans are the STORED grouped count tables
+    #   (vocab-sized parquet, each a pushed-filter narrow read —
+    #   metadata-priced at 100 TB, the bm25_pruned_idx stored-table
+    #   precedent) and only 3 are corpus-sized documents reads (the
+    #   scoring token stream + the tercile double-consumption) —
+    #   bounded by TestCcnetIdxServesStoredModel below
 }
 
 _AGG_CHILD = re.compile(
@@ -327,6 +334,35 @@ class TestPrunedPathEngages:
             f"{name} routed to the exhaustive plan at sf0.1 — the "
             "bench row no longer measures pruning"
         )
+
+
+class TestCcnetIdxServesStoredModel:
+    """r13 VERDICT #7: the ``corpus_curate_ccnet_idx`` registry row
+    must verifiably SCORE AGAINST THE STORED grouped model, not a
+    retrain subtree — the value oracle (the full-chain retrain SQL)
+    proves the results equal, this pins that the plan's count tables
+    come from the persisted parquet and the corpus-sized reads stay
+    bounded at the scoring stream (not |languages| retrain scans)."""
+
+    def test_plan_reads_stored_model_not_retrain(self, spark, sf_dir):
+        import re
+
+        from swarm_spark.ops_queries import OPS
+
+        spark.catalog.clearCache()
+        df = OPS["corpus_curate_ccnet_idx"][0](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        scans = re.findall(r"Scan parquet[^\n]*", plan)
+        model_scans = [s for s in scans if "swarm_ccnetlm" in s]
+        docs_scans = [s for s in scans if "documents" in s]
+        assert model_scans, (
+            "no stored-model scan in the plan — the row is retraining "
+            "in-plan instead of probing the persisted model"
+        )
+        # corpus-sized reads bounded: the scoring token stream plus
+        # the tercile double-consumption — never a per-language or
+        # retrain fan-out over the corpus
+        assert len(docs_scans) <= 3, docs_scans
 
 
 class TestKwIndexCacheKey:
