@@ -126,6 +126,7 @@ def main() -> int:
         "pair_maintenance": args.pair_maintenance,
         "seg_maintenance": args.seg_maintenance,
         "compactions": st.get("compactions"),
+        "phase_s": st.get("phase_s"),
         "merges": len(merges_b),
         "batched_rounds": st.get("rounds"),
         "batched_wall_s": round(wall_b, 2),

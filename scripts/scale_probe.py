@@ -600,6 +600,37 @@ def probe(
     def _curate_modern():
         return _curate_modern_on(docs)
 
+    def _curate_ccnet():
+        # the CCNet composition end to end (the corpus_curate_ccnet
+        # registry row's stages): lang-id -> ONE grouped train pass
+        # -> ONE grouped scoring pass -> per-language terciles. The
+        # interesting exponent is the grouped train+score: both are
+        # token-stream-linear by design (train is one map-side-
+        # combined aggregation; scoring is 2*order-1 vocab-sized
+        # equi-joins against the token stream), and the tercile pass
+        # is histogram-sized. The agg forces the bucket labels to
+        # materialize.
+        from swarm_spark.ops.lm import (
+            lm_buckets_scored,
+            lm_perplexity_by,
+            lm_train_by,
+        )
+        from swarm_spark.ops.text import language_pred_expr
+
+        d = docs.select(
+            "doc_id", "text", language_pred_expr("text").alias("pred_lang")
+        )
+        model = lm_train_by(d, group_col="pred_lang", order=3)
+        scored = lm_perplexity_by(d, model, group_col="pred_lang", order=3)
+        return (
+            lm_buckets_scored(scored, group_col="pred_lang")
+            .where(F.col("bucket") != "tail")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("avg_micro").alias("s"),
+            )
+        )
+
     def _exactsubstr_wave():
         # incremental serving shape: a FIXED 5k-doc wave cut against
         # this corpus's full ledger — the wave cost must track the
@@ -689,6 +720,7 @@ def probe(
         "dedup_exactsubstr": _exactsubstr,
         "text_gopher_repetition": _gopher_rep,
         "corpus_curate_modern": _curate_modern,
+        "corpus_curate_ccnet": _curate_ccnet,
         # the same composition over the co-bucketed doc store (r11
         # VERDICT #6): the by-id gate semi-joins satisfy their
         # distribution from the LAYOUT; the pair isolates what the

@@ -409,8 +409,17 @@ def bpe_train(
     stale predicate (each base scan evaluates the whole stack, so
     unbounded depth would turn the view scan quadratic across
     rounds); the full-frame write is then paid once per stride, not
-    every round. ``"rewrite"`` is the old full-frame-per-round
-    behavior — kept as the equivalence referee."""
+    every round. The base scan itself is PRUNED two ways (r13
+    VERDICT #1 — the remaining per-round floor was evaluating the
+    stack on every row): batch pairs whose symbols were minted after
+    the last compaction are dropped from the base-side predicates
+    (frozen base segs cannot contain them — driver-side set test),
+    and base rows carry a 61-bit crc32 symbol bloom (``msk``,
+    recomputed per compaction) so only rows holding BOTH symbols'
+    bits of some live pair run the adjacency fold. Both prunes are
+    sound supersets — results stay bit-identical to ``"rewrite"``,
+    the old full-frame-per-round behavior kept as the equivalence
+    referee."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     if min_count < 1:
@@ -590,14 +599,23 @@ def bpe_train(
     scan = max(4 * max_batch_merges, 64)
     rounds = 0
     compactions = 0
+    # per-phase wall accounting (stats_out["phase_s"]): where a round
+    # actually spends its time — the scale probes read this to aim
+    # the next optimization at the measured floor, not a guessed one
+    import time as _time
+
+    phase_s = {"topk": 0.0, "touch": 0.0, "pairs": 0.0, "ovl": 0.0,
+               "compact": 0.0}
     while len(merges) < n_merges:
         pairs = pairs_f if incremental else _pairs_of(_view())
+        _t0 = _time.perf_counter()
         top = [
             (r["a"], r["b"], int(r["n"]))
             for r in pairs.orderBy(F.col("n").desc(), "a", "b")
             .limit(scan)
             .collect()
         ]
+        phase_s["topk"] += _time.perf_counter() - _t0
         if not top or top[0][2] < min_count:
             break
         rounds += 1
@@ -641,7 +659,9 @@ def bpe_train(
                     ovl.where(touched) if ovl is not None
                     else base.drop("msk").where(F.lit(False))
                 )
+            _t0 = _time.perf_counter()
             tw = tw.coalesce(n_small).localCheckpoint()
+            phase_s["touch"] += _time.perf_counter() - _t0
         else:
             tw = _view().where(touched)
         if incremental:
@@ -654,6 +674,7 @@ def bpe_train(
             old_p = tw.select((-F.col("cnt")).alias("cnt"), F.col("seg"))
             new_p = tw.select("cnt", napply.alias("seg"))
             delta = _pairs_of(old_p.unionByName(new_p))
+            _t0 = _time.perf_counter()
             pairs_f = (
                 pairs_f.unionByName(delta)
                 .groupBy("a", "b")
@@ -661,6 +682,7 @@ def bpe_train(
                 .where(F.col("n") > 0)
                 .localCheckpoint()
             )
+            phase_s["pairs"] += _time.perf_counter() - _t0
         if overlay:
             # rewrite ONLY the overlay: prior overlay rows not touched
             # this round stay (`~touched` on the overlay's own current
@@ -669,14 +691,17 @@ def bpe_train(
             # segmentation, and the batch map joins the base frame's
             # stale-predicate stack
             new_rows = tw.withColumn("seg", napply)
+            _t0 = _time.perf_counter()
             ovl = (
                 new_rows
                 if ovl is None
                 else ovl.where(~touched).unionByName(new_rows)
             ).coalesce(n_small).localCheckpoint()
             stale_pairs.append(bf)
+            _n_ovl = ovl.count()
+            phase_s["ovl"] += _time.perf_counter() - _t0
             if (
-                ovl.count() >= overlay_compact_rows
+                _n_ovl >= overlay_compact_rows
                 or sum(1 for p in stale_pairs if p) >= overlay_compact_depth
             ):
                 # fold the overlay into a fresh immutable base — the
@@ -691,12 +716,14 @@ def bpe_train(
                 # (one codegen fold, paid once per stride) and resets
                 # the minted-symbol ledger: every merge so far is now
                 # frozen into the base.
+                _t0 = _time.perf_counter()
                 compacted = (
                     _view()
                     .withColumn("msk", F.expr(_MSK_EXPR))
                     .coalesce(n_base)
                     .localCheckpoint()
                 )
+                phase_s["compact"] += _time.perf_counter() - _t0
                 ovl = None
                 stale_pairs = []
                 base = compacted
@@ -712,6 +739,7 @@ def bpe_train(
     if stats_out is not None:
         stats_out["rounds"] = rounds
         stats_out["compactions"] = compactions
+        stats_out["phase_s"] = {k: round(v, 2) for k, v in phase_s.items()}
     seg = _view()
     if overlay and ovl is not None:
         # hand back a materialized frame (same contract as the old
