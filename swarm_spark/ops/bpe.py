@@ -591,7 +591,11 @@ def bpe_train(
     def _view() -> DataFrame:
         if ovl is None:
             return base.drop("msk")
-        return base.where(_base_fresh()).drop("msk").unionByName(ovl)
+        return (
+            base.where(_base_fresh())
+            .drop("msk")
+            .unionByName(ovl.drop("msk"))
+        )
 
     pairs_f = _pairs_of(base).localCheckpoint() if incremental else None
     # scan window: a few times the batch cap so disjoint pairs behind
@@ -635,6 +639,14 @@ def bpe_train(
         )
         touched = _adj_any([mb])
         if overlay:
+            # overlay rows carry `msk` as well (recomputed from the
+            # NEW seg on every write), so both overlay scans run
+            # bloom-guarded with the FULL batch — overlay segs may
+            # contain post-compaction minted symbols, and the bloom
+            # needs no eligibility test (crc32 of any string)
+            touched_ovl = F.when(
+                _bloom_pre(batch), _adj_any([mb])
+            ).otherwise(F.lit(False))
             # ONE full view scan per round: the touched slice is
             # materialized small, and the delta + overlay update read
             # it instead of re-scanning the histogram. The base
@@ -650,13 +662,16 @@ def bpe_train(
                 tb = base.where(_base_fresh() & touched_base).drop("msk")
                 tw = (
                     tb if ovl is None
-                    else tb.unionByName(ovl.where(touched))
+                    else tb.unionByName(
+                        ovl.where(touched_ovl).drop("msk")
+                    )
                 )
             else:
                 # no batch pair can exist in a frozen base seg: every
                 # touched word is already in the overlay
                 tw = (
-                    ovl.where(touched) if ovl is not None
+                    ovl.where(touched_ovl).drop("msk")
+                    if ovl is not None
                     else base.drop("msk").where(F.lit(False))
                 )
             _t0 = _time.perf_counter()
@@ -690,12 +705,16 @@ def bpe_train(
             # overlay-origin, both inside tw) enter with their new
             # segmentation, and the batch map joins the base frame's
             # stale-predicate stack
-            new_rows = tw.withColumn("seg", napply)
+            # fresh msk from the NEW seg — one fold over the small
+            # touched frame; untouched overlay rows keep theirs
+            new_rows = tw.withColumn("seg", napply).withColumn(
+                "msk", F.expr(_MSK_EXPR)
+            )
             _t0 = _time.perf_counter()
             ovl = (
                 new_rows
                 if ovl is None
-                else ovl.where(~touched).unionByName(new_rows)
+                else ovl.where(~touched_ovl).unionByName(new_rows)
             ).coalesce(n_small).localCheckpoint()
             stale_pairs.append(bf)
             _n_ovl = ovl.count()
