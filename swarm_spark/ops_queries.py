@@ -1868,7 +1868,18 @@ def _kw_corpus(docs):
     mirroring ``scripts/scale_probe.py::_kw_docs`` so the registry pins
     the exact serving shape the SCALING.md keyword rows measure. Short
     docs are guarded (Spark's sequence(1, 0) runs DESCENDING; DuckDB's
-    generate_series(1, 0) is naturally empty)."""
+    generate_series(1, 0) is naturally empty).
+
+    The frame is persist()ed (r14, guide §4.1/§2.4): the gram builders
+    are interpreted higher-order ``transform`` lambdas, and when the
+    consumer's ``explode(split(text))`` is fused into the same stage
+    Spark re-evaluates them per OUTPUT row — measured 19.8 s for the
+    fused explode vs 2.3 s for materialize-then-explode at sf0.1
+    (sole cause of the kw rankers' 35 s bench rows; the subtree also
+    re-executes once per broadcast-exchange build, which the cache
+    collapses). The cache is in-plan, per-session, row-identical, and
+    cleared by the bench between samples — every sample still computes
+    the corpus from parquet."""
     empty = F.expr("cast(array() as array<string>)")
     tri = F.when(F.size("ws") < 3, empty).otherwise(
         F.expr(
@@ -1882,14 +1893,18 @@ def _kw_corpus(docs):
             " i -> concat_ws('_', ws[i-1], ws[i], ws[i+1], ws[i+2], ws[i+3]))"
         )
     )
-    return docs.select("doc_id", F.split("text", " +").alias("ws")).select(
-        "doc_id",
-        F.concat_ws(
-            " ",
-            F.array_join(F.col("ws"), " "),
-            F.array_join(tri, " "),
-            F.array_join(five, " "),
-        ).alias("text"),
+    return (
+        docs.select("doc_id", F.split("text", " +").alias("ws"))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.array_join(F.col("ws"), " "),
+                F.array_join(tri, " "),
+                F.array_join(five, " "),
+            ).alias("text"),
+        )
+        .persist()
     )
 
 
