@@ -152,30 +152,48 @@ def main() -> None:
                     sid = si["Stage ID"]
                     sub = si.get("Submission Time")
                     comp = si.get("Completion Time")
-                    stages[sid] = {
-                        "name": si.get("Stage Name", "")[:80],
-                        "dur_ms": (comp - sub) if (sub and comp) else None,
-                        "tasks": si.get("Number of Tasks"),
-                    }
+                    # UPDATE, don't replace: TaskEnd events for this
+                    # stage have already accumulated metrics here
+                    st = stages.setdefault(sid, {})
+                    st["name"] = si.get("Stage Name", "")[:80]
+                    st["dur_ms"] = (comp - sub) if (sub and comp) else None
+                    st["tasks"] = si.get("Number of Tasks")
                 elif ev == "SparkListenerTaskEnd":
+                    # Spark 4.x event logs carry task metrics as
+                    # internal.metrics.* accumulable updates, not a
+                    # "Task Metrics" object
                     sid = e["Stage ID"]
                     st = stages.setdefault(sid, {})
-                    m = e.get("Task Metrics") or {}
-                    st["sh_read"] = st.get("sh_read", 0) + (
-                        (m.get("Shuffle Read Metrics") or {}).get(
-                            "Remote Bytes Read", 0
+                    acc = {
+                        a.get("Name"): a.get("Update")
+                        for a in (e.get("Task Info") or {}).get(
+                            "Accumulables", []
                         )
-                        + (m.get("Shuffle Read Metrics") or {}).get(
-                            "Local Bytes Read", 0
+                        if str(a.get("Name", "")).startswith(
+                            "internal.metrics."
                         )
+                    }
+
+                    def _i(name):
+                        try:
+                            return int(acc.get(f"internal.metrics.{name}", 0))
+                        except (TypeError, ValueError):
+                            return 0
+
+                    st["sh_read"] = (
+                        st.get("sh_read", 0)
+                        + _i("shuffle.read.localBytesRead")
+                        + _i("shuffle.read.remoteBytesRead")
                     )
-                    st["sh_write"] = st.get("sh_write", 0) + (
-                        (m.get("Shuffle Write Metrics") or {}).get(
-                            "Shuffle Bytes Written", 0
-                        )
+                    st["sh_write"] = st.get("sh_write", 0) + _i(
+                        "shuffle.write.bytesWritten"
                     )
-                    st["task_ms"] = st.get("task_ms", 0) + (
-                        m.get("Executor Run Time", 0)
+                    st["task_ms"] = st.get("task_ms", 0) + _i(
+                        "executorRunTime"
+                    )
+                    st["gc_ms"] = st.get("gc_ms", 0) + _i("jvmGCTime")
+                    st["spill"] = st.get("spill", 0) + _i(
+                        "diskBytesSpilled"
                     )
 
     print("\n===== event-log digest (profile jobs only) =====")
@@ -193,6 +211,8 @@ def main() -> None:
                 f"  stage {sid} {st.get('dur_ms', 0) / 1000.0:>7.3f}s"
                 f" tasks={st.get('tasks'):>3}"
                 f" taskms={st.get('task_ms', 0):>7}"
+                f" gcms={st.get('gc_ms', 0):>6}"
+                f" spill={st.get('spill', 0):>9}"
                 f" shR={st.get('sh_read', 0):>9}"
                 f" shW={st.get('sh_write', 0):>9}"
                 f"  {st.get('name', '')}"

@@ -565,12 +565,24 @@ def bm25_pruned(
     def _b(frame):
         return F.broadcast(frame) if small else frame
 
+    # The gate machinery below runs ~5 SERIAL driver actions (vol,
+    # elig_vol, theta, ev, final) and each one re-executed this whole
+    # query-side lineage — queries tokenize + explode + distinct +
+    # stats/bounds joins + the seed window — measured as the bulk of
+    # the pruned probes' builder wall (13-15 s of a 19 s lm_pruned_idx
+    # at sf0.1, the same subtrees rebuilt per action). These frames are
+    # METADATA-sized by contract (<= |Q|·query_terms rows), so persist
+    # them once (r14, guide §5: cache exactly what is reused across
+    # actions); the first gate action materializes them as a side
+    # effect and every later action + the returned plan reads the
+    # cache.
     qterms = (
         queries.select(
             F.col(query_id_col).alias("query_id"),
             F.explode(tokens_col(query_text_col)).alias("tok"),
         )
         .distinct()
+        .persist()
     )
     idf = F.log(
         F.lit(1.0)
@@ -578,7 +590,7 @@ def bm25_pruned(
     )
     qidf = qterms.join(stats, "tok").select(
         "query_id", "tok", idf.alias("idf"), "df"
-    )
+    ).persist()
     ub_tfnorm = (F.col("max_tf") * F.lit(k1 + 1.0)) / (
         F.col("max_tf") + F.lit(k1 * (1.0 - b))
     )
@@ -601,7 +613,7 @@ def bm25_pruned(
             F.round(F.lit(1_000_000) * F.col("idf") * ub_tfnorm).cast("long") + 1
         )
         .alias("ub"),
-    )
+    ).persist()
 
     # seed from the top-`seed_terms` upper-bound terms, not just one:
     # on rare-tail vocabularies the single top term's posting list can
@@ -622,6 +634,7 @@ def bm25_pruned(
         .withColumn("__r", F.row_number().over(wseed))
         .where(F.col("__r") <= seed_terms)
         .select("query_id", "tok")
+        .persist()
     )
 
     # -------- adaptive effectiveness gate #1 (metadata-priced: one
@@ -723,7 +736,11 @@ def bm25_pruned(
     ):
         return _exhaustive()
 
-    seed_pairs = post.join(_b(seed_term), "tok").select("query_id", "id").distinct()
+    # df-bounded by the seed df cap and reused by the eligibility
+    # count, the routing gate and the theta scoring — persist (§5)
+    seed_pairs = (
+        post.join(_b(seed_term), "tok").select("query_id", "id").distinct().persist()
+    )
     # pre-route BEFORE exact seed scoring: a query with fewer than k
     # seed docs can never get a theta, so its pairs are dropped here —
     # exact scoring (the fan-out join) runs only over queries that can
@@ -791,6 +808,7 @@ def bm25_pruned(
         .join(_b(theta), "query_id")
         .where(F.col("cum") >= F.col("theta"))
         .select("query_id", "tok")
+        .persist()
     )
     # -------- adaptive gate #2: theta may still leave most of the
     # theta-DEFINED queries' volume essential (flat upper bounds).
@@ -1124,13 +1142,17 @@ def lm_pruned(
         F.col(query_id_col).alias("query_id"),
         F.explode(tokens_col(query_text_col)).alias("tok"),
     )
+    # metadata-sized query-side frames, re-read by every serial gate
+    # action below — persist once, see bm25_pruned (r14, guide §5)
     qterms = qtoks.groupBy("query_id", "tok").agg(
         F.count(F.lit(1)).cast("long").alias("qtf")
-    )
+    ).persist()
     qlen = qtoks.groupBy("query_id").agg(
         F.count(F.lit(1)).cast("long").alias("qlen")
-    )
-    qcf = qterms.join(cf_stats, "tok").select("query_id", "tok", "qtf", "cf")
+    ).persist()
+    qcf = qterms.join(cf_stats, "tok").select(
+        "query_id", "tok", "qtf", "cf"
+    ).persist()
 
     def _ln_micro(tf_col):
         return F.round(
@@ -1150,7 +1172,7 @@ def lm_pruned(
         F.when(F.col("max_tf").isNull(), F.lit(1 << 52))
         .otherwise(F.col("qtf") * _ln_micro(F.col("max_tf")) + 1)
         .alias("ub"),
-    )
+    ).persist()
     term_micro = F.col("qtf") * _ln_micro(F.col("tf"))
     norm_of = lambda dl_col: F.round(  # noqa: E731 — shared exact expression
         F.lit(1_000_000.0) * F.log(F.lit(mu) / (dl_col + F.lit(mu)))
@@ -1206,6 +1228,7 @@ def lm_pruned(
         .withColumn("__r", F.row_number().over(wseed))
         .where(F.col("__r") <= seed_terms)
         .select("query_id", "tok")
+        .persist()
     )
 
     # adaptive effectiveness gate #1 — see bm25_pruned (cf is the

@@ -1879,7 +1879,19 @@ def _kw_corpus(docs):
     re-executes once per broadcast-exchange build, which the cache
     collapses). The cache is in-plan, per-session, row-identical, and
     cleared by the bench between samples — every sample still computes
-    the corpus from parquet."""
+    the corpus from parquet.
+
+    The repartition ahead of the gram projection (r14, guide §2.5
+    input skew): the docs parquet is one row group at bench scale, so
+    without it the scan — and therefore the gram compute, the cache
+    materialization, AND every consumer stage over the 1-partition
+    cache — runs single-task (measured 0.69 s materialize + 2.2 s
+    single-task postings stages). Spreading ~doc_count rows round-robin
+    to defaultParallelism is a metadata-priced exchange that gives the
+    materialization and all cache consumers full width; at cluster
+    scale a multi-file corpus already scans wide and the floor is
+    inert."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
     empty = F.expr("cast(array() as array<string>)")
     tri = F.when(F.size("ws") < 3, empty).otherwise(
         F.expr(
@@ -1894,7 +1906,8 @@ def _kw_corpus(docs):
         )
     )
     return (
-        docs.select("doc_id", F.split("text", " +").alias("ws"))
+        docs.repartition(par)
+        .select("doc_id", F.split("text", " +").alias("ws"))
         .select(
             "doc_id",
             F.concat_ws(

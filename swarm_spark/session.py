@@ -49,6 +49,22 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's parallelism-first coalescing floors partitions at
+        # minPartitionSize (default 1m) — sized for byte-bound stages.
+        # This engine's ranking/scoring stages are CPU-dense over tiny
+        # shuffle bytes (integer scores, short ids): a ~5 MB exchange
+        # coalesced to ceil(5m/1m)=5 partitions ran the 19M-row
+        # candidate aggregation of the kw rankers at 3-way parallelism
+        # on 32 cores (measured 15.7 s for that one stage; 64k floor →
+        # full width, query wall halved). 64k keeps the floor's
+        # tiny-exchange protection while letting compute-dense stages
+        # reach defaultParallelism on ANY cluster size — byte-heavy
+        # exchanges (>1 MB × parallelism) are coalesced identically to
+        # the default. Override via SPARK_GRAFT_AQE_MIN_PARTITION.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
