@@ -168,15 +168,59 @@ def gopher_gate(
     stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
     min_stop_hits: int = 2,
 ) -> DataFrame:
-    """Apply the Gopher rule gate: the input rows whose doc passes
-    every rule (left-semi against the flag frame, so the caller's
-    columns pass through untouched). ``stopwords`` defaults to the
-    paper's English list — swap it per language the way CCNet swaps
-    its reference corpora; the rule arithmetic is language-blind."""
-    keep = gopher_rules(
-        df, text_col, id_col, min_words, max_words, stopwords, min_stop_hits
-    ).where(F.col("keep"))
-    return df.join(keep.select(id_col), id_col, "left_semi")
+    """Apply the Gopher rule gate: keep the input rows whose doc
+    passes every rule. ``stopwords`` defaults to the paper's English
+    list — swap it per language the way CCNet swaps its reference
+    corpora; the rule arithmetic is language-blind.
+
+    Every rule is a pure per-row expression over ``text_col``, so the
+    gate is ONE where() over the caller's frame (r14, guide §2.4):
+    the previous left-semi against the flag frame duplicated the
+    caller's whole upstream lineage into a second plan branch — in
+    the composed curation chain that re-ran the dedup subtree per
+    gate. Keep set identical (same predicate per row — pinned against
+    :func:`gopher_rules` in tests); the caller's columns pass through
+    untouched either way. The rule expressions are intentionally
+    inlined here rather than shared with :func:`gopher_rules` so the
+    flag-frame op keeps its code identity (driver-ledger blast-radius
+    bound; the equality test carries the shared-semantics guarantee).
+    """
+    text = F.col(text_col)
+    ws = gopher_words_col(text)
+    lines = F.split(text, "\n")
+    n_words = F.size(ws).cast("long")
+    total_chars = F.aggregate(
+        ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_symbols = _count_occurrences(text, "#") + _count_occurrences(text, "...")
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda ln: ln.startswith("- ")
+            | ln.startswith("•")
+            | ln.startswith("* "),
+        )
+    ).cast("long")
+    n_ell = F.size(F.filter(lines, lambda ln: ln.endswith("..."))).cast("long")
+    n_alpha = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]"))).cast("long")
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(ws),
+            F.array(*[F.lit(s) for s in stopwords]),
+        )
+    ).cast("long")
+    return df.where(
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (F.lit(3) * n_words <= total_chars)
+        & (total_chars <= F.lit(10) * n_words)
+        & (F.lit(10) * n_symbols <= n_words)
+        & (F.lit(10) * n_bullet <= F.lit(9) * n_lines)
+        & (F.lit(10) * n_ell <= F.lit(3) * n_lines)
+        & (F.lit(10) * n_alpha >= F.lit(8) * n_words)
+        & (n_stop >= int(min_stop_hits))
+    )
 
 
 def _tok_stream(toks: DataFrame) -> DataFrame:

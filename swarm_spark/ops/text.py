@@ -412,9 +412,28 @@ def top_ngrams(
     """
     if n < 1 or top_k < 1:
         raise ValueError(f"n and top_k must be >= 1, got n={n}, top_k={top_k}")
-    grams = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles_expr(tokens_col(text_col), n)).alias("ngram"),
+    # explode POSITIONS and project the gram per output row instead of
+    # exploding a transform-built array: higher-order lambdas are
+    # interpreted outside whole-stage codegen and the generator input
+    # is re-evaluated per output row (and twice more in the inferred
+    # non-empty filter) — measured 4.1-44 s for the fused shape vs
+    # 0.3-0.7 s positional at sf0.1 (r14, guide §4.1; same fix as
+    # ops/dedup.py's shingle base). Same output multiset.
+    ws = tokens_col(text_col)
+    grams = (
+        df.select(F.col(id_col).alias("doc_id"), ws.alias("ws"))
+        .where(F.size("ws") >= n)
+        .select(
+            "doc_id",
+            "ws",
+            F.explode(F.sequence(F.lit(1), F.size("ws") - (n - 1))).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", *[F.element_at("ws", F.col("i") + k) for k in range(n)]
+            ).alias("ngram"),
+        )
     )
     counts = (
         grams.groupBy("ngram")

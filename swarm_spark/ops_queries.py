@@ -5325,9 +5325,14 @@ def q_corpus_curate_modern(spark, sf):
 
     docs = _docs(spark, sf).select("doc_id", "text")
     kept = exact_dedup_text(docs)
+    # gopher_gate is now a pure per-row filter (no flag-frame
+    # self-join); the repetition gate still consumes its input TWICE
+    # (the gram-aggregation branch + the semi-join left side), so
+    # persist the dedup+rules lineage once (r14, guide §5) — the
+    # repetition gate is the first action to materialize it
     kept = gopher_gate(
         kept, min_words=30, stopwords=("the", "a", "table", "value")
-    )
+    ).persist()
     kept = gopher_repetition_gate(kept, top_ns=(2, 3), dup_ns=(5, 8))
     # stage the gated frame once: the span cut consumes it three
     # times (stream, windows x2), and re-running the four-gate chain
@@ -5426,11 +5431,30 @@ def q_corpus_curate_ccnet(spark, sf):
     from .ops.lm import lm_buckets_scored, lm_perplexity_by, lm_train_by
     from .ops.text import language_pred_expr
 
-    docs = _docs(spark, sf).select(
-        "doc_id", "text", language_pred_expr("text").alias("pred_lang")
+    # Reuse barriers (r14, guide §5/§2.4 — measured from the event-log
+    # digest: 5-6 SERIAL single-task jobs of 1.4-6.4 s each): the
+    # language-id projection is consumed by train AND score (the
+    # argmax expression re-ran per consumer, 3 × ~1.9 s jobs); the
+    # grouped count MODEL feeds 2·order−1 = 5 scoring joins (the train
+    # aggregation re-ran per join branch); and the tercile-bucket step
+    # consumes SCORED twice (threshold histogram + label join). All
+    # three are persisted — model/scored are vocab- and doc-count-
+    # sized; docs is the wave being curated, which production stages
+    # between passes anyway (the CLI's localCheckpoint precedent). The
+    # repartition spreads the one-row-group scan so the train/score
+    # stages run at full width instead of single-task (§2.5); the
+    # bench clears the cache between samples.
+    par = spark.sparkContext.defaultParallelism
+    docs = (
+        _docs(spark, sf)
+        .repartition(par)
+        .select("doc_id", "text", language_pred_expr("text").alias("pred_lang"))
+        .persist()
     )
-    model = lm_train_by(docs, group_col="pred_lang", order=3)
-    scored = lm_perplexity_by(docs, model, group_col="pred_lang", order=3)
+    model = lm_train_by(docs, group_col="pred_lang", order=3).persist()
+    scored = lm_perplexity_by(
+        docs, model, group_col="pred_lang", order=3
+    ).persist()
     buckets = lm_buckets_scored(scored, group_col="pred_lang")
     return buckets.where(F.col("bucket") != "tail").orderBy("doc_id")
 

@@ -633,3 +633,37 @@ class TestNormalizeOracleParity:
         )
         want = con.execute(SQL_NORMALIZE).fetchall()
         assert got == want
+
+
+def test_gopher_gate_filter_equals_rules_keep_set(spark):
+    """gopher_gate is a pure where() filter (r14 optimization: no
+    flag-frame self-semi-join); its keep set must equal
+    gopher_rules(...).where(keep) for every rule combination — the
+    shared-semantics guarantee the inlined predicate relies on."""
+    import random
+
+    rng = random.Random(14)
+    vocab = ["the", "a", "table", "value", "lorem", "x1", "#", "...", "be"]
+    rows = []
+    for i in range(200):
+        n = rng.randint(0, 80)
+        words = [rng.choice(vocab) for _ in range(n)]
+        text = " ".join(words)
+        if rng.random() < 0.3:
+            text = text.replace(" ", "\n- ", 1)
+        rows.append((i, text))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for kwargs in (
+        {},
+        {"min_words": 5},
+        {"min_words": 2, "max_words": 40},
+        {"stopwords": ("the", "a", "table", "value"), "min_stop_hits": 1},
+    ):
+        via_rules = sorted(
+            r["doc_id"]
+            for r in gopher_rules(docs, **kwargs).where("keep").collect()
+        )
+        via_gate = sorted(
+            r["doc_id"] for r in gopher_gate(docs, **kwargs).collect()
+        )
+        assert via_gate == via_rules, kwargs
