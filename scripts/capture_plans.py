@@ -38,7 +38,10 @@ def main() -> None:
     src = open(os.path.join(os.path.dirname(bench.__file__), "bench.py")).read()
     names = [n for n in core if f'"{n}"' in src]
     if only:
-        names = [n for n in names if n in only]
+        # explicit names may be ANY registry query, not just bench rows
+        # (r15: the positional-rewrite restamps touch registry-only rows
+        # like text_gopher_repetition whose plans the log must evidence)
+        names = [n for n in core if n in only]
 
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

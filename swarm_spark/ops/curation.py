@@ -496,26 +496,37 @@ def gopher_repetition(
             "ws", F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
         ).alias("total_chars"),
     )
-    # one explode: (id, n, p, g) for every requested order. NB: the
-    # transform lambda must take ONE argument — a second parameter
-    # would receive the element INDEX, not the captured order
-    def _tier(n: int):
-        def mk(p):
-            return F.struct(
-                F.lit(n).cast("int").alias("n"),
-                p.cast("int").alias("p"),
-                F.concat_ws(" ", F.slice("ws", p, F.lit(n))).alias("g"),
-            )
-
-        return F.when(
-            F.size("ws") >= n,
-            F.transform(F.sequence(F.lit(1), F.size("ws") - (n - 1)), mk),
-        ).otherwise(F.array().cast("array<struct<n:int,p:int,g:string>>"))
-
-    tiers = [_tier(n) for n in ns]
-    wins = toks.select(
-        "id", F.explode(F.flatten(F.array(*tiers))).alias("w")
-    ).select("id", "w.n", "w.p", "w.g")
+    # positional (id, n, p, g) stream for every requested order:
+    # explode the literal order list, then the start positions that fit,
+    # and build each gram per output row with slice/concat_ws — all
+    # whole-stage codegen. The former shape exploded a flatten of
+    # transform-lambda-built struct arrays; higher-order lambdas are
+    # interpreted and the generator input is re-evaluated per OUTPUT
+    # row at the fused explode (O(len²) interpreted work per doc —
+    # guide §4.1, the r14 positional pattern). Same multiset: order n
+    # emits positions 1..size(ws)−(n−1) exactly when size(ws) ≥ n.
+    wins = (
+        toks.select(
+            "id",
+            "ws",
+            F.explode(F.array(*[F.lit(n).cast("int") for n in ns])).alias("n"),
+        )
+        .where(F.size("ws") >= F.col("n"))
+        .select(
+            "id",
+            "ws",
+            "n",
+            F.explode(
+                F.sequence(F.lit(1), F.size("ws") - F.col("n") + F.lit(1))
+            ).alias("p"),
+        )
+        .select(
+            "id",
+            "n",
+            F.col("p").cast("int").alias("p"),
+            F.concat_ws(" ", F.slice("ws", F.col("p"), F.col("n"))).alias("g"),
+        )
+    )
     counts = wins.groupBy("id", "n", "g").agg(F.count(F.lit(1)).alias("c"))
 
     # top-fraction tier: argmax by (count, gram) per (id, n); covered

@@ -110,39 +110,40 @@ def lm_train(
     are embedded)."""
     if order < 1:
         raise ValueError(f"order must be >= 1, got {order}")
-    base = docs.select(_ws_col(text_col).alias("ws"))
-    # every k-gram tier is built ARRAY-side (transform over the token
-    # list), so no per-doc window and no corpus-order shuffle ever
-    # runs; all tiers ride ONE explode, so training is ONE corpus scan
-    # feeding ONE map-side-combined aggregation — and every consumer
-    # of the model references one aggregation subtree Spark's exchange
-    # reuse materializes once
-    arrs = [
-        F.transform(
-            "ws",
-            lambda t: F.struct(
-                F.lit(None).cast("string").alias("ctx"), t.alias("tok")
-            ),
-        )
-    ]
-    for k in range(2, order + 1):
-        # 1-based start s walks the k-gram windows: ctx = the joined
-        # (k−1)-token prefix, tok = the window's last token
-        arrs.append(
-            F.when(
-                F.size("ws") < k,
-                F.expr("cast(array() as array<struct<ctx:string,tok:string>>)"),
-            ).otherwise(
-                F.expr(
-                    f"transform(sequence(1, size(ws) - {k - 1}),"
-                    f" s -> struct(array_join(slice(ws, s, {k - 1}), ' ') as ctx,"
-                    f" element_at(ws, s + {k - 1}) as tok))"
-                )
+    base = docs.select(_ws_col(text_col).alias("ws")).where(F.size("ws") >= 1)
+    # POSITIONAL k-gram stream: explode positions, then the orders that
+    # fit at each position, and build (ctx, tok) per output row with
+    # slice/array_join/element_at — all whole-stage-codegen. The former
+    # shape exploded a concat of transform-lambda-built struct arrays;
+    # higher-order lambdas are interpreted and the generator input is
+    # re-evaluated per OUTPUT row at the fused explode (O(len²)
+    # interpreted work per doc; measured 2.1-5.7 s → 1.3-1.6 s for the
+    # order-3 grouped train at sf0.1, bit-identical counts — guide
+    # §4.1, same fix as ops/dedup.py's shingle base). Same multiset:
+    # position s contributes one k-gram for every k ≤ order with
+    # s + k - 1 ≤ size(ws); k = 1 rows are the unigrams (ctx NULL).
+    # Still one corpus scan feeding one map-side-combined aggregation.
+    pos = base.select(
+        "ws", F.explode(F.sequence(F.lit(1), F.size("ws"))).alias("s")
+    )
+    ks = pos.select(
+        "ws",
+        "s",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.least(F.lit(order), F.size("ws") - F.col("s") + F.lit(1)),
             )
-        )
+        ).alias("k"),
+    )
     return (
-        base.select(F.explode(F.concat(*arrs)).alias("e"))
-        .select("e.ctx", "e.tok")
+        ks.select(
+            F.when(
+                F.col("k") > 1,
+                F.array_join(F.slice("ws", F.col("s"), F.col("k") - 1), " "),
+            ).alias("ctx"),
+            F.element_at("ws", F.col("s") + F.col("k") - 1).alias("tok"),
+        )
         .groupBy("ctx", "tok")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
@@ -165,31 +166,34 @@ def lm_train_by(
         raise ValueError(f"order must be >= 1, got {order}")
     base = docs.select(
         F.col(group_col).alias("grp"), _ws_col(text_col).alias("ws")
+    ).where(F.size("ws") >= 1)
+    # positional k-gram stream — same shape and rationale as
+    # :func:`lm_train` (guide §4.1: codegen positional explodes instead
+    # of an interpreted transform-lambda generator), with the group key
+    # carried through
+    pos = base.select(
+        "grp", "ws", F.explode(F.sequence(F.lit(1), F.size("ws"))).alias("s")
     )
-    arrs = [
-        F.transform(
-            "ws",
-            lambda t: F.struct(
-                F.lit(None).cast("string").alias("ctx"), t.alias("tok")
-            ),
-        )
-    ]
-    for k in range(2, order + 1):
-        arrs.append(
-            F.when(
-                F.size("ws") < k,
-                F.expr("cast(array() as array<struct<ctx:string,tok:string>>)"),
-            ).otherwise(
-                F.expr(
-                    f"transform(sequence(1, size(ws) - {k - 1}),"
-                    f" s -> struct(array_join(slice(ws, s, {k - 1}), ' ') as ctx,"
-                    f" element_at(ws, s + {k - 1}) as tok))"
-                )
+    ks = pos.select(
+        "grp",
+        "ws",
+        "s",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.least(F.lit(order), F.size("ws") - F.col("s") + F.lit(1)),
             )
-        )
+        ).alias("k"),
+    )
     return (
-        base.select("grp", F.explode(F.concat(*arrs)).alias("e"))
-        .select("grp", "e.ctx", "e.tok")
+        ks.select(
+            "grp",
+            F.when(
+                F.col("k") > 1,
+                F.array_join(F.slice("ws", F.col("s"), F.col("k") - 1), " "),
+            ).alias("ctx"),
+            F.element_at("ws", F.col("s") + F.col("k") - 1).alias("tok"),
+        )
         .groupBy("grp", "ctx", "tok")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )

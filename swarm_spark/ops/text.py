@@ -1270,18 +1270,30 @@ def dsir_importance(
     from .sampling import hash_bucket
 
     def _bg(frame: DataFrame, extra: Column | None = None) -> DataFrame:
+        # positional bigram explode: explode start positions and build
+        # each bigram per output row (codegen) instead of exploding a
+        # transform-lambda-built array, whose interpreted generator is
+        # re-evaluated per output row at the fused explode (guide §4.1;
+        # the r14 pattern — same multiset, docs with < 2 tokens emit
+        # nothing either way)
         cols = [F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("ws")]
         if extra is not None:
             cols.append(extra.cast("long").alias("is_t"))
-        out = frame.select(*cols).select(
-            "*",
-            F.explode(
-                F.expr(
-                    "CASE WHEN size(ws) < 2 THEN array() "
-                    "ELSE transform(sequence(0, size(ws) - 2), "
-                    "i -> concat(ws[i], ' ', ws[i + 1])) END"
-                )
-            ).alias("bg"),
+        out = (
+            frame.select(*cols)
+            .where(F.size("ws") >= 2)
+            .select(
+                "*",
+                F.explode(F.sequence(F.lit(1), F.size("ws") - 1)).alias("i"),
+            )
+            .select(
+                "*",
+                F.concat(
+                    F.element_at("ws", F.col("i")),
+                    F.lit(" "),
+                    F.element_at("ws", F.col("i") + 1),
+                ).alias("bg"),
+            )
         )
         keep = ["doc_id"] + (["is_t"] if extra is not None else [])
         return out.select(
@@ -1367,17 +1379,26 @@ def bigram_surprisal(
     driver as one long; the score join shuffles bigram rows by bigram
     key — no windows, no driver loops.
     """
-    bg_expr = (
-        "CASE WHEN size(ws) < 2 THEN array() "
-        "ELSE transform(sequence(0, size(ws) - 2), "
-        "i -> struct(ws[i] AS prev, ws[i + 1] AS cur)) END"
-    )
     base = df.select(
         F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("ws")
     )
-    bgs = base.select(
-        "doc_id", F.explode(F.expr(bg_expr)).alias("b")
-    ).select("doc_id", F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur"))
+    # positional transition explode (guide §4.1): codegen positions +
+    # element_at instead of an interpreted transform-lambda struct
+    # array re-evaluated per output row at the fused explode; docs with
+    # < 2 tokens emit nothing either way
+    bgs = (
+        base.where(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            "ws",
+            F.explode(F.sequence(F.lit(1), F.size("ws") - 1)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.element_at("ws", F.col("i")).alias("prev"),
+            F.element_at("ws", F.col("i") + 1).alias("cur"),
+        )
+    )
     # vocabulary size: one long via the driver
     v = base.select(F.explode("ws").alias("tok")).distinct().count()
     bi = bgs.groupBy("prev", "cur").agg(

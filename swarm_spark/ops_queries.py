@@ -4335,8 +4335,20 @@ def q_similarity_tfidf_pairs(spark, sf):
     every pair AND score value-oracles."""
     from .ops.allpairs import tfidf_cosine_pairs
 
+    # Materialization barrier for the gram corpus (r14 pattern, guide
+    # §4.1/§5 — the `_kw_corpus` precedent): the gram text is built by
+    # an interpreted higher-order `transform` lambda, and downstream
+    # consumers re-evaluate it — tfidf_postings' sizing count() is a
+    # separate action, and its token explode re-evaluates the
+    # generator input per OUTPUT row. repartition spreads the
+    # one-row-group scan so the one evaluation runs at full width
+    # (§2.5); the bench clears the session cache between samples, so
+    # every sample recomputes from parquet. Long-lived embedders own
+    # cache release (see the module docstring contract).
+    par = spark.sparkContext.defaultParallelism
     grams = (
         _docs(spark, sf)
+        .repartition(par)
         .select("doc_id", F.split("text", " +").alias("ws"))
         .select(
             "doc_id",
@@ -5328,11 +5340,15 @@ def q_corpus_curate_modern(spark, sf):
     # gopher_gate is now a pure per-row filter (no flag-frame
     # self-join); the repetition gate still consumes its input TWICE
     # (the gram-aggregation branch + the semi-join left side), so
-    # persist the dedup+rules lineage once (r14, guide §5) — the
-    # repetition gate is the first action to materialize it
+    # stage the dedup+rules lineage once (r14, guide §5). r15: staged
+    # via localCheckpoint instead of persist — same one-evaluation
+    # barrier, but nothing is left registered in the session
+    # CacheManager after the terminal action (the r14 VERDICT #6
+    # embedded-use leak); blocks are context-cleaner-freed with the
+    # frame, and every invocation still recomputes from parquet.
     kept = gopher_gate(
         kept, min_words=30, stopwords=("the", "a", "table", "value")
-    ).persist()
+    ).localCheckpoint(eager=True)
     kept = gopher_repetition_gate(kept, top_ns=(2, 3), dup_ns=(5, 8))
     # stage the gated frame once: the span cut consumes it three
     # times (stream, windows x2), and re-running the four-gate chain
@@ -5449,12 +5465,14 @@ def q_corpus_curate_ccnet(spark, sf):
         _docs(spark, sf)
         .repartition(par)
         .select("doc_id", "text", language_pred_expr("text").alias("pred_lang"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    model = lm_train_by(docs, group_col="pred_lang", order=3).persist()
+    model = lm_train_by(docs, group_col="pred_lang", order=3).localCheckpoint(
+        eager=True
+    )
     scored = lm_perplexity_by(
         docs, model, group_col="pred_lang", order=3
-    ).persist()
+    ).localCheckpoint(eager=True)
     buckets = lm_buckets_scored(scored, group_col="pred_lang")
     return buckets.where(F.col("bucket") != "tail").orderBy("doc_id")
 
