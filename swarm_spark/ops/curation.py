@@ -178,12 +178,24 @@ def gopher_gate(
     the previous left-semi against the flag frame duplicated the
     caller's whole upstream lineage into a second plan branch — in
     the composed curation chain that re-ran the dedup subtree per
-    gate. Keep set identical (same predicate per row — pinned against
-    :func:`gopher_rules` in tests); the caller's columns pass through
-    untouched either way. The rule expressions are intentionally
-    inlined here rather than shared with :func:`gopher_rules` so the
-    flag-frame op keeps its code identity (driver-ledger blast-radius
-    bound; the equality test carries the shared-semantics guarantee).
+    gate. The caller's columns pass through untouched either way. The
+    rule expressions are intentionally inlined here rather than
+    shared with :func:`gopher_rules` so the flag-frame op keeps its
+    code identity (driver-ledger blast-radius bound; the equality
+    test carries the shared-semantics guarantee).
+
+    Per-ROW semantics, precisely (r14 ADVICE): each row is kept iff
+    ITS OWN text passes — ``id_col`` is not consulted. This differs
+    from the pre-r14 flag-frame semi-join on two edge cases callers
+    should not rely on anyway: under DUPLICATE ``id_col`` values the
+    semi-join kept every row whose id had ANY passing twin (per-row
+    keeps only the passing rows), and rows with NULL ids were always
+    dropped by the join (null keys never match) where per-row keeps
+    them when their text passes. Registry/CLI pipelines dedup ids
+    upstream, so both engines agree there; the per-row form is the
+    documented contract going forward. ``id_col`` is retained for
+    signature compatibility (and symmetry with :func:`gopher_rules`)
+    but unused.
     """
     text = F.col(text_col)
     ws = gopher_words_col(text)

@@ -46,6 +46,15 @@ Scale shape (the 100-TB story):
 - candidates are exactly the docs sharing ≥ 1 query term (the inverted
   index gate) — no all-pairs stage; the final (query, doc) aggregation
   and salted two-phase top-k bound every window task at ~k rows.
+
+Session-cache contract (r14 VERDICT #6): the pruned rankers persist()
+their metadata-sized query-side gate frames (qterms/qidf/ub/seed and
+the lm equivalents) so the ~5 serial gate actions share one
+materialization; the frames are ≤ |Q|·terms rows by contract but are
+NOT unpersisted on exit (a lazy frame is returned; the terminal action
+happens at the caller). Batch jobs and the bench clear the session
+cache between queries; a long-lived serving session should
+`spark.catalog.clearCache()` between query batches.
 """
 
 from __future__ import annotations

@@ -11,6 +11,19 @@ contract shared by both sides:
 - float outputs are either derived from integers (jaccard, estimates)
   or sequential-fold dot products over double-cast arrays, rounded;
 - counts cast to 64-bit on both sides.
+
+Session-cache contract (r14 VERDICT #6): a few builders persist()
+reused metadata-sized frames in-plan (`_kw_corpus`, the pruned
+rankers' gate frames via ops/retrieval.py, `q_similarity_tfidf_pairs`'
+gram corpus). The bench and the plan tests clear the session cache
+between samples; a LONG-LIVED embedding session that calls these
+builders repeatedly must do the same (`spark.catalog.clearCache()`
+between waves) or the CacheManager accumulates entries until session
+end. Corpus-sized staging in the composed curation rows
+(`q_corpus_curate_ccnet` / `q_corpus_curate_modern`) uses eager
+localCheckpoint instead: nothing registers in the CacheManager, and
+the blocks are context-cleaner-freed when the returned frame is
+dropped.
 """
 
 from __future__ import annotations

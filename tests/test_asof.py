@@ -249,6 +249,7 @@ class TestAsofTimeChunks:
             )
             assert got == base, f"time_chunks={c} diverged ({kw})"
 
+    @pytest.mark.sweep  # heavyweight referee: full run via `-m ""` (pytest.ini)
     def test_fixture_parity_all_directions(self, spark, frames):
         left, right = frames
         for direction in ("backward", "forward", "nearest"):
@@ -256,6 +257,7 @@ class TestAsofTimeChunks:
         self._parity(spark, left, right, tolerance=F.lit(1))
         self._parity(spark, left, right, direction="nearest", tolerance=F.lit(5))
 
+    @pytest.mark.sweep  # heavyweight referee: full run via `-m ""` (pytest.ini)
     def test_randomized_hot_key_parity(self, spark):
         """One key owns ~90% of rows (the adversarial-skew shape);
         random times force fills across chunk boundaries."""
@@ -280,6 +282,7 @@ class TestAsofTimeChunks:
             self._parity(spark, left, right, direction=direction,
                          tie_break="tag")
 
+    @pytest.mark.sweep  # heavyweight referee: full run via `-m ""` (pytest.ini)
     def test_duplicate_right_time_tie_parity(self, spark):
         """ADVICE r7 (medium): right rows tying at the same (key, time)
         with DISTINCT payloads — the unchunked window resolves ties to
@@ -309,6 +312,7 @@ class TestAsofTimeChunks:
         }
         assert (1, "r2") in got
 
+    @pytest.mark.sweep  # heavyweight referee: full run via `-m ""` (pytest.ini)
     def test_duplicate_right_time_default_tie_break_parity(self, spark):
         """Same tie shape with the tie_break OMITTED: the payload-hash
         tie-break is a pure function of the row, so chunked and

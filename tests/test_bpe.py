@@ -90,6 +90,7 @@ class TestTrain:
         with pytest.raises(ValueError):
             bpe_train(hist, n_merges=1, min_count=0)
 
+    @pytest.mark.sweep  # heavyweight referee: full run via `-m ""` (pytest.ini)
     def test_local_trainer_equals_distributed(self, spark, sf_dir):
         # The equivalence pin for the production-merge-count path: the
         # single-applyInPandas incremental trainer must reproduce the
@@ -111,6 +112,7 @@ class TestTrain:
         dist = {r["word"]: (r["cnt"], r["seg"]) for r in s_dist.collect()}
         assert loc == dist
 
+    @pytest.mark.sweep  # heavyweight referee: full run via `-m ""` (pytest.ini)
     def test_batched_rounds_equal_serial_rounds(self, spark, sf_dir):
         # r11 VERDICT #2: the batched non-interacting-merge rounds
         # (the above-2M-types path) must reproduce the SERIAL
@@ -130,6 +132,7 @@ class TestTrain:
         want = {r["word"]: (r["cnt"], r["seg"]) for r in s_s.collect()}
         assert got == want
 
+    @pytest.mark.sweep  # heavyweight referee: full run via `-m ""` (pytest.ini)
     def test_incremental_pairs_equal_recount(self, spark, sf_dir):
         # the maintained pair ledger (delta-counting touched words per
         # round) must reproduce the full per-round recount bit for bit
@@ -149,6 +152,7 @@ class TestTrain:
         want = {r["word"]: (r["cnt"], r["seg"]) for r in s_r.collect()}
         assert got == want
 
+    @pytest.mark.sweep  # heavyweight referee: full run via `-m ""` (pytest.ini)
     def test_overlay_equals_rewrite(self, spark, sf_dir):
         # r12 VERDICT #1: the segmentation OVERLAY (immutable base +
         # touched-word overlay, stale-PREDICATE stack over the base

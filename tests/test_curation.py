@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from swarm_spark.ops.curation import exactsubstr_cut, gopher_gate, gopher_rules
 
 
@@ -438,6 +440,7 @@ class TestExactSubstrProperties:
         deadline=None,
         suppress_health_check=[HealthCheck.function_scoped_fixture],
     )
+    @pytest.mark.sweep  # heavyweight referee: full run via `-m ""` (pytest.ini)
     def test_one_shot_and_incremental_match_reference(self, spark, docs, ln):
         from swarm_spark.ops.curation import (
             exactsubstr_cut,
@@ -541,6 +544,7 @@ class TestRepetitionOracleParity:
         deadline=None,
         suppress_health_check=[HealthCheck.function_scoped_fixture],
     )
+    @pytest.mark.sweep  # heavyweight referee: full run via `-m ""` (pytest.ini)
     def test_repetition_matches_duckdb(self, spark, texts):
         import duckdb
         import pandas as pd
@@ -667,3 +671,30 @@ def test_gopher_gate_filter_equals_rules_keep_set(spark):
             r["doc_id"] for r in gopher_gate(docs, **kwargs).collect()
         )
         assert via_gate == via_rules, kwargs
+
+
+def test_gopher_gate_per_row_semantics_on_dup_and_null_ids(spark):
+    """Pin the documented per-ROW contract (r14 ADVICE): under
+    duplicate ids each row is judged on its own text (no
+    any-passing-twin leakage), and NULL-id rows pass when their text
+    does (the old semi-join dropped null keys unconditionally)."""
+    passing = "the a table value " + " ".join(["lorem"] * 26)
+    failing = "# # #"
+    docs = spark.createDataFrame(
+        [
+            (1, passing),  # dup id: one passing...
+            (1, failing),  # ...one failing text under the SAME id
+            (None, passing),  # null id, passing text
+            (None, failing),  # null id, failing text
+            (2, failing),
+        ],
+        "doc_id long, text string",
+    )
+    kept = gopher_gate(
+        docs, min_words=5, stopwords=("the", "a", "table", "value")
+    ).collect()
+    kept_rows = sorted(
+        ((r["doc_id"], r["text"] == passing) for r in kept),
+        key=lambda t: (t[0] is None, t[0] or 0),
+    )
+    assert kept_rows == [(1, True), (None, True)]

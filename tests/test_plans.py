@@ -316,7 +316,21 @@ def _single_partition_violations(plan: str) -> list[str]:
     return bad
 
 
-@pytest.mark.parametrize("name", sorted(ALL))
+# Default-run smoke subset: the driver's next 50-query rotation window
+# (same policy as tests/test_oracle.py — the at-risk rows); the full
+# registry sweep stays behind `-m ""` (pytest.ini).
+from swarm_spark.queries import all_queries as _all_queries
+
+_SMOKE = set(list(_all_queries())[:50])
+
+
+def _sweep_param(name):
+    return pytest.param(
+        name, marks=[] if name in _SMOKE else [pytest.mark.sweep]
+    )
+
+
+@pytest.mark.parametrize("name", [_sweep_param(n) for n in sorted(ALL)])
 def test_plan_is_scale_safe(name, spark, sf_dir):
     # each query's budget pins ITS OWN plan shape: drop any frames a
     # previously-tested query persisted, or Spark's CacheManager

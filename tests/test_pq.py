@@ -154,6 +154,7 @@ class TestAdcSearch:
         )
         assert full_probe == plain
 
+    @pytest.mark.sweep  # heavyweight referee: full run via `-m ""` (pytest.ini)
     def test_broadcast_guard_fallback_is_identical(self, spark, corpus):
         """An oversized query batch must fall back from the broadcast
         LUT/probes to plain equi-joins with IDENTICAL output (the
@@ -219,6 +220,7 @@ class TestAdcSearch:
 
 
 class TestResidualIvfPq:
+    @pytest.mark.sweep  # heavyweight referee: full run via `-m ""` (pytest.ini)
     def test_one_cell_reduces_to_centered_pq(self, spark, corpus):
         """With n_cells=1 the residual variant IS plain PQ over the
         mean-centered corpus: subtract build_ivf's own centroid in
@@ -253,6 +255,7 @@ class TestResidualIvfPq:
         )
         assert got == want
 
+    @pytest.mark.sweep  # heavyweight referee: full run via `-m ""` (pytest.ini)
     def test_broadcast_guard_fallback_is_identical(self, spark, corpus):
         from swarm_spark.ops.pq import ann_topk_ivfpq_residual
 
@@ -271,6 +274,7 @@ class TestResidualIvfPq:
         )
         assert got == want
 
+    @pytest.mark.sweep  # heavyweight referee: full run via `-m ""` (pytest.ini)
     def test_partitioning_invariant(self, spark, corpus):
         from swarm_spark.ops.pq import ann_topk_ivfpq_residual
 
